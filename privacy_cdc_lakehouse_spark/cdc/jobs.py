@@ -1,0 +1,147 @@
+"""Medallion pipeline jobs: bronze ingest → silver → privacy, batch form.
+
+One function per reference job:
+
+- ``ingest_bronze``      ≙ ``/root/reference/jobs/ingest_orders_raw.py``
+  (Kafka batch read → project/cast → append to bronze). Source here is
+  the simulated Debezium stream (``sources/debezium.py``) or any
+  DataFrame with the same envelope columns.
+- ``rebuild_silver``     ≙ ``/root/reference/jobs/build_orders_silver.py``
+  (full scan → parse → latest-state → atomic replace).
+- ``merge_silver``       ≙ ``/root/reference/jobs/merge_orders_silver.py``
+  (checkpoint read → incremental offset filter → parse → dedup →
+  3-clause MERGE → checkpoint advance).
+- ``build_privacy``      ≙ ``/root/reference/jobs/build_privacy_table.py``
+  (scan silver → pseudonymize → atomic replace).
+
+The manual checkpoint table (pipeline, last_offset, updated_at —
+``/root/reference/jobs/merge_orders_silver.py:41-47``) is kept as a
+monitoring artifact exactly as the reference roadmap suggests; the
+streaming path (``streaming/pipeline.py``) uses Spark-managed
+checkpoints instead and treats this table as observability.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.cdc.privacy import pseudonymize_orders
+from privacy_cdc_lakehouse_spark.cdc.silver import (
+    latest_state,
+    parse_cdc_envelope,
+    silver_from_bronze,
+)
+from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+
+@dataclass
+class Lakehouse:
+    """Path layout for the medallion tables under one warehouse root."""
+
+    spark: SparkSession
+    root: str
+
+    @property
+    def bronze(self) -> LakeTable:
+        return LakeTable(self.spark, f"{self.root}/bronze/orders_cdc_raw")
+
+    @property
+    def silver(self) -> LakeTable:
+        return LakeTable(self.spark, f"{self.root}/silver/orders_current")
+
+    @property
+    def privacy(self) -> LakeTable:
+        return LakeTable(self.spark, f"{self.root}/silver/orders_current_priv")
+
+    @property
+    def checkpoints(self) -> LakeTable:
+        return LakeTable(self.spark, f"{self.root}/monitoring/cdc_checkpoints")
+
+
+def ingest_bronze(lake: Lakehouse, records: DataFrame) -> int:
+    """Append raw envelope records to bronze (project/cast parity with
+    ``ingest_orders_raw.py:42-53``)."""
+    projected = records.select(
+        F.col("topic").cast("string"),
+        F.col("partition").cast("int"),
+        F.col("offset").cast("long"),
+        F.col("kafka_ts").cast("timestamp"),
+        F.col("k").cast("string"),
+        F.col("v").cast("string"),
+        F.coalesce(F.col("ingested_at"), F.current_timestamp()).alias("ingested_at"),
+    )
+    return lake.bronze.append(projected)
+
+
+def rebuild_silver(lake: Lakehouse) -> int:
+    """Full atomic rebuild of silver from the entire bronze log."""
+    return lake.silver.overwrite(silver_from_bronze(lake.bronze.read()))
+
+
+def build_privacy(lake: Lakehouse, salt: str | None = None) -> int:
+    """Full atomic rebuild of the pseudonymized projection."""
+    return lake.privacy.overwrite(pseudonymize_orders(lake.silver.read(), salt))
+
+
+PIPELINE = "orders"
+
+
+def _last_offset(lake: Lakehouse) -> int:
+    """Checkpoint watermark (−1 when absent) — the deliberate
+    plan→driver round-trip the reference performs
+    (``merge_orders_silver.py:50-55``)."""
+    if not lake.checkpoints.exists():
+        return -1
+    row = (
+        lake.checkpoints.read()
+        .filter(F.col("pipeline") == F.lit(PIPELINE))
+        .agg(F.max("last_offset").alias("lo"))
+        .collect()[0]
+    )
+    return row["lo"] if row["lo"] is not None else -1
+
+
+def merge_silver(lake: Lakehouse) -> int | None:
+    """Incremental silver upsert: new offsets only, then 3-clause MERGE.
+
+    Returns the new silver version, or None when no new data (early-exit
+    guard parity: ``merge_orders_silver.py:63-66``).
+    """
+    lo = _last_offset(lake)
+    fresh = lake.bronze.read().filter(F.col("offset") > F.lit(lo))
+    if fresh.isEmpty():
+        return None
+
+    # Parse + deterministic top-1 per key. Keep tombstones: the MERGE
+    # DELETE clause consumes them (merge_orders_silver.py:139).
+    staged = latest_state(
+        parse_cdc_envelope(fresh), drop_tombstones=False, keep_op=True
+    )
+
+    if not lake.silver.exists():
+        lake.silver.overwrite(staged.filter(F.col("op") != "d").drop("op"))
+    else:
+        lake.silver.merge(
+            staged,
+            keys=["order_id"],
+            matched_delete=F.col("s.op") == "d",
+            insert_condition=F.col("s.op") != "d",
+        )
+
+    new_hi = fresh.agg(F.max("offset").alias("hi")).collect()[0]["hi"]
+    _advance_checkpoint(lake, new_hi)
+    return lake.silver.current_version()
+
+
+def _advance_checkpoint(lake: Lakehouse, offset: int) -> None:
+    """Scalar MERGE parity (``merge_orders_silver.py:156-165``)."""
+    row = lake.spark.createDataFrame(
+        [(PIPELINE, int(offset))], "pipeline string, last_offset long"
+    ).withColumn("updated_at", F.current_timestamp())
+    if not lake.checkpoints.exists():
+        lake.checkpoints.overwrite(row)
+    else:
+        lake.checkpoints.merge(row, keys=["pipeline"])

@@ -1,0 +1,111 @@
+"""Silver latest-state transform: CDC envelope → current rows per key.
+
+Re-implements the reference's two silver paths with one deterministic
+algorithm (the reference itself migrated the full rebuild's
+order-dependent ``orderBy + dropDuplicates``
+(``/root/reference/jobs/build_orders_silver.py:73-78``) to the windowed
+top-1 used by the merge job
+(``/root/reference/jobs/merge_orders_silver.py:111-118``) — we use the
+window everywhere):
+
+1. envelope-or-bare dispatch: ``when(payload is not null, payload)
+   otherwise(v)`` (``build_orders_silver.py:27-28``)
+2. ``from_json`` with the declared StructType (``:30-48``), per-field
+   ``get_json_object`` fallback (``:49-51,66``)
+3. ``coalesce(after.x, before.x)`` — deletes carry only ``before``
+   (``:63-66``)
+4. not-null key filter (``:85``)
+5. window top-1 per key ordered ``(ts_ms DESC, offset DESC)``
+6. tombstone drop ``op != 'd'`` (``:85``)
+7. amount clean + DOUBLE cast (``:81,89``); epoch-millis → timestamp
+   with ``current_timestamp()`` fallback (``merge_orders_silver.py:124-127``)
+
+Scale notes: the only shuffle is the window partition on the key — at
+100 TB that is the unavoidable hash exchange on ``order_id``; AQE
+handles skew. All expressions are built-ins inside whole-stage codegen
+(no UDFs). ``max_by``-style alternatives were considered; the window
+keeps the multi-column deterministic tie-break explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.functions.scalars import (
+    clean_numeric_string,
+    epoch_millis_to_ts,
+)
+from privacy_cdc_lakehouse_spark.sources.debezium import CDC_ENVELOPE_SCHEMA
+
+
+def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
+    """Bronze rows (offset, v, ...) → typed change rows.
+
+    Output: order_id int, user_id int, amount_str string, status string,
+    op string, ts_ms long, offset long.
+    """
+    payload_str = F.coalesce(F.get_json_object("v", "$.payload"), F.col("v"))
+    parsed = bronze.withColumn(
+        "cdc", F.from_json(payload_str, CDC_ENVELOPE_SCHEMA.fields[0].dataType)
+    )
+
+    def field(name: str) -> F.Column:
+        # after-wins coalesce; deletes carry only `before`.
+        return F.coalesce(F.col(f"cdc.after.{name}"), F.col(f"cdc.before.{name}"))
+
+    # Raw-JSON fallback kept for the one field the reference defends
+    # (amount: build_orders_silver.py:49-51,66 — schema-drift path). A
+    # fallback per field would double the expression tree and with it
+    # Catalyst analysis + Janino codegen time for every downstream plan.
+    amount = F.coalesce(
+        field("amount_eur"), F.get_json_object("v", "$.payload.after.amount_eur")
+    )
+
+    return parsed.select(
+        field("order_id").cast("int").alias("order_id"),
+        field("user_id").cast("int").alias("user_id"),
+        amount.alias("amount_str"),
+        field("status").alias("status"),
+        F.col("cdc.op").alias("op"),
+        F.col("cdc.ts_ms").cast("long").alias("ts_ms"),
+        F.col("offset").cast("long").alias("offset"),
+    ).filter(F.col("order_id").isNotNull())
+
+
+def latest_state(
+    changes: DataFrame, drop_tombstones: bool = True, keep_op: bool = False
+) -> DataFrame:
+    """Deterministic top-1 per key; optionally drop rows whose latest op is delete.
+
+    Output: order_id, user_id, amount_eur double, status, last_change_ts
+    (+ op when ``keep_op`` — the incremental MERGE needs the latest op to
+    route rows to its DELETE/UPDATE/INSERT clauses).
+    """
+    w = Window.partitionBy("order_id").orderBy(
+        F.col("ts_ms").desc_nulls_last(), F.col("offset").desc()
+    )
+    latest = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    if drop_tombstones:
+        latest = latest.filter(F.col("op") != "d")
+    cols = [
+        F.col("order_id"),
+        F.col("user_id"),
+        clean_numeric_string(F.col("amount_str")).alias("amount_eur"),
+        F.col("status"),
+        F.coalesce(epoch_millis_to_ts(F.col("ts_ms")), F.current_timestamp()).alias(
+            "last_change_ts"
+        ),
+    ]
+    if keep_op:
+        cols.append(F.col("op"))
+    return latest.select(*cols)
+
+
+def silver_from_bronze(bronze: DataFrame) -> DataFrame:
+    """Full-rebuild silver: parse + latest-state in one plan."""
+    return latest_state(parse_cdc_envelope(bronze))

@@ -1,0 +1,219 @@
+"""Deduplication operators for training-data pipelines.
+
+Everything is built from DataFrame ops (no UDFs) so it's codegen'd and
+shuffle-planned by Catalyst. Hash functions are md5 (hex string) so
+results are engine-portable and DuckDB-oracle-checkable bit-for-bit.
+
+Scale design (100 TB):
+- exact dedup: groupBy on a fingerprint — one shuffle on the hash (well
+  distributed by construction, no skew).
+- MinHash: per-doc signature is computed by explode(shingles) →
+  groupBy(doc) with ``min(hash_i)`` aggregates — map-side partial
+  aggregation keeps the shuffle at |docs| × |permutations|, independent
+  of document length.
+- LSH banding: candidate generation shuffles (band_id, band_hash) —
+  the classic band-bucket join; bucket sizes are the skew risk, so the
+  self-join is on the *bucket key*, never a cross join. Pairs are
+  deduped with a distinct on (a, b).
+- n-gram Jaccard verification runs only on LSH candidates (the O(n²)
+  killer is gone); intersection via array_intersect on sorted distinct
+  shingle arrays.
+- SimHash: 64-bit signature from per-token hash bits, Hamming-style
+  near-dup via banding on 16-bit chunks (same LSH machinery).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators.text import words
+
+
+# ----------------------------- exact -----------------------------------
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Groups of byte-identical (normalized) docs: one row per dup group
+    with the keeper (min id) and the group size."""
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    return (
+        df.select(F.col(id_col), norm.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("member_ids"),
+        )
+        .filter(F.col("group_size") > 1)
+    )
+
+
+# ----------------------------- shingles --------------------------------
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>."""
+    ws = words(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(ws) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+        )
+    )
+
+
+def _perm_hash(shingle: Column, seed: int) -> Column:
+    """Portable per-permutation hash: md5 over seed-prefixed shingle.
+    Hex strings compare identically in Spark and DuckDB."""
+    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+
+
+# ----------------------------- minhash ---------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = 16
+) -> DataFrame:
+    """Per-doc MinHash signature: array of ``num_perm`` min-hashes.
+
+    explode → groupBy(min...) keeps partial aggregation map-side; the
+    shuffle carries |docs| rows of num_perm strings.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh")
+    )
+    aggs = [
+        F.min(_perm_hash(F.col("sh"), seed)).alias(f"mh_{seed}")
+        for seed in range(num_perm)
+    ]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(
+        F.col(id_col),
+        F.array(*[F.col(f"mh_{s}") for s in range(num_perm)]).alias("signature"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (a < b) via LSH banding on the MinHash
+    signature. rows_per_band = num_perm // bands; a pair collides when
+    any band's sub-signature matches exactly."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, text_col, id_col, num_perm)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+# ----------------------------- jaccard ---------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidates: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs (id_a, id_b).
+
+    At scale the candidate list is LSH output (tiny vs n²); the two
+    joins are broadcast-able when candidates fit, else shuffle on id.
+    """
+    sh = df.select(
+        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "uni", F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        )
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------- simhash ---------------------------------
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """Per-doc SimHash: sign-sum over per-word hash bits.
+
+    Uses xxhash64(word) (Spark built-in) for bit material — NOT
+    oracle-portable, so simhash queries get rows-only checks; the
+    algorithm is the standard Charikar construction: bit_i(sig) =
+    sign(Σ_words (bit_i(hash(w)) ? +1 : -1)).
+
+    Implemented via explode + groupBy sum of per-bit ±1 vectors —
+    map-side combinable, shuffle is |docs| × bits ints.
+    """
+    ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    h = ex.withColumn("h", F.xxhash64("w"))
+    bit_sums = h.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{i}")
+            for i in range(bits)
+        ]
+    )
+    sig = bit_sums.select(
+        F.col(id_col),
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(2 ** i)).otherwise(F.lit(0))
+                for i in range(bits)
+            ],
+            F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return sig

