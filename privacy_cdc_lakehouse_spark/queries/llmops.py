@@ -1,6 +1,428 @@
-"""LLM-data-pipeline operators: dedup, similarity, text analysis (north star)."""
+"""LLM-data-pipeline queries: dedup, similarity, text analysis, multimodal.
+
+The fixture corpus has no natural duplicates, so dedup queries run over
+a *deterministically augmented* corpus built identically on both
+engines: original docs ∪ exact copies (doc_id%10==0, id+1_000_000) ∪
+near-dup copies with a perturbed tail (doc_id%7==0, id+2_000_000).
+This exercises the operators against known-positive pairs while
+remaining fully DuckDB-oracle-checkable.
+
+Portability rules that make hash-matching possible:
+- all content hashing is md5 hex (identical in Spark and DuckDB);
+- float similarity scores are rounded to 6 dp on both sides;
+- integer-ratio divisions (jaccard, stopword ratios) are exact doubles.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import dedup as dd
+from privacy_cdc_lakehouse_spark.operators import multimodal as mm
+from privacy_cdc_lakehouse_spark.operators import similarity as sim
+from privacy_cdc_lakehouse_spark.operators import text as tx
+from privacy_cdc_lakehouse_spark.session import pin_utc
+from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_PERM // BANDS
+NEAR_DUP_TAIL = " near dup tail marker"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _augmented(docs: DataFrame) -> DataFrame:
+    base = docs.select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEAR_DUP_TAIL)).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+_AUG_CTE = f"""
+aug AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 2000000, text || '{NEAR_DUP_TAIL}'
+    FROM documents WHERE doc_id % 7 = 0
+)
+"""
+
+# DuckDB building blocks mirroring operators/text.py and operators/dedup.py
+_DUCK_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform("
+    "range(0, greatest(len(ws) - 3, 0) + 1), "
+    "i -> array_to_string(list_slice(ws, i + 1, i + 3), ' ')))"
+)
+
+
+# ----------------------------- text analysis --------------------------------
+
+
+def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-feature aggregates per labeled language."""
+    pin_utc(spark)
+    stats = tx.with_text_stats(_docs(spark, sf_dir))
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+            F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+_PUNCT_RE = "[^!-/:-@\\[-`{-~]"
+_TOKEN_RE_SQL = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+_STOP_LIST = ", ".join(f"'{s}'" for s in tx._STOPWORDS)
+
+_TEXT_STATS_SQL = f"""
+WITH w AS (
+    SELECT lang, text, {_DUCK_WORDS} AS ws FROM documents
+),
+feat AS (
+    SELECT lang,
+           len(ws) AS n_words,
+           len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS n_tokens,
+           len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
+             greatest(len(ws), 1) AS stopword_ratio,
+           length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
+             greatest(length(text), 1) AS punct_ratio
+    FROM w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+       round(avg(punct_ratio), 6) AS avg_punct_ratio
+FROM feat GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID vs ground-truth label: confusion counts."""
+    pin_utc(spark)
+    pred = tx.with_lang_id(_docs(spark, sf_dir))
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _duck_hits(lang: str) -> str:
+    vocab = ", ".join(f"'{w}'" for w in tx._LANG_MARKERS[lang])
+    return f"len(list_filter(ws, x -> lower(x) IN ({vocab})))"
+
+
+_LANG_ID_SQL = f"""
+WITH w AS (
+    SELECT lang, {_DUCK_WORDS} AS ws FROM documents
+),
+h AS (
+    SELECT lang,
+           {_duck_hits('de')} AS h_de, {_duck_hits('en')} AS h_en,
+           {_duck_hits('es')} AS h_es, {_duck_hits('fr')} AS h_fr
+    FROM w
+),
+p AS (
+    SELECT lang,
+           CASE
+             WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+             WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+             WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_en >= h_de THEN 'en'
+             ELSE 'de'
+           END AS lang_pred
+    FROM h
+)
+SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+def q_quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality-score distribution (the corpus-filtering signal)."""
+    pin_utc(spark)
+    scored = tx.quality_score(_docs(spark, sf_dir))
+    return (
+        scored.groupBy(F.round("quality_score", 2).alias("quality_score"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("quality_score")
+    )
+
+
+_QUALITY_SQL = f"""
+WITH w AS (
+    SELECT text, {_DUCK_WORDS} AS ws FROM documents
+),
+feat AS (
+    SELECT len(ws) AS n_words,
+           len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
+             greatest(len(ws), 1) AS stopword_ratio,
+           length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
+             greatest(length(text), 1) AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) /
+             greatest(length(text), 1) AS digit_ratio
+    FROM w
+)
+SELECT round(CAST(
+         CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+         + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END
+         + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+         + CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END AS DOUBLE), 2) AS quality_score,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM feat GROUP BY 1 ORDER BY quality_score
+"""
+
+
+# ----------------------------- dedup ----------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dup groups over the augmented corpus; members as a joined
+    string (portable across engines)."""
+    pin_utc(spark)
+    groups = dd.exact_duplicates(_augmented(_docs(spark, sf_dir)))
+    return groups.select(
+        "fingerprint",
+        "keeper_id",
+        "group_size",
+        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias(
+            "members"
+        ),
+    ).orderBy("keeper_id")
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_AUG_CTE},
+fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM aug
+)
+SELECT fingerprint, min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS group_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+ORDER BY keeper_id
+"""
+
+
+def _duck_minhash_cols() -> str:
+    return ",\n           ".join(
+        f"min(md5('{seed}|' || s)) AS mh_{seed}" for seed in range(NUM_PERM)
+    )
+
+
+def _duck_band_rows() -> str:
+    rows = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
+    return "\n    UNION ALL\n    ".join(rows)
+
+
+_MINHASH_CTE = f"""
+WITH {_AUG_CTE},
+w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM aug),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM w),
+ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+mh AS (
+    SELECT doc_id,
+           {_duck_minhash_cols()}
+    FROM ex GROUP BY doc_id
+),
+bands AS (
+    {_duck_band_rows()}
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+"""
+
+
+def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs over the augmented corpus."""
+    pin_utc(spark)
+    corpus = _augmented(_docs(spark, sf_dir))
+    return dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_MINHASH_SQL = _MINHASH_CTE + "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+
+
+def q_dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard >= 0.5 over the LSH candidates (the verify
+    stage of the near-dup pipeline; integer-ratio doubles are exact)."""
+    pin_utc(spark)
+    corpus = _augmented(_docs(spark, sf_dir))
+    cands = dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS)
+    return dd.ngram_jaccard_pairs(corpus, cands, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_JACCARD_SQL = _MINHASH_CTE + f"""
+, jac AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.shs, b.shs)) AS inter,
+           len(list_distinct(list_concat(a.shs, b.shs))) AS uni
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+)
+SELECT id_a, id_b,
+       CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END AS jaccard
+FROM jac
+WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (xxhash64 bit material — not engine-portable;
+    rows-only check validates cardinality + determinism)."""
+    pin_utc(spark)
+    return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ----------------------------- similarity -----------------------------------
+
+
+def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 (broadcast
+    cross-score, window top-k)."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "rank",
+        "neighbor_id",
+        F.round("cos_sim", 6).alias("cos_sim_r"),
+    ).orderBy("query_id", "rank")
+
+
+_DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+
+_SIM_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id,
+               {_DOT.format(a='qv', b='cv')} AS dot,
+               sqrt({_DOT.format(a='qv', b='qv')}) AS nq,
+               sqrt({_DOT.format(a='cv', b='cv')}) AS nc
+        FROM c CROSS JOIN q
+    )
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos_sim, 6) AS cos_sim_r
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets (recall < 1;
+    rows-only check — the exact rerank inside a bucket is validated by
+    the brute-force query above)."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.lsh_topk(emb, queries, k=10, planes=6, dim=64)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
+    ).orderBy("query_id", "rank")
+
+
+# ----------------------------- multimodal -----------------------------------
+
+
+def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: text→bytes payloads decoded by the
+    Arrow-batched stub decoder (mapInPandas). Restricted to pure-ASCII
+    docs so byte features are oracle-expressible."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir).filter(
+        F.octet_length("text") == F.length("text")
+    )
+    feats = mm.decode_binary_features(mm.documents_as_binary(docs))
+    return feats.orderBy("doc_id")
+
+
+_MULTIMODAL_SQL = """
+WITH ascii_docs AS (
+    SELECT doc_id, text FROM documents
+    WHERE octet_length(encode(text)) = length(text)
+),
+b AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
+           CAST(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> ascii(substr(text, i, 1)))) % 251 AS INTEGER) AS checksum_mod
+    FROM ascii_docs
+)
+SELECT doc_id, n_bytes, CAST(first_byte AS INTEGER) AS first_byte, checksum_mod
+FROM b ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "text_stats_by_lang": q_text_stats_by_lang,
+    "lang_id_confusion": q_lang_id_confusion,
+    "quality_histogram": q_quality_histogram,
+    "dedup_exact_groups": q_dedup_exact,
+    "dedup_minhash_candidates": q_dedup_minhash_candidates,
+    "dedup_jaccard_verified": q_dedup_jaccard_verified,
+    "simhash_signatures": q_simhash_signatures,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "multimodal_binary_features": q_multimodal_binary_features,
+}
+
+ORACLES = {
+    "text_stats_by_lang": _TEXT_STATS_SQL,
+    "lang_id_confusion": _LANG_ID_SQL,
+    "quality_histogram": _QUALITY_SQL,
+    "dedup_exact_groups": _DEDUP_EXACT_SQL,
+    "dedup_minhash_candidates": _MINHASH_SQL,
+    "dedup_jaccard_verified": _JACCARD_SQL,
+    "sim_topk_bruteforce": _SIM_TOPK_SQL,
+    "multimodal_binary_features": _MULTIMODAL_SQL,
+}
