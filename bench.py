@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "total_headline_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-style write (count of a
+1-column projection would let Catalyst prune work; ``collect`` on the
+final DataFrame evaluates every output column, and headline results
+are small by construction).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from privacy_cdc_lakehouse_spark.queries import all_queries  # noqa: E402
+from privacy_cdc_lakehouse_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "cdc_orders_current",        # flagship CDC medallion pipeline
+    "cdc_orders_current_priv",   # + privacy projection
+    "q1_pricing_summary",        # grouped agg over the fact table
+    "q3_top_unshipped",          # star join + topk
+    "q5_revenue_by_nation",      # snowflake join
+    "window_top3_per_segment",   # window topk per group
+    "events_sessionize",         # sessionization windows
+    "dedup_minhash_candidates",  # minhash LSH near-dup
+    "sim_topk_bruteforce",       # cosine topk
+    "text_stats_by_lang",        # text feature aggregation
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+    spark = get_spark("bench")
+    queries = all_queries()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.time()
+        rows = fn(spark, sf_dir).collect()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,13 +46,25 @@ def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
     op string, ts_ms long, offset long.
     """
     payload_str = F.coalesce(F.get_json_object("v", "$.payload"), F.col("v"))
+    # Two-step projection: from_json evaluated once into plain `after`/
+    # `before` struct attributes, then cheap GetStructField extraction.
+    # Keeping the expensive JsonToStructs out of conditional (coalesce)
+    # branches lets whole-stage codegen's subexpression elimination
+    # evaluate it once per row.
     parsed = bronze.withColumn(
         "cdc", F.from_json(payload_str, CDC_ENVELOPE_SCHEMA.fields[0].dataType)
+    ).select(
+        F.col("offset"),
+        F.col("v"),
+        F.col("cdc.before").alias("before"),
+        F.col("cdc.after").alias("after"),
+        F.col("cdc.op").alias("op"),
+        F.col("cdc.ts_ms").alias("ts_ms"),
     )
 
     def field(name: str) -> F.Column:
         # after-wins coalesce; deletes carry only `before`.
-        return F.coalesce(F.col(f"cdc.after.{name}"), F.col(f"cdc.before.{name}"))
+        return F.coalesce(F.col(f"after.{name}"), F.col(f"before.{name}"))
 
     # Raw-JSON fallback kept for the one field the reference defends
     # (amount: build_orders_silver.py:49-51,66 — schema-drift path). A
@@ -67,8 +79,8 @@ def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
         field("user_id").cast("int").alias("user_id"),
         amount.alias("amount_str"),
         field("status").alias("status"),
-        F.col("cdc.op").alias("op"),
-        F.col("cdc.ts_ms").cast("long").alias("ts_ms"),
+        F.col("op"),
+        F.col("ts_ms").cast("long").alias("ts_ms"),
         F.col("offset").cast("long").alias("offset"),
     ).filter(F.col("order_id").isNotNull())
 

@@ -1,0 +1,100 @@
+"""Structured Streaming upgrade of the CDC pipeline.
+
+The reference reads Kafka in *batch* mode and hand-rolls offset
+checkpointing (``/root/reference/jobs/merge_orders_silver.py:41-60,
+149-165``; roadmap admits "exactly-once-ish", ``README.md:225``). The
+streaming-native rebuild (SURVEY.md §2.9):
+
+- ``readStream`` on the bronze envelope source with a Spark-managed
+  ``checkpointLocation`` — actual exactly-once into idempotent sinks;
+- the latest-state MERGE runs inside ``foreachBatch`` (MERGE is not a
+  direct streaming sink), reproducing the merge job per micro-batch;
+- the manual checkpoint table survives as *monitoring* (the reference
+  roadmap's metrics table), advanced by the same merge job;
+- watermark + ``dropDuplicatesWithinWatermark`` gives the
+  streaming-native version of the W1 window dedup for at-least-once
+  sources.
+
+Scale notes: at 100 TB/day the micro-batch MERGE is the standard
+Delta/Iceberg CDC pattern; state for watermarked dedup is bounded by
+(keys within watermark), and the foreachBatch merge itself is
+stateless across batches (state lives in the table). A real Kafka
+source swaps in with two lines — the envelope schema is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from privacy_cdc_lakehouse_spark.cdc.jobs import Lakehouse, ingest_bronze, merge_silver
+
+# Bronze envelope schema (= ingest_orders_raw.py:24-34 landing table).
+BRONZE_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("kafka_ts", T.TimestampType()),
+        T.StructField("k", T.StringType()),
+        T.StructField("v", T.StringType()),
+        T.StructField("ingested_at", T.TimestampType()),
+    ]
+)
+
+
+def run_stream_to_silver(
+    spark: SparkSession,
+    source_dir: str,
+    lake: Lakehouse,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drive the medallion pipeline from a file stream to completion.
+
+    Each micro-batch: append raw records to bronze, then run the
+    incremental checkpointed MERGE into silver — idempotent under
+    replay because the merge consumes only offsets above the
+    monitoring checkpoint (re-delivered batches are filtered out).
+    """
+    reader = spark.readStream.schema(BRONZE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        ingest_bronze(lake, batch_df)
+        merge_silver(lake)
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def watermarked_dedup(
+    stream: DataFrame, event_time: str = "kafka_ts", key: str = "k", delay: str = "10 minutes"
+) -> DataFrame:
+    """Streaming-native W1: event-time dedup with bounded state."""
+    return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark([key])
+
+
+def streaming_window_counts(
+    stream: DataFrame,
+    event_time: str = "ts",
+    window: str = "5 minutes",
+    delay: str = "10 minutes",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling event-time window aggregate with late-data handling —
+    the streaming twin of queries/analytics.py::q_events_5min_windows."""
+    return (
+        stream.withWatermark(event_time, delay)
+        .groupBy(F.window(event_time, window).alias("w"), group_col)
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n", "total_value")
+    )

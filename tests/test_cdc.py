@@ -1,0 +1,101 @@
+"""CDC pipeline semantics: parse edge cases, dedup determinism,
+incremental-merge == full-rebuild equivalence, checkpoint advance."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.cdc.jobs import (
+    Lakehouse,
+    build_privacy,
+    ingest_bronze,
+    merge_silver,
+    rebuild_silver,
+)
+from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope, silver_from_bronze
+from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+
+
+def _mk_bronze(spark, rows):
+    """rows: (offset, v) pairs → bronze-shaped DF."""
+    return spark.createDataFrame(
+        [(f"t", 0, off, None, "{}", v, None) for off, v in rows],
+        "topic string, partition int, offset long, kafka_ts timestamp,"
+        "k string, v string, ingested_at timestamp",
+    )
+
+
+def test_parse_envelope_and_bare_json(spark):
+    wrapped = '{"payload": {"after": {"order_id": 1, "user_id": 2, "amount_eur": "\\"10.5\\"", "status": "created", "created_at": "x"}, "op": "c", "ts_ms": 1000000}}'
+    bare = '{"after": {"order_id": 2, "user_id": 3, "amount_eur": " 7.25 ", "status": "paid", "created_at": "x"}, "op": "c", "ts_ms": 2000000}'
+    out = silver_from_bronze(_mk_bronze(spark, [(1, wrapped), (2, bare)]))
+    got = {r["order_id"]: r for r in out.collect()}
+    assert got[1]["amount_eur"] == 10.5  # quoted-string cleaning
+    assert got[2]["amount_eur"] == 7.25  # whitespace cleaning (bare envelope)
+
+
+def test_delete_uses_before_and_drops_row(spark):
+    create = '{"payload": {"after": {"order_id": 5, "user_id": 1, "amount_eur": "1.0", "status": "created", "created_at": "x"}, "op": "c", "ts_ms": 1000000}}'
+    delete = '{"payload": {"before": {"order_id": 5, "user_id": 1, "amount_eur": "1.0", "status": "created", "created_at": "x"}, "op": "d", "ts_ms": 2000000}}'
+    out = silver_from_bronze(_mk_bronze(spark, [(1, create), (2, delete)]))
+    assert out.count() == 0  # tombstone wins → row dropped
+    parsed = parse_cdc_envelope(_mk_bronze(spark, [(2, delete)]))
+    assert parsed.collect()[0]["order_id"] == 5  # key recovered from before
+
+
+def test_equal_ts_tiebreak_by_offset(spark):
+    e1 = '{"payload": {"after": {"order_id": 7, "user_id": 1, "amount_eur": "1", "status": "paid", "created_at": "x"}, "op": "u", "ts_ms": 5000000}}'
+    e2 = '{"payload": {"after": {"order_id": 7, "user_id": 1, "amount_eur": "1", "status": "shipped", "created_at": "x"}, "op": "u", "ts_ms": 5000000}}'
+    out = silver_from_bronze(_mk_bronze(spark, [(10, e1), (11, e2)]))
+    assert out.collect()[0]["status"] == "shipped"  # higher offset wins
+
+
+def test_null_ts_falls_back_and_loses(spark):
+    no_ts = '{"payload": {"after": {"order_id": 9, "user_id": 1, "amount_eur": "1", "status": "paid", "created_at": "x"}, "op": "u", "ts_ms": null}}'
+    with_ts = '{"payload": {"after": {"order_id": 9, "user_id": 1, "amount_eur": "2", "status": "shipped", "created_at": "x"}, "op": "u", "ts_ms": 1000000}}'
+    # null ts sorts last (desc_nulls_last) → timestamped event wins
+    out = silver_from_bronze(_mk_bronze(spark, [(20, no_ts), (19, with_ts)]))
+    row = out.collect()[0]
+    assert row["status"] == "shipped"
+    # lone null-ts event: current_timestamp fallback keeps column non-null
+    out2 = silver_from_bronze(_mk_bronze(spark, [(20, no_ts)]))
+    assert out2.collect()[0]["last_change_ts"] is not None
+
+
+def test_incremental_merge_equals_full_rebuild(spark, sf_dir, tmp_path):
+    events = cdc_events(spark, sf_dir).orderBy("offset")
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    first, second = events.filter(F.col("offset") <= mid), events.filter(
+        F.col("offset") > mid
+    )
+
+    inc = Lakehouse(spark, str(tmp_path / "inc"))
+    ingest_bronze(inc, first)
+    merge_silver(inc)
+    ingest_bronze(inc, second)
+    merge_silver(inc)
+
+    full = Lakehouse(spark, str(tmp_path / "full"))
+    ingest_bronze(full, events)
+    rebuild_silver(full)
+
+    cols = ["order_id", "user_id", "amount_eur", "status", "last_change_ts"]
+    a = sorted(tuple(r) for r in inc.silver.read().select(cols).collect())
+    b = sorted(tuple(r) for r in full.silver.read().select(cols).collect())
+    assert a == b
+    # checkpoint advanced to the max offset
+    cp = inc.checkpoints.read().collect()[0]
+    assert cp["last_offset"] == events.agg(F.max("offset")).collect()[0][0]
+    # re-running merge with no new data is a no-op
+    assert merge_silver(inc) is None
+
+
+def test_privacy_projection(spark, sf_dir, tmp_path):
+    lake = Lakehouse(spark, str(tmp_path / "priv"))
+    ingest_bronze(lake, cdc_events(spark, sf_dir))
+    rebuild_silver(lake)
+    build_privacy(lake, salt="S")
+    priv = lake.privacy.read()
+    assert "user_id" not in priv.columns
+    row = priv.limit(1).collect()[0]
+    assert len(row["user_key"]) == 64  # sha-256 hex

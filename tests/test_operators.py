@@ -1,0 +1,98 @@
+"""Operator unit behavior: text features, dedup primitives, similarity."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import dedup as dd
+from privacy_cdc_lakehouse_spark.operators import multimodal as mm
+from privacy_cdc_lakehouse_spark.operators import similarity as sim
+from privacy_cdc_lakehouse_spark.operators import text as tx
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_text_stats_and_tokens(spark):
+    df = tx.with_text_stats(_docs(spark, [(1, "the quick brown fox!! 42")]))
+    r = df.collect()[0]
+    assert r["n_words"] == 5
+    assert r["n_tokens"] == 7  # the,quick,brown,fox,!,!,42
+    assert r["stopword_ratio"] == 0.2  # 'the' of 5 words
+
+
+def test_lang_id_predicts_and_falls_back(spark):
+    df = tx.with_lang_id(
+        _docs(spark, [(1, "the cat and the dog is here"), (2, "zzz qqq xxx")])
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in df.collect()}
+    assert got[1] == "en"
+    assert got[2] == "und"
+
+
+def test_exact_duplicates_normalizes_whitespace_case(spark):
+    groups = dd.exact_duplicates(
+        _docs(spark, [(1, "Hello  World"), (2, "hello world"), (3, "other")])
+    ).collect()
+    assert len(groups) == 1
+    assert groups[0]["keeper_id"] == 1
+    assert groups[0]["group_size"] == 2
+
+
+def test_minhash_identical_docs_always_collide(spark):
+    df = _docs(spark, [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")])
+    pairs = dd.minhash_lsh_pairs(df).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_jaccard_exact(spark):
+    df = _docs(spark, [(1, "a b c d"), (2, "a b c e")])
+    cands = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = dd.ngram_jaccard_pairs(df, cands, threshold=0.0).collect()[0]
+    # shingles(3): {abc,bcd} vs {abc,bce} → jaccard 1/3
+    assert abs(got["jaccard"] - 1 / 3) < 1e-12
+
+
+def test_brute_force_topk_self_is_nearest(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(4)]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.brute_force_topk(emb, queries, k=2).collect()
+    assert out[0]["neighbor_id"] == 0 and abs(out[0]["cos_sim"] - 1.0) < 1e-12
+    assert out[1]["cos_sim"] == 0.0
+
+
+def test_simhash_similar_docs_close(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "spark table join shuffle agg window"),
+            (2, "spark table join shuffle agg windows"),
+            (3, "completely different words entirely here now"),
+        ],
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in dd.simhash(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(sigs[1], sigs[2]) < ham(sigs[1], sigs[3])
+
+
+def test_multimodal_stub_decode(spark):
+    docs = _docs(spark, [(1, "abc"), (2, "")])
+    feats = {
+        r["doc_id"]: r
+        for r in mm.decode_binary_features(mm.documents_as_binary(docs)).collect()
+    }
+    assert feats[1]["n_bytes"] == 3
+    assert feats[1]["first_byte"] == ord("a")
+    assert feats[1]["checksum_mod"] == (ord("a") + ord("b") + ord("c")) % 251
+    assert feats[2]["first_byte"] == -1

@@ -1,0 +1,115 @@
+"""Structured Streaming: foreachBatch medallion, watermark dedup, windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.cdc.jobs import Lakehouse, ingest_bronze, rebuild_silver
+from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+from privacy_cdc_lakehouse_spark.streaming.pipeline import (
+    BRONZE_SCHEMA,
+    run_stream_to_silver,
+    streaming_window_counts,
+    watermarked_dedup,
+)
+
+
+def test_stream_to_silver_matches_batch(spark, sf_dir, tmp_path):
+    events = cdc_events(spark, sf_dir)
+    src = str(tmp_path / "stream_src")
+    # two files → two micro-batches with maxFilesPerTrigger=1. Split by
+    # offset RANGE: the checkpointed merge assumes in-order delivery per
+    # partition (Kafka's guarantee), so earlier offsets must arrive first.
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    events.filter(F.col("offset") <= mid).coalesce(1).write.parquet(f"{src}/p0")
+    events.filter(F.col("offset") > mid).coalesce(1).write.parquet(f"{src}/p1")
+    # readStream wants a flat dir of files
+    import glob
+    import shutil
+
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    for i, f in enumerate(sorted(glob.glob(f"{src}/p*/part-*.parquet"))):
+        shutil.copy(f, f"{flat}/{i:04d}.parquet")
+
+    lake = Lakehouse(spark, str(tmp_path / "stream_lake"))
+    run_stream_to_silver(
+        spark, flat, lake, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+
+    batch = Lakehouse(spark, str(tmp_path / "batch_lake"))
+    ingest_bronze(batch, events)
+    rebuild_silver(batch)
+
+    cols = ["order_id", "user_id", "amount_eur", "status", "last_change_ts"]
+    a = sorted(tuple(r) for r in lake.silver.read().select(cols).collect())
+    b = sorted(tuple(r) for r in batch.silver.read().select(cols).collect())
+    assert a == b
+
+
+def test_watermarked_dedup_drops_duplicates(spark, tmp_path):
+    src = str(tmp_path / "dupsrc")
+    rows = spark.createDataFrame(
+        [
+            ("t", 0, 1, "2024-01-01 00:00:00", "k1", "v", "2024-01-01 00:00:00"),
+            ("t", 0, 2, "2024-01-01 00:00:10", "k1", "v", "2024-01-01 00:00:10"),
+            ("t", 0, 3, "2024-01-01 00:00:20", "k2", "v", "2024-01-01 00:00:20"),
+        ],
+        "topic string, partition int, offset long, kafka_ts string, k string, v string, ingested_at string",
+    ).selectExpr(
+        "topic", "partition", "offset", "cast(kafka_ts as timestamp) kafka_ts",
+        "k", "v", "cast(ingested_at as timestamp) ingested_at",
+    )
+    rows.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(BRONZE_SCHEMA).parquet(src)
+    deduped = watermarked_dedup(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("SELECT k FROM dedup_out").collect()
+    assert sorted(r["k"] for r in out) == ["k1", "k2"]
+
+
+def test_streaming_window_counts(spark, tmp_path):
+    src = str(tmp_path / "winsrc")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:01:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 00:02:00", 1, "click", 2.0, "{}"),
+            (3, "2024-01-01 00:07:00", 2, "click", 3.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "user_id", "event_type", "value", "props"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).parquet(src)
+    agg = streaming_window_counts(stream)
+    # complete mode: append would emit only windows already finalized by
+    # the watermark, and this bounded stream ends before any window
+    # passes (event-time max 00:07 − 10 min delay). The watermarked
+    # append path is exercised by test_watermarked_dedup above.
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["window_start"]), r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert ("2024-01-01 00:00:00", 2, 3.0) in got
+    assert ("2024-01-01 00:05:00", 1, 3.0) in got
