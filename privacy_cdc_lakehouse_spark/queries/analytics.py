@@ -538,6 +538,235 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- SQL API surface: correlated subquery, grouping sets, views -------------
+
+def q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape via spark.sql: correlated EXISTS (Catalyst rewrites
+    to a left-semi join on the correlation key)."""
+    pin_utc(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM v_lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q17_avg_quantity_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: scalar aggregate subquery per group — expressed
+    as a broadcast join against the pre-aggregated per-part averages
+    (the plan Catalyst's DecorrelateInnerQuery produces anyway, stated
+    explicitly so the shuffle is one slim (partkey, avg) exchange)."""
+    pin_utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_q, li.l_partkey == F.col("ap"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+_Q17_SQL = """
+SELECT sum(l1.l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem l1
+JOIN part ON p_partkey = l1.l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via spark.sql (beyond rollup/cube)."""
+    pin_utc(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               sum(o_totalprice) AS total, count(*) AS n
+        FROM v_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+_GROUPING_SETS_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       sum(o_totalprice) AS total, CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 parity: the privacy layer as a SQL VIEW over silver (the
+    Trino `orders_current_priv` view, README.md:106-117) — temp view +
+    masking expressions in pure spark.sql."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.cdc.silver import silver_from_bronze
+    from privacy_cdc_lakehouse_spark.functions.scalars import DEFAULT_TEST_SALT
+    from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+
+    silver_from_bronze(cdc_events(spark, sf_dir)).createOrReplaceTempView(
+        "v_orders_current"
+    )
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMPORARY VIEW v_orders_current_priv AS
+        SELECT order_id,
+               sha2(concat_ws('::', cast(user_id AS string), '{DEFAULT_TEST_SALT}'), 256)
+                 AS user_key,
+               amount_eur, status, last_change_ts
+        FROM v_orders_current
+        """
+    )
+    return spark.sql(
+        "SELECT status, count(*) AS n, count(DISTINCT user_key) AS n_users "
+        "FROM v_orders_current_priv GROUP BY status ORDER BY status"
+    )
+
+
+# --- As-of join and range join ----------------------------------------------
+
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark lacks a native one): for each purchase event,
+    the most recent PRIOR error event of the same user — composed as
+    last_value(ignore nulls) over a per-user event-time window, i.e. a
+    single shuffle on the join key instead of a range join. At 100 TB
+    this is the standard union+window as-of pattern: O(n log n) per
+    key, no cross product."""
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    err_ts = F.when(F.col("event_type") == "error", F.col("ts"))
+    return (
+        ev.withColumn("last_error_ts", F.last(err_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_error_ts")
+        .orderBy("event_id")
+    )
+
+
+_ASOF_SQL = """
+WITH marked AS (
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_error_ts
+    FROM events
+)
+SELECT event_id, user_id, ts, last_error_ts
+FROM marked WHERE event_type = 'purchase' ORDER BY event_id
+"""
+
+
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join: events bucketed into value bands. The band
+    table is tiny → broadcast nested-loop is optimal; for two large
+    sides the scale path is bucketizing the range key into an equi-join
+    (same result, one shuffle)."""
+    pin_utc(spark)
+    bands = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 5.0, 10.0), (2, 10.0, 15.0), (3, 15.0, 1e9)],
+        "band_id int, lo double, hi double",
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .orderBy("band_id")
+    )
+
+
+_RANGE_JOIN_SQL = """
+WITH bands(band_id, lo, hi) AS (
+    VALUES (0, 0.0, 5.0), (1, 5.0, 10.0), (2, 10.0, 15.0), (3, 15.0, 1e9)
+)
+SELECT band_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band_id ORDER BY band_id
+"""
+
+
+def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (`percentile` is
+    exact+sorted — the approximate scale path is percentile_approx /
+    t-digest, exposed rows-only via approx_distinct_counts' family)."""
+    pin_utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+            F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+            F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# rounded to 4dp: interpolation fp rounding may differ by ulps across engines
+_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+       round(quantile_cont(l_extendedprice, 0.99), 4) AS p99_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_bronze_latest_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/F11 parity: peek the newest raw record, payload truncated
+    (README.md:207 `substr(v,1,500) ... ORDER BY ... DESC LIMIT 1`,
+    recency keyed on offset — ingested_at is nondeterministic)."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+
+    return (
+        cdc_events(spark, sf_dir)
+        .orderBy(F.desc("offset"))
+        .limit(1)
+        .select("offset", F.substring("k", 1, 500).alias("key_peek"))
+    )
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_top_unshipped": q3_top_unshipped,
@@ -555,7 +784,37 @@ QUERIES = {
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
     "pivot_status_by_priority": q_pivot_status_by_priority,
+    "q4_order_priority_exists": q4_order_priority_exists,
+    "q17_avg_quantity_subquery": q17_avg_quantity_subquery,
+    "grouping_sets_status_priority": q_grouping_sets,
+    "sql_privacy_view": q_privacy_view_sql,
+    "join_asof_last_error": q_asof_last_error,
+    "join_range_value_bands": q_range_join_value_bands,
+    "quantity_percentiles": q_quantity_percentiles,
+    "bronze_latest_peek": q_bronze_latest_peek,
 }
+
+from privacy_cdc_lakehouse_spark.sources.debezium import ORACLE_EVENTS_CTE as _EV_CTE
+
+_LATEST_PEEK_SQL = f"""
+WITH {_EV_CTE}
+SELECT CAST(off AS BIGINT) AS offset,
+       substr('{{"order_id":' || CAST(order_id AS VARCHAR) || '}}', 1, 500) AS key_peek
+FROM cdc_ev ORDER BY off DESC LIMIT 1
+"""
+
+_PRIV_VIEW_SQL_TEMPLATE = """
+SELECT status, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM current_state GROUP BY status ORDER BY status
+"""
+
+
+def _priv_view_oracle() -> str:
+    from privacy_cdc_lakehouse_spark.queries.cdc import _LATEST_CTE
+
+    return _LATEST_CTE + _PRIV_VIEW_SQL_TEMPLATE
+
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
@@ -573,4 +832,12 @@ ORACLES = {
     "events_json_props": _EVENTS_JSON_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
+    "q4_order_priority_exists": _Q4_SQL,
+    "q17_avg_quantity_subquery": _Q17_SQL,
+    "grouping_sets_status_priority": _GROUPING_SETS_SQL,
+    "sql_privacy_view": _priv_view_oracle(),
+    "join_asof_last_error": _ASOF_SQL,
+    "join_range_value_bands": _RANGE_JOIN_SQL,
+    "quantity_percentiles": _PERCENTILE_SQL,
+    "bronze_latest_peek": _LATEST_PEEK_SQL,
 }

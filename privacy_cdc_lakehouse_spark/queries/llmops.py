@@ -373,6 +373,61 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------- multimodal -----------------------------------
 
 
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= 0.99) over an
+    augmented corpus (vec_id%10==0 duplicated with one dimension
+    perturbed 5%, id+100000 — scale-invariant copies would be trivial).
+
+    Brute-force half-matrix here (~150k pairs at fixture scale); the
+    100 TB path is the hyperplane-LSH bucket join in
+    operators/similarity.py — same scorer, bucketed candidates.
+    """
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    perturbed = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", sim.cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos_sim") >= 0.99)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+_NEAR_DUP_SQL = f"""
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+aug AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(range(1, 65),
+             i -> CASE WHEN i = 1 THEN v[i] * 1.05 ELSE v[i] END)
+    FROM base WHERE vec_id % 10 = 0
+),
+scored AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_DOT.format(a='a.v', b='b.v')} /
+             (sqrt({_DOT.format(a='a.v', b='a.v')}) *
+              sqrt({_DOT.format(a='b.v', b='b.v')})) AS cos_sim
+    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim_r
+FROM scored WHERE cos_sim >= 0.99 ORDER BY id_a, id_b
+"""
+
+
 def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column plumbing: text→bytes payloads decoded by the
     Arrow-batched stub decoder (mapInPandas). Restricted to pure-ASCII
@@ -413,6 +468,7 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "dedup_embedding_near_dup": q_embedding_near_dup,
     "multimodal_binary_features": q_multimodal_binary_features,
 }
 
@@ -424,5 +480,6 @@ ORACLES = {
     "dedup_minhash_candidates": _MINHASH_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
     "sim_topk_bruteforce": _SIM_TOPK_SQL,
+    "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
 }
