@@ -136,6 +136,33 @@ def merge_silver(lake: Lakehouse) -> int | None:
     return lake.silver.current_version()
 
 
+def compute_dq_metrics(lake: Lakehouse) -> int:
+    """Data-quality snapshot over silver → monitoring table (the
+    reference's roadmap item: "null checks, negative amounts,
+    duplicates with a metrics table", README.md:227).
+
+    One aggregate scan → one metrics row appended (time-series of DQ
+    snapshots). At scale this is a single partial+final agg — no extra
+    shuffle beyond the final single-row reduce.
+    """
+    silver = lake.silver.read()
+    metrics = silver.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias(
+            "null_user_ids"
+        ),
+        F.sum(F.when(F.col("amount_eur").isNull(), 1).otherwise(0)).alias(
+            "null_amounts"
+        ),
+        F.sum(F.when(F.col("amount_eur") < 0, 1).otherwise(0)).alias(
+            "negative_amounts"
+        ),
+        (F.count("*") - F.countDistinct("order_id")).alias("duplicate_keys"),
+    ).withColumn("computed_at", F.current_timestamp())
+    table = LakeTable(lake.spark, f"{lake.root}/monitoring/dq_metrics")
+    return table.append(metrics) if table.exists() else table.overwrite(metrics)
+
+
 def _advance_checkpoint(lake: Lakehouse, offset: int) -> None:
     """Scalar MERGE parity (``merge_orders_silver.py:156-165``)."""
     row = lake.spark.createDataFrame(

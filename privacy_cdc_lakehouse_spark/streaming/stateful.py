@@ -1,0 +1,74 @@
+"""Custom stateful streaming operator via applyInPandasWithState.
+
+The reference has no stateful streaming at all (SURVEY.md §2.9); this
+supplies the building block Spark offers for operators the built-in
+window/dedup set can't express: arbitrary per-key state machines.
+
+``order_lifecycle_tracker`` tracks, per order key, a running state
+machine over CDC ops — how many changes each order has seen, its
+current status, and whether it regressed (e.g. 'shipped' → 'created'),
+emitting one row per key per micro-batch. This is the shape of real
+CDC quality monitors (out-of-order detection, SLA timers).
+
+Scale notes: state is per-key and O(1) (a counter + last status), the
+canonical bounded-state design; keys are hash-partitioned by the
+``groupBy``; state store lives with the stream checkpoint. Timeouts
+(``GroupStateTimeout``) would evict idle keys in a production monitor.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = (
+    "order_id int, n_changes long, last_status string, regressed boolean"
+)
+STATE_SCHEMA = "n_changes long, last_status string, regressed boolean"
+
+_STATUS_ORDER = {"created": 0, "paid": 1, "shipped": 2, "cancelled": 2}
+
+
+def _track(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    n_changes, last_status, regressed = (
+        state.get if state.exists else (0, None, False)
+    )
+    rows = pd.concat(list(pdfs))
+    rows = rows.sort_values(["ts_ms", "offset"])
+    for status in rows["status"]:
+        if status is None:
+            continue
+        if (
+            last_status is not None
+            and _STATUS_ORDER.get(status, 0) < _STATUS_ORDER.get(last_status, 0)
+        ):
+            regressed = True
+        last_status = status
+    n_changes += len(rows)
+    state.update((n_changes, last_status, regressed))
+    yield pd.DataFrame(
+        {
+            "order_id": [key[0]],
+            "n_changes": [n_changes],
+            "last_status": [last_status],
+            "regressed": [regressed],
+        }
+    )
+
+
+def order_lifecycle_tracker(changes: DataFrame) -> DataFrame:
+    """Apply the per-order state machine to a stream of parsed CDC
+    change rows (order_id, status, ts_ms, offset)."""
+    return changes.groupBy("order_id").applyInPandasWithState(
+        _track,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
