@@ -112,19 +112,62 @@ class LakeTable:
         files = self._manifest(v)["files"]
         if not files:
             raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
-        return self.spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+        # mergeSchema: reconcile data dirs written before/after additive
+        # schema evolution (missing columns read as null).
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(self.path, f) for f in files]
+        )
 
     # ---------------- write ----------------
 
-    def append(self, df: DataFrame) -> int:
-        rel = self._write_data_dir(df)
+    def append(self, df: DataFrame, merge_schema: bool = False) -> int:
+        """Append a data dir. With ``merge_schema``, columns missing from
+        the incoming batch are null-filled and new columns are admitted
+        (parquet schema merging on read reconciles old files) — the
+        additive schema-evolution mode Delta calls ``mergeSchema``."""
         v = self.current_version()
+        if v is not None and merge_schema:
+            existing = self.read().schema
+            incoming = set(df.columns)
+            for f in existing.fields:
+                if f.name not in incoming:
+                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        rel = self._write_data_dir(df)
         prev = self._manifest(v)["files"] if v is not None else []
         return self._commit(prev + [rel], "append")
 
     def overwrite(self, df: DataFrame) -> int:
         rel = self._write_data_dir(df)
         return self._commit([rel], "overwrite")
+
+    def compact(self, target_partitions: int = 8) -> int:
+        """Rewrite the current snapshot into few large files (the
+        OPTIMIZE/bin-packing maintenance op — many appends produce many
+        small files, which at scale throttles scan throughput via
+        per-file open cost and tiny row groups)."""
+        return self.overwrite(self.read().coalesce(target_partitions))
+
+    def vacuum(self, retain_last: int = 1) -> list[str]:
+        """Delete data dirs unreferenced by the ``retain_last`` newest
+        snapshots (older snapshots become unreadable — same contract as
+        Delta VACUUM breaking time travel past the horizon)."""
+        import shutil
+
+        v = self.current_version()
+        if v is None:
+            return []
+        keep_versions = range(max(1, v - retain_last + 1), v + 1)
+        referenced = set()
+        for kv in keep_versions:
+            referenced.update(self._manifest(kv)["files"])
+        data_root = os.path.join(self.path, _DATA_DIR)
+        removed = []
+        for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
+            rel = os.path.join(_DATA_DIR, d)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                removed.append(rel)
+        return removed
 
     # ---------------- merge ----------------
 

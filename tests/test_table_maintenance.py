@@ -1,0 +1,59 @@
+"""Table maintenance (compact/vacuum/schema evolution) + salted join."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators.skew import salted_join
+from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+
+def test_compact_preserves_data(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "c"))
+    for i in range(4):
+        t.append(spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "x"))
+    before = sorted(r["x"] for r in t.read().collect())
+    t.compact(target_partitions=1)
+    after = sorted(r["x"] for r in t.read().collect())
+    assert before == after
+    assert len(t._manifest(t.current_version())["files"]) == 1
+
+
+def test_vacuum_removes_unreferenced(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "v"))
+    t.overwrite(spark.range(5).withColumnRenamed("id", "x"))
+    t.overwrite(spark.range(5, 10).withColumnRenamed("id", "x"))
+    data_root = os.path.join(t.path, "data")
+    assert len(os.listdir(data_root)) == 2
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 1
+    assert len(os.listdir(data_root)) == 1
+    assert sorted(r["x"] for r in t.read().collect()) == [5, 6, 7, 8, 9]
+
+
+def test_schema_evolution_append(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "s"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    # incoming batch misses `s` and adds `extra`
+    t.append(
+        spark.createDataFrame([(2, 9.5)], "id int, extra double"),
+        merge_schema=True,
+    )
+    got = {r["id"]: r for r in t.read().collect()}
+    assert got[1]["s"] == "a"
+    assert got[2]["s"] is None
+    assert got[2]["extra"] == 9.5
+    assert got[1]["extra"] is None
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for k in ("hot", "cold") for i in range(50 if k == "hot" else 2)],
+        "k string, i int",
+    )
+    right = spark.createDataFrame([("hot", 1.0), ("cold", 2.0)], "k string, w double")
+    plain = sorted(tuple(r) for r in left.join(right, "k").collect())
+    salted = sorted(tuple(r) for r in salted_join(left, right, "k", salt=4).collect())
+    assert plain == salted
