@@ -46,6 +46,12 @@ def main() -> None:
     spark = get_spark("bench")
     queries = all_queries()
 
+    # JVM/JIT + Arrow warmup so the first timed query doesn't absorb
+    # session bring-up (standard benchmarking practice; we time queries,
+    # not interpreter startup).
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.createDataFrame([(1,)], "x int").collect()
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]

@@ -767,8 +767,66 @@ def q_bronze_latest_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Pandas UDF surface (Arrow-vectorized grouped map) ----------------------
+
+def q_pandas_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped map: per-market-segment z-scores of order
+    totals, returning >3σ outliers. This is the Arrow slow-path done
+    right — one vectorized pandas batch per group, no per-row Python.
+    (Expressible with window functions too — the point here is the
+    grouped-map operator surface; the oracle uses the SQL form.)"""
+    pin_utc(spark)
+    import pandas as pd
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = _t(spark, sf_dir, "orders")
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        pdf = pdf.assign(zscore=(pdf["o_totalprice"] - mu) / sd)
+        # top-5 |z| per group, deterministic tie-break on key
+        pdf = pdf.reindex(
+            pdf.assign(a=pdf["zscore"].abs())
+            .sort_values(["a", "o_orderkey"], ascending=[False, True])
+            .index[:5]
+        )
+        return pdf
+
+    out = joined.groupBy("c_mktsegment").applyInPandas(
+        zscore,
+        "c_mktsegment string, o_orderkey long, o_totalprice double, zscore double",
+    )
+    return out.select(
+        "c_mktsegment", "o_orderkey", "o_totalprice", F.round("zscore", 6).alias("zscore_r")
+    ).orderBy("c_mktsegment", "o_orderkey")
+
+
+_ZSCORE_SQL = """
+WITH scored AS (
+    SELECT c_mktsegment, o_orderkey, o_totalprice,
+           (o_totalprice - avg(o_totalprice) OVER w) / stddev_samp(o_totalprice) OVER w
+             AS z
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment)
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                                 ORDER BY abs(z) DESC, o_orderkey) AS rn
+    FROM scored
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, round(z, 6) AS zscore_r
+FROM ranked WHERE rn <= 5
+ORDER BY c_mktsegment, o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
+    "pandas_zscore_outliers": q_pandas_zscore_outliers,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "join_anti_customers_without_orders": q_customers_without_orders,
@@ -832,6 +890,7 @@ ORACLES = {
     "events_json_props": _EVENTS_JSON_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
+    "pandas_zscore_outliers": _ZSCORE_SQL,
     "q4_order_priority_exists": _Q4_SQL,
     "q17_avg_quantity_subquery": _Q17_SQL,
     "grouping_sets_status_priority": _GROUPING_SETS_SQL,

@@ -83,10 +83,12 @@ class LakeTable:
         with open(os.path.join(self._log_path, f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], op: str) -> int:
+    def _commit(self, files: list[str], op: str, partition_by: list[str] | None = None) -> int:
         """Atomically commit a snapshot manifest; retries on version race."""
         os.makedirs(self._log_path, exist_ok=True)
-        payload = json.dumps({"files": files, "op": op})
+        payload = json.dumps(
+            {"files": files, "op": op, "partition_by": partition_by or []}
+        )
         while True:
             version = (self.current_version() or 0) + 1
             target = os.path.join(self._log_path, f"{version:08d}.json")
@@ -98,9 +100,12 @@ class LakeTable:
                 f.write(payload)
             return version
 
-    def _write_data_dir(self, df: DataFrame) -> str:
+    def _write_data_dir(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
-        df.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.path, rel))
         return rel
 
     # ---------------- read ----------------
@@ -112,11 +117,22 @@ class LakeTable:
         files = self._manifest(v)["files"]
         if not files:
             raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
-        # mergeSchema: reconcile data dirs written before/after additive
-        # schema evolution (missing columns read as null).
-        return self.spark.read.option("mergeSchema", "true").parquet(
-            *[os.path.join(self.path, f) for f in files]
-        )
+        # Per-dir reads unioned by name: each data dir is its own
+        # partition-discovery root (a single multi-root read rejects
+        # hive-partitioned dirs), and unionByName(allowMissingColumns)
+        # reconciles additive schema evolution. mergeSchema covers
+        # mixed-schema files within one dir. compact() collapses the
+        # union when the dir list grows.
+        dfs = [
+            self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, f)
+            )
+            for f in files
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     # ---------------- write ----------------
 
@@ -124,21 +140,36 @@ class LakeTable:
         """Append a data dir. With ``merge_schema``, columns missing from
         the incoming batch are null-filled and new columns are admitted
         (parquet schema merging on read reconciles old files) — the
-        additive schema-evolution mode Delta calls ``mergeSchema``."""
+        additive schema-evolution mode Delta calls ``mergeSchema``.
+        Appends inherit the table's partitioning spec."""
         v = self.current_version()
-        if v is not None and merge_schema:
-            existing = self.read().schema
-            incoming = set(df.columns)
-            for f in existing.fields:
-                if f.name not in incoming:
-                    df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
-        rel = self._write_data_dir(df)
+        spec: list[str] = []
+        if v is not None:
+            spec = self._manifest(v).get("partition_by", [])
+            if merge_schema:
+                existing = self.read().schema
+                incoming = set(df.columns)
+                for f in existing.fields:
+                    if f.name not in incoming:
+                        df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+        rel = self._write_data_dir(df, spec)
         prev = self._manifest(v)["files"] if v is not None else []
-        return self._commit(prev + [rel], "append")
+        return self._commit(prev + [rel], "append", spec)
 
-    def overwrite(self, df: DataFrame) -> int:
-        rel = self._write_data_dir(df)
-        return self._commit([rel], "overwrite")
+    def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Atomic full replace; ``partition_by`` lays the data out
+        hive-style so filters on the partition column prune directories
+        at scan planning (PartitionFilters) — the core scan-avoidance
+        lever at 100 TB. Spec persists in the manifest and is inherited
+        by appends."""
+        v = self.current_version()
+        spec = (
+            partition_by
+            if partition_by is not None
+            else (self._manifest(v).get("partition_by", []) if v is not None else [])
+        )
+        rel = self._write_data_dir(df, spec)
+        return self._commit([rel], "overwrite", spec)
 
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into few large files (the
