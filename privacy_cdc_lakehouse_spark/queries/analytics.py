@@ -824,9 +824,68 @@ ORDER BY c_mktsegment, o_orderkey
 """
 
 
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across a join — Catalyst extracts the
+    common `l_partkey = p_partkey` conjunct so the join stays equi
+    (hash/broadcast), with the disjunction evaluated post-join and the
+    per-side IsNotNull/range conjuncts pushed to both scans."""
+    pin_utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_size") >= 5) & (F.col("p_size") <= 10) & (F.col("l_discount") < 0.02))
+    )
+    return joined.filter(cond).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+_Q19_SQL = """
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 30)
+   OR (p_size BETWEEN 5 AND 10 AND l_discount < 0.02)
+"""
+
+
+def q_min_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar-min subquery in WHERE (TPC-H Q2's shape,
+    adapted to available tables): each customer's cheapest order.
+    Catalyst decorrelates into an aggregate + join on the correlation
+    key — one slim (custkey, min) exchange."""
+    pin_utc(spark)
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice
+        FROM v_orders o
+        WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM v_orders o2
+                              WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_custkey, o_orderkey
+        """
+    )
+
+
+_MIN_ORDER_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT min(o2.o_totalprice) FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
+    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "min_order_per_customer": q_min_order_per_customer,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "join_anti_customers_without_orders": q_customers_without_orders,
@@ -891,6 +950,8 @@ ORACLES = {
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,
+    "q19_disjunctive_predicates": _Q19_SQL,
+    "min_order_per_customer": _MIN_ORDER_SQL,
     "q4_order_priority_exists": _Q4_SQL,
     "q17_avg_quantity_subquery": _Q17_SQL,
     "grouping_sets_status_priority": _GROUPING_SETS_SQL,
