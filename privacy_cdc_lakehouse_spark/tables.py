@@ -25,13 +25,19 @@ Scale notes (100 TB):
 - Manifests list directories, not files; at cluster scale you would list
   files + per-file column stats for data skipping (or swap this layer
   for Delta/Iceberg — the public API here matches so the swap is local).
-- ``merge`` rewrites the full target. The scale path is partition-scoped
-  rewrite: pass ``partition_filter`` to restrict the copy-on-write to
-  partitions present in the source batch (implemented below), which is
-  exactly Delta's dynamic partition pruning strategy for MERGE.
-- The merge join shuffles on the key; when the source micro-batch is
-  small (the CDC steady state) it is broadcast, so the target is
-  re-written without shuffling the big side.
+- ``merge`` never shuffles the big target side. A full-outer join
+  CANNOT broadcast (verified: Spark plans SortMergeJoin with both sides
+  exchanged), so MERGE is decomposed into broadcast-able pieces:
+  untouched target rows come from ``target LEFT ANTI broadcast(source
+  keys)``, updated rows from ``target INNER broadcast(source)``, and
+  inserts from source anti matched-keys (small × small). Every join
+  builds on the micro-batch side → three BroadcastHashJoins, zero
+  exchanges of the target.
+- ``merge(partition_filter=...)`` scopes the copy-on-write to the
+  partitions the batch touches (Delta's dynamic-partition-overwrite
+  strategy for MERGE): only the filtered slice is rewritten; prior data
+  dirs stay in the manifest with the filter recorded as an *exclusion
+  predicate* that readers push down as a partition filter.
 """
 
 from __future__ import annotations
@@ -40,12 +46,20 @@ import json
 import os
 import uuid
 from dataclasses import dataclass
+from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+
+
+def _entry(e) -> dict:
+    """Normalize a manifest file entry (v1 plain string → v2 dict)."""
+    if isinstance(e, str):
+        return {"path": e, "excludes": []}
+    return {"path": e["path"], "excludes": list(e.get("excludes", []))}
 
 
 class MergeError(ValueError):
@@ -83,19 +97,38 @@ class LakeTable:
         with open(os.path.join(self._log_path, f"{version:08d}.json")) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], op: str, partition_by: list[str] | None = None) -> int:
-        """Atomically commit a snapshot manifest; retries on version race."""
+    def _commit(
+        self,
+        build_files: Callable[[dict | None], list[dict]],
+        op: str,
+        partition_by: list[str] | None = None,
+    ) -> int:
+        """Atomically commit a snapshot manifest.
+
+        ``build_files`` maps the *latest committed* manifest (or None) to
+        the new file-entry list. On an O_EXCL version collision the loser
+        re-reads the winner's manifest and REBUILDS its entry list before
+        retrying — a committed-then-raced append is rebased, not silently
+        dropped (the Delta optimistic-concurrency protocol: retry =
+        re-resolve against the new snapshot, not just bump the version).
+        """
         os.makedirs(self._log_path, exist_ok=True)
-        payload = json.dumps(
-            {"files": files, "op": op, "partition_by": partition_by or []}
-        )
         while True:
-            version = (self.current_version() or 0) + 1
+            current = self.current_version()
+            latest = self._manifest(current) if current is not None else None
+            payload = json.dumps(
+                {
+                    "files": build_files(latest),
+                    "op": op,
+                    "partition_by": partition_by or [],
+                }
+            )
+            version = (current or 0) + 1
             target = os.path.join(self._log_path, f"{version:08d}.json")
             try:
                 fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             except FileExistsError:
-                continue  # another writer won this version; recompute
+                continue  # another writer won this version; rebase and retry
             with os.fdopen(fd, "w") as f:
                 f.write(payload)
             return version
@@ -114,7 +147,7 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table has no commits: {self.path}")
-        files = self._manifest(v)["files"]
+        files = [_entry(e) for e in self._manifest(v)["files"]]
         if not files:
             raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
         # Per-dir reads unioned by name: each data dir is its own
@@ -123,12 +156,20 @@ class LakeTable:
         # reconciles additive schema evolution. mergeSchema covers
         # mixed-schema files within one dir. compact() collapses the
         # union when the dir list grows.
-        dfs = [
-            self.spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(self.path, f)
+        #
+        # ``excludes`` are predicates from partition-scoped merges: rows
+        # matching any exclude were superseded by a newer dir. When the
+        # predicate is on the hive partition column, Catalyst turns the
+        # NOT-filter into PartitionFilters — superseded directories are
+        # pruned at planning, not scanned-and-dropped.
+        dfs = []
+        for e in files:
+            d = self.spark.read.option("mergeSchema", "true").parquet(
+                os.path.join(self.path, e["path"])
             )
-            for f in files
-        ]
+            for pred in e["excludes"]:
+                d = d.filter(~F.coalesce(F.expr(pred), F.lit(False)))
+            dfs.append(d)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -153,8 +194,12 @@ class LakeTable:
                     if f.name not in incoming:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         rel = self._write_data_dir(df, spec)
-        prev = self._manifest(v)["files"] if v is not None else []
-        return self._commit(prev + [rel], "append", spec)
+        return self._commit(
+            lambda latest: ([_entry(e) for e in latest["files"]] if latest else [])
+            + [{"path": rel, "excludes": []}],
+            "append",
+            spec,
+        )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Atomic full replace; ``partition_by`` lays the data out
@@ -169,7 +214,9 @@ class LakeTable:
             else (self._manifest(v).get("partition_by", []) if v is not None else [])
         )
         rel = self._write_data_dir(df, spec)
-        return self._commit([rel], "overwrite", spec)
+        return self._commit(
+            lambda latest: [{"path": rel, "excludes": []}], "overwrite", spec
+        )
 
     def compact(self, target_partitions: int = 8) -> int:
         """Rewrite the current snapshot into few large files (the
@@ -190,7 +237,7 @@ class LakeTable:
         keep_versions = range(max(1, v - retain_last + 1), v + 1)
         referenced = set()
         for kv in keep_versions:
-            referenced.update(self._manifest(kv)["files"])
+            referenced.update(_entry(e)["path"] for e in self._manifest(kv)["files"])
         data_root = os.path.join(self.path, _DATA_DIR)
         removed = []
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
@@ -212,8 +259,9 @@ class LakeTable:
         insert_condition: Column | None = None,
         insert_values: dict[str, Column] | None = None,
         validate_unique_source: bool = True,
+        partition_filter: str | None = None,
     ) -> int:
-        """Three-clause MERGE with copy-on-write rewrite.
+        """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
         Semantics mirror the reference MERGE
         (``/root/reference/jobs/merge_orders_silver.py:135-147``)::
@@ -226,9 +274,37 @@ class LakeTable:
         ``update_values`` / ``insert_values`` map target column name →
         Column over the *source* rows (referenced as ``s.<col>``); both
         default to source columns of the same name. Conditions are
-        Columns over ``s.<col>`` as well.
+        Columns over ``s.<col>`` as well. A clause condition that
+        evaluates to NULL does NOT fire the clause (SQL MERGE
+        semantics): a matched row with a NULL delete-condition falls
+        through to UPDATE; an unmatched row with a NULL
+        insert-condition is not inserted.
+
+        Plan shape (the 100 TB contract): the target is scanned, never
+        shuffled. ``full_outer`` cannot broadcast, so the merge is
+        decomposed —
+
+        - kept rows:    target LEFT ANTI  broadcast(source keys)
+        - updated rows: target INNER      broadcast(source)
+        - inserts:      source LEFT ANTI  broadcast(matched keys)
+
+        all three build their hash table on the (small) micro-batch
+        side: three BroadcastHashJoins, zero Exchange of the target.
+
+        ``partition_filter`` (a SQL predicate string over target
+        columns, e.g. ``"order_date = DATE'2024-01-01'"``) scopes the
+        copy-on-write: only matching target rows are read and
+        rewritten; prior data dirs stay committed with the predicate
+        recorded as an exclusion the reader prunes on. The caller
+        guarantees every source-affected row falls inside the filter —
+        the Delta/Iceberg dynamic-partition-overwrite contract.
         """
-        target = self.read()
+        full_target = self.read()
+        target = (
+            full_target.filter(F.expr(partition_filter))
+            if partition_filter is not None
+            else full_target
+        )
         tcols = target.columns
         if validate_unique_source:
             dup = (
@@ -240,45 +316,90 @@ class LakeTable:
                     "(the reference does window top-1 per key before MERGE)"
                 )
 
-        t = target.withColumn("_t_present", F.lit(True)).alias("t")
-        s = source.withColumn("_s_present", F.lit(True)).alias("s")
-        joined = t.join(
-            s,
-            F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys)),
-            "full_outer",
+        t = target.alias("t")
+        s = source.alias("s")
+        on = F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys))
+
+        # NULL-safe clause conditions: NULL → clause not fired.
+        delete_cond = (
+            F.coalesce(matched_delete.cast("boolean"), F.lit(False))
+            if matched_delete is not None
+            else F.lit(False)
         )
-
-        t_present = F.col("_t_present").isNotNull() & F.col("_t_present")
-        s_present = F.col("_s_present").isNotNull() & F.col("_s_present")
-        matched = t_present & s_present
-
-        delete_cond = matched_delete if matched_delete is not None else F.lit(False)
-        ins_cond = insert_condition if insert_condition is not None else F.lit(True)
+        ins_cond = (
+            F.coalesce(insert_condition.cast("boolean"), F.lit(False))
+            if insert_condition is not None
+            else F.lit(True)
+        )
         upd = update_values or {}
         ins = insert_values or {}
 
-        # Drop: matched rows hit by the DELETE clause, and unmatched source
-        # rows failing the INSERT condition.
-        keep = (
-            (matched & ~delete_cond)
-            | (t_present & ~s_present)
-            | (~t_present & s_present & ins_cond)
+        src_keys = F.broadcast(source.select(*keys).alias("s"))
+
+        # 1) Target rows not touched by the batch — survive verbatim.
+        kept = t.join(src_keys, on, "left_anti").select(*tcols)
+
+        # 2) Matched rows: UPDATE unless the DELETE clause fires. The
+        #    inner join keeps t.* available for update defaults on
+        #    columns the source lacks.
+        matched = t.join(F.broadcast(s), on, "inner").filter(~delete_cond)
+        upd_cols = [
+            upd.get(
+                c, F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
+            ).alias(c)
+            for c in tcols
+        ]
+        updated = matched.select(*upd_cols)
+
+        # 3) Unmatched source rows passing the INSERT condition. The
+        #    matched keys are at most |source| — broadcast anti again.
+        matched_keys = F.broadcast(
+            target.select(*[F.col(k).alias(f"_mk_{k}") for k in keys])
+            .alias("m")
+            .join(
+                src_keys,
+                F.expr(" AND ".join(f"m._mk_{k} <=> s.{k}" for k in keys)),
+                "left_semi",
+            )
+        )
+        schema = {f.name: f.dataType for f in target.schema.fields}
+        ins_cols = [
+            ins.get(
+                c,
+                F.col(f"s.{c}")
+                if c in source.columns
+                else F.lit(None).cast(schema[c]),
+            ).alias(c)
+            for c in tcols
+        ]
+        inserted = (
+            s.join(
+                matched_keys.alias("m"),
+                F.expr(" AND ".join(f"s.{k} <=> m._mk_{k}" for k in keys)),
+                "left_anti",
+            )
+            .filter(ins_cond)
+            .select(*ins_cols)
         )
 
-        out_cols = []
-        for c in tcols:
-            src_update = upd.get(c, F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}"))
-            src_insert = ins.get(c, F.col(f"s.{c}") if c in source.columns else F.lit(None))
-            out = (
-                F.when(matched, src_update)
-                .when(t_present, F.col(f"t.{c}"))
-                .otherwise(src_insert)
-                .alias(c)
-            )
-            out_cols.append(out)
+        merged = kept.unionByName(updated).unionByName(inserted)
 
-        merged = joined.filter(keep).select(*out_cols)
-        return self.overwrite(merged)
+        if partition_filter is None:
+            return self.overwrite(merged)
+
+        # Partition-scoped commit: write only the rewritten slice; prior
+        # dirs stay with the predicate excluded (readers prune it).
+        v = self.current_version()
+        spec = self._manifest(v).get("partition_by", []) if v is not None else []
+        rel = self._write_data_dir(merged, spec)
+
+        def build(latest: dict | None) -> list[dict]:
+            prior = [_entry(e) for e in latest["files"]] if latest else []
+            for e in prior:
+                e["excludes"].append(partition_filter)
+            return prior + [{"path": rel, "excludes": []}]
+
+        return self._commit(build, "merge", spec)
 
 
 def table(spark: SparkSession, path: str) -> LakeTable:

@@ -56,3 +56,89 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     dup = spark.createDataFrame([(1, "a"), (1, "b")], "id int, s string")
     with pytest.raises(MergeError):
         t.merge(dup, keys=["id"])
+
+
+def test_merge_null_clause_conditions_sql_semantics(spark, tmp_path):
+    """A NULL clause condition does not fire the clause: matched row with
+    NULL delete-cond falls through to UPDATE; unmatched row with NULL
+    insert-cond is not inserted."""
+    t = LakeTable(spark, str(tmp_path / "t4"))
+    t.overwrite(
+        spark.createDataFrame([(1, "old1"), (2, "old2")], "id int, s string")
+    )
+    # flag is NULL for id=1 (matched) and id=3 (unmatched)
+    source = spark.createDataFrame(
+        [(1, "new1", None), (2, "new2", True), (3, "new3", None)],
+        "id int, s string, flag boolean",
+    )
+    t.merge(
+        source,
+        keys=["id"],
+        matched_delete=F.col("s.flag") & F.lit(False) | F.col("s.flag").isNull() & F.lit(None).cast("boolean"),
+        insert_condition=F.col("s.flag"),
+    )
+    # id=1: delete-cond NULL -> updated, not deleted. id=3: insert-cond
+    # NULL -> not inserted.
+    assert _rows(t) == [(1, "new1"), (2, "new2")]
+
+
+def test_merge_partition_scoped_rewrites_only_touched_slice(spark, tmp_path):
+    import os
+
+    t = LakeTable(spark, str(tmp_path / "t5"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", "a1"), (2, "A", "a2"), (3, "B", "b1"), (4, "B", "b2")],
+            "id int, part string, s string",
+        ),
+        partition_by=["part"],
+    )
+    dirs_before = set(os.listdir(tmp_path / "t5" / "data"))
+
+    source = spark.createDataFrame(
+        [(2, "A", "a2-upd"), (5, "A", "a5-new")], "id int, part string, s string"
+    )
+    t.merge(source, keys=["id"], partition_filter="part = 'A'")
+
+    # untouched partition B survives verbatim; A is rewritten
+    # (select: hive-partitioned reads reorder the partition column last)
+    got = sorted(
+        tuple(r) for r in t.read().select("id", "part", "s").collect()
+    )
+    assert got == [
+        (1, "A", "a1"),
+        (2, "A", "a2-upd"),
+        (3, "B", "b1"),
+        (4, "B", "b2"),
+        (5, "A", "a5-new"),
+    ]
+    # the original data dir was NOT rewritten — a new dir was added
+    dirs_after = set(os.listdir(tmp_path / "t5" / "data"))
+    assert dirs_before < dirs_after and len(dirs_after) == len(dirs_before) + 1
+    # time travel to v1 still shows the pre-merge state
+    assert len(t.read(version=1).collect()) == 4
+
+
+def test_append_rebases_on_commit_race(spark, tmp_path):
+    """A racing writer's committed files must survive the loser's retry
+    (optimistic concurrency rebases the file list, not just the version)."""
+    t = LakeTable(spark, str(tmp_path / "t6"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, s string"))
+
+    # Simulate writer A winning version 2 while writer B is mid-append:
+    # pre-create B's target version so B's first O_EXCL attempt collides.
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None):
+        winner = LakeTable(spark, t.path)
+        winner.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+        return orig_commit(build, op, partition_by)
+
+    t._commit = racing_commit
+    try:
+        t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    finally:
+        t._commit = orig_commit
+
+    # all three rows present: the loser rebased onto the winner's manifest
+    assert _rows(t) == [(1, "a"), (2, "b"), (3, "c")]
