@@ -2,41 +2,48 @@
 
 ``spark.read.parquet`` everywhere, with one adapter: the driver's
 ``events`` table is written with ``timestamp[ns]`` (nanosecond) columns,
-which Spark 4's vectorized parquet reader rejects
-(PARQUET_TYPE_ILLEGAL). The fallback reads via pyarrow, casts ns → µs
-(Spark's native precision), and ships through Arrow
-``createDataFrame`` — acceptable for fixtures; a production 100 TB
-source would be written with µs timestamps in the first place (or read
-with ``spark.sql.legacy.parquet.nanosAsLong`` + an explicit cast).
+which Spark 4's vectorized parquet reader rejects at *task* time
+(PARQUET_TYPE_ILLEGAL — analysis passes, so a try/except around the
+read does not catch it). The footer is inspected up front (pyarrow
+``read_schema`` — metadata only, no data I/O); when ns columns are
+present the read runs distributed under
+``spark.sql.legacy.parquet.nanosAsLong`` and the long nanos are cast to
+µs timestamps executor-side (integer ``div`` — doubles lose precision
+above 2^53, which e18-scale nanos exceed). This keeps a 100 TB events
+table fully distributed: no driver materialization, pushdown and
+pruning intact on the non-ns columns.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _ns_timestamp_cols(path: str) -> dict[str, str | None]:
+    """Map of column → tz for timestamp[ns] columns in the footer."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schema = pq.read_schema(path)
+    return {
+        f.name: f.type.tz
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force analysis so illegal types surface here
-        return df
-    except Exception:
-        return _load_via_arrow(spark, path)
-
-
-def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    table = pq.read_table(path)
-    fields = []
-    for f in table.schema:
-        if pa.types.is_timestamp(f.type) and f.type.unit == "ns":
-            fields.append(pa.field(f.name, pa.timestamp("us", tz=f.type.tz)))
-        else:
-            fields.append(f)
-    # safe=False truncates sub-microsecond nanos — the same flooring
-    # DuckDB applies when it reads ns parquet into its µs timestamps.
-    casted = table.cast(pa.schema(fields), safe=False)
-    return spark.createDataFrame(casted.to_pandas())
+    ns_cols = _ns_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        # div (integer division) floors post-epoch nanos to µs exactly;
+        # timestamp_micros interprets the long as a UTC instant.
+        df = df.withColumn(
+            c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+        )
+    return df
