@@ -1,0 +1,136 @@
+"""SQL catalog/DDL surface over the lake table layer.
+
+The reference publishes its medallion tables through a catalog: it
+creates namespaces and tables with SQL DDL
+(``/root/reference/jobs/ingest_orders_raw.py:22-34``), reads them back
+with ``spark.table()`` (``jobs/merge_orders_silver.py:25-47``), defines
+the privacy layer as a standing VIEW (``README.md:106-117``), and its
+verification surface is ``SHOW SCHEMAS`` / ``SHOW TABLES``
+(``README.md:200-201``). This module provides the same surface against
+``LakeTable`` snapshots using Spark's built-in session catalog:
+
+- ``create_namespaces`` — ``CREATE DATABASE IF NOT EXISTS`` for the
+  medallion namespaces (bronze / silver / monitoring).
+- ``register_table`` — publishes a LakeTable snapshot as a catalog
+  VIEW (``CREATE OR REPLACE VIEW db.name AS <snapshot SQL>``). The
+  view body is pure SQL over the snapshot's parquet data dirs
+  (``parquet.`path``` scans unioned with per-dir exclusion predicates),
+  so the object is addressable via ``spark.table("db.name")`` and
+  visible to ``SHOW TABLES`` with no data copied. Registration pins
+  the *current* snapshot — re-register after commits to advance (the
+  same publish step an Iceberg catalog performs implicitly at commit).
+- ``register_lakehouse`` — registers the full medallion layout plus
+  the standing pseudonymization view ``silver.orders_current_priv``
+  defined over ``silver.orders_current`` — direct parity with the
+  reference's privacy VIEW.
+
+Scale note: a catalog view over N parquet dirs plans exactly like the
+programmatic ``LakeTable.read()`` union — per-dir column pruning and
+filter/partition pushdown still apply; the catalog adds addressability,
+not a new execution path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from privacy_cdc_lakehouse_spark.functions.scalars import DEFAULT_TEST_SALT
+from privacy_cdc_lakehouse_spark.tables import LakeTable, _entry
+
+NAMESPACES = ("bronze", "silver", "monitoring")
+
+
+def create_namespaces(spark: SparkSession, namespaces=NAMESPACES) -> None:
+    """CREATE DATABASE IF NOT EXISTS for each medallion namespace
+    (≙ ``CREATE NAMESPACE IF NOT EXISTS demo.bronze``,
+    ``ingest_orders_raw.py:22``)."""
+    for ns in namespaces:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{ns}`")
+
+
+def snapshot_sql(table: LakeTable, version: int | None = None) -> str:
+    """SQL text selecting the table's snapshot: one ``parquet.`dir```
+    scan per data dir, missing-column NULL fill (additive schema
+    evolution), exclusion predicates from partition-scoped merges."""
+    v = version if version is not None else table.current_version()
+    if v is None:
+        raise FileNotFoundError(f"table has no commits: {table.path}")
+    entries = [_entry(e) for e in table._manifest(v)["files"]]
+    target = table.read(version=v).schema
+    selects = []
+    for e in entries:
+        path = os.path.join(table.path, e["path"])
+        dir_cols = set(table.spark.read.parquet(path).columns)
+        cols = ", ".join(
+            f"`{f.name}`"
+            if f.name in dir_cols
+            else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in target.fields
+        )
+        where = ""
+        if e["excludes"]:
+            preds = " AND ".join(
+                f"NOT coalesce(({p}), false)" for p in e["excludes"]
+            )
+            where = f" WHERE {preds}"
+        selects.append(f"SELECT {cols} FROM parquet.`{path}`{where}")
+    return "\nUNION ALL\n".join(selects)
+
+
+def register_table(
+    spark: SparkSession, qualified_name: str, table: LakeTable
+) -> None:
+    """Publish the current snapshot as catalog view ``db.name``."""
+    spark.sql(
+        f"CREATE OR REPLACE VIEW {qualified_name} AS {snapshot_sql(table)}"
+    )
+
+
+def register_lakehouse(spark: SparkSession, lake, salt: str | None = None) -> None:
+    """Register the medallion layout in the session catalog.
+
+    bronze.orders_cdc_raw / silver.orders_current /
+    monitoring.cdc_checkpoints as snapshot views, plus the standing
+    privacy view silver.orders_current_priv (``README.md:106-117``) —
+    a catalog object over silver, so it tracks silver re-registration.
+    """
+    create_namespaces(spark)
+    register_table(spark, "bronze.orders_cdc_raw", lake.bronze)
+    register_table(spark, "silver.orders_current", lake.silver)
+    if lake.checkpoints.exists():
+        register_table(spark, "monitoring.cdc_checkpoints", lake.checkpoints)
+    s = salt if salt is not None else DEFAULT_TEST_SALT
+    spark.sql(
+        f"""
+        CREATE OR REPLACE VIEW silver.orders_current_priv AS
+        SELECT order_id,
+               sha2(concat_ws('::', CAST(user_id AS STRING), '{s}'), 256)
+                 AS user_key,
+               amount_eur, status, last_change_ts
+        FROM silver.orders_current
+        """
+    )
+
+
+def show_schemas(spark: SparkSession) -> DataFrame:
+    """SHOW SCHEMAS restricted to the medallion namespaces
+    (``README.md:200`` parity)."""
+    return (
+        spark.sql("SHOW SCHEMAS")
+        .filter(f"namespace IN {NAMESPACES!r}")
+        .selectExpr("namespace AS schema_name")
+        .orderBy("schema_name")
+    )
+
+
+def show_tables(spark: SparkSession) -> DataFrame:
+    """SHOW TABLES across the medallion namespaces (``README.md:201``)."""
+    out = None
+    for ns in NAMESPACES:
+        t = spark.sql(f"SHOW TABLES IN `{ns}`").selectExpr(
+            "namespace AS schema_name", "tableName AS table_name"
+        )
+        out = t if out is None else out.unionByName(t)
+    return out.orderBy("schema_name", "table_name")

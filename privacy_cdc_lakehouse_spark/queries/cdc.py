@@ -83,12 +83,106 @@ def q_cdc_op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------- catalog / DDL surface ------------------------
+
+
+def _materialized_lake(spark: SparkSession, sf_dir: str):
+    """Medallion lakehouse built once per sf_dir into a /tmp cache —
+    the real pipeline (bronze append → silver rebuild → checkpoint),
+    persisted as LakeTables so the catalog layer has real snapshots to
+    publish."""
+    import os
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        Lakehouse,
+        ingest_bronze,
+        merge_silver,
+    )
+    from privacy_cdc_lakehouse_spark.sources.debezium import _GENERATOR_VERSION
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = os.path.join(
+        tempfile.gettempdir(), f"pcl_lake_{_GENERATOR_VERSION}_{tag}"
+    )
+    lake = Lakehouse(spark, root)
+    if not lake.silver.exists():
+        ingest_bronze(lake, cdc_events(spark, sf_dir))
+        merge_silver(lake)
+    return lake
+
+
+def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 verification surface: SHOW TABLES across the medallion
+    namespaces after DDL registration (``README.md:201`` parity)."""
+    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse, show_tables
+
+    pin_utc(spark)
+    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
+    return show_tables(spark)
+
+
+def q_catalog_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW SCHEMAS over the created namespaces (``README.md:200``)."""
+    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse, show_schemas
+
+    pin_utc(spark)
+    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
+    return show_schemas(spark)
+
+
+def q_catalog_orders_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read silver back through the catalog (``spark.table`` ≙
+    ``merge_orders_silver.py:25-47``): proves the published view equals
+    the pipeline output — LakeTable parquet round-trip included."""
+    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse
+
+    pin_utc(spark)
+    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
+    return spark.table("silver.orders_current").select(
+        "order_id", "user_id", "amount_eur", "status", "last_change_ts"
+    )
+
+
+def q_catalog_priv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING privacy view (catalog object, not a temp view) read
+    via spark.table — reference privacy layer parity
+    (``README.md:106-117``)."""
+    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse
+
+    pin_utc(spark)
+    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
+    return spark.table("silver.orders_current_priv").select(
+        "order_id", "user_key", "amount_eur", "status", "last_change_ts"
+    )
+
+
+_CATALOG_TABLES_SQL = """
+SELECT * FROM (VALUES
+    ('bronze', 'orders_cdc_raw'),
+    ('monitoring', 'cdc_checkpoints'),
+    ('silver', 'orders_current'),
+    ('silver', 'orders_current_priv')
+) AS t(schema_name, table_name)
+ORDER BY schema_name, table_name
+"""
+
+_CATALOG_SCHEMAS_SQL = """
+SELECT * FROM (VALUES ('bronze'), ('monitoring'), ('silver'))
+AS t(schema_name) ORDER BY schema_name
+"""
+
+
 QUERIES = {
     "cdc_orders_current": q_orders_current,
     "cdc_orders_current_priv": q_orders_current_priv,
     "cdc_bronze_stats": q_bronze_stats,
     "cdc_dq_metrics": q_cdc_dq_metrics,
     "cdc_op_histogram": q_cdc_op_histogram,
+    "catalog_show_tables": q_catalog_tables,
+    "catalog_show_schemas": q_catalog_schemas,
+    "catalog_orders_current": q_catalog_orders_current,
+    "catalog_priv_view": q_catalog_priv_view,
 }
 
 ORACLES = {
@@ -119,5 +213,16 @@ ORACLES = {
     "cdc_op_histogram": f"""
     WITH {ORACLE_EVENTS_CTE}
     SELECT op, CAST(count(*) AS BIGINT) AS n FROM cdc_ev GROUP BY op ORDER BY op
+    """,
+    "catalog_show_tables": _CATALOG_TABLES_SQL,
+    "catalog_show_schemas": _CATALOG_SCHEMAS_SQL,
+    "catalog_orders_current": _LATEST_CTE
+    + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
+    "catalog_priv_view": _LATEST_CTE
+    + f"""
+    SELECT order_id,
+           sha256(CAST(user_id AS VARCHAR) || '::' || '{DEFAULT_TEST_SALT}') AS user_key,
+           amount_eur, status, last_change_ts
+    FROM current_state
     """,
 }
