@@ -581,12 +581,21 @@ def q17_avg_quantity_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
-    avg_q = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+    # Left-semi against the broadcast brand parts FIRST: the per-partkey
+    # average only ever feeds rows for Brand#1 partkeys, so aggregating
+    # the full fact table would shuffle ~1000x more groups than needed
+    # at scale. Per-partkey avg is invariant under restricting to a
+    # partkey subset, so results are identical.
+    li_brand = li.join(
+        F.broadcast(part.select("p_partkey")),
+        li.l_partkey == F.col("p_partkey"),
+        "left_semi",
+    )
+    avg_q = li_brand.groupBy(F.col("l_partkey").alias("ap")).agg(
         (F.avg("l_quantity") * 0.5).alias("half_avg")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_q, li.l_partkey == F.col("ap"))
+        li_brand.join(avg_q, li_brand.l_partkey == F.col("ap"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
         .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
     )
