@@ -330,6 +330,24 @@ def q_sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DOT = "list_sum(list_transform(range(1, 65), i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 
+
+def _duck_plane_list(seed: int) -> str:
+    vals = sim.plane_vector(seed, 64)
+    return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in vals) + "]"
+
+
+def _duck_bucket_expr(vec: str, seeds: list[int]) -> str:
+    """DuckDB replica of operators/similarity.lsh_bucket: concatenated
+    sign bits of dot products against the same ±1 plane literals, same
+    left-fold summation order (list_sum ≙ F.aggregate) — bit-for-bit."""
+    bits = [
+        "(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"i -> CAST({vec}[i] AS DOUBLE) * ({_duck_plane_list(s)})[i])) >= 0 "
+        "THEN '1' ELSE '0' END)"
+        for s in seeds
+    ]
+    return " || ".join(bits)
+
 _SIM_TOPK_SQL = f"""
 WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -356,18 +374,201 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 
 
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane LSH buckets (recall < 1;
-    rows-only check — the exact rerank inside a bucket is validated by
-    the brute-force query above)."""
+    """Approximate top-k via random-hyperplane LSH buckets. The oracle
+    replicates the bucketing bit-for-bit (literal ±1 planes, identical
+    fold order), so this is a full hash-checked query despite
+    recall < 1 vs brute force (recall itself is measured by
+    ``sim_lsh_recall``)."""
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.lsh_topk(emb, queries, k=10, planes=6, dim=64)
+    out = sim.lsh_topk(emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
     ).orderBy("query_id", "rank")
+
+
+LSH_TOPK_PLANES = 6
+LSH_TOPK_TABLES = 8
+
+
+def _duck_topk_table_arms(vec: str, key: str, src: str) -> str:
+    return "\n    UNION ALL\n    ".join(
+        f"SELECT {key}, {vec}, {t} AS t, "
+        + _duck_bucket_expr(
+            vec,
+            [t * LSH_TOPK_PLANES + p for p in range(LSH_TOPK_PLANES)],
+        )
+        + f" AS bucket FROM {src}"
+        for t in range(LSH_TOPK_TABLES)
+    )
+
+
+_LSH_TOPK_CTE = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+ctb AS (
+    {_duck_topk_table_arms('cv', 'neighbor_id', 'c')}
+),
+qtb AS (
+    {_duck_topk_table_arms('qv', 'query_id', 'q')}
+),
+lcand AS (
+    SELECT DISTINCT qtb.query_id, ctb.neighbor_id
+    FROM ctb JOIN qtb ON ctb.t = qtb.t AND ctb.bucket = qtb.bucket
+),
+lsh_scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT ca.query_id, ca.neighbor_id,
+               {_DOT.format(a='qv', b='cv')} AS dot,
+               sqrt({_DOT.format(a='qv', b='qv')}) AS nq,
+               sqrt({_DOT.format(a='cv', b='cv')}) AS nc
+        FROM lcand ca
+        JOIN q USING (query_id)
+        JOIN c USING (neighbor_id)
+    )
+),
+lsh_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM lsh_scored
+)
+"""
+
+_LSH_TOPK_SQL = _LSH_TOPK_CTE + """
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos_sim, 6) AS cos_sim_r
+FROM lsh_ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 of LSH top-k vs exact brute force, per query —
+    the blind spot the rows-only check left open. Both rankings and the
+    intersection are replicated in the oracle, so the recall numbers
+    themselves are hash-verified."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    ls = sim.lsh_topk(emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(ls, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 2).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_LSH_RECALL_SQL = _LSH_TOPK_CTE + f"""
+, bf_scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT query_id, neighbor_id,
+               {_DOT.format(a='qv', b='cv')} AS dot,
+               sqrt({_DOT.format(a='qv', b='qv')}) AS nq,
+               sqrt({_DOT.format(a='cv', b='cv')}) AS nc
+        FROM c CROSS JOIN q
+    )
+),
+bf_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM bf_scored
+),
+hits AS (
+    SELECT b.query_id, count(*) AS n
+    FROM bf_ranked b
+    JOIN lsh_ranked l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+     AND l.rank <= 10
+    WHERE b.rank <= 10
+    GROUP BY b.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n, 0) / 10.0, 2) AS recall_at_10
+FROM (SELECT DISTINCT query_id FROM q) q
+LEFT JOIN hits h USING (query_id)
+ORDER BY query_id
+"""
+
+IVF_RECALL_FLOOR = 0.5
+
+
+def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means coarse quantizer) approximate top-k, probing 4 of 8
+    cells. Rows-only: centroid means are float-summation-order
+    dependent across engines, so the clustering is not SQL-replicable;
+    quality is gated by ``sim_ivf_recall`` instead."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF quality floor: per-query recall@10 vs brute
+    force, thresholded at {IVF_RECALL_FLOOR}. The oracle asserts every
+    query clears the floor — a real quality regression (bad clustering,
+    broken probe join) flips a boolean and hash-mismatches."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    iv = sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        queries.select("query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n"), F.lit(0)) / 10.0 >= IVF_RECALL_FLOOR).alias(
+                "recall_ok"
+            ),
+        )
+        .orderBy("query_id")
+    )
+
+
+_IVF_RECALL_SQL = """
+SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
+FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+AS t(query_id, recall_ok) ORDER BY query_id
+"""
 
 
 # ----------------------------- multimodal -----------------------------------
@@ -411,21 +612,9 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-def _duck_plane_list(seed: int) -> str:
-    vals = sim.plane_vector(seed, 64)
-    return "[" + ", ".join("1.0" if v > 0 else "-1.0" for v in vals) + "]"
-
-
 def _duck_lsh_bucket(t: int) -> str:
-    bits = []
-    for p in range(NEAR_DUP_PLANES):
-        seed = t * NEAR_DUP_PLANES + p
-        bits.append(
-            "(CASE WHEN list_sum(list_transform(range(1, 65), "
-            f"i -> v[i] * ({_duck_plane_list(seed)})[i])) >= 0 "
-            "THEN '1' ELSE '0' END)"
-        )
-    return " || ".join(bits)
+    seeds = [t * NEAR_DUP_PLANES + p for p in range(NEAR_DUP_PLANES)]
+    return _duck_bucket_expr("v", seeds)
 
 
 def _duck_lsh_tables() -> str:
@@ -510,6 +699,9 @@ QUERIES = {
     "simhash_signatures": q_simhash_signatures,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_lsh_recall": q_sim_lsh_recall,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "dedup_embedding_near_dup": q_embedding_near_dup,
     "multimodal_binary_features": q_multimodal_binary_features,
 }
@@ -522,6 +714,9 @@ ORACLES = {
     "dedup_minhash_candidates": _MINHASH_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
     "sim_topk_bruteforce": _SIM_TOPK_SQL,
+    "sim_lsh_topk": _LSH_TOPK_SQL,
+    "sim_lsh_recall": _LSH_RECALL_SQL,
+    "sim_ivf_recall": _IVF_RECALL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
 }
