@@ -32,9 +32,20 @@ def salted_join(
     Deterministic scatter (hash of the full row's key + a uniform
     spread via monotonically increasing id is NOT deterministic across
     runs — use a content hash) keeps results reproducible.
+
+    Only ``inner`` and ``left`` joins are sound under replication: in a
+    right/full outer join every unmatched right row would surface once
+    per replica (×salt duplicates). ``pmod`` (not ``abs(...) %``) maps
+    the hash to [0, salt): abs(Long.MIN_VALUE) overflows negative and
+    would silently drop that row from an inner join.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins only, got {how!r}: "
+            "replicated right rows would duplicate outer-side output"
+        )
     left_salted = left.withColumn(
-        "_salt", (F.abs(F.xxhash64(*left.columns)) % salt).cast("int")
+        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
     )
     right_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -62,7 +62,7 @@ def session_builder(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
         ).config(
             "spark.sql.catalog.spark_catalog",
-            "org.apache.spark.sql.catalyst.catalog.DeltaCatalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
         )
     return builder
 

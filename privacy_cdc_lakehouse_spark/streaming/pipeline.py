@@ -77,10 +77,22 @@ def run_stream_to_silver(
 
 
 def watermarked_dedup(
-    stream: DataFrame, event_time: str = "kafka_ts", key: str = "k", delay: str = "10 minutes"
+    stream: DataFrame,
+    event_time: str = "kafka_ts",
+    keys: list[str] | None = None,
+    delay: str = "10 minutes",
 ) -> DataFrame:
-    """Streaming-native W1: event-time dedup with bounded state."""
-    return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark([key])
+    """Streaming-native W1: event-time dedup with bounded state.
+
+    Defaults to the *delivery identity* ``(k, offset)`` — dedup by key
+    alone would swallow genuine successive updates/deletes for the same
+    order inside the watermark (one CDC key legitimately emits several
+    events within seconds), not just at-least-once redeliveries.
+    Pass ``keys=["k"]`` explicitly for true last-wins key dedup.
+    """
+    return stream.withWatermark(event_time, delay).dropDuplicatesWithinWatermark(
+        keys if keys is not None else ["k", "offset"]
+    )
 
 
 def streaming_window_counts(

@@ -31,8 +31,17 @@ def test_stream_to_silver_matches_batch(spark, sf_dir, tmp_path):
     import os
 
     os.makedirs(flat)
+    # FileStreamSource orders batches by file MODIFICATION TIME, not
+    # name — equal mtimes make delivery order nondeterministic (the
+    # high-offset file first → checkpoint filter discards the other
+    # batch). Strictly increasing mtimes pin the order.
+    import time
+
+    t0 = time.time()
     for i, f in enumerate(sorted(glob.glob(f"{src}/p*/part-*.parquet"))):
-        shutil.copy(f, f"{flat}/{i:04d}.parquet")
+        dst = f"{flat}/{i:04d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
 
     lake = Lakehouse(spark, str(tmp_path / "stream_lake"))
     run_stream_to_silver(
@@ -51,10 +60,13 @@ def test_stream_to_silver_matches_batch(spark, sf_dir, tmp_path):
 
 def test_watermarked_dedup_drops_duplicates(spark, tmp_path):
     src = str(tmp_path / "dupsrc")
+    # offset 1 delivered twice (at-least-once redelivery) must collapse;
+    # offset 2 is a GENUINE second event for k1 and must survive.
     rows = spark.createDataFrame(
         [
             ("t", 0, 1, "2024-01-01 00:00:00", "k1", "v", "2024-01-01 00:00:00"),
-            ("t", 0, 2, "2024-01-01 00:00:10", "k1", "v", "2024-01-01 00:00:10"),
+            ("t", 0, 1, "2024-01-01 00:00:00", "k1", "v", "2024-01-01 00:00:00"),
+            ("t", 0, 2, "2024-01-01 00:00:10", "k1", "v2", "2024-01-01 00:00:10"),
             ("t", 0, 3, "2024-01-01 00:00:20", "k2", "v", "2024-01-01 00:00:20"),
         ],
         "topic string, partition int, offset long, kafka_ts string, k string, v string, ingested_at string",
@@ -75,7 +87,7 @@ def test_watermarked_dedup_drops_duplicates(spark, tmp_path):
     )
     q.awaitTermination()
     out = spark.sql("SELECT k FROM dedup_out").collect()
-    assert sorted(r["k"] for r in out) == ["k1", "k2"]
+    assert sorted(r["k"] for r in out) == ["k1", "k1", "k2"]
 
 
 def test_streaming_window_counts(spark, tmp_path):
