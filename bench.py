@@ -9,12 +9,17 @@ Each query is forced end-to-end with a noop-style write (count of a
 1-column projection would let Catalyst prune work; ``collect`` on the
 final DataFrame evaluates every output column, and headline results
 are small by construction).
+
+Per-query times are MEDIANS of SPARK_GRAFT_BENCH_REPS runs (default 3):
+single-run numbers on this box swing 3-40s for identical jobs under
+contention, so medians are the only defensible per-round comparison.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -52,13 +57,22 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.createDataFrame([(1,)], "x int").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        rows = fn(spark, sf_dir).collect()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({len(rows)} rows)", file=sys.stderr)
+        samples = []
+        rows = []
+        for _ in range(reps):
+            t0 = time.time()
+            rows = fn(spark, sf_dir).collect()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 3)
+        print(
+            f"# {name}: median {timings[name]}s of "
+            f"{[round(s, 3) for s in samples]} ({len(rows)} rows)",
+            file=sys.stderr,
+        )
 
     print(
         json.dumps(

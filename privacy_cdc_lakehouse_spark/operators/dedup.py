@@ -186,7 +186,8 @@ def ngram_jaccard_pairs(
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
-    """Per-doc SimHash: sign-sum over per-word hash bits.
+    """Per-doc SimHash signature of ``bits`` bits (default 32; pass 64
+    for the full xxhash64 width).
 
     Uses xxhash64(word) (Spark built-in) for bit material — NOT
     oracle-portable, so simhash queries get rows-only checks; the
