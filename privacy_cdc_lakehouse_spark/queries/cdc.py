@@ -83,6 +83,60 @@ def q_cdc_op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decimal_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precise-mode Debezium Decimal backfill (``README.md:167-172``):
+    amounts encoded as Kafka Connect base64 two's-complement payloads
+    (scale 2), decoded back JVM-side, aggregated. Keys % 13 carry a
+    negated amount so the negative-bytes sign-extension path is
+    exercised; the oracle recomputes the sums relationally from
+    `orders`, so any codec bit-error breaks the hash."""
+    from privacy_cdc_lakehouse_spark.functions.scalars import (
+        connect_decimal,
+        connect_decimal_bytes,
+        connect_decimal_unscaled,
+    )
+
+    pin_utc(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = (
+        F.when(F.col("o_orderkey") % 13 == 0, -1).otherwise(1)
+        * F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    encoded = orders.select(
+        F.col("o_orderkey").alias("k"),
+        connect_decimal_bytes(cents).alias("payload"),
+    )
+    decoded = encoded.select(
+        "k",
+        connect_decimal_unscaled(F.col("payload")).alias("cents"),
+        connect_decimal(F.col("payload"), 2).alias("amount"),
+    )
+    return (
+        decoded.groupBy((F.col("k") % 4).alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("sum_cents"),
+            F.round(F.sum("amount").cast("double"), 2).alias("sum_eur"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_DECIMAL_BACKFILL_SQL = """
+WITH c AS (
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 13 = 0 THEN -1 ELSE 1 END
+             * CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders
+)
+SELECT CAST(k % 4 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       ROUND(CAST(sum(cents) AS DOUBLE) / 100.0, 2) AS sum_eur
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 # ----------------------------- catalog / DDL surface ------------------------
 
 
@@ -179,6 +233,7 @@ QUERIES = {
     "cdc_bronze_stats": q_bronze_stats,
     "cdc_dq_metrics": q_cdc_dq_metrics,
     "cdc_op_histogram": q_cdc_op_histogram,
+    "cdc_decimal_backfill": q_decimal_backfill,
     "catalog_show_tables": q_catalog_tables,
     "catalog_show_schemas": q_catalog_schemas,
     "catalog_orders_current": q_catalog_orders_current,
@@ -214,6 +269,7 @@ ORACLES = {
     WITH {ORACLE_EVENTS_CTE}
     SELECT op, CAST(count(*) AS BIGINT) AS n FROM cdc_ev GROUP BY op ORDER BY op
     """,
+    "cdc_decimal_backfill": _DECIMAL_BACKFILL_SQL,
     "catalog_show_tables": _CATALOG_TABLES_SQL,
     "catalog_show_schemas": _CATALOG_SCHEMAS_SQL,
     "catalog_orders_current": _LATEST_CTE
