@@ -54,6 +54,10 @@ def session_builder(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries no parquet min/max stats —
+        # micros restores footer stats for timestamp data skipping and
+        # scan-level predicate pushdown (what Delta/Iceberg write).
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

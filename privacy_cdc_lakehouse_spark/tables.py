@@ -22,9 +22,14 @@ provides the same table semantics Spark-first:
   INSERT), the rewrite Iceberg/Delta perform under ``MERGE INTO``.
 
 Scale notes (100 TB):
-- Manifests list directories, not files; at cluster scale you would list
-  files + per-file column stats for data skipping (or swap this layer
-  for Delta/Iceberg — the public API here matches so the swap is local).
+- Each commit records per-file column min/max/null stats in the
+  manifest (parquet footer metadata, no data read) and ``read(where=
+  ...)`` prunes files whose range cannot match before Spark ever
+  plans the scan — Delta's data-skipping design. Stats collection here
+  is a driver-side footer walk (O(files), metadata only); on a real
+  cluster you'd fold it into the write tasks as Delta does, or swap
+  this layer for Delta/Iceberg — the public API matches so the swap
+  is local.
 - ``merge`` never shuffles the big target side. A full-outer join
   CANNOT broadcast (verified: Spark plans SortMergeJoin with both sides
   exchanged), so MERGE is decomposed into broadcast-able pieces:
@@ -58,8 +63,78 @@ _DATA_DIR = "data"
 def _entry(e) -> dict:
     """Normalize a manifest file entry (v1 plain string → v2 dict)."""
     if isinstance(e, str):
-        return {"path": e, "excludes": []}
-    return {"path": e["path"], "excludes": list(e.get("excludes", []))}
+        return {"path": e, "excludes": [], "stats": {}}
+    return {
+        "path": e["path"],
+        "excludes": list(e.get("excludes", [])),
+        "stats": dict(e.get("stats", {})),
+    }
+
+
+def _json_stat(v):
+    """Footer stat → JSON-storable comparable, or None if unsupported."""
+    import datetime
+
+    if isinstance(v, bool) or v is None:
+        return None  # bool min/max is useless for range pruning
+    if isinstance(v, (int, float, str)):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()  # ISO order == chronological order
+    return None
+
+
+def _cmp_key(v):
+    """Predicate literal → the comparable domain stats are stored in."""
+    import datetime
+
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return v
+
+
+def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
+    """True iff [min,max] of ``col`` in this file PROVES no row matches
+    ``col <op> value``. Missing/null stats → not prunable (pruning is
+    an optimization, never a correctness lever)."""
+    s = stats.get(col)
+    if not s:
+        return False
+    lo, hi = s.get("min"), s.get("max")
+    if lo is None or hi is None:
+        return False
+    v = _cmp_key(value)
+    try:
+        if op == "=":
+            return bool(v < lo or v > hi)
+        if op == "<":
+            return bool(lo >= v)
+        if op == "<=":
+            return bool(lo > v)
+        if op == ">":
+            return bool(hi <= v)
+        if op == ">=":
+            return bool(hi < v)
+    except TypeError:
+        return False  # incomparable types (e.g. str stat vs int literal)
+    return False
+
+
+_OPS = {
+    "=": lambda c, v: c == v,
+    "<": lambda c, v: c < v,
+    "<=": lambda c, v: c <= v,
+    ">": lambda c, v: c > v,
+    ">=": lambda c, v: c >= v,
+}
+
+
+def _normalize_where(where) -> list[tuple[str, str, object]]:
+    preds = [where] if isinstance(where, tuple) else list(where)
+    for col, op, _ in preds:
+        if op not in _OPS:
+            raise ValueError(f"unsupported skip op {op!r} on {col!r}")
+    return preds
 
 
 class MergeError(ValueError):
@@ -141,15 +216,71 @@ class LakeTable:
         writer.parquet(os.path.join(self.path, rel))
         return rel
 
+    def _file_stats(self, rel_dir: str) -> dict[str, dict]:
+        """Per-file column min/max/null-count from parquet footers
+        (metadata only — no data pages read). Keys are paths relative
+        to the table root; hive partition columns aren't in footers and
+        get no entry (Catalyst prunes those at planning instead)."""
+        import pyarrow.parquet as pq
+
+        root = os.path.join(self.path, rel_dir)
+        out: dict[str, dict] = {}
+        for dirpath, _, names in os.walk(root):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                md = pq.ParquetFile(full).metadata
+                cols: dict[str, dict] = {}
+                for rg_i in range(md.num_row_groups):
+                    rg = md.row_group(rg_i)
+                    for c_i in range(rg.num_columns):
+                        col = rg.column(c_i)
+                        st = col.statistics
+                        name_c = col.path_in_schema
+                        if "." in name_c:
+                            continue  # nested leaf — skip, not prunable
+                        agg = cols.setdefault(
+                            name_c, {"min": None, "max": None, "nulls": 0}
+                        )
+                        if st is None or not st.has_min_max:
+                            agg["min"] = agg["max"] = None
+                            cols[name_c]["dead"] = True  # unknown range
+                            continue
+                        # Truncated string stats are still valid bounds:
+                        # the parquet spec requires truncated max to
+                        # round UP (min down), so pruning stays sound.
+                        lo, hi = _json_stat(st.min), _json_stat(st.max)
+                        if lo is None or hi is None or agg.get("dead"):
+                            agg["dead"] = True
+                            agg["min"] = agg["max"] = None
+                        else:
+                            agg["min"] = lo if agg["min"] is None else min(agg["min"], lo)
+                            agg["max"] = hi if agg["max"] is None else max(agg["max"], hi)
+                        if st.has_null_count:
+                            agg["nulls"] += st.null_count
+                for agg in cols.values():
+                    agg.pop("dead", None)
+                out[os.path.relpath(full, self.path)] = cols
+        return out
+
     # ---------------- read ----------------
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, where=None) -> DataFrame:
+        """Read a snapshot. ``where`` — a ``(col, op, literal)`` tuple or
+        list of such (ANDed), ops ``= < <= > >=`` — both *prunes* data
+        files whose footer min/max proves no match (the scan never sees
+        them) and applies the predicate as a residual filter, so the
+        result is always exactly ``read().filter(...)``. This is the
+        manifest-stats data-skipping path: at 100 TB a point lookup or
+        narrow range touches the few files that can hold it."""
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table has no commits: {self.path}")
         files = [_entry(e) for e in self._manifest(v)["files"]]
         if not files:
             raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
+        preds = _normalize_where(where) if where is not None else []
         # Per-dir reads unioned by name: each data dir is its own
         # partition-discovery root (a single multi-root read rejects
         # hive-partitioned dirs), and unionByName(allowMissingColumns)
@@ -164,16 +295,60 @@ class LakeTable:
         # pruned at planning, not scanned-and-dropped.
         dfs = []
         for e in files:
-            d = self.spark.read.option("mergeSchema", "true").parquet(
-                os.path.join(self.path, e["path"])
-            )
+            base = os.path.join(self.path, e["path"])
+            reader = self.spark.read.option("mergeSchema", "true")
+            if preds and e["stats"]:
+                keep = [
+                    f
+                    for f, st in e["stats"].items()
+                    if not any(_file_prunable(st, c, op, v) for c, op, v in preds)
+                ]
+                if not keep:
+                    continue  # whole dir proven out of range
+                if len(keep) < len(e["stats"]):
+                    d = reader.option("basePath", base).parquet(
+                        *[os.path.join(self.path, f) for f in keep]
+                    )
+                else:
+                    d = reader.parquet(base)
+            else:
+                d = reader.parquet(base)
             for pred in e["excludes"]:
                 d = d.filter(~F.coalesce(F.expr(pred), F.lit(False)))
             dfs.append(d)
+        if not dfs:
+            # Everything pruned: preserve the schema via an empty scan.
+            dfs = [
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(self.path, files[0]["path"]))
+                .limit(0)
+            ]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
+        for c, op, v in preds:
+            out = out.filter(_OPS[op](F.col(c), F.lit(v)))
         return out
+
+    def scan_files(self, where=None, version: int | None = None) -> tuple[int, int]:
+        """(files_total, files_read) for a prospective ``read(where=
+        ...)`` — the observable data-skipping effect, for tests and
+        ops introspection (Delta's ``files_scanned`` metric)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return (0, 0)
+        preds = _normalize_where(where) if where is not None else []
+        total = read = 0
+        for raw in self._manifest(v)["files"]:
+            e = _entry(raw)
+            n = len(e["stats"])
+            total += n
+            read += sum(
+                1
+                for st in e["stats"].values()
+                if not any(_file_prunable(st, c, op, v2) for c, op, v2 in preds)
+            )
+        return (total, read)
 
     # ---------------- write ----------------
 
@@ -194,9 +369,10 @@ class LakeTable:
                     if f.name not in incoming:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         rel = self._write_data_dir(df, spec)
+        stats = self._file_stats(rel)
         return self._commit(
             lambda latest: ([_entry(e) for e in latest["files"]] if latest else [])
-            + [{"path": rel, "excludes": []}],
+            + [{"path": rel, "excludes": [], "stats": stats}],
             "append",
             spec,
         )
@@ -214,8 +390,11 @@ class LakeTable:
             else (self._manifest(v).get("partition_by", []) if v is not None else [])
         )
         rel = self._write_data_dir(df, spec)
+        stats = self._file_stats(rel)
         return self._commit(
-            lambda latest: [{"path": rel, "excludes": []}], "overwrite", spec
+            lambda latest: [{"path": rel, "excludes": [], "stats": stats}],
+            "overwrite",
+            spec,
         )
 
     def compact(self, target_partitions: int = 8) -> int:
@@ -392,12 +571,13 @@ class LakeTable:
         v = self.current_version()
         spec = self._manifest(v).get("partition_by", []) if v is not None else []
         rel = self._write_data_dir(merged, spec)
+        stats = self._file_stats(rel)
 
         def build(latest: dict | None) -> list[dict]:
             prior = [_entry(e) for e in latest["files"]] if latest else []
             for e in prior:
                 e["excludes"].append(partition_filter)
-            return prior + [{"path": rel, "excludes": []}]
+            return prior + [{"path": rel, "excludes": [], "stats": stats}]
 
         return self._commit(build, "merge", spec)
 

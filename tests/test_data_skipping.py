@@ -1,0 +1,100 @@
+"""Manifest-stats data skipping: read(where=) must (a) return exactly
+read().filter(...), and (b) provably not scan files whose footer
+min/max excludes the predicate (scan_files is the observable)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+
+def _mk(spark, tmp_path, name):
+    return LakeTable(spark, str(tmp_path / name))
+
+
+def test_point_lookup_prunes_disjoint_appends(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_ranges")
+    for lo in (0, 1000, 2000):
+        df = spark.range(lo, lo + 1000).select(
+            F.col("id"), (F.col("id") * 2).alias("val")
+        ).coalesce(1)
+        t.append(df)
+
+    total, read = t.scan_files(("id", "=", 1500))
+    assert total == 3 and read == 1
+
+    got = t.read(where=("id", "=", 1500)).collect()
+    assert [(r["id"], r["val"]) for r in got] == [(1500, 3000)]
+
+
+def test_range_scan_matches_plain_filter(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_range_scan")
+    for lo in (0, 500, 1500):
+        t.append(spark.range(lo, lo + 500).coalesce(1))
+
+    where = [("id", ">=", 600), ("id", "<", 1600)]
+    expect = sorted(
+        r["id"] for r in t.read().filter((F.col("id") >= 600) & (F.col("id") < 1600)).collect()
+    )
+    got = sorted(r["id"] for r in t.read(where=where).collect())
+    assert got == expect
+    total, read = t.scan_files(where)
+    assert (total, read) == (3, 2)  # the [0,500) file is proven out
+
+
+def test_string_and_timestamp_stats(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_str_ts")
+    rows1 = [("apple", datetime.datetime(2024, 1, 1)), ("kiwi", datetime.datetime(2024, 1, 5))]
+    rows2 = [("melon", datetime.datetime(2024, 2, 1)), ("zebra", datetime.datetime(2024, 2, 9))]
+    schema = "name string, ts timestamp"
+    t.append(spark.createDataFrame(rows1, schema).coalesce(1))
+    t.append(spark.createDataFrame(rows2, schema).coalesce(1))
+
+    assert t.scan_files(("name", ">", "lemon")) == (2, 1)
+    assert sorted(
+        r["name"] for r in t.read(where=("name", ">", "lemon")).collect()
+    ) == ["melon", "zebra"]
+
+    cut = datetime.datetime(2024, 1, 15)
+    assert t.scan_files(("ts", "<", cut)) == (2, 1)
+    assert sorted(
+        r["name"] for r in t.read(where=("ts", "<", cut)).collect()
+    ) == ["apple", "kiwi"]
+
+
+def test_partitioned_subset_read_keeps_partition_column(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_partitioned")
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.when(F.col("id") < 50, "lo").otherwise("hi").alias("bucket"),
+    ).repartition(2, "bucket")
+    t.overwrite(df, partition_by=["bucket"])
+
+    total, read = t.scan_files(("id", ">=", 90))
+    assert read < total
+    out = t.read(where=("id", ">=", 90))
+    assert set(out.columns) == {"id", "bucket"}
+    assert out.count() == 10
+
+
+def test_all_pruned_keeps_schema(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_empty")
+    t.append(spark.range(0, 10).coalesce(1))
+    out = t.read(where=("id", ">", 10_000))
+    assert out.columns == ["id"] and out.count() == 0
+
+
+def test_skipping_composes_with_partition_scoped_merge(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_merge")
+    base = spark.range(0, 100).select(
+        F.col("id"), F.lit("old").alias("v"), (F.col("id") % 2).alias("p")
+    )
+    t.overwrite(base)
+    src = spark.createDataFrame([(3, "new", 1)], "id long, v string, p long")
+    t.merge(src, ["id"], partition_filter="p = 1")
+
+    got = {r["id"]: r["v"] for r in t.read(where=("id", "<", 10)).collect()}
+    assert got[3] == "new" and got[2] == "old" and len(got) == 10
