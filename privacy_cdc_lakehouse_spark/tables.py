@@ -187,6 +187,8 @@ class LakeTable:
         dropped (the Delta optimistic-concurrency protocol: retry =
         re-resolve against the new snapshot, not just bump the version).
         """
+        import time
+
         os.makedirs(self._log_path, exist_ok=True)
         while True:
             current = self.current_version()
@@ -196,6 +198,7 @@ class LakeTable:
                     "files": build_files(latest),
                     "op": op,
                     "partition_by": partition_by or [],
+                    "ts": time.time(),
                 }
             )
             version = (current or 0) + 1
@@ -328,6 +331,45 @@ class LakeTable:
             out = out.unionByName(d, allowMissingColumns=True)
         for c, op, v in preds:
             out = out.filter(_OPS[op](F.col(c), F.lit(v)))
+        return out
+
+    def version_as_of(self, ts: float) -> int:
+        """Newest version committed at or before unix-epoch ``ts`` —
+        Iceberg/Delta ``TIMESTAMP AS OF`` time travel (the reference's
+        tables are Iceberg; snapshot-as-of is part of its surface)."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        best = None
+        for ver in range(1, v + 1):
+            m = self._manifest(ver)
+            if m.get("ts") is not None and m["ts"] <= ts:
+                best = ver
+        if best is None:
+            raise ValueError(f"no snapshot at or before ts={ts}: {self.path}")
+        return best
+
+    def read_as_of(self, ts: float, where=None) -> DataFrame:
+        """``SELECT ... TIMESTAMP AS OF`` — read the snapshot current at
+        ``ts``."""
+        return self.read(version=self.version_as_of(ts), where=where)
+
+    def history(self) -> list[dict]:
+        """Commit log, newest first: version, op, commit ts, file count,
+        partition spec — the DESCRIBE HISTORY surface."""
+        v = self.current_version()
+        out = []
+        for ver in range(v or 0, 0, -1):
+            m = self._manifest(ver)
+            out.append(
+                {
+                    "version": ver,
+                    "op": m.get("op"),
+                    "ts": m.get("ts"),
+                    "n_data_dirs": len(m["files"]),
+                    "partition_by": m.get("partition_by", []),
+                }
+            )
         return out
 
     def scan_files(self, where=None, version: int | None = None) -> tuple[int, int]:

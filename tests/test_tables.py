@@ -142,3 +142,28 @@ def test_append_rebases_on_commit_race(spark, tmp_path):
 
     # all three rows present: the loser rebased onto the winner's manifest
     assert _rows(t) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_timestamp_time_travel_and_history(spark, tmp_path):
+    import time
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "travel"))
+    t.append(spark.range(0, 5).coalesce(1))
+    mid = time.time()
+    time.sleep(0.01)
+    t.overwrite(spark.range(0, 50).coalesce(1))
+
+    assert t.read_as_of(mid).count() == 5        # snapshot current at mid
+    assert t.read_as_of(time.time()).count() == 50
+    try:
+        t.version_as_of(0.0)
+        raise AssertionError("expected ValueError before first commit")
+    except ValueError:
+        pass
+
+    hist = t.history()
+    assert [h["version"] for h in hist] == [2, 1]
+    assert [h["op"] for h in hist] == ["overwrite", "append"]
+    assert hist[0]["ts"] >= hist[1]["ts"]
