@@ -72,3 +72,81 @@ def documents_as_binary(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
     )
+
+
+RESIZED_SCHEMA = "doc_id long, payload binary, out_bytes long"
+
+
+def resize_binary(
+    df: DataFrame,
+    width: int = 64,
+    height: int = 64,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """'Resize' an opaque payload to ≤ width×height bytes by
+    deterministic nearest-neighbor stride sampling — the stub stands in
+    for a real image resize (PIL absent in this container) but the
+    Spark contract (Arrow batches in, binary column out, pruned input
+    projection) is the production shape. Output length is exactly
+    ``min(n_bytes, width*height)``, which gives the op an arithmetic
+    oracle."""
+    target = width * height
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def one(p: bytes) -> bytes:
+                n = len(p)
+                m = min(n, target)
+                if m == n:
+                    return p
+                return bytes(p[i * n // m] for i in range(m))
+
+            out = pdf[binary_col].map(one)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out,
+                    "out_bytes": out.map(len),
+                }
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame binary"
+
+
+def frame_sample(
+    df: DataFrame,
+    frame_bytes: int = 256,
+    every_n: int = 2,
+    max_frames: int = 4,
+    binary_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sample every ``every_n``-th fixed-size 'frame' (byte chunk) of a
+    payload, up to ``max_frames`` — the video frame-sampling pattern:
+    one input row fans out to ≤ max_frames frame rows, all inside one
+    Arrow batch (no explode shuffle). The last chunk may be short;
+    counts/bytes are exactly derivable, so the op has an arithmetic
+    oracle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[binary_col]):
+                nchunks = (len(p) + frame_bytes - 1) // frame_bytes
+                taken = 0
+                for i in range(0, nchunks, every_n):
+                    if taken >= max_frames:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(p[i * frame_bytes : (i + 1) * frame_bytes])
+                    taken += 1
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.select(id_col, binary_col).mapInPandas(run, FRAME_SCHEMA)

@@ -671,6 +671,86 @@ def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("doc_id")
 
 
+def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-'resize' every payload to ≤ 48×48 bytes; verify the whole
+    Arrow round-trip via exact output-length arithmetic (out_bytes ==
+    min(n_bytes, 2304))."""
+    pin_utc(spark)
+    resized = mm.resize_binary(
+        mm.documents_as_binary(_docs(spark, sf_dir)), width=48, height=48
+    )
+    return resized.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("out_bytes").alias("sum_out_bytes"),
+        F.sum(F.octet_length("payload")).alias("sum_payload_bytes"),
+        F.max("out_bytes").alias("max_out_bytes"),
+    )
+
+
+_RESIZE_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS sum_out_bytes,
+       CAST(sum(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS sum_payload_bytes,
+       CAST(max(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS max_out_bytes
+FROM documents
+"""
+
+
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sample payloads (256-byte frames, every 2nd, ≤ 4) and
+    histogram docs by frames taken, with total sampled bytes — both
+    exactly derivable from payload length, so the chunking code is
+    hash-checked end to end."""
+    pin_utc(spark)
+    frames = mm.frame_sample(
+        mm.documents_as_binary(_docs(spark, sf_dir)),
+        frame_bytes=256,
+        every_n=2,
+        max_frames=4,
+    )
+    per_doc = frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.octet_length("frame")).alias("bytes_sampled"),
+    )
+    return (
+        per_doc.groupBy("n_frames")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bytes_sampled").alias("total_bytes"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH b AS (
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+    FROM documents
+), f AS (
+    SELECT doc_id, len,
+           CAST((len + 255) // 256 AS BIGINT) AS nchunks
+    FROM b
+), s AS (
+    SELECT doc_id, len, nchunks,
+           LEAST(4, CAST((nchunks + 1) // 2 AS BIGINT)) AS n_frames
+    FROM f WHERE nchunks > 0
+), d AS (
+    SELECT doc_id, n_frames,
+           -- sampled indices 0,2,..,(n_frames-1)*2; only the last chunk
+           -- (index nchunks-1) can be short: len - (nchunks-1)*256
+           (n_frames - 1) * 256
+             + CASE WHEN (n_frames - 1) * 2 = nchunks - 1
+                    THEN len - (nchunks - 1) * 256
+                    ELSE 256 END AS bytes_sampled
+    FROM s
+)
+SELECT CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(bytes_sampled) AS BIGINT) AS total_bytes
+FROM d GROUP BY n_frames ORDER BY n_frames
+"""
+
+
 _MULTIMODAL_SQL = """
 WITH ascii_docs AS (
     SELECT doc_id, text FROM documents
@@ -704,6 +784,8 @@ QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "dedup_embedding_near_dup": q_embedding_near_dup,
     "multimodal_binary_features": q_multimodal_binary_features,
+    "multimodal_resize_stats": q_multimodal_resize_stats,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
@@ -719,4 +801,6 @@ ORACLES = {
     "sim_ivf_recall": _IVF_RECALL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
+    "multimodal_resize_stats": _RESIZE_SQL,
+    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }

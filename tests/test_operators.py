@@ -96,3 +96,36 @@ def test_multimodal_stub_decode(spark):
     assert feats[1]["first_byte"] == ord("a")
     assert feats[1]["checksum_mod"] == (ord("a") + ord("b") + ord("c")) % 251
     assert feats[2]["first_byte"] == -1
+
+
+def test_resize_binary_exact_bytes(spark):
+    from privacy_cdc_lakehouse_spark.operators import multimodal as mm
+
+    rows = [(1, bytes(range(10))), (2, b"ab"), (3, b"")]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (bytes(r["payload"]), r["out_bytes"])
+        for r in mm.resize_binary(df, width=2, height=2).collect()
+    }
+    # n=10 -> m=4, indices i*10//4 = 0,2,5,7
+    assert got[1] == (bytes([0, 2, 5, 7]), 4)
+    assert got[2] == (b"ab", 2)   # already smaller than target
+    assert got[3] == (b"", 0)
+
+
+def test_frame_sample_chunking(spark):
+    from privacy_cdc_lakehouse_spark.operators import multimodal as mm
+
+    payload = bytes(range(10))  # frame_bytes=3 -> chunks [0:3][3:6][6:9][9:10]
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"")], "doc_id long, payload binary"
+    )
+    out = mm.frame_sample(
+        df, frame_bytes=3, every_n=2, max_frames=4
+    ).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    # sampled chunk indices: 0, 2 (every 2nd of 4 chunks)
+    assert got == {(1, 0): bytes([0, 1, 2]), (1, 2): bytes([6, 7, 8])}
+
+    capped = mm.frame_sample(df, frame_bytes=1, every_n=1, max_frames=3).collect()
+    assert sorted(r["frame_idx"] for r in capped if r["doc_id"] == 1) == [0, 1, 2]
