@@ -63,10 +63,9 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def _perm_hash(shingle: Column, seed: int) -> Column:
-    """Portable per-permutation hash: md5 over seed-prefixed shingle.
-    Hex strings compare identically in Spark and DuckDB."""
-    return F.md5(F.concat(F.lit(f"{seed}|"), shingle))
+# Largest prime below 2^28 — permutation values stay < 2^28 so
+# h1 + 15*h2 < 2^32 never approaches int64 overflow (ANSI-safe).
+MINHASH_PRIME = 268435399
 
 
 # ----------------------------- minhash ---------------------------------
@@ -77,14 +76,28 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_perm`` min-hashes.
 
-    explode → groupBy(min...) keeps partial aggregation map-side; the
-    shuffle carries |docs| rows of num_perm strings.
+    Universal-hashing construction (Broder): ONE md5 per shingle,
+    split into two 28-bit halves (h1, h2), permutation ``i`` =
+    ``(h1 + i*h2) mod P``. One cryptographic hash instead of
+    ``num_perm`` — 16× less hashing on the scan — and the signature
+    shuffle carries 8-byte longs instead of 32-byte hex strings.
+    md5 + hex-slice arithmetic is replicated exactly in the DuckDB
+    oracle. explode → groupBy(min...) keeps partial aggregation
+    map-side; the shuffle carries |docs| rows of num_perm longs.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh")
+    h = F.md5(F.col("sh"))
+    ex = (
+        df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        .select(
+            id_col,
+            F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 7), 16, 10).cast("long").alias("h2"),
+        )
     )
     aggs = [
-        F.min(_perm_hash(F.col("sh"), seed)).alias(f"mh_{seed}")
+        F.min(
+            (F.col("h1") + F.lit(seed) * F.col("h2")) % F.lit(MINHASH_PRIME)
+        ).alias(f"mh_{seed}")
         for seed in range(num_perm)
     ]
     sig = ex.groupBy(id_col).agg(*aggs)
@@ -117,7 +130,9 @@ def minhash_lsh_pairs(
                             F.concat_ws(
                                 "|",
                                 *[
-                                    F.element_at("signature", b * rows_per_band + r + 1)
+                                    F.element_at(
+                                        "signature", b * rows_per_band + r + 1
+                                    ).cast("string")
                                     for r in range(rows_per_band)
                                 ],
                             )
@@ -128,18 +143,31 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pair generation: group ids per (band, bucket) and expand pairs
+    # within the bucket array — NOT a self-join. A self-join would
+    # recompute the whole shingle→explode→min signature pipeline for
+    # both sides (verified: Spark plans two full scans + aggregations);
+    # grouping computes signatures once and shuffles once on the bucket
+    # key. In-bucket expansion is quadratic only in the bucket size,
+    # which LSH keeps small by construction — the same bound the join
+    # had. All higher-order functions, JVM-side.
+    grouped = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bucket") == F.col("r.bucket"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 

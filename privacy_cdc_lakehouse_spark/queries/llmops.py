@@ -224,9 +224,21 @@ ORDER BY keeper_id
 """
 
 
+def _duck_hex7(start: int) -> str:
+    """SQL for int(md5-hex[start:start+7], 16) — 7 nibbles, big-endian."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(h, {start + k}, 1)) - 1) * {16 ** (6 - k)}"
+        for k in range(7)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 def _duck_minhash_cols() -> str:
+    # Mirrors operators/dedup.py::minhash_signatures: one md5 per
+    # shingle, halves h1=hex[1:8), h2=hex[9:16), perm i = (h1+i*h2)%P.
     return ",\n           ".join(
-        f"min(md5('{seed}|' || s)) AS mh_{seed}" for seed in range(NUM_PERM)
+        f"min((h1 + {seed} * h2) % {dd.MINHASH_PRIME}) AS mh_{seed}"
+        for seed in range(NUM_PERM)
     )
 
 
@@ -234,7 +246,8 @@ def _duck_band_rows() -> str:
     rows = []
     for b in range(BANDS):
         cols = " || '|' || ".join(
-            f"mh_{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
         )
         rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM mh")
     return "\n    UNION ALL\n    ".join(rows)
@@ -245,10 +258,17 @@ WITH {_AUG_CTE},
 w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM aug),
 sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM w),
 ex AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+hx AS (SELECT doc_id, md5(s) AS h FROM ex),
+hp AS (
+    SELECT doc_id,
+           CAST({_duck_hex7(1)} AS BIGINT) AS h1,
+           CAST({_duck_hex7(9)} AS BIGINT) AS h2
+    FROM hx
+),
 mh AS (
     SELECT doc_id,
            {_duck_minhash_cols()}
-    FROM ex GROUP BY doc_id
+    FROM hp GROUP BY doc_id
 ),
 bands AS (
     {_duck_band_rows()}
