@@ -36,7 +36,19 @@ from privacy_cdc_lakehouse_spark.functions.scalars import (
     clean_numeric_string,
     epoch_millis_to_ts,
 )
-from privacy_cdc_lakehouse_spark.sources.debezium import CDC_ENVELOPE_SCHEMA
+from pyspark.sql import types as T
+
+from privacy_cdc_lakehouse_spark.sources.debezium import CDC_PAYLOAD_SCHEMA
+
+# Envelope-or-bare in ONE parse: the payload struct AND the bare
+# payload fields side by side at the top level. Enveloped rows fill
+# `payload`, bare rows fill the top-level fields — from_json ignores
+# whichever keys are absent. The previous two-step
+# (get_json_object('$.payload') then from_json) parsed every row's
+# JSON twice; this halves the flagship's dominant scan cost.
+_DISPATCH_SCHEMA = T.StructType(
+    [T.StructField("payload", CDC_PAYLOAD_SCHEMA), *CDC_PAYLOAD_SCHEMA.fields]
+)
 
 
 def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
@@ -45,15 +57,22 @@ def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
     Output: order_id int, user_id int, amount_str string, status string,
     op string, ts_ms long, offset long.
     """
-    payload_str = F.coalesce(F.get_json_object("v", "$.payload"), F.col("v"))
+    j = F.from_json("v", _DISPATCH_SCHEMA)
     # Two-step projection: from_json evaluated once into plain `after`/
     # `before` struct attributes, then cheap GetStructField extraction.
     # Keeping the expensive JsonToStructs out of conditional (coalesce)
     # branches lets whole-stage codegen's subexpression elimination
     # evaluate it once per row.
-    parsed = bronze.withColumn(
-        "cdc", F.from_json(payload_str, CDC_ENVELOPE_SCHEMA.fields[0].dataType)
-    ).select(
+    cdc = F.coalesce(
+        j["payload"],
+        F.struct(
+            j["before"].alias("before"),
+            j["after"].alias("after"),
+            j["op"].alias("op"),
+            j["ts_ms"].alias("ts_ms"),
+        ),
+    )
+    parsed = bronze.withColumn("cdc", cdc).select(
         F.col("offset"),
         F.col("v"),
         F.col("cdc.before").alias("before"),
