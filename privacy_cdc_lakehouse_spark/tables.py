@@ -439,12 +439,30 @@ class LakeTable:
             spec,
         )
 
-    def compact(self, target_partitions: int = 8) -> int:
+    def compact(
+        self,
+        target_partitions: int = 8,
+        cluster_by: list[str] | None = None,
+    ) -> int:
         """Rewrite the current snapshot into few large files (the
         OPTIMIZE/bin-packing maintenance op — many appends produce many
         small files, which at scale throttles scan throughput via
-        per-file open cost and tiny row groups)."""
-        return self.overwrite(self.read().coalesce(target_partitions))
+        per-file open cost and tiny row groups).
+
+        ``cluster_by`` range-partitions + sorts the rewrite on those
+        columns (OPTIMIZE ZORDER's purpose, 1-D form): each output file
+        covers a narrow disjoint value range, so the footer min/max
+        stats make ``read(where=)`` prune all but the few files that
+        can hold the predicate — data skipping only pays off when the
+        layout correlates with the filter column."""
+        df = self.read()
+        if cluster_by:
+            df = df.repartitionByRange(
+                target_partitions, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        else:
+            df = df.coalesce(target_partitions)
+        return self.overwrite(df)
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the ``retain_last`` newest

@@ -98,3 +98,19 @@ def test_skipping_composes_with_partition_scoped_merge(spark, tmp_path):
 
     got = {r["id"]: r["v"] for r in t.read(where=("id", "<", 10)).collect()}
     assert got[3] == "new" and got[2] == "old" and len(got) == 10
+
+
+def test_cluster_by_compaction_enables_skipping(spark, tmp_path):
+    t = _mk(spark, tmp_path, "skip_cluster")
+    # Interleaved appends: every file spans the whole id range, so
+    # nothing is prunable until the clustering rewrite.
+    for start in range(4):
+        t.append(
+            spark.range(start, 4000, 4).coalesce(1)  # 0,4,8,.. / 1,5,9,..
+        )
+    assert t.scan_files(("id", "=", 1234)) == (4, 4)  # no pruning possible
+
+    t.compact(target_partitions=4, cluster_by=["id"])
+    total, read = t.scan_files(("id", "=", 1234))
+    assert total == 4 and read == 1
+    assert [r["id"] for r in t.read(where=("id", "=", 1234)).collect()] == [1234]
