@@ -95,6 +95,27 @@ def watermarked_dedup(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str,
+    dim_cols: list[str] | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream against a batch dimension
+    (the standard pattern for joining CDC events to a slowly-changing
+    lookup table — Spark re-plans the static side each micro-batch, so a
+    LakeTable dimension is re-read at its LATEST snapshot each batch).
+
+    The static side is broadcast (dimensions are small by definition
+    here); the stream side never shuffles, preserving source
+    parallelism. For a dimension too big to broadcast you'd pre-bucket
+    both sides instead.
+    """
+    d = dim.select(on, *(dim_cols or [c for c in dim.columns if c != on]))
+    return stream.join(F.broadcast(d), on, how)
+
+
 def streaming_window_counts(
     stream: DataFrame,
     event_time: str = "ts",

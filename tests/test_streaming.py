@@ -125,3 +125,59 @@ def test_streaming_window_counts(spark, tmp_path):
     }
     assert ("2024-01-01 00:00:00", 2, 3.0) in got
     assert ("2024-01-01 00:05:00", 1, 3.0) in got
+
+
+def test_stream_static_enrich_rereads_latest_dim_snapshot(spark, tmp_path):
+    """The static side must be re-planned per micro-batch: a dimension
+    update between batches shows up in the second batch's output."""
+    import os
+    import time
+
+    from pyspark.sql import types as T
+
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import stream_static_enrich
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    dim = LakeTable(spark, str(tmp_path / "dim"))
+    dim.overwrite(
+        spark.createDataFrame([(1, "bronze")], "cust_id long, tier string")
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = T.StructType(
+        [T.StructField("cust_id", T.LongType()), T.StructField("amt", T.LongType())]
+    )
+    t0 = time.time()
+    for i in range(2):
+        p = f"{src}/{i:04d}.parquet"
+        spark.createDataFrame([(1, 100 + i)], schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(p + ".dir")
+        import glob
+        import shutil
+
+        shutil.copy(glob.glob(p + ".dir/part-*.parquet")[0], p)
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    seen: list[tuple] = []
+
+    def process(batch_df, batch_id):
+        enriched = stream_static_enrich(batch_df, dim.read(), on="cust_id")
+        seen.extend(sorted((r["amt"], r["tier"]) for r in enriched.collect()))
+        # after the first batch, promote the customer
+        dim.overwrite(
+            spark.createDataFrame([(1, "gold")], "cust_id long, tier string")
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen == [(100, "bronze"), (101, "gold")]
