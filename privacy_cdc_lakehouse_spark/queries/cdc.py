@@ -211,6 +211,33 @@ def q_catalog_priv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lake_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read path: a narrow key-range scan of the silver
+    LakeTable via ``read(where=)`` — files whose footer min/max exclude
+    the range are pruned before planning; the residual filter keeps the
+    result exact (equals the relational oracle over the same range)."""
+    pin_utc(spark)
+    lake = _materialized_lake(spark, sf_dir)
+    return (
+        lake.silver.read(
+            where=[("order_id", ">=", 1000), ("order_id", "<", 1200)]
+        )
+        .select("order_id", "user_id", "amount_eur", "status", "last_change_ts")
+        .orderBy("order_id")
+    )
+
+
+_LAKE_POINT_RANGE_SQL = (
+    _LATEST_CTE
+    + """
+SELECT order_id, user_id, amount_eur, status, last_change_ts
+FROM current_state
+WHERE order_id >= 1000 AND order_id < 1200
+ORDER BY order_id
+"""
+)
+
+
 _CATALOG_TABLES_SQL = """
 SELECT * FROM (VALUES
     ('bronze', 'orders_cdc_raw'),
@@ -238,6 +265,7 @@ QUERIES = {
     "catalog_show_schemas": q_catalog_schemas,
     "catalog_orders_current": q_catalog_orders_current,
     "catalog_priv_view": q_catalog_priv_view,
+    "lake_point_range": q_lake_point_range,
 }
 
 ORACLES = {
@@ -281,4 +309,5 @@ ORACLES = {
            amount_eur, status, last_change_ts
     FROM current_state
     """,
+    "lake_point_range": _LAKE_POINT_RANGE_SQL,
 }
