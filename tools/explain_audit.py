@@ -17,6 +17,11 @@ AUDIT = {
     "window_top3_per_segment": ["WindowGroupLimit|Window"],
     "cdc_orders_current": ["WindowGroupLimit|Window", "PushedFilters"],
     "sim_topk_bruteforce": ["BroadcastNestedLoopJoin|CartesianProduct"],
+    "q6_forecast_revenue": ["PushedFilters", "ReadSchema", "HashAggregate"],
+    "q12_priority_by_returnflag": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    "q14_promo_revenue": ["BroadcastHashJoin"],
+    "q18_large_volume_customers": ["HashAggregate", "BroadcastHashJoin"],
+    "dedup_minhash_candidates": ["HashAggregate", "Generate"],
 }
 
 spark = get_spark("explain_audit")
