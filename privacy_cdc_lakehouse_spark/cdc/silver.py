@@ -57,7 +57,14 @@ def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
     Output: order_id int, user_id int, amount_str string, status string,
     op string, ts_ms long, offset long.
     """
-    j = F.from_json("v", _DISPATCH_SCHEMA)
+    # Empty/whitespace-only input makes from_json return NULL (not a
+    # null-fielded row), and Spark 4.1's generated code NPEs when the
+    # struct fallback below then reads fields off the null parser
+    # result (reproduced in test_malformed_json_rows_are_dropped_not_
+    # fatal). Feed those rows '{}' so the parse always yields a row —
+    # all-null fields, dropped by the key filter like any bad record.
+    v_safe = F.when(F.trim("v") == "", F.lit("{}")).otherwise(F.col("v"))
+    j = F.from_json(v_safe, _DISPATCH_SCHEMA)
     # Two-step projection: from_json evaluated once into plain `after`/
     # `before` struct attributes, then cheap GetStructField extraction.
     # Keeping the expensive JsonToStructs out of conditional (coalesce)

@@ -99,3 +99,28 @@ def test_privacy_projection(spark, sf_dir, tmp_path):
     assert "user_id" not in priv.columns
     row = priv.limit(1).collect()[0]
     assert len(row["user_key"]) == 64  # sha-256 hex
+
+
+def test_malformed_json_rows_are_dropped_not_fatal(spark):
+    """Corrupt payloads (truncated JSON, non-JSON, wrong types, empty)
+    must parse to null and be dropped by the not-null key filter —
+    never fail the job (PERMISSIVE semantics the reference relies on)."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope
+
+    good = '{"payload": {"after": {"order_id": 7, "user_id": 1, '
+    good += '"amount_eur": "5.5", "status": "paid", "created_at": "x"}, '
+    good += '"op": "c", "ts_ms": 1000}}'
+    rows = [
+        (1, good),
+        (2, '{"payload": {"after": {"order_id"'),  # truncated
+        (3, "not json at all"),
+        (4, ""),
+        (7, "   "),
+        (5, '{"payload": {"op": "c", "ts_ms": 1000}}'),  # no before/after
+        (6, '{"payload": {"after": {"order_id": "NaNope"}, "op": "c"}}'),
+    ]
+    bronze = spark.createDataFrame(rows, "offset long, v string")
+    out = parse_cdc_envelope(bronze).collect()
+    assert [(r["order_id"], r["amount_eur" if False else "status"]) for r in out] == [(7, "paid")]

@@ -76,3 +76,27 @@ def test_decode_foreign_encodings(spark):
     ).collect()
     for r in out:
         assert r["got"] == r["expect"]
+
+
+def test_round_trip_property(spark):
+    from hypothesis import given, settings, strategies as st
+
+    # Collect a random batch driver-side, then round-trip in ONE Spark
+    # job (per-example Spark jobs would be minutes, not seconds).
+    values = []
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def accumulate(v):
+        values.append(v)
+
+    accumulate()
+    df = spark.createDataFrame([(v,) for v in set(values)], "unscaled long")
+    out = df.select(
+        "unscaled",
+        connect_decimal_unscaled(
+            connect_decimal_bytes(F.col("unscaled"))
+        ).alias("back"),
+    ).collect()
+    bad = [(r["unscaled"], r["back"]) for r in out if r["back"] != r["unscaled"]]
+    assert not bad, f"round-trip mismatches: {bad[:5]}"
