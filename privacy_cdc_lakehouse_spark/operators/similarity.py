@@ -49,6 +49,27 @@ def as_double(a: Column) -> Column:
     return F.transform(a, lambda x: x.cast("double"))
 
 
+def l2_normalize(a: Column) -> Column:
+    """Unit-normalize a double array (zero vector passes through) —
+    the standard pre-step so cosine == dot and quantization error is
+    bounded. Pure higher-order functions, codegen'd."""
+    n = _norm(a)
+    return F.when(n > 0, F.transform(a, lambda x: x / n)).otherwise(a)
+
+
+def quantize_int8(a: Column, scale: float = 127.0) -> Column:
+    """Symmetric int8 quantization of a (normalized) double array:
+    round(clamp(x, -1, 1) * scale). 4× smaller than float32 at rest —
+    at 100 TB of embeddings the scan-time win is the point; dequantize
+    is x/scale."""
+    return F.transform(
+        a,
+        lambda x: F.round(
+            F.greatest(F.least(x, F.lit(1.0)), F.lit(-1.0)) * scale, 0
+        ).cast("int"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

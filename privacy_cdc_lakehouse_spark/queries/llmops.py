@@ -691,6 +691,49 @@ def q_multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.orderBy("doc_id")
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize + symmetric int8 quantization of every embedding —
+    the at-rest compression pre-step for a 100 TB vector corpus. The
+    oracle recomputes the identical fold/clamp/round arithmetic over
+    the same doubles, so the whole numeric path is hash-checked."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = sim.as_double(F.col("embedding"))
+    unit = sim.l2_normalize(v)
+    q = sim.quantize_int8(unit)
+    return emb.select(
+        "vec_id",
+        F.round(sim._norm(v), 6).alias("norm6"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda a, x: a + x).alias("qsum"),
+        F.array_join(F.transform(q, lambda x: x.cast("string")), ",").alias("q_str"),
+    ).orderBy("vec_id")
+
+
+_EMB_QUANT_SQL = """
+WITH v AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+    FROM embeddings
+), n AS (
+    SELECT vec_id, e,
+           sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+    FROM v
+), u AS (
+    SELECT vec_id, nrm,
+           CASE WHEN nrm > 0 THEN list_transform(e, x -> x / nrm) ELSE e END AS ue
+    FROM n
+), q AS (
+    SELECT vec_id, nrm,
+           list_transform(ue, x -> CAST(round(greatest(least(x, 1.0), -1.0) * 127) AS INTEGER)) AS qe
+    FROM u
+)
+SELECT vec_id, round(nrm, 6) AS norm6,
+       CAST(list_sum(qe) AS BIGINT) AS qsum,
+       array_to_string(qe, ',') AS q_str
+FROM q ORDER BY vec_id
+"""
+
+
 def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stride-'resize' every payload to ≤ 48×48 bytes; verify the whole
     Arrow round-trip via exact output-length arithmetic (out_bytes ==
@@ -804,6 +847,7 @@ QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "dedup_embedding_near_dup": q_embedding_near_dup,
     "multimodal_binary_features": q_multimodal_binary_features,
+    "embedding_quantize": q_embedding_quantize,
     "multimodal_resize_stats": q_multimodal_resize_stats,
     "multimodal_frame_sample": q_multimodal_frame_sample,
 }
@@ -821,6 +865,7 @@ ORACLES = {
     "sim_ivf_recall": _IVF_RECALL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
+    "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_resize_stats": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }
