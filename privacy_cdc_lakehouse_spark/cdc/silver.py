@@ -29,7 +29,7 @@ keeps the multi-column deterministic tie-break explicit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.functions.scalars import (
@@ -120,13 +120,24 @@ def latest_state(
     (+ op when ``keep_op`` — the incremental MERGE needs the latest op to
     route rows to its DELETE/UPDATE/INSERT clauses).
     """
-    w = Window.partitionBy("order_id").orderBy(
-        F.col("ts_ms").desc_nulls_last(), F.col("offset").desc()
-    )
+    # max_by over the (ts_ms, offset) struct == the reference's
+    # row_number window ordered (ts_ms DESC NULLS LAST, offset DESC):
+    # struct ordering ranks NULL smallest, so a null-ts row loses to
+    # any timestamped one (test_null_ts_falls_back_and_loses), and the
+    # unique offset makes the ordering total (deterministic). Unlike
+    # the window, this is a hash AGGREGATE: partial map-side combine
+    # shrinks the shuffle to ~|keys| rows and there is no per-partition
+    # sort — the better plan at 100 TB (the window shuffles and sorts
+    # every event).
+    payload = [c for c in changes.columns if c != "order_id"]
     latest = (
-        changes.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        changes.groupBy("order_id")
+        .agg(
+            F.max_by(
+                F.struct(*payload), F.struct(F.col("ts_ms"), F.col("offset"))
+            ).alias("_r")
+        )
+        .select("order_id", "_r.*")
     )
     if drop_tombstones:
         latest = latest.filter(F.col("op") != "d")
