@@ -213,20 +213,27 @@ def ngram_jaccard_pairs(
 # ----------------------------- simhash ---------------------------------
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    hash_fn=None,
+) -> DataFrame:
     """Per-doc SimHash signature of ``bits`` bits (default 32; pass 64
     for the full xxhash64 width).
 
-    Uses xxhash64(word) (Spark built-in) for bit material — NOT
-    oracle-portable, so simhash queries get rows-only checks; the
-    algorithm is the standard Charikar construction: bit_i(sig) =
-    sign(Σ_words (bit_i(hash(w)) ? +1 : -1)).
+    Default bit material is xxhash64(word) (Spark built-in, fastest) —
+    the standard Charikar construction: bit_i(sig) =
+    sign(Σ_words (bit_i(hash(w)) ? +1 : -1)). ``hash_fn`` swaps the
+    word hash (see :func:`simhash_portable`).
 
     Implemented via explode + groupBy sum of per-bit ±1 vectors —
     map-side combinable, shuffle is |docs| × bits ints.
     """
+    hash_col = hash_fn or (lambda c: F.xxhash64(c))
     ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
-    h = ex.withColumn("h", F.xxhash64("w"))
+    h = ex.withColumn("h", hash_col(F.col("w")))
     bit_sums = h.groupBy(id_col).agg(
         *[
             F.sum(
@@ -246,3 +253,22 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
         ).cast("long").alias("simhash"),
     )
     return sig
+
+
+def simhash_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    """SimHash with md5-derived bit material (first 7 hex chars → 28
+    usable bits): identical algorithm, engine-portable hash — DuckDB
+    replicates it exactly, so the signature query gets a full
+    value-hash oracle instead of a rows-only check. Production use at
+    scale should prefer the xxhash64 default (cheaper per word)."""
+    if bits > 28:
+        raise ValueError("md5 hex7 bit material provides at most 28 bits")
+    return simhash(
+        df,
+        text_col,
+        id_col,
+        bits=bits,
+        hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long"),
+    )

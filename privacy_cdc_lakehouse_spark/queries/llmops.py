@@ -323,9 +323,41 @@ ORDER BY id_a, id_b
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (xxhash64 bit material — not engine-portable;
-    rows-only check validates cardinality + determinism)."""
+    rows-only check validates cardinality + determinism). The portable
+    variant below is the hash-checked twin."""
     pin_utc(spark)
     return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash with md5 bit material — the same Charikar
+    sign-sum as `simhash_signatures`, but every bit is replicated in
+    DuckDB, so the full signature is value-hash-checked."""
+    pin_utc(spark)
+    return dd.simhash_portable(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+
+
+def _simhash_portable_sql(bits: int = 16) -> str:
+    sums = ",\n           ".join(
+        f"sum(CASE WHEN (h1 // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    return f"""
+WITH w AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS wd FROM documents
+), hx AS (
+    SELECT doc_id, md5(wd) AS h FROM w
+), hp AS (
+    SELECT doc_id, CAST({_duck_hex7(1)} AS BIGINT) AS h1 FROM hx
+), b AS (
+    SELECT doc_id,
+           {sums}
+    FROM hp GROUP BY doc_id
+)
+SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM b ORDER BY doc_id
+"""
 
 
 # ----------------------------- similarity -----------------------------------
@@ -840,6 +872,7 @@ QUERIES = {
     "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     "simhash_signatures": q_simhash_signatures,
+    "simhash_portable": q_simhash_portable,
     "sim_topk_bruteforce": q_sim_topk_bruteforce,
     "sim_lsh_topk": q_sim_lsh_topk,
     "sim_lsh_recall": q_sim_lsh_recall,
@@ -865,6 +898,7 @@ ORACLES = {
     "sim_ivf_recall": _IVF_RECALL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
+    "simhash_portable": _simhash_portable_sql(16),
     "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_resize_stats": _RESIZE_SQL,
     "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
