@@ -1022,9 +1022,114 @@ ORDER BY total_qty DESC, o_orderkey
 """
 
 
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    lineitem is pre-filtered to 'R' AND pre-aggregated per order key
+    BEFORE joining — the join input is |orders-with-returns|, not
+    |lineitems|; customer broadcasts; TakeOrdered caps the result
+    without a global sort."""
+    pin_utc(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_mktsegment")
+        .agg(F.sum("rev").alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            F.round("revenue", 2).alias("revenue_r"),
+            "n_orders",
+        )
+    )
+
+
+_Q10_SQL = """
+WITH per_order AS (
+    SELECT l_orderkey, sum(l_extendedprice * (1 - l_discount)) AS rev
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+)
+SELECT c_custkey, c_name, c_mktsegment,
+       round(sum(rev), 2) AS revenue_r,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN per_order ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY sum(rev) DESC, c_custkey LIMIT 20
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion funnel: users whose first 'signup' is followed by a
+    'purchase' within 7 days. Both stages aggregate to one row per
+    user BEFORE the join — the temporal condition joins |users|-sized
+    sides (broadcast-able), never the raw event stream against
+    itself."""
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.collect_list("ts").alias("purchase_ts"))
+    )
+    joined = signup.join(purchase, "user_id", "left").select(
+        "user_id",
+        "signup_ts",
+        F.exists(
+            F.coalesce("purchase_ts", F.array()),
+            lambda t: (t >= F.col("signup_ts"))
+            & (t <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS")),
+        ).alias("converted"),
+    )
+    return joined.agg(
+        F.count("*").alias("n_signup_users"),
+        F.sum(F.col("converted").cast("bigint")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("converted").cast("double")) / F.count("*"), 6
+        ).alias("conversion_rate"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s AS (
+    SELECT user_id, min(ts) AS signup_ts FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+    SELECT s.user_id,
+           CASE WHEN EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.event_type = 'purchase' AND p.user_id = s.user_id
+                 AND p.ts >= s.signup_ts
+                 AND p.ts <= s.signup_ts + INTERVAL 7 DAY
+           ) THEN 1 ELSE 0 END AS converted
+    FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+       CAST(sum(converted) AS BIGINT) AS n_converted,
+       round(CAST(sum(converted) AS DOUBLE) / count(*), 6) AS conversion_rate
+FROM conv
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_item_revenue": q10_returned_item_revenue,
+    "events_funnel": q_events_funnel,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
@@ -1081,6 +1186,8 @@ def _priv_view_oracle() -> str:
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "q6_forecast_revenue": _Q6_SQL,
+    "q10_returned_item_revenue": _Q10_SQL,
+    "events_funnel": _FUNNEL_SQL,
     "q12_priority_by_returnflag": _Q12_SQL,
     "q14_promo_revenue": _Q14_SQL,
     "q18_large_volume_customers": _Q18_SQL,
