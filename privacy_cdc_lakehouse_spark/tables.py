@@ -486,6 +486,67 @@ class LakeTable:
                 removed.append(rel)
         return removed
 
+    # ---------------- delete / update ----------------
+
+    def delete_where(self, predicate: str, partition_filter: str | None = None) -> int:
+        """``DELETE FROM t WHERE predicate`` as copy-on-write — the
+        privacy lakehouse's right-to-be-forgotten primitive (e.g.
+        ``delete_where("user_id = 42")``). NULL predicate rows are
+        KEPT (SQL DELETE only removes rows where the predicate is
+        true). ``partition_filter`` scopes the rewrite to the
+        partitions that can contain matches — everything else stays
+        committed untouched (Delta's deletion strategy; at 100 TB you
+        rewrite the user's partitions, not the table)."""
+        keep = ~F.coalesce(F.expr(predicate), F.lit(False))
+        if partition_filter is None:
+            return self.overwrite(self.read().filter(keep))
+        scoped = self.read().filter(F.expr(partition_filter)).filter(keep)
+        return self._commit_partition_scoped(scoped, partition_filter, "delete")
+
+    def update_where(
+        self,
+        predicate: str,
+        set_values: dict[str, Column],
+        partition_filter: str | None = None,
+    ) -> int:
+        """``UPDATE t SET col = expr WHERE predicate`` as copy-on-write.
+        NULL predicate rows are untouched (SQL semantics). Combined
+        with ``partition_filter`` the rewrite is partition-scoped."""
+        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        source = self.read()
+        if partition_filter is not None:
+            source = source.filter(F.expr(partition_filter))
+        updated = source.select(
+            *[
+                F.when(hit, set_values[c]).otherwise(F.col(c)).alias(c)
+                if c in set_values
+                else F.col(c)
+                for c in source.columns
+            ]
+        )
+        if partition_filter is None:
+            return self.overwrite(updated)
+        return self._commit_partition_scoped(updated, partition_filter, "update")
+
+    def _commit_partition_scoped(
+        self, rewritten: DataFrame, partition_filter: str, op: str
+    ) -> int:
+        """Commit a rewrite of only the ``partition_filter`` slice:
+        prior data dirs stay with the predicate recorded as an
+        exclusion readers prune on (shared by merge/delete/update)."""
+        v = self.current_version()
+        spec = self._manifest(v).get("partition_by", []) if v is not None else []
+        rel = self._write_data_dir(rewritten, spec)
+        stats = self._file_stats(rel)
+
+        def build(latest: dict | None) -> list[dict]:
+            prior = [_entry(e) for e in latest["files"]] if latest else []
+            for e in prior:
+                e["excludes"].append(partition_filter)
+            return prior + [{"path": rel, "excludes": [], "stats": stats}]
+
+        return self._commit(build, op, spec)
+
     # ---------------- merge ----------------
 
     def merge(
@@ -628,18 +689,7 @@ class LakeTable:
 
         # Partition-scoped commit: write only the rewritten slice; prior
         # dirs stay with the predicate excluded (readers prune it).
-        v = self.current_version()
-        spec = self._manifest(v).get("partition_by", []) if v is not None else []
-        rel = self._write_data_dir(merged, spec)
-        stats = self._file_stats(rel)
-
-        def build(latest: dict | None) -> list[dict]:
-            prior = [_entry(e) for e in latest["files"]] if latest else []
-            for e in prior:
-                e["excludes"].append(partition_filter)
-            return prior + [{"path": rel, "excludes": [], "stats": stats}]
-
-        return self._commit(build, "merge", spec)
+        return self._commit_partition_scoped(merged, partition_filter, "merge")
 
 
 def table(spark: SparkSession, path: str) -> LakeTable:

@@ -167,3 +167,47 @@ def test_timestamp_time_travel_and_history(spark, tmp_path):
     assert [h["version"] for h in hist] == [2, 1]
     assert [h["op"] for h in hist] == ["overwrite", "append"]
     assert hist[0]["ts"] >= hist[1]["ts"]
+
+
+def test_delete_where_right_to_be_forgotten(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "rtbf"))
+    t.overwrite(
+        spark.range(0, 100).select(
+            F.col("id"), (F.col("id") % 10).alias("user_id"), (F.col("id") % 2).alias("p")
+        )
+    )
+    t.delete_where("user_id = 3")
+    assert t.read().filter(F.col("user_id") == 3).count() == 0
+    assert t.read().count() == 90
+    # NULL predicate rows are kept
+    t2 = LakeTable(spark, str(tmp_path / "rtbf_null"))
+    t2.overwrite(spark.createDataFrame([(1, None), (2, 5)], "id long, v long"))
+    t2.delete_where("v > 3")
+    assert sorted(r["id"] for r in t2.read().collect()) == [1]
+    # partition-scoped: only the p=0 slice is rewritten, p=1 untouched
+    t.delete_where("user_id = 4", partition_filter="p = 0")
+    remaining = t.read()
+    assert remaining.filter(F.col("user_id") == 4).count() == 0  # 4 is even → all in p=0
+    assert remaining.count() == 80
+    assert t.history()[0]["op"] == "delete"
+
+
+def test_update_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "upd"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, None, 30.0)],
+            "id long, tag string, amt double",
+        )
+    )
+    t.update_where("tag = 'b'", {"amt": F.col("amt") * 2})
+    got = {r["id"]: r["amt"] for r in t.read().collect()}
+    assert got == {1: 10.0, 2: 40.0, 3: 30.0}  # NULL predicate → untouched
