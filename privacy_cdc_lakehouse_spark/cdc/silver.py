@@ -40,6 +40,23 @@ from pyspark.sql import types as T
 
 from privacy_cdc_lakehouse_spark.sources.debezium import CDC_PAYLOAD_SCHEMA
 
+# Parse-side column pruning: silver never reads `created_at`, so the
+# parse schema omits it from before/after (from_json skips unknown
+# JSON keys — fewer struct fields is measurably less Jackson work on
+# the hot path). The full envelope schema stays the generator's
+# contract.
+_PARSE_ROW = T.StructType(
+    [f for f in CDC_PAYLOAD_SCHEMA["after"].dataType.fields if f.name != "created_at"]
+)
+_PARSE_PAYLOAD = T.StructType(
+    [
+        T.StructField("before", _PARSE_ROW),
+        T.StructField("after", _PARSE_ROW),
+        T.StructField("op", T.StringType()),
+        T.StructField("ts_ms", T.LongType()),
+    ]
+)
+
 # Envelope-or-bare in ONE parse: the payload struct AND the bare
 # payload fields side by side at the top level. Enveloped rows fill
 # `payload`, bare rows fill the top-level fields — from_json ignores
@@ -47,7 +64,7 @@ from privacy_cdc_lakehouse_spark.sources.debezium import CDC_PAYLOAD_SCHEMA
 # (get_json_object('$.payload') then from_json) parsed every row's
 # JSON twice; this halves the flagship's dominant scan cost.
 _DISPATCH_SCHEMA = T.StructType(
-    [T.StructField("payload", CDC_PAYLOAD_SCHEMA), *CDC_PAYLOAD_SCHEMA.fields]
+    [T.StructField("payload", _PARSE_PAYLOAD), *_PARSE_PAYLOAD.fields]
 )
 
 

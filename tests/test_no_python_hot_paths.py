@@ -1,0 +1,40 @@
+"""Hot paths must stay JVM-side: no row-at-a-time Python evaluation
+anywhere, and Arrow-batched Python only in the two sanctioned pandas
+operators. Plans are built (analyzed + planned), not executed — this
+sweeps the ENTIRE query registry cheaply."""
+
+from __future__ import annotations
+
+from privacy_cdc_lakehouse_spark.queries import all_queries
+
+# Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
+# is allowed ONLY here — these exist to exercise the pandas surface.
+PANDAS_SANCTIONED = {
+    "pandas_zscore_outliers",
+    "multimodal_binary_features",
+    "multimodal_resize_stats",
+    "multimodal_frame_sample",
+}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_no_python_eval_in_any_registered_query(spark, sf_dir):
+    offenders = []
+    for name, fn in sorted(all_queries().items()):
+        plan = _plan(fn(spark, sf_dir))
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "BatchEvalPython (row-at-a-time UDF)"))
+        if name not in PANDAS_SANCTIONED and (
+            "ArrowEvalPython" in plan
+            or "FlatMapGroupsInPandas" in plan
+            or "MapInPandas" in plan
+        ):
+            offenders.append((name, "unsanctioned Python node"))
+    assert not offenders, f"Python in hot paths: {offenders}"
