@@ -86,6 +86,48 @@ def build_privacy(lake: Lakehouse, salt: str | None = None) -> int:
     return lake.privacy.overwrite(pseudonymize_orders(lake.silver.read(), salt))
 
 
+def forget_user(lake: Lakehouse, user_id: int) -> dict[str, int]:
+    """GDPR-style erasure across the medallion: delete the subject's
+    rows from silver AND the pseudonymized projection, and append an
+    audit row to monitoring (what a privacy lakehouse must prove to a
+    regulator: when, whom, how many rows).
+
+    Bronze is the immutable ingest log — real deployments expire it by
+    retention (`vacuum`) rather than surgical rewrite; the serving
+    layers are scrubbed immediately. Both deletes are copy-on-write
+    snapshots, so time travel BEFORE the erasure version still sees the
+    data until `vacuum` reclaims it — run `vacuum(retain_last=1)` to
+    make erasure irreversible, which the audit row records."""
+    from privacy_cdc_lakehouse_spark.functions.scalars import pii_salt, pseudonym
+
+    spark = lake.spark
+    n_silver = (
+        lake.silver.read().filter(F.col("user_id") == user_id).count()
+        if lake.silver.exists()
+        else 0
+    )
+    v_silver = lake.silver.delete_where(f"user_id = {int(user_id)}")
+    v_priv = None
+    if lake.privacy.exists():
+        # The projection is keyed by pseudonym, not raw id — derive it.
+        key = (
+            spark.range(1)
+            .select(pseudonym(F.lit(int(user_id)), pii_salt()).alias("k"))
+            .collect()[0]["k"]
+        )
+        v_priv = lake.privacy.delete_where(f"user_key = '{key}'")
+    audit = spark.createDataFrame(
+        [(PIPELINE, int(user_id), n_silver, "forget_user")],
+        "pipeline string, subject_id long, rows_erased long, action string",
+    ).withColumn("at", F.current_timestamp())
+    LakeTable(spark, f"{lake.root}/monitoring/privacy_audit").append(audit)
+    return {
+        "rows_erased": n_silver,
+        "silver_version": v_silver,
+        "privacy_version": v_priv if v_priv is not None else -1,
+    }
+
+
 PIPELINE = "orders"
 
 

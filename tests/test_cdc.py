@@ -124,3 +124,50 @@ def test_malformed_json_rows_are_dropped_not_fatal(spark):
     bronze = spark.createDataFrame(rows, "offset long, v string")
     out = parse_cdc_envelope(bronze).collect()
     assert [(r["order_id"], r["amount_eur" if False else "status"]) for r in out] == [(7, "paid")]
+
+
+def test_forget_user_erases_serving_layers_and_audits(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        Lakehouse,
+        build_privacy,
+        forget_user,
+        ingest_bronze,
+        rebuild_silver,
+    )
+    from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    lake = Lakehouse(spark, str(tmp_path / "forget_lake"))
+    ingest_bronze(lake, cdc_events(spark, sf_dir))
+    rebuild_silver(lake)
+    build_privacy(lake)
+
+    uid = lake.silver.read().select("user_id").first()["user_id"]
+    before = lake.silver.read().filter(F.col("user_id") == uid).count()
+    assert before > 0
+    pre_version = lake.silver.current_version()
+
+    out = forget_user(lake, uid)
+    assert out["rows_erased"] == before
+    assert lake.silver.read().filter(F.col("user_id") == uid).count() == 0
+    joined = lake.privacy.read().join(lake.silver.read(), "order_id", "left_anti")
+    # every privacy row must still have a silver twin → none orphaned,
+    # and none of the erased user's orders remain in the projection
+    assert joined.count() == 0
+
+    # audit trail recorded
+    audit = LakeTable(spark, str(tmp_path / "forget_lake/monitoring/privacy_audit"))
+    row = audit.read().collect()[0]
+    assert row["subject_id"] == uid and row["rows_erased"] == before
+
+    # copy-on-write: time travel to the pre-erasure snapshot still sees
+    # the subject until vacuum reclaims it
+    assert (
+        lake.silver.read(version=pre_version)
+        .filter(F.col("user_id") == uid)
+        .count()
+        == before
+    )
+    lake.silver.vacuum(retain_last=1)
