@@ -72,3 +72,70 @@ def order_lifecycle_tracker(changes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --------- transformWithStateInPandas variant (Spark 4 API) ----------
+#
+# Spark 4's successor to applyInPandasWithState: a StatefulProcessor
+# class with named, typed state variables (ValueState/ListState/
+# MapState), per-variable TTL, and timers — the API new operators
+# should target; the applyInPandasWithState version above remains as
+# the widely-deployed form. Same state machine, same outputs.
+#
+# Environment gate: the TWS runtime speaks protobuf to the JVM
+# (pyspark.sql.streaming.proto) and needs the `protobuf` package,
+# which this container lacks — the operator is fully implemented and
+# its test auto-skips when the dependency is absent.
+
+
+def _make_lifecycle_processor():
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class LifecycleProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("lifecycle", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n_changes, last_status, regressed = (
+                self._state.get() if self._state.exists() else (0, None, False)
+            )
+            pdf = pd.concat(list(rows)).sort_values(["ts_ms", "offset"])
+            for status in pdf["status"]:
+                if status is None:
+                    continue
+                if (
+                    last_status is not None
+                    and _STATUS_ORDER.get(status, 0)
+                    < _STATUS_ORDER.get(last_status, 0)
+                ):
+                    regressed = True
+                last_status = status
+            n_changes += len(pdf)
+            self._state.update((n_changes, last_status, regressed))
+            yield pd.DataFrame(
+                {
+                    "order_id": [key[0]],
+                    "n_changes": [n_changes],
+                    "last_status": [last_status],
+                    "regressed": [regressed],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return LifecycleProcessor()
+
+
+def order_lifecycle_tracker_tws(changes: DataFrame) -> DataFrame:
+    """The same per-order state machine on transformWithStateInPandas.
+    Requires the RocksDB state store provider (the TWS backend)."""
+    return changes.groupBy("order_id").transformWithStateInPandas(
+        statefulProcessor=_make_lifecycle_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
