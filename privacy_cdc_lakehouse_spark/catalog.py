@@ -129,8 +129,14 @@ def show_tables(spark: SparkSession) -> DataFrame:
     """SHOW TABLES across the medallion namespaces (``README.md:201``)."""
     out = None
     for ns in NAMESPACES:
-        t = spark.sql(f"SHOW TABLES IN `{ns}`").selectExpr(
-            "namespace AS schema_name", "tableName AS table_name"
+        # SHOW TABLES IN <db> also lists session TEMP views (with an
+        # empty namespace) — filter them or any temp view created by
+        # an earlier query in the session leaks into every namespace's
+        # listing.
+        t = (
+            spark.sql(f"SHOW TABLES IN `{ns}`")
+            .filter("NOT isTemporary")
+            .selectExpr("namespace AS schema_name", "tableName AS table_name")
         )
         out = t if out is None else out.unionByName(t)
     return out.orderBy("schema_name", "table_name")

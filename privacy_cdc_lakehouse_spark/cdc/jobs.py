@@ -86,7 +86,9 @@ def build_privacy(lake: Lakehouse, salt: str | None = None) -> int:
     return lake.privacy.overwrite(pseudonymize_orders(lake.silver.read(), salt))
 
 
-def forget_user(lake: Lakehouse, user_id: int) -> dict[str, int]:
+def forget_user(
+    lake: Lakehouse, user_id: int, salt: str | None = None
+) -> dict[str, int]:
     """GDPR-style erasure across the medallion: delete the subject's
     rows from silver AND the pseudonymized projection, and append an
     audit row to monitoring (what a privacy lakehouse must prove to a
@@ -97,22 +99,29 @@ def forget_user(lake: Lakehouse, user_id: int) -> dict[str, int]:
     layers are scrubbed immediately. Both deletes are copy-on-write
     snapshots, so time travel BEFORE the erasure version still sees the
     data until `vacuum` reclaims it — run `vacuum(retain_last=1)` to
-    make erasure irreversible, which the audit row records."""
+    make erasure irreversible, which the audit row records.
+
+    ``salt`` MUST be the salt `build_privacy` was run with (defaults
+    to the same env-derived `pii_salt()` both share) — the projection
+    is keyed by pseudonym, so a mismatched salt would delete nothing
+    there while the audit claims success."""
     from privacy_cdc_lakehouse_spark.functions.scalars import pii_salt, pseudonym
 
     spark = lake.spark
-    n_silver = (
-        lake.silver.read().filter(F.col("user_id") == user_id).count()
-        if lake.silver.exists()
-        else 0
-    )
-    v_silver = lake.silver.delete_where(f"user_id = {int(user_id)}")
+    n_silver = 0
+    v_silver = -1
+    if lake.silver.exists():
+        n_silver = lake.silver.read().filter(F.col("user_id") == user_id).count()
+        v_silver = lake.silver.delete_where(f"user_id = {int(user_id)}")
     v_priv = None
     if lake.privacy.exists():
-        # The projection is keyed by pseudonym, not raw id — derive it.
+        # The projection is keyed by pseudonym, not raw id — derive it
+        # with the SAME salt the projection was built with.
         key = (
             spark.range(1)
-            .select(pseudonym(F.lit(int(user_id)), pii_salt()).alias("k"))
+            .select(
+                pseudonym(F.lit(int(user_id)), salt or pii_salt()).alias("k")
+            )
             .collect()[0]["k"]
         )
         v_priv = lake.privacy.delete_where(f"user_key = '{key}'")

@@ -220,8 +220,9 @@ def simhash(
     bits: int = 32,
     hash_fn=None,
 ) -> DataFrame:
-    """Per-doc SimHash signature of ``bits`` bits (default 32; pass 64
-    for the full xxhash64 width).
+    """Per-doc SimHash signature of ``bits`` bits (default 32; max 63 —
+    the signature is an arithmetic sum of 2^i weights in a signed
+    long, so bit 63 would overflow).
 
     Default bit material is xxhash64(word) (Spark built-in, fastest) —
     the standard Charikar construction: bit_i(sig) =
@@ -231,6 +232,8 @@ def simhash(
     Implemented via explode + groupBy sum of per-bit ±1 vectors —
     map-side combinable, shuffle is |docs| × bits ints.
     """
+    if bits > 63:
+        raise ValueError("simhash supports at most 63 bits (signed-long weights)")
     hash_col = hash_fn or (lambda c: F.xxhash64(c))
     ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
     h = ex.withColumn("h", hash_col(F.col("w")))

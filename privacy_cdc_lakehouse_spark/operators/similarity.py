@@ -320,17 +320,32 @@ def lsh_near_dup_pairs(
     get the exact cosine verify. At cos ≥ 0.99 (θ ≤ 0.142 rad) a true
     pair misses one table w.p. 1-(1-θ/π)^12 ≈ 0.42 and all twelve w.p.
     0.42^12 ≈ 3e-5 — while near-orthogonal pairs collide w.p. 2^-12 per
-    table, so candidate volume stays ~linear. The plan is bucket
-    equi-self-join + two id equi-joins: every join hash-partitioned,
-    no BroadcastNestedLoop, survives a 100× corpus.
+    table, so candidate volume stays ~linear. Candidates come from
+    grouping ids per (table, bucket) and expanding pairs in-bucket —
+    NOT a bucket self-join, which would plan the whole plane-sign
+    bucketing pipeline twice (the same two-scans shape replaced in
+    minhash_lsh_pairs); then two hash-partitioned id equi-joins fetch
+    vectors for the exact verify. No BroadcastNestedLoop anywhere;
+    survives a 100× corpus.
     """
     tb = lsh_table_buckets(corpus, id_col, vec_col, tables, band_planes, dim)
-    left = tb.select("t", "bucket", F.col(id_col).alias("id_a"))
-    right = tb.select("t", "bucket", F.col(id_col).alias("id_b"))
+    grouped = (
+        tb.groupBy("t", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     cand = (
-        left.join(right, ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        grouped.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))

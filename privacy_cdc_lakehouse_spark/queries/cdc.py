@@ -161,6 +161,13 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
     )
     lake = Lakehouse(spark, root)
     if not lake.silver.exists():
+        # silver missing with bronze present = a previous build died
+        # mid-way; re-ingesting on top would duplicate every bronze
+        # row forever (the cache key never changes). Rebuild from
+        # scratch instead.
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
         ingest_bronze(lake, cdc_events(spark, sf_dir))
         merge_silver(lake)
     return lake

@@ -58,6 +58,10 @@ def session_builder(
         # micros restores footer stats for timestamp data skipping and
         # scan-level predicate pushdown (what Delta/Iceberg write).
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+        # ns-timestamp parquet (the events fixture) reads as BIGINT
+        # nanos instead of failing; sources/fixtures.load_table is the
+        # sanctioned loader that applies the µs cast.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )

@@ -38,6 +38,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    # Deliberately SESSION-WIDE (matches the session.py builder): with
+    # it on, any ns-timestamp parquet read in this session surfaces as
+    # BIGINT nanos needing an explicit cast — this loader is the
+    # sanctioned path that applies that cast. The alternative (default
+    # off) fails the read outright, so there is no silent middle
+    # ground; we choose the recoverable mode and own the cast here.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:

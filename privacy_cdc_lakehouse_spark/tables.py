@@ -71,6 +71,22 @@ def _entry(e) -> dict:
     }
 
 
+def _utc_naive_iso(v) -> str:
+    """Datetime → naive-UTC isoformat. Footer stats come back tz-aware
+    (+00:00) while predicate literals are usually naive; comparing the
+    two as raw isoformat strings mis-orders EQUAL instants (the tz
+    suffix makes the aware string sort after its naive twin), which
+    would prune files that contain matching rows. Normalizing both
+    sides to naive UTC keeps string order == chronological order."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat()
+    return v.isoformat()  # date
+
+
 def _json_stat(v):
     """Footer stat → JSON-storable comparable, or None if unsupported."""
     import datetime
@@ -80,7 +96,7 @@ def _json_stat(v):
     if isinstance(v, (int, float, str)):
         return v
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()  # ISO order == chronological order
+        return _utc_naive_iso(v)
     return None
 
 
@@ -89,7 +105,7 @@ def _cmp_key(v):
     import datetime
 
     if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+        return _utc_naive_iso(v)
     return v
 
 
@@ -320,11 +336,15 @@ class LakeTable:
                 d = d.filter(~F.coalesce(F.expr(pred), F.lit(False)))
             dfs.append(d)
         if not dfs:
-            # Everything pruned: preserve the schema via an empty scan.
+            # Everything pruned: preserve the FULL evolved schema by
+            # limit(0)-scanning every dir (footer-only, no data read) —
+            # files[0] alone would drop columns added by later appends
+            # and break the read().filter(...) equivalence.
             dfs = [
                 self.spark.read.option("mergeSchema", "true")
-                .parquet(os.path.join(self.path, files[0]["path"]))
+                .parquet(os.path.join(self.path, e["path"]))
                 .limit(0)
+                for e in files
             ]
         out = dfs[0]
         for d in dfs[1:]:

@@ -114,3 +114,21 @@ def test_cluster_by_compaction_enables_skipping(spark, tmp_path):
     total, read = t.scan_files(("id", "=", 1234))
     assert total == 4 and read == 1
     assert [r["id"] for r in t.read(where=("id", "=", 1234)).collect()] == [1234]
+
+
+def test_timestamp_boundary_equality_not_pruned(spark, tmp_path):
+    """Regression: footer stats are tz-aware, predicate literals naive —
+    raw isoformat comparison mis-ordered EQUAL instants and pruned the
+    file containing the match."""
+    t = _mk(spark, tmp_path, "skip_ts_boundary")
+    lo = datetime.datetime(2024, 1, 5)
+    t.append(
+        spark.createDataFrame(
+            [(1, lo), (2, datetime.datetime(2024, 1, 9))], "id long, ts timestamp"
+        ).coalesce(1)
+    )
+    # predicate exactly equals the file's min timestamp
+    assert t.scan_files(("ts", "=", lo)) == (1, 1)
+    assert [r["id"] for r in t.read(where=("ts", "=", lo)).collect()] == [1]
+    assert t.scan_files(("ts", "<=", lo)) == (1, 1)
+    assert [r["id"] for r in t.read(where=("ts", "<=", lo)).collect()] == [1]
