@@ -36,7 +36,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from privacy_cdc_lakehouse_spark.functions.scalars import DEFAULT_TEST_SALT
+from privacy_cdc_lakehouse_spark.functions.scalars import pii_salt
 from privacy_cdc_lakehouse_spark.tables import LakeTable, _entry
 
 NAMESPACES = ("bronze", "silver", "monitoring")
@@ -101,7 +101,12 @@ def register_lakehouse(spark: SparkSession, lake, salt: str | None = None) -> No
     register_table(spark, "silver.orders_current", lake.silver)
     if lake.checkpoints.exists():
         register_table(spark, "monitoring.cdc_checkpoints", lake.checkpoints)
-    s = salt if salt is not None else DEFAULT_TEST_SALT
+    # Default to the SAME env-aware salt build_privacy/forget_user use —
+    # a catalog view salted differently from the privacy table would
+    # publish pseudonyms the erasure path can never find. The literal is
+    # escaped ('' doubling) so an exotic salt can't break out of the
+    # view SQL.
+    s = (salt if salt is not None else pii_salt()).replace("'", "''")
     spark.sql(
         f"""
         CREATE OR REPLACE VIEW silver.orders_current_priv AS

@@ -153,11 +153,17 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
         ingest_bronze,
         merge_silver,
     )
+    from privacy_cdc_lakehouse_spark.cdc.silver import PIPELINE_VERSION
     from privacy_cdc_lakehouse_spark.sources.debezium import _GENERATOR_VERSION
 
+    # Cache key = generator version + PIPELINE version + sf tag: silver
+    # logic changes (parse schema, dedup, merge/partitioning) bump
+    # PIPELINE_VERSION so stale caches built by older code are never
+    # served (round-2 advisory).
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(
-        tempfile.gettempdir(), f"pcl_lake_{_GENERATOR_VERSION}_{tag}"
+        tempfile.gettempdir(),
+        f"pcl_lake_{_GENERATOR_VERSION}_p{PIPELINE_VERSION}_{tag}",
     )
     lake = Lakehouse(spark, root)
     if not lake.silver.exists():
@@ -212,7 +218,11 @@ def q_catalog_priv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     from privacy_cdc_lakehouse_spark.catalog import register_lakehouse
 
     pin_utc(spark)
-    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
+    # Explicit test salt: the oracle hashes with DEFAULT_TEST_SALT, and
+    # register_lakehouse now defaults to the env-aware pii_salt().
+    register_lakehouse(
+        spark, _materialized_lake(spark, sf_dir), salt=DEFAULT_TEST_SALT
+    )
     return spark.table("silver.orders_current_priv").select(
         "order_id", "user_key", "amount_eur", "status", "last_change_ts"
     )

@@ -47,9 +47,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        # div (integer division) floors post-epoch nanos to µs exactly;
-        # timestamp_micros interprets the long as a UTC instant.
+        # Floor-division entirely in 64-bit integer math: `div` alone
+        # truncates toward zero (pre-epoch negative nanos would round UP
+        # by 1µs, diverging from pyarrow/DuckDB floor semantics), and
+        # floor(c / 1000.0) would route through a double (exact only to
+        # 2^53 — e18-scale nanos exceed it). Subtracting pmod(c, 1000)
+        # makes the numerator an exact multiple of 1000 rounded toward
+        # -inf, so div is then exact floor. timestamp_micros interprets
+        # the long as a UTC instant.
         df = df.withColumn(
-            c, F.expr(f"timestamp_micros(`{c}` div 1000)")
+            c, F.expr(f"timestamp_micros((`{c}` - pmod(`{c}`, 1000)) div 1000)")
         )
     return df

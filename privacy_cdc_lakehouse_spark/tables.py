@@ -113,6 +113,8 @@ def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     """True iff [min,max] of ``col`` in this file PROVES no row matches
     ``col <op> value``. Missing/null stats → not prunable (pruning is
     an optimization, never a correctness lever)."""
+    import datetime
+
     s = stats.get(col)
     if not s:
         return False
@@ -120,6 +122,18 @@ def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     if lo is None or hi is None:
         return False
     v = _cmp_key(value)
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        # Temporal literal: only prune when the stored stats are ISO
+        # strings of the SAME shape (date-only has no 'T'; datetime
+        # always does). A date literal against timestamp stats (or vice
+        # versa) compares differently-shaped strings — "2024-01-05" vs
+        # "2024-01-05T00:00:00" mis-orders the EQUAL instant and would
+        # prune the file holding the midnight match, breaking the
+        # read(where=) == read().filter() invariant.
+        has_time = isinstance(value, datetime.datetime)
+        for bound in (lo, hi):
+            if not isinstance(bound, str) or ("T" in bound) != has_time:
+                return False
     try:
         if op == "=":
             return bool(v < lo or v > hi)
@@ -155,6 +169,16 @@ def _normalize_where(where) -> list[tuple[str, str, object]]:
 
 class MergeError(ValueError):
     """Raised when MERGE preconditions are violated (e.g. dup source keys)."""
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A partition-scoped rewrite raced a commit it did not account for.
+
+    The rewrite's exclusion predicate would be applied to data dirs the
+    rewrite never read — an append landing between read and commit would
+    have its partition-matching rows silently erased. Delta raises
+    ``ConcurrentAppendException`` here; so do we. Retry the operation
+    against the new snapshot."""
 
 
 @dataclass
@@ -520,8 +544,11 @@ class LakeTable:
         keep = ~F.coalesce(F.expr(predicate), F.lit(False))
         if partition_filter is None:
             return self.overwrite(self.read().filter(keep))
-        scoped = self.read().filter(F.expr(partition_filter)).filter(keep)
-        return self._commit_partition_scoped(scoped, partition_filter, "delete")
+        base_v = self.current_version()
+        scoped = self.read(version=base_v).filter(F.expr(partition_filter)).filter(keep)
+        return self._commit_partition_scoped(
+            scoped, partition_filter, "delete", base_version=base_v
+        )
 
     def update_where(
         self,
@@ -533,7 +560,8 @@ class LakeTable:
         NULL predicate rows are untouched (SQL semantics). Combined
         with ``partition_filter`` the rewrite is partition-scoped."""
         hit = F.coalesce(F.expr(predicate), F.lit(False))
-        source = self.read()
+        base_v = self.current_version()
+        source = self.read(version=base_v)
         if partition_filter is not None:
             source = source.filter(F.expr(partition_filter))
         updated = source.select(
@@ -546,21 +574,45 @@ class LakeTable:
         )
         if partition_filter is None:
             return self.overwrite(updated)
-        return self._commit_partition_scoped(updated, partition_filter, "update")
+        return self._commit_partition_scoped(
+            updated, partition_filter, "update", base_version=base_v
+        )
 
     def _commit_partition_scoped(
-        self, rewritten: DataFrame, partition_filter: str, op: str
+        self,
+        rewritten: DataFrame,
+        partition_filter: str,
+        op: str,
+        base_version: int | None = None,
     ) -> int:
         """Commit a rewrite of only the ``partition_filter`` slice:
         prior data dirs stay with the predicate recorded as an
-        exclusion readers prune on (shared by merge/delete/update)."""
-        v = self.current_version()
+        exclusion readers prune on (shared by merge/delete/update).
+
+        ``base_version`` is the snapshot the rewrite was computed FROM;
+        if the log advanced past it with NEW data dirs by commit time,
+        the commit raises :class:`ConcurrentWriteError` instead of
+        excluding rows the rewrite never read (the Delta
+        ConcurrentAppendException contract)."""
+        v = base_version if base_version is not None else self.current_version()
         spec = self._manifest(v).get("partition_by", []) if v is not None else []
+        base_paths = (
+            {_entry(e)["path"] for e in self._manifest(v)["files"]}
+            if v is not None
+            else set()
+        )
         rel = self._write_data_dir(rewritten, spec)
         stats = self._file_stats(rel)
 
         def build(latest: dict | None) -> list[dict]:
             prior = [_entry(e) for e in latest["files"]] if latest else []
+            unseen = {e["path"] for e in prior} - base_paths
+            if unseen:
+                raise ConcurrentWriteError(
+                    f"partition-scoped {op} computed from v{v} raced a "
+                    f"concurrent commit adding {sorted(unseen)}; retry "
+                    f"against the new snapshot"
+                )
             for e in prior:
                 e["excludes"].append(partition_filter)
             return prior + [{"path": rel, "excludes": [], "stats": stats}]
@@ -619,7 +671,8 @@ class LakeTable:
         guarantees every source-affected row falls inside the filter —
         the Delta/Iceberg dynamic-partition-overwrite contract.
         """
-        full_target = self.read()
+        base_v = self.current_version()
+        full_target = self.read(version=base_v) if base_v is not None else self.read()
         target = (
             full_target.filter(F.expr(partition_filter))
             if partition_filter is not None
@@ -709,7 +762,9 @@ class LakeTable:
 
         # Partition-scoped commit: write only the rewritten slice; prior
         # dirs stay with the predicate excluded (readers prune it).
-        return self._commit_partition_scoped(merged, partition_filter, "merge")
+        return self._commit_partition_scoped(
+            merged, partition_filter, "merge", base_version=base_v
+        )
 
 
 def table(spark: SparkSession, path: str) -> LakeTable:

@@ -132,3 +132,42 @@ def test_timestamp_boundary_equality_not_pruned(spark, tmp_path):
     assert [r["id"] for r in t.read(where=("ts", "=", lo)).collect()] == [1]
     assert t.scan_files(("ts", "<=", lo)) == (1, 1)
     assert [r["id"] for r in t.read(where=("ts", "<=", lo)).collect()] == [1]
+
+
+def test_mixed_date_datetime_literal_not_mispruned(spark, tmp_path):
+    """Regression (round-2 advisory): a datetime.date literal against a
+    timestamp column produced differently-shaped ISO strings
+    ("2024-01-05" vs "2024-01-05T00:00:00"), pruning the file holding
+    the midnight match. Mixed temporal shapes must not prune, and
+    read(where=) must equal read().filter(...)."""
+    t = _mk(spark, tmp_path, "skip_mixed_temporal")
+    t.append(
+        spark.createDataFrame(
+            [(1, datetime.datetime(2024, 1, 5)), (2, datetime.datetime(2024, 1, 9))],
+            "id long, ts timestamp",
+        ).coalesce(1)
+    )
+    d = datetime.date(2024, 1, 5)
+    # date literal vs timestamp stats: shape mismatch -> never pruned
+    assert t.scan_files(("ts", "=", d)) == (1, 1)
+    got = [r["id"] for r in t.read(where=("ts", "=", d)).collect()]
+    want = [
+        r["id"] for r in t.read().filter(F.col("ts") == F.lit(d)).collect()
+    ]
+    assert got == want == [1]
+
+    # and the inverse shape: datetime literal vs DATE column stats
+    t2 = _mk(spark, tmp_path, "skip_mixed_temporal2")
+    t2.append(
+        spark.createDataFrame(
+            [(1, datetime.date(2024, 1, 5)), (2, datetime.date(2024, 1, 9))],
+            "id long, d date",
+        ).coalesce(1)
+    )
+    dt = datetime.datetime(2024, 1, 5)
+    assert t2.scan_files(("d", "=", dt)) == (1, 1)
+    got2 = [r["id"] for r in t2.read(where=("d", "=", dt)).collect()]
+    want2 = [
+        r["id"] for r in t2.read().filter(F.col("d") == F.lit(dt)).collect()
+    ]
+    assert got2 == want2

@@ -211,3 +211,41 @@ def test_update_where(spark, tmp_path):
     t.update_where("tag = 'b'", {"amt": F.col("amt") * 2})
     got = {r["id"]: r["amt"] for r in t.read().collect()}
     assert got == {1: 10.0, 2: 40.0, 3: 30.0}  # NULL predicate → untouched
+
+
+def test_partition_scoped_merge_races_concurrent_append_raises(spark, tmp_path):
+    """Regression (round-2 advisory): an append committed between a
+    partition-scoped rewrite's read and its commit must NOT have its
+    partition-matching rows silently excluded — the commit raises
+    (Delta's ConcurrentAppendException contract) so the caller retries."""
+    from privacy_cdc_lakehouse_spark.tables import ConcurrentWriteError
+
+    t = LakeTable(spark, str(tmp_path / "t_race_scoped"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", "a1"), (3, "B", "b1")], "id int, part string, s string"
+        ),
+        partition_by=["part"],
+    )
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None):
+        winner = LakeTable(spark, t.path)
+        winner.append(
+            spark.createDataFrame([(9, "A", "a9")], "id int, part string, s string")
+        )
+        return orig_commit(build, op, partition_by)
+
+    source = spark.createDataFrame([(1, "A", "a1-upd")], "id int, part string, s string")
+    t._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.merge(source, keys=["id"], partition_filter="part = 'A'")
+    finally:
+        t._commit = orig_commit
+
+    # the winner's row survives untouched
+    assert (9, "A", "a9") in {
+        tuple(r) for r in t.read().select("id", "part", "s").collect()
+    }
