@@ -61,6 +61,21 @@ class Lakehouse:
         return LakeTable(self.spark, f"{self.root}/monitoring/cdc_checkpoints")
 
 
+# Silver is hive-partitioned on a stable hash bucket of the merge key so
+# incremental MERGE rewrites only the buckets a micro-batch touches
+# (Delta's dynamic-partition-overwrite pattern). 16 buckets at test
+# scale; at 100 TB you size this so |table|/N_BUCKETS ≈ a few GB —
+# write amplification per batch is then O(|table|/N × touched buckets),
+# not O(|table|). pmod (not %) keeps negative keys in range.
+SILVER_BUCKETS = 16
+
+
+def _with_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "order_bucket", F.pmod(F.col("order_id"), F.lit(SILVER_BUCKETS))
+    )
+
+
 def ingest_bronze(lake: Lakehouse, records: DataFrame) -> int:
     """Append raw envelope records to bronze (project/cast parity with
     ``ingest_orders_raw.py:42-53``)."""
@@ -78,7 +93,10 @@ def ingest_bronze(lake: Lakehouse, records: DataFrame) -> int:
 
 def rebuild_silver(lake: Lakehouse) -> int:
     """Full atomic rebuild of silver from the entire bronze log."""
-    return lake.silver.overwrite(silver_from_bronze(lake.bronze.read()))
+    return lake.silver.overwrite(
+        _with_bucket(silver_from_bronze(lake.bronze.read())),
+        partition_by=["order_bucket"],
+    )
 
 
 def build_privacy(lake: Lakehouse, salt: str | None = None) -> int:
@@ -112,7 +130,9 @@ def forget_user(
     v_silver = -1
     if lake.silver.exists():
         n_silver = lake.silver.read().filter(F.col("user_id") == user_id).count()
-        v_silver = lake.silver.delete_where(f"user_id = {int(user_id)}")
+        # Typed Column predicates end-to-end — no string interpolation
+        # on the erasure path (round-2 advisory: injection-shaped API).
+        v_silver = lake.silver.delete_where(F.col("user_id") == int(user_id))
     v_priv = None
     if lake.privacy.exists():
         # The projection is keyed by pseudonym, not raw id — derive it
@@ -124,7 +144,7 @@ def forget_user(
             )
             .collect()[0]["k"]
         )
-        v_priv = lake.privacy.delete_where(f"user_key = '{key}'")
+        v_priv = lake.privacy.delete_where(F.col("user_key") == F.lit(key))
     audit = spark.createDataFrame(
         [(PIPELINE, int(user_id), n_silver, "forget_user")],
         "pipeline string, subject_id long, rows_erased long, action string",
@@ -168,19 +188,35 @@ def merge_silver(lake: Lakehouse) -> int | None:
 
     # Parse + deterministic top-1 per key. Keep tombstones: the MERGE
     # DELETE clause consumes them (merge_orders_silver.py:139).
-    staged = latest_state(
-        parse_cdc_envelope(fresh), drop_tombstones=False, keep_op=True
+    staged = _with_bucket(
+        latest_state(parse_cdc_envelope(fresh), drop_tombstones=False, keep_op=True)
     )
 
     if not lake.silver.exists():
-        lake.silver.overwrite(staged.filter(F.col("op") != "d").drop("op"))
-    else:
-        lake.silver.merge(
-            staged,
-            keys=["order_id"],
-            matched_delete=F.col("s.op") == "d",
-            insert_condition=F.col("s.op") != "d",
+        lake.silver.overwrite(
+            staged.filter(F.col("op") != "d").drop("op"),
+            partition_by=["order_bucket"],
         )
+    else:
+        # Partition-scoped copy-on-write: only the buckets this batch
+        # touches are rewritten; everything else stays committed with
+        # the bucket predicate excluded (readers prune it as a
+        # PartitionFilter). The touched-bucket collect is ≤SILVER_BUCKETS
+        # small ints — the same planning round-trip Delta performs for
+        # dynamic partition overwrite.
+        touched = sorted(
+            r["order_bucket"]
+            for r in staged.select("order_bucket").distinct().collect()
+        )
+        if touched:  # all-malformed batch stages nothing: just advance
+            pf = f"order_bucket IN ({', '.join(str(b) for b in touched)})"
+            lake.silver.merge(
+                staged,
+                keys=["order_id"],
+                matched_delete=F.col("s.op") == "d",
+                insert_condition=F.col("s.op") != "d",
+                partition_filter=pf,
+            )
 
     new_hi = fresh.agg(F.max("offset").alias("hi")).collect()[0]["hi"]
     _advance_checkpoint(lake, new_hi)

@@ -43,7 +43,7 @@ from privacy_cdc_lakehouse_spark.sources.debezium import CDC_PAYLOAD_SCHEMA
 # Bump on ANY change to parse/dedup/merge/partitioning logic: it is
 # folded into /tmp lake-cache keys (queries/cdc.py::_materialized_lake)
 # so stale snapshots built by older pipeline code are never served.
-PIPELINE_VERSION = 3
+PIPELINE_VERSION = 4
 
 # Parse-side column pruning: silver never reads `created_at`, so the
 # parse schema omits it from before/after (from_json skips unknown

@@ -532,16 +532,22 @@ class LakeTable:
 
     # ---------------- delete / update ----------------
 
-    def delete_where(self, predicate: str, partition_filter: str | None = None) -> int:
+    def delete_where(
+        self, predicate: str | Column, partition_filter: str | None = None
+    ) -> int:
         """``DELETE FROM t WHERE predicate`` as copy-on-write — the
-        privacy lakehouse's right-to-be-forgotten primitive (e.g.
-        ``delete_where("user_id = 42")``). NULL predicate rows are
-        KEPT (SQL DELETE only removes rows where the predicate is
-        true). ``partition_filter`` scopes the rewrite to the
-        partitions that can contain matches — everything else stays
-        committed untouched (Delta's deletion strategy; at 100 TB you
-        rewrite the user's partitions, not the table)."""
-        keep = ~F.coalesce(F.expr(predicate), F.lit(False))
+        privacy lakehouse's right-to-be-forgotten primitive. NULL
+        predicate rows are KEPT (SQL DELETE only removes rows where the
+        predicate is true). Prefer a typed ``Column`` predicate (e.g.
+        ``delete_where(F.col("user_key") == key)``) when the value is
+        runtime data — a string predicate built by interpolation is an
+        injection surface on a GDPR path. ``partition_filter`` scopes
+        the rewrite to the partitions that can contain matches —
+        everything else stays committed untouched (Delta's deletion
+        strategy; at 100 TB you rewrite the user's partitions, not the
+        table)."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        keep = ~F.coalesce(pred, F.lit(False))
         if partition_filter is None:
             return self.overwrite(self.read().filter(keep))
         base_v = self.current_version()
@@ -552,14 +558,17 @@ class LakeTable:
 
     def update_where(
         self,
-        predicate: str,
+        predicate: str | Column,
         set_values: dict[str, Column],
         partition_filter: str | None = None,
     ) -> int:
         """``UPDATE t SET col = expr WHERE predicate`` as copy-on-write.
-        NULL predicate rows are untouched (SQL semantics). Combined
-        with ``partition_filter`` the rewrite is partition-scoped."""
-        hit = F.coalesce(F.expr(predicate), F.lit(False))
+        NULL predicate rows are untouched (SQL semantics). Accepts a
+        typed ``Column`` predicate for runtime values (see
+        :meth:`delete_where`). Combined with ``partition_filter`` the
+        rewrite is partition-scoped."""
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
         source = self.read(version=base_v)
         if partition_filter is not None:

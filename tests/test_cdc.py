@@ -171,3 +171,49 @@ def test_forget_user_erases_serving_layers_and_audits(spark, sf_dir, tmp_path):
         == before
     )
     lake.silver.vacuum(retain_last=1)
+
+
+def test_merge_silver_commits_partition_scoped(spark, sf_dir, tmp_path):
+    """The flagship incremental merge must NOT rewrite the whole silver
+    table per batch (round-2 verdict): silver is bucket-partitioned and
+    the per-batch commit is partition-scoped — prior data dirs survive
+    in the manifest with the touched-bucket predicate excluded, and only
+    a new dir for the rewritten slice is added."""
+    import json
+    import os
+
+    events = cdc_events(spark, sf_dir).orderBy("offset")
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    first = events.filter(F.col("offset") <= mid)
+    second = events.filter(F.col("offset") > mid)
+
+    lake = Lakehouse(spark, str(tmp_path / "scoped"))
+    ingest_bronze(lake, first)
+    merge_silver(lake)  # creates silver (bucket-partitioned overwrite)
+    v1 = lake.silver.current_version()
+    m1 = lake.silver._manifest(v1)
+    assert m1["partition_by"] == ["order_bucket"]
+    dirs_before = {e if isinstance(e, str) else e["path"] for e in m1["files"]}
+
+    ingest_bronze(lake, second)
+    merge_silver(lake)  # incremental: must be partition-scoped
+    v2 = lake.silver.current_version()
+    m2 = lake.silver._manifest(v2)
+    assert m2["op"] == "merge"
+    entries = [e if isinstance(e, dict) else {"path": e, "excludes": []} for e in m2["files"]]
+    prior = [e for e in entries if e["path"] in dirs_before]
+    fresh = [e for e in entries if e["path"] not in dirs_before]
+    # prior dirs SURVIVE (not rewritten) with the bucket exclusion recorded
+    assert prior and all(
+        any("order_bucket IN" in x for x in e["excludes"]) for e in prior
+    )
+    assert len(fresh) == 1 and not fresh[0]["excludes"]
+
+    # and the result still equals the full rebuild
+    full = Lakehouse(spark, str(tmp_path / "scoped_full"))
+    ingest_bronze(full, events)
+    rebuild_silver(full)
+    cols = ["order_id", "user_id", "amount_eur", "status", "last_change_ts"]
+    a = sorted(tuple(r) for r in lake.silver.read().select(cols).collect())
+    b = sorted(tuple(r) for r in full.silver.read().select(cols).collect())
+    assert a == b

@@ -57,6 +57,16 @@ def test_stream_to_silver_matches_batch(spark, sf_dir, tmp_path):
     b = sorted(tuple(r) for r in batch.silver.read().select(cols).collect())
     assert a == b
 
+    # the second micro-batch's MERGE commit is partition-scoped: prior
+    # dirs survive with the touched-bucket exclusion, one new dir added
+    m = lake.silver._manifest(lake.silver.current_version())
+    assert m["op"] == "merge" and m["partition_by"] == ["order_bucket"]
+    entries = [e if isinstance(e, dict) else {"path": e, "excludes": []} for e in m["files"]]
+    assert any(
+        any("order_bucket IN" in x for x in e["excludes"]) for e in entries
+    )
+    assert sum(1 for e in entries if not e["excludes"]) == 1
+
 
 def test_watermarked_dedup_drops_duplicates(spark, tmp_path):
     src = str(tmp_path / "dupsrc")

@@ -249,3 +249,31 @@ def test_partition_scoped_merge_races_concurrent_append_raises(spark, tmp_path):
     assert (9, "A", "a9") in {
         tuple(r) for r in t.read().select("id", "part", "s").collect()
     }
+
+
+def test_delete_where_typed_predicate_no_injection(spark, tmp_path):
+    """delete_where accepts a typed Column predicate; a value containing
+    SQL metacharacters (quote, OR-clause) is DATA, not SQL — only the
+    exact-matching row is deleted (round-2 advisory: the GDPR path must
+    not be injection-shaped)."""
+    t = LakeTable(spark, str(tmp_path / "t_typed_del"))
+    hostile = "x' OR '1'='1"
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, hostile), (2, "innocent")], "id int, user_key string"
+        )
+    )
+    t.delete_where(F.col("user_key") == F.lit(hostile))
+    assert _rows(t) == [(2, "innocent")]
+
+    # update_where with a typed predicate likewise treats it as data
+    t2 = LakeTable(spark, str(tmp_path / "t_typed_upd"))
+    t2.overwrite(
+        spark.createDataFrame(
+            [(1, hostile, 0), (2, "innocent", 0)], "id int, user_key string, n int"
+        )
+    )
+    t2.update_where(
+        F.col("user_key") == F.lit(hostile), {"n": F.lit(9)}
+    )
+    assert _rows(t2) == [(1, hostile, 9), (2, "innocent", 0)]
