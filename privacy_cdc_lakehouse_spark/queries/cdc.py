@@ -137,6 +137,58 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-text MERGE INTO parity (J1 textual form): the reference's
+    exact 3-clause statement (``merge_orders_silver.py:135-147``,
+    CATALOG=demo) parsed and executed over a LakeTable. The event log is
+    split at the median offset; the first half seeds silver, the second
+    half becomes the ``staging_orders`` temp view consumed by the SQL
+    MERGE — the final table must equal the declarative latest-state over
+    ALL events (same oracle as the flagship)."""
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.cdc.silver import (
+        latest_state,
+        parse_cdc_envelope,
+        silver_from_bronze,
+    )
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_merge
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    pin_utc(spark)
+    events = cdc_events(spark, sf_dir)
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    first = events.filter(F.col("offset") <= mid)
+    second = events.filter(F.col("offset") > mid)
+
+    silver = LakeTable(spark, tempfile.mkdtemp(prefix="pcl_sqlmerge_"))
+    silver.overwrite(silver_from_bronze(first))
+    latest_state(
+        parse_cdc_envelope(second), drop_tombstones=False, keep_op=True
+    ).createOrReplaceTempView("staging_orders")
+
+    sql_merge(
+        spark,
+        """
+        MERGE INTO demo.silver.orders_current t
+        USING staging_orders s
+        ON t.order_id = s.order_id
+        WHEN MATCHED AND s.op = 'd' THEN DELETE
+        WHEN MATCHED AND s.op <> 'd' THEN UPDATE SET
+          user_id = s.user_id,
+          amount_eur = s.amount_eur,
+          status = s.status,
+          last_change_ts = s.last_change_ts
+        WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (order_id, user_id, amount_eur, status, last_change_ts)
+        VALUES (s.order_id, s.user_id, s.amount_eur, s.status, s.last_change_ts)
+        """,
+        {"silver.orders_current": silver},
+    )
+    return silver.read().select(
+        "order_id", "user_id", "amount_eur", "status", "last_change_ts"
+    )
+
+
 # ----------------------------- catalog / DDL surface ------------------------
 
 
@@ -278,6 +330,7 @@ QUERIES = {
     "cdc_dq_metrics": q_cdc_dq_metrics,
     "cdc_op_histogram": q_cdc_op_histogram,
     "cdc_decimal_backfill": q_decimal_backfill,
+    "sql_merge_orders": q_sql_merge_orders,
     "catalog_show_tables": q_catalog_tables,
     "catalog_show_schemas": q_catalog_schemas,
     "catalog_orders_current": q_catalog_orders_current,
@@ -315,6 +368,9 @@ ORACLES = {
     SELECT op, CAST(count(*) AS BIGINT) AS n FROM cdc_ev GROUP BY op ORDER BY op
     """,
     "cdc_decimal_backfill": _DECIMAL_BACKFILL_SQL,
+    # SQL-text MERGE must land on the SAME final state as the flagship.
+    "sql_merge_orders": _LATEST_CTE
+    + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
     "catalog_show_tables": _CATALOG_TABLES_SQL,
     "catalog_show_schemas": _CATALOG_SCHEMAS_SQL,
     "catalog_orders_current": _LATEST_CTE

@@ -1,0 +1,302 @@
+"""SQL-text ``MERGE INTO`` front over :meth:`LakeTable.merge`.
+
+The reference drives its upserts with SQL MERGE statements over temp
+views (``/root/reference/jobs/merge_orders_silver.py:135-147`` for the
+3-clause CDC merge, ``:156-165`` for the scalar checkpoint merge with a
+``USING (SELECT ...)`` subquery source). This module parses exactly
+that statement family and executes it through the programmatic merge —
+textual parity for S7→J1 without a full SQL grammar:
+
+    MERGE INTO <table> [AS] t
+    USING (<subquery>) | <view> [AS] s
+    ON t.k = s.k [AND t.k2 = s.k2 ...]
+    [WHEN MATCHED [AND <cond>] THEN DELETE]
+    [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+    [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+
+Aliases are free (normalized to the ``t``/``s`` the executor uses);
+conditions and expressions are arbitrary Spark SQL scalars. The parser
+is deliberately strict — a clause it cannot map onto the three CDC
+clauses raises rather than mis-executing.
+
+Scale note: execution inherits the programmatic merge's plan contract
+(three BroadcastHashJoins, target never shuffled; optional
+``partition_filter`` scopes the copy-on-write).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+
+class MergeSqlError(ValueError):
+    """The statement does not fit the supported MERGE shape."""
+
+
+def _strip_parens_source(rest: str) -> tuple[str, str] | None:
+    """If ``rest`` starts with a parenthesized subquery, return
+    (subquery_text, remainder) using paren balancing."""
+    if not rest.startswith("("):
+        return None
+    depth = 0
+    for i, ch in enumerate(rest):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[1:i], rest[i + 1 :]
+    raise MergeSqlError("unbalanced parentheses in USING subquery")
+
+
+def _split_top_level(text: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parentheses and quotes."""
+    parts, depth, quote, cur = [], 0, None, []
+    for ch in text:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+_HEAD_RE = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+    r"USING\s+(?P<rest>.+)$",
+    re.I | re.S,
+)
+
+_CLAUSE_RE = re.compile(
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"(?P<action>DELETE|UPDATE\s+SET\s+.*?|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))"
+    r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)",
+    re.I | re.S,
+)
+
+_ON_CONJUNCT_RE = re.compile(
+    r"^\s*(\w+)\.(\w+)\s*(=|<=>)\s*(\w+)\.(\w+)\s*$"
+)
+
+
+def _normalize_aliases(expr: str, talias: str, salias: str) -> str:
+    """Rewrite ``<talias>.`` → ``t.`` and ``<salias>.`` → ``s.``."""
+    expr = re.sub(rf"\b{re.escape(talias)}\s*\.", "t.", expr)
+    expr = re.sub(rf"\b{re.escape(salias)}\s*\.", "s.", expr)
+    return expr
+
+
+def parse_merge(statement: str) -> dict:
+    """Parse a MERGE statement into its components (pure, testable)."""
+    m = _HEAD_RE.match(statement.strip().rstrip(";"))
+    if not m:
+        raise MergeSqlError("statement does not start with MERGE INTO ... USING")
+    target = m.group("target").replace("`", "")
+    talias = m.group("talias")
+    rest = m.group("rest").strip()
+
+    sub = _strip_parens_source(rest)
+    if sub is not None:
+        source_sql, rest = sub
+        source_view = None
+    else:
+        vm = re.match(r"([\w.`]+)\s+(.*)$", rest, re.S)
+        if not vm:
+            raise MergeSqlError("missing USING source")
+        source_view, source_sql, rest = vm.group(1).replace("`", ""), None, vm.group(2)
+    rest = rest.strip()
+    am = re.match(r"AS\s+(.*)$", rest, re.S | re.I)
+    if am:
+        rest = am.group(1)
+    sm = re.match(r"(\w+)\s+(.*)$", rest, re.S)
+    if not sm:
+        raise MergeSqlError("missing source alias or ON clause")
+    salias, on_and_clauses = sm.group(1), sm.group(2).strip()
+
+    if not re.match(r"ON\s", on_and_clauses, re.I):
+        raise MergeSqlError("missing ON clause")
+    on_text_and_clauses = on_and_clauses[2:].strip()
+    first_when = re.search(r"\bWHEN\s+(NOT\s+)?MATCHED", on_text_and_clauses, re.I)
+    if not first_when:
+        raise MergeSqlError("no WHEN clauses")
+    on_text = on_text_and_clauses[: first_when.start()].strip()
+    clause_text = on_text_and_clauses[first_when.start() :]
+
+    keys = []
+    for conj in re.split(r"\s+AND\s+", on_text, flags=re.I):
+        cm = _ON_CONJUNCT_RE.match(conj)
+        if not cm:
+            raise MergeSqlError(f"unsupported ON conjunct: {conj!r}")
+        a1, c1, _, a2, c2 = cm.groups()
+        if {a1, a2} != {talias, salias} or c1 != c2:
+            raise MergeSqlError(
+                f"ON conjunct must equate the same column across the two "
+                f"aliases: {conj!r}"
+            )
+        keys.append(c1)
+
+    out = {
+        "target": target,
+        "source_view": source_view,
+        "source_sql": source_sql,
+        "keys": keys,
+        "delete_cond": None,
+        "update_cond": None,
+        "update_sets": None,
+        "insert_cond": None,
+        "insert_cols": None,
+        "insert_vals": None,
+    }
+    consumed = 0
+    for cm in _CLAUSE_RE.finditer(clause_text):
+        consumed += 1
+        unmatched = bool(cm.group("not"))
+        cond = cm.group("cond")
+        cond = (
+            _normalize_aliases(cond.strip(), talias, salias) if cond else None
+        )
+        action = cm.group("action").strip()
+        au = action.upper()
+        if au == "DELETE":
+            if unmatched:
+                raise MergeSqlError("WHEN NOT MATCHED THEN DELETE unsupported")
+            if out["delete_cond"] is not None:
+                raise MergeSqlError("duplicate DELETE clause")
+            out["delete_cond"] = cond or "true"
+        elif au.startswith("UPDATE"):
+            if unmatched:
+                raise MergeSqlError("WHEN NOT MATCHED THEN UPDATE unsupported")
+            if out["update_sets"] is not None:
+                raise MergeSqlError("duplicate UPDATE clause")
+            sets = {}
+            body = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
+            for assign in _split_top_level(body):
+                col, eq, expr = assign.partition("=")
+                if not eq:
+                    raise MergeSqlError(f"bad assignment: {assign!r}")
+                sets[col.strip().replace("`", "")] = _normalize_aliases(
+                    expr.strip(), talias, salias
+                )
+            out["update_sets"] = sets
+            out["update_cond"] = cond
+        else:  # INSERT
+            if not unmatched:
+                raise MergeSqlError("WHEN MATCHED THEN INSERT unsupported")
+            if out["insert_cols"] is not None:
+                raise MergeSqlError("duplicate INSERT clause")
+            im = re.match(
+                r"INSERT\s*\((?P<cols>.*?)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                action,
+                re.I | re.S,
+            )
+            if not im:
+                raise MergeSqlError(f"bad INSERT clause: {action!r}")
+            cols = [c.strip().replace("`", "") for c in _split_top_level(im.group("cols"))]
+            vals = [
+                _normalize_aliases(v, talias, salias)
+                for v in _split_top_level(im.group("vals"))
+            ]
+            if len(cols) != len(vals):
+                raise MergeSqlError("INSERT column/value count mismatch")
+            out["insert_cols"] = cols
+            out["insert_vals"] = vals
+            out["insert_cond"] = cond
+    if consumed == 0:
+        raise MergeSqlError("no parseable WHEN clauses")
+    return out
+
+
+def sql_merge(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, LakeTable],
+    partition_filter: str | None = None,
+) -> int:
+    """Execute a MERGE statement against LakeTables.
+
+    ``tables`` maps qualified names to LakeTables; a 3-part reference
+    name (``demo.silver.orders_current``) also resolves by its last two
+    segments, so the reference's ``{CATALOG}.`` prefix needs no rewrite.
+    The source resolves as a temp view (``createOrReplaceTempView``
+    before calling — the reference's own protocol) or an inline
+    ``(SELECT ...)`` subquery.
+    """
+    p = parse_merge(statement)
+    target = tables.get(p["target"])
+    if target is None and p["target"].count(".") == 2:
+        target = tables.get(p["target"].split(".", 1)[1])
+    if target is None:
+        raise MergeSqlError(f"unknown MERGE target {p['target']!r}")
+
+    source = (
+        spark.sql(p["source_sql"])
+        if p["source_sql"] is not None
+        else spark.table(p["source_view"])
+    )
+
+    tgt_cols = target.read().columns
+    insert_values = None
+    if p["insert_cols"] is not None:
+        listed = dict(zip(p["insert_cols"], p["insert_vals"]))
+        unknown = set(listed) - set(tgt_cols)
+        if unknown:
+            raise MergeSqlError(f"INSERT columns not in target: {sorted(unknown)}")
+        # SQL semantics: unlisted target columns become NULL (the
+        # programmatic default would pull same-named source columns).
+        schema = {f.name: f.dataType for f in target.read().schema.fields}
+        insert_values = {
+            c: (
+                F.expr(listed[c])
+                if c in listed
+                else F.lit(None).cast(schema[c])
+            )
+            for c in tgt_cols
+        }
+
+    update_values = (
+        {c: F.expr(e) for c, e in p["update_sets"].items()}
+        if p["update_sets"]
+        else None
+    )
+
+    # No UPDATE clause at all → matched, non-deleted rows stay UNCHANGED
+    # (SQL fall-through); the programmatic default would overwrite them
+    # with source values, so pin the update condition to never-fire.
+    if p["update_cond"] is not None:
+        upd_cond = F.expr(p["update_cond"])
+    elif p["update_sets"] is None:
+        upd_cond = F.lit(False)
+    else:
+        upd_cond = None
+
+    return target.merge(
+        source,
+        keys=p["keys"],
+        matched_delete=F.expr(p["delete_cond"]) if p["delete_cond"] else None,
+        matched_update_condition=upd_cond,
+        update_values=update_values,
+        insert_condition=F.expr(p["insert_cond"]) if p["insert_cond"] else None,
+        insert_values=insert_values,
+        partition_filter=partition_filter,
+    )

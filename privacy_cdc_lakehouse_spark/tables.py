@@ -636,6 +636,7 @@ class LakeTable:
         keys: list[str],
         *,
         matched_delete: Column | None = None,
+        matched_update_condition: Column | None = None,
         update_values: dict[str, Column] | None = None,
         insert_condition: Column | None = None,
         insert_values: dict[str, Column] | None = None,
@@ -649,8 +650,13 @@ class LakeTable:
 
             MERGE INTO target t USING source s ON t.k = s.k
             WHEN MATCHED AND <matched_delete>  THEN DELETE
-            WHEN MATCHED                       THEN UPDATE SET <update_values>
+            WHEN MATCHED AND <matched_update_condition>
+                                               THEN UPDATE SET <update_values>
             WHEN NOT MATCHED AND <insert_cond> THEN INSERT <insert_values>
+
+        ``matched_update_condition`` (default: always fire) gates the
+        UPDATE clause: a matched row firing NEITHER clause survives
+        with its ORIGINAL target values (SQL MERGE falls through).
 
         ``update_values`` / ``insert_values`` map target column name →
         Column over the *source* rows (referenced as ``s.<col>``); both
@@ -723,14 +729,26 @@ class LakeTable:
 
         # 2) Matched rows: UPDATE unless the DELETE clause fires. The
         #    inner join keeps t.* available for update defaults on
-        #    columns the source lacks.
+        #    columns the source lacks. When an UPDATE condition is set,
+        #    rows firing neither clause keep their target values (SQL
+        #    MERGE fall-through; NULL condition → clause not fired).
         matched = t.join(F.broadcast(s), on, "inner").filter(~delete_cond)
-        upd_cols = [
-            upd.get(
+        upd_exprs = {
+            c: upd.get(
                 c, F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
-            ).alias(c)
+            )
             for c in tcols
-        ]
+        }
+        if matched_update_condition is None:
+            upd_cols = [upd_exprs[c].alias(c) for c in tcols]
+        else:
+            upd_fire = F.coalesce(
+                matched_update_condition.cast("boolean"), F.lit(False)
+            )
+            upd_cols = [
+                F.when(upd_fire, upd_exprs[c]).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in tcols
+            ]
         updated = matched.select(*upd_cols)
 
         # 3) Unmatched source rows passing the INSERT condition. The
