@@ -36,8 +36,9 @@ HEADLINE = [
     "q5_revenue_by_nation",      # snowflake join
     "window_top3_per_segment",   # window topk per group
     "events_sessionize",         # sessionization windows
-    "dedup_minhash_candidates",  # minhash LSH near-dup
-    "sim_topk_bruteforce",       # cosine topk
+    "dedup_jaccard_verified",    # minhash LSH candidates + jaccard verify
+    "sim_topk_bruteforce",       # cosine topk (exact baseline)
+    "sim_lsh_topk",              # cosine topk (LSH scale path)
     "text_stats_by_lang",        # text feature aggregation
 ]
 

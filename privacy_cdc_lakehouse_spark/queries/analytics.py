@@ -371,34 +371,41 @@ FROM tagged GROUP BY cohort ORDER BY cohort
 
 def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct (shuffles distinct keys; Catalyst expands to
-    two-phase). The approximate variant (HLL, constant memory at 100 TB)
-    is exposed as `approx_distinct_parts` (rows-only check)."""
+    two-phase) PLUS the HyperLogLog++ approximate path — the 100 TB
+    variant with no exact-distinct shuffle — checked against the exact
+    counts via its error bound. HLL estimates are engine-specific, so
+    the oracle-portable claim is the TOLERANCE boolean (|approx-exact|
+    / exact ≤ 5% at rsd 0.01), not the estimate itself; this replaces
+    the old rows-only ``approx_distinct_counts`` with a fully
+    hash-checked row (round-3 consolidation)."""
     pin_utc(spark)
     li = _t(spark, sf_dir, "lineitem")
+    ok = lambda a, e: (  # noqa: E731
+        (F.abs(F.col(a) - F.col(e)) / F.col(e)) <= 0.05
+    )
     return li.agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
         F.countDistinct("l_orderkey").alias("n_orders"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
+    ).select(
+        "n_parts",
+        "n_supps",
+        "n_orders",
+        ok("_approx_parts", "n_parts").alias("approx_parts_ok"),
+        ok("_approx_orders", "n_orders").alias("approx_orders_ok"),
     )
 
 
 _DISTINCT_SQL = """
 SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       true AS approx_parts_ok,
+       true AS approx_orders_ok
 FROM lineitem
 """
-
-
-def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct — the 100 TB path (no exact-distinct
-    shuffle). No oracle: estimator differs by engine; driver checks rows."""
-    pin_utc(spark)
-    li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-    )
 
 
 # --- Events: time-window aggregation + JSON extraction ----------------------
@@ -1125,35 +1132,145 @@ FROM conv
 """
 
 
+# --- Round-3 registry consolidations ----------------------------------------
+# The driver's correctness window records ~50 rows in registry order;
+# near-duplicate entries are merged into tagged unions so EVERY operator
+# keeps a driver-verified row. Each union branch keeps its own physical
+# plan (Spark plans union children independently), so no plan shape is
+# lost — only registry slots.
+
+
+def q_tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H single-row aggregates as one tagged union: Q6 (pushdown
+    range scan), Q14 (broadcast dim + conditional agg), Q17
+    (decorrelated scalar subquery), Q19 (OR-of-ANDs equi join). Each
+    branch is the unchanged original query — same plan, same
+    arithmetic, one registry slot."""
+    pin_utc(spark)
+
+    def tag(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("query"), F.col(col).cast("double").alias("value")
+        )
+
+    q19 = q19_disjunctive_predicates(spark, sf_dir)
+    return (
+        tag("q14_promo_pct", q14_promo_revenue(spark, sf_dir), "promo_revenue_pct")
+        .unionByName(tag("q17_avg_yearly", q17_avg_quantity_subquery(spark, sf_dir), "avg_yearly"))
+        .unionByName(tag("q19_n_lines", q19, "n_lines"))
+        .unionByName(tag("q19_revenue", q19, "revenue"))
+        .unionByName(tag("q6_revenue", q6_forecast_revenue(spark, sf_dir), "revenue"))
+        .orderBy("query")
+    )
+
+
+_SCALAR_AGG_SQL = f"""
+WITH q6 AS ({_Q6_SQL}), q14 AS ({_Q14_SQL}), q17 AS ({_Q17_SQL}), q19 AS ({_Q19_SQL})
+SELECT 'q14_promo_pct' AS query, CAST(promo_revenue_pct AS DOUBLE) AS value FROM q14
+UNION ALL SELECT 'q17_avg_yearly', CAST(avg_yearly AS DOUBLE) FROM q17
+UNION ALL SELECT 'q19_n_lines', CAST(n_lines AS DOUBLE) FROM q19
+UNION ALL SELECT 'q19_revenue', CAST(revenue AS DOUBLE) FROM q19
+UNION ALL SELECT 'q6_revenue', CAST(revenue AS DOUBLE) FROM q6
+ORDER BY query
+"""
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI (NOT EXISTS) and LEFT SEMI (EXISTS) joins in one
+    tagged union — both original plans preserved."""
+    pin_utc(spark)
+    anti = q_customers_without_orders(spark, sf_dir).select(
+        F.lit("anti").alias("kind"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("val"),
+    )
+    semi = q_parts_with_lineitems(spark, sf_dir).select(
+        F.lit("semi").alias("kind"),
+        F.col("p_brand").alias("k"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("n_parts").cast("double").alias("val"),
+    )
+    return anti.unionByName(semi).orderBy("kind", "k")
+
+
+_SEMI_ANTI_SQL = """
+SELECT 'anti' AS kind, CAST(c_custkey AS VARCHAR) AS k, c_name AS name,
+       CAST(c_acctbal AS DOUBLE) AS val
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+UNION ALL
+SELECT 'semi', p_brand, CAST(NULL AS VARCHAR), CAST(count(*) AS DOUBLE)
+FROM part
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+GROUP BY p_brand
+ORDER BY kind, k
+"""
+
+
+def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE + explicit GROUPING SETS in one tagged union —
+    all three grouping-set expansions exercised, each in its own
+    single-shuffle aggregate."""
+    pin_utc(spark)
+
+    def shape(src: str, df: DataFrame, d1: str, d2: str, measure: str) -> DataFrame:
+        return df.select(
+            F.lit(src).alias("src"),
+            F.col(d1).alias("d1"),
+            F.col(d2).alias("d2"),
+            F.col(measure).cast("double").alias("measure"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    return (
+        shape("cube", q_cube_order_status(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total")
+        .unionByName(shape("gsets", q_grouping_sets(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total"))
+        .unionByName(shape("rollup", q_rollup_returnflag(spark, sf_dir), "l_returnflag", "l_linestatus", "sum_qty"))
+        .orderBy("src", F.asc_nulls_first("d1"), F.asc_nulls_first("d2"))
+    )
+
+
+_GROUPING_ANALYTICS_SQL = """
+SELECT 'cube' AS src, o_orderstatus AS d1, o_orderpriority AS d2,
+       CAST(sum(o_totalprice) AS DOUBLE) AS measure,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+UNION ALL
+SELECT 'gsets', o_orderstatus, o_orderpriority,
+       CAST(sum(o_totalprice) AS DOUBLE), CAST(count(*) AS BIGINT)
+FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+UNION ALL
+SELECT 'rollup', l_returnflag, l_linestatus,
+       CAST(sum(l_quantity) AS DOUBLE), CAST(count(*) AS BIGINT)
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+ORDER BY src, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
-    "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_item_revenue": q10_returned_item_revenue,
     "events_funnel": q_events_funnel,
     "q12_priority_by_returnflag": q12_priority_by_returnflag,
-    "q14_promo_revenue": q14_promo_revenue,
     "q18_large_volume_customers": q18_large_volume_customers,
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
-    "q19_disjunctive_predicates": q19_disjunctive_predicates,
+    "tpch_scalar_aggregates": q_tpch_scalar_aggregates,
     "min_order_per_customer": q_min_order_per_customer,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_revenue_by_nation": q5_revenue_by_nation,
-    "join_anti_customers_without_orders": q_customers_without_orders,
-    "join_semi_parts_with_lineitems": q_parts_with_lineitems,
+    "join_semi_anti": q_join_semi_anti,
     "window_top3_per_segment": q_top3_orders_per_segment,
     "window_running_spend": q_customer_running_spend,
-    "rollup_returnflag": q_rollup_returnflag,
-    "cube_order_status": q_cube_order_status,
+    "grouping_analytics": q_grouping_analytics,
     "setops_customer_cohorts": q_setops_customer_cohorts,
     "distinct_counts": q_distinct_counts,
-    "approx_distinct_counts": q_approx_distinct,
     "events_5min_windows": q_events_5min_windows,
     "events_json_props": q_events_json_props,
     "events_sessionize": q_events_sessionize,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "q4_order_priority_exists": q4_order_priority_exists,
-    "q17_avg_quantity_subquery": q17_avg_quantity_subquery,
-    "grouping_sets_status_priority": q_grouping_sets,
     "sql_privacy_view": q_privacy_view_sql,
     "join_asof_last_error": q_asof_last_error,
     "join_range_value_bands": q_range_join_value_bands,
@@ -1185,20 +1302,17 @@ def _priv_view_oracle() -> str:
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
-    "q6_forecast_revenue": _Q6_SQL,
     "q10_returned_item_revenue": _Q10_SQL,
     "events_funnel": _FUNNEL_SQL,
     "q12_priority_by_returnflag": _Q12_SQL,
-    "q14_promo_revenue": _Q14_SQL,
     "q18_large_volume_customers": _Q18_SQL,
     "q3_top_unshipped": _Q3_SQL,
     "q5_revenue_by_nation": _Q5_SQL,
-    "join_anti_customers_without_orders": _ANTI_SQL,
-    "join_semi_parts_with_lineitems": _SEMI_SQL,
+    "tpch_scalar_aggregates": _SCALAR_AGG_SQL,
+    "join_semi_anti": _SEMI_ANTI_SQL,
     "window_top3_per_segment": _TOP3_SQL,
     "window_running_spend": _RUNNING_SQL,
-    "rollup_returnflag": _ROLLUP_SQL,
-    "cube_order_status": _CUBE_SQL,
+    "grouping_analytics": _GROUPING_ANALYTICS_SQL,
     "setops_customer_cohorts": _SETOPS_SQL,
     "distinct_counts": _DISTINCT_SQL,
     "events_5min_windows": _EVENTS_WIN_SQL,
@@ -1206,11 +1320,8 @@ ORACLES = {
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,
-    "q19_disjunctive_predicates": _Q19_SQL,
     "min_order_per_customer": _MIN_ORDER_SQL,
     "q4_order_priority_exists": _Q4_SQL,
-    "q17_avg_quantity_subquery": _Q17_SQL,
-    "grouping_sets_status_priority": _GROUPING_SETS_SQL,
     "sql_privacy_view": _priv_view_oracle(),
     "join_asof_last_error": _ASOF_SQL,
     "join_range_value_bands": _RANGE_JOIN_SQL,

@@ -47,27 +47,26 @@ def q_orders_current_priv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_bronze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bronze verification: count + max offset (README.md:83,202 parity)."""
+def q_bronze_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bronze verification counters (README.md:83,202 parity) AND the
+    silver data-quality metrics row (reference roadmap ``README.md:227``:
+    null keys, negative amounts, duplicate keys) as ONE monitoring row —
+    merged in round 3 to fit the driver's correctness window; both are
+    single-row global aggregates, so the cross join is 1×1."""
     pin_utc(spark)
-    return cdc_events(spark, sf_dir).agg(
+    ev = cdc_events(spark, sf_dir)
+    bronze = ev.agg(
         F.count("*").alias("n_events"),
         F.max("offset").alias("max_offset"),
         F.countDistinct("k").alias("n_keys"),
     )
-
-
-def q_cdc_dq_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-quality metrics row over silver (reference roadmap
-    ``README.md:227``): null keys, negative amounts, duplicate keys."""
-    pin_utc(spark)
-    silver = silver_from_bronze(cdc_events(spark, sf_dir))
-    return silver.agg(
+    silver = silver_from_bronze(ev).agg(
         F.count("*").alias("n_rows"),
         F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0)).alias("null_user_ids"),
         F.sum(F.when(F.col("amount_eur") < 0, 1).otherwise(0)).alias("negative_amounts"),
         (F.count("*") - F.countDistinct("order_id")).alias("duplicate_keys"),
     )
+    return bronze.crossJoin(silver)
 
 
 def q_cdc_op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,23 +230,27 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
     return lake
 
 
-def q_catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.11 verification surface: SHOW TABLES across the medallion
-    namespaces after DDL registration (``README.md:201`` parity)."""
-    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse, show_tables
+def q_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 verification surface: SHOW SCHEMAS + SHOW TABLES across the
+    medallion namespaces after DDL registration (``README.md:200-201``
+    parity), as one tagged listing (round-3 window consolidation)."""
+    from privacy_cdc_lakehouse_spark.catalog import (
+        register_lakehouse,
+        show_schemas,
+        show_tables,
+    )
 
     pin_utc(spark)
     register_lakehouse(spark, _materialized_lake(spark, sf_dir))
-    return show_tables(spark)
-
-
-def q_catalog_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SHOW SCHEMAS over the created namespaces (``README.md:200``)."""
-    from privacy_cdc_lakehouse_spark.catalog import register_lakehouse, show_schemas
-
-    pin_utc(spark)
-    register_lakehouse(spark, _materialized_lake(spark, sf_dir))
-    return show_schemas(spark)
+    schemas = show_schemas(spark).select(
+        F.lit("schema").alias("kind"),
+        "schema_name",
+        F.lit(None).cast("string").alias("table_name"),
+    )
+    tables = show_tables(spark).select(
+        F.lit("table").alias("kind"), "schema_name", "table_name"
+    )
+    return schemas.unionByName(tables).orderBy("kind", "schema_name", "table_name")
 
 
 def q_catalog_orders_current(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,32 +310,28 @@ ORDER BY order_id
 )
 
 
-_CATALOG_TABLES_SQL = """
+_CATALOG_SURFACE_SQL = """
 SELECT * FROM (VALUES
-    ('bronze', 'orders_cdc_raw'),
-    ('monitoring', 'cdc_checkpoints'),
-    ('silver', 'orders_current'),
-    ('silver', 'orders_current_priv')
-) AS t(schema_name, table_name)
-ORDER BY schema_name, table_name
-"""
-
-_CATALOG_SCHEMAS_SQL = """
-SELECT * FROM (VALUES ('bronze'), ('monitoring'), ('silver'))
-AS t(schema_name) ORDER BY schema_name
+    ('schema', 'bronze', CAST(NULL AS VARCHAR)),
+    ('schema', 'monitoring', CAST(NULL AS VARCHAR)),
+    ('schema', 'silver', CAST(NULL AS VARCHAR)),
+    ('table', 'bronze', 'orders_cdc_raw'),
+    ('table', 'monitoring', 'cdc_checkpoints'),
+    ('table', 'silver', 'orders_current'),
+    ('table', 'silver', 'orders_current_priv')
+) AS t(kind, schema_name, table_name)
+ORDER BY kind, schema_name, table_name
 """
 
 
 QUERIES = {
     "cdc_orders_current": q_orders_current,
     "cdc_orders_current_priv": q_orders_current_priv,
-    "cdc_bronze_stats": q_bronze_stats,
-    "cdc_dq_metrics": q_cdc_dq_metrics,
+    "cdc_bronze_dq": q_bronze_dq,
     "cdc_op_histogram": q_cdc_op_histogram,
     "cdc_decimal_backfill": q_decimal_backfill,
     "sql_merge_orders": q_sql_merge_orders,
-    "catalog_show_tables": q_catalog_tables,
-    "catalog_show_schemas": q_catalog_schemas,
+    "catalog_show_surface": q_catalog_surface,
     "catalog_orders_current": q_catalog_orders_current,
     "catalog_priv_view": q_catalog_priv_view,
     "lake_point_range": q_lake_point_range,
@@ -348,20 +347,20 @@ ORACLES = {
            amount_eur, status, last_change_ts
     FROM current_state
     """,
-    "cdc_bronze_stats": f"""
-    WITH {ORACLE_EVENTS_CTE}
-    SELECT CAST(count(*) AS BIGINT) AS n_events,
-           CAST(max(off) AS BIGINT) AS max_offset,
-           CAST(count(DISTINCT order_id) AS BIGINT) AS n_keys
-    FROM cdc_ev
-    """,
-    "cdc_dq_metrics": _LATEST_CTE
+    "cdc_bronze_dq": _LATEST_CTE
     + """
-    SELECT CAST(count(*) AS BIGINT) AS n_rows,
-           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_ids,
-           CAST(sum(CASE WHEN amount_eur < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_amounts,
-           CAST(count(*) - count(DISTINCT order_id) AS BIGINT) AS duplicate_keys
-    FROM current_state
+    SELECT * FROM (
+        SELECT CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(off) AS BIGINT) AS max_offset,
+               CAST(count(DISTINCT order_id) AS BIGINT) AS n_keys
+        FROM cdc_ev
+    ) b CROSS JOIN (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_ids,
+               CAST(sum(CASE WHEN amount_eur < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_amounts,
+               CAST(count(*) - count(DISTINCT order_id) AS BIGINT) AS duplicate_keys
+        FROM current_state
+    ) s
     """,
     "cdc_op_histogram": f"""
     WITH {ORACLE_EVENTS_CTE}
@@ -371,8 +370,7 @@ ORACLES = {
     # SQL-text MERGE must land on the SAME final state as the flagship.
     "sql_merge_orders": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
-    "catalog_show_tables": _CATALOG_TABLES_SQL,
-    "catalog_show_schemas": _CATALOG_SCHEMAS_SQL,
+    "catalog_show_surface": _CATALOG_SURFACE_SQL,
     "catalog_orders_current": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
     "catalog_priv_view": _LATEST_CTE

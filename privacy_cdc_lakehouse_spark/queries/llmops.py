@@ -281,18 +281,6 @@ cand AS (
 """
 
 
-def q_dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs over the augmented corpus."""
-    pin_utc(spark)
-    corpus = _augmented(_docs(spark, sf_dir))
-    return dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS).orderBy(
-        "id_a", "id_b"
-    )
-
-
-_MINHASH_SQL = _MINHASH_CTE + "SELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
-
-
 def q_dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.5 over the LSH candidates (the verify
     stage of the near-dup pipeline; integer-ratio doubles are exact)."""
@@ -319,14 +307,6 @@ FROM jac
 WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.5
 ORDER BY id_a, id_b
 """
-
-
-def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (xxhash64 bit material — not engine-portable;
-    rows-only check validates cardinality + determinism). The portable
-    variant below is the hash-checked twin."""
-    pin_utc(spark)
-    return dd.simhash(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -498,40 +478,68 @@ FROM lsh_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
-def q_sim_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Measured recall@10 of LSH top-k vs exact brute force, per query —
-    the blind spot the rows-only check left open. Both rankings and the
-    intersection are replicated in the oracle, so the recall numbers
-    themselves are hash-verified."""
+IVF_RECALL_FLOOR = 0.5
+LSH_RECALL_FLOOR = 0.5
+
+
+def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall@10 vs exact brute force for BOTH approximate ANN
+    paths in one result (registry consolidation round 3 — the driver
+    correctness window is capped, so the two recall queries share one
+    row set distinguished by ``method``).
+
+    - ``lsh`` rows: n_hits is exact and hash-verified (the oracle
+      replicates the bucketing bit-for-bit).
+    - ``ivf`` rows: n_hits is NULL (centroid means are
+      float-summation-order dependent across engines — not
+      SQL-replicable); only the recall-floor boolean is checked.
+    """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    ls = sim.lsh_topk(emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        bf.join(ls, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n"), F.lit(0)) / 10.0, 2).alias(
-                "recall_at_10"
-            ),
+
+    def hits_of(approx: DataFrame) -> DataFrame:
+        h = (
+            bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n"))
         )
-        .orderBy("query_id")
+        return (
+            queries.select("query_id")
+            .join(h, "query_id", "left")
+            .select(
+                "query_id",
+                F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+            )
+        )
+
+    ls = hits_of(
+        sim.lsh_topk(
+            emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64
+        ).select("query_id", "neighbor_id")
+    ).select(
+        F.lit("lsh").alias("method"),
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") / 10.0 >= LSH_RECALL_FLOOR).alias("recall_ok"),
     )
+    iv = hits_of(
+        sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4).select(
+            "query_id", "neighbor_id"
+        )
+    ).select(
+        F.lit("ivf").alias("method"),
+        "query_id",
+        F.lit(None).cast("long").alias("n_hits"),
+        (F.col("n_hits") / 10.0 >= IVF_RECALL_FLOOR).alias("recall_ok"),
+    )
+    return ls.unionByName(iv).orderBy("method", "query_id")
 
 
-_LSH_RECALL_SQL = _LSH_TOPK_CTE + f"""
+_ANN_RECALL_SQL = _LSH_TOPK_CTE + f"""
 , bf_scored AS (
     SELECT query_id, neighbor_id,
            CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
@@ -557,15 +565,17 @@ hits AS (
     WHERE b.rank <= 10
     GROUP BY b.query_id
 )
-SELECT q.query_id,
+SELECT 'lsh' AS method, q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
-       round(coalesce(h.n, 0) / 10.0, 2) AS recall_at_10
+       coalesce(h.n, 0) / 10.0 >= {LSH_RECALL_FLOOR} AS recall_ok
 FROM (SELECT DISTINCT query_id FROM q) q
 LEFT JOIN hits h USING (query_id)
-ORDER BY query_id
+UNION ALL
+SELECT 'ivf', query_id, CAST(NULL AS BIGINT), recall_ok
+FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+AS t(query_id, recall_ok)
+ORDER BY method, query_id
 """
-
-IVF_RECALL_FLOOR = 0.5
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -582,45 +592,6 @@ def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
     ).orderBy("query_id", "rank")
-
-
-def q_sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable IVF quality floor: per-query recall@10 vs brute
-    force, thresholded at {IVF_RECALL_FLOOR}. The oracle asserts every
-    query clears the floor — a real quality regression (bad clustering,
-    broken probe join) flips a boolean and hash-mismatches."""
-    pin_utc(spark)
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
-    iv = sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4).select(
-        "query_id", "neighbor_id"
-    )
-    hits = (
-        bf.join(iv, ["query_id", "neighbor_id"], "left_semi")
-        .groupBy("query_id")
-        .agg(F.count("*").alias("n"))
-    )
-    return (
-        queries.select("query_id")
-        .join(hits, "query_id", "left")
-        .select(
-            "query_id",
-            (F.coalesce(F.col("n"), F.lit(0)) / 10.0 >= IVF_RECALL_FLOOR).alias(
-                "recall_ok"
-            ),
-        )
-        .orderBy("query_id")
-    )
-
-
-_IVF_RECALL_SQL = """
-SELECT CAST(query_id AS BIGINT) AS query_id, recall_ok
-FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
-AS t(query_id, recall_ok) ORDER BY query_id
-"""
 
 
 # ----------------------------- multimodal -----------------------------------
@@ -766,64 +737,49 @@ FROM q ORDER BY vec_id
 """
 
 
-def q_multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stride-'resize' every payload to ≤ 48×48 bytes; verify the whole
-    Arrow round-trip via exact output-length arithmetic (out_bytes ==
-    min(n_bytes, 2304))."""
+def q_multimodal_transform_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize + frame-sample plumbing in ONE result (registry
+    consolidation round 3): ``kind='resize'`` rows aggregate the
+    stride-resize output (k = max_out_bytes), ``kind='frame'`` rows
+    histogram docs by frames taken (k = n_frames). Both transforms are
+    exactly derivable from payload length, so the Arrow batch plumbing
+    is hash-checked end to end."""
     pin_utc(spark)
-    resized = mm.resize_binary(
-        mm.documents_as_binary(_docs(spark, sf_dir)), width=48, height=48
-    )
-    return resized.agg(
+    binary = mm.documents_as_binary(_docs(spark, sf_dir))
+
+    resized = mm.resize_binary(binary, width=48, height=48).agg(
         F.count("*").alias("n_docs"),
-        F.sum("out_bytes").alias("sum_out_bytes"),
-        F.sum(F.octet_length("payload")).alias("sum_payload_bytes"),
-        F.max("out_bytes").alias("max_out_bytes"),
-    )
+        F.max("out_bytes").cast("long").alias("k"),
+        F.sum("out_bytes").alias("total_bytes"),
+    ).select(F.lit("resize").alias("kind"), "k", "n_docs", "total_bytes")
 
-
-_RESIZE_SQL = """
-SELECT CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS sum_out_bytes,
-       CAST(sum(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS sum_payload_bytes,
-       CAST(max(LEAST(octet_length(encode(text)), 2304)) AS BIGINT) AS max_out_bytes
-FROM documents
-"""
-
-
-def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sample payloads (256-byte frames, every 2nd, ≤ 4) and
-    histogram docs by frames taken, with total sampled bytes — both
-    exactly derivable from payload length, so the chunking code is
-    hash-checked end to end."""
-    pin_utc(spark)
-    frames = mm.frame_sample(
-        mm.documents_as_binary(_docs(spark, sf_dir)),
-        frame_bytes=256,
-        every_n=2,
-        max_frames=4,
-    )
+    frames = mm.frame_sample(binary, frame_bytes=256, every_n=2, max_frames=4)
     per_doc = frames.groupBy("doc_id").agg(
         F.count("*").alias("n_frames"),
         F.sum(F.octet_length("frame")).alias("bytes_sampled"),
     )
-    return (
+    frame_hist = (
         per_doc.groupBy("n_frames")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("bytes_sampled").alias("total_bytes"),
         )
-        .orderBy("n_frames")
+        .select(
+            F.lit("frame").alias("kind"),
+            F.col("n_frames").cast("long").alias("k"),
+            "n_docs",
+            "total_bytes",
+        )
     )
+    return resized.unionByName(frame_hist).orderBy("kind", "k")
 
 
-_FRAME_SAMPLE_SQL = """
+_TRANSFORM_STATS_SQL = """
 WITH b AS (
     SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
     FROM documents
 ), f AS (
-    SELECT doc_id, len,
-           CAST((len + 255) // 256 AS BIGINT) AS nchunks
+    SELECT doc_id, len, CAST((len + 255) // 256 AS BIGINT) AS nchunks
     FROM b
 ), s AS (
     SELECT doc_id, len, nchunks,
@@ -831,18 +787,22 @@ WITH b AS (
     FROM f WHERE nchunks > 0
 ), d AS (
     SELECT doc_id, n_frames,
-           -- sampled indices 0,2,..,(n_frames-1)*2; only the last chunk
-           -- (index nchunks-1) can be short: len - (nchunks-1)*256
            (n_frames - 1) * 256
              + CASE WHEN (n_frames - 1) * 2 = nchunks - 1
                     THEN len - (nchunks - 1) * 256
                     ELSE 256 END AS bytes_sampled
     FROM s
 )
-SELECT CAST(n_frames AS BIGINT) AS n_frames,
+SELECT 'resize' AS kind,
+       CAST(max(LEAST(len, 2304)) AS BIGINT) AS k,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(bytes_sampled) AS BIGINT) AS total_bytes
-FROM d GROUP BY n_frames ORDER BY n_frames
+       CAST(sum(LEAST(len, 2304)) AS BIGINT) AS total_bytes
+FROM b
+UNION ALL
+SELECT 'frame', CAST(n_frames AS BIGINT),
+       CAST(count(*) AS BIGINT), CAST(sum(bytes_sampled) AS BIGINT)
+FROM d GROUP BY n_frames
+ORDER BY kind, k
 """
 
 
@@ -864,42 +824,47 @@ FROM b ORDER BY doc_id
 """
 
 
+# Registry order: the similarity/multimodal surface FIRST — the driver's
+# correctness window records ~50 rows in registry order, and these were
+# the rows that fell off in round 2. Previously-driver-verified text/
+# dedup queries follow. Consolidations (round 3, to fit the window):
+# sim_lsh_recall + sim_ivf_recall → sim_ann_recall; multimodal_resize_
+# stats + multimodal_frame_sample → multimodal_transform_stats;
+# simhash_signatures retired (simhash_portable is its hash-checked
+# twin); dedup_minhash_candidates retired as a standalone entry
+# (dedup_jaccard_verified runs the identical candidate pipeline as its
+# input — see its oracle CTE — plus the verify stage).
 QUERIES = {
+    "simhash_portable": q_simhash_portable,
+    "sim_topk_bruteforce": q_sim_topk_bruteforce,
+    "sim_lsh_topk": q_sim_lsh_topk,
+    "sim_ann_recall": q_sim_ann_recall,
+    "sim_ivf_topk": q_sim_ivf_topk,
+    "dedup_embedding_near_dup": q_embedding_near_dup,
+    "embedding_quantize": q_embedding_quantize,
+    "multimodal_binary_features": q_multimodal_binary_features,
+    "multimodal_transform_stats": q_multimodal_transform_stats,
     "text_stats_by_lang": q_text_stats_by_lang,
     "lang_id_confusion": q_lang_id_confusion,
     "quality_histogram": q_quality_histogram,
     "dedup_exact_groups": q_dedup_exact,
-    "dedup_minhash_candidates": q_dedup_minhash_candidates,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
-    "simhash_signatures": q_simhash_signatures,
-    "simhash_portable": q_simhash_portable,
-    "sim_topk_bruteforce": q_sim_topk_bruteforce,
-    "sim_lsh_topk": q_sim_lsh_topk,
-    "sim_lsh_recall": q_sim_lsh_recall,
-    "sim_ivf_topk": q_sim_ivf_topk,
-    "sim_ivf_recall": q_sim_ivf_recall,
-    "dedup_embedding_near_dup": q_embedding_near_dup,
-    "multimodal_binary_features": q_multimodal_binary_features,
-    "embedding_quantize": q_embedding_quantize,
-    "multimodal_resize_stats": q_multimodal_resize_stats,
-    "multimodal_frame_sample": q_multimodal_frame_sample,
 }
 
 ORACLES = {
+    "simhash_portable": _simhash_portable_sql(16),
+    "sim_topk_bruteforce": _SIM_TOPK_SQL,
+    "sim_lsh_topk": _LSH_TOPK_SQL,
+    "sim_ann_recall": _ANN_RECALL_SQL,
+    # sim_ivf_topk: no oracle by design (centroid iteration is not
+    # SQL-expressible); its quality floor is inside sim_ann_recall.
+    "dedup_embedding_near_dup": _NEAR_DUP_SQL,
+    "embedding_quantize": _EMB_QUANT_SQL,
+    "multimodal_binary_features": _MULTIMODAL_SQL,
+    "multimodal_transform_stats": _TRANSFORM_STATS_SQL,
     "text_stats_by_lang": _TEXT_STATS_SQL,
     "lang_id_confusion": _LANG_ID_SQL,
     "quality_histogram": _QUALITY_SQL,
     "dedup_exact_groups": _DEDUP_EXACT_SQL,
-    "dedup_minhash_candidates": _MINHASH_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
-    "sim_topk_bruteforce": _SIM_TOPK_SQL,
-    "sim_lsh_topk": _LSH_TOPK_SQL,
-    "sim_lsh_recall": _LSH_RECALL_SQL,
-    "sim_ivf_recall": _IVF_RECALL_SQL,
-    "dedup_embedding_near_dup": _NEAR_DUP_SQL,
-    "multimodal_binary_features": _MULTIMODAL_SQL,
-    "simhash_portable": _simhash_portable_sql(16),
-    "embedding_quantize": _EMB_QUANT_SQL,
-    "multimodal_resize_stats": _RESIZE_SQL,
-    "multimodal_frame_sample": _FRAME_SAMPLE_SQL,
 }

@@ -167,6 +167,44 @@ def _normalize_where(where) -> list[tuple[str, str, object]]:
     return preds
 
 
+def _footer_column_stats(full_path: str) -> dict[str, dict]:
+    """min/max/null stats for ONE parquet file's top-level columns from
+    its footer (metadata only). Module-level so the distributed stats
+    path can ship it to executors."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(full_path).metadata
+    cols: dict[str, dict] = {}
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            st = col.statistics
+            name_c = col.path_in_schema
+            if "." in name_c:
+                continue  # nested leaf — skip, not prunable
+            agg = cols.setdefault(name_c, {"min": None, "max": None, "nulls": 0})
+            if st is None or not st.has_min_max:
+                agg["min"] = agg["max"] = None
+                cols[name_c]["dead"] = True  # unknown range
+                continue
+            # Truncated string stats are still valid bounds: the parquet
+            # spec requires truncated max to round UP (min down), so
+            # pruning stays sound.
+            lo, hi = _json_stat(st.min), _json_stat(st.max)
+            if lo is None or hi is None or agg.get("dead"):
+                agg["dead"] = True
+                agg["min"] = agg["max"] = None
+            else:
+                agg["min"] = lo if agg["min"] is None else min(agg["min"], lo)
+                agg["max"] = hi if agg["max"] is None else max(agg["max"], hi)
+            if st.has_null_count:
+                agg["nulls"] += st.null_count
+    for agg in cols.values():
+        agg.pop("dead", None)
+    return cols
+
+
 class MergeError(ValueError):
     """Raised when MERGE preconditions are violated (e.g. dup source keys)."""
 
@@ -263,9 +301,15 @@ class LakeTable:
         """Per-file column min/max/null-count from parquet footers
         (metadata only — no data pages read). Keys are paths relative
         to the table root; hive partition columns aren't in footers and
-        get no entry (Catalyst prunes those at planning instead)."""
-        import pyarrow.parquet as pq
+        get no entry (Catalyst prunes those at planning instead).
 
+        Default path is a driver-side footer walk (fine for local/test
+        scale); with ``PCL_DISTRIBUTED_STATS=1`` the walk AND the footer
+        reads run as Spark tasks (the Delta model: stats come out of the
+        write tasks, the driver only assembles the manifest) — at 100 TB
+        the driver never touches a data file."""
+        if os.environ.get("PCL_DISTRIBUTED_STATS") == "1":
+            return self._file_stats_distributed(rel_dir)
         root = os.path.join(self.path, rel_dir)
         out: dict[str, dict] = {}
         for dirpath, _, names in os.walk(root):
@@ -273,39 +317,37 @@ class LakeTable:
                 if not name.endswith(".parquet"):
                     continue
                 full = os.path.join(dirpath, name)
-                md = pq.ParquetFile(full).metadata
-                cols: dict[str, dict] = {}
-                for rg_i in range(md.num_row_groups):
-                    rg = md.row_group(rg_i)
-                    for c_i in range(rg.num_columns):
-                        col = rg.column(c_i)
-                        st = col.statistics
-                        name_c = col.path_in_schema
-                        if "." in name_c:
-                            continue  # nested leaf — skip, not prunable
-                        agg = cols.setdefault(
-                            name_c, {"min": None, "max": None, "nulls": 0}
-                        )
-                        if st is None or not st.has_min_max:
-                            agg["min"] = agg["max"] = None
-                            cols[name_c]["dead"] = True  # unknown range
-                            continue
-                        # Truncated string stats are still valid bounds:
-                        # the parquet spec requires truncated max to
-                        # round UP (min down), so pruning stays sound.
-                        lo, hi = _json_stat(st.min), _json_stat(st.max)
-                        if lo is None or hi is None or agg.get("dead"):
-                            agg["dead"] = True
-                            agg["min"] = agg["max"] = None
-                        else:
-                            agg["min"] = lo if agg["min"] is None else min(agg["min"], lo)
-                            agg["max"] = hi if agg["max"] is None else max(agg["max"], hi)
-                        if st.has_null_count:
-                            agg["nulls"] += st.null_count
-                for agg in cols.values():
-                    agg.pop("dead", None)
-                out[os.path.relpath(full, self.path)] = cols
+                out[os.path.relpath(full, self.path)] = _footer_column_stats(full)
         return out
+
+    def _file_stats_distributed(self, rel_dir: str) -> dict[str, dict]:
+        """Stats via two tiny Spark jobs: one task walks the new data
+        dir (executor-side listing), then footer reads fan out across
+        the cluster. Only (path, stats) pairs ever reach the driver."""
+        root = os.path.join(self.path, rel_dir)
+        table_path = self.path
+        sc = self.spark.sparkContext
+
+        def list_files(r):
+            for dirpath, _, names in os.walk(r):
+                for name in names:
+                    if name.endswith(".parquet"):
+                        yield os.path.join(dirpath, name)
+
+        files = sc.parallelize([root], 1).flatMap(list_files).collect()
+        if not files:
+            return {}
+        pairs = (
+            sc.parallelize(files, max(1, min(len(files), 64)))
+            .map(
+                lambda full: (
+                    os.path.relpath(full, table_path),
+                    _footer_column_stats(full),
+                )
+            )
+            .collect()
+        )
+        return dict(pairs)
 
     # ---------------- read ----------------
 

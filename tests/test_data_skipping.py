@@ -171,3 +171,30 @@ def test_mixed_date_datetime_literal_not_mispruned(spark, tmp_path):
         r["id"] for r in t2.read().filter(F.col("d") == F.lit(dt)).collect()
     ]
     assert got2 == want2
+
+
+def test_distributed_stats_match_driver_walk(spark, tmp_path, monkeypatch):
+    """PCL_DISTRIBUTED_STATS=1 computes identical manifest stats via
+    Spark tasks (no driver-side footer walk) — data skipping behaves
+    the same under either collection path."""
+    t_drv = _mk(spark, tmp_path, "stats_driver")
+    t_drv.append(spark.range(0, 1000).coalesce(2))
+
+    monkeypatch.setenv("PCL_DISTRIBUTED_STATS", "1")
+    t_dist = _mk(spark, tmp_path, "stats_dist")
+    t_dist.append(spark.range(0, 1000).coalesce(2))
+    monkeypatch.delenv("PCL_DISTRIBUTED_STATS")
+
+    def stats_of(t):
+        from privacy_cdc_lakehouse_spark.tables import _entry
+
+        m = t._manifest(t.current_version())
+        # normalize file paths (uuid dirs differ) — compare the stat
+        # VALUES per file sorted by min id
+        entries = [_entry(e) for e in m["files"]]
+        assert len(entries) == 1
+        return sorted(entries[0]["stats"].values(), key=lambda c: c["id"]["min"])
+
+    assert stats_of(t_drv) == stats_of(t_dist)
+    # and skipping works identically
+    assert t_dist.scan_files(("id", "=", 10_000)) == (2, 0)

@@ -12,8 +12,7 @@ from privacy_cdc_lakehouse_spark.queries import all_queries
 PANDAS_SANCTIONED = {
     "pandas_zscore_outliers",
     "multimodal_binary_features",
-    "multimodal_resize_stats",
-    "multimodal_frame_sample",
+    "multimodal_transform_stats",
 }
 
 

@@ -21,7 +21,7 @@ AUDIT = {
     "q12_priority_by_returnflag": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
     "q14_promo_revenue": ["BroadcastHashJoin"],
     "q18_large_volume_customers": ["HashAggregate", "BroadcastHashJoin"],
-    "dedup_minhash_candidates": ["HashAggregate", "Generate"],
+    "dedup_jaccard_verified": ["HashAggregate", "Generate"],
 }
 
 spark = get_spark("explain_audit")
