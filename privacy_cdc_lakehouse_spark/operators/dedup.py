@@ -184,17 +184,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs (id_a, id_b).
 
-    At scale the candidate list is LSH output (tiny vs n²); the two
-    joins are broadcast-able when candidates fit, else shuffle on id.
+    At scale the candidate list is LSH output (tiny vs n²) — so the
+    verify stage must never shuffle the corpus: docs are first
+    SEMI-JOINED to the broadcast candidate-id set (only candidate docs
+    ever grow a shingle array), and the resulting small shingle table is
+    broadcast into both pair joins. The corpus is scanned once, zero
+    corpus-wide shuffles (the round-3 bench showed the previous
+    unrestricted joins shuffling full-corpus shingle arrays twice).
     """
-    sh = df.select(
-        F.col(id_col), shingles(F.col(text_col)).alias("sh")
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         )

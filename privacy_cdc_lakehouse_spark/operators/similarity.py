@@ -126,7 +126,13 @@ def plane_vector(plane_seed: int, dim: int) -> list[float]:
 
 
 def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
-    """Sign bit of <vec, plane_seed> against the literal ±1 plane."""
+    """Sign bit of <vec, plane_seed> against the literal ±1 plane.
+
+    Kept as ``aggregate(zip_with(...))`` deliberately: an attempted
+    round-3 rewrite into dim scalar element refs per plane (~3k
+    expression nodes at 8×6 planes) blew past whole-stage codegen
+    limits and ran 4× SLOWER interpreted — the higher-order fold stays
+    inside codegen and is the faster form."""
     plane = F.array(*[F.lit(x) for x in plane_vector(plane_seed, dim)])
     return (_dot(vec, plane) >= 0).cast("int")
 
@@ -392,14 +398,15 @@ def lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
-        )
+    # Rescoring joins the CORPUS against the broadcast candidate set —
+    # (candidates × query vectors) is tiny by LSH construction, while
+    # the corpus side must never shuffle (an un-hinted join here
+    # shuffled all corpus vectors on neighbor_id; the bench showed it).
+    cand_q = cand.join(F.broadcast(q), "query_id")
+    scored = c.join(F.broadcast(cand_q), "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (

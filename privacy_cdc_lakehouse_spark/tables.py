@@ -167,6 +167,38 @@ def _normalize_where(where) -> list[tuple[str, str, object]]:
     return preds
 
 
+_IN_LIST_RE = None  # compiled lazily
+
+
+def _add_exclude(excludes: list[str], new: str) -> None:
+    """Append an exclusion predicate, merging same-column integer
+    ``col IN (...)`` lists into one predicate (set union — a row is
+    excluded if it matches ANY exclude, so merging IN-lists on the same
+    column is exact). Without this, a table receiving thousands of
+    partition-scoped merges accumulates one predicate per batch on
+    every older dir — unbounded manifest and filter-plan growth; with
+    it, excludes stay bounded by the partition-value domain."""
+    global _IN_LIST_RE
+    import re
+
+    if _IN_LIST_RE is None:
+        _IN_LIST_RE = re.compile(
+            r"^\s*(`?\w+`?)\s+IN\s+\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*$",
+            re.I,
+        )
+    m_new = _IN_LIST_RE.match(new)
+    if m_new:
+        col = m_new.group(1).strip("`")
+        vals = {int(v) for v in m_new.group(2).split(",")}
+        for i, old in enumerate(excludes):
+            m_old = _IN_LIST_RE.match(old)
+            if m_old and m_old.group(1).strip("`") == col:
+                vals |= {int(v) for v in m_old.group(2).split(",")}
+                excludes[i] = f"{col} IN ({', '.join(str(v) for v in sorted(vals))})"
+                return
+    excludes.append(new)
+
+
 def _footer_column_stats(full_path: str) -> dict[str, dict]:
     """min/max/null stats for ONE parquet file's top-level columns from
     its footer (metadata only). Module-level so the distributed stats
@@ -665,7 +697,7 @@ class LakeTable:
                     f"against the new snapshot"
                 )
             for e in prior:
-                e["excludes"].append(partition_filter)
+                _add_exclude(e["excludes"], partition_filter)
             return prior + [{"path": rel, "excludes": [], "stats": stats}]
 
         return self._commit(build, op, spec)

@@ -277,3 +277,41 @@ def test_delete_where_typed_predicate_no_injection(spark, tmp_path):
         F.col("user_key") == F.lit(hostile), {"n": F.lit(9)}
     )
     assert _rows(t2) == [(1, hostile, 9), (2, "innocent", 0)]
+
+
+def test_exclusion_predicates_stay_bounded_over_many_merges(spark, tmp_path):
+    """Steady-state flagship behavior: N partition-scoped merges must
+    NOT accumulate N exclusion predicates per dir (manifest/plan growth
+    at 100 TB) — same-column IN-lists merge into one predicate — and
+    the final state must equal the sequential-upsert expectation."""
+    t = LakeTable(spark, str(tmp_path / "t_bounded_excl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 4, f"v0_{i}") for i in range(8)],
+            "id int, bucket int, s string",
+        ),
+        partition_by=["bucket"],
+    )
+    for step in range(5):
+        bucket = step % 4
+        src = spark.createDataFrame(
+            [(bucket, bucket, f"v{step + 1}_{bucket}")],
+            "id int, bucket int, s string",
+        )
+        t.merge(src, keys=["id"], partition_filter=f"bucket IN ({bucket})")
+
+    m = t._manifest(t.current_version())
+    from privacy_cdc_lakehouse_spark.tables import _entry
+
+    # the ORIGINAL dir saw 5 scoped merges over 4 distinct buckets →
+    # exactly ONE merged predicate, not five stacked ones
+    first = _entry(m["files"][0])
+    assert first["excludes"] == ["bucket IN (0, 1, 2, 3)"]
+    assert all(len(_entry(e)["excludes"]) <= 4 for e in m["files"])
+
+    # correctness: ids 0-3 carry their LAST merge's value, 4-7 originals
+    got = {r["id"]: r["s"] for r in t.read().collect()}
+    assert got == {
+        0: "v5_0", 1: "v2_1", 2: "v3_2", 3: "v4_3",
+        4: "v0_4", 5: "v0_5", 6: "v0_6", 7: "v0_7",
+    }
