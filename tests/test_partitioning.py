@@ -28,3 +28,33 @@ def test_partitioned_overwrite_prunes(spark, tmp_path):
     t.compact(1)
     assert t._manifest(t.current_version())["partition_by"] == ["status"]
     assert t.read().filter(F.col("status") == "paid").count() == 11
+
+
+def test_scoped_merge_exclusion_prunes_at_planning(spark, tmp_path):
+    """The exclusion predicate a partition-scoped merge records on prior
+    dirs must reach the scan as a PartitionFilter (superseded partition
+    directories pruned at planning — never scanned-and-dropped)."""
+    t = LakeTable(spark, str(tmp_path / "p_excl"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, i % 4, f"v{i}") for i in range(16)],
+            "id int, bucket int, s string",
+        ),
+        partition_by=["bucket"],
+    )
+    src = spark.createDataFrame([(0, 0, "updated")], "id int, bucket int, s string")
+    t.merge(src, keys=["id"], partition_filter="bucket IN (0)")
+
+    df = t.read()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the prior dir's scan carries the bucket exclusion as a partition
+    # filter (NOT (bucket IN (0))) — not a post-scan data filter
+    import re
+
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any(
+        re.search(r"PartitionFilters.*bucket", ln) and "0" in ln for ln in pf_lines
+    ), plan
+    # correctness unchanged
+    got = {r["id"]: r["s"] for r in df.collect()}
+    assert got[0] == "updated" and got[1] == "v1" and len(got) == 16
