@@ -286,3 +286,90 @@ def simhash_portable(
         bits=bits,
         hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast("long"),
     )
+
+
+# ----------------------- near-dup clustering ---------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components over an undirected pair list → (id,
+    component) with component = min id in the component.
+
+    The step that turns pairwise near-dup output (MinHash/SimHash/
+    embedding LSH) into actual KEEP/DROP decisions: duplicates are
+    transitive (A≈B, B≈C ⇒ {A,B,C} is one group even if A,C never
+    collided), so keeper election must run on components, not pairs.
+
+    Algorithm: iterative min-label propagation (the standard
+    large-graph approach when a graph engine isn't warranted — e.g.
+    Spark GraphFrames' own CC is this loop). Each iteration joins
+    labels across edges and keeps the per-node min; converges in
+    O(component diameter) rounds — near-dup clusters are short chains,
+    so a handful. Per round: one broadcast-or-shuffle join on the edge
+    list + one groupBy(node) min — both keyed, never all-pairs. The
+    driver round-trips only a single converged? count per iteration
+    (the MLlib iterative-algorithm contract). Iterative fixpoints are
+    not single-statement SQL, so this operator is pytest-verified
+    rather than DuckDB-oracle-checked (same as streaming §2.9).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+    )
+    for _ in range(max_iters):
+        # neighbor labels via one join, then min(own, neighbors)
+        neighbor = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        # convergence check: any label still above a neighbor's?
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") < F.col("o.component"))
+            .limit(1)
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def near_dup_keepers(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc keep/drop decision from verified near-dup pairs:
+    (doc_id, component, is_keeper). Docs in no pair are their own
+    keeper; inside a component the min id wins (deterministic,
+    engine-independent). The drop set is ``filter(~is_keeper)`` — the
+    corpus-shrinking step of the dedup pipeline."""
+    comp = connected_components(pairs)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("component"))
+    )

@@ -129,3 +129,55 @@ def test_frame_sample_chunking(spark):
 
     capped = mm.frame_sample(df, frame_bytes=1, every_n=1, max_frames=3).collect()
     assert sorted(r["frame_idx"] for r in capped if r["doc_id"] == 1) == [0, 1, 2]
+
+
+def test_connected_components_min_label(spark):
+    """Transitive closure over pairs: chains collapse to min-id
+    components even when endpoints never collided directly."""
+    from privacy_cdc_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain; {10,11}; {20,21,22} as a star
+        [(1, 2), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_near_dup_keepers_on_augmented_corpus(spark, sf_dir):
+    """End-to-end dedup decision over the augmented corpus: every
+    near-dup component keeps exactly one doc (its min id), and the
+    keeper count equals total docs minus redundant members."""
+    from privacy_cdc_lakehouse_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        near_dup_keepers,
+        ngram_jaccard_pairs,
+    )
+    from privacy_cdc_lakehouse_spark.queries.llmops import _augmented, _docs
+
+    corpus = _augmented(_docs(spark, sf_dir))
+    verified = ngram_jaccard_pairs(
+        corpus, minhash_lsh_pairs(corpus), threshold=0.5
+    ).select("id_a", "id_b")
+    decisions = near_dup_keepers(corpus, verified)
+
+    rows = decisions.collect()
+    n_docs = corpus.count()
+    assert len(rows) == n_docs
+    by_comp = {}
+    for r in rows:
+        by_comp.setdefault(r["component"], []).append(r)
+    for comp, members in by_comp.items():
+        keepers = [m for m in members if m["is_keeper"]]
+        assert len(keepers) == 1 and keepers[0]["doc_id"] == comp
+        assert comp == min(m["doc_id"] for m in members)
+    # the known-positive pairs (id, id+1_000_000 exact copies) share a
+    # component, so at least those copies are dropped
+    dropped = {r["doc_id"] for r in rows if not r["is_keeper"]}
+    exact_copies = {
+        r["doc_id"] for r in corpus.filter("doc_id >= 1000000 AND doc_id < 2000000").collect()
+    }
+    assert exact_copies <= dropped
