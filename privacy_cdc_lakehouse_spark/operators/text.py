@@ -118,3 +118,51 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-text md5 fingerprint (lowercase, collapsed whitespace)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.withColumn("fingerprint", F.md5(F.trim(norm)))
+
+
+# ----------------------------- PII redaction ---------------------------
+
+# Deliberately conservative, well-known public patterns. Order matters:
+# emails first (their digit runs would otherwise feed the phone
+# pattern), then ipv4 BEFORE phone (a dotted quad is 8+ digits with
+# separators — exactly a phone-shaped run).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    ``[REDACTED:<kind>]`` tokens — the text-side twin of the pipeline's
+    pseudonymization (the structured side hashes `user_id`; free text
+    headed for a training corpus must be scrubbed too). Chained
+    ``regexp_replace`` — pure codegen'd projection, no shuffle, no
+    UDFs; at 100 TB this runs at scan speed."""
+    out = col
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[REDACTED:{kind}]")
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """Struct of per-kind PII match counts (audit metric: how much was
+    redacted, reportable per partition/source without keeping the raw
+    matches anywhere)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(kind)
+            for kind, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def with_pii_redaction(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_redacted"
+) -> DataFrame:
+    """Corpus scrubbing pass: adds the redacted text and the per-kind
+    counts (drop the raw column downstream for a clean-room corpus)."""
+    return df.withColumn(out_col, redact_pii(F.col(text_col))).withColumn(
+        "pii_counts", pii_counts(F.col(text_col))
+    )

@@ -181,3 +181,28 @@ def test_near_dup_keepers_on_augmented_corpus(spark, sf_dir):
         r["doc_id"] for r in corpus.filter("doc_id >= 1000000 AND doc_id < 2000000").collect()
     }
     assert exact_copies <= dropped
+
+
+def test_pii_redaction(spark):
+    """Emails/phones/IPv4 are replaced with typed tokens; counts match;
+    clean text passes through untouched."""
+    from privacy_cdc_lakehouse_spark.operators.text import with_pii_redaction
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact alice.smith+x@example.co.uk or call +44 (0)20 7946-0958 now"),
+            (2, "server at 10.0.42.7 responded"),
+            (3, "no pii here, just words"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_pii_redaction(df).collect()}
+    assert "[REDACTED:email]" in rows[1]["text_redacted"]
+    assert "[REDACTED:phone]" in rows[1]["text_redacted"]
+    assert "alice" not in rows[1]["text_redacted"]
+    assert rows[1]["pii_counts"]["email"] == 1
+    assert rows[1]["pii_counts"]["phone"] == 1
+    assert rows[2]["text_redacted"] == "server at [REDACTED:ipv4] responded"
+    assert rows[2]["pii_counts"]["ipv4"] == 1
+    assert rows[3]["text_redacted"] == rows[3]["text"]
+    assert tuple(rows[3]["pii_counts"]) == (0, 0, 0)
