@@ -147,10 +147,15 @@ def latest_state(
     # struct ordering ranks NULL smallest, so a null-ts row loses to
     # any timestamped one (test_null_ts_falls_back_and_loses), and the
     # unique offset makes the ordering total (deterministic). Unlike
-    # the window, this is a hash AGGREGATE: partial map-side combine
-    # shrinks the shuffle to ~|keys| rows and there is no per-partition
-    # sort — the better plan at 100 TB (the window shuffles and sorts
-    # every event).
+    # the window, this is an AGGREGATE with partial (map-side) combine:
+    # the shuffle carries ~one row per (input partition, key) instead
+    # of every event — the property that matters at 100 TB. Physically
+    # Spark plans SortAggregate (struct values have no mutable hash-agg
+    # buffer), so each side of the exchange sorts locally on the key —
+    # the partial side over its own events, the final side over the
+    # ~|keys| combined rows. A window has the same local sorting but
+    # must first SHUFFLE every event; here the exchange moves only the
+    # combined rows.
     payload = [c for c in changes.columns if c != "order_id"]
     latest = (
         changes.groupBy("order_id")

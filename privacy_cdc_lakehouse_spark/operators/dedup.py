@@ -339,16 +339,19 @@ def connected_components(
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
-        # convergence check: any label still above a neighbor's?
+        # convergence check against the MATERIALIZED result (no
+        # recompute of the round's join+agg)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
             .filter(F.col("n.component") < F.col("o.component"))
             .limit(1)
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage
-        if changed.isEmpty():
+        converged = changed.isEmpty()
+        labels = new_labels
+        if converged:
             break
     return labels
 

@@ -13,13 +13,17 @@ AUDIT = {
     "q1_pricing_summary": ["PushedFilters", "ReadSchema", "HashAggregate"],
     "q3_top_unshipped": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "q5_revenue_by_nation": ["BroadcastHashJoin"],
-    "join_anti_customers_without_orders": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
+    "join_semi_anti": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
     "window_top3_per_segment": ["WindowGroupLimit|Window"],
-    "cdc_orders_current": ["WindowGroupLimit|Window", "PushedFilters"],
+    # round-2 rewrite: latest-state dedup is a max_by AGGREGATE with
+    # partial (map-side) combine, deliberately NOT a window. Physically
+    # it is a SortAggregate (struct values have no mutable hash-agg
+    # buffer) — the point is `partial_max_by` BEFORE the exchange: the
+    # shuffle carries ~|keys| rows, not every event like a window would.
+    "cdc_orders_current": ["SortAggregate|HashAggregate", "partial_max_by"],
     "sim_topk_bruteforce": ["BroadcastNestedLoopJoin|CartesianProduct"],
-    "q6_forecast_revenue": ["PushedFilters", "ReadSchema", "HashAggregate"],
+    "tpch_scalar_aggregates": ["PushedFilters", "ReadSchema", "HashAggregate", "BroadcastHashJoin"],
     "q12_priority_by_returnflag": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
-    "q14_promo_revenue": ["BroadcastHashJoin"],
     "q18_large_volume_customers": ["HashAggregate", "BroadcastHashJoin"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
 }
