@@ -561,6 +561,7 @@ class LakeTable:
         self,
         target_partitions: int = 8,
         cluster_by: list[str] | None = None,
+        zorder: bool = False,
     ) -> int:
         """Rewrite the current snapshot into few large files (the
         OPTIMIZE/bin-packing maintenance op — many appends produce many
@@ -568,19 +569,61 @@ class LakeTable:
         per-file open cost and tiny row groups).
 
         ``cluster_by`` range-partitions + sorts the rewrite on those
-        columns (OPTIMIZE ZORDER's purpose, 1-D form): each output file
-        covers a narrow disjoint value range, so the footer min/max
-        stats make ``read(where=)`` prune all but the few files that
-        can hold the predicate — data skipping only pays off when the
-        layout correlates with the filter column."""
+        columns: each output file covers a narrow disjoint value range,
+        so the footer min/max stats make ``read(where=)`` prune all but
+        the few files that can hold the predicate. Lexicographic
+        multi-column clustering only skips on the LEADING column;
+        ``zorder=True`` with ≥2 numeric columns instead clusters on the
+        interleaved quantile-rank bits (Delta ``OPTIMIZE ZORDER``):
+        every output file covers a small hyper-rectangle, so predicates
+        on EACH clustered column prune — the multi-dimensional
+        data-skipping lever at 100 TB."""
         df = self.read()
-        if cluster_by:
+        if cluster_by and zorder and len(cluster_by) > 1:
+            z = self._zorder_key(df, cluster_by)
+            df = (
+                df.withColumn("_zorder", z)
+                .repartitionByRange(target_partitions, "_zorder")
+                .sortWithinPartitions("_zorder")
+                .drop("_zorder")
+            )
+        elif cluster_by:
             df = df.repartitionByRange(
                 target_partitions, *cluster_by
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(target_partitions)
         return self.overwrite(df)
+
+    def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6) -> Column:
+        """Morton (Z-curve) key: per-column quantile rank (2^bits bins
+        from one distributed ``approxQuantile`` pass — the driver holds
+        only the boundary list, Delta's range-id model) with the rank
+        bits interleaved across columns. Rank lookup is a codegen'd
+        fold over the literal boundary array; no shuffle beyond the
+        final range partition."""
+        n_bins = 1 << bits
+        ranks = []
+        for c in cols:
+            qs = df.stat.approxQuantile(
+                c, [i / n_bins for i in range(1, n_bins)], 0.001
+            )
+            bounds = sorted(set(qs))
+            ranks.append(
+                F.aggregate(
+                    F.array(*[F.lit(float(b)) for b in bounds]),
+                    F.lit(0),
+                    lambda acc, b: acc
+                    + F.when(F.col(c).cast("double") >= b, 1).otherwise(0),
+                )
+            )
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                z = z + (F.shiftright(r, i) % 2).cast("long") * F.lit(
+                    1 << (i * len(cols) + j)
+                )
+        return z
 
     def vacuum(self, retain_last: int = 1) -> list[str]:
         """Delete data dirs unreferenced by the ``retain_last`` newest

@@ -198,3 +198,41 @@ def test_distributed_stats_match_driver_walk(spark, tmp_path, monkeypatch):
     assert stats_of(t_drv) == stats_of(t_dist)
     # and skipping works identically
     assert t_dist.scan_files(("id", "=", 10_000)) == (2, 0)
+
+
+def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
+    """Z-order clustering must enable data skipping on EVERY clustered
+    column; 1-D clustering on x leaves y-predicates unprunable on
+    anti-correlated data (the case Z-order exists for)."""
+    # independent dimensions (64×64 grid): clustering on x says nothing
+    # about y, so 1-D layout cannot skip on y
+    rows = spark.range(4096).selectExpr(
+        "CAST((id % 64) * 64 AS INT) AS x",
+        "CAST((id DIV 64) * 64 AS INT) AS y",
+        "id AS payload",
+    )
+
+    lex = _mk(spark, tmp_path, "skip_lex")
+    lex.append(rows)
+    lex.compact(8, cluster_by=["x"])
+    _, lex_y_read = lex.scan_files(("y", "<", 256))
+    assert lex_y_read == 8  # every file spans all of y
+
+    zo = _mk(spark, tmp_path, "skip_zorder")
+    zo.append(rows)
+    zo.compact(8, cluster_by=["x", "y"], zorder=True)
+    total, zx = zo.scan_files(("x", "<", 256))
+    _, zy = zo.scan_files(("y", "<", 256))
+    assert total == 8
+    # a 1/16 slice of either dimension touches a minority of files
+    assert zx <= 4 and zy <= 4
+
+    # correctness: skipping read == plain filter, on both dims
+    for col, cut in (("x", 256), ("y", 256)):
+        got = sorted(
+            r["payload"] for r in zo.read(where=(col, "<", cut)).collect()
+        )
+        want = sorted(
+            r["payload"] for r in zo.read().filter(F.col(col) < cut).collect()
+        )
+        assert got == want and len(got) == 4 * 64
