@@ -17,7 +17,11 @@ textual parity for S7→J1 without a full SQL grammar:
 Aliases are free (normalized to the ``t``/``s`` the executor uses);
 conditions and expressions are arbitrary Spark SQL scalars. The parser
 is deliberately strict — a clause it cannot map onto the three CDC
-clauses raises rather than mis-executing.
+clauses raises rather than mis-executing. WHEN MATCHED clauses honor
+STATEMENT order (SQL fires the first matching clause): when UPDATE is
+written before DELETE, the delete condition is masked with
+``NOT coalesce(update_cond, false)`` before reaching the executor,
+whose fixed evaluation order is delete-then-update.
 
 Scale note: execution inherits the programmatic merge's plan contract
 (three BroadcastHashJoins, target never shuffled; optional
@@ -167,6 +171,10 @@ def parse_merge(statement: str) -> dict:
         "insert_cond": None,
         "insert_cols": None,
         "insert_vals": None,
+        # WHEN MATCHED clause kinds in statement order ("delete"/"update")
+        # — SQL fires the FIRST matching clause, so the executor call
+        # must mask the later clause's condition with the earlier one's.
+        "matched_order": [],
     }
     consumed = 0
     for cm in _CLAUSE_RE.finditer(clause_text):
@@ -184,6 +192,7 @@ def parse_merge(statement: str) -> dict:
             if out["delete_cond"] is not None:
                 raise MergeSqlError("duplicate DELETE clause")
             out["delete_cond"] = cond or "true"
+            out["matched_order"].append("delete")
         elif au.startswith("UPDATE"):
             if unmatched:
                 raise MergeSqlError("WHEN NOT MATCHED THEN UPDATE unsupported")
@@ -200,6 +209,7 @@ def parse_merge(statement: str) -> dict:
                 )
             out["update_sets"] = sets
             out["update_cond"] = cond
+            out["matched_order"].append("update")
         else:  # INSERT
             if not unmatched:
                 raise MergeSqlError("WHEN MATCHED THEN INSERT unsupported")
@@ -290,10 +300,25 @@ def sql_merge(
     else:
         upd_cond = None
 
+    # SQL MERGE fires the FIRST matching WHEN MATCHED clause in
+    # statement order; the executor always evaluates DELETE before
+    # UPDATE. When the statement writes UPDATE before DELETE, a row
+    # satisfying both conditions must be UPDATED — mask the delete
+    # condition with NOT(update fired). NULL update-cond → clause not
+    # fired (coalesce false) → delete still eligible.
+    delete_cond = p["delete_cond"]
+    if p["matched_order"] == ["update", "delete"]:
+        if p["update_cond"] is None:
+            delete_cond = None  # unconditional UPDATE shadows DELETE
+        else:
+            delete_cond = (
+                f"({delete_cond}) AND NOT coalesce(({p['update_cond']}), false)"
+            )
+
     return target.merge(
         source,
         keys=p["keys"],
-        matched_delete=F.expr(p["delete_cond"]) if p["delete_cond"] else None,
+        matched_delete=F.expr(delete_cond) if delete_cond else None,
         matched_update_condition=upd_cond,
         update_values=update_values,
         insert_condition=F.expr(p["insert_cond"]) if p["insert_cond"] else None,

@@ -143,6 +143,62 @@ def test_unparseable_statements_raise():
         parse_merge("SELECT 1")
 
 
+def test_matched_clause_statement_order(spark, tmp_path):
+    """SQL MERGE fires the FIRST matching WHEN MATCHED clause in
+    statement order: with overlapping conditions, UPDATE-before-DELETE
+    must update the doubly-matching row, DELETE-before-UPDATE must
+    delete it."""
+    rows = [(1, "both"), (2, "del_only"), (3, "upd_only"), (4, "neither")]
+    src = [
+        (1, "X", "u", "d"),   # fires both conditions
+        (2, "X", "-", "d"),   # delete cond only
+        (3, "X", "u", "-"),   # update cond only
+        (4, "X", "-", "-"),   # neither -> fall-through
+    ]
+
+    def run(stmt_clauses: str) -> list[tuple]:
+        t = LakeTable(spark, str(tmp_path / stmt_clauses[:12].replace(" ", "_")))
+        t.overwrite(spark.createDataFrame(rows, "id int, s string"))
+        spark.createDataFrame(
+            src, "id int, s string, u string, d string"
+        ).createOrReplaceTempView("order_src")
+        sql_merge(
+            spark,
+            f"MERGE INTO tbl t USING order_src s ON t.id = s.id\n{stmt_clauses}",
+            {"tbl": t},
+        )
+        return sorted(tuple(r) for r in t.read().collect())
+
+    upd_first = run(
+        "WHEN MATCHED AND s.u = 'u' THEN UPDATE SET s = s.s\n"
+        "WHEN MATCHED AND s.d = 'd' THEN DELETE"
+    )
+    # id=1 matches both -> UPDATE wins (first clause); id=2 deleted.
+    assert upd_first == [(1, "X"), (3, "X"), (4, "neither")]
+
+    del_first = run(
+        "WHEN MATCHED AND s.d = 'd' THEN DELETE\n"
+        "WHEN MATCHED AND s.u = 'u' THEN UPDATE SET s = s.s"
+    )
+    # id=1 matches both -> DELETE wins.
+    assert del_first == [(3, "X"), (4, "neither")]
+
+
+def test_unconditional_update_before_delete_shadows_delete(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "sqlm_shadow"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    spark.createDataFrame([(1, "X", "d"), (2, "Y", "-")], "id int, s string, op string")\
+        .createOrReplaceTempView("shadow_src")
+    stmt = """
+    MERGE INTO tbl t USING shadow_src s ON t.id = s.id
+    WHEN MATCHED THEN UPDATE SET s = s.s
+    WHEN MATCHED AND s.op = 'd' THEN DELETE
+    """
+    sql_merge(spark, stmt, {"tbl": t})
+    # unconditional UPDATE is first -> DELETE never fires
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "X"), (2, "Y")]
+
+
 def test_insert_unlisted_columns_are_null(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "sqlm_nullins"))
     t.overwrite(
