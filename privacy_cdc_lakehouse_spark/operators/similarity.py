@@ -223,15 +223,18 @@ def kmeans_fit(
     Only model state crosses to the driver: k seed rows up front and
     k×dim aggregated means per iteration — the same contract as
     MLlib's driver-resident KMeansModel, valid at any corpus size.
-    Centroids are rounded to 6 dp so downstream assignment is stable
-    against float summation-order jitter.
+    Iterated centroid MEANS are rounded to 6 dp so downstream
+    assignment is stable against float summation-order jitter; SEEDS
+    stay bit-exact raw data values, so the ``iters=0`` fixed-centroid
+    variant is exactly replicable in ANSI SQL (the driver oracle for
+    ``sim_ivf_topk`` relies on this).
     """
     df = corpus.select(
         F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("_v")
     )
     seeds = df.orderBy("_id").limit(n_clusters).collect()
     cents = [
-        (i, [round(float(x), 6) for x in r["_v"]]) for i, r in enumerate(seeds)
+        (i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)
     ]
     for _ in range(iters):
         assigned = df.withColumn("_c", nearest_centroid(F.col("_v"), cents))

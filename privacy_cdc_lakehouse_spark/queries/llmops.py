@@ -579,19 +579,85 @@ ORDER BY method, query_id
 
 
 def q_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (k-means coarse quantizer) approximate top-k, probing 4 of 8
-    cells. Rows-only: centroid means are float-summation-order
-    dependent across engines, so the clustering is not SQL-replicable;
-    quality is gated by ``sim_ivf_recall`` instead."""
+    """IVF approximate top-k with a FIXED coarse quantizer (``iters=0``:
+    centroids = the 8 lowest-vec_id vectors, bit-exact), probing 4 of 8
+    cells. Fully oracle-checked: seed selection, argmin assignment
+    (tie-break lowest cluster id), nprobe explode, and the cosine
+    rerank are all replicated in DuckDB. The ITERATED quantizer
+    (``iters>0``) is float-summation-order dependent across engines and
+    stays quality-gated through the ``ivf`` arm of ``sim_ann_recall``."""
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4)
+    out = sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4, iters=0)
     return out.select(
         "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
     ).orderBy("query_id", "rank")
+
+
+_SQDIST = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST({a}[i] AS DOUBLE) - {b}[i]) * (CAST({a}[i] AS DOUBLE) - {b}[i])))"
+)
+
+# iters=0 quantizer: seeds are the 8 lowest-vec_id vectors verbatim;
+# assignment = argmin of squared distance with lowest-cluster-id
+# tie-break (Spark sorts (d, c) structs); queries probe their 4 nearest
+# cells; exact cosine rerank over the probed cells only.
+_IVF_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS svec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+cdist AS (
+    SELECT neighbor_id, cv, s.cl,
+           {_SQDIST.format(a='cv', b='s.svec')} AS d
+    FROM c CROSS JOIN seeds s
+),
+c_assigned AS (
+    SELECT neighbor_id, cv, cl AS cluster FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY neighbor_id ORDER BY d, cl) AS rn
+        FROM cdist
+    ) WHERE rn = 1
+),
+qdist AS (
+    SELECT query_id, qv, s.cl,
+           {_SQDIST.format(a='qv', b='s.svec')} AS d
+    FROM q CROSS JOIN seeds s
+),
+q_probe AS (
+    SELECT query_id, qv, cl AS cluster FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY d, cl) AS rn
+        FROM qdist
+    ) WHERE rn <= 4
+),
+ivf_scored AS (
+    SELECT query_id, neighbor_id,
+           CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT p.query_id, a.neighbor_id,
+               {_DOT.format(a='qv', b='cv')} AS dot,
+               sqrt({_DOT.format(a='qv', b='qv')}) AS nq,
+               sqrt({_DOT.format(a='cv', b='cv')}) AS nc
+        FROM c_assigned a JOIN q_probe p USING (cluster)
+    )
+),
+ivf_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+    FROM ivf_scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos_sim, 6) AS cos_sim_r
+FROM ivf_ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
 
 
 # ----------------------------- multimodal -----------------------------------
@@ -856,8 +922,10 @@ ORACLES = {
     "sim_topk_bruteforce": _SIM_TOPK_SQL,
     "sim_lsh_topk": _LSH_TOPK_SQL,
     "sim_ann_recall": _ANN_RECALL_SQL,
-    # sim_ivf_topk: no oracle by design (centroid iteration is not
-    # SQL-expressible); its quality floor is inside sim_ann_recall.
+    # sim_ivf_topk runs the iters=0 fixed-centroid quantizer, which IS
+    # SQL-expressible (seeds are raw data vectors); the ITERATED
+    # quantizer's quality floor is inside sim_ann_recall.
+    "sim_ivf_topk": _IVF_TOPK_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_binary_features": _MULTIMODAL_SQL,
