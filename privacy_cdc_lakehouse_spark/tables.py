@@ -759,6 +759,7 @@ class LakeTable:
         insert_values: dict[str, Column] | None = None,
         validate_unique_source: bool = True,
         partition_filter: str | None = None,
+        broadcast_threshold_bytes: int | None = 512 << 20,
     ) -> int:
         """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
@@ -794,6 +795,17 @@ class LakeTable:
 
         all three build their hash table on the (small) micro-batch
         side: three BroadcastHashJoins, zero Exchange of the target.
+
+        The broadcast is SIZE-GUARDED (Delta's MERGE behavior): the
+        source's Catalyst plan-stats estimate is compared against
+        ``broadcast_threshold_bytes`` (default 512 MiB — comfortably
+        under Spark's 8 GB broadcast hard limit). A larger batch (e.g.
+        a backfill routed through the same code path) drops the hints
+        and lets Catalyst/AQE plan shuffled hash/sort-merge joins —
+        slower but correct at any batch size, instead of a hard
+        broadcast OOM. ``None`` disables the guard (always hint).
+        The estimate costs no Spark job; an inestimable plan
+        (``Long.MaxValue`` sentinel) falls back to the shuffle path.
 
         ``partition_filter`` (a SQL predicate string over target
         columns, e.g. ``"order_date = DATE'2024-01-01'"``) scopes the
@@ -839,7 +851,25 @@ class LakeTable:
         upd = update_values or {}
         ins = insert_values or {}
 
-        src_keys = F.broadcast(source.select(*keys).alias("s"))
+        # Size-guard: hint broadcast only when the source's optimized
+        # plan estimates under the threshold. The matched-keys side is
+        # ≤ |source| rows, so one decision covers all three joins.
+        if broadcast_threshold_bytes is None:
+            small_source = True
+        else:
+            try:
+                est = int(
+                    source._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:  # non-classic DataFrame / connect: be safe
+                est = None
+            small_source = est is not None and est <= broadcast_threshold_bytes
+        _hint = F.broadcast if small_source else (lambda df: df)
+
+        src_keys = _hint(source.select(*keys).alias("s"))
 
         # 1) Target rows not touched by the batch — survive verbatim.
         kept = t.join(src_keys, on, "left_anti").select(*tcols)
@@ -849,7 +879,7 @@ class LakeTable:
         #    columns the source lacks. When an UPDATE condition is set,
         #    rows firing neither clause keep their target values (SQL
         #    MERGE fall-through; NULL condition → clause not fired).
-        matched = t.join(F.broadcast(s), on, "inner").filter(~delete_cond)
+        matched = t.join(_hint(s), on, "inner").filter(~delete_cond)
         upd_exprs = {
             c: upd.get(
                 c, F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
@@ -870,7 +900,7 @@ class LakeTable:
 
         # 3) Unmatched source rows passing the INSERT condition. The
         #    matched keys are at most |source| — broadcast anti again.
-        matched_keys = F.broadcast(
+        matched_keys = _hint(
             target.select(*[F.col(k).alias(f"_mk_{k}") for k in keys])
             .alias("m")
             .join(

@@ -50,6 +50,39 @@ def test_merge_three_clauses(spark, tmp_path):
     assert _rows(t) == [(1, "keep"), (2, "updated"), (4, "inserted")]
 
 
+def test_merge_large_source_falls_back_to_shuffle_join(spark, tmp_path):
+    """A source over the broadcast threshold must produce the identical
+    result through plain (shuffled) joins — the guard that stops a huge
+    backfill batch from hitting Spark's 8 GB broadcast hard limit."""
+    rows = [(1, "keep"), (2, "update_me"), (3, "delete_me")]
+    source = spark.createDataFrame(
+        [(2, "updated", "u"), (3, None, "d"), (4, "inserted", "c"), (5, None, "d")],
+        "id int, s string, op string",
+    )
+
+    def run(threshold):
+        t = LakeTable(spark, str(tmp_path / f"bt_{threshold}"))
+        t.overwrite(spark.createDataFrame(rows, "id int, s string"))
+        t.merge(
+            source,
+            keys=["id"],
+            matched_delete=F.col("s.op") == "d",
+            insert_condition=F.col("s.op") != "d",
+            broadcast_threshold_bytes=threshold,
+        )
+        return _rows(t)
+
+    # Disable Spark's own auto-broadcast so the fallback genuinely
+    # plans non-broadcast joins, then compare against the hinted path.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert run(0) == [(1, "keep"), (2, "updated"), (4, "inserted")]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert run(None) == [(1, "keep"), (2, "updated"), (4, "inserted")]
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t3"))
     t.overwrite(spark.createDataFrame([(1, "x")], "id int, s string"))
