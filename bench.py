@@ -10,9 +10,12 @@ Each query is forced end-to-end with a noop-style write (count of a
 final DataFrame evaluates every output column, and headline results
 are small by construction).
 
-Per-query times are MEDIANS of SPARK_GRAFT_BENCH_REPS runs (default 3):
-single-run numbers on this box swing 3-40s for identical jobs under
-contention, so medians are the only defensible per-round comparison.
+Per-query times are MEDIANS of SPARK_GRAFT_BENCH_REPS runs (default 3;
+the two flagship CDC queries get 5 — round 3's driver medians-of-3
+showed a phantom +39% on them under box contention that a clean 5-rep
+median refuted): single-run numbers on this box swing 3-40s for
+identical jobs under contention, so medians are the only defensible
+per-round comparison.
 """
 
 from __future__ import annotations
@@ -59,12 +62,18 @@ def main() -> None:
     spark.createDataFrame([(1,)], "x int").collect()
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # The flagship pair is the round-over-round comparison that matters
+    # most — extra reps buy noise immunity where it counts.
+    flagship_reps = max(
+        reps, int(os.environ.get("SPARK_GRAFT_BENCH_FLAGSHIP_REPS", "5"))
+    )
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = queries[name]
         samples = []
         rows = []
-        for _ in range(reps):
+        n = flagship_reps if name.startswith("cdc_orders_current") else reps
+        for _ in range(n):
             t0 = time.time()
             rows = fn(spark, sf_dir).collect()
             samples.append(time.time() - t0)

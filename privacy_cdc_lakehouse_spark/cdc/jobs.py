@@ -129,10 +129,13 @@ def forget_user(
     n_silver = 0
     v_silver = -1
     if lake.silver.exists():
-        n_silver = lake.silver.read().filter(F.col("user_id") == user_id).count()
         # Typed Column predicates end-to-end — no string interpolation
         # on the erasure path (round-2 advisory: injection-shaped API).
-        v_silver = lake.silver.delete_where(F.col("user_id") == int(user_id))
+        # The audit count rides the delete's own rewrite scan
+        # (Observation API) — one pass over silver, not two.
+        v_silver, n_silver = lake.silver.delete_where(
+            F.col("user_id") == int(user_id), return_count=True
+        )
     v_priv = None
     if lake.privacy.exists():
         # The projection is keyed by pseudonym, not raw id — derive it
@@ -210,11 +213,16 @@ def merge_silver(lake: Lakehouse) -> int | None:
         )
         if touched:  # all-malformed batch stages nothing: just advance
             pf = f"order_bucket IN ({', '.join(str(b) for b in touched)})"
+            # validate_unique_source=False: staged is latest_state()
+            # output — a groupBy(order_id) — so key uniqueness is
+            # structural; skipping the check saves one Spark job per
+            # micro-batch (the default stays True for user sources).
             lake.silver.merge(
                 staged,
                 keys=["order_id"],
                 matched_delete=F.col("s.op") == "d",
                 insert_condition=F.col("s.op") != "d",
+                validate_unique_source=False,
                 partition_filter=pf,
             )
 

@@ -144,9 +144,12 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     half becomes the ``staging_orders`` temp view consumed by the SQL
     MERGE — the final table must equal the declarative latest-state over
     ALL events (same oracle as the flagship)."""
+    import os
+    import shutil
     import tempfile
 
     from privacy_cdc_lakehouse_spark.cdc.silver import (
+        PIPELINE_VERSION,
         latest_state,
         parse_cdc_envelope,
         silver_from_bronze,
@@ -160,7 +163,15 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = events.filter(F.col("offset") <= mid)
     second = events.filter(F.col("offset") > mid)
 
-    silver = LakeTable(spark, tempfile.mkdtemp(prefix="pcl_sqlmerge_"))
+    # Deterministic scratch path, wiped on entry: reruns REUSE the one
+    # dir instead of leaking a new mkdtemp per driver run (the returned
+    # DataFrame reads lazily, so the dir must outlive this function).
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"pcl_sqlmerge_{tag}_v{PIPELINE_VERSION}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    silver = LakeTable(spark, scratch)
     silver.overwrite(silver_from_bronze(first))
     latest_state(
         parse_cdc_envelope(second), drop_tombstones=False, keep_op=True

@@ -603,11 +603,13 @@ class LakeTable:
         fold over the literal boundary array; no shuffle beyond the
         final range partition."""
         n_bins = 1 << bits
+        # One distributed pass for ALL clustered columns (approxQuantile
+        # accepts a column list) — not one job per column.
+        all_qs = df.stat.approxQuantile(
+            cols, [i / n_bins for i in range(1, n_bins)], 0.001
+        )
         ranks = []
-        for c in cols:
-            qs = df.stat.approxQuantile(
-                c, [i / n_bins for i in range(1, n_bins)], 0.001
-            )
+        for c, qs in zip(cols, all_qs):
             bounds = sorted(set(qs))
             ranks.append(
                 F.aggregate(
@@ -650,8 +652,11 @@ class LakeTable:
     # ---------------- delete / update ----------------
 
     def delete_where(
-        self, predicate: str | Column, partition_filter: str | None = None
-    ) -> int:
+        self,
+        predicate: str | Column,
+        partition_filter: str | None = None,
+        return_count: bool = False,
+    ) -> int | tuple[int, int]:
         """``DELETE FROM t WHERE predicate`` as copy-on-write — the
         privacy lakehouse's right-to-be-forgotten primitive. NULL
         predicate rows are KEPT (SQL DELETE only removes rows where the
@@ -662,16 +667,37 @@ class LakeTable:
         the rewrite to the partitions that can contain matches —
         everything else stays committed untouched (Delta's deletion
         strategy; at 100 TB you rewrite the user's partitions, not the
-        table)."""
+        table).
+
+        ``return_count=True`` returns ``(version, n_deleted)`` with the
+        deleted-row count piggybacked on the rewrite via the
+        Observation API — the GDPR audit trail costs zero extra scans.
+        """
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
-        keep = ~F.coalesce(pred, F.lit(False))
-        if partition_filter is None:
-            return self.overwrite(self.read().filter(keep))
+        hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
-        scoped = self.read(version=base_v).filter(F.expr(partition_filter)).filter(keep)
-        return self._commit_partition_scoped(
-            scoped, partition_filter, "delete", base_version=base_v
-        )
+        base = self.read(version=base_v) if base_v is not None else self.read()
+        if partition_filter is not None:
+            base = base.filter(F.expr(partition_filter))
+        obs = None
+        if return_count:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            base = base.observe(
+                obs,
+                F.coalesce(F.sum(hit.cast("long")), F.lit(0)).alias("n_deleted"),
+            )
+        kept = base.filter(~hit)
+        if partition_filter is None:
+            version = self.overwrite(kept)
+        else:
+            version = self._commit_partition_scoped(
+                kept, partition_filter, "delete", base_version=base_v
+            )
+        if not return_count:
+            return version
+        return version, int(obs.get["n_deleted"])
 
     def update_where(
         self,
