@@ -37,7 +37,7 @@ HEADLINE = [
     "q1_pricing_summary",        # grouped agg over the fact table
     "q3_top_unshipped",          # star join + topk
     "q5_revenue_by_nation",      # snowflake join
-    "window_top3_per_segment",   # window topk per group
+    "window_analytics",          # window topk per group + running frames
     "events_sessionize",         # sessionization windows
     "dedup_jaccard_verified",    # minhash LSH candidates + jaccard verify
     "sim_topk_bruteforce",       # cosine topk (exact baseline)

@@ -277,6 +277,48 @@ ORDER BY o_custkey, order_seq
 """
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of BOTH window-function workloads (round-4 registry
+    consolidation — the driver correctness window is capped at 50
+    entries): ``top3`` rows are the per-segment top-k (row_number over
+    (segment, price desc)); ``running`` rows are the per-customer
+    running-sum + lag frame. Every column of the two originals is
+    preserved; rows are distinguished by ``kind``."""
+    top3 = q_top3_orders_per_segment(spark, sf_dir).select(
+        F.lit("top3").alias("kind"),
+        F.col("c_mktsegment").alias("part_key"),
+        F.col("rank_in_segment").cast("long").alias("seq"),
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(None).cast("double").alias("running_spend"),
+        F.lit(None).cast("double").alias("prev_price"),
+    )
+    running = q_customer_running_spend(spark, sf_dir).select(
+        F.lit("running").alias("kind"),
+        F.col("o_custkey").cast("string").alias("part_key"),
+        F.col("order_seq").cast("long").alias("seq"),
+        "o_orderkey",
+        "o_totalprice",
+        "running_spend",
+        "prev_price",
+    )
+    return top3.unionByName(running).orderBy("kind", "part_key", "seq")
+
+
+_WINDOW_ANALYTICS_SQL = f"""
+WITH top3 AS ({_TOP3_SQL}), running AS ({_RUNNING_SQL})
+SELECT 'top3' AS kind, c_mktsegment AS part_key,
+       CAST(rank_in_segment AS BIGINT) AS seq, o_orderkey, o_totalprice,
+       CAST(NULL AS DOUBLE) AS running_spend, CAST(NULL AS DOUBLE) AS prev_price
+FROM top3
+UNION ALL
+SELECT 'running', CAST(o_custkey AS VARCHAR), CAST(order_seq AS BIGINT),
+       o_orderkey, o_totalprice, running_spend, prev_price
+FROM running
+ORDER BY kind, part_key, seq
+"""
+
+
 # --- Grouping sets / rollup / cube ------------------------------------------
 
 def q_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -461,6 +503,46 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of BOTH grouped event aggregates (round-4 registry
+    consolidation): ``window`` rows are the tumbling 5-minute
+    event-time windows; ``json_props`` rows are the
+    get_json_object-extracted per-type stats. All columns of the two
+    originals preserved, distinguished by ``kind``."""
+    win = q_events_5min_windows(spark, sf_dir).select(
+        F.lit("window").alias("kind"),
+        "window_start",
+        "event_type",
+        "n",
+        "total_value",
+        F.lit(None).cast("double").alias("avg_k"),
+        F.lit(None).cast("int").alias("max_k"),
+    )
+    jp = q_events_json_props(spark, sf_dir).select(
+        F.lit("json_props").alias("kind"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "event_type",
+        "n",
+        F.lit(None).cast("double").alias("total_value"),
+        "avg_k",
+        "max_k",
+    )
+    return win.unionByName(jp).orderBy("kind", "window_start", "event_type")
+
+
+_EVENTS_ROLLUPS_SQL = f"""
+WITH win AS ({_EVENTS_WIN_SQL}), jp AS ({_EVENTS_JSON_SQL})
+SELECT 'window' AS kind, window_start, event_type, n, total_value,
+       CAST(NULL AS DOUBLE) AS avg_k, CAST(NULL AS INTEGER) AS max_k
+FROM win
+UNION ALL
+SELECT 'json_props', CAST(NULL AS TIMESTAMP), event_type, n,
+       CAST(NULL AS DOUBLE), avg_k, max_k
+FROM jp
+ORDER BY kind, window_start, event_type
 """
 
 
@@ -1261,13 +1343,15 @@ QUERIES = {
     "q3_top_unshipped": q3_top_unshipped,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "join_semi_anti": q_join_semi_anti,
-    "window_top3_per_segment": q_top3_orders_per_segment,
-    "window_running_spend": q_customer_running_spend,
+    # round-4 consolidations (driver window capped at 50 entries):
+    # window_top3_per_segment + window_running_spend → window_analytics;
+    # events_5min_windows + events_json_props → events_rollups. The
+    # original callables remain above — the unions call them verbatim.
+    "window_analytics": q_window_analytics,
     "grouping_analytics": q_grouping_analytics,
     "setops_customer_cohorts": q_setops_customer_cohorts,
     "distinct_counts": q_distinct_counts,
-    "events_5min_windows": q_events_5min_windows,
-    "events_json_props": q_events_json_props,
+    "events_rollups": q_events_rollups,
     "events_sessionize": q_events_sessionize,
     "pivot_status_by_priority": q_pivot_status_by_priority,
     "q4_order_priority_exists": q4_order_priority_exists,
@@ -1310,13 +1394,11 @@ ORACLES = {
     "q5_revenue_by_nation": _Q5_SQL,
     "tpch_scalar_aggregates": _SCALAR_AGG_SQL,
     "join_semi_anti": _SEMI_ANTI_SQL,
-    "window_top3_per_segment": _TOP3_SQL,
-    "window_running_spend": _RUNNING_SQL,
+    "window_analytics": _WINDOW_ANALYTICS_SQL,
     "grouping_analytics": _GROUPING_ANALYTICS_SQL,
     "setops_customer_cohorts": _SETOPS_SQL,
     "distinct_counts": _DISTINCT_SQL,
-    "events_5min_windows": _EVENTS_WIN_SQL,
-    "events_json_props": _EVENTS_JSON_SQL,
+    "events_rollups": _EVENTS_ROLLUPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,

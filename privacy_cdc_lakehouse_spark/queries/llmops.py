@@ -191,6 +191,82 @@ FROM feat GROUP BY 1 ORDER BY quality_score
 """
 
 
+def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + per-kind audit counts over support-ticket-style
+    free text assembled deterministically from REAL customer fields
+    (the synthetic documents corpus contains no PII, and this
+    testdata's customer table has no phone column, so email/phone/ip
+    are derived from ``c_name``/``c_nationkey``/``c_custkey`` with the
+    IDENTICAL expression in the oracle). The redacted text and all
+    three counts are hash-checked — the regex-replace chain
+    (operators/text.py::redact_pii, order email→ipv4→phone) must
+    behave identically under Java regex and DuckDB's RE2 for these
+    patterns (round-4: this row moves PII redaction inside the
+    hash-checked wall)."""
+    pin_utc(spark)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    phone = F.concat(
+        F.lit("+"),
+        (F.col("c_nationkey") + 10).cast("string"),
+        F.lit("-"),
+        F.lpad(F.col("c_custkey").cast("string"), 4, "0"),
+        F.lit("-"),
+        F.lpad((F.col("c_custkey") % 97).cast("string"), 4, "0"),
+    )
+    ticket = F.concat(
+        F.col("c_name"),
+        F.lit(" <"),
+        F.lower(F.regexp_replace(F.col("c_name"), " ", ".")),
+        F.lit("@example.com> reached support from "),
+        phone,
+        F.lit(" at 10."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".0.1"),
+    )
+    t = cust.select("c_custkey", ticket.alias("ticket"))
+    counts = tx.pii_counts(F.col("ticket"))
+    return t.select(
+        "c_custkey",
+        tx.redact_pii(F.col("ticket")).alias("redacted"),
+        counts["email"].cast("long").alias("n_email"),
+        counts["ipv4"].cast("long").alias("n_ipv4"),
+        counts["phone"].cast("long").alias("n_phone"),
+    ).orderBy("c_custkey")
+
+
+def _pii_sql() -> str:
+    e, i, p = (
+        tx.PII_PATTERNS["email"],
+        tx.PII_PATTERNS["ipv4"],
+        tx.PII_PATTERNS["phone"],
+    )
+    red = (
+        f"regexp_replace(regexp_replace(regexp_replace(ticket, "
+        f"'{e}', '[REDACTED:email]', 'g'), "
+        f"'{i}', '[REDACTED:ipv4]', 'g'), "
+        f"'{p}', '[REDACTED:phone]', 'g')"
+    )
+    return f"""
+WITH t AS (
+    SELECT c_custkey,
+           c_name || ' <' || lower(replace(c_name, ' ', '.'))
+             || '@example.com> reached support from '
+             || '+' || CAST(c_nationkey + 10 AS VARCHAR)
+             || '-' || lpad(CAST(c_custkey AS VARCHAR), 4, '0')
+             || '-' || lpad(CAST(c_custkey % 97 AS VARCHAR), 4, '0')
+             || ' at 10.' || CAST(c_custkey % 256 AS VARCHAR) || '.0.1'
+             AS ticket
+    FROM customer WHERE c_custkey <= 500
+)
+SELECT c_custkey,
+       {red} AS redacted,
+       CAST(len(regexp_extract_all(ticket, '{e}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(ticket, '{i}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(ticket, '{p}')) AS BIGINT) AS n_phone
+FROM t ORDER BY c_custkey
+"""
+
+
 # ----------------------------- dedup ----------------------------------------
 
 
@@ -306,6 +382,59 @@ SELECT id_a, id_b,
 FROM jac
 WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.5
 ORDER BY id_a, id_b
+"""
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidates → exact
+    Jaccard verify → connected components → keeper election, over the
+    augmented corpus. The iterative min-label fixpoint
+    (operators/dedup.py::connected_components) is oracle-checked via a
+    DuckDB ``WITH RECURSIVE`` transitive closure — min(reachable id)
+    IS the converged min-label, so the driver hash-checks the exact
+    component assignment and keeper flags (round-4: this row moves the
+    clustering operator inside the hash-checked wall)."""
+    pin_utc(spark)
+    corpus = _augmented(_docs(spark, sf_dir))
+    cands = dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS)
+    pairs = dd.ngram_jaccard_pairs(corpus, cands, threshold=0.5)
+    return dd.near_dup_keepers(corpus, pairs).orderBy("doc_id")
+
+
+# WITH RECURSIVE prefixes the shared minhash CTE chain; the recursive
+# member computes reachability over the symmetric verified-pair edges,
+# and min(reachable) == the fixpoint the Spark loop converges to.
+_CLUSTERS_SQL = _MINHASH_CTE.replace("WITH ", "WITH RECURSIVE ", 1) + """
+, jacc AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.shs, b.shs)) AS inter,
+           len(list_distinct(list_concat(a.shs, b.shs))) AS uni
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+),
+verified AS (
+    SELECT id_a, id_b FROM jacc
+    WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.5
+),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+),
+comp AS (
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+)
+SELECT a.doc_id,
+       coalesce(c.component, a.doc_id) AS component,
+       coalesce(c.component, a.doc_id) = a.doc_id AS is_keeper
+FROM aug a LEFT JOIN comp c ON c.id = a.doc_id
+ORDER BY doc_id
 """
 
 
@@ -915,6 +1044,9 @@ QUERIES = {
     "quality_histogram": q_quality_histogram,
     "dedup_exact_groups": q_dedup_exact,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
+    # round-4 additions (slots freed by the analytics consolidations):
+    "dedup_clusters": q_dedup_clusters,
+    "pii_redaction_audit": q_pii_redaction_audit,
 }
 
 ORACLES = {
@@ -935,4 +1067,6 @@ ORACLES = {
     "quality_histogram": _QUALITY_SQL,
     "dedup_exact_groups": _DEDUP_EXACT_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
+    "dedup_clusters": _CLUSTERS_SQL,
+    "pii_redaction_audit": _pii_sql(),
 }

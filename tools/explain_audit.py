@@ -14,7 +14,7 @@ AUDIT = {
     "q3_top_unshipped": ["BroadcastHashJoin", "TakeOrderedAndProject"],
     "q5_revenue_by_nation": ["BroadcastHashJoin"],
     "join_semi_anti": ["BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin"],
-    "window_top3_per_segment": ["WindowGroupLimit|Window"],
+    "window_analytics": ["WindowGroupLimit|Window"],
     # round-2 rewrite: latest-state dedup is a max_by AGGREGATE with
     # partial (map-side) combine, deliberately NOT a window. Physically
     # it is a SortAggregate (struct values have no mutable hash-agg
