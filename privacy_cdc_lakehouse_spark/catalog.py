@@ -57,7 +57,7 @@ def snapshot_sql(table: LakeTable, version: int | None = None) -> str:
     v = version if version is not None else table.current_version()
     if v is None:
         raise FileNotFoundError(f"table has no commits: {table.path}")
-    entries = [_entry(e) for e in table._manifest(v)["files"]]
+    entries = table._snapshot_files(v)
     target = table.read(version=v).schema
     selects = []
     for e in entries:

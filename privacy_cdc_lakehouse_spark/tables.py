@@ -282,36 +282,105 @@ class LakeTable:
         with open(os.path.join(self._log_path, f"{version:08d}.json")) as f:
             return json.load(f)
 
+    # Commit-log compaction (Delta's checkpoint model): most commits
+    # store only a DELTA (add dirs / truncate / exclude-all predicate) —
+    # O(batch) JSON instead of O(table files) per commit, which is what
+    # keeps a high-cadence streaming merge log writable at 100 TB. Every
+    # PCL_CHECKPOINT_INTERVAL-th commit (and every overwrite, whose file
+    # list is one entry) stores the full resolved file list, bounding
+    # replay to < interval deltas. Legacy full-list manifests read
+    # unchanged (every one is a checkpoint).
+    @property
+    def _checkpoint_interval(self) -> int:
+        return max(1, int(os.environ.get("PCL_CHECKPOINT_INTERVAL", "10")))
+
+    def _snapshot_files(self, version: int) -> list[dict]:
+        """Resolved file-entry list at ``version``: nearest checkpoint at
+        or before it, replayed forward through the delta tail."""
+        chain: list[dict] = []
+        v = version
+        while True:
+            m = self._manifest(v)
+            if "files" in m:
+                files = [_entry(e) for e in m["files"]]
+                break
+            chain.append(m)
+            v -= 1
+            if v < 1:
+                raise RuntimeError(
+                    f"corrupt log: no checkpoint at or below v{version}: "
+                    f"{self.path}"
+                )
+        for m in reversed(chain):
+            d = m["delta"]
+            if d.get("truncate"):
+                files = []
+            pred = d.get("exclude_all")
+            if pred:
+                for e in files:
+                    _add_exclude(e["excludes"], pred)
+            adds = d.get("add")
+            if adds:
+                files = files + [_entry(e) for e in adds]
+        return files
+
+    def _snapshot(self, version: int) -> dict:
+        """Manifest with ``files`` resolved (checkpoint + delta replay)."""
+        m = dict(self._manifest(version))
+        m["files"] = (
+            [_entry(e) for e in m["files"]]
+            if "files" in m
+            else self._snapshot_files(version)
+        )
+        return m
+
     def _commit(
         self,
         build_files: Callable[[dict | None], list[dict]],
         op: str,
         partition_by: list[str] | None = None,
+        delta: dict | None = None,
     ) -> int:
         """Atomically commit a snapshot manifest.
 
-        ``build_files`` maps the *latest committed* manifest (or None) to
-        the new file-entry list. On an O_EXCL version collision the loser
-        re-reads the winner's manifest and REBUILDS its entry list before
-        retrying — a committed-then-raced append is rebased, not silently
-        dropped (the Delta optimistic-concurrency protocol: retry =
-        re-resolve against the new snapshot, not just bump the version).
+        ``build_files`` maps the *latest committed* snapshot (manifest
+        with resolved ``files``, or None) to the new full file-entry
+        list. On an O_EXCL version collision the loser re-reads the
+        winner's manifest and REBUILDS its entry list before retrying —
+        a committed-then-raced append is rebased, not silently dropped
+        (the Delta optimistic-concurrency protocol: retry = re-resolve
+        against the new snapshot, not just bump the version).
+
+        ``delta`` is the compact commit representation (see
+        ``_snapshot_files`` actions: ``truncate`` / ``exclude_all`` /
+        ``add``) — applying it to the previous snapshot MUST reproduce
+        ``build_files``' output. It is stored instead of the full list
+        except on checkpoint versions; ``None`` forces a checkpoint.
         """
         import time
 
         os.makedirs(self._log_path, exist_ok=True)
         while True:
             current = self.current_version()
-            latest = self._manifest(current) if current is not None else None
-            payload = json.dumps(
-                {
-                    "files": build_files(latest),
-                    "op": op,
-                    "partition_by": partition_by or [],
-                    "ts": time.time(),
-                }
-            )
+            latest = self._snapshot(current) if current is not None else None
+            files = build_files(latest)
             version = (current or 0) + 1
+            body = {
+                "op": op,
+                "partition_by": partition_by or [],
+                "ts": time.time(),
+            }
+            # the first commit of a table is always a checkpoint (there
+            # is no prior snapshot for a delta to apply to)
+            if (
+                delta is None
+                or latest is None
+                or version % self._checkpoint_interval == 0
+            ):
+                body["files"] = files
+            else:
+                body["delta"] = delta
+            payload = json.dumps(body)
             target = os.path.join(self._log_path, f"{version:08d}.json")
             try:
                 fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
@@ -394,7 +463,7 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table has no commits: {self.path}")
-        files = [_entry(e) for e in self._manifest(v)["files"]]
+        files = self._snapshot_files(v)
         if not files:
             raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
         preds = _normalize_where(where) if where is not None else []
@@ -484,7 +553,9 @@ class LakeTable:
                     "version": ver,
                     "op": m.get("op"),
                     "ts": m.get("ts"),
-                    "n_data_dirs": len(m["files"]),
+                    "n_data_dirs": len(
+                        m["files"] if "files" in m else self._snapshot_files(ver)
+                    ),
                     "partition_by": m.get("partition_by", []),
                 }
             )
@@ -499,8 +570,7 @@ class LakeTable:
             return (0, 0)
         preds = _normalize_where(where) if where is not None else []
         total = read = 0
-        for raw in self._manifest(v)["files"]:
-            e = _entry(raw)
+        for e in self._snapshot_files(v):
             n = len(e["stats"])
             total += n
             read += sum(
@@ -530,11 +600,13 @@ class LakeTable:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
         rel = self._write_data_dir(df, spec)
         stats = self._file_stats(rel)
+        new_entry = {"path": rel, "excludes": [], "stats": stats}
         return self._commit(
             lambda latest: ([_entry(e) for e in latest["files"]] if latest else [])
-            + [{"path": rel, "excludes": [], "stats": stats}],
+            + [new_entry],
             "append",
             spec,
+            delta={"add": [new_entry]},
         )
 
     def overwrite(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
@@ -551,6 +623,8 @@ class LakeTable:
         )
         rel = self._write_data_dir(df, spec)
         stats = self._file_stats(rel)
+        # delta=None: an overwrite's full list is one entry, so every
+        # overwrite is a (free) checkpoint that resets the replay chain.
         return self._commit(
             lambda latest: [{"path": rel, "excludes": [], "stats": stats}],
             "overwrite",
@@ -639,7 +713,7 @@ class LakeTable:
         keep_versions = range(max(1, v - retain_last + 1), v + 1)
         referenced = set()
         for kv in keep_versions:
-            referenced.update(_entry(e)["path"] for e in self._manifest(kv)["files"])
+            referenced.update(e["path"] for e in self._snapshot_files(kv))
         data_root = os.path.join(self.path, _DATA_DIR)
         removed = []
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
@@ -749,12 +823,13 @@ class LakeTable:
         v = base_version if base_version is not None else self.current_version()
         spec = self._manifest(v).get("partition_by", []) if v is not None else []
         base_paths = (
-            {_entry(e)["path"] for e in self._manifest(v)["files"]}
+            {e["path"] for e in self._snapshot_files(v)}
             if v is not None
             else set()
         )
         rel = self._write_data_dir(rewritten, spec)
         stats = self._file_stats(rel)
+        new_entry = {"path": rel, "excludes": [], "stats": stats}
 
         def build(latest: dict | None) -> list[dict]:
             prior = [_entry(e) for e in latest["files"]] if latest else []
@@ -767,9 +842,14 @@ class LakeTable:
                 )
             for e in prior:
                 _add_exclude(e["excludes"], partition_filter)
-            return prior + [{"path": rel, "excludes": [], "stats": stats}]
+            return prior + [new_entry]
 
-        return self._commit(build, op, spec)
+        return self._commit(
+            build,
+            op,
+            spec,
+            delta={"exclude_all": partition_filter, "add": [new_entry]},
+        )
 
     # ---------------- merge ----------------
 

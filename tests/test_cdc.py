@@ -191,14 +191,14 @@ def test_merge_silver_commits_partition_scoped(spark, sf_dir, tmp_path):
     ingest_bronze(lake, first)
     merge_silver(lake)  # creates silver (bucket-partitioned overwrite)
     v1 = lake.silver.current_version()
-    m1 = lake.silver._manifest(v1)
+    m1 = lake.silver._snapshot(v1)
     assert m1["partition_by"] == ["order_bucket"]
     dirs_before = {e if isinstance(e, str) else e["path"] for e in m1["files"]}
 
     ingest_bronze(lake, second)
     merge_silver(lake)  # incremental: must be partition-scoped
     v2 = lake.silver.current_version()
-    m2 = lake.silver._manifest(v2)
+    m2 = lake.silver._snapshot(v2)
     assert m2["op"] == "merge"
     entries = [e if isinstance(e, dict) else {"path": e, "excludes": []} for e in m2["files"]]
     prior = [e for e in entries if e["path"] in dirs_before]

@@ -188,7 +188,7 @@ def test_distributed_stats_match_driver_walk(spark, tmp_path, monkeypatch):
     def stats_of(t):
         from privacy_cdc_lakehouse_spark.tables import _entry
 
-        m = t._manifest(t.current_version())
+        m = t._snapshot(t.current_version())
         # normalize file paths (uuid dirs differ) — compare the stat
         # VALUES per file sorted by min id
         entries = [_entry(e) for e in m["files"]]

@@ -59,7 +59,7 @@ def test_stream_to_silver_matches_batch(spark, sf_dir, tmp_path):
 
     # the second micro-batch's MERGE commit is partition-scoped: prior
     # dirs survive with the touched-bucket exclusion, one new dir added
-    m = lake.silver._manifest(lake.silver.current_version())
+    m = lake.silver._snapshot(lake.silver.current_version())
     assert m["op"] == "merge" and m["partition_by"] == ["order_bucket"]
     entries = [e if isinstance(e, dict) else {"path": e, "excludes": []} for e in m["files"]]
     assert any(

@@ -18,7 +18,7 @@ def test_compact_preserves_data(spark, tmp_path):
     t.compact(target_partitions=1)
     after = sorted(r["x"] for r in t.read().collect())
     assert before == after
-    assert len(t._manifest(t.current_version())["files"]) == 1
+    assert len(t._snapshot(t.current_version())["files"]) == 1
 
 
 def test_vacuum_removes_unreferenced(spark, tmp_path):

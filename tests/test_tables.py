@@ -152,6 +152,51 @@ def test_merge_partition_scoped_rewrites_only_touched_slice(spark, tmp_path):
     assert len(t.read(version=1).collect()) == 4
 
 
+def test_commit_log_deltas_and_checkpoint_replay(spark, tmp_path, monkeypatch):
+    """Commit-log compaction: appends/partition-scoped ops store O(batch)
+    deltas, every Nth commit stores a full checkpoint, and resolved
+    reads / time travel / history are identical to the full-manifest
+    model."""
+    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", "4")
+    t = LakeTable(spark, str(tmp_path / "ckpt"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(0, 0, "base0"), (1, 1, "base1")], "id int, p int, s string"
+        ),
+        partition_by=["p"],
+    )  # v1: overwrite = checkpoint
+    for i in range(2, 7):  # v2..v6: appends
+        t.append(
+            spark.createDataFrame([(10 + i, i % 2, f"a{i}")], "id int, p int, s string")
+        )
+    # v7: partition-scoped delete (exclude_all delta)
+    t.delete_where(F.col("id") == 13, partition_filter="p = 1")
+
+    for v in range(1, 8):
+        m = t._manifest(v)
+        if v == 1 or v % 4 == 0:
+            assert "files" in m, f"v{v} should be a checkpoint"
+        else:
+            assert "delta" in m and "files" not in m, f"v{v} should be a delta"
+            # deltas stay O(batch): at most one added dir
+            assert len(m["delta"].get("add", [])) <= 1
+    assert t._manifest(7)["delta"]["exclude_all"] == "p = 1"
+
+    got = sorted((r["id"], r["s"]) for r in t.read().collect())
+    assert got == [
+        (0, "base0"), (1, "base1"), (12, "a2"), (14, "a4"), (15, "a5"), (16, "a6"),
+    ]
+    # time travel onto a delta version replays checkpoint + tail
+    assert sorted(r["id"] for r in t.read(version=3).collect()) == [0, 1, 12, 13]
+    # history resolves file counts across deltas
+    hist = t.history()
+    assert [h["version"] for h in hist] == list(range(7, 0, -1))
+    assert hist[0]["n_data_dirs"] == len(t._snapshot(7)["files"])
+    # data skipping still sees per-file stats through the replay
+    total, read = t.scan_files(("id", "=", 16))
+    assert read < total
+
+
 def test_append_rebases_on_commit_race(spark, tmp_path):
     """A racing writer's committed files must survive the loser's retry
     (optimistic concurrency rebases the file list, not just the version)."""
@@ -162,10 +207,10 @@ def test_append_rebases_on_commit_race(spark, tmp_path):
     # pre-create B's target version so B's first O_EXCL attempt collides.
     orig_commit = t._commit
 
-    def racing_commit(build, op, partition_by=None):
+    def racing_commit(build, op, partition_by=None, **kw):
         winner = LakeTable(spark, t.path)
         winner.append(spark.createDataFrame([(2, "b")], "id int, s string"))
-        return orig_commit(build, op, partition_by)
+        return orig_commit(build, op, partition_by, **kw)
 
     t._commit = racing_commit
     try:
@@ -263,12 +308,12 @@ def test_partition_scoped_merge_races_concurrent_append_raises(spark, tmp_path):
 
     orig_commit = t._commit
 
-    def racing_commit(build, op, partition_by=None):
+    def racing_commit(build, op, partition_by=None, **kw):
         winner = LakeTable(spark, t.path)
         winner.append(
             spark.createDataFrame([(9, "A", "a9")], "id int, part string, s string")
         )
-        return orig_commit(build, op, partition_by)
+        return orig_commit(build, op, partition_by, **kw)
 
     source = spark.createDataFrame([(1, "A", "a1-upd")], "id int, part string, s string")
     t._commit = racing_commit
@@ -333,7 +378,7 @@ def test_exclusion_predicates_stay_bounded_over_many_merges(spark, tmp_path):
         )
         t.merge(src, keys=["id"], partition_filter=f"bucket IN ({bucket})")
 
-    m = t._manifest(t.current_version())
+    m = t._snapshot(t.current_version())
     from privacy_cdc_lakehouse_spark.tables import _entry
 
     # the ORIGINAL dir saw 5 scoped merges over 4 distinct buckets →
