@@ -1,0 +1,95 @@
+"""Corpus curation for LLM training pipelines: deterministic splits and
+benchmark decontamination.
+
+Beyond the reference's own surface (no counterpart in SURVEY.md §2 —
+the reference is a CDC/lakehouse demo): these are the operations a
+100 TB training-data pipeline runs after dedup/quality filtering, and
+they complete this repo's LLM-data story.
+
+Scale design:
+- ``hash_split`` is a pure per-row function of the document id (md5
+  bucket) — no sampling pass, no shuffle, no state: a codegen'd
+  projection. Crucially the assignment is STABLE under corpus growth
+  (a doc's split never depends on other rows), which is what makes
+  incremental ingest reproducible.
+- ``ngram_contamination`` follows the published decontamination recipe
+  (n-gram overlap against held-out benchmarks, à la the GPT-3 paper's
+  appendix and successors): the benchmark's distinct n-gram set is
+  tiny relative to the corpus, so it is broadcast; the corpus explodes
+  its n-grams once and aggregates hits map-side. Never an all-pairs
+  document join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators.dedup import shingles
+
+SPLIT_BUCKETS = 1000
+
+
+def split_bucket(id_col: Column, salt: str = "split") -> Column:
+    """Deterministic bucket in [0, SPLIT_BUCKETS) from
+    ``md5(salt|id)`` — the same portable hex-slice arithmetic as the
+    MinHash construction (one crypto hash; replicated bit-for-bit in
+    the DuckDB oracle)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), id_col.cast("string")))
+    return F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % SPLIT_BUCKETS
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column: 'train' / 'val' / 'test' by cumulative
+    bucket ranges (test = remainder). Fractions are resolved to whole
+    buckets, so the realized proportions are exact multiples of
+    1/SPLIT_BUCKETS."""
+    b = split_bucket(F.col(id_col), salt)
+    t_hi = int(round(train * SPLIT_BUCKETS))
+    v_hi = t_hi + int(round(val * SPLIT_BUCKETS))
+    return df.withColumn(
+        "split",
+        F.when(b < t_hi, F.lit("train"))
+        .when(b < v_hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, n_contam_grams): distinct word ``n``-grams each corpus doc
+    shares with ANY benchmark doc. Decontamination = drop (or flag)
+    docs with ``n_contam_grams > 0`` before training so eval numbers
+    measure generalization, not memorized benchmark text."""
+    bg = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    cg = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        cg.join(F.broadcast(bg), "g")
+        .groupBy(id_col)
+        .agg(F.countDistinct("g").alias("n_contam_grams"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contam_grams"), F.lit(0))
+            .cast("long")
+            .alias("n_contam_grams"),
+        )
+    )
