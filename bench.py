@@ -43,6 +43,11 @@ HEADLINE = [
     "sim_topk_bruteforce",       # cosine topk (exact baseline)
     "sim_lsh_topk",              # cosine topk (LSH scale path)
     "text_stats_by_lang",        # text feature aggregation
+    # WRITE-path headline (round 5): seeds silver from half the event
+    # log, SQL-MERGEs the other half in, reads the table back — tracks
+    # the MERGE + commit/delta-manifest cost round-over-round (the one
+    # path the read-only headlines never touched).
+    "sql_merge_orders",
 ]
 
 

@@ -162,6 +162,15 @@ def forget_user(
 
 PIPELINE = "orders"
 
+# Measured-batch broadcast sizing for merge_silver: a conservative
+# in-memory width for the narrow staged row (7 scalar columns; JVM
+# UnsafeRow ~8B/field + string/timestamp payloads, padded generously).
+# 512 MiB cap / 256 B ≈ 2M staged rows still broadcast — far above any
+# sane CDC micro-batch, while a mis-routed backfill falls back to
+# shuffle joins.
+_EST_ROW_BYTES = 256
+_BROADCAST_CAP_BYTES = 512 << 20
+
 
 def _last_offset(lake: Lakehouse) -> int:
     """Checkpoint watermark (−1 when absent) — the deliberate
@@ -205,12 +214,16 @@ def merge_silver(lake: Lakehouse) -> int | None:
         # touches are rewritten; everything else stays committed with
         # the bucket predicate excluded (readers prune it as a
         # PartitionFilter). The touched-bucket collect is ≤SILVER_BUCKETS
-        # small ints — the same planning round-trip Delta performs for
-        # dynamic partition overwrite.
-        touched = sorted(
-            r["order_bucket"]
-            for r in staged.select("order_bucket").distinct().collect()
-        )
+        # rows — the same planning round-trip Delta performs for dynamic
+        # partition overwrite. Per-bucket COUNTS ride the same job: the
+        # staged batch derives from a filter over (100 TB of) bronze,
+        # where Catalyst's size-only estimate keeps the full table size
+        # and the MERGE guard would pessimize every micro-batch to
+        # shuffle joins — so the pipeline MEASURES the batch it staged
+        # and vouches for the broadcast itself (broadcast_hint).
+        bucket_counts = staged.groupBy("order_bucket").count().collect()
+        touched = sorted(r["order_bucket"] for r in bucket_counts)
+        n_staged = sum(r["count"] for r in bucket_counts)
         if touched:  # all-malformed batch stages nothing: just advance
             pf = f"order_bucket IN ({', '.join(str(b) for b in touched)})"
             # validate_unique_source=False: staged is latest_state()
@@ -224,6 +237,7 @@ def merge_silver(lake: Lakehouse) -> int | None:
                 insert_condition=F.col("s.op") != "d",
                 validate_unique_source=False,
                 partition_filter=pf,
+                broadcast_hint=n_staged * _EST_ROW_BYTES <= _BROADCAST_CAP_BYTES,
             )
 
     new_hi = fresh.agg(F.max("offset").alias("hi")).collect()[0]["hi"]
@@ -266,4 +280,6 @@ def _advance_checkpoint(lake: Lakehouse, offset: int) -> None:
     if not lake.checkpoints.exists():
         lake.checkpoints.overwrite(row)
     else:
-        lake.checkpoints.merge(row, keys=["pipeline"])
+        # One literal row from createDataFrame — Catalyst estimates the
+        # unknown-size sentinel for it, so vouch for the broadcast.
+        lake.checkpoints.merge(row, keys=["pipeline"], broadcast_hint=True)

@@ -16,8 +16,11 @@ Scale design:
   (n-gram overlap against held-out benchmarks, à la the GPT-3 paper's
   appendix and successors): the benchmark's distinct n-gram set is
   tiny relative to the corpus, so it is broadcast; the corpus explodes
-  its n-grams once and aggregates hits map-side. Never an all-pairs
-  document join.
+  its n-grams ONCE and aggregates hits map-side. Never an all-pairs
+  document join. At 100 TB the corpus explode dominates, so checks
+  against multiple benchmark sets should share one pass: materialize
+  ``corpus_ngrams`` once (write it next to the corpus) and hand it to
+  every ``ngram_contamination`` call via ``corpus_grams``.
 """
 
 from __future__ import annotations
@@ -61,22 +64,47 @@ def hash_split(
     )
 
 
+def corpus_ngrams(
+    corpus: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exploded (id, gram) pairs for the corpus — the write-once
+    artifact of decontamination. One pass over the corpus produces it;
+    every benchmark set is then a broadcast join against it. Persist
+    this (parquet next to the corpus) when screening more than one
+    benchmark — re-exploding 100 TB per benchmark set is the cost to
+    avoid."""
+    return corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    )
+
+
 def ngram_contamination(
     corpus: DataFrame,
     benchmark: DataFrame,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    corpus_grams: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_contam_grams): distinct word ``n``-grams each corpus doc
     shares with ANY benchmark doc. Decontamination = drop (or flag)
     docs with ``n_contam_grams > 0`` before training so eval numbers
-    measure generalization, not memorized benchmark text."""
+    measure generalization, not memorized benchmark text.
+
+    ``corpus_grams`` — optional pre-exploded (id, g) pairs from
+    :func:`corpus_ngrams` (built with the SAME ``n``); pass it when
+    screening multiple benchmark sets so the corpus explode happens
+    once, not once per benchmark."""
     bg = benchmark.select(
         F.explode(shingles(F.col(text_col), n)).alias("g")
     ).distinct()
-    cg = corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+    cg = (
+        corpus_grams
+        if corpus_grams is not None
+        else corpus_ngrams(corpus, n, text_col, id_col)
     )
     hits = (
         cg.join(F.broadcast(bg), "g")

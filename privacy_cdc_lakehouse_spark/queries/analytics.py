@@ -850,19 +850,8 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
-def q_bronze_latest_peek(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O3/F11 parity: peek the newest raw record, payload truncated
-    (README.md:207 `substr(v,1,500) ... ORDER BY ... DESC LIMIT 1`,
-    recency keyed on offset — ingested_at is nondeterministic)."""
-    pin_utc(spark)
-    from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
-
-    return (
-        cdc_events(spark, sf_dir)
-        .orderBy(F.desc("offset"))
-        .limit(1)
-        .select("offset", F.substring("k", 1, 500).alias("key_peek"))
-    )
+# bronze_latest_peek retired as a standalone entry (round 5): the peek
+# arm now rides inside queries/cdc.py::q_bronze_dq's monitoring row.
 
 
 # --- Pandas UDF surface (Arrow-vectorized grouped map) ----------------------
@@ -1223,9 +1212,10 @@ FROM conv
 
 
 def q_tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H single-row aggregates as one tagged union: Q6 (pushdown
-    range scan), Q14 (broadcast dim + conditional agg), Q17
-    (decorrelated scalar subquery), Q19 (OR-of-ANDs equi join). Each
+    """TPC-H aggregates as one tagged union: Q6 (pushdown range scan),
+    Q14 (broadcast dim + conditional agg), Q17 (decorrelated scalar
+    subquery), Q19 (OR-of-ANDs equi join), and — round 5 — Q12's
+    fact-fact SMJ conditional counts unpivoted per returnflag. Each
     branch is the unchanged original query — same plan, same
     arithmetic, one registry slot."""
     pin_utc(spark)
@@ -1236,23 +1226,37 @@ def q_tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     q19 = q19_disjunctive_predicates(spark, sf_dir)
+    q12 = q12_priority_by_returnflag(spark, sf_dir)
+    q12_rows = q12.select(
+        F.concat(F.lit("q12_high_"), F.col("l_returnflag")).alias("query"),
+        F.col("high_line_count").cast("double").alias("value"),
+    ).unionByName(
+        q12.select(
+            F.concat(F.lit("q12_low_"), F.col("l_returnflag")).alias("query"),
+            F.col("low_line_count").cast("double").alias("value"),
+        )
+    )
     return (
         tag("q14_promo_pct", q14_promo_revenue(spark, sf_dir), "promo_revenue_pct")
         .unionByName(tag("q17_avg_yearly", q17_avg_quantity_subquery(spark, sf_dir), "avg_yearly"))
         .unionByName(tag("q19_n_lines", q19, "n_lines"))
         .unionByName(tag("q19_revenue", q19, "revenue"))
         .unionByName(tag("q6_revenue", q6_forecast_revenue(spark, sf_dir), "revenue"))
+        .unionByName(q12_rows)
         .orderBy("query")
     )
 
 
 _SCALAR_AGG_SQL = f"""
-WITH q6 AS ({_Q6_SQL}), q14 AS ({_Q14_SQL}), q17 AS ({_Q17_SQL}), q19 AS ({_Q19_SQL})
+WITH q6 AS ({_Q6_SQL}), q14 AS ({_Q14_SQL}), q17 AS ({_Q17_SQL}), q19 AS ({_Q19_SQL}),
+q12 AS ({_Q12_SQL})
 SELECT 'q14_promo_pct' AS query, CAST(promo_revenue_pct AS DOUBLE) AS value FROM q14
 UNION ALL SELECT 'q17_avg_yearly', CAST(avg_yearly AS DOUBLE) FROM q17
 UNION ALL SELECT 'q19_n_lines', CAST(n_lines AS DOUBLE) FROM q19
 UNION ALL SELECT 'q19_revenue', CAST(revenue AS DOUBLE) FROM q19
 UNION ALL SELECT 'q6_revenue', CAST(revenue AS DOUBLE) FROM q6
+UNION ALL SELECT 'q12_high_' || l_returnflag, CAST(high_line_count AS DOUBLE) FROM q12
+UNION ALL SELECT 'q12_low_' || l_returnflag, CAST(low_line_count AS DOUBLE) FROM q12
 ORDER BY query
 """
 
@@ -1335,7 +1339,6 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q10_returned_item_revenue": q10_returned_item_revenue,
     "events_funnel": q_events_funnel,
-    "q12_priority_by_returnflag": q12_priority_by_returnflag,
     "q18_large_volume_customers": q18_large_volume_customers,
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
     "tpch_scalar_aggregates": q_tpch_scalar_aggregates,
@@ -1345,8 +1348,10 @@ QUERIES = {
     "join_semi_anti": q_join_semi_anti,
     # round-4 consolidations (driver window capped at 50 entries):
     # window_top3_per_segment + window_running_spend → window_analytics;
-    # events_5min_windows + events_json_props → events_rollups. The
-    # original callables remain above — the unions call them verbatim.
+    # events_5min_windows + events_json_props → events_rollups. Round 5:
+    # q12_priority_by_returnflag → tpch_scalar_aggregates (unpivoted);
+    # bronze_latest_peek → queries/cdc.py::cdc_bronze_dq. The original
+    # callables remain above — the unions call them verbatim.
     "window_analytics": q_window_analytics,
     "grouping_analytics": q_grouping_analytics,
     "setops_customer_cohorts": q_setops_customer_cohorts,
@@ -1359,17 +1364,7 @@ QUERIES = {
     "join_asof_last_error": q_asof_last_error,
     "join_range_value_bands": q_range_join_value_bands,
     "quantity_percentiles": q_quantity_percentiles,
-    "bronze_latest_peek": q_bronze_latest_peek,
 }
-
-from privacy_cdc_lakehouse_spark.sources.debezium import ORACLE_EVENTS_CTE as _EV_CTE
-
-_LATEST_PEEK_SQL = f"""
-WITH {_EV_CTE}
-SELECT CAST(off AS BIGINT) AS offset,
-       substr('{{"order_id":' || CAST(order_id AS VARCHAR) || '}}', 1, 500) AS key_peek
-FROM cdc_ev ORDER BY off DESC LIMIT 1
-"""
 
 _PRIV_VIEW_SQL_TEMPLATE = """
 SELECT status, CAST(count(*) AS BIGINT) AS n,
@@ -1388,7 +1383,6 @@ ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "q10_returned_item_revenue": _Q10_SQL,
     "events_funnel": _FUNNEL_SQL,
-    "q12_priority_by_returnflag": _Q12_SQL,
     "q18_large_volume_customers": _Q18_SQL,
     "q3_top_unshipped": _Q3_SQL,
     "q5_revenue_by_nation": _Q5_SQL,
@@ -1408,5 +1402,4 @@ ORACLES = {
     "join_asof_last_error": _ASOF_SQL,
     "join_range_value_bands": _RANGE_JOIN_SQL,
     "quantity_percentiles": _PERCENTILE_SQL,
-    "bronze_latest_peek": _LATEST_PEEK_SQL,
 }

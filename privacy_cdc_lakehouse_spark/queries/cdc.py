@@ -48,11 +48,14 @@ def q_orders_current_priv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bronze_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bronze verification counters (README.md:83,202 parity) AND the
+    """Bronze verification counters (README.md:83,202 parity), the
     silver data-quality metrics row (reference roadmap ``README.md:227``:
-    null keys, negative amounts, duplicate keys) as ONE monitoring row —
-    merged in round 3 to fit the driver's correctness window; both are
-    single-row global aggregates, so the cross join is 1×1."""
+    null keys, negative amounts, duplicate keys), AND the newest-record
+    peek (O3/F11 parity, README.md:207 ``substr(v,1,500) ... ORDER BY
+    ... DESC LIMIT 1``, recency keyed on offset — ingested_at is
+    nondeterministic) as ONE monitoring row. Merged in rounds 3/5 to
+    fit the driver's correctness window; all three arms are single-row,
+    so the cross joins are 1×1×1."""
     pin_utc(spark)
     ev = cdc_events(spark, sf_dir)
     bronze = ev.agg(
@@ -66,7 +69,15 @@ def q_bronze_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("amount_eur") < 0, 1).otherwise(0)).alias("negative_amounts"),
         (F.count("*") - F.countDistinct("order_id")).alias("duplicate_keys"),
     )
-    return bronze.crossJoin(silver)
+    peek = (
+        ev.orderBy(F.desc("offset"))
+        .limit(1)
+        .select(
+            F.col("offset").alias("peek_offset"),
+            F.substring("k", 1, 500).alias("key_peek"),
+        )
+    )
+    return bronze.crossJoin(silver).crossJoin(peek)
 
 
 def q_cdc_op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -163,12 +174,16 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = events.filter(F.col("offset") <= mid)
     second = events.filter(F.col("offset") > mid)
 
-    # Deterministic scratch path, wiped on entry: reruns REUSE the one
-    # dir instead of leaking a new mkdtemp per driver run (the returned
-    # DataFrame reads lazily, so the dir must outlive this function).
+    # Deterministic-per-process scratch path, wiped on entry: reruns in
+    # one driver REUSE the dir instead of leaking a new mkdtemp each
+    # (the returned DataFrame reads lazily, so the dir must outlive
+    # this function), while the pid scope keeps concurrent drivers from
+    # clobbering each other's live table dir and removes the
+    # fixed-/tmp-name symlink surface (round-4 advisory).
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     scratch = os.path.join(
-        tempfile.gettempdir(), f"pcl_sqlmerge_{tag}_v{PIPELINE_VERSION}"
+        tempfile.gettempdir(),
+        f"pcl_sqlmerge_{tag}_v{PIPELINE_VERSION}_p{os.getpid()}",
     )
     shutil.rmtree(scratch, ignore_errors=True)
     silver = LakeTable(spark, scratch)
@@ -371,7 +386,11 @@ ORACLES = {
                CAST(sum(CASE WHEN amount_eur < 0 THEN 1 ELSE 0 END) AS BIGINT) AS negative_amounts,
                CAST(count(*) - count(DISTINCT order_id) AS BIGINT) AS duplicate_keys
         FROM current_state
-    ) s
+    ) s CROSS JOIN (
+        SELECT CAST(off AS BIGINT) AS peek_offset,
+               substr('{"order_id":' || CAST(order_id AS VARCHAR) || '}', 1, 500) AS key_peek
+        FROM cdc_ev ORDER BY off DESC LIMIT 1
+    ) p
     """,
     "cdc_op_histogram": f"""
     WITH {ORACLE_EVENTS_CTE}

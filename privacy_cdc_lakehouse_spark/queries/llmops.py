@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from privacy_cdc_lakehouse_spark.operators import curation as cur
 from privacy_cdc_lakehouse_spark.operators import dedup as dd
 from privacy_cdc_lakehouse_spark.operators import multimodal as mm
 from privacy_cdc_lakehouse_spark.operators import similarity as sim
@@ -789,6 +790,87 @@ FROM ivf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+# ----------------------------- curation -------------------------------------
+
+
+def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split of the documents corpus
+    (90/5/5 by md5 bucket of doc_id). The full per-doc assignment —
+    bucket AND split label — is hash-checked: the md5 hex-slice
+    arithmetic is replicated digit-for-digit in DuckDB (the same
+    construction already proven by the MinHash oracle), so split
+    reproducibility is verified end to end, not just proportions.
+    Because the bucket is a pure function of the id, the assignment is
+    stable under corpus growth — the property that makes incremental
+    ingest reproducible at 100 TB (no sampling pass, no shuffle: a
+    codegen'd projection)."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir)
+    out = cur.hash_split(docs, id_col="doc_id", train=0.9, val=0.05)
+    return out.select(
+        "doc_id",
+        cur.split_bucket(F.col("doc_id")).alias("bucket"),
+        "split",
+    ).orderBy("doc_id")
+
+
+_HASH_SPLIT_SQL = f"""
+WITH h AS (
+    SELECT doc_id,
+           md5('split' || '|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+b AS (
+    SELECT doc_id, CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS bucket
+    FROM h
+)
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+CURATION_BENCH_MOD = 97
+
+
+def q_curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark n-gram decontamination: every 97th document plays the
+    held-out benchmark (a slice of the corpus itself — the worst-case
+    leak shape, so benchmark docs flag fully and near-verbatim overlap
+    flags partially). Runs through the pre-exploded ``corpus_ngrams``
+    reuse hook — the one-pass-per-corpus contract that makes screening
+    many benchmark sets affordable at 100 TB. Per-doc contaminated-gram
+    counts (zero-filled for clean docs) are hash-checked against the
+    identical explode→broadcast-join→countDistinct in DuckDB."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    grams = cur.corpus_ngrams(docs, n=3)
+    bench = docs.filter(F.col("doc_id") % CURATION_BENCH_MOD == 0)
+    return cur.ngram_contamination(
+        docs, bench, n=3, corpus_grams=grams
+    ).orderBy("doc_id")
+
+
+_DECONTAM_SQL = f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
+sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM w),
+bg AS (
+    SELECT DISTINCT unnest(shs) AS g FROM sh
+    WHERE doc_id % {CURATION_BENCH_MOD} = 0
+),
+cg AS (SELECT doc_id, unnest(shs) AS g FROM sh),
+hits AS (
+    SELECT cg.doc_id, count(DISTINCT cg.g) AS n
+    FROM cg JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+)
+SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam_grams
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 # ----------------------------- multimodal -----------------------------------
 
 
@@ -1047,6 +1129,10 @@ QUERIES = {
     # round-4 additions (slots freed by the analytics consolidations):
     "dedup_clusters": q_dedup_clusters,
     "pii_redaction_audit": q_pii_redaction_audit,
+    # round-5 additions (slots freed by folding bronze_latest_peek into
+    # cdc_bronze_dq and q12 into tpch_scalar_aggregates):
+    "curation_hash_split": q_curation_hash_split,
+    "curation_decontam": q_curation_decontam,
 }
 
 ORACLES = {
@@ -1069,4 +1155,6 @@ ORACLES = {
     "dedup_jaccard_verified": _JACCARD_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "pii_redaction_audit": _pii_sql(),
+    "curation_hash_split": _HASH_SPLIT_SQL,
+    "curation_decontam": _DECONTAM_SQL,
 }

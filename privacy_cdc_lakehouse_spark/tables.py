@@ -47,13 +47,16 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
+import re
+import time
 import uuid
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
@@ -78,8 +81,6 @@ def _utc_naive_iso(v) -> str:
     suffix makes the aware string sort after its naive twin), which
     would prune files that contain matching rows. Normalizing both
     sides to naive UTC keeps string order == chronological order."""
-    import datetime
-
     if isinstance(v, datetime.datetime):
         if v.tzinfo is not None:
             v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
@@ -89,8 +90,6 @@ def _utc_naive_iso(v) -> str:
 
 def _json_stat(v):
     """Footer stat → JSON-storable comparable, or None if unsupported."""
-    import datetime
-
     if isinstance(v, bool) or v is None:
         return None  # bool min/max is useless for range pruning
     if isinstance(v, (int, float, str)):
@@ -102,8 +101,6 @@ def _json_stat(v):
 
 def _cmp_key(v):
     """Predicate literal → the comparable domain stats are stored in."""
-    import datetime
-
     if isinstance(v, (datetime.datetime, datetime.date)):
         return _utc_naive_iso(v)
     return v
@@ -113,8 +110,6 @@ def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     """True iff [min,max] of ``col`` in this file PROVES no row matches
     ``col <op> value``. Missing/null stats → not prunable (pruning is
     an optimization, never a correctness lever)."""
-    import datetime
-
     s = stats.get(col)
     if not s:
         return False
@@ -179,8 +174,6 @@ def _add_exclude(excludes: list[str], new: str) -> None:
     every older dir — unbounded manifest and filter-plan growth; with
     it, excludes stay bounded by the partition-value domain."""
     global _IN_LIST_RE
-    import re
-
     if _IN_LIST_RE is None:
         _IN_LIST_RE = re.compile(
             r"^\s*(`?\w+`?)\s+IN\s+\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*$",
@@ -235,6 +228,24 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
     for agg in cols.values():
         agg.pop("dead", None)
     return cols
+
+
+# Catalyst's size-only estimator returns Long.MaxValue for plans it
+# cannot size (LogicalRDD / createDataFrame sources), and propagates a
+# big table's FULL size through Filter unchanged — so a plan-stats
+# estimate at or above this sentinel floor means "unknown", not "huge".
+_SIZE_UNKNOWN_FLOOR = 1 << 62
+
+
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst plan-stats sizeInBytes for ``df`` (no Spark job), or
+    None when the estimate is unavailable or the unknown-size sentinel
+    (see ``_SIZE_UNKNOWN_FLOOR``)."""
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # non-classic DataFrame / connect: be safe
+        return None
+    return None if est < 0 or est >= _SIZE_UNKNOWN_FLOOR else est
 
 
 class MergeError(ValueError):
@@ -357,8 +368,6 @@ class LakeTable:
         ``build_files``' output. It is stored instead of the full list
         except on checkpoint versions; ``None`` forces a checkpoint.
         """
-        import time
-
         os.makedirs(self._log_path, exist_ok=True)
         while True:
             current = self.current_version()
@@ -631,6 +640,18 @@ class LakeTable:
             spec,
         )
 
+    def truncate(self) -> int:
+        """``TRUNCATE TABLE``: commit an empty snapshot WITHOUT touching
+        data files — prior versions stay time-travelable until
+        ``vacuum`` reclaims them (the Delta TRUNCATE contract). Stored
+        as an O(1) ``truncate`` action in the commit log (the delta
+        replay resets the file list and applies the tail)."""
+        v = self.current_version()
+        spec = self._manifest(v).get("partition_by", []) if v is not None else []
+        return self._commit(
+            lambda latest: [], "truncate", spec, delta={"truncate": True}
+        )
+
     def compact(
         self,
         target_partitions: int = 8,
@@ -755,8 +776,6 @@ class LakeTable:
             base = base.filter(F.expr(partition_filter))
         obs = None
         if return_count:
-            from pyspark.sql import Observation
-
             obs = Observation()
             base = base.observe(
                 obs,
@@ -866,6 +885,7 @@ class LakeTable:
         validate_unique_source: bool = True,
         partition_filter: str | None = None,
         broadcast_threshold_bytes: int | None = 512 << 20,
+        broadcast_hint: bool | None = None,
     ) -> int:
         """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
@@ -910,8 +930,18 @@ class LakeTable:
         and lets Catalyst/AQE plan shuffled hash/sort-merge joins —
         slower but correct at any batch size, instead of a hard
         broadcast OOM. ``None`` disables the guard (always hint).
-        The estimate costs no Spark job; an inestimable plan
-        (``Long.MaxValue`` sentinel) falls back to the shuffle path.
+
+        The estimate costs no Spark job — but under Spark's default
+        size-only estimation it is UNRELIABLE for two source shapes:
+        in-memory sources (``createDataFrame`` / LogicalRDD) estimate
+        ``Long.MaxValue``, and a Filter over a large table keeps the
+        full table's size. Both pessimize to the shuffle path (safe,
+        never wrong — just slower than the three-BroadcastHashJoin
+        plan). A caller that KNOWS the batch size — e.g. a pipeline
+        that already counted the staged micro-batch — overrides the
+        estimate with ``broadcast_hint``: ``True`` forces the
+        broadcast hints, ``False`` forces the shuffle path, ``None``
+        (default) uses the plan estimate.
 
         ``partition_filter`` (a SQL predicate string over target
         columns, e.g. ``"order_date = DATE'2024-01-01'"``) scopes the
@@ -958,20 +988,15 @@ class LakeTable:
         ins = insert_values or {}
 
         # Size-guard: hint broadcast only when the source's optimized
-        # plan estimates under the threshold. The matched-keys side is
-        # ≤ |source| rows, so one decision covers all three joins.
-        if broadcast_threshold_bytes is None:
+        # plan estimates under the threshold (or the caller vouched via
+        # broadcast_hint). The matched-keys side is ≤ |source| rows, so
+        # one decision covers all three joins.
+        if broadcast_hint is not None:
+            small_source = broadcast_hint
+        elif broadcast_threshold_bytes is None:
             small_source = True
         else:
-            try:
-                est = int(
-                    source._jdf.queryExecution()
-                    .optimizedPlan()
-                    .stats()
-                    .sizeInBytes()
-                )
-            except Exception:  # non-classic DataFrame / connect: be safe
-                est = None
+            est = _plan_size_estimate(source)
             small_source = est is not None and est <= broadcast_threshold_bytes
         _hint = F.broadcast if small_source else (lambda df: df)
 

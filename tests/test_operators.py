@@ -206,3 +206,81 @@ def test_pii_redaction(spark):
     assert rows[2]["pii_counts"]["ipv4"] == 1
     assert rows[3]["text_redacted"] == rows[3]["text"]
     assert tuple(rows[3]["pii_counts"]) == (0, 0, 0)
+
+
+# ----------------------------- curation --------------------------------------
+
+
+def test_hash_split_assignment_matches_bucket_ranges(spark):
+    """Every row's split label is exactly the bucket-range rule:
+    bucket<900 → train, <950 → val, else test (90/5/5 resolved to
+    whole buckets)."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    out = cur.hash_split(df, id_col="doc_id", train=0.9, val=0.05).select(
+        "doc_id", cur.split_bucket(F.col("doc_id")).alias("bucket"), "split"
+    )
+    for r in out.collect():
+        expect = "train" if r["bucket"] < 900 else ("val" if r["bucket"] < 950 else "test")
+        assert r["split"] == expect, r
+    # all three splits realized on 2000 ids, fractions near 90/5/5
+    n = out.groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in n}
+    assert set(counts) == {"train", "val", "test"}
+    assert 0.85 <= counts["train"] / 2000 <= 0.95
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """A doc's split never changes when the corpus grows — the
+    incremental-ingest reproducibility contract (assignment is a pure
+    per-row function of the id)."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    small = spark.range(100).select(F.col("id").alias("doc_id"))
+    big = spark.range(10_000).select(F.col("id").alias("doc_id"))
+    s = {r["doc_id"]: r["split"] for r in cur.hash_split(small, id_col="doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in cur.hash_split(big, id_col="doc_id").collect()}
+    assert all(b[k] == v for k, v in s.items())
+
+
+def test_ngram_contamination_constructed_overlap(spark):
+    """Known-overlap fixture: doc 1 IS the benchmark (all grams hit),
+    doc 2 shares exactly one 3-gram, doc 3 shares none (zero-filled)."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    corpus = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma delta"),        # grams: abg, bgd
+            (2, "alpha beta gamma zeta eta"),     # shares 'alpha beta gamma'
+            (3, "one two three four"),            # disjoint
+        ],
+    )
+    bench = corpus.filter(F.col("doc_id") == 1)
+    got = {
+        r["doc_id"]: r["n_contam_grams"]
+        for r in cur.ngram_contamination(corpus, bench, n=3).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 0}
+
+
+def test_ngram_contamination_pre_exploded_grams_equivalent(spark):
+    """The corpus_grams reuse hook (one explode shared across benchmark
+    sets) returns the identical result as the self-exploding path."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    corpus = _docs(
+        spark,
+        [(i, f"w{i} common words here and w{i+1} tail") for i in range(1, 8)],
+    )
+    bench = corpus.filter(F.col("doc_id") % 3 == 0)
+    grams = cur.corpus_ngrams(corpus, n=3)
+    direct = sorted(map(tuple, cur.ngram_contamination(corpus, bench, n=3).collect()))
+    hooked = sorted(
+        map(
+            tuple,
+            cur.ngram_contamination(corpus, bench, n=3, corpus_grams=grams).collect(),
+        )
+    )
+    assert direct == hooked and any(n > 0 for _, n in direct)

@@ -191,3 +191,41 @@ def test_stream_static_enrich_rereads_latest_dim_snapshot(spark, tmp_path):
     )
     q.awaitTermination()
     assert seen == [(100, "bronze"), (101, "gold")]
+
+
+def test_streaming_hash_split_matches_batch(spark, tmp_path):
+    """Curation split in a stream: hash_split is a pure stateless
+    projection, so it runs unchanged inside readStream and assigns
+    every doc the SAME split the batch path does — the growth-stability
+    contract demonstrated end to end (documents arriving later can
+    never perturb earlier assignments)."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators.curation import hash_split
+
+    src = str(tmp_path / "splitsrc")
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    docs.coalesce(2).write.parquet(src)
+
+    batch = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(spark.read.parquet(src), id_col="doc_id").collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        hash_split(stream, id_col="doc_id")
+        .writeStream.format("memory")
+        .queryName("split_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        r["doc_id"]: r["split"]
+        for r in spark.sql("SELECT doc_id, split FROM split_out").collect()
+    }
+    assert streamed == batch and len(streamed) == 500

@@ -83,6 +83,61 @@ def test_merge_large_source_falls_back_to_shuffle_join(spark, tmp_path):
     assert run(None) == [(1, "keep"), (2, "updated"), (4, "inserted")]
 
 
+def test_plan_size_estimate_sentinel_and_file_backed(spark, tmp_path):
+    """Catalyst's size-only estimator returns Long.MaxValue for
+    in-memory (createDataFrame/LogicalRDD) sources — the classifier
+    must report UNKNOWN (None), not 'huge'. A parquet-backed scan has a
+    real file-size estimate; a filter over it keeps the child estimate
+    (documented pessimization) but stays finite."""
+    from privacy_cdc_lakehouse_spark.tables import _plan_size_estimate
+
+    mem = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    assert _plan_size_estimate(mem) is None
+
+    p = str(tmp_path / "est.parquet")
+    spark.range(1000).write.parquet(p)
+    backed = spark.read.parquet(p)
+    est = _plan_size_estimate(backed)
+    assert est is not None and 0 < est < (1 << 40)
+    filtered = _plan_size_estimate(backed.filter(F.col("id") > 990))
+    assert filtered is not None and 0 < filtered < (1 << 40)
+
+
+def test_merge_broadcast_hint_overrides_estimate(spark, tmp_path):
+    """broadcast_hint=True keeps the three-BroadcastHashJoin plan for a
+    source whose plan estimate is the unknown sentinel (the micro-batch
+    shape merge_silver vouches for); broadcast_hint=False forces the
+    shuffle path. Both land on the identical result."""
+    rows = [(1, "keep"), (2, "update_me"), (3, "delete_me")]
+    source = spark.createDataFrame(
+        [(2, "updated", "u"), (3, None, "d"), (4, "inserted", "c")],
+        "id int, s string, op string",
+    )
+
+    def run(hint):
+        t = LakeTable(spark, str(tmp_path / f"bh_{hint}"))
+        t.overwrite(spark.createDataFrame(rows, "id int, s string"))
+        t.merge(
+            source,
+            keys=["id"],
+            matched_delete=F.col("s.op") == "d",
+            insert_condition=F.col("s.op") != "d",
+            broadcast_hint=hint,
+        )
+        return _rows(t)
+
+    expected = [(1, "keep"), (2, "updated"), (4, "inserted")]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # Auto-broadcast off: only the explicit hint can produce broadcast
+    # joins, so hint=True vs hint=False genuinely exercise both paths.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        assert run(True) == expected
+        assert run(False) == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
     t = LakeTable(spark, str(tmp_path / "t3"))
     t.overwrite(spark.createDataFrame([(1, "x")], "id int, s string"))
@@ -152,13 +207,16 @@ def test_merge_partition_scoped_rewrites_only_touched_slice(spark, tmp_path):
     assert len(t.read(version=1).collect()) == 4
 
 
-def test_commit_log_deltas_and_checkpoint_replay(spark, tmp_path, monkeypatch):
+@pytest.mark.parametrize("interval", [1, 4, 100])
+def test_commit_log_deltas_and_checkpoint_replay(spark, tmp_path, monkeypatch, interval):
     """Commit-log compaction: appends/partition-scoped ops store O(batch)
     deltas, every Nth commit stores a full checkpoint, and resolved
     reads / time travel / history are identical to the full-manifest
-    model."""
-    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", "4")
-    t = LakeTable(spark, str(tmp_path / "ckpt"))
+    model. Parametrized over interval=1 (every commit a checkpoint —
+    the legacy full-manifest shape), 4 (mixed), and 100 (one checkpoint
+    + a long delta tail)."""
+    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", str(interval))
+    t = LakeTable(spark, str(tmp_path / f"ckpt{interval}"))
     t.overwrite(
         spark.createDataFrame(
             [(0, 0, "base0"), (1, 1, "base1")], "id int, p int, s string"
@@ -174,13 +232,14 @@ def test_commit_log_deltas_and_checkpoint_replay(spark, tmp_path, monkeypatch):
 
     for v in range(1, 8):
         m = t._manifest(v)
-        if v == 1 or v % 4 == 0:
+        if v == 1 or v % interval == 0:
             assert "files" in m, f"v{v} should be a checkpoint"
         else:
             assert "delta" in m and "files" not in m, f"v{v} should be a delta"
             # deltas stay O(batch): at most one added dir
             assert len(m["delta"].get("add", [])) <= 1
-    assert t._manifest(7)["delta"]["exclude_all"] == "p = 1"
+    if interval != 1:  # at interval=1 every commit is a full manifest
+        assert t._manifest(7)["delta"]["exclude_all"] == "p = 1"
 
     got = sorted((r["id"], r["s"]) for r in t.read().collect())
     assert got == [
@@ -393,3 +452,85 @@ def test_exclusion_predicates_stay_bounded_over_many_merges(spark, tmp_path):
         0: "v5_0", 1: "v2_1", 2: "v3_2", 3: "v4_3",
         4: "v0_4", 5: "v0_5", 6: "v0_6", 7: "v0_7",
     }
+
+
+def test_truncate_delta_replay_and_time_travel(spark, tmp_path, monkeypatch):
+    """TRUNCATE TABLE is an O(1) `truncate` delta action: the replay
+    resets the file list mid-chain, later appends apply on top, and
+    pre-truncate versions stay time-travelable (data files untouched)."""
+    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", "100")  # keep it a delta
+    t = LakeTable(spark, str(tmp_path / "trunc"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    v_trunc = t.truncate()
+    assert "delta" in t._manifest(v_trunc)
+    assert t._manifest(v_trunc)["delta"] == {"truncate": True}
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+
+    # v4 replays: ckpt(v1) + add(v2) + truncate(v3) + add(v4)
+    assert _rows(t) == [(3, "c")]
+    # empty truncated snapshot: no files to read
+    with pytest.raises(FileNotFoundError):
+        t.read(version=v_trunc)
+    # pre-truncate version still fully readable (files not deleted)
+    assert sorted(r["id"] for r in t.read(version=2).collect()) == [1, 2]
+    # vacuum keeping only the head reclaims the pre-truncate dirs
+    removed = t.vacuum(retain_last=1)
+    assert len(removed) == 2
+    assert _rows(t) == [(3, "c")]
+
+
+def test_commit_race_rebases_onto_checkpoint_version(spark, tmp_path, monkeypatch):
+    """The optimistic-concurrency retry must also work when the WINNING
+    commit lands exactly on a checkpoint version (full-manifest shape):
+    the loser rebases onto the resolved checkpoint, and its own commit
+    (now past the boundary) is a delta applied on top of it."""
+    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", "2")
+    t = LakeTable(spark, str(tmp_path / "race_ckpt"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, s string"))  # v1 ckpt
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        winner = LakeTable(spark, t.path)
+        # winner takes v2 — a checkpoint version under interval=2
+        winner.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+        assert "files" in t._manifest(2)
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    finally:
+        t._commit = orig_commit
+
+    assert t.current_version() == 3
+    assert "delta" in t._manifest(3)  # loser landed past the boundary
+    assert _rows(t) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_vacuum_with_delta_tail(spark, tmp_path, monkeypatch):
+    """Vacuum on a log whose retained window spans delta-only commits:
+    every retained version must survive (including delta commits that
+    replay across the checkpoint boundary), and only dirs referenced by
+    NO retained snapshot are reclaimed."""
+    monkeypatch.setenv("PCL_CHECKPOINT_INTERVAL", "4")
+    t = LakeTable(spark, str(tmp_path / "vac_delta"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))  # v1 A
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))     # v2 +B
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))     # v3 +C
+    t.overwrite(spark.createDataFrame([(4, "d")], "id int, s string"))  # v4 D (ckpt)
+    t.append(spark.createDataFrame([(5, "e")], "id int, s string"))     # v5 +E (delta)
+    t.append(spark.createDataFrame([(6, "f")], "id int, s string"))     # v6 +F (delta)
+    assert "delta" in t._manifest(5) and "delta" in t._manifest(6)
+
+    removed = t.vacuum(retain_last=3)  # keep v4..v6 → refs {D, E, F}
+    assert len(removed) == 3  # A, B, C reclaimed
+
+    # every retained version reads exactly its snapshot, deltas replayed
+    assert sorted(r["id"] for r in t.read(version=4).collect()) == [4]
+    assert sorted(r["id"] for r in t.read(version=5).collect()) == [4, 5]
+    assert sorted(r["id"] for r in t.read(version=6).collect()) == [4, 5, 6]
+    # a version past the horizon is gone (its data dirs were reclaimed)
+    with pytest.raises(Exception):
+        t.read(version=3).collect()

@@ -22,8 +22,12 @@ AUDIT = {
     # shuffle carries ~|keys| rows, not every event like a window would.
     "cdc_orders_current": ["SortAggregate|HashAggregate", "partial_max_by"],
     "sim_topk_bruteforce": ["BroadcastNestedLoopJoin|CartesianProduct"],
-    "tpch_scalar_aggregates": ["PushedFilters", "ReadSchema", "HashAggregate", "BroadcastHashJoin"],
-    "q12_priority_by_returnflag": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    # q12 rides inside the scalar-aggregate union since round 5 — its
+    # fact-fact join is the SMJ/shuffled-hash check here.
+    "tpch_scalar_aggregates": ["PushedFilters", "ReadSchema", "HashAggregate", "BroadcastHashJoin", "SortMergeJoin|ShuffledHashJoin"],
+    # hash_split must be a pure projection: no exchange, no aggregate.
+    "curation_hash_split": ["Project", "WholeStageCodegen"],
+    "curation_decontam": ["BroadcastHashJoin", "Generate", "HashAggregate"],
     "q18_large_volume_customers": ["HashAggregate", "BroadcastHashJoin"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
 }
