@@ -368,6 +368,31 @@ def lsh_near_dup_pairs(
     )
 
 
+def lsh_index(
+    corpus: DataFrame,
+    planes: int = 6,
+    tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, t, bucket) bucket table for the corpus — the
+    write-once ANN index artifact. The plane-sign bucketing (T×b dot
+    products per vector) dominates ``lsh_topk``'s cost, and it depends
+    only on the corpus: at 100 TB you build THIS once (persist it as a
+    parquet/LakeTable next to the corpus, same pattern as
+    ``curation.corpus_ngrams``) and every query batch joins against it
+    — per-batch cost drops to the candidate equi-join + exact rerank,
+    which is where LSH overtakes brute force (crossover at ~a few
+    hundred queries; see DESIGN.md). Must be built with the SAME
+    planes/tables/dim the queries use."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double(F.col(vec_col)).alias("cvec"),
+    )
+    return lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -377,6 +402,7 @@ def lsh_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_index: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact rerank over OR-amplified LSH candidates.
 
@@ -386,7 +412,11 @@ def lsh_topk(
     near-orthogonal corpora is poor (measured ≈0.1 at 1×6 planes). At
     scale each table join is an equi-join on the bucket key: cost
     ~tables × corpus/2^planes per query, never a cross join.
-    """
+
+    ``corpus_index`` — optional pre-built bucket table from
+    :func:`lsh_index` (same planes/tables/dim); pass it to skip the
+    corpus bucketing pass, the per-call cost center that amortizes
+    across query batches."""
     from pyspark.sql import Window
 
     c = corpus.select(
@@ -394,7 +424,11 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("cvec"),
     )
     q = queries.select("query_id", as_double(F.col(vec_col)).alias("qvec"))
-    ctb = lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
+    ctb = (
+        corpus_index.select("neighbor_id", "t", "bucket")
+        if corpus_index is not None
+        else lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
+    )
     qtb = lsh_table_buckets(q, "query_id", "qvec", tables, planes, dim)
     cand = (
         ctb.join(F.broadcast(qtb), ["t", "bucket"])

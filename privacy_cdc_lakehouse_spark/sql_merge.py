@@ -1,4 +1,5 @@
-"""SQL-text ``MERGE INTO`` front over :meth:`LakeTable.merge`.
+"""SQL-text DML front over :class:`LakeTable` (MERGE / DELETE / UPDATE /
+TRUNCATE).
 
 The reference drives its upserts with SQL MERGE statements over temp
 views (``/root/reference/jobs/merge_orders_silver.py:135-147`` for the
@@ -26,6 +27,13 @@ whose fixed evaluation order is delete-then-update.
 Scale note: execution inherits the programmatic merge's plan contract
 (three BroadcastHashJoins, target never shuffled; optional
 ``partition_filter`` scopes the copy-on-write).
+
+:func:`sql_dml` extends the front to the rest of the DML a
+Trino/Spark-SQL user of the reference would run against its Iceberg
+tables — ``DELETE FROM ... [WHERE]``, ``UPDATE ... SET ... [WHERE]``,
+``TRUNCATE TABLE`` — routed onto the LakeTable copy-on-write ops
+(which preserve snapshot isolation + time travel), with MERGE
+statements dispatched to :func:`sql_merge`.
 """
 
 from __future__ import annotations
@@ -40,6 +48,18 @@ from privacy_cdc_lakehouse_spark.tables import LakeTable
 
 class MergeSqlError(ValueError):
     """The statement does not fit the supported MERGE shape."""
+
+
+def _resolve_table(name: str, tables: dict[str, LakeTable]) -> LakeTable:
+    """Resolve a (possibly catalog-qualified) table name: exact match
+    first, then a 3-part name by its last two segments (the reference's
+    ``{CATALOG}.schema.table`` needs no rewrite)."""
+    t = tables.get(name)
+    if t is None and name.count(".") == 2:
+        t = tables.get(name.split(".", 1)[1])
+    if t is None:
+        raise MergeSqlError(f"unknown DML target {name!r}")
+    return t
 
 
 def _strip_parens_source(rest: str) -> tuple[str, str] | None:
@@ -253,11 +273,7 @@ def sql_merge(
     ``(SELECT ...)`` subquery.
     """
     p = parse_merge(statement)
-    target = tables.get(p["target"])
-    if target is None and p["target"].count(".") == 2:
-        target = tables.get(p["target"].split(".", 1)[1])
-    if target is None:
-        raise MergeSqlError(f"unknown MERGE target {p['target']!r}")
+    target = _resolve_table(p["target"], tables)
 
     source = (
         spark.sql(p["source_sql"])
@@ -325,3 +341,64 @@ def sql_merge(
         insert_values=insert_values,
         partition_filter=partition_filter,
     )
+
+
+_TRUNCATE_RE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
+)
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<target>[\w.`]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<target>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def sql_dml(
+    spark: SparkSession,
+    statement: str,
+    tables: dict[str, LakeTable],
+    partition_filter: str | None = None,
+) -> int:
+    """Execute one DML statement against LakeTables.
+
+    Supported: ``MERGE INTO ...`` (dispatched to :func:`sql_merge`),
+    ``DELETE FROM t [WHERE pred]``, ``UPDATE t SET c = expr, ...
+    [WHERE pred]``, ``TRUNCATE TABLE t``. Predicates and assignment
+    expressions are arbitrary Spark SQL scalars over the target's
+    columns. Returns the new table version.
+
+    All four routes are snapshot-commits on the copy-on-write table
+    layer: DELETE/UPDATE rewrite (optionally ``partition_filter``-
+    scoped, the at-scale path), TRUNCATE is an O(1) log action, and
+    prior versions stay time-travelable until ``vacuum``. A WHERE-less
+    DELETE deliberately stays a rewrite (it must evaluate NULL-predicate
+    semantics on zero rows kept) — use TRUNCATE for the O(1) form.
+    """
+    s = statement.strip()
+    if re.match(r"^\s*MERGE\b", s, re.I):
+        return sql_merge(spark, s, tables, partition_filter)
+    m = _TRUNCATE_RE.match(s)
+    if m:
+        return _resolve_table(m.group("target").replace("`", ""), tables).truncate()
+    m = _DELETE_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        pred = (m.group("pred") or "true").strip()
+        return target.delete_where(pred, partition_filter=partition_filter)
+    m = _UPDATE_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        sets = {}
+        for assign in _split_top_level(m.group("sets")):
+            col, eq, expr = assign.partition("=")
+            if not eq:
+                raise MergeSqlError(f"bad assignment: {assign!r}")
+            sets[col.strip().replace("`", "")] = F.expr(expr.strip())
+        pred = (m.group("pred") or "true").strip()
+        return target.update_where(pred, sets, partition_filter=partition_filter)
+    raise MergeSqlError(f"unsupported DML statement: {s[:80]!r}")

@@ -284,3 +284,36 @@ def test_ngram_contamination_pre_exploded_grams_equivalent(spark):
         )
     )
     assert direct == hooked and any(n > 0 for _, n in direct)
+
+
+def test_lsh_topk_prebuilt_index_equivalent(spark, sf_dir, tmp_path):
+    """The write-once ANN index path: lsh_topk over an lsh_index that
+    was persisted to parquet and read back returns the identical
+    ranking as the self-bucketing path (the 100 TB amortization
+    contract — bucketing is a pure function of the corpus)."""
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    direct = sorted(
+        map(tuple, sim.lsh_topk(emb, queries, k=5, planes=4, tables=4).collect())
+    )
+
+    idx_path = str(tmp_path / "lsh_index.parquet")
+    sim.lsh_index(emb, planes=4, tables=4).write.parquet(idx_path)
+    indexed = sorted(
+        map(
+            tuple,
+            sim.lsh_topk(
+                emb,
+                queries,
+                k=5,
+                planes=4,
+                tables=4,
+                corpus_index=spark.read.parquet(idx_path),
+            ).collect(),
+        )
+    )
+    assert direct == indexed and len(direct) > 0

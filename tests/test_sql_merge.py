@@ -213,3 +213,76 @@ def test_insert_unlisted_columns_are_null(spark, tmp_path):
     sql_merge(spark, stmt, {"tbl": t})
     rows = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
     assert rows[2] == ("b", None)  # v unlisted -> NULL, not source 9.9
+
+
+# ----------------------------- sql_dml ---------------------------------------
+
+
+def _fresh(spark, tmp_path, name):
+    t = LakeTable(spark, str(tmp_path / name))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id int, s string, v double",
+        )
+    )
+    return t
+
+
+def test_sql_dml_delete_where(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_del")
+    sql_dml(spark, "DELETE FROM demo.silver.tt WHERE v >= 20.0", {"silver.tt": t})
+    assert sorted(r["id"] for r in t.read().collect()) == [1]
+
+
+def test_sql_dml_update_set_where(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_upd")
+    sql_dml(
+        spark,
+        "UPDATE tt SET v = v * 2, s = upper(s) WHERE id <= 2",
+        {"tt": t},
+    )
+    got = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got == {1: ("A", 20.0), 2: ("B", 40.0), 3: ("c", 30.0)}
+
+
+def test_sql_dml_truncate_and_time_travel(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_trunc")
+    v = sql_dml(spark, "TRUNCATE TABLE tt", {"tt": t})
+    with pytest.raises(FileNotFoundError):
+        t.read(version=v)
+    assert sorted(r["id"] for r in t.read(version=v - 1).collect()) == [1, 2, 3]
+
+
+def test_sql_dml_delete_without_where_empties_table(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_delall")
+    sql_dml(spark, "DELETE FROM tt", {"tt": t})
+    assert t.read().count() == 0  # rewrite commits an empty data dir
+
+
+def test_sql_dml_dispatches_merge_and_rejects_unknown(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_merge")
+    spark.createDataFrame([(2, "B2", 99.0), (4, "d", 40.0)], "id int, s string, v double").createOrReplaceTempView("dml_src")
+    sql_dml(
+        spark,
+        """MERGE INTO tt t USING dml_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET s = s.s, v = s.v
+           WHEN NOT MATCHED THEN INSERT (id, s, v) VALUES (s.id, s.s, s.v)""",
+        {"tt": t},
+    )
+    got = {r["id"]: r["s"] for r in t.read().collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    with pytest.raises(MergeSqlError):
+        sql_dml(spark, "DROP TABLE tt", {"tt": t})
+    with pytest.raises(MergeSqlError):
+        sql_dml(spark, "DELETE FROM nope WHERE id = 1", {"tt": t})
