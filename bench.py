@@ -66,6 +66,24 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.createDataFrame([(1,)], "x int").collect()
 
+    # Box-speed canary: a fixed synthetic workload (pure JVM codegen,
+    # no I/O, no query-code dependence) timed like a headline query.
+    # Round-over-round query comparisons divide by this to separate
+    # host slowdown from real regressions — round 5 measured the SAME
+    # code 1.8-3x slower than round 4 purely from box state.
+    def calibrate() -> float:
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.range(200_000_000).selectExpr(
+                "sum(id * 2 + 1)", "count(if(id % 7 = 0, 1, NULL))"
+            ).collect()
+            samples.append(time.time() - t0)
+        return round(statistics.median(samples), 3)
+
+    calibration = calibrate()
+    print(f"# calibration: {calibration}s", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # The flagship pair is the round-over-round comparison that matters
     # most — extra reps buy noise immunity where it counts.
@@ -97,6 +115,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # not part of the total: divide query times by this
+                # box-speed canary when comparing across rounds
+                "calibration_sec": calibration,
             }
         )
     )

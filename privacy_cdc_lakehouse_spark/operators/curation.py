@@ -53,6 +53,11 @@ def hash_split(
     bucket ranges (test = remainder). Fractions are resolved to whole
     buckets, so the realized proportions are exact multiples of
     1/SPLIT_BUCKETS."""
+    if train < 0 or val < 0 or train + val > 1:
+        raise ValueError(
+            f"invalid split fractions train={train} val={val} "
+            f"(need train, val >= 0 and train + val <= 1)"
+        )
     b = split_bucket(F.col(id_col), salt)
     t_hi = int(round(train * SPLIT_BUCKETS))
     v_hi = t_hi + int(round(val * SPLIT_BUCKETS))

@@ -113,12 +113,25 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     num_perm: int = 16,
     bands: int = 4,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via LSH banding on the MinHash
     signature. rows_per_band = num_perm // bands; a pair collides when
-    any band's sub-signature matches exactly."""
+    any band's sub-signature matches exactly.
+
+    ``signatures`` — optional pre-computed ``minhash_signatures``
+    output (same ``num_perm``). Signatures are a pure function of each
+    document and dominate the pipeline's cost (one md5 per shingle), so
+    at 100 TB you persist them once next to the corpus and pass them
+    here on every dedup sweep / incremental batch — the same write-once
+    amortization contract as ``similarity.lsh_index`` and
+    ``curation.corpus_ngrams``."""
     rows_per_band = num_perm // bands
-    sig = minhash_signatures(df, text_col, id_col, num_perm)
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_perm)
+    )
     banded = sig.select(
         F.col(id_col),
         F.explode(

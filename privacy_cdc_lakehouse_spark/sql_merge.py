@@ -346,6 +346,10 @@ def sql_merge(
 _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.`]+)\s+(?P<body>.+?)\s*;?\s*$",
+    re.I | re.S,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+(?P<target>[\w.`]+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
@@ -368,9 +372,11 @@ def sql_dml(
 
     Supported: ``MERGE INTO ...`` (dispatched to :func:`sql_merge`),
     ``DELETE FROM t [WHERE pred]``, ``UPDATE t SET c = expr, ...
-    [WHERE pred]``, ``TRUNCATE TABLE t``. Predicates and assignment
-    expressions are arbitrary Spark SQL scalars over the target's
-    columns. Returns the new table version.
+    [WHERE pred]``, ``TRUNCATE TABLE t``, ``INSERT INTO t SELECT ...``
+    / ``INSERT INTO t VALUES ...`` (append — Spark evaluates the body,
+    columns reconciled by name). Predicates and assignment expressions
+    are arbitrary Spark SQL scalars over the target's columns. Returns
+    the new table version.
 
     All four routes are snapshot-commits on the copy-on-write table
     layer: DELETE/UPDATE rewrite (optionally ``partition_filter``-
@@ -390,6 +396,26 @@ def sql_dml(
         target = _resolve_table(m.group("target").replace("`", ""), tables)
         pred = (m.group("pred") or "true").strip()
         return target.delete_where(pred, partition_filter=partition_filter)
+    m = _INSERT_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        body = m.group("body")
+        rows = spark.sql(
+            body if re.match(r"^\s*SELECT\b", body, re.I) else f"SELECT * FROM {body}"
+        )
+        # reconcile by NAME against the target schema (SQL INSERT is
+        # positional, but name-reconciliation is safer for the append
+        # path and matches the table layer's unionByName reads), and
+        # COERCE to the target column types (SQL INSERT semantics —
+        # e.g. a bare `40.0` literal is a DECIMAL in Spark SQL and must
+        # land as the target's double)
+        schema = {f.name: f.dataType for f in target.read().schema.fields}
+        missing = set(schema) - set(rows.columns)
+        if missing:
+            raise MergeSqlError(f"INSERT missing target columns: {sorted(missing)}")
+        return target.append(
+            rows.select(*[F.col(c).cast(t) for c, t in schema.items()])
+        )
     m = _UPDATE_RE.match(s)
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)

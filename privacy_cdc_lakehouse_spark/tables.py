@@ -162,7 +162,10 @@ def _normalize_where(where) -> list[tuple[str, str, object]]:
     return preds
 
 
-_IN_LIST_RE = None  # compiled lazily
+_IN_LIST_RE = re.compile(
+    r"^\s*(`?\w+`?)\s+IN\s+\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*$",
+    re.I,
+)
 
 
 def _add_exclude(excludes: list[str], new: str) -> None:
@@ -173,12 +176,6 @@ def _add_exclude(excludes: list[str], new: str) -> None:
     partition-scoped merges accumulates one predicate per batch on
     every older dir — unbounded manifest and filter-plan growth; with
     it, excludes stay bounded by the partition-value domain."""
-    global _IN_LIST_RE
-    if _IN_LIST_RE is None:
-        _IN_LIST_RE = re.compile(
-            r"^\s*(`?\w+`?)\s+IN\s+\(\s*(-?\d+(?:\s*,\s*-?\d+)*)\s*\)\s*$",
-            re.I,
-        )
     m_new = _IN_LIST_RE.match(new)
     if m_new:
         col = m_new.group(1).strip("`")
@@ -204,7 +201,13 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
         rg = md.row_group(rg_i)
         for c_i in range(rg.num_columns):
             col = rg.column(c_i)
-            st = col.statistics
+            try:
+                st = col.statistics
+            except Exception:
+                # pyarrow can't extract stats for every physical type
+                # (e.g. some decimals) — treat as unknown range; pruning
+                # is an optimization, never a correctness lever.
+                st = None
             name_c = col.path_in_schema
             if "." in name_c:
                 continue  # nested leaf — skip, not prunable

@@ -317,3 +317,39 @@ def test_lsh_topk_prebuilt_index_equivalent(spark, sf_dir, tmp_path):
         )
     )
     assert direct == indexed and len(direct) > 0
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        cur.hash_split(df, id_col="doc_id", train=0.8, val=0.3)
+    with pytest.raises(ValueError):
+        cur.hash_split(df, id_col="doc_id", train=-0.1, val=0.5)
+
+
+def test_minhash_lsh_pairs_precomputed_signatures_equivalent(spark, tmp_path):
+    """Write-once signature reuse: minhash_lsh_pairs over signatures
+    persisted to parquet and read back returns the identical candidate
+    set as the self-computing path."""
+    docs = _docs(
+        spark,
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t"),
+         (4, "a b c d e f h"), (5, "p q r s t u v")],
+    )
+    direct = sorted(map(tuple, dd.minhash_lsh_pairs(docs).collect()))
+
+    sig_path = str(tmp_path / "minhash_sigs.parquet")
+    dd.minhash_signatures(docs).write.parquet(sig_path)
+    reused = sorted(
+        map(
+            tuple,
+            dd.minhash_lsh_pairs(
+                docs, signatures=spark.read.parquet(sig_path)
+            ).collect(),
+        )
+    )
+    assert direct == reused and len(direct) > 0

@@ -286,3 +286,22 @@ def test_sql_dml_dispatches_merge_and_rejects_unknown(spark, tmp_path):
         sql_dml(spark, "DROP TABLE tt", {"tt": t})
     with pytest.raises(MergeSqlError):
         sql_dml(spark, "DELETE FROM nope WHERE id = 1", {"tt": t})
+
+
+def test_sql_dml_insert_select_and_values(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_ins")
+    sql_dml(
+        spark,
+        "INSERT INTO tt SELECT 4 AS id, 'd' AS s, 40.0 AS v",
+        {"tt": t},
+    )
+    sql_dml(
+        spark,
+        "INSERT INTO tt VALUES (5, 'e', CAST(50.0 AS DOUBLE)) AS x(id, s, v)",
+        {"tt": t},
+    )
+    assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
+    with pytest.raises(MergeSqlError):
+        sql_dml(spark, "INSERT INTO tt SELECT 6 AS id", {"tt": t})
