@@ -968,6 +968,38 @@ ORDER BY o_custkey, o_orderkey
 """
 
 
+def q_correlated_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) + correlated scalar-min
+    subquery (Q2 shape) in one tagged union — round-5 registry
+    consolidation; both original plans run unchanged (the union calls
+    the original functions verbatim)."""
+    pin_utc(spark)
+    ex = q4_order_priority_exists(spark, sf_dir).select(
+        F.lit("exists").alias("kind"),
+        F.col("o_orderpriority").alias("k"),
+        F.col("order_count").cast("double").alias("val"),
+    )
+    mn = q_min_order_per_customer(spark, sf_dir).select(
+        F.lit("scalar_min").alias("kind"),
+        F.concat_ws(":", F.col("o_custkey"), F.col("o_orderkey")).alias("k"),
+        F.col("o_totalprice").cast("double").alias("val"),
+    )
+    return ex.unionByName(mn).orderBy("kind", "k")
+
+
+_CORRELATED_SQL = f"""
+WITH ex AS ({_Q4_SQL}), mn AS ({_MIN_ORDER_SQL})
+SELECT 'exists' AS kind, o_orderpriority AS k, CAST(order_count AS DOUBLE) AS val
+FROM ex
+UNION ALL
+SELECT 'scalar_min',
+       CAST(o_custkey AS VARCHAR) || ':' || CAST(o_orderkey AS VARCHAR),
+       CAST(o_totalprice AS DOUBLE)
+FROM mn
+ORDER BY kind, k
+"""
+
+
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: tight range filters + single global sum. All
     three predicates push to the parquet scan (PushedFilters) and only
@@ -1342,7 +1374,6 @@ QUERIES = {
     "q18_large_volume_customers": q18_large_volume_customers,
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
     "tpch_scalar_aggregates": q_tpch_scalar_aggregates,
-    "min_order_per_customer": q_min_order_per_customer,
     "q3_top_unshipped": q3_top_unshipped,
     "q5_revenue_by_nation": q5_revenue_by_nation,
     "join_semi_anti": q_join_semi_anti,
@@ -1359,7 +1390,9 @@ QUERIES = {
     "events_rollups": q_events_rollups,
     "events_sessionize": q_events_sessionize,
     "pivot_status_by_priority": q_pivot_status_by_priority,
-    "q4_order_priority_exists": q4_order_priority_exists,
+    # round 5: q4_order_priority_exists + min_order_per_customer →
+    # correlated_subqueries (freed the slot for sql_dml_lifecycle)
+    "correlated_subqueries": q_correlated_subqueries,
     "sql_privacy_view": q_privacy_view_sql,
     "join_asof_last_error": q_asof_last_error,
     "join_range_value_bands": q_range_join_value_bands,
@@ -1396,8 +1429,7 @@ ORACLES = {
     "events_sessionize": _SESSIONIZE_SQL,
     "pivot_status_by_priority": _PIVOT_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,
-    "min_order_per_customer": _MIN_ORDER_SQL,
-    "q4_order_priority_exists": _Q4_SQL,
+    "correlated_subqueries": _CORRELATED_SQL,
     "sql_privacy_view": _priv_view_oracle(),
     "join_asof_last_error": _ASOF_SQL,
     "join_range_value_bands": _RANGE_JOIN_SQL,

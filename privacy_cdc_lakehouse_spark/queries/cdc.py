@@ -214,6 +214,86 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-text DML front (``sql_merge.py::sql_dml``) end-to-end on
+    a LakeTable: seed from `customer`, ``INSERT INTO ... SELECT``
+    (append with target-schema coercion), ``UPDATE ... SET ... WHERE``
+    (copy-on-write), ``DELETE FROM ... WHERE`` (copy-on-write), read
+    back. The oracle replays the identical mutations relationally, so
+    every statement's semantics — including NULL-safe DELETE keep rules
+    and UPDATE arithmetic — is hash-checked. (TRUNCATE is exercised in
+    pytest; a truncated table has no rows to hash.) The UPDATE doubles
+    the balance instead of scaling by 1.1 deliberately: two-decimal
+    doubles double exactly, so no cross-engine float-rounding slack."""
+    import os
+    import shutil
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    pin_utc(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    seed = cust.filter(F.col("c_custkey") <= 300).select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    cust.createOrReplaceTempView("v_customer_dml")
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    scratch = os.path.join(
+        tempfile.gettempdir(), f"pcl_dml_{tag}_p{os.getpid()}"
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    t = LakeTable(spark, scratch)
+    t.overwrite(seed)
+    tables = {"scratch.cust": t}
+    sql_dml(
+        spark,
+        """INSERT INTO demo.scratch.cust
+           SELECT c_custkey + 100000 AS c_custkey, c_name,
+                  CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+           FROM v_customer_dml WHERE c_custkey <= 50""",
+        tables,
+    )
+    sql_dml(
+        spark,
+        "UPDATE scratch.cust SET c_acctbal = c_acctbal * 2 "
+        "WHERE c_mktsegment = 'BUILDING'",
+        tables,
+    )
+    sql_dml(spark, "DELETE FROM scratch.cust WHERE c_acctbal < 0", tables)
+    return t.read().orderBy("c_custkey")
+
+
+_SQL_DML_LIFECYCLE_SQL = """
+WITH seed AS (
+    SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+           c_mktsegment
+    FROM customer WHERE c_custkey <= 300
+),
+ins AS (
+    SELECT c_custkey + 100000 AS c_custkey, c_name,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey <= 50
+),
+allr AS (SELECT * FROM seed UNION ALL SELECT * FROM ins),
+upd AS (
+    SELECT c_custkey, c_name,
+           CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal * 2
+                ELSE c_acctbal END AS c_acctbal,
+           c_mktsegment
+    FROM allr
+)
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+FROM upd WHERE NOT (c_acctbal < 0)
+ORDER BY c_custkey
+"""
+
+
 # ----------------------------- catalog / DDL surface ------------------------
 
 
@@ -357,6 +437,7 @@ QUERIES = {
     "cdc_op_histogram": q_cdc_op_histogram,
     "cdc_decimal_backfill": q_decimal_backfill,
     "sql_merge_orders": q_sql_merge_orders,
+    "sql_dml_lifecycle": q_sql_dml_lifecycle,
     "catalog_show_surface": q_catalog_surface,
     "catalog_orders_current": q_catalog_orders_current,
     "catalog_priv_view": q_catalog_priv_view,
@@ -400,6 +481,7 @@ ORACLES = {
     # SQL-text MERGE must land on the SAME final state as the flagship.
     "sql_merge_orders": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
+    "sql_dml_lifecycle": _SQL_DML_LIFECYCLE_SQL,
     "catalog_show_surface": _CATALOG_SURFACE_SQL,
     "catalog_orders_current": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
