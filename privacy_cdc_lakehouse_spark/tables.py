@@ -889,6 +889,7 @@ class LakeTable:
         partition_filter: str | None = None,
         broadcast_threshold_bytes: int | None = 512 << 20,
         broadcast_hint: bool | None = None,
+        merge_schema: bool = False,
     ) -> int:
         """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
@@ -953,6 +954,14 @@ class LakeTable:
         recorded as an exclusion the reader prunes on. The caller
         guarantees every source-affected row falls inside the filter —
         the Delta/Iceberg dynamic-partition-overwrite contract.
+
+        ``merge_schema=True`` admits source columns the target lacks
+        (Delta's MERGE ``mergeSchema``): the new columns join the
+        target schema with the source's types, kept target rows carry
+        NULL, and updated/inserted rows carry the source values. By
+        default (False) unknown source columns are ignored — the safe
+        CDC behavior (a pipeline `op` column must not leak into the
+        table).
         """
         base_v = self.current_version()
         full_target = self.read(version=base_v) if base_v is not None else self.read()
@@ -961,6 +970,11 @@ class LakeTable:
             if partition_filter is not None
             else full_target
         )
+        if merge_schema:
+            src_types = {f.name: f.dataType for f in source.schema.fields}
+            for c in source.columns:
+                if c not in target.columns:
+                    target = target.withColumn(c, F.lit(None).cast(src_types[c]))
         tcols = target.columns
         if validate_unique_source:
             dup = (

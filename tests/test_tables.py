@@ -534,3 +534,49 @@ def test_vacuum_with_delta_tail(spark, tmp_path, monkeypatch):
     # a version past the horizon is gone (its data dirs were reclaimed)
     with pytest.raises(Exception):
         t.read(version=3).collect()
+
+
+def test_merge_schema_evolution_admits_new_source_columns(spark, tmp_path):
+    """merge_schema=True (Delta MERGE mergeSchema parity): a source
+    column the target lacks joins the schema — kept rows NULL, updated
+    and inserted rows carry source values; default (False) ignores it."""
+    source = spark.createDataFrame(
+        [(2, "updated", "eu"), (4, "inserted", "us")],
+        "id int, s string, region string",
+    )
+
+    def seed(name):
+        t = LakeTable(spark, str(tmp_path / name))
+        t.overwrite(
+            spark.createDataFrame([(1, "keep"), (2, "old")], "id int, s string")
+        )
+        return t
+
+    t = seed("evo_on")
+    t.merge(source, keys=["id"], merge_schema=True)
+    got = {r["id"]: (r["s"], r["region"]) for r in t.read().collect()}
+    assert got == {1: ("keep", None), 2: ("updated", "eu"), 4: ("inserted", "us")}
+
+    t2 = seed("evo_off")
+    t2.merge(source, keys=["id"])
+    assert "region" not in t2.read().columns
+
+
+def test_merge_schema_evolution_partition_scoped(spark, tmp_path):
+    """Schema evolution composes with partition-scoped copy-on-write:
+    the rewritten slice carries the new column; untouched prior dirs
+    reconcile to NULL through the unionByName read path."""
+    t = LakeTable(spark, str(tmp_path / "evo_part"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "A", "a1"), (2, "A", "a2"), (3, "B", "b1")],
+            "id int, part string, s string",
+        ),
+        partition_by=["part"],
+    )
+    source = spark.createDataFrame(
+        [(2, "A", "a2-upd", 7)], "id int, part string, s string, score int"
+    )
+    t.merge(source, keys=["id"], partition_filter="part = 'A'", merge_schema=True)
+    got = {r["id"]: (r["s"], r["score"]) for r in t.read().collect()}
+    assert got == {1: ("a1", None), 2: ("a2-upd", 7), 3: ("b1", None)}
