@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from privacy_cdc_lakehouse_spark.operators.dedup import shingles
 
 SPLIT_BUCKETS = 1000
+QUALITY_FLOOR = 0.7
 
 
 def split_bucket(id_col: Column, salt: str = "split") -> Column:
@@ -125,4 +126,52 @@ def ngram_contamination(
             .cast("long")
             .alias("n_contam_grams"),
         )
+    )
+
+
+def curate_corpus(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    quality_floor: float = QUALITY_FLOOR,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train: float = 0.9,
+    val: float = 0.05,
+) -> DataFrame:
+    """The end-to-end curation pipeline a training run consumes:
+
+    1. quality filter  — composite score >= ``quality_floor``
+    2. exact dedup     — keeper (min id) per normalized-md5 fingerprint
+    3. decontamination — drop docs sharing ANY word ``n``-gram with the
+       held-out ``benchmark``
+    4. split           — deterministic growth-stable train/val/test
+
+    Returns survivors as (id, quality_score, split). Every stage is a
+    verified operator composed unchanged; the chain stays fully
+    declarative, so Catalyst pipelines the whole thing (quality scoring
+    and fingerprinting fuse into the scan projection; the only
+    shuffles are the fingerprint group, the gram join, and nothing for
+    the split). At 100 TB this one plan replaces four materialization
+    round-trips.
+    """
+    from privacy_cdc_lakehouse_spark.operators.text import quality_score
+
+    scored = quality_score(corpus, text_col).filter(
+        F.col("quality_score") >= quality_floor
+    )
+    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
+    fp = scored.select(id_col, text_col, "quality_score", norm.alias("_fp"))
+    keepers = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    kept = fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
+    contaminated = (
+        ngram_contamination(kept, benchmark, n, text_col, id_col)
+        .filter(F.col("n_contam_grams") > 0)
+        .select(id_col)
+    )
+    clean = kept.join(contaminated, id_col, "left_anti")
+    return hash_split(clean, id_col, train, val).select(
+        id_col,
+        F.round("quality_score", 2).alias("quality_score"),
+        "split",
     )

@@ -832,6 +832,34 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion + quality-score histogram in one tagged
+    union (round-5 registry consolidation; both original plans run
+    unchanged via the original callables)."""
+    pin_utc(spark)
+    lang = q_lang_id_confusion(spark, sf_dir).select(
+        F.lit("lang").alias("kind"),
+        F.concat_ws(":", F.col("lang"), F.col("lang_pred")).alias("k"),
+        F.col("n"),
+    )
+    qual = q_quality_histogram(spark, sf_dir).select(
+        F.lit("quality").alias("kind"),
+        F.col("quality_score").cast("string").alias("k"),
+        F.col("n_docs").alias("n"),
+    )
+    return lang.unionByName(qual).orderBy("kind", "k")
+
+
+_TEXT_QUALITY_PANEL_SQL = f"""
+SELECT 'lang' AS kind, lang || ':' || lang_pred AS k, n
+FROM ({_LANG_ID_SQL})
+UNION ALL
+SELECT 'quality', CAST(quality_score AS VARCHAR), n_docs
+FROM ({_QUALITY_SQL})
+ORDER BY kind, k
+"""
+
+
 CURATION_BENCH_MOD = 97
 
 
@@ -868,6 +896,87 @@ hits AS (
 SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam_grams
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 ORDER BY d.doc_id
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation over the AUGMENTED corpus (so the
+    dedup stage has real duplicates to drop): quality filter →
+    exact-dedup keeper election → benchmark decontamination (every 97th
+    RAW doc plays the held-out benchmark) → deterministic split. The
+    final training-set manifest — (doc_id, quality_score, split) for
+    every survivor — is hash-checked against a DuckDB replay of the
+    identical four stages, verifying the COMPOSITION of the already
+    individually-verified operators."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir)
+    corpus = _augmented(docs)
+    bench = docs.filter(F.col("doc_id") % CURATION_BENCH_MOD == 0).select(
+        "doc_id", "text"
+    )
+    return cur.curate_corpus(corpus, bench, n=3).orderBy("doc_id")
+
+
+_CURATION_PIPELINE_SQL = f"""
+WITH {_AUG_CTE},
+w AS (SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM aug),
+feat AS (
+    SELECT doc_id, text,
+           len(ws) AS n_words,
+           len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
+             greatest(len(ws), 1) AS stopword_ratio,
+           length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
+             greatest(length(text), 1) AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) /
+             greatest(length(text), 1) AS digit_ratio
+    FROM w
+),
+scored AS (
+    SELECT doc_id, text,
+           CAST(CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END AS DOUBLE)
+             AS quality_score
+    FROM feat
+),
+q AS (SELECT * FROM scored WHERE quality_score >= {cur.QUALITY_FLOOR}),
+fp AS (
+    SELECT doc_id, text, quality_score,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS f
+    FROM q
+),
+kept AS (
+    SELECT doc_id, text, quality_score FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY f) AS kmin FROM fp
+    ) WHERE doc_id = kmin
+),
+kw AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM kept),
+ksh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM kw),
+bw AS (SELECT {_DUCK_WORDS} AS ws FROM documents WHERE doc_id % {CURATION_BENCH_MOD} = 0),
+bsh AS (SELECT {_DUCK_SHINGLES} AS shs FROM bw),
+bg AS (SELECT DISTINCT unnest(shs) AS g FROM bsh),
+cg AS (SELECT doc_id, unnest(shs) AS g FROM ksh),
+contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN bg ON cg.g = bg.g),
+clean AS (
+    SELECT k.doc_id, k.quality_score FROM kept k
+    LEFT JOIN contam c ON c.doc_id = k.doc_id WHERE c.doc_id IS NULL
+),
+h AS (
+    SELECT doc_id, quality_score,
+           md5('split' || '|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM clean
+),
+b AS (
+    SELECT doc_id, quality_score,
+           CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS bucket
+    FROM h
+)
+SELECT doc_id, round(quality_score, 2) AS quality_score,
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
 """
 
 
@@ -1122,8 +1231,9 @@ QUERIES = {
     "multimodal_binary_features": q_multimodal_binary_features,
     "multimodal_transform_stats": q_multimodal_transform_stats,
     "text_stats_by_lang": q_text_stats_by_lang,
-    "lang_id_confusion": q_lang_id_confusion,
-    "quality_histogram": q_quality_histogram,
+    # round 5: lang_id_confusion + quality_histogram → text_quality_panel
+    # (freed the slot for curation_pipeline)
+    "text_quality_panel": q_text_quality_panel,
     "dedup_exact_groups": q_dedup_exact,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     # round-4 additions (slots freed by the analytics consolidations):
@@ -1133,6 +1243,7 @@ QUERIES = {
     # cdc_bronze_dq and q12 into tpch_scalar_aggregates):
     "curation_hash_split": q_curation_hash_split,
     "curation_decontam": q_curation_decontam,
+    "curation_pipeline": q_curation_pipeline,
 }
 
 ORACLES = {
@@ -1149,12 +1260,12 @@ ORACLES = {
     "multimodal_binary_features": _MULTIMODAL_SQL,
     "multimodal_transform_stats": _TRANSFORM_STATS_SQL,
     "text_stats_by_lang": _TEXT_STATS_SQL,
-    "lang_id_confusion": _LANG_ID_SQL,
-    "quality_histogram": _QUALITY_SQL,
+    "text_quality_panel": _TEXT_QUALITY_PANEL_SQL,
     "dedup_exact_groups": _DEDUP_EXACT_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
     "dedup_clusters": _CLUSTERS_SQL,
     "pii_redaction_audit": _pii_sql(),
     "curation_hash_split": _HASH_SPLIT_SQL,
     "curation_decontam": _DECONTAM_SQL,
+    "curation_pipeline": _CURATION_PIPELINE_SQL,
 }

@@ -353,3 +353,31 @@ def test_minhash_lsh_pairs_precomputed_signatures_equivalent(spark, tmp_path):
         )
     )
     assert direct == reused and len(direct) > 0
+
+
+def test_curate_corpus_stage_semantics(spark):
+    """Constructed fixture hitting every stage: low-quality dropped,
+    exact dup dropped (keeper = min id), benchmark-contaminated
+    dropped, survivor gets a split label and rounded score."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the fox "
+        "rests under a tree while the dog watches the quiet road"
+    )
+    corpus = _docs(
+        spark,
+        [
+            (1, good),                          # survivor
+            (2, good),                          # exact dup of 1 -> dropped
+            (3, "zz qq ww"),                    # low quality -> dropped
+            (4, "contaminated secret benchmark passage appears here with "
+                "the usual words around it and some more filler text to "
+                "pass the quality floor of the scorer"),
+        ],
+    )
+    bench = _docs(spark, [(99, "contaminated secret benchmark passage")])
+    out = {r["doc_id"]: r for r in cur.curate_corpus(corpus, bench, n=3).collect()}
+    assert set(out) == {1}
+    assert out[1]["split"] in ("train", "val", "test")
+    assert 0.7 <= out[1]["quality_score"] <= 1.0
