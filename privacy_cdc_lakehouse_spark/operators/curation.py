@@ -155,13 +155,18 @@ def curate_corpus(
     the split). At 100 TB this one plan replaces four materialization
     round-trips.
     """
+    from privacy_cdc_lakehouse_spark.operators.dedup import normalized_fingerprint
     from privacy_cdc_lakehouse_spark.operators.text import quality_score
 
     scored = quality_score(corpus, text_col).filter(
         F.col("quality_score") >= quality_floor
     )
-    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
-    fp = scored.select(id_col, text_col, "quality_score", norm.alias("_fp"))
+    fp = scored.select(
+        id_col,
+        text_col,
+        "quality_score",
+        normalized_fingerprint(F.col(text_col)).alias("_fp"),
+    )
     keepers = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     kept = fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
     contaminated = (

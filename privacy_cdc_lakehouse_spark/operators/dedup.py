@@ -33,12 +33,23 @@ from privacy_cdc_lakehouse_spark.operators.text import words
 # ----------------------------- exact -----------------------------------
 
 
+def normalized_fingerprint(col: Column) -> Column:
+    """THE canonical exact-dedup fingerprint: md5 of the
+    whitespace-collapsed, trimmed, lowercased text. Every consumer
+    (``exact_duplicates``, ``curation.curate_corpus``, the DuckDB
+    oracles) must use this one definition — a second inline copy is how
+    normalizations silently diverge."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Groups of byte-identical (normalized) docs: one row per dup group
     with the keeper (min id) and the group size."""
-    norm = F.md5(F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))))
     return (
-        df.select(F.col(id_col), norm.alias("fingerprint"))
+        df.select(
+            F.col(id_col),
+            normalized_fingerprint(F.col(text_col)).alias("fingerprint"),
+        )
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keeper_id"),
@@ -127,11 +138,23 @@ def minhash_lsh_pairs(
     amortization contract as ``similarity.lsh_index`` and
     ``curation.corpus_ngrams``."""
     rows_per_band = num_perm // bands
-    sig = (
-        signatures
-        if signatures is not None
-        else minhash_signatures(df, text_col, id_col, num_perm)
-    )
+    if signatures is not None:
+        # Cheap runtime guard: an artifact built with a different
+        # num_perm would band over missing/extra permutations and emit
+        # a silently wrong candidate set — fail loudly instead.
+        # (assert_true returns NULL when the check passes, so the
+        # filter keeps every valid row and cannot be pruned away.)
+        sig = signatures.filter(
+            F.assert_true(
+                F.size("signature") == num_perm,
+                F.lit(
+                    f"minhash signatures artifact was built with a "
+                    f"different num_perm (expected {num_perm})"
+                ),
+            ).isNull()
+        )
+    else:
+        sig = minhash_signatures(df, text_col, id_col, num_perm)
     banded = sig.select(
         F.col(id_col),
         F.explode(

@@ -424,11 +424,23 @@ def lsh_topk(
         as_double(F.col(vec_col)).alias("cvec"),
     )
     q = queries.select("query_id", as_double(F.col(vec_col)).alias("qvec"))
-    ctb = (
-        corpus_index.select("neighbor_id", "t", "bucket")
-        if corpus_index is not None
-        else lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
-    )
+    if corpus_index is not None:
+        # Cheap runtime guard: an index built with different planes
+        # (bucket = one sign char per plane) or more tables than the
+        # query side silently degrades the candidate join — fail
+        # loudly. (assert_true → NULL on success, so the filter keeps
+        # every valid row and cannot be optimized away.)
+        ctb = corpus_index.select("neighbor_id", "t", "bucket").filter(
+            F.assert_true(
+                (F.length("bucket") == planes) & (F.col("t") < tables),
+                F.lit(
+                    f"lsh_index artifact does not match planes={planes} "
+                    f"tables={tables} — rebuild it with the query params"
+                ),
+            ).isNull()
+        )
+    else:
+        ctb = lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
     qtb = lsh_table_buckets(q, "query_id", "qvec", tables, planes, dim)
     cand = (
         ctb.join(F.broadcast(qtb), ["t", "bucket"])

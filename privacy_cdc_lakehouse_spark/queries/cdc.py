@@ -147,6 +147,28 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def _process_scratch(prefix: str, sf_dir: str, extra: str = "") -> str:
+    """Deterministic-per-process scratch dir for query-built tables:
+    reruns in one driver REUSE it (wiped on entry) instead of leaking a
+    mkdtemp per run; the pid scope keeps concurrent drivers from
+    clobbering each other and removes the fixed-/tmp-name symlink
+    surface; an atexit hook reclaims it at process exit (safe — the
+    returned lazy DataFrames are always collected within the process),
+    so repeated driver/bench processes don't accumulate dirs in /tmp."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{tag}{extra}_p{os.getpid()}"
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path
+
+
 def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-text MERGE INTO parity (J1 textual form): the reference's
     exact 3-clause statement (``merge_orders_silver.py:135-147``,
@@ -155,10 +177,6 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     half becomes the ``staging_orders`` temp view consumed by the SQL
     MERGE — the final table must equal the declarative latest-state over
     ALL events (same oracle as the flagship)."""
-    import os
-    import shutil
-    import tempfile
-
     from privacy_cdc_lakehouse_spark.cdc.silver import (
         PIPELINE_VERSION,
         latest_state,
@@ -174,18 +192,9 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = events.filter(F.col("offset") <= mid)
     second = events.filter(F.col("offset") > mid)
 
-    # Deterministic-per-process scratch path, wiped on entry: reruns in
-    # one driver REUSE the dir instead of leaking a new mkdtemp each
-    # (the returned DataFrame reads lazily, so the dir must outlive
-    # this function), while the pid scope keeps concurrent drivers from
-    # clobbering each other's live table dir and removes the
-    # fixed-/tmp-name symlink surface (round-4 advisory).
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    scratch = os.path.join(
-        tempfile.gettempdir(),
-        f"pcl_sqlmerge_{tag}_v{PIPELINE_VERSION}_p{os.getpid()}",
+    scratch = _process_scratch(
+        "pcl_sqlmerge", sf_dir, extra=f"_v{PIPELINE_VERSION}"
     )
-    shutil.rmtree(scratch, ignore_errors=True)
     silver = LakeTable(spark, scratch)
     silver.overwrite(silver_from_bronze(first))
     latest_state(
@@ -219,16 +228,15 @@ def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     a LakeTable: seed from `customer`, ``INSERT INTO ... SELECT``
     (append with target-schema coercion), ``UPDATE ... SET ... WHERE``
     (copy-on-write), ``DELETE FROM ... WHERE`` (copy-on-write), read
-    back. The oracle replays the identical mutations relationally, so
-    every statement's semantics — including NULL-safe DELETE keep rules
-    and UPDATE arithmetic — is hash-checked. (TRUNCATE is exercised in
-    pytest; a truncated table has no rows to hash.) The UPDATE doubles
+    back. The oracle replays the identical mutations relationally —
+    with the engine's NULL-safe DELETE keep rule spelled out as
+    ``NOT coalesce(pred, false)`` so the replay stays faithful even on
+    data with NULLs (this fixture has none; the NULL path itself is
+    pytest-verified in ``test_delete_where_right_to_be_forgotten``).
+    (TRUNCATE is exercised in pytest; a truncated table has no rows to
+    hash.) The UPDATE doubles
     the balance instead of scaling by 1.1 deliberately: two-decimal
     doubles double exactly, so no cross-engine float-rounding slack."""
-    import os
-    import shutil
-    import tempfile
-
     from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
     from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
     from privacy_cdc_lakehouse_spark.tables import LakeTable
@@ -243,11 +251,7 @@ def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cust.createOrReplaceTempView("v_customer_dml")
 
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    scratch = os.path.join(
-        tempfile.gettempdir(), f"pcl_dml_{tag}_p{os.getpid()}"
-    )
-    shutil.rmtree(scratch, ignore_errors=True)
+    scratch = _process_scratch("pcl_dml", sf_dir)
     t = LakeTable(spark, scratch)
     t.overwrite(seed)
     tables = {"scratch.cust": t}
@@ -289,7 +293,7 @@ upd AS (
     FROM allr
 )
 SELECT c_custkey, c_name, c_acctbal, c_mktsegment
-FROM upd WHERE NOT (c_acctbal < 0)
+FROM upd WHERE NOT coalesce(c_acctbal < 0, false)
 ORDER BY c_custkey
 """
 

@@ -347,7 +347,9 @@ _TRUNCATE_RE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
 _INSERT_RE = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.`]+)\s+(?P<body>.+?)\s*;?\s*$",
+    r"^\s*INSERT\s+INTO\s+(?P<target>[\w.`]+)\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<body>(?:SELECT|VALUES)\b.+?)\s*;?\s*$",
     re.I | re.S,
 )
 _DELETE_RE = re.compile(
@@ -356,10 +358,36 @@ _DELETE_RE = re.compile(
     re.I | re.S,
 )
 _UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<target>[\w.`]+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    r"^\s*UPDATE\s+(?P<target>[\w.`]+)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.I | re.S,
 )
+
+
+def _split_on_where(text: str) -> tuple[str, str | None]:
+    """Split ``text`` at the first TOP-LEVEL ``WHERE`` keyword — outside
+    quotes and parentheses — so a ``'... where ...'`` string literal or
+    a subquery's own WHERE never truncates the SET list."""
+    depth, quote = 0, None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+            before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
+            after = text[i + 5 : i + 6]
+            after_ok = after == "" or not (after.isalnum() or after == "_")
+            if before_ok and after_ok:
+                return text[:i].strip(), text[i + 5 :].strip() or None
+        i += 1
+    return text.strip(), None
 
 
 def sql_dml(
@@ -403,28 +431,45 @@ def sql_dml(
         rows = spark.sql(
             body if re.match(r"^\s*SELECT\b", body, re.I) else f"SELECT * FROM {body}"
         )
-        # reconcile by NAME against the target schema (SQL INSERT is
-        # positional, but name-reconciliation is safer for the append
-        # path and matches the table layer's unionByName reads), and
-        # COERCE to the target column types (SQL INSERT semantics —
-        # e.g. a bare `40.0` literal is a DECIMAL in Spark SQL and must
-        # land as the target's double)
+        # Standard positional INSERT semantics: the body's columns map
+        # in order onto the column list (or the full target schema when
+        # no list is given); unlisted target columns become NULL, and
+        # every value is COERCED to the target column's type (a bare
+        # `40.0` literal is a DECIMAL in Spark SQL and must land as the
+        # target's double).
         schema = {f.name: f.dataType for f in target.read().schema.fields}
-        missing = set(schema) - set(rows.columns)
-        if missing:
-            raise MergeSqlError(f"INSERT missing target columns: {sorted(missing)}")
+        if m.group("cols"):
+            dest = [c.strip().replace("`", "") for c in _split_top_level(m.group("cols"))]
+            unknown = set(dest) - set(schema)
+            if unknown:
+                raise MergeSqlError(f"INSERT columns not in target: {sorted(unknown)}")
+        else:
+            dest = list(schema)
+        if len(rows.columns) != len(dest):
+            raise MergeSqlError(
+                f"INSERT arity mismatch: {len(rows.columns)} values for "
+                f"{len(dest)} columns {dest}"
+            )
+        rows = rows.toDF(*dest)
         return target.append(
-            rows.select(*[F.col(c).cast(t) for c, t in schema.items()])
+            rows.select(
+                *[
+                    (F.col(c) if c in dest else F.lit(None)).cast(t).alias(c)
+                    for c, t in schema.items()
+                ]
+            )
         )
     m = _UPDATE_RE.match(s)
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)
+        sets_text, pred = _split_on_where(m.group("rest"))
         sets = {}
-        for assign in _split_top_level(m.group("sets")):
+        for assign in _split_top_level(sets_text):
             col, eq, expr = assign.partition("=")
             if not eq:
                 raise MergeSqlError(f"bad assignment: {assign!r}")
             sets[col.strip().replace("`", "")] = F.expr(expr.strip())
-        pred = (m.group("pred") or "true").strip()
-        return target.update_where(pred, sets, partition_filter=partition_filter)
+        return target.update_where(
+            pred or "true", sets, partition_filter=partition_filter
+        )
     raise MergeSqlError(f"unsupported DML statement: {s[:80]!r}")

@@ -354,6 +354,7 @@ class LakeTable:
         op: str,
         partition_by: list[str] | None = None,
         delta: dict | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Atomically commit a snapshot manifest.
 
@@ -382,6 +383,8 @@ class LakeTable:
                 "partition_by": partition_by or [],
                 "ts": time.time(),
             }
+            if extra:
+                body.update(extra)
             # the first commit of a table is always a checkpoint (there
             # is no prior snapshot for a delta to apply to)
             if (
@@ -476,9 +479,17 @@ class LakeTable:
         if v is None:
             raise FileNotFoundError(f"table has no commits: {self.path}")
         files = self._snapshot_files(v)
-        if not files:
-            raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
         preds = _normalize_where(where) if where is not None else []
+        if not files:
+            # An empty snapshot only ever comes from TRUNCATE, which
+            # records the schema — serve a 0-row typed DataFrame (Delta
+            # contract: a truncated table stays queryable and writable).
+            empty = self._empty_snapshot_df(v)
+            if empty is None:
+                raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
+            for c, op, val in preds:
+                empty = empty.filter(_OPS[op](F.col(c), F.lit(val)))
+            return empty
         # Per-dir reads unioned by name: each data dir is its own
         # partition-discovery root (a single multi-root read rejects
         # hive-partitioned dirs), and unionByName(allowMissingColumns)
@@ -531,6 +542,19 @@ class LakeTable:
         for c, op, v in preds:
             out = out.filter(_OPS[op](F.col(c), F.lit(v)))
         return out
+
+    def _empty_snapshot_df(self, version: int) -> DataFrame | None:
+        """0-row DataFrame with the schema recorded at or before
+        ``version`` (written by ``truncate``), or None if no schema was
+        ever recorded (legacy empty snapshot)."""
+        from pyspark.sql.types import StructType
+
+        for vv in range(version, 0, -1):
+            m = self._manifest(vv)
+            if m.get("schema"):
+                st = StructType.fromJson(json.loads(m["schema"]))
+                return self.spark.createDataFrame([], st)
+        return None
 
     def version_as_of(self, ts: float) -> int:
         """Newest version committed at or before unix-epoch ``ts`` —
@@ -648,11 +672,26 @@ class LakeTable:
         data files — prior versions stay time-travelable until
         ``vacuum`` reclaims them (the Delta TRUNCATE contract). Stored
         as an O(1) ``truncate`` action in the commit log (the delta
-        replay resets the file list and applies the tail)."""
+        replay resets the file list and applies the tail). The current
+        schema is recorded in the manifest so the truncated table stays
+        READABLE (empty DataFrame, full schema) and every DML op —
+        INSERT/append, MERGE, DELETE, UPDATE — keeps working on it,
+        exactly as Delta's TRUNCATE leaves a queryable 0-row table."""
         v = self.current_version()
-        spec = self._manifest(v).get("partition_by", []) if v is not None else []
+        spec: list[str] = []
+        schema_json = None
+        if v is not None:
+            spec = self._manifest(v).get("partition_by", [])
+            try:
+                schema_json = self.read(version=v).schema.json()
+            except FileNotFoundError:
+                pass  # truncating an already-empty table: inherit below
         return self._commit(
-            lambda latest: [], "truncate", spec, delta={"truncate": True}
+            lambda latest: [],
+            "truncate",
+            spec,
+            delta={"truncate": True},
+            extra={"schema": schema_json} if schema_json else None,
         )
 
     def compact(

@@ -255,9 +255,17 @@ def test_sql_dml_truncate_and_time_travel(spark, tmp_path):
 
     t = _fresh(spark, tmp_path, "dml_trunc")
     v = sql_dml(spark, "TRUNCATE TABLE tt", {"tt": t})
-    with pytest.raises(FileNotFoundError):
-        t.read(version=v)
+    # truncated table stays queryable (0 rows, schema intact) ...
+    assert t.read(version=v).count() == 0
+    assert t.read().columns == ["id", "s", "v"]
     assert sorted(r["id"] for r in t.read(version=v - 1).collect()) == [1, 2, 3]
+    # ... and the truncate-then-reload lifecycle works end to end
+    sql_dml(
+        spark,
+        "INSERT INTO tt SELECT 9 AS id, 'z' AS s, 90.0 AS v",
+        {"tt": t},
+    )
+    assert [tuple(r) for r in t.read().collect()] == [(9, "z", 90.0)]
 
 
 def test_sql_dml_delete_without_where_empties_table(spark, tmp_path):
@@ -305,3 +313,51 @@ def test_sql_dml_insert_select_and_values(spark, tmp_path):
     assert sorted(r["id"] for r in t.read().collect()) == [1, 2, 3, 4, 5]
     with pytest.raises(MergeSqlError):
         sql_dml(spark, "INSERT INTO tt SELECT 6 AS id", {"tt": t})
+
+
+def test_sql_dml_update_where_inside_string_literal(spark, tmp_path):
+    """The SET/WHERE split is quote-aware: a 'where' inside a string
+    literal must not truncate the SET list (round-5 review finding)."""
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_strwhere")
+    sql_dml(
+        spark,
+        "UPDATE tt SET s = 'explains where clauses' WHERE id = 1",
+        {"tt": t},
+    )
+    got = {r["id"]: r["s"] for r in t.read().collect()}
+    assert got[1] == "explains where clauses" and got[2] == "b"
+
+
+def test_sql_dml_insert_positional_forms(spark, tmp_path):
+    """Standard positional INSERT shapes: bare VALUES (no alias) and a
+    column list with unlisted columns NULL-filled."""
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_positional")
+    sql_dml(spark, "INSERT INTO tt VALUES (6, 'f', 60.0)", {"tt": t})
+    sql_dml(spark, "INSERT INTO tt (id, s) VALUES (7, 'g')", {"tt": t})
+    got = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got[6] == ("f", 60.0)
+    assert got[7] == ("g", None)
+
+
+def test_lsh_index_param_mismatch_raises(spark, sf_dir):
+    """An lsh_index artifact built with different planes must fail
+    loudly instead of silently degrading recall."""
+    from py4j.protocol import Py4JJavaError
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = sim.lsh_index(emb, planes=3, tables=2)
+    with pytest.raises(Exception) as ei:
+        sim.lsh_topk(
+            emb, queries, k=3, planes=4, tables=2, corpus_index=idx
+        ).collect()
+    assert "lsh_index artifact" in str(ei.value)

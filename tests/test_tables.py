@@ -465,13 +465,15 @@ def test_truncate_delta_replay_and_time_travel(spark, tmp_path, monkeypatch):
     v_trunc = t.truncate()
     assert "delta" in t._manifest(v_trunc)
     assert t._manifest(v_trunc)["delta"] == {"truncate": True}
+    # the truncated snapshot stays QUERYABLE: 0 rows, full schema
+    # (Delta's TRUNCATE contract) — and therefore writable via every
+    # DML path that reads the schema first
+    empty = t.read(version=v_trunc)
+    assert empty.columns == ["id", "s"] and empty.count() == 0
     t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
 
     # v4 replays: ckpt(v1) + add(v2) + truncate(v3) + add(v4)
     assert _rows(t) == [(3, "c")]
-    # empty truncated snapshot: no files to read
-    with pytest.raises(FileNotFoundError):
-        t.read(version=v_trunc)
     # pre-truncate version still fully readable (files not deleted)
     assert sorted(r["id"] for r in t.read(version=2).collect()) == [1, 2]
     # vacuum keeping only the head reclaims the pre-truncate dirs
