@@ -582,3 +582,56 @@ def test_merge_schema_evolution_partition_scoped(spark, tmp_path):
     t.merge(source, keys=["id"], partition_filter="part = 'A'", merge_schema=True)
     got = {r["id"]: (r["s"], r["score"]) for r in t.read().collect()}
     assert got == {1: ("a1", None), 2: ("a2-upd", 7), 3: ("b1", None)}
+
+
+def test_concurrent_appends_from_real_threads(spark, tmp_path):
+    """The O_EXCL optimistic-concurrency protocol under REAL contention:
+    8 threads race 3 appends each; every row must survive (each loser
+    rebases onto the winner's manifest) and the log must be a gapless
+    version chain."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = LakeTable(spark, str(tmp_path / "race_threads"))
+    t.overwrite(spark.createDataFrame([(0, -1)], "thread int, seq int"))
+
+    def work(thread_id):
+        w = LakeTable(spark, t.path)
+        for seq in range(3):
+            w.append(
+                spark.createDataFrame([(thread_id, seq)], "thread int, seq int")
+            )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(work, range(1, 9)))
+
+    rows = sorted((r["thread"], r["seq"]) for r in t.read().collect())
+    expected = [(0, -1)] + [(th, sq) for th in range(1, 9) for sq in range(3)]
+    assert rows == sorted(expected)
+    # gapless chain: 1 overwrite + 24 appends
+    assert t.current_version() == 25
+    assert [h["version"] for h in t.history()] == list(range(25, 0, -1))
+
+
+def test_legacy_v1_string_manifest_reads(spark, tmp_path):
+    """A v1 manifest whose files are plain strings (no excludes/stats)
+    still reads, appends, and data-skips (stats-less files are never
+    pruned — soundness over optimization)."""
+    import json as _json
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "legacy"))
+    t.append(spark.createDataFrame([(1, "a")], "id int, s string"))
+    # rewrite the manifest into the v1 plain-string shape
+    m_path = _os.path.join(t.path, "_log", "00000001.json")
+    with open(m_path) as f:
+        m = _json.load(f)
+    m["files"] = [e["path"] for e in m["files"]]
+    _os.remove(m_path)
+    with open(m_path, "w") as f:
+        _json.dump(m, f)
+
+    assert _rows(t) == [(1, "a")]
+    total, read = t.scan_files(("id", "=", 999))
+    assert read == total  # no stats -> nothing prunable, nothing lost
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    assert _rows(t) == [(1, "a"), (2, "b")]
