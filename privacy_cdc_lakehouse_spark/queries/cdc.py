@@ -188,7 +188,15 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pin_utc(spark)
     events = cdc_events(spark, sf_dir)
-    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    # Split at the (min+max)/2 offset: offsets are a dense append log,
+    # so this equals the median split — but it's ONE partial+final agg
+    # (scale-safe at any log size), where approxQuantile with
+    # relativeError=0 forces an exact-quantile pass that degrades
+    # badly at 100 TB.
+    lo_hi = events.agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi")
+    ).collect()[0]
+    mid = (lo_hi["lo"] + lo_hi["hi"]) / 2
     first = events.filter(F.col("offset") <= mid)
     second = events.filter(F.col("offset") > mid)
 

@@ -397,12 +397,25 @@ class LakeTable:
                 body["delta"] = delta
             payload = json.dumps(body)
             target = os.path.join(self._log_path, f"{version:08d}.json")
-            try:
-                fd = os.open(target, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # another writer won this version; rebase and retry
-            with os.fdopen(fd, "w") as f:
+            # Two-phase claim: write the FULL body to a hidden temp
+            # file, then claim the version with an atomic link(2).
+            # Claiming with O_EXCL-create and writing afterwards would
+            # expose a zero-byte manifest to concurrent readers — and a
+            # crash in that window would brick the log permanently (the
+            # empty .json owns the version forever). With link(), the
+            # version name only ever points at a complete manifest, and
+            # a crash leaves only an ignorable .tmp file.
+            tmp = os.path.join(self._log_path, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w") as f:
                 f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, target)
+            except FileExistsError:
+                continue  # another writer won this version; rebase, retry
+            finally:
+                os.unlink(tmp)
             return version
 
     def _write_data_dir(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
@@ -467,6 +480,29 @@ class LakeTable:
 
     # ---------------- read ----------------
 
+    def _prunable_preds(self, preds):
+        """The subset of predicates safe for footer-stat pruning.
+        Footer stats are normalized to naive-UTC strings, but Spark's
+        residual filter interprets a NAIVE datetime literal in the
+        SESSION timezone — under a non-UTC session the two compare
+        different instants and pruning could drop files holding
+        matching rows. Such predicates stay residual-only (correctness
+        over optimization); tz-AWARE literals and date-vs-date
+        comparisons are unambiguous and always prune."""
+        try:
+            tz = self.spark.conf.get("spark.sql.session.timeZone")
+        except Exception:
+            tz = None
+        if tz in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            return preds
+        return [
+            p
+            for p in preds
+            if not (
+                isinstance(p[2], datetime.datetime) and p[2].tzinfo is None
+            )
+        ]
+
     def read(self, version: int | None = None, where=None) -> DataFrame:
         """Read a snapshot. ``where`` — a ``(col, op, literal)`` tuple or
         list of such (ANDed), ops ``= < <= > >=`` — both *prunes* data
@@ -502,15 +538,18 @@ class LakeTable:
         # predicate is on the hive partition column, Catalyst turns the
         # NOT-filter into PartitionFilters — superseded directories are
         # pruned at planning, not scanned-and-dropped.
+        prune_preds = self._prunable_preds(preds) if preds else []
         dfs = []
         for e in files:
             base = os.path.join(self.path, e["path"])
             reader = self.spark.read.option("mergeSchema", "true")
-            if preds and e["stats"]:
+            if prune_preds and e["stats"]:
                 keep = [
                     f
                     for f, st in e["stats"].items()
-                    if not any(_file_prunable(st, c, op, v) for c, op, v in preds)
+                    if not any(
+                        _file_prunable(st, c, op, v) for c, op, v in prune_preds
+                    )
                 ]
                 if not keep:
                     continue  # whole dir proven out of range
@@ -579,22 +618,32 @@ class LakeTable:
 
     def history(self) -> list[dict]:
         """Commit log, newest first: version, op, commit ts, file count,
-        partition spec — the DESCRIBE HISTORY surface."""
+        partition spec — the DESCRIBE HISTORY surface. One ASCENDING
+        pass folds each delta onto the running file count (O(versions)
+        manifest reads total), instead of replaying the checkpoint
+        chain per version (O(versions × interval))."""
         v = self.current_version()
         out = []
-        for ver in range(v or 0, 0, -1):
+        n_dirs = 0
+        for ver in range(1, (v or 0) + 1):
             m = self._manifest(ver)
+            if "files" in m:
+                n_dirs = len(m["files"])
+            else:
+                d = m["delta"]
+                if d.get("truncate"):
+                    n_dirs = 0
+                n_dirs += len(d.get("add", []))  # exclude_all keeps dirs
             out.append(
                 {
                     "version": ver,
                     "op": m.get("op"),
                     "ts": m.get("ts"),
-                    "n_data_dirs": len(
-                        m["files"] if "files" in m else self._snapshot_files(ver)
-                    ),
+                    "n_data_dirs": n_dirs,
                     "partition_by": m.get("partition_by", []),
                 }
             )
+        out.reverse()
         return out
 
     def scan_files(self, where=None, version: int | None = None) -> tuple[int, int]:
@@ -604,7 +653,9 @@ class LakeTable:
         v = version if version is not None else self.current_version()
         if v is None:
             return (0, 0)
-        preds = _normalize_where(where) if where is not None else []
+        preds = self._prunable_preds(
+            _normalize_where(where) if where is not None else []
+        )
         total = read = 0
         for e in self._snapshot_files(v):
             n = len(e["stats"])
@@ -623,17 +674,29 @@ class LakeTable:
         the incoming batch are null-filled and new columns are admitted
         (parquet schema merging on read reconciles old files) — the
         additive schema-evolution mode Delta calls ``mergeSchema``.
-        Appends inherit the table's partitioning spec."""
+        Without it, a batch carrying columns the table lacks is
+        REJECTED (Delta's behavior): otherwise the read path's
+        unionByName silently evolves the schema, and a CDC batch still
+        carrying its pipeline ``op`` column would leak it into the
+        table. Appends inherit the table's partitioning spec."""
         v = self.current_version()
         spec: list[str] = []
         if v is not None:
             spec = self._manifest(v).get("partition_by", [])
+            existing = self.read(version=v).schema
             if merge_schema:
-                existing = self.read().schema
                 incoming = set(df.columns)
                 for f in existing.fields:
                     if f.name not in incoming:
                         df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
+            else:
+                extra = set(df.columns) - {f.name for f in existing.fields}
+                if extra:
+                    raise ValueError(
+                        f"append batch has columns the table lacks: "
+                        f"{sorted(extra)}; pass merge_schema=True to evolve "
+                        f"the schema"
+                    )
         rel = self._write_data_dir(df, spec)
         stats = self._file_stats(rel)
         new_entry = {"path": rel, "excludes": [], "stats": stats}
@@ -715,7 +778,8 @@ class LakeTable:
         every output file covers a small hyper-rectangle, so predicates
         on EACH clustered column prune — the multi-dimensional
         data-skipping lever at 100 TB."""
-        df = self.read()
+        base_v = self.current_version()
+        df = self.read(version=base_v)
         if cluster_by and zorder and len(cluster_by) > 1:
             z = self._zorder_key(df, cluster_by)
             df = (
@@ -730,7 +794,9 @@ class LakeTable:
             ).sortWithinPartitions(*cluster_by)
         else:
             df = df.coalesce(target_partitions)
-        return self.overwrite(df)
+        # Checked commit: OPTIMIZE must never throw away a concurrent
+        # append's rows (read-modify-write, not an atomic replace).
+        return self._overwrite_checked(df, base_v, "compact")
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6) -> Column:
         """Morton (Z-curve) key: per-column quantile rank (2^bits bins
@@ -764,10 +830,20 @@ class LakeTable:
                 )
         return z
 
-    def vacuum(self, retain_last: int = 1) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 1, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Delete data dirs unreferenced by the ``retain_last`` newest
         snapshots (older snapshots become unreadable — same contract as
-        Delta VACUUM breaking time travel past the horizon)."""
+        Delta VACUUM breaking time travel past the horizon).
+
+        ``min_age_seconds`` protects IN-FLIGHT writers: a concurrent
+        append/merge writes its data dir BEFORE committing the manifest
+        that references it, so an unreferenced-but-recent dir may belong
+        to a commit that hasn't landed yet. Dirs younger than the window
+        are skipped — the same wall-clock retention guard Delta VACUUM
+        applies (its default is 7 days); pass 0 only when no writer can
+        be concurrent (tests, single-writer maintenance windows)."""
         import shutil
 
         v = self.current_version()
@@ -779,11 +855,20 @@ class LakeTable:
             referenced.update(e["path"] for e in self._snapshot_files(kv))
         data_root = os.path.join(self.path, _DATA_DIR)
         removed = []
+        now = time.time()
         for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
             rel = os.path.join(_DATA_DIR, d)
-            if rel not in referenced:
-                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
-                removed.append(rel)
+            if rel in referenced:
+                continue
+            full = os.path.join(self.path, rel)
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < min_age_seconds:
+                continue  # possibly an in-flight writer's uncommitted dir
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(rel)
         return removed
 
     # ---------------- delete / update ----------------
@@ -813,7 +898,7 @@ class LakeTable:
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
-        base = self.read(version=base_v) if base_v is not None else self.read()
+        base = self.read(version=base_v)  # raises if the table has no commits
         if partition_filter is not None:
             base = base.filter(F.expr(partition_filter))
         obs = None
@@ -825,7 +910,7 @@ class LakeTable:
             )
         kept = base.filter(~hit)
         if partition_filter is None:
-            version = self.overwrite(kept)
+            version = self._overwrite_checked(kept, base_v, "delete")
         else:
             version = self._commit_partition_scoped(
                 kept, partition_filter, "delete", base_version=base_v
@@ -849,6 +934,14 @@ class LakeTable:
         hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
         source = self.read(version=base_v)
+        unknown = set(set_values) - set(source.columns)
+        if unknown:
+            # SQL/Delta UPDATE raises for an unknown SET column; silently
+            # dropping the assignment would be a no-op that LOOKS like a
+            # successful redaction on the GDPR path.
+            raise ValueError(
+                f"UPDATE SET columns not in table: {sorted(unknown)}"
+            )
         if partition_filter is not None:
             source = source.filter(F.expr(partition_filter))
         updated = source.select(
@@ -860,7 +953,7 @@ class LakeTable:
             ]
         )
         if partition_filter is None:
-            return self.overwrite(updated)
+            return self._overwrite_checked(updated, base_v, "update")
         return self._commit_partition_scoped(
             updated, partition_filter, "update", base_version=base_v
         )
@@ -894,12 +987,23 @@ class LakeTable:
 
         def build(latest: dict | None) -> list[dict]:
             prior = [_entry(e) for e in latest["files"]] if latest else []
-            unseen = {e["path"] for e in prior} - base_paths
+            prior_paths = {e["path"] for e in prior}
+            unseen = prior_paths - base_paths
             if unseen:
                 raise ConcurrentWriteError(
                     f"partition-scoped {op} computed from v{v} raced a "
                     f"concurrent commit adding {sorted(unseen)}; retry "
                     f"against the new snapshot"
+                )
+            # dirs the base had that are GONE mean a concurrent
+            # truncate/overwrite/compact landed — excluding-and-adding
+            # on top would resurrect rows that operation removed.
+            missing = base_paths - prior_paths
+            if missing:
+                raise ConcurrentWriteError(
+                    f"partition-scoped {op} computed from v{v} raced a "
+                    f"concurrent truncate/replace removing "
+                    f"{sorted(missing)}; retry against the new snapshot"
                 )
             for e in prior:
                 _add_exclude(e["excludes"], partition_filter)
@@ -911,6 +1015,46 @@ class LakeTable:
             spec,
             delta={"exclude_all": partition_filter, "add": [new_entry]},
         )
+
+    def _overwrite_checked(
+        self, df: DataFrame, base_version: int | None, op: str
+    ) -> int:
+        """Full-table rewrite commit with conflict DETECTION: the new
+        snapshot replaces everything, but only if the log has not moved
+        past ``base_version`` (the snapshot the rewrite was computed
+        from). Any concurrent commit that changed the file set —
+        append, merge, truncate, compact — raises
+        :class:`ConcurrentWriteError` instead of being silently thrown
+        away (the lost-update hole plain ``overwrite`` has by design:
+        last-writer-wins is correct for ``overwrite()``'s atomic-replace
+        contract, but NOT for read-modify-write ops like
+        merge/delete/update)."""
+        base_paths = (
+            {e["path"] for e in self._snapshot_files(base_version)}
+            if base_version is not None
+            else set()
+        )
+        spec = (
+            self._manifest(base_version).get("partition_by", [])
+            if base_version is not None
+            else []
+        )
+        rel = self._write_data_dir(df, spec)
+        stats = self._file_stats(rel)
+
+        def build(latest: dict | None) -> list[dict]:
+            prior_paths = (
+                {e["path"] for e in latest["files"]} if latest else set()
+            )
+            if prior_paths != base_paths:
+                raise ConcurrentWriteError(
+                    f"{op} computed from v{base_version} raced a concurrent "
+                    f"commit (file set changed); retry against the new "
+                    f"snapshot"
+                )
+            return [{"path": rel, "excludes": [], "stats": stats}]
+
+        return self._commit(build, op, spec)
 
     # ---------------- merge ----------------
 
@@ -1003,12 +1147,20 @@ class LakeTable:
         table).
         """
         base_v = self.current_version()
-        full_target = self.read(version=base_v) if base_v is not None else self.read()
+        full_target = self.read(version=base_v)  # raises if no commits
         target = (
             full_target.filter(F.expr(partition_filter))
             if partition_filter is not None
             else full_target
         )
+        for label, mapping in (("update_values", update_values), ("insert_values", insert_values)):
+            unknown = set(mapping or {}) - set(full_target.columns) - (
+                set(source.columns) if merge_schema else set()
+            )
+            if unknown:
+                raise MergeError(
+                    f"MERGE {label} columns not in target: {sorted(unknown)}"
+                )
         if merge_schema:
             src_types = {f.name: f.dataType for f in source.schema.fields}
             for c in source.columns:
@@ -1119,7 +1271,7 @@ class LakeTable:
         merged = kept.unionByName(updated).unionByName(inserted)
 
         if partition_filter is None:
-            return self.overwrite(merged)
+            return self._overwrite_checked(merged, base_v, "merge")
 
         # Partition-scoped commit: write only the rewritten slice; prior
         # dirs stay with the predicate excluded (readers prune it).

@@ -170,7 +170,7 @@ def test_forget_user_erases_serving_layers_and_audits(spark, sf_dir, tmp_path):
         .count()
         == before
     )
-    lake.silver.vacuum(retain_last=1)
+    lake.silver.vacuum(retain_last=1, min_age_seconds=0)
 
 
 def test_merge_silver_commits_partition_scoped(spark, sf_dir, tmp_path):

@@ -27,7 +27,7 @@ def test_vacuum_removes_unreferenced(spark, tmp_path):
     t.overwrite(spark.range(5, 10).withColumnRenamed("id", "x"))
     data_root = os.path.join(t.path, "data")
     assert len(os.listdir(data_root)) == 2
-    removed = t.vacuum(retain_last=1)
+    removed = t.vacuum(retain_last=1, min_age_seconds=0)
     assert len(removed) == 1
     assert len(os.listdir(data_root)) == 1
     assert sorted(r["x"] for r in t.read().collect()) == [5, 6, 7, 8, 9]

@@ -477,7 +477,7 @@ def test_truncate_delta_replay_and_time_travel(spark, tmp_path, monkeypatch):
     # pre-truncate version still fully readable (files not deleted)
     assert sorted(r["id"] for r in t.read(version=2).collect()) == [1, 2]
     # vacuum keeping only the head reclaims the pre-truncate dirs
-    removed = t.vacuum(retain_last=1)
+    removed = t.vacuum(retain_last=1, min_age_seconds=0)
     assert len(removed) == 2
     assert _rows(t) == [(3, "c")]
 
@@ -526,7 +526,7 @@ def test_vacuum_with_delta_tail(spark, tmp_path, monkeypatch):
     t.append(spark.createDataFrame([(6, "f")], "id int, s string"))     # v6 +F (delta)
     assert "delta" in t._manifest(5) and "delta" in t._manifest(6)
 
-    removed = t.vacuum(retain_last=3)  # keep v4..v6 → refs {D, E, F}
+    removed = t.vacuum(retain_last=3, min_age_seconds=0)  # keep v4..v6 → refs {D, E, F}
     assert len(removed) == 3  # A, B, C reclaimed
 
     # every retained version reads exactly its snapshot, deltas replayed
@@ -635,3 +635,131 @@ def test_legacy_v1_string_manifest_reads(spark, tmp_path):
     assert read == total  # no stats -> nothing prunable, nothing lost
     t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
     assert _rows(t) == [(1, "a"), (2, "b")]
+
+
+def test_vacuum_min_age_protects_inflight_dirs(spark, tmp_path):
+    """An unreferenced-but-fresh data dir may belong to a writer that
+    hasn't committed yet — default vacuum must skip it (wall-clock
+    retention, Delta's guard); min_age_seconds=0 opts into immediate
+    reclaim for single-writer maintenance."""
+    import os as _os
+
+    t = LakeTable(spark, str(tmp_path / "vac_age"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    # simulate an in-flight writer: a data dir written, not yet committed
+    inflight = _os.path.join(t.path, "data", "deadbeef" * 4)
+    _os.makedirs(inflight)
+    assert t.vacuum(retain_last=1) == []  # default min_age protects it
+    removed = t.vacuum(retain_last=1, min_age_seconds=0)
+    assert removed == [_os.path.join("data", "deadbeef" * 4)]
+
+
+def test_unscoped_merge_detects_concurrent_append(spark, tmp_path):
+    """A full-table MERGE that raced a concurrent append must raise
+    ConcurrentWriteError instead of silently dropping the appended rows
+    (the lost-update hole plain overwrite would have)."""
+    from privacy_cdc_lakehouse_spark.tables import ConcurrentWriteError
+
+    t = LakeTable(spark, str(tmp_path / "race_merge"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    source = spark.createDataFrame([(1, "a2")], "id int, s string")
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        winner = LakeTable(spark, t.path)
+        winner.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.merge(source, keys=["id"])
+    finally:
+        t._commit = orig_commit
+    # the concurrent append survived untouched
+    assert _rows(t) == [(1, "a"), (2, "b")]
+
+
+def test_partition_scoped_delete_detects_concurrent_truncate(spark, tmp_path):
+    """A partition-scoped rewrite racing a TRUNCATE must not resurrect
+    rows into the emptied table."""
+    from privacy_cdc_lakehouse_spark.tables import ConcurrentWriteError
+
+    t = LakeTable(spark, str(tmp_path / "race_trunc"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "id int, p int, s string"
+        ),
+        partition_by=["p"],
+    )
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        LakeTable(spark, t.path).truncate()
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.delete_where(F.col("id") == 1, partition_filter="p = 0")
+    finally:
+        t._commit = orig_commit
+    assert t.read().count() == 0  # the truncate's outcome stands
+
+
+def test_update_where_unknown_set_column_raises(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "upd_unknown"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    with pytest.raises(ValueError, match="not in table"):
+        t.update_where(F.col("id") == 1, {"emial": F.lit("x")})
+
+
+def test_append_rejects_extra_columns_without_merge_schema(spark, tmp_path):
+    """A batch carrying columns the table lacks is rejected unless
+    merge_schema=True — otherwise the read path's unionByName silently
+    evolves the schema (e.g. leaking a CDC pipeline's op column)."""
+    t = LakeTable(spark, str(tmp_path / "append_strict"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    batch = spark.createDataFrame([(2, "b", "u")], "id int, s string, op string")
+    with pytest.raises(ValueError, match="merge_schema"):
+        t.append(batch)
+    t.append(batch, merge_schema=True)  # explicit evolution still works
+    assert "op" in t.read().columns
+
+
+def test_non_utc_session_disables_naive_timestamp_pruning(spark, tmp_path):
+    """Footer stats are UTC-normalized but a naive datetime literal is
+    session-tz-interpreted — under a non-UTC session such predicates
+    must not prune (soundness), while they do prune under UTC."""
+    import datetime as _dt
+
+    t = LakeTable(spark, str(tmp_path / "tz_prune"))
+    t.append(
+        spark.sql(
+            "SELECT TIMESTAMP'2024-01-01 01:00:00' AS ts, 1 AS id"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.sql(
+            "SELECT TIMESTAMP'2024-06-01 01:00:00' AS ts, 2 AS id"
+        ).coalesce(1)
+    )
+    naive = _dt.datetime(2024, 3, 1, 0, 0, 0)
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        total, read_utc = t.scan_files(("ts", "<", naive))
+        assert read_utc < total  # prunes under UTC
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        total2, read_ny = t.scan_files(("ts", "<", naive))
+        assert read_ny == total2  # refuses to prune under non-UTC
+        # and the read(where=) == read().filter() invariant holds
+        a = sorted(r["id"] for r in t.read(where=("ts", "<", naive)).collect())
+        b = sorted(
+            r["id"] for r in t.read().filter(F.col("ts") < F.lit(naive)).collect()
+        )
+        assert a == b
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
