@@ -91,6 +91,51 @@ def ingest_bronze(lake: Lakehouse, records: DataFrame) -> int:
     return lake.bronze.append(projected)
 
 
+def bronze_high_watermark(lake: Lakehouse) -> int:
+    """Max ingested bronze offset (−1 when bronze is absent) — resolved
+    from the manifest's parquet-footer stats when available (driver
+    metadata only, no scan), with a scan fallback for stats-less
+    legacy dirs. This is what makes bronze ingest idempotent under
+    at-least-once redelivery without a per-batch table scan."""
+    if not lake.bronze.exists():
+        return -1
+    files = lake.bronze._snapshot_files(lake.bronze.current_version())
+    hi = -1
+    stats_complete = True
+    for e in files:
+        if not e["stats"]:
+            stats_complete = False
+            break
+        for st in e["stats"].values():
+            mx = (st.get("offset") or {}).get("max")
+            if mx is None:
+                stats_complete = False
+                break
+            hi = max(hi, int(mx))
+        if not stats_complete:
+            break
+    if stats_complete:
+        return hi
+    row = lake.bronze.read().agg(F.max("offset").alias("hi")).collect()[0]
+    return int(row["hi"]) if row["hi"] is not None else -1
+
+
+def ingest_bronze_idempotent(lake: Lakehouse, records: DataFrame) -> int | None:
+    """Append only records ABOVE the bronze high watermark — the
+    replay-safe ingest for at-least-once delivery (foreachBatch can
+    re-deliver a batch if the process dies between the bronze append
+    and the stream checkpoint commit; without this guard those rows
+    would land twice). Assumes offsets arrive monotonically per source
+    (the Kafka per-partition contract; a multi-partition source would
+    track one watermark per partition). Returns the new bronze version
+    or None when every record was already ingested."""
+    hi = bronze_high_watermark(lake)
+    fresh = records.filter(F.col("offset") > F.lit(hi))
+    if fresh.isEmpty():
+        return None
+    return ingest_bronze(lake, fresh)
+
+
 def rebuild_silver(lake: Lakehouse) -> int:
     """Full atomic rebuild of silver from the entire bronze log."""
     return lake.silver.overwrite(
@@ -140,10 +185,18 @@ def forget_user(
     if lake.privacy.exists():
         # The projection is keyed by pseudonym, not raw id — derive it
         # with the SAME salt the projection was built with.
+        # `salt if salt is not None` — NOT `salt or`: an empty-string
+        # salt is a legal salt `build_privacy` may have used, and the
+        # falsy check would silently look up the wrong pseudonym,
+        # delete nothing, and still write a success audit row (the
+        # exact silent-GDPR-failure this docstring warns about).
         key = (
             spark.range(1)
             .select(
-                pseudonym(F.lit(int(user_id)), salt or pii_salt()).alias("k")
+                pseudonym(
+                    F.lit(int(user_id)),
+                    salt if salt is not None else pii_salt(),
+                ).alias("k")
             )
             .collect()[0]["k"]
         )
@@ -193,17 +246,37 @@ def merge_silver(lake: Lakehouse) -> int | None:
     Returns the new silver version, or None when no new data (early-exit
     guard parity: ``merge_orders_silver.py:63-66``).
     """
+    from pyspark.sql import Observation
+
     lo = _last_offset(lake)
     fresh = lake.bronze.read().filter(F.col("offset") > F.lit(lo))
     if fresh.isEmpty():
         return None
 
+    # The checkpoint high-watermark rides the staged computation via
+    # the Observation API — no separate max(offset) scan of the fresh
+    # slice (round-5 review: that was one redundant bronze pass per
+    # micro-batch).
+    obs = Observation()
+    fresh = fresh.observe(obs, F.max("offset").alias("hi"))
+
     # Parse + deterministic top-1 per key. Keep tombstones: the MERGE
     # DELETE clause consumes them (merge_orders_silver.py:139).
+    # persist(): the staged micro-batch feeds FOUR consumers (the
+    # bucket-count collect, the MERGE's three join sides) — without it
+    # each re-runs the parse + SortAggregate over the fresh bronze
+    # slice; with it the batch materializes once (it is micro-batch
+    # sized by construction).
     staged = _with_bucket(
         latest_state(parse_cdc_envelope(fresh), drop_tombstones=False, keep_op=True)
-    )
+    ).persist()
+    try:
+        return _merge_staged(lake, staged, obs)
+    finally:
+        staged.unpersist()
 
+
+def _merge_staged(lake: Lakehouse, staged: DataFrame, obs) -> int | None:
     if not lake.silver.exists():
         lake.silver.overwrite(
             staged.filter(F.col("op") != "d").drop("op"),
@@ -240,8 +313,9 @@ def merge_silver(lake: Lakehouse) -> int | None:
                 broadcast_hint=n_staged * _EST_ROW_BYTES <= _BROADCAST_CAP_BYTES,
             )
 
-    new_hi = fresh.agg(F.max("offset").alias("hi")).collect()[0]["hi"]
-    _advance_checkpoint(lake, new_hi)
+    # obs resolved by the actions above (bucket-count collect or the
+    # initial overwrite) — the max rode the staged scan for free.
+    _advance_checkpoint(lake, obs.get["hi"])
     return lake.silver.current_version()
 
 

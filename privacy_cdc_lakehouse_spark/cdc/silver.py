@@ -85,7 +85,12 @@ def parse_cdc_envelope(bronze: DataFrame) -> DataFrame:
     # result (reproduced in test_malformed_json_rows_are_dropped_not_
     # fatal). Feed those rows '{}' so the parse always yields a row —
     # all-null fields, dropped by the key filter like any bad record.
-    v_safe = F.when(F.trim("v") == "", F.lit("{}")).otherwise(F.col("v"))
+    # The blank test must be rlike ANY-whitespace: F.trim strips only
+    # space characters, so v='\t' or '\n' would slip past a trim==''
+    # guard and still NPE (round-5 review finding, reproduced).
+    v_safe = F.when(
+        F.col("v").rlike(r"^\s*$"), F.lit("{}")
+    ).otherwise(F.col("v"))
     j = F.from_json(v_safe, _DISPATCH_SCHEMA)
     # Two-step projection: from_json evaluated once into plain `after`/
     # `before` struct attributes, then cheap GetStructField extraction.

@@ -28,7 +28,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from privacy_cdc_lakehouse_spark.cdc.jobs import Lakehouse, ingest_bronze, merge_silver
+from privacy_cdc_lakehouse_spark.cdc.jobs import (
+    Lakehouse,
+    ingest_bronze_idempotent,
+    merge_silver,
+)
 
 # Bronze envelope schema (= ingest_orders_raw.py:24-34 landing table).
 BRONZE_SCHEMA = T.StructType(
@@ -54,9 +58,12 @@ def run_stream_to_silver(
     """Drive the medallion pipeline from a file stream to completion.
 
     Each micro-batch: append raw records to bronze, then run the
-    incremental checkpointed MERGE into silver — idempotent under
-    replay because the merge consumes only offsets above the
-    monitoring checkpoint (re-delivered batches are filtered out).
+    incremental checkpointed MERGE into silver. Idempotent under replay
+    at BOTH layers: foreachBatch is at-least-once (a crash between the
+    bronze append and the stream-checkpoint commit re-delivers the
+    batch), so bronze ingest itself filters offsets at or below the
+    bronze high watermark (``ingest_bronze_idempotent``), and the merge
+    consumes only offsets above the monitoring checkpoint.
     """
     reader = spark.readStream.schema(BRONZE_SCHEMA)
     if max_files_per_trigger:
@@ -64,7 +71,7 @@ def run_stream_to_silver(
     stream = reader.parquet(source_dir)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_bronze(lake, batch_df)
+        ingest_bronze_idempotent(lake, batch_df)
         merge_silver(lake)
 
     q = (
@@ -122,12 +129,15 @@ def streaming_window_counts(
     window: str = "5 minutes",
     delay: str = "10 minutes",
     group_col: str = "event_type",
+    value_col: str = "value",
 ) -> DataFrame:
     """Tumbling event-time window aggregate with late-data handling —
-    the streaming twin of queries/analytics.py::q_events_5min_windows."""
+    the streaming twin of queries/analytics.py::q_events_5min_windows.
+    Every column is a parameter (a hardcoded sum column would crash any
+    stream without a literal 'value' field)."""
     return (
         stream.withWatermark(event_time, delay)
         .groupBy(F.window(event_time, window).alias("w"), group_col)
-        .agg(F.count("*").alias("n"), F.sum("value").alias("total_value"))
+        .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), group_col, "n", "total_value")
     )

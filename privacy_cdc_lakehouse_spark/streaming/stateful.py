@@ -33,14 +33,19 @@ STATE_SCHEMA = "n_changes long, last_status string, regressed boolean"
 _STATUS_ORDER = {"created": 0, "paid": 1, "shipped": 2, "cancelled": 2}
 
 
-def _track(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    n_changes, last_status, regressed = (
-        state.get if state.exists else (0, None, False)
-    )
+def _advance(
+    state_tuple: tuple, pdfs: Iterator[pd.DataFrame]
+) -> tuple[int, str | None, bool]:
+    """ONE shared state-machine step used by BOTH operator variants —
+    a single definition so the applyInPandasWithState and TWS twins
+    cannot drift. Event order mirrors the silver pipeline's
+    ``max_by(struct(ts_ms, offset))`` ranking, where a NULL ts_ms ranks
+    SMALLEST (oldest): na_position='first' — pandas' default 'last'
+    would treat null-ts events as newest, diverging from the table
+    state this monitor mirrors (round-5 review finding)."""
+    n_changes, last_status, regressed = state_tuple
     rows = pd.concat(list(pdfs))
-    rows = rows.sort_values(["ts_ms", "offset"])
+    rows = rows.sort_values(["ts_ms", "offset"], na_position="first")
     for status in rows["status"]:
         if status is None:
             continue
@@ -50,9 +55,11 @@ def _track(
         ):
             regressed = True
         last_status = status
-    n_changes += len(rows)
-    state.update((n_changes, last_status, regressed))
-    yield pd.DataFrame(
+    return n_changes + len(rows), last_status, regressed
+
+
+def _emit(key: tuple, n_changes: int, last_status, regressed) -> pd.DataFrame:
+    return pd.DataFrame(
         {
             "order_id": [key[0]],
             "n_changes": [n_changes],
@@ -60,6 +67,15 @@ def _track(
             "regressed": [regressed],
         }
     )
+
+
+def _track(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    current = state.get if state.exists else (0, None, False)
+    n_changes, last_status, regressed = _advance(current, pdfs)
+    state.update((n_changes, last_status, regressed))
+    yield _emit(key, n_changes, last_status, regressed)
 
 
 def order_lifecycle_tracker(changes: DataFrame) -> DataFrame:
@@ -99,30 +115,12 @@ def _make_lifecycle_processor():
             self._state = handle.getValueState("lifecycle", STATE_SCHEMA)
 
         def handleInputRows(self, key, rows, timerValues):
-            n_changes, last_status, regressed = (
+            current = (
                 self._state.get() if self._state.exists() else (0, None, False)
             )
-            pdf = pd.concat(list(rows)).sort_values(["ts_ms", "offset"])
-            for status in pdf["status"]:
-                if status is None:
-                    continue
-                if (
-                    last_status is not None
-                    and _STATUS_ORDER.get(status, 0)
-                    < _STATUS_ORDER.get(last_status, 0)
-                ):
-                    regressed = True
-                last_status = status
-            n_changes += len(pdf)
+            n_changes, last_status, regressed = _advance(current, rows)
             self._state.update((n_changes, last_status, regressed))
-            yield pd.DataFrame(
-                {
-                    "order_id": [key[0]],
-                    "n_changes": [n_changes],
-                    "last_status": [last_status],
-                    "regressed": [regressed],
-                }
-            )
+            yield _emit(key, n_changes, last_status, regressed)
 
         def close(self) -> None:
             pass

@@ -217,3 +217,87 @@ def test_merge_silver_commits_partition_scoped(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in lake.silver.read().select(cols).collect())
     b = sorted(tuple(r) for r in full.silver.read().select(cols).collect())
     assert a == b
+
+
+def test_whitespace_only_payloads_are_dropped_not_fatal(spark):
+    """Tab/newline/CR-only payloads must be dropped like any malformed
+    record — F.trim strips only spaces, so the blank guard must match
+    ANY whitespace (round-5 review: '\\t' and '\\n' NPE'd the job)."""
+    from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope
+
+    rows = [(1, "\t"), (2, "\n"), (3, "\r"), (4, " \n "), (5, "\t \r\n")]
+    bronze = spark.createDataFrame(rows, "offset long, v string")
+    assert parse_cdc_envelope(bronze).collect() == []
+
+
+def test_ingest_bronze_idempotent_skips_redelivered_batches(spark, sf_dir, tmp_path):
+    """At-least-once redelivery: re-ingesting an already-landed batch
+    appends nothing (bronze-watermark filter), and a partially-new
+    batch lands only its fresh suffix — no duplicate offsets ever."""
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        bronze_high_watermark,
+        ingest_bronze_idempotent,
+    )
+
+    events = cdc_events(spark, sf_dir)
+    first = events.filter(F.col("offset") < 100)
+    lake = Lakehouse(spark, str(tmp_path / "idem"))
+    assert ingest_bronze_idempotent(lake, first) is not None
+    n1 = lake.bronze.read().count()
+
+    # exact redelivery: nothing appended, version unchanged
+    v_before = lake.bronze.current_version()
+    assert ingest_bronze_idempotent(lake, first) is None
+    assert lake.bronze.current_version() == v_before
+    assert lake.bronze.read().count() == n1
+
+    # overlapping batch: only offsets above the watermark land
+    overlap = events.filter(F.col("offset") < 150)
+    assert ingest_bronze_idempotent(lake, overlap) is not None
+    got = lake.bronze.read()
+    assert got.count() == got.select("offset").distinct().count()
+    assert bronze_high_watermark(lake) == 149
+
+
+def test_lifecycle_null_ts_ranks_oldest():
+    """The stateful tracker's event order must mirror the silver
+    pipeline's max_by(struct(ts_ms, offset)) ranking, where NULL ts_ms
+    ranks SMALLEST — a null-ts 'shipped' before a timestamped 'created'
+    means 'created' is latest (and a regression)."""
+    import pandas as pd
+
+    from privacy_cdc_lakehouse_spark.streaming.stateful import _advance
+
+    pdf = pd.DataFrame(
+        {
+            "order_id": [1, 1],
+            "status": ["created", "shipped"],
+            "ts_ms": [1000, None],
+            "offset": [2, 1],
+        }
+    )
+    n, last, regressed = _advance((0, None, False), iter([pdf]))
+    assert (n, last, regressed) == (2, "created", True)
+
+
+def test_forget_user_honors_empty_string_salt(spark, sf_dir, tmp_path):
+    """salt='' is a legal salt: forget_user must use it (not fall back
+    to the env salt via a falsy check) or the privacy projection would
+    keep the subject's rows while the audit claims erasure."""
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        build_privacy,
+        forget_user,
+        ingest_bronze,
+        rebuild_silver,
+    )
+
+    lake = Lakehouse(spark, str(tmp_path / "forget_empty_salt"))
+    ingest_bronze(lake, cdc_events(spark, sf_dir).filter(F.col("offset") < 500))
+    rebuild_silver(lake)
+    build_privacy(lake, salt="")
+
+    uid = lake.silver.read().select("user_id").first()["user_id"]
+    n_priv_before = lake.privacy.read().count()
+    out = forget_user(lake, uid, salt="")
+    assert out["rows_erased"] > 0
+    assert lake.privacy.read().count() == n_priv_before - out["rows_erased"]
