@@ -59,6 +59,16 @@ def snapshot_sql(table: LakeTable, version: int | None = None) -> str:
         raise FileNotFoundError(f"table has no commits: {table.path}")
     entries = table._snapshot_files(v)
     target = table.read(version=v).schema
+    if not entries:
+        # TRUNCATE'd snapshot: the table layer serves it as a 0-row
+        # typed DataFrame, and the catalog view must stay registrable
+        # too — emit a typed empty SELECT instead of joining zero arms
+        # into unparseable SQL.
+        cols = ", ".join(
+            f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`"
+            for f in target.fields
+        )
+        return f"SELECT {cols} WHERE 1 = 0"
     selects = []
     for e in entries:
         path = os.path.join(table.path, e["path"])

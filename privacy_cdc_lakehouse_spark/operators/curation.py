@@ -81,9 +81,15 @@ def corpus_ngrams(
     every benchmark set is then a broadcast join against it. Persist
     this (parquet next to the corpus) when screening more than one
     benchmark — re-exploding 100 TB per benchmark set is the cost to
-    avoid."""
+    avoid. The gram size is STAMPED into the artifact (``_n``, a
+    constant column — free under parquet RLE) so a consumer using a
+    different ``n`` fails loudly instead of silently joining nothing
+    (gram word-counts alone can't prove the build ``n``: short docs
+    legitimately emit shorter grams)."""
     return corpus.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g")
+        F.col(id_col),
+        F.explode(shingles(F.col(text_col), n)).alias("g"),
+        F.lit(n).alias("_n"),
     )
 
 
@@ -107,11 +113,26 @@ def ngram_contamination(
     bg = benchmark.select(
         F.explode(shingles(F.col(text_col), n)).alias("g")
     ).distinct()
-    cg = (
-        corpus_grams
-        if corpus_grams is not None
-        else corpus_ngrams(corpus, n, text_col, id_col)
-    )
+    if corpus_grams is not None:
+        if "_n" not in corpus_grams.columns:
+            raise ValueError(
+                "corpus_grams artifact lacks its _n stamp column — "
+                "rebuild it with corpus_ngrams()"
+            )
+        # assert_true → NULL on success; the filter keeps every valid
+        # row and cannot be pruned, so an n-mismatched artifact raises
+        # instead of silently reporting zero contamination.
+        cg = corpus_grams.filter(
+            F.assert_true(
+                F.col("_n") == n,
+                F.lit(
+                    f"corpus_ngrams artifact was built with a different "
+                    f"n (expected {n})"
+                ),
+            ).isNull()
+        ).select(id_col, "g")
+    else:
+        cg = corpus_ngrams(corpus, n, text_col, id_col).select(id_col, "g")
     hits = (
         cg.join(F.broadcast(bg), "g")
         .groupBy(id_col)
@@ -150,10 +171,14 @@ def curate_corpus(
     Returns survivors as (id, quality_score, split). Every stage is a
     verified operator composed unchanged; the chain stays fully
     declarative, so Catalyst pipelines the whole thing (quality scoring
-    and fingerprinting fuse into the scan projection; the only
-    shuffles are the fingerprint group, the gram join, and nothing for
-    the split). At 100 TB this one plan replaces four materialization
-    round-trips.
+    and fingerprinting fuse into the scan projection; the shuffles are
+    the fingerprint group and the gram join, nothing for the split).
+    The ``kept`` subplan is referenced twice (gram explode + the
+    contamination join back) — at 100 TB persist the corpus between
+    stages (``kept.persist()`` via your own staging, or feed a
+    pre-staged corpus) rather than paying the quality+dedup subtree
+    twice; the composition itself stays lazy so callers control
+    materialization.
     """
     from privacy_cdc_lakehouse_spark.operators.dedup import normalized_fingerprint
     from privacy_cdc_lakehouse_spark.operators.text import quality_score
@@ -169,12 +194,19 @@ def curate_corpus(
     )
     keepers = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     kept = fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
-    contaminated = (
-        ngram_contamination(kept, benchmark, n, text_col, id_col)
-        .filter(F.col("n_contam_grams") > 0)
+    # Inline contamination (vs calling ngram_contamination, whose
+    # zero-fill join would reference `kept` a third time): hits joined
+    # back once, clean = no-hit rows.
+    bg = benchmark.select(
+        F.explode(shingles(F.col(text_col), n)).alias("g")
+    ).distinct()
+    hits = (
+        kept.select(F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("g"))
+        .join(F.broadcast(bg), "g")
         .select(id_col)
+        .distinct()
     )
-    clean = kept.join(contaminated, id_col, "left_anti")
+    clean = kept.join(hits, id_col, "left_anti")
     return hash_split(clean, id_col, train, val).select(
         id_col,
         F.round("quality_score", 2).alias("quality_score"),

@@ -27,19 +27,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from privacy_cdc_lakehouse_spark.operators.text import words
-
+# normalized_fingerprint is re-exported here for its historical import
+# site (curation imports it from dedup); the canonical definition lives
+# in text.py (dedup imports text, not vice versa).
+from privacy_cdc_lakehouse_spark.operators.text import (
+    normalized_fingerprint,  # noqa: F401  (re-export + local use)
+    words,
+)
 
 # ----------------------------- exact -----------------------------------
-
-
-def normalized_fingerprint(col: Column) -> Column:
-    """THE canonical exact-dedup fingerprint: md5 of the
-    whitespace-collapsed, trimmed, lowercased text. Every consumer
-    (``exact_duplicates``, ``curation.curate_corpus``, the DuckDB
-    oracles) must use this one definition — a second inline copy is how
-    normalizations silently diverge."""
-    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
 
 
 def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -187,8 +183,22 @@ def minhash_lsh_pairs(
     # key. In-bucket expansion is quadratic only in the bucket size,
     # which LSH keeps small by construction — the same bound the join
     # had. All higher-order functions, JVM-side.
+    return bucket_pairs(banded, ["band", "bucket"], id_col)
+
+
+def bucket_pairs(
+    bucketed: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs of ids sharing a bucket — the ONE
+    shared in-bucket pair-expansion used by every LSH family (MinHash
+    banding here, hyperplane tables in ``similarity``): ids grouped per
+    bucket, pairs expanded with higher-order array functions. Never a
+    bucket self-join (that would plan the upstream hashing pipeline
+    twice) and never a cross join. Bucket size is the skew risk — the
+    expansion is quadratic IN-bucket, so band/plane counts are chosen to
+    keep buckets small."""
     grouped = (
-        banded.groupBy("band", "bucket")
+        bucketed.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
@@ -389,6 +399,18 @@ def connected_components(
         labels = new_labels
         if converged:
             break
+    else:
+        # Exhausting the budget without a fixpoint means the labels are
+        # WRONG (a long chain's minimum hasn't reached every node) —
+        # keeper election on them would silently keep duplicates. Fail
+        # loudly; the caller raises max_iters (rounds needed = component
+        # diameter, so a legitimate >50-hop chain is itself a signal the
+        # candidate graph needs investigation).
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iters} "
+            f"iterations — component diameter exceeds the budget; raise "
+            f"max_iters or inspect the pair graph for chain-shaped noise"
+        )
     return labels
 
 

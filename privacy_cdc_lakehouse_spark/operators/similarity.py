@@ -337,26 +337,10 @@ def lsh_near_dup_pairs(
     vectors for the exact verify. No BroadcastNestedLoop anywhere;
     survives a 100× corpus.
     """
+    from privacy_cdc_lakehouse_spark.operators.dedup import bucket_pairs
+
     tb = lsh_table_buckets(corpus, id_col, vec_col, tables, band_planes, dim)
-    grouped = (
-        tb.groupBy("t", "bucket")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = F.flatten(
-        F.transform(
-            "ids",
-            lambda x, i: F.transform(
-                F.slice("ids", i + 2, F.size("ids")),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
-    )
-    cand = (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    cand = bucket_pairs(tb, ["t", "bucket"], id_col)
     a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -384,13 +368,22 @@ def lsh_index(
     ``curation.corpus_ngrams``) and every query batch joins against it
     — per-batch cost drops to the candidate equi-join + exact rerank,
     which is where LSH overtakes brute force (crossover at ~a few
-    hundred queries; see DESIGN.md). Must be built with the SAME
-    planes/tables/dim the queries use."""
+    hundred queries; see DESIGN.md). The build parameters are STAMPED
+    into the artifact (constant columns — parquet RLE makes them free)
+    so a consumer built with different planes/tables/dim fails loudly
+    instead of silently collapsing recall."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cvec"),
     )
-    return lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
+    return lsh_table_buckets(
+        c, "neighbor_id", "cvec", tables, planes, dim
+    ).select(
+        "*",
+        F.lit(planes).alias("_planes"),
+        F.lit(tables).alias("_tables"),
+        F.lit(dim).alias("_dim"),
+    )
 
 
 def lsh_topk(
@@ -425,20 +418,30 @@ def lsh_topk(
     )
     q = queries.select("query_id", as_double(F.col(vec_col)).alias("qvec"))
     if corpus_index is not None:
-        # Cheap runtime guard: an index built with different planes
-        # (bucket = one sign char per plane) or more tables than the
-        # query side silently degrades the candidate join — fail
-        # loudly. (assert_true → NULL on success, so the filter keeps
-        # every valid row and cannot be optimized away.)
-        ctb = corpus_index.select("neighbor_id", "t", "bucket").filter(
+        # Exact runtime guard via the params STAMPED by lsh_index: a
+        # fewer-tables or different-dim artifact yields same-shaped
+        # bucket strings from different hyperplanes — undetectable from
+        # the data itself — so the stamp is the only reliable check.
+        # (assert_true → NULL on success, so the filter keeps every
+        # valid row and cannot be optimized away.)
+        missing = {"_planes", "_tables", "_dim"} - set(corpus_index.columns)
+        if missing:
+            raise ValueError(
+                f"lsh_index artifact lacks its parameter stamp columns "
+                f"{sorted(missing)} — rebuild it with lsh_index()"
+            )
+        ctb = corpus_index.filter(
             F.assert_true(
-                (F.length("bucket") == planes) & (F.col("t") < tables),
+                (F.col("_planes") == planes)
+                & (F.col("_tables") == tables)
+                & (F.col("_dim") == dim),
                 F.lit(
                     f"lsh_index artifact does not match planes={planes} "
-                    f"tables={tables} — rebuild it with the query params"
+                    f"tables={tables} dim={dim} — rebuild it with the "
+                    f"query params"
                 ),
             ).isNull()
-        )
+        ).select("neighbor_id", "t", "bucket")
     else:
         ctb = lsh_table_buckets(c, "neighbor_id", "cvec", tables, planes, dim)
     qtb = lsh_table_buckets(q, "query_id", "qvec", tables, planes, dim)

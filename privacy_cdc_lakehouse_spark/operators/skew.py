@@ -29,15 +29,19 @@ def salted_join(
     """Equi-join on ``on`` with the left side's hot keys scattered over
     ``salt`` buckets and the right side replicated to meet them.
 
-    Deterministic scatter (hash of the full row's key + a uniform
-    spread via monotonically increasing id is NOT deterministic across
-    runs — use a content hash) keeps results reproducible.
+    The scatter is ``monotonically_increasing_id() % salt`` — a
+    per-ROW spread. A content hash of the row would NOT work for the
+    canonical skew case: a hot key's rows are often byte-identical
+    (same key, same payload), so they'd all hash to ONE salt bucket and
+    the straggler task would survive salting entirely (round-5 review
+    finding). The id is partition-dependent, but the JOIN RESULT is
+    invariant to which bucket a row lands in — only physical placement
+    varies — so results stay correct and deterministic.
 
     Only ``inner`` and ``left`` joins are sound under replication: in a
     right/full outer join every unmatched right row would surface once
-    per replica (×salt duplicates). ``pmod`` (not ``abs(...) %``) maps
-    the hash to [0, salt): abs(Long.MIN_VALUE) overflows negative and
-    would silently drop that row from an inner join.
+    per replica (×salt duplicates). ``pmod`` maps to [0, salt) for any
+    input sign.
     """
     if how not in ("inner", "left", "left_outer", "leftouter"):
         raise ValueError(
@@ -45,7 +49,8 @@ def salted_join(
             "replicated right rows would duplicate outer-side output"
         )
     left_salted = left.withColumn(
-        "_salt", F.pmod(F.xxhash64(*left.columns), F.lit(salt)).cast("int")
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     right_salted = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -114,10 +114,21 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalized_fingerprint(col: Column) -> Column:
+    """THE canonical exact-dedup fingerprint: md5 of the
+    whitespace-collapsed, trimmed, lowercased text. Every consumer
+    (``dedup.exact_duplicates``, ``curation.curate_corpus``,
+    ``with_fingerprint``, the DuckDB oracles) must use this one
+    definition — a second inline copy is how normalizations silently
+    diverge. Lives here (not dedup.py) because dedup imports text."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(col, r"\s+", " "))))
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-text md5 fingerprint (lowercase, collapsed whitespace)."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    return df.withColumn("fingerprint", F.md5(F.trim(norm)))
+    return df.withColumn(
+        "fingerprint", normalized_fingerprint(F.col(text_col))
+    )
 
 
 # ----------------------------- PII redaction ---------------------------
@@ -149,13 +160,25 @@ def redact_pii(col: Column) -> Column:
 def pii_counts(col: Column) -> Column:
     """Struct of per-kind PII match counts (audit metric: how much was
     redacted, reportable per partition/source without keeping the raw
-    matches anywhere)."""
-    return F.struct(
-        *[
-            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).alias(kind)
-            for kind, pat in PII_PATTERNS.items()
-        ]
-    )
+    matches anywhere).
+
+    Counts follow the SAME ordered chain as :func:`redact_pii` — each
+    kind is counted on the text with the PRIOR kinds already redacted.
+    Counting every pattern independently on the raw text would
+    double-count overlaps (a dotted quad like ``192.168.10.1`` also
+    matches the phone shape) and report redactions that never happened
+    (round-5 review finding); with the chain, sum(counts) == number of
+    tokens actually emitted."""
+    fields = []
+    staged = col
+    for kind, pat in PII_PATTERNS.items():
+        fields.append(
+            F.size(
+                F.regexp_extract_all(staged, F.lit(pat), F.lit(0))
+            ).alias(kind)
+        )
+        staged = F.regexp_replace(staged, pat, f"[REDACTED:{kind}]")
+    return F.struct(*fields)
 
 
 def with_pii_redaction(

@@ -203,7 +203,9 @@ def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/text.py::redact_pii, order email→ipv4→phone) must
     behave identically under Java regex and DuckDB's RE2 for these
     patterns (round-4: this row moves PII redaction inside the
-    hash-checked wall)."""
+    hash-checked wall; round-5: audit counts follow the same ordered
+    chain as the redaction — the dotted-quad-also-matches-phone overlap
+    is counted once, as ipv4 — and the oracle chains identically)."""
     pin_utc(spark)
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
     phone = F.concat(
@@ -241,12 +243,11 @@ def _pii_sql() -> str:
         tx.PII_PATTERNS["ipv4"],
         tx.PII_PATTERNS["phone"],
     )
-    red = (
-        f"regexp_replace(regexp_replace(regexp_replace(ticket, "
-        f"'{e}', '[REDACTED:email]', 'g'), "
-        f"'{i}', '[REDACTED:ipv4]', 'g'), "
-        f"'{p}', '[REDACTED:phone]', 'g')"
+    after_email = f"regexp_replace(ticket, '{e}', '[REDACTED:email]', 'g')"
+    after_ipv4 = (
+        f"regexp_replace({after_email}, '{i}', '[REDACTED:ipv4]', 'g')"
     )
+    red = f"regexp_replace({after_ipv4}, '{p}', '[REDACTED:phone]', 'g')"
     return f"""
 WITH t AS (
     SELECT c_custkey,
@@ -262,8 +263,8 @@ WITH t AS (
 SELECT c_custkey,
        {red} AS redacted,
        CAST(len(regexp_extract_all(ticket, '{e}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(ticket, '{i}')) AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(ticket, '{p}')) AS BIGINT) AS n_phone
+       CAST(len(regexp_extract_all({after_email}, '{i}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all({after_ipv4}, '{p}')) AS BIGINT) AS n_phone
 FROM t ORDER BY c_custkey
 """
 

@@ -112,9 +112,24 @@ def cdc_events(
     (measured 5-10x plan-overhead reduction locally).
     """
     if materialize:
+        # Cache key = generator version + dir basename + a digest of the
+        # source parquet's identity (absolute path, mtime, size): two
+        # different datasets sharing a basename, or orders.parquet
+        # regenerated in place, must never serve each other's cached
+        # event log (round-5 review finding).
+        import hashlib
+
         tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+        src = os.path.join(sf_dir, "orders.parquet")
+        try:
+            st = os.stat(src)
+            ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+        except OSError:
+            ident = os.path.abspath(src)
+        digest = hashlib.md5(ident.encode()).hexdigest()[:10]
         cache = os.path.join(
-            tempfile.gettempdir(), f"pcl_bronze_{_GENERATOR_VERSION}_{tag}"
+            tempfile.gettempdir(),
+            f"pcl_bronze_{_GENERATOR_VERSION}_{tag}_{digest}",
         )
         if not os.path.exists(os.path.join(cache, "_SUCCESS")):
             cdc_events(spark, sf_dir, materialize=False).write.mode(

@@ -94,3 +94,19 @@ def test_reregister_advances_snapshot(spark, tmp_path):
     )
     register_lakehouse(spark, lake)  # re-publish → view sees the new commit
     assert spark.table("silver.orders_current").count() == before + 1
+
+
+def test_register_truncated_table_serves_empty_view(spark, tmp_path):
+    """A TRUNCATE'd table must stay registrable as a catalog view (the
+    table layer serves it as a 0-row typed DataFrame; the view emits a
+    typed empty SELECT instead of unparseable zero-arm SQL)."""
+    from privacy_cdc_lakehouse_spark.catalog import register_table
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "trunc_cat"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t.truncate()
+    spark.sql("CREATE DATABASE IF NOT EXISTS trunc_db")
+    register_table(spark, "trunc_db.empty_view", t)
+    out = spark.table("trunc_db.empty_view")
+    assert out.columns == ["id", "s"] and out.count() == 0

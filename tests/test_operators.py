@@ -381,3 +381,53 @@ def test_curate_corpus_stage_semantics(spark):
     assert set(out) == {1}
     assert out[1]["split"] in ("train", "val", "test")
     assert 0.7 <= out[1]["quality_score"] <= 1.0
+
+
+def test_pii_counts_follow_redaction_chain(spark):
+    """An IPv4 inside the text also matches the phone shape; the audit
+    counts must mirror the ordered redaction chain (email→ipv4→phone),
+    so the quad is counted ONCE as ipv4 and never as a phantom phone."""
+    df = spark.createDataFrame(
+        [(1, "host 192.168.10.1 is up, call +44 20 7946 0958 now")],
+        "doc_id int, text string",
+    )
+    row = tx.with_pii_redaction(df).collect()[0]
+    assert row["pii_counts"]["ipv4"] == 1
+    assert row["pii_counts"]["phone"] == 1  # the real phone only
+    assert row["text_redacted"].count("[REDACTED:ipv4]") == 1
+    assert row["text_redacted"].count("[REDACTED:phone]") == 1
+
+
+def test_corpus_grams_n_mismatch_raises(spark):
+    """A corpus_ngrams artifact built with a different n must fail
+    loudly — a silent empty join would report zero contamination."""
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = _docs(spark, [(1, "one two three four five six seven eight nine")])
+    grams8 = cur.corpus_ngrams(docs, n=8)
+    with pytest.raises(Exception) as ei:
+        cur.ngram_contamination(docs, docs, n=3, corpus_grams=grams8).collect()
+    assert "corpus_ngrams artifact" in str(ei.value)
+    # and an un-stamped frame is rejected outright
+    with pytest.raises(ValueError, match="_n stamp"):
+        cur.ngram_contamination(
+            docs, docs, n=3, corpus_grams=grams8.select("doc_id", "g")
+        )
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    """A chain longer than the iteration budget must raise — silently
+    returning partial labels would let duplicates survive keeper
+    election."""
+    import pytest
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iters=2)
+    # with budget it converges to one component
+    out = dd.connected_components(chain, max_iters=20)
+    assert set(r["component"] for r in out.collect()) == {0}
