@@ -336,15 +336,29 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
     )
     lake = Lakehouse(spark, root)
     if not lake.silver.exists():
-        # silver missing with bronze present = a previous build died
-        # mid-way; re-ingesting on top would duplicate every bronze
-        # row forever (the cache key never changes). Rebuild from
-        # scratch instead.
+        # Build into a process-unique staging root, then PUBLISH with an
+        # atomic rename. The old in-place recovery (rmtree the shared
+        # root, rebuild into it) raced concurrent drivers: B could
+        # delete A's half-built lake mid-ingest and both would then
+        # write into one directory (round-5 review). With rename
+        # publication, a half-built lake never exists at the shared
+        # path; a racing loser just discards its staging copy and
+        # serves the winner's. A corrupt legacy root (bronze present,
+        # silver missing — a pre-fix crash) is moved aside, not
+        # deleted, in case another process is still reading it.
         import shutil
 
-        shutil.rmtree(root, ignore_errors=True)
-        ingest_bronze(lake, cdc_events(spark, sf_dir))
-        merge_silver(lake)
+        if os.path.exists(root):
+            os.rename(root, f"{root}.corrupt-{os.getpid()}")
+        staging = f"{root}.build-{os.getpid()}"
+        shutil.rmtree(staging, ignore_errors=True)
+        build = Lakehouse(spark, staging)
+        ingest_bronze(build, cdc_events(spark, sf_dir))
+        merge_silver(build)
+        try:
+            os.rename(staging, root)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)  # lost the race
     return lake
 
 

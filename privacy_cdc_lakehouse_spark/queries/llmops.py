@@ -1202,8 +1202,8 @@ b AS (
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_bytes,
            CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) ELSE -1 END AS first_byte,
-           CAST(list_sum(list_transform(range(1, length(text) + 1),
-                         i -> ascii(substr(text, i, 1)))) % 251 AS INTEGER) AS checksum_mod
+           CAST(coalesce(list_sum(list_transform(range(1, length(text) + 1),
+                         i -> ascii(substr(text, i, 1)))), 0) % 251 AS INTEGER) AS checksum_mod
     FROM ascii_docs
 )
 SELECT doc_id, n_bytes, CAST(first_byte AS INTEGER) AS first_byte, checksum_mod

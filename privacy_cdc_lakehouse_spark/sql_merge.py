@@ -62,52 +62,72 @@ def _resolve_table(name: str, tables: dict[str, LakeTable]) -> LakeTable:
     return t
 
 
-def _strip_parens_source(rest: str) -> tuple[str, str] | None:
-    """If ``rest`` starts with a parenthesized subquery, return
-    (subquery_text, remainder) using paren balancing."""
-    if not rest.startswith("("):
-        return None
-    depth = 0
-    for i, ch in enumerate(rest):
-        if ch == "(":
+def _scan(text: str):
+    """Yield (index, char, depth, in_quote) with quote- and
+    backslash-escape-aware paren tracking — THE one tokenizer every
+    statement-splitting helper in this module shares (a helper that
+    forgets quotes or escapes mis-splits valid SQL; review findings
+    showed three independent copies drifting)."""
+    depth, quote = 0, None
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if quote:
+            if ch == "\\" and i + 1 < n:  # Spark SQL backslash escape
+                yield i, ch, depth, True
+                i += 1
+                yield i, text[i], depth, True
+                i += 1
+                continue
+            if ch == quote:
+                quote = None
+                yield i, ch, depth, True
+                i += 1
+                continue
+            yield i, ch, depth, True
+            i += 1
+            continue
+        if ch in "'\"":
+            quote = ch
+            yield i, ch, depth, True
+        elif ch == "(":
             depth += 1
+            yield i, ch, depth, False
         elif ch == ")":
             depth -= 1
-            if depth == 0:
-                return rest[1:i], rest[i + 1 :]
+            yield i, ch, depth, False
+        else:
+            yield i, ch, depth, False
+        i += 1
+
+
+def _strip_parens_source(rest: str) -> tuple[str, str] | None:
+    """If ``rest`` starts with a parenthesized subquery, return
+    (subquery_text, remainder) — paren balancing is quote-aware, so a
+    ``')'`` inside a string literal can't truncate the subquery."""
+    if not rest.startswith("("):
+        return None
+    for i, ch, depth, in_quote in _scan(rest):
+        if ch == ")" and depth == 0 and not in_quote:
+            return rest[1:i], rest[i + 1 :]
     raise MergeSqlError("unbalanced parentheses in USING subquery")
 
 
 def _split_top_level(text: str, sep: str = ",") -> list[str]:
-    """Split on ``sep`` outside parentheses and quotes."""
-    parts, depth, quote, cur = [], 0, None, []
-    for ch in text:
-        if quote:
-            cur.append(ch)
-            if ch == quote:
-                quote = None
-            continue
-        if ch in "'\"":
-            quote = ch
-            cur.append(ch)
-        elif ch == "(":
-            depth += 1
-            cur.append(ch)
-        elif ch == ")":
-            depth -= 1
-            cur.append(ch)
-        elif ch == sep and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur).strip())
+    """Split on ``sep`` outside parentheses and quotes (backslash
+    escapes inside strings respected)."""
+    parts, last = [], 0
+    for i, ch, depth, in_quote in _scan(text):
+        if ch == sep and depth == 0 and not in_quote:
+            parts.append(text[last:i].strip())
+            last = i + 1
+    parts.append(text[last:].strip())
     return [p for p in parts if p]
 
 
 _HEAD_RE = re.compile(
-    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)(?:\s+AS)?\s+(?P<talias>\w+)\s+"
+    r"^\s*MERGE\s+INTO\s+(?P<target>[\w.`]+)"
+    r"(?:\s+(?:AS\s+)?(?P<talias>(?!USING\b)\w+))?\s+"
     r"USING\s+(?P<rest>.+)$",
     re.I | re.S,
 )
@@ -124,11 +144,36 @@ _ON_CONJUNCT_RE = re.compile(
 )
 
 
-def _normalize_aliases(expr: str, talias: str, salias: str) -> str:
-    """Rewrite ``<talias>.`` → ``t.`` and ``<salias>.`` → ``s.``."""
-    expr = re.sub(rf"\b{re.escape(talias)}\s*\.", "t.", expr)
-    expr = re.sub(rf"\b{re.escape(salias)}\s*\.", "s.", expr)
-    return expr
+def _normalize_aliases(expr: str, talias: str | None, salias: str) -> str:
+    """Rewrite ``<talias>.`` → ``t.`` and ``<salias>.`` → ``s.`` —
+    case-insensitively (SQL aliases are), and ONLY outside string
+    literals (an alias-shaped prefix inside a quoted value like
+    ``'o.box 3'`` must never be rewritten — that would silently commit
+    corrupted data)."""
+    subs = [(salias, "s.")]
+    if talias:
+        subs.append((talias, "t."))
+    # split into quoted/unquoted segments via the shared scanner
+    out = []
+    seg_start = 0
+    segments: list[tuple[str, bool]] = []
+    prev_quote = False
+    for i, ch, depth, in_quote in _scan(expr):
+        if in_quote != prev_quote:
+            segments.append((expr[seg_start:i], prev_quote))
+            seg_start = i
+            prev_quote = in_quote
+    segments.append((expr[seg_start:], prev_quote))
+    for seg, quoted in segments:
+        if quoted:
+            out.append(seg)
+        else:
+            for alias, repl in subs:
+                seg = re.sub(
+                    rf"\b{re.escape(alias)}\s*\.", repl, seg, flags=re.I
+                )
+            out.append(seg)
+    return "".join(out)
 
 
 def parse_merge(statement: str) -> dict:
@@ -168,23 +213,40 @@ def parse_merge(statement: str) -> dict:
     clause_text = on_text_and_clauses[first_when.start() :]
 
     keys = []
+    ops = set()
     for conj in re.split(r"\s+AND\s+", on_text, flags=re.I):
         cm = _ON_CONJUNCT_RE.match(conj)
         if not cm:
             raise MergeSqlError(f"unsupported ON conjunct: {conj!r}")
-        a1, c1, _, a2, c2 = cm.groups()
-        if {a1, a2} != {talias, salias} or c1 != c2:
+        a1, c1, op, a2, c2 = cm.groups()
+        if talias is not None:
+            aliases_ok = {a1, a2} == {talias, salias}
+        else:
+            # alias-less target: one side must be the source alias, the
+            # other is taken as the target reference (its table name)
+            aliases_ok = (a1 == salias) != (a2 == salias)
+        if not aliases_ok or c1 != c2:
             raise MergeSqlError(
                 f"ON conjunct must equate the same column across the two "
-                f"aliases: {conj!r}"
+                f"sides: {conj!r}"
             )
         keys.append(c1)
+        ops.add(op)
+    if len(ops) > 1:
+        raise MergeSqlError(
+            f"mixed =/<=> operators in ON clause are unsupported: {on_text!r}"
+        )
 
     out = {
         "target": target,
         "source_view": source_view,
         "source_sql": source_sql,
         "keys": keys,
+        # '=' in SQL never matches NULL=NULL; '<=>' does. The executor
+        # must honor the statement's operator, not silently upgrade to
+        # null-safe (a NULL-keyed target row would be deleted/updated
+        # where SQL MERGE leaves it alone).
+        "null_safe_on": ops == {"<=>"},
         "delete_cond": None,
         "update_cond": None,
         "update_sets": None,
@@ -196,6 +258,14 @@ def parse_merge(statement: str) -> dict:
         # must mask the later clause's condition with the earlier one's.
         "matched_order": [],
     }
+    # Strict-parser contract: every WHEN clause must be consumed by the
+    # clause regex. finditer silently SKIPS unmatchable spans, so an
+    # unsupported clause (WHEN NOT MATCHED BY SOURCE..., UPDATE missing
+    # SET) alongside one valid clause would otherwise silently not
+    # execute — count the WHEN heads and require full tiling.
+    n_clause_heads = len(
+        re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", clause_text, flags=re.I)
+    )
     consumed = 0
     for cm in _CLAUSE_RE.finditer(clause_text):
         consumed += 1
@@ -254,6 +324,12 @@ def parse_merge(statement: str) -> dict:
             out["insert_cond"] = cond
     if consumed == 0:
         raise MergeSqlError("no parseable WHEN clauses")
+    if consumed != n_clause_heads:
+        raise MergeSqlError(
+            f"{n_clause_heads - consumed} WHEN clause(s) could not be "
+            f"parsed onto the supported DELETE/UPDATE/INSERT shapes — "
+            f"refusing to execute a statement partially"
+        )
     return out
 
 
@@ -281,7 +357,8 @@ def sql_merge(
         else spark.table(p["source_view"])
     )
 
-    tgt_cols = target.read().columns
+    tgt_schema = target.read().schema  # one manifest/plan read
+    tgt_cols = [f.name for f in tgt_schema.fields]
     insert_values = None
     if p["insert_cols"] is not None:
         listed = dict(zip(p["insert_cols"], p["insert_vals"]))
@@ -290,7 +367,7 @@ def sql_merge(
             raise MergeSqlError(f"INSERT columns not in target: {sorted(unknown)}")
         # SQL semantics: unlisted target columns become NULL (the
         # programmatic default would pull same-named source columns).
-        schema = {f.name: f.dataType for f in target.read().schema.fields}
+        schema = {f.name: f.dataType for f in tgt_schema.fields}
         insert_values = {
             c: (
                 F.expr(listed[c])
@@ -331,15 +408,28 @@ def sql_merge(
                 f"({delete_cond}) AND NOT coalesce(({p['update_cond']}), false)"
             )
 
+    # No WHEN NOT MATCHED clause at all → unmatched source rows are
+    # IGNORED (SQL semantics); the executor's default insert_condition
+    # is always-true, so pin it to never-fire (the symmetric twin of
+    # the no-UPDATE pin above — round-5 review: a delete/update-only
+    # CDC statement was silently inserting every unmatched row).
+    if p["insert_cond"] is not None:
+        ins_cond = F.expr(p["insert_cond"])
+    elif p["insert_cols"] is None:
+        ins_cond = F.lit(False)
+    else:
+        ins_cond = None
+
     return target.merge(
         source,
         keys=p["keys"],
         matched_delete=F.expr(delete_cond) if delete_cond else None,
         matched_update_condition=upd_cond,
         update_values=update_values,
-        insert_condition=F.expr(p["insert_cond"]) if p["insert_cond"] else None,
+        insert_condition=ins_cond,
         insert_values=insert_values,
         partition_filter=partition_filter,
+        null_safe_keys=p["null_safe_on"],
     )
 
 
@@ -367,26 +457,17 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` at the first TOP-LEVEL ``WHERE`` keyword — outside
     quotes and parentheses — so a ``'... where ...'`` string literal or
     a subquery's own WHERE never truncates the SET list."""
-    depth, quote = 0, None
-    i, n = 0, len(text)
-    while i < n:
-        ch = text[i]
-        if quote:
-            if ch == quote:
-                quote = None
-        elif ch in "'\"":
-            quote = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif depth == 0 and text[i : i + 5].upper() == "WHERE":
+    for i, ch, depth, in_quote in _scan(text):
+        if (
+            not in_quote
+            and depth == 0
+            and text[i : i + 5].upper() == "WHERE"
+        ):
             before_ok = i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_")
             after = text[i + 5 : i + 6]
             after_ok = after == "" or not (after.isalnum() or after == "_")
             if before_ok and after_ok:
                 return text[:i].strip(), text[i + 5 :].strip() or None
-        i += 1
     return text.strip(), None
 
 

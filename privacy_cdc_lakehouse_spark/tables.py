@@ -1073,6 +1073,7 @@ class LakeTable:
         broadcast_threshold_bytes: int | None = 512 << 20,
         broadcast_hint: bool | None = None,
         merge_schema: bool = False,
+        null_safe_keys: bool = True,
     ) -> int:
         """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
@@ -1179,7 +1180,12 @@ class LakeTable:
 
         t = target.alias("t")
         s = source.alias("s")
-        on = F.expr(" AND ".join(f"t.{k} <=> s.{k}" for k in keys))
+        # '<=>' (default) matches NULL keys to NULL keys — the CDC
+        # pipeline contract; null_safe_keys=False uses '=' (SQL MERGE
+        # written with '=' never matches NULL=NULL: NULL-keyed target
+        # rows survive untouched and NULL-keyed source rows insert).
+        keq = "<=>" if null_safe_keys else "="
+        on = F.expr(" AND ".join(f"t.{k} {keq} s.{k}" for k in keys))
 
         # NULL-safe clause conditions: NULL → clause not fired.
         delete_cond = (
@@ -1244,7 +1250,7 @@ class LakeTable:
             .alias("m")
             .join(
                 src_keys,
-                F.expr(" AND ".join(f"m._mk_{k} <=> s.{k}" for k in keys)),
+                F.expr(" AND ".join(f"m._mk_{k} {keq} s.{k}" for k in keys)),
                 "left_semi",
             )
         )
@@ -1261,7 +1267,7 @@ class LakeTable:
         inserted = (
             s.join(
                 matched_keys.alias("m"),
-                F.expr(" AND ".join(f"s.{k} <=> m._mk_{k}" for k in keys)),
+                F.expr(" AND ".join(f"s.{k} {keq} m._mk_{k}" for k in keys)),
                 "left_anti",
             )
             .filter(ins_cond)

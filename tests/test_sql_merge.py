@@ -361,3 +361,116 @@ def test_lsh_index_param_mismatch_raises(spark, sf_dir):
             emb, queries, k=3, planes=4, tables=2, corpus_index=idx
         ).collect()
     assert "lsh_index artifact" in str(ei.value)
+
+
+def test_merge_without_insert_clause_ignores_unmatched(spark, tmp_path):
+    """SQL MERGE with no WHEN NOT MATCHED clause must IGNORE unmatched
+    source rows (round-5 review: the executor's default insert-all was
+    leaking through, inserting every unmatched row)."""
+    t = LakeTable(spark, str(tmp_path / "no_ins"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    spark.createDataFrame(
+        [(2, "B", "u"), (9, "ghost", "u")], "id int, s string, op string"
+    ).createOrReplaceTempView("noins_src")
+    sql_merge(
+        spark,
+        """MERGE INTO t t USING noins_src s ON t.id = s.id
+           WHEN MATCHED AND s.op = 'd' THEN DELETE
+           WHEN MATCHED AND s.op = 'u' THEN UPDATE SET s = s.s""",
+        {"t": t},
+    )
+    assert sorted(tuple(r) for r in t.read().collect()) == [(1, "a"), (2, "B")]
+
+
+def test_partially_unparseable_when_clause_raises():
+    """One valid clause must not mask an unparseable one — partial
+    execution of a MERGE statement is refused."""
+    with pytest.raises(MergeSqlError, match="could not be parsed"):
+        parse_merge(
+            "MERGE INTO t t USING s s ON t.k = s.k "
+            "WHEN MATCHED THEN DELETE "
+            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(MergeSqlError, match="could not be parsed"):
+        parse_merge(
+            "MERGE INTO t t USING s s ON t.k = s.k "
+            "WHEN MATCHED THEN UPDATE status = 1 "  # missing SET
+            "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+        )
+
+
+def test_on_equals_does_not_match_null_keys(spark, tmp_path):
+    """ON t.k = s.k (not <=>): a NULL-keyed target row must survive and
+    a NULL-keyed source row must be INSERTED (SQL: NULL = NULL is not
+    true); with <=> they match."""
+    def run(op):
+        t = LakeTable(spark, str(tmp_path / f"nullkey_{op == '='}"))
+        t.overwrite(
+            spark.createDataFrame([(None, "tnull"), (1, "one")], "id int, s string")
+        )
+        spark.createDataFrame(
+            [(None, "snull")], "id int, s string"
+        ).createOrReplaceTempView("nullkey_src")
+        sql_merge(
+            spark,
+            f"""MERGE INTO t t USING nullkey_src s ON t.id {op} s.id
+               WHEN MATCHED THEN UPDATE SET s = s.s
+               WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)""",
+            {"t": t},
+        )
+        return sorted([(r["id"], r["s"]) for r in t.read().collect()], key=str)
+
+    assert run("=") == sorted(
+        [(None, "tnull"), (None, "snull"), (1, "one")], key=str
+    )
+    assert run("<=>") == sorted([(None, "snull"), (1, "one")], key=str)
+
+
+def test_alias_prefix_inside_string_literal_not_rewritten(spark, tmp_path):
+    """An alias-shaped prefix inside a quoted value ('o.box 3') must
+    reach the table verbatim — rewriting it would corrupt data."""
+    t = LakeTable(spark, str(tmp_path / "lit_alias"))
+    t.overwrite(spark.createDataFrame([(1, "x")], "id int, note string"))
+    spark.createDataFrame([(1, "y")], "id int, note string")\
+        .createOrReplaceTempView("lit_src")
+    sql_merge(
+        spark,
+        """MERGE INTO t AS o USING lit_src AS n ON o.id = n.id
+           WHEN MATCHED THEN UPDATE SET note = 'o.box 3, n. station'""",
+        {"t": t},
+    )
+    assert t.read().collect()[0]["note"] == "o.box 3, n. station"
+
+
+def test_aliasless_target_and_quoted_paren_subquery(spark, tmp_path):
+    """An alias-less MERGE target resolves correctly, and a ')' inside
+    a string literal in the USING subquery doesn't truncate it."""
+    t = LakeTable(spark, str(tmp_path / "aliasless"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    sql_merge(
+        spark,
+        """MERGE INTO demo.silver.tt USING
+           (SELECT 2 AS id, ')' AS s) src ON tt.id = src.id
+           WHEN NOT MATCHED THEN INSERT (id, s) VALUES (src.id, src.s)""",
+        {"silver.tt": t},
+    )
+    assert sorted((r["id"], r["s"]) for r in t.read().collect()) == [
+        (1, "a"),
+        (2, ")"),
+    ]
+
+
+def test_sql_dml_update_backslash_escaped_quote(spark, tmp_path):
+    """Spark SQL backslash-escaped quotes inside a SET literal must not
+    break the top-level comma/WHERE split."""
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _fresh(spark, tmp_path, "dml_escape")
+    sql_dml(
+        spark,
+        "UPDATE tt SET s = 'it\\'s, fine where it is', v = v + 1 WHERE id = 1",
+        {"tt": t},
+    )
+    got = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
+    assert got[1] == ("it's, fine where it is", 11.0)
+    assert got[2] == ("b", 20.0)
