@@ -1252,20 +1252,25 @@ def q_tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, one registry slot."""
     pin_utc(spark)
 
+    # round(4): the single-row sums are summation-order dependent
+    # across engines (last-ulp drift, e.g. q14 …61 vs …63 under exact
+    # comparison) — every other float-bearing query already rounds for
+    # the same reason; diffs live at 1e-8 relative, far below 4 dp.
     def tag(name: str, df: DataFrame, col: str) -> DataFrame:
         return df.select(
-            F.lit(name).alias("query"), F.col(col).cast("double").alias("value")
+            F.lit(name).alias("query"),
+            F.round(F.col(col).cast("double"), 4).alias("value"),
         )
 
     q19 = q19_disjunctive_predicates(spark, sf_dir)
     q12 = q12_priority_by_returnflag(spark, sf_dir)
     q12_rows = q12.select(
         F.concat(F.lit("q12_high_"), F.col("l_returnflag")).alias("query"),
-        F.col("high_line_count").cast("double").alias("value"),
+        F.round(F.col("high_line_count").cast("double"), 4).alias("value"),
     ).unionByName(
         q12.select(
             F.concat(F.lit("q12_low_"), F.col("l_returnflag")).alias("query"),
-            F.col("low_line_count").cast("double").alias("value"),
+            F.round(F.col("low_line_count").cast("double"), 4).alias("value"),
         )
     )
     return (
@@ -1282,13 +1287,13 @@ def q_tpch_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCALAR_AGG_SQL = f"""
 WITH q6 AS ({_Q6_SQL}), q14 AS ({_Q14_SQL}), q17 AS ({_Q17_SQL}), q19 AS ({_Q19_SQL}),
 q12 AS ({_Q12_SQL})
-SELECT 'q14_promo_pct' AS query, CAST(promo_revenue_pct AS DOUBLE) AS value FROM q14
-UNION ALL SELECT 'q17_avg_yearly', CAST(avg_yearly AS DOUBLE) FROM q17
-UNION ALL SELECT 'q19_n_lines', CAST(n_lines AS DOUBLE) FROM q19
-UNION ALL SELECT 'q19_revenue', CAST(revenue AS DOUBLE) FROM q19
-UNION ALL SELECT 'q6_revenue', CAST(revenue AS DOUBLE) FROM q6
-UNION ALL SELECT 'q12_high_' || l_returnflag, CAST(high_line_count AS DOUBLE) FROM q12
-UNION ALL SELECT 'q12_low_' || l_returnflag, CAST(low_line_count AS DOUBLE) FROM q12
+SELECT 'q14_promo_pct' AS query, round(CAST(promo_revenue_pct AS DOUBLE), 4) AS value FROM q14
+UNION ALL SELECT 'q17_avg_yearly', round(CAST(avg_yearly AS DOUBLE), 4) FROM q17
+UNION ALL SELECT 'q19_n_lines', round(CAST(n_lines AS DOUBLE), 4) FROM q19
+UNION ALL SELECT 'q19_revenue', round(CAST(revenue AS DOUBLE), 4) FROM q19
+UNION ALL SELECT 'q6_revenue', round(CAST(revenue AS DOUBLE), 4) FROM q6
+UNION ALL SELECT 'q12_high_' || l_returnflag, round(CAST(high_line_count AS DOUBLE), 4) FROM q12
+UNION ALL SELECT 'q12_low_' || l_returnflag, round(CAST(low_line_count AS DOUBLE), 4) FROM q12
 ORDER BY query
 """
 

@@ -323,16 +323,23 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
         merge_silver,
     )
     from privacy_cdc_lakehouse_spark.cdc.silver import PIPELINE_VERSION
-    from privacy_cdc_lakehouse_spark.sources.debezium import _GENERATOR_VERSION
+    from privacy_cdc_lakehouse_spark.sources.debezium import (
+        _GENERATOR_VERSION,
+        source_digest,
+    )
 
-    # Cache key = generator version + PIPELINE version + sf tag: silver
-    # logic changes (parse schema, dedup, merge/partitioning) bump
+    # Cache key = generator version + PIPELINE version + sf tag + the
+    # SOURCE identity digest: silver logic changes bump
     # PIPELINE_VERSION so stale caches built by older code are never
-    # served (round-2 advisory).
+    # served (round-2 advisory), and the digest keeps an in-place
+    # orders.parquet regeneration or a same-basename dataset from
+    # serving a lake built over the old data (round-5 review — the
+    # bronze cache had this fix, the derived lake cache did not).
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     root = os.path.join(
         tempfile.gettempdir(),
-        f"pcl_lake_{_GENERATOR_VERSION}_p{PIPELINE_VERSION}_{tag}",
+        f"pcl_lake_{_GENERATOR_VERSION}_p{PIPELINE_VERSION}_{tag}_"
+        f"{source_digest(sf_dir)}",
     )
     lake = Lakehouse(spark, root)
     if not lake.silver.exists():

@@ -96,6 +96,52 @@ def _amount_str(amount: F.Column, key: F.Column) -> F.Column:
     )
 
 
+def source_digest(sf_dir: str) -> str:
+    """Digest of the source parquet's identity (absolute path, mtime,
+    size) — the cache-key component that keeps two datasets sharing a
+    basename, or an in-place regeneration, from serving each other's
+    derived caches. Shared by the bronze event-log cache here and the
+    materialized-lake cache in queries/cdc.py."""
+    import hashlib
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        ident = os.path.abspath(src)
+    return hashlib.md5(ident.encode()).hexdigest()[:10]
+
+
+def _bronze_cache_path(sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(),
+        f"pcl_bronze_{_GENERATOR_VERSION}_{tag}_{source_digest(sf_dir)}",
+    )
+
+
+def _reap_stale_bronze_caches(current: str) -> None:
+    """Remove SIBLING caches for the same tag with a different digest
+    (the source changed — they can never be served again) and the
+    pre-digest legacy name. Without this every in-place regeneration
+    leaks a full event-log copy in /tmp."""
+    import shutil
+
+    parent = os.path.dirname(current)
+    base = os.path.basename(current)
+    prefix = base.rsplit("_", 1)[0]  # pcl_bronze_{ver}_{tag}
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if name == base or ".build-" in name:
+            continue
+        if name == prefix or name.startswith(prefix + "_"):
+            shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def cdc_events(
     spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
@@ -112,29 +158,24 @@ def cdc_events(
     (measured 5-10x plan-overhead reduction locally).
     """
     if materialize:
-        # Cache key = generator version + dir basename + a digest of the
-        # source parquet's identity (absolute path, mtime, size): two
-        # different datasets sharing a basename, or orders.parquet
-        # regenerated in place, must never serve each other's cached
-        # event log (round-5 review finding).
-        import hashlib
-
-        tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-        src = os.path.join(sf_dir, "orders.parquet")
-        try:
-            st = os.stat(src)
-            ident = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-        except OSError:
-            ident = os.path.abspath(src)
-        digest = hashlib.md5(ident.encode()).hexdigest()[:10]
-        cache = os.path.join(
-            tempfile.gettempdir(),
-            f"pcl_bronze_{_GENERATOR_VERSION}_{tag}_{digest}",
-        )
+        cache = _bronze_cache_path(sf_dir)
         if not os.path.exists(os.path.join(cache, "_SUCCESS")):
+            # Build into a pid-unique staging dir and PUBLISH with an
+            # atomic rename: two concurrent drivers racing an in-place
+            # overwrite could delete each other's in-flight output or
+            # commit doubled part files under one _SUCCESS (round-5
+            # review; same protocol as queries/cdc._materialized_lake).
+            import shutil
+
+            _reap_stale_bronze_caches(cache)
+            staging = f"{cache}.build-{os.getpid()}"
             cdc_events(spark, sf_dir, materialize=False).write.mode(
                 "overwrite"
-            ).parquet(cache)
+            ).parquet(staging)
+            try:
+                os.rename(staging, cache)
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
         return spark.read.parquet(cache)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     b = _order_base(orders)

@@ -20,17 +20,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _ns_timestamp_cols(path: str) -> dict[str, str | None]:
-    """Map of column → tz for timestamp[ns] columns in the footer."""
+def _ns_timestamp_cols(path: str) -> list[str]:
+    """Names of timestamp[ns] columns in the footer. (Just names — the
+    µs cast below always interprets the long as a UTC instant; carrying
+    the footer tz here would wrongly imply it is honored.)"""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     schema = pq.read_schema(path)
-    return {
-        f.name: f.type.tz
+    return [
+        f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    }
+    ]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

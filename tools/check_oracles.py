@@ -28,7 +28,12 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        # EXACT shortest-roundtrip repr — the driver's gate hashes
+        # values exactly, so the dev harness must be at least as
+        # strict (a 6-sig-digit normalization here passed diffs the
+        # driver would fail). Queries already round where cross-engine
+        # fp drift is legitimate.
+        return repr(v)
     if isinstance(v, bytes):
         return v.hex()
     return str(v)
@@ -50,6 +55,12 @@ def main() -> int:
         )
 
     queries, oracles = all_queries(), all_oracles()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd name silently checking NOTHING and exiting 0 is the
+        # worst failure mode a verification harness can have
+        print(f"FAIL unknown query name(s): {sorted(unknown)}")
+        return 1
     failures = 0
     for name, fn in queries.items():
         if only and name not in only:
