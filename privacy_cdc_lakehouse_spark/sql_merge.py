@@ -150,9 +150,20 @@ def _normalize_aliases(expr: str, talias: str | None, salias: str) -> str:
     literals (an alias-shaped prefix inside a quoted value like
     ``'o.box 3'`` must never be rewritten — that would silently commit
     corrupted data)."""
-    subs = [(salias, "s.")]
+    mapping = {salias.lower(): "s."}
     if talias:
-        subs.append((talias, "t."))
+        if talias.lower() == salias.lower():
+            raise MergeSqlError(
+                f"target and source aliases collide: {talias!r} / {salias!r}"
+            )
+        mapping[talias.lower()] = "t."
+    # Single-pass alternation: each alias token is rewritten exactly once,
+    # so a target aliased 's'/'S' (or replacement output like 's.') can
+    # never be re-rewritten by a later substitution pass.
+    alt = "|".join(
+        re.escape(a) for a in sorted(mapping, key=len, reverse=True)
+    )
+    alias_re = re.compile(rf"\b({alt})\s*\.", re.I)
     # split into quoted/unquoted segments via the shared scanner
     out = []
     seg_start = 0
@@ -168,11 +179,9 @@ def _normalize_aliases(expr: str, talias: str | None, salias: str) -> str:
         if quoted:
             out.append(seg)
         else:
-            for alias, repl in subs:
-                seg = re.sub(
-                    rf"\b{re.escape(alias)}\s*\.", repl, seg, flags=re.I
-                )
-            out.append(seg)
+            out.append(
+                alias_re.sub(lambda m: mapping[m.group(1).lower()], seg)
+            )
     return "".join(out)
 
 

@@ -474,3 +474,50 @@ def test_sql_dml_update_backslash_escaped_quote(spark, tmp_path):
     got = {r["id"]: (r["s"], r["v"]) for r in t.read().collect()}
     assert got[1] == ("it's, fine where it is", 11.0)
     assert got[2] == ("b", 20.0)
+
+
+def test_alias_collision_with_internal_names_single_pass():
+    """A target aliased 's' (colliding with the internal source name)
+    must not have its references re-rewritten into 't.' by a second
+    substitution pass — each alias token is rewritten exactly once."""
+    p = parse_merge(
+        """
+        MERGE INTO demo.silver.orders_current s
+        USING staging_orders src
+        ON s.order_id = src.order_id
+        WHEN MATCHED AND src.op = 'd' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET status = src.status
+        WHEN NOT MATCHED THEN INSERT (order_id, status)
+        VALUES (src.order_id, src.status)
+        """
+    )
+    # src.* must land as s.* (source), target alias 's' as t.* — and the
+    # replacement output 's.' must never be re-rewritten to 't.'.
+    assert p["keys"] == ["order_id"]
+    assert p["delete_cond"] == "s.op = 'd'"
+    assert p["update_sets"]["status"] == "s.status"
+    assert p["insert_vals"][p["insert_cols"].index("order_id")] == "s.order_id"
+
+
+def test_alias_collision_source_named_t():
+    """Source aliased 't' (internal target name): rewritten to s.* in one
+    pass, never bounced back by the target substitution."""
+    p = parse_merge(
+        """
+        MERGE INTO tgt USING stage t
+        ON tgt.k = t.k
+        WHEN MATCHED AND t.op = 'd' THEN DELETE
+        """
+    )
+    assert p["delete_cond"] == "s.op = 'd'"
+
+
+def test_equal_aliases_rejected():
+    """Identical (case-insensitive) target/source aliases are ambiguous
+    and must error out, never silently commit — whether the ON parser or
+    the alias normalizer catches it first."""
+    with pytest.raises(MergeSqlError):
+        parse_merge(
+            "MERGE INTO tgt x USING stage X ON x.k = x.k "
+            "WHEN MATCHED THEN DELETE"
+        )
