@@ -121,16 +121,37 @@ def bronze_high_watermark(lake: Lakehouse) -> int:
 
 
 def ingest_bronze_idempotent(lake: Lakehouse, records: DataFrame) -> int | None:
-    """Append only records ABOVE the bronze high watermark — the
-    replay-safe ingest for at-least-once delivery (foreachBatch can
+    """Replay-safe ingest for at-least-once delivery (foreachBatch can
     re-deliver a batch if the process dies between the bronze append
     and the stream checkpoint commit; without this guard those rows
-    would land twice). Assumes offsets arrive monotonically per source
-    (the Kafka per-partition contract; a multi-partition source would
-    track one watermark per partition). Returns the new bronze version
-    or None when every record was already ingested."""
+    would land twice).
+
+    Records strictly above the bronze high watermark are appended on
+    the fast path (one cached driver scalar, no bronze scan). A batch
+    that STRADDLES the watermark — possible with non-mtime-ordered
+    file sources, backfills, or multi-partition upstreams — is NOT a
+    pure replay: its sub-watermark rows may be genuinely new late
+    arrivals, and a global-max filter would silently drop them (data
+    loss, not dedup). That case dedups on exact offset membership: an
+    anti-join against only the bronze slice overlapping the batch's
+    offset range, which footer-stats data skipping prunes to the few
+    files that can hold it — at 100 TB the probe touches the replayed
+    window, never the log. Offsets are globally unique row identities
+    (``sources/debezium.py``: offset = key*4 + seq). Returns the new
+    bronze version or None when every record was already ingested."""
     hi = bronze_high_watermark(lake)
-    fresh = records.filter(F.col("offset") > F.lit(hi))
+    if hi >= 0:
+        bounds = records.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("mx")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return None
+        if int(bounds["lo"]) <= hi:
+            seen = lake.bronze.read(
+                where=[("offset", ">=", int(bounds["lo"])), ("offset", "<=", hi)]
+            ).select("offset")
+            records = records.join(seen, "offset", "left_anti")
+    fresh = records
     if fresh.isEmpty():
         return None
     return ingest_bronze(lake, fresh)

@@ -259,6 +259,57 @@ def test_ingest_bronze_idempotent_skips_redelivered_batches(spark, sf_dir, tmp_p
     assert bronze_high_watermark(lake) == 149
 
 
+def test_ingest_bronze_idempotent_keeps_late_low_offsets(spark, sf_dir, tmp_path):
+    """A batch that straddles the watermark is not a pure replay: its
+    sub-watermark rows may be genuinely new (non-mtime-ordered files,
+    backfills). Exact offset-membership dedup must LAND those late rows
+    while still dropping true replays — a global-max filter would
+    silently lose them."""
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        bronze_high_watermark,
+        ingest_bronze_idempotent,
+    )
+
+    events = cdc_events(spark, sf_dir)
+    # ingest a GAPPED prefix: offsets < 200 except the [50, 100) window
+    gapped = events.filter(
+        (F.col("offset") < 200)
+        & ~((F.col("offset") >= 50) & (F.col("offset") < 100))
+    )
+    lake = Lakehouse(spark, str(tmp_path / "late"))
+    assert ingest_bronze_idempotent(lake, gapped) is not None
+    hi = bronze_high_watermark(lake)
+    assert 150 <= hi < 200  # offsets are sparse; just pin the window
+    n_gapped = lake.bronze.read().count()
+
+    # late batch: the missed [50, 100) window PLUS a replayed slice
+    # [100, 150) PLUS fresh offsets [200, 220)
+    late = events.filter((F.col("offset") >= 50) & (F.col("offset") < 220)).filter(
+        ~((F.col("offset") >= 150) & (F.col("offset") < 200))
+    )
+    n_missing = events.filter(
+        (F.col("offset") >= 50) & (F.col("offset") < 100)
+    ).count()
+    n_fresh = events.filter(
+        (F.col("offset") >= 200) & (F.col("offset") < 220)
+    ).count()
+    assert ingest_bronze_idempotent(lake, late) is not None
+
+    got = lake.bronze.read()
+    # every late row landed exactly once, replays dropped
+    assert got.count() == n_gapped + n_missing + n_fresh
+    assert got.count() == got.select("offset").distinct().count()
+    assert (
+        got.filter((F.col("offset") >= 50) & (F.col("offset") < 100)).count()
+        == n_missing
+    )
+
+    # full redelivery of everything so far: still a no-op
+    v_before = lake.bronze.current_version()
+    assert ingest_bronze_idempotent(lake, events.filter(F.col("offset") < 220)) is None
+    assert lake.bronze.current_version() == v_before
+
+
 def test_lifecycle_null_ts_ranks_oldest():
     """The stateful tracker's event order must mirror the silver
     pipeline's max_by(struct(ts_ms, offset)) ranking, where NULL ts_ms
