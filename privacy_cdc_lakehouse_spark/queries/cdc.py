@@ -147,6 +147,41 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+def _pid_alive(pid: int) -> bool:
+    """True when ``pid`` is a live process (signal-0 probe; EPERM means
+    alive-but-not-ours, which still counts as alive)."""
+    import errno
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except OSError as e:
+        return e.errno == errno.EPERM
+    return True
+
+
+def _reap_dead_corrupt_roots(root: str) -> None:
+    """Remove ``<root>.corrupt-<pid>`` siblings whose mover process is
+    gone. They exist only so a still-running reader doesn't lose its
+    files mid-read; once that process exits they are pure /tmp leakage
+    (round-6 advisory)."""
+    import os
+    import shutil
+
+    parent, base = os.path.split(root)
+    try:
+        names = os.listdir(parent)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(f"{base}.corrupt-"):
+            continue
+        pid_s = name.rsplit("-", 1)[-1]
+        if not pid_s.isdigit() or _pid_alive(int(pid_s)):
+            continue
+        shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
+
+
 def _process_scratch(prefix: str, sf_dir: str, extra: str = "") -> str:
     """Deterministic-per-process scratch dir for query-built tables:
     reruns in one driver REUSE it (wiped on entry) instead of leaking a
@@ -356,7 +391,14 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
         import shutil
 
         if os.path.exists(root):
-            os.rename(root, f"{root}.corrupt-{os.getpid()}")
+            # Guarded: two drivers can pass the exists() check together
+            # and race the rename — the loser must treat OSError as
+            # "someone else moved it" and continue, not crash.
+            try:
+                os.rename(root, f"{root}.corrupt-{os.getpid()}")
+            except OSError:
+                pass
+        _reap_dead_corrupt_roots(root)
         staging = f"{root}.build-{os.getpid()}"
         shutil.rmtree(staging, ignore_errors=True)
         build = Lakehouse(spark, staging)

@@ -125,12 +125,20 @@ def _reap_stale_bronze_caches(current: str) -> None:
     """Remove SIBLING caches for the same tag with a different digest
     (the source changed — they can never be served again) and the
     pre-digest legacy name. Without this every in-place regeneration
-    leaks a full event-log copy in /tmp."""
+    leaks a full event-log copy in /tmp.
+
+    Only the EXACT shape ``{prefix}_{10-hex-digest}`` is reaped: a bare
+    ``startswith(prefix + '_')`` would also match a longer tag that
+    extends this one (tag ``sf1`` reaping ``..._sf1_big_{digest}``) —
+    another dataset's perfectly valid cache, possibly mid-read by a
+    concurrent driver."""
+    import re
     import shutil
 
     parent = os.path.dirname(current)
     base = os.path.basename(current)
     prefix = base.rsplit("_", 1)[0]  # pcl_bronze_{ver}_{tag}
+    stale_re = re.compile(rf"^{re.escape(prefix)}_[0-9a-f]{{10}}$")
     try:
         names = os.listdir(parent)
     except OSError:
@@ -138,7 +146,7 @@ def _reap_stale_bronze_caches(current: str) -> None:
     for name in names:
         if name == base or ".build-" in name:
             continue
-        if name == prefix or name.startswith(prefix + "_"):
+        if name == prefix or stale_re.match(name):
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 

@@ -33,3 +33,56 @@ def test_ns_timestamps_floor_to_micros_including_pre_epoch(spark, tmp_path):
     ]
     want_us = sorted(v // 1000 for v in ns_values)  # python // floors
     assert got_us == want_us
+
+
+def test_reap_stale_bronze_caches_exact_shape(tmp_path):
+    """The reaper must only remove same-tag siblings whose name matches
+    the exact {prefix}_{10-hex-digest} shape — a longer tag extending
+    this one (sf1 vs sf1_big) is ANOTHER dataset's valid cache and must
+    survive (round-6 advisory)."""
+    import os
+
+    from privacy_cdc_lakehouse_spark.sources.debezium import (
+        _reap_stale_bronze_caches,
+    )
+
+    ver = "v3"
+    current = tmp_path / f"pcl_bronze_{ver}_sf1_aaaaaaaaaa"
+    stale = tmp_path / f"pcl_bronze_{ver}_sf1_bbbbbbbbbb"
+    legacy = tmp_path / f"pcl_bronze_{ver}_sf1"
+    other_tag = tmp_path / f"pcl_bronze_{ver}_sf1_big_cccccccccc"
+    building = tmp_path / f"pcl_bronze_{ver}_sf1_dddddddddd.build-123"
+    for d in (current, stale, legacy, other_tag, building):
+        d.mkdir()
+        (d / "part.parquet").touch()
+
+    _reap_stale_bronze_caches(str(current))
+
+    assert current.exists()  # never reaps itself
+    assert not stale.exists()  # same tag, different digest -> reaped
+    assert not legacy.exists()  # pre-digest legacy name -> reaped
+    assert other_tag.exists()  # different dataset -> preserved
+    assert building.exists()  # in-flight staging dir -> preserved
+
+
+def test_reap_dead_corrupt_roots(tmp_path):
+    """Corrupt-root siblings moved aside by a dead process are reaped;
+    one held by a live pid (ours) survives, as do unrelated names."""
+    import os
+
+    from privacy_cdc_lakehouse_spark.queries.cdc import _reap_dead_corrupt_roots
+
+    root = tmp_path / "pcl_lake_v3_p2_sf1_aaaaaaaaaa"
+    dead = tmp_path / f"{root.name}.corrupt-999999999"
+    alive = tmp_path / f"{root.name}.corrupt-{os.getpid()}"
+    junk = tmp_path / f"{root.name}.corrupt-notapid"
+    other = tmp_path / "pcl_lake_v3_p2_sf2_bbbbbbbbbb.corrupt-999999999"
+    for d in (dead, alive, junk, other):
+        d.mkdir()
+
+    _reap_dead_corrupt_roots(str(root))
+
+    assert not dead.exists()
+    assert alive.exists()
+    assert junk.exists()  # unparseable pid: leave it alone
+    assert other.exists()  # different root: untouched
