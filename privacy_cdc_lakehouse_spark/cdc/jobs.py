@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.cdc.privacy import pseudonymize_orders
@@ -267,8 +267,6 @@ def merge_silver(lake: Lakehouse) -> int | None:
     Returns the new silver version, or None when no new data (early-exit
     guard parity: ``merge_orders_silver.py:63-66``).
     """
-    from pyspark.sql import Observation
-
     lo = _last_offset(lake)
     fresh = lake.bronze.read().filter(F.col("offset") > F.lit(lo))
     if fresh.isEmpty():

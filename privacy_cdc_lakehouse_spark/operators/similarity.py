@@ -23,7 +23,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -82,8 +82,6 @@ def brute_force_topk(
     queries: (query_id, embedding). Output: query_id, neighbor_id, rank,
     cos_sim — deterministic tie-break on (sim desc, neighbor_id asc).
     """
-    from pyspark.sql import Window
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     )
@@ -280,8 +278,6 @@ def ivf_topk(
     ingest and the corpus is partitioned/bucketed by it, making the
     probe a pruned scan.
     """
-    from pyspark.sql import Window
-
     cents = kmeans_fit(
         corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
     )
@@ -410,8 +406,6 @@ def lsh_topk(
     :func:`lsh_index` (same planes/tables/dim); pass it to skip the
     corpus bucketing pass, the per-call cost center that amortizes
     across query batches."""
-    from pyspark.sql import Window
-
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         as_double(F.col(vec_col)).alias("cvec"),

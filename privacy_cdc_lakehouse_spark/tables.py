@@ -57,6 +57,7 @@ from dataclasses import dataclass
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql.types import StructType
 from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
@@ -586,8 +587,6 @@ class LakeTable:
         """0-row DataFrame with the schema recorded at or before
         ``version`` (written by ``truncate``), or None if no schema was
         ever recorded (legacy empty snapshot)."""
-        from pyspark.sql.types import StructType
-
         for vv in range(version, 0, -1):
             m = self._manifest(vv)
             if m.get("schema"):
