@@ -190,6 +190,16 @@ def _add_exclude(excludes: list[str], new: str) -> None:
     excludes.append(new)
 
 
+def _distributed_stats_threshold() -> int:
+    """File count above which commit-stats footer reads fan out as
+    Spark tasks instead of a serial driver walk. Read per call so tests
+    (and operators) can tune it without rebuilding sessions."""
+    try:
+        return int(os.environ.get("PCL_DISTRIBUTED_STATS_THRESHOLD", "64"))
+    except ValueError:
+        return 64
+
+
 def _footer_column_stats(full_path: str) -> dict[str, dict]:
     """min/max/null stats for ONE parquet file's top-level columns from
     its footer (metadata only). Module-level so the distributed stats
@@ -433,27 +443,37 @@ class LakeTable:
         to the table root; hive partition columns aren't in footers and
         get no entry (Catalyst prunes those at planning instead).
 
-        Default path is a driver-side footer walk (fine for local/test
-        scale); with ``PCL_DISTRIBUTED_STATS=1`` the walk AND the footer
-        reads run as Spark tasks (the Delta model: stats come out of the
-        write tasks, the driver only assembles the manifest) — at 100 TB
-        the driver never touches a data file."""
-        if os.environ.get("PCL_DISTRIBUTED_STATS") == "1":
+        Small commits (micro-batches) use a driver-side serial footer
+        walk — O(new files), no job-scheduling overhead. Above
+        ``PCL_DISTRIBUTED_STATS_THRESHOLD`` files (default 64, the
+        many-thousand-file backfill case) the footer reads fan out as
+        Spark tasks automatically (the Delta model: stats come out of
+        the cluster, the driver only assembles the manifest) — a 100 TB
+        backfill commit never serializes footer reads on the driver.
+        ``PCL_DISTRIBUTED_STATS=1``/``0`` force either path."""
+        env = os.environ.get("PCL_DISTRIBUTED_STATS")
+        if env == "1":
             return self._file_stats_distributed(rel_dir)
         root = os.path.join(self.path, rel_dir)
-        out: dict[str, dict] = {}
+        files = []
         for dirpath, _, names in os.walk(root):
             for name in names:
-                if not name.endswith(".parquet"):
-                    continue
-                full = os.path.join(dirpath, name)
-                out[os.path.relpath(full, self.path)] = _footer_column_stats(full)
-        return out
+                if name.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, name))
+        if env != "0" and len(files) > _distributed_stats_threshold():
+            return self._file_stats_distributed(rel_dir, files=files)
+        return {
+            os.path.relpath(full, self.path): _footer_column_stats(full)
+            for full in files
+        }
 
-    def _file_stats_distributed(self, rel_dir: str) -> dict[str, dict]:
-        """Stats via two tiny Spark jobs: one task walks the new data
-        dir (executor-side listing), then footer reads fan out across
-        the cluster. Only (path, stats) pairs ever reach the driver."""
+    def _file_stats_distributed(
+        self, rel_dir: str, files: list[str] | None = None
+    ) -> dict[str, dict]:
+        """Stats via Spark jobs: one task walks the new data dir
+        (executor-side listing, skipped when the caller already has the
+        list), then footer reads fan out across the cluster. Only
+        (path, stats) pairs ever reach the driver."""
         root = os.path.join(self.path, rel_dir)
         table_path = self.path
         sc = self.spark.sparkContext
@@ -464,7 +484,8 @@ class LakeTable:
                     if name.endswith(".parquet"):
                         yield os.path.join(dirpath, name)
 
-        files = sc.parallelize([root], 1).flatMap(list_files).collect()
+        if files is None:
+            files = sc.parallelize([root], 1).flatMap(list_files).collect()
         if not files:
             return {}
         pairs = (

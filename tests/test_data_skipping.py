@@ -200,6 +200,55 @@ def test_distributed_stats_match_driver_walk(spark, tmp_path, monkeypatch):
     assert t_dist.scan_files(("id", "=", 10_000)) == (2, 0)
 
 
+def test_distributed_stats_auto_switch_above_threshold(
+    spark, tmp_path, monkeypatch
+):
+    """Above PCL_DISTRIBUTED_STATS_THRESHOLD files a commit's footer
+    reads fan out as Spark tasks AUTOMATICALLY (no env opt-in) — a
+    backfill commit must never serialize thousands of footer reads on
+    the driver — and yield stats identical to the driver walk."""
+    from privacy_cdc_lakehouse_spark import tables as T
+
+    calls = {"dist": 0}
+    orig = T.LakeTable._file_stats_distributed
+
+    def spy(self, rel_dir, files=None):
+        calls["dist"] += 1
+        return orig(self, rel_dir, files)
+
+    monkeypatch.setattr(T.LakeTable, "_file_stats_distributed", spy)
+    monkeypatch.setenv("PCL_DISTRIBUTED_STATS_THRESHOLD", "4")
+
+    # 8 files > threshold 4 -> auto-distributed
+    t_auto = _mk(spark, tmp_path, "stats_auto")
+    t_auto.append(spark.range(0, 1000).repartition(8))
+    assert calls["dist"] == 1
+
+    # forced driver path on the same data: identical stats dicts
+    monkeypatch.setenv("PCL_DISTRIBUTED_STATS", "0")
+    t_drv = _mk(spark, tmp_path, "stats_auto_drv")
+    t_drv.append(spark.range(0, 1000).repartition(8))
+    assert calls["dist"] == 1  # driver path did not fan out
+    monkeypatch.delenv("PCL_DISTRIBUTED_STATS")
+
+    def stats_of(t):
+        from privacy_cdc_lakehouse_spark.tables import _entry
+
+        m = t._snapshot(t.current_version())
+        entries = [_entry(e) for e in m["files"]]
+        assert len(entries) == 1
+        return sorted(
+            entries[0]["stats"].values(), key=lambda c: c["id"]["min"]
+        )
+
+    assert stats_of(t_auto) == stats_of(t_drv)
+
+    # below the threshold the driver walk is used (no new fan-out)
+    t_small = _mk(spark, tmp_path, "stats_small")
+    t_small.append(spark.range(0, 10).coalesce(2))
+    assert calls["dist"] == 1
+
+
 def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
     """Z-order clustering must enable data skipping on EVERY clustered
     column; 1-D clustering on x leaves y-predicates unprunable on
