@@ -235,32 +235,54 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = events.filter(F.col("offset") <= mid)
     second = events.filter(F.col("offset") > mid)
 
+    from privacy_cdc_lakehouse_spark.cdc.jobs import _with_bucket
+
     scratch = _process_scratch(
         "pcl_sqlmerge", sf_dir, extra=f"_v{PIPELINE_VERSION}"
     )
+    # Bucket-partitioned scratch silver + a touched-bucket
+    # partition_filter — the SAME partition-scoped copy-on-write the
+    # production `merge_silver` path runs (cdc/jobs.py::_merge_staged):
+    # the MERGE rewrites only the buckets this batch touches, so the
+    # bench headline measures the plan you'd actually run at 100 TB,
+    # not a whole-table rewrite. The statement is the reference's
+    # 3-clause shape with ONE addition: `order_bucket` rides the INSERT
+    # list (unlisted insert columns land NULL, which would break both
+    # partition pruning and the filter's coverage of inserted rows).
     silver = LakeTable(spark, scratch)
-    silver.overwrite(silver_from_bronze(first))
-    latest_state(
-        parse_cdc_envelope(second), drop_tombstones=False, keep_op=True
-    ).createOrReplaceTempView("staging_orders")
-
-    sql_merge(
-        spark,
-        """
-        MERGE INTO demo.silver.orders_current t
-        USING staging_orders s
-        ON t.order_id = s.order_id
-        WHEN MATCHED AND s.op = 'd' THEN DELETE
-        WHEN MATCHED AND s.op <> 'd' THEN UPDATE SET
-          user_id = s.user_id,
-          amount_eur = s.amount_eur,
-          status = s.status,
-          last_change_ts = s.last_change_ts
-        WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (order_id, user_id, amount_eur, status, last_change_ts)
-        VALUES (s.order_id, s.user_id, s.amount_eur, s.status, s.last_change_ts)
-        """,
-        {"silver.orders_current": silver},
+    silver.overwrite(
+        _with_bucket(silver_from_bronze(first)), partition_by=["order_bucket"]
     )
+    staged = _with_bucket(
+        latest_state(parse_cdc_envelope(second), drop_tombstones=False, keep_op=True)
+    ).persist()  # feeds the touched-bucket collect + the MERGE's joins
+    try:
+        staged.createOrReplaceTempView("staging_orders")
+        touched = sorted(
+            r["order_bucket"]
+            for r in staged.select("order_bucket").distinct().collect()
+        )
+        pf = f"order_bucket IN ({', '.join(str(b) for b in touched)})"
+        sql_merge(
+            spark,
+            """
+            MERGE INTO demo.silver.orders_current t
+            USING staging_orders s
+            ON t.order_id = s.order_id
+            WHEN MATCHED AND s.op = 'd' THEN DELETE
+            WHEN MATCHED AND s.op <> 'd' THEN UPDATE SET
+              user_id = s.user_id,
+              amount_eur = s.amount_eur,
+              status = s.status,
+              last_change_ts = s.last_change_ts
+            WHEN NOT MATCHED AND s.op <> 'd' THEN INSERT (order_id, user_id, amount_eur, status, last_change_ts, order_bucket)
+            VALUES (s.order_id, s.user_id, s.amount_eur, s.status, s.last_change_ts, s.order_bucket)
+            """,
+            {"silver.orders_current": silver},
+            partition_filter=pf if touched else None,
+        )
+    finally:
+        staged.unpersist()
     return silver.read().select(
         "order_id", "user_id", "amount_eur", "status", "last_change_ts"
     )
