@@ -978,6 +978,50 @@ class LakeTable:
             updated, partition_filter, "update", base_version=base_v
         )
 
+    def _filter_may_match_entry(
+        self, partition_filter: str, spec: list[str], entry: dict
+    ) -> bool:
+        """False only when the entry's hive partition values PROVE no
+        row can satisfy ``partition_filter`` — the partition-level
+        conflict test for racing partition-scoped commits. Anything
+        unprovable (unpartitioned table, stats-less entry, null
+        partitions, non-partition-column predicates) returns True:
+        soundness (conflict) over concurrency."""
+        if not spec:
+            return True
+        tuples = set()
+        files = entry.get("stats") or {}
+        if not files:
+            return True
+        for rel_path in files:
+            kv = {}
+            for seg in rel_path.split("/")[1:-1]:
+                k, sep, val = seg.partition("=")
+                if sep:
+                    kv[k] = val
+            if set(kv) != set(spec) or "__HIVE_DEFAULT_PARTITION__" in kv.values():
+                return True
+            tuples.add(tuple(kv[c] for c in spec))
+        if not tuples:
+            return True
+        # Mirror hive partition-discovery typing: a column whose every
+        # value is integral reads back as a number; else a string.
+        rows = []
+        typed_cols = []
+        vals_by_col = list(zip(*sorted(tuples)))
+        for c, vals in zip(spec, vals_by_col):
+            integral = all(v.lstrip("-").isdigit() for v in vals)
+            typed_cols.append((c, "long" if integral else "string"))
+            rows.append([int(v) if integral else v for v in vals])
+        schema = ", ".join(f"`{c}` {t}" for c, t in typed_cols)
+        try:
+            df = self.spark.createDataFrame(
+                list(zip(*rows)), schema=schema
+            ).filter(F.expr(partition_filter))
+            return len(df.take(1)) > 0
+        except Exception:
+            return True  # unevaluable predicate: treat as conflicting
+
     def _commit_partition_scoped(
         self,
         rewritten: DataFrame,
@@ -993,7 +1037,12 @@ class LakeTable:
         if the log advanced past it with NEW data dirs by commit time,
         the commit raises :class:`ConcurrentWriteError` instead of
         excluding rows the rewrite never read (the Delta
-        ConcurrentAppendException contract)."""
+        ConcurrentAppendException contract) — UNLESS every unseen dir
+        is provably disjoint from this rewrite's ``partition_filter``
+        (its hive partition values match none of the filter), in which
+        case both commits land (Delta's partition-level conflict
+        resolution: two merges on disjoint partitions serialize
+        cleanly; overlapping ones conflict)."""
         v = base_version if base_version is not None else self.current_version()
         spec = self._manifest(v).get("partition_by", []) if v is not None else []
         base_paths = (
@@ -1010,11 +1059,18 @@ class LakeTable:
             prior_paths = {e["path"] for e in prior}
             unseen = prior_paths - base_paths
             if unseen:
-                raise ConcurrentWriteError(
-                    f"partition-scoped {op} computed from v{v} raced a "
-                    f"concurrent commit adding {sorted(unseen)}; retry "
-                    f"against the new snapshot"
+                blockers = sorted(
+                    e["path"]
+                    for e in prior
+                    if e["path"] in unseen
+                    and self._filter_may_match_entry(partition_filter, spec, e)
                 )
+                if blockers:
+                    raise ConcurrentWriteError(
+                        f"partition-scoped {op} computed from v{v} raced a "
+                        f"concurrent commit adding {blockers}; retry "
+                        f"against the new snapshot"
+                    )
             # dirs the base had that are GONE mean a concurrent
             # truncate/overwrite/compact landed — excluding-and-adding
             # on top would resurrect rows that operation removed.

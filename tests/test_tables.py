@@ -763,3 +763,112 @@ def test_non_utc_session_disables_naive_timestamp_pruning(spark, tmp_path):
         assert a == b
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def _mk_partitioned(spark, tmp_path, name):
+    t = LakeTable(spark, str(tmp_path / name))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "id int, p int, s string"
+        ),
+        partition_by=["p"],
+    )
+    return t
+
+
+def test_merge_merge_disjoint_partition_filters_both_land(spark, tmp_path):
+    """Two MERGEs scoped to DISJOINT partition filters serialize
+    cleanly: the loser's unseen dir holds only partitions its own
+    filter can never touch, so the commit proceeds instead of raising
+    (Delta's partition-level conflict resolution)."""
+    t = _mk_partitioned(spark, tmp_path, "mm_disjoint")
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        # a concurrent writer lands a p=1-scoped MERGE first
+        w = LakeTable(spark, t.path)
+        w.merge(
+            spark.createDataFrame([(2, 1, "b2")], "id int, p int, s string"),
+            keys=["id"],
+            partition_filter="p = 1",
+        )
+        t._commit = orig_commit  # the inner merge must not recurse
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        t.merge(
+            spark.createDataFrame([(1, 0, "a2")], "id int, p int, s string"),
+            keys=["id"],
+            partition_filter="p = 0",
+        )
+    finally:
+        t._commit = orig_commit
+    # BOTH merges' outcomes are visible — no lost update, no conflict
+    assert _rows(t) == [(1, "a2", 0), (2, "b2", 1)]
+
+
+def test_merge_merge_overlapping_partition_filters_conflict(spark, tmp_path):
+    """Two MERGEs whose partition filters OVERLAP race: the loser must
+    raise ConcurrentWriteError (its rewrite was computed from a
+    snapshot missing the winner's rows) and the winner's outcome must
+    stand untouched."""
+    from privacy_cdc_lakehouse_spark.tables import ConcurrentWriteError
+
+    t = _mk_partitioned(spark, tmp_path, "mm_overlap")
+
+    orig_commit = t._commit
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        w = LakeTable(spark, t.path)
+        w.merge(
+            spark.createDataFrame([(3, 0, "c")], "id int, p int, s string"),
+            keys=["id"],
+            partition_filter="p = 0",
+        )
+        t._commit = orig_commit
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        with pytest.raises(ConcurrentWriteError):
+            t.merge(
+                spark.createDataFrame([(1, 0, "a2")], "id int, p int, s string"),
+                keys=["id"],
+                partition_filter="p = 0",
+            )
+    finally:
+        t._commit = orig_commit
+    # winner's insert stands; loser's update never landed
+    assert _rows(t) == [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+
+
+def test_concurrent_merges_real_threads_disjoint(spark, tmp_path):
+    """Real-thread merge-vs-merge on disjoint partitions: whatever the
+    interleaving (true race or serialization), both MERGEs must land —
+    partition-level conflict resolution means disjoint writers never
+    block each other."""
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = _mk_partitioned(spark, tmp_path, "mm_threads")
+    gate = threading.Barrier(2, timeout=120)
+
+    def work(p, new_s):
+        w = LakeTable(spark, t.path)
+        gate.wait()  # maximize the chance both read the same base
+        w.merge(
+            spark.createDataFrame(
+                [(p + 1, p, new_s)], "id int, p int, s string"
+            ),
+            keys=["id"],
+            partition_filter=f"p = {p}",
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        futs = [ex.submit(work, 0, "a2"), ex.submit(work, 1, "b2")]
+        for f in futs:
+            f.result()  # neither may raise
+
+    assert _rows(t) == [(1, "a2", 0), (2, "b2", 1)]
