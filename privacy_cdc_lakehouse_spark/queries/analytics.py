@@ -1178,6 +1178,44 @@ ORDER BY sum(rev) DESC, c_custkey LIMIT 20
 """
 
 
+def q_tpch_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item revenue top-20) + Q18 (large-volume
+    customers) in one tagged union — round-6 registry consolidation
+    (freed the slot for cdc_stream_silver); both original plans run
+    unchanged (the union calls the original functions verbatim)."""
+    pin_utc(spark)
+    a = q10_returned_item_revenue(spark, sf_dir).select(
+        F.lit("q10_returns").alias("kind"),
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.col("c_name").alias("k"),
+        F.col("revenue_r").cast("double").alias("money"),
+        F.col("n_orders").cast("double").alias("qty"),
+    )
+    b = q18_large_volume_customers(spark, sf_dir).select(
+        F.lit("q18_volume").alias("kind"),
+        F.col("c_custkey").cast("long").alias("custkey"),
+        F.concat_ws(":", F.col("c_name"), F.col("o_orderkey")).alias("k"),
+        F.col("o_totalprice").cast("double").alias("money"),
+        F.col("total_qty").cast("double").alias("qty"),
+    )
+    return a.unionByName(b).orderBy("kind", "custkey", "k")
+
+
+_TPCH_CUSTOMER_REVENUE_SQL = f"""
+WITH a AS ({_Q10_SQL}), b AS ({_Q18_SQL})
+SELECT 'q10_returns' AS kind, CAST(c_custkey AS BIGINT) AS custkey,
+       c_name AS k, CAST(revenue_r AS DOUBLE) AS money,
+       CAST(n_orders AS DOUBLE) AS qty
+FROM a
+UNION ALL
+SELECT 'q18_volume', CAST(c_custkey AS BIGINT),
+       c_name || ':' || CAST(o_orderkey AS VARCHAR),
+       CAST(o_totalprice AS DOUBLE), CAST(total_qty AS DOUBLE)
+FROM b
+ORDER BY kind, custkey, k
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion funnel: users whose first 'signup' is followed by a
     'purchase' within 7 days. Both stages aggregate to one row per
@@ -1374,9 +1412,10 @@ ORDER BY src, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST
 
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
-    "q10_returned_item_revenue": q10_returned_item_revenue,
+    # round 6: q10_returned_item_revenue + q18_large_volume_customers →
+    # tpch_customer_revenue (freed the slot for cdc_stream_silver)
+    "tpch_customer_revenue": q_tpch_customer_revenue,
     "events_funnel": q_events_funnel,
-    "q18_large_volume_customers": q18_large_volume_customers,
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
     "tpch_scalar_aggregates": q_tpch_scalar_aggregates,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1419,9 +1458,8 @@ def _priv_view_oracle() -> str:
 
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
-    "q10_returned_item_revenue": _Q10_SQL,
+    "tpch_customer_revenue": _TPCH_CUSTOMER_REVENUE_SQL,
     "events_funnel": _FUNNEL_SQL,
-    "q18_large_volume_customers": _Q18_SQL,
     "q3_top_unshipped": _Q3_SQL,
     "q5_revenue_by_nation": _Q5_SQL,
     "tpch_scalar_aggregates": _SCALAR_AGG_SQL,

@@ -288,6 +288,60 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 as a driver-verified row: the foreachBatch micro-batch
+    pipeline (file stream → idempotent bronze append → checkpointed
+    incremental MERGE, ``streaming/pipeline.py::run_stream_to_silver``)
+    run to completion with ``availableNow`` over the event fixture —
+    final silver must equal the declarative latest-state over ALL
+    events (same oracle as the flagship ``cdc_orders_current``; the
+    stream==batch parity the pytest suite asserts, surfaced to the
+    correctness gate).
+
+    Fixture mechanics: the log is range-split by offset into three
+    files with strictly increasing mtimes so FileStreamSource (which
+    orders batches by modification time) delivers offset-ordered
+    micro-batches — the Kafka per-partition ordering contract the
+    checkpointed merge consumes. Bronze itself no longer needs arrival
+    order (exact-offset dedup handles stragglers)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from privacy_cdc_lakehouse_spark.cdc.jobs import Lakehouse
+    from privacy_cdc_lakehouse_spark.cdc.silver import PIPELINE_VERSION
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import (
+        run_stream_to_silver,
+    )
+
+    pin_utc(spark)
+    scratch = _process_scratch(
+        "pcl_stream", sf_dir, extra=f"_v{PIPELINE_VERSION}"
+    )
+    raw = os.path.join(scratch, "raw")
+    cdc_events(spark, sf_dir).repartitionByRange(3, "offset").write.parquet(raw)
+    src = os.path.join(scratch, "source")
+    os.makedirs(src)
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(raw, "part-*.parquet")))):
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    lake = Lakehouse(spark, os.path.join(scratch, "lake"))
+    run_stream_to_silver(
+        spark,
+        src,
+        lake,
+        os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    return lake.silver.read().select(
+        "order_id", "user_id", "amount_eur", "status", "last_change_ts"
+    )
+
+
 def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text DML front (``sql_merge.py::sql_dml``) end-to-end on
     a LakeTable: seed from `customer`, ``INSERT INTO ... SELECT``
@@ -534,6 +588,11 @@ QUERIES = {
     "cdc_op_histogram": q_cdc_op_histogram,
     "cdc_decimal_backfill": q_decimal_backfill,
     "sql_merge_orders": q_sql_merge_orders,
+    # round 6: the streaming path's stream==batch parity, surfaced from
+    # pytest to a driver-verified row (slot freed by folding
+    # q10_returned_item_revenue + q18_large_volume_customers into
+    # analytics.py::tpch_customer_revenue)
+    "cdc_stream_silver": q_cdc_stream_silver,
     "sql_dml_lifecycle": q_sql_dml_lifecycle,
     "catalog_show_surface": q_catalog_surface,
     "catalog_orders_current": q_catalog_orders_current,
@@ -543,6 +602,9 @@ QUERIES = {
 
 ORACLES = {
     "cdc_orders_current": _LATEST_CTE
+    + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
+    # the streaming pipeline must converge to the SAME latest state
+    "cdc_stream_silver": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
     "cdc_orders_current_priv": _LATEST_CTE
     + f"""
