@@ -1371,9 +1371,13 @@ ORDER BY kind, k
 
 
 def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP + CUBE + explicit GROUPING SETS in one tagged union —
-    all three grouping-set expansions exercised, each in its own
-    single-shuffle aggregate."""
+    """ROLLUP + CUBE + explicit GROUPING SETS + PIVOT in one tagged
+    union — all three grouping-set expansions plus the pivot exercised,
+    each in its own single-shuffle aggregate. The pivot arm (round-6
+    consolidation: ``pivot_status_by_priority`` folded in to free a
+    registry slot for ``cdc_changes_feed``) runs the ORIGINAL pivot
+    plan unchanged, then stacks the pivoted count columns back into
+    the tagged shape."""
     pin_utc(spark)
 
     def shape(src: str, df: DataFrame, d1: str, d2: str, measure: str) -> DataFrame:
@@ -1385,10 +1389,27 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n"),
         )
 
+    pivot_rows = (
+        q_pivot_status_by_priority(spark, sf_dir)
+        .selectExpr(
+            "'pivot' as src",
+            "o_orderpriority as d1",
+            "stack(3, 'n_open', n_open, 'n_filled', n_filled, "
+            "'n_partial', n_partial) as (d2, cnt)",
+        )
+        .select(
+            "src",
+            "d1",
+            "d2",
+            F.col("cnt").cast("double").alias("measure"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )
     return (
         shape("cube", q_cube_order_status(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total")
         .unionByName(shape("gsets", q_grouping_sets(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total"))
         .unionByName(shape("rollup", q_rollup_returnflag(spark, sf_dir), "l_returnflag", "l_linestatus", "sum_qty"))
+        .unionByName(pivot_rows)
         .orderBy("src", F.asc_nulls_first("d1"), F.asc_nulls_first("d2"))
     )
 
@@ -1406,6 +1427,17 @@ UNION ALL
 SELECT 'rollup', l_returnflag, l_linestatus,
        CAST(sum(l_quantity) AS DOUBLE), CAST(count(*) AS BIGINT)
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'pivot', o_orderpriority, lbl, CAST(cnt AS DOUBLE), CAST(cnt AS BIGINT)
+FROM (
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial
+    FROM orders GROUP BY o_orderpriority
+) p CROSS JOIN LATERAL (VALUES
+    ('n_open', n_open), ('n_filled', n_filled), ('n_partial', n_partial)
+) AS u(lbl, cnt)
 ORDER BY src, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST
 """
 
@@ -1433,7 +1465,8 @@ QUERIES = {
     "distinct_counts": q_distinct_counts,
     "events_rollups": q_events_rollups,
     "events_sessionize": q_events_sessionize,
-    "pivot_status_by_priority": q_pivot_status_by_priority,
+    # round 6: pivot_status_by_priority → grouping_analytics (pivot arm;
+    # freed the slot for cdc_changes_feed)
     # round 5: q4_order_priority_exists + min_order_per_customer →
     # correlated_subqueries (freed the slot for sql_dml_lifecycle)
     "correlated_subqueries": q_correlated_subqueries,
@@ -1470,7 +1503,6 @@ ORACLES = {
     "distinct_counts": _DISTINCT_SQL,
     "events_rollups": _EVENTS_ROLLUPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
-    "pivot_status_by_priority": _PIVOT_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,
     "correlated_subqueries": _CORRELATED_SQL,
     "sql_privacy_view": _priv_view_oracle(),

@@ -288,6 +288,100 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed (Delta CDF parity, ``LakeTable.read_changes``)
+    as a driver-verified row: seed silver from the first half of the
+    event log, MERGE the second half with ``write_change_data=True``,
+    and return the merge commit's row-level feed — delete preimages,
+    update preimage/postimage pairs, inserts. The oracle recomputes the
+    identical classification relationally (batch keys joined against
+    the seed state), so every feed row's values AND change-type tag are
+    hash-checked. This is the read side of a CDC lakehouse: the same
+    contract the pipeline consumes from Debezium, exported downstream."""
+    from privacy_cdc_lakehouse_spark.cdc.silver import (
+        PIPELINE_VERSION,
+        latest_state,
+        parse_cdc_envelope,
+        silver_from_bronze,
+    )
+    from privacy_cdc_lakehouse_spark.tables import CHANGE_TYPE_COL, LakeTable
+
+    pin_utc(spark)
+    events = cdc_events(spark, sf_dir)
+    lo_hi = events.agg(
+        F.min("offset").alias("lo"), F.max("offset").alias("hi")
+    ).collect()[0]
+    mid = (lo_hi["lo"] + lo_hi["hi"]) / 2
+    first = events.filter(F.col("offset") <= mid)
+    second = events.filter(F.col("offset") > mid)
+
+    scratch = _process_scratch("pcl_cdf", sf_dir, extra=f"_v{PIPELINE_VERSION}")
+    silver = LakeTable(spark, scratch)
+    silver.overwrite(silver_from_bronze(first))
+    staged = latest_state(
+        parse_cdc_envelope(second), drop_tombstones=False, keep_op=True
+    )
+    v = silver.merge(
+        staged,
+        keys=["order_id"],
+        matched_delete=F.col("s.op") == "d",
+        insert_condition=F.col("s.op") != "d",
+        write_change_data=True,
+    )
+    return (
+        silver.read_changes(v, v)
+        .select(
+            F.col(CHANGE_TYPE_COL).alias("change_type"),
+            "order_id",
+            "user_id",
+            "amount_eur",
+            "status",
+            "last_change_ts",
+        )
+        .orderBy("change_type", "order_id")
+    )
+
+
+_CHANGES_FEED_SQL = f"""
+WITH {ORACLE_EVENTS_CTE},
+bounds AS (SELECT (min(off) + max(off)) / 2.0 AS mid FROM cdc_ev),
+seed AS (
+    SELECT order_id, user_id, amount_eur, status, change_ts AS last_change_ts
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY order_id ORDER BY change_ts DESC, off DESC) AS rn
+        FROM cdc_ev WHERE off <= (SELECT mid FROM bounds)
+    ) WHERE rn = 1 AND op <> 'd'
+),
+batch AS (
+    SELECT order_id, user_id, amount_eur, status,
+           change_ts AS last_change_ts, op
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY order_id ORDER BY change_ts DESC, off DESC) AS rn
+        FROM cdc_ev WHERE off > (SELECT mid FROM bounds)
+    ) WHERE rn = 1
+)
+SELECT 'delete' AS change_type, s.order_id, s.user_id, s.amount_eur,
+       s.status, s.last_change_ts
+FROM batch b JOIN seed s USING (order_id) WHERE b.op = 'd'
+UNION ALL
+SELECT 'update_preimage', s.order_id, s.user_id, s.amount_eur,
+       s.status, s.last_change_ts
+FROM batch b JOIN seed s USING (order_id) WHERE b.op <> 'd'
+UNION ALL
+SELECT 'update_postimage', b.order_id, b.user_id, b.amount_eur,
+       b.status, b.last_change_ts
+FROM batch b JOIN seed s USING (order_id) WHERE b.op <> 'd'
+UNION ALL
+SELECT 'insert', b.order_id, b.user_id, b.amount_eur,
+       b.status, b.last_change_ts
+FROM batch b LEFT JOIN seed s USING (order_id)
+WHERE s.order_id IS NULL AND b.op <> 'd'
+ORDER BY change_type, order_id
+"""
+
+
 def q_cdc_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.9 as a driver-verified row: the foreachBatch micro-batch
     pipeline (file stream → idempotent bronze append → checkpointed
@@ -588,6 +682,10 @@ QUERIES = {
     "cdc_op_histogram": q_cdc_op_histogram,
     "cdc_decimal_backfill": q_decimal_backfill,
     "sql_merge_orders": q_sql_merge_orders,
+    # round 6: Change Data Feed surfaced as a hash-checked row (slot
+    # freed by folding pivot_status_by_priority into
+    # analytics.py::grouping_analytics)
+    "cdc_changes_feed": q_cdc_changes_feed,
     # round 6: the streaming path's stream==batch parity, surfaced from
     # pytest to a driver-verified row (slot freed by folding
     # q10_returned_item_revenue + q18_large_volume_customers into
@@ -640,6 +738,7 @@ ORACLES = {
     # SQL-text MERGE must land on the SAME final state as the flagship.
     "sql_merge_orders": _LATEST_CTE
     + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
+    "cdc_changes_feed": _CHANGES_FEED_SQL,
     "sql_dml_lifecycle": _SQL_DML_LIFECYCLE_SQL,
     "catalog_show_surface": _CATALOG_SURFACE_SQL,
     "catalog_orders_current": _LATEST_CTE

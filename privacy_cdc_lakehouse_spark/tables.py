@@ -62,6 +62,12 @@ from pyspark.sql import functions as F
 
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
+_CHANGE_DIR = "_change_data"
+
+# Change Data Feed column names (Delta CDF parity)
+CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
+COMMIT_TS_COL = "_commit_timestamp"
 
 
 def _entry(e) -> dict:
@@ -437,6 +443,17 @@ class LakeTable:
         writer.parquet(os.path.join(self.path, rel))
         return rel
 
+    def _write_change_dir(self, changes: DataFrame) -> str:
+        """Write a Change Data Feed file set (rows + ``_change_type``)
+        for one commit, BEFORE the manifest lands — like data dirs, a
+        change dir is only visible once a manifest references it (a
+        raced/crashed commit leaves an orphan that ``vacuum`` reaps).
+        Change rows are O(changed rows) — micro-batch-sized, never
+        table-sized, which is what makes CDF affordable at 100 TB."""
+        rel = os.path.join(_CHANGE_DIR, uuid.uuid4().hex)
+        changes.write.mode("overwrite").parquet(os.path.join(self.path, rel))
+        return rel
+
     def _file_stats(self, rel_dir: str) -> dict[str, dict]:
         """Per-file column min/max/null-count from parquet footers
         (metadata only — no data pages read). Keys are paths relative
@@ -635,6 +652,142 @@ class LakeTable:
         """``SELECT ... TIMESTAMP AS OF`` — read the snapshot current at
         ``ts``."""
         return self.read(version=self.version_as_of(ts), where=where)
+
+    def read_changes(
+        self, start_version: int, end_version: int | None = None
+    ) -> DataFrame:
+        """Change Data Feed: row-level changes committed in versions
+        ``[start_version, end_version]`` (inclusive; default = current)
+        — Delta's ``table_changes`` surface, the read side of a CDC
+        lakehouse. Output = table columns + ``_change_type``
+        (``insert`` / ``update_preimage`` / ``update_postimage`` /
+        ``delete``) + ``_commit_version`` + ``_commit_timestamp``.
+
+        Per-commit sourcing (the Delta model):
+
+        - ``merge`` / ``delete`` / ``update`` run with
+          ``write_change_data=True`` recorded explicit change files at
+          commit time — read directly, O(changed rows). Without the
+          flag those commits RAISE (Delta's "change data was not
+          recorded" error) rather than guessing.
+        - ``append`` needs no change files: the added data dirs ARE the
+          inserts (diff of the file sets at v and v-1).
+        - ``truncate`` → every row of v-1 as ``delete`` (time travel
+          supplies the preimage — no extra storage).
+        - ``overwrite`` → v-1 as ``delete`` + v as ``insert`` (a full
+          atomic replace is exactly that).
+        - ``compact`` rewrites files without changing rows
+          (dataChange=false) → contributes nothing.
+
+        ``vacuum`` reclaims change files alongside data files once the
+        version falls off the retention horizon — a feed consumer must
+        keep up, same contract as Delta CDF."""
+        v_latest = self.current_version()
+        if v_latest is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        end = end_version if end_version is not None else v_latest
+        if not (1 <= start_version <= end <= v_latest):
+            raise ValueError(
+                f"bad change range [{start_version}, {end}] for table at "
+                f"v{v_latest}"
+            )
+        parts: list[DataFrame] = []
+
+        def stamp(df: DataFrame, v: int, ts: float | None) -> DataFrame:
+            return df.withColumn(
+                COMMIT_VERSION_COL, F.lit(v).cast("long")
+            ).withColumn(
+                COMMIT_TS_COL,
+                F.lit(float(ts)).cast("timestamp") if ts is not None
+                else F.lit(None).cast("timestamp"),
+            )
+
+        for v in range(start_version, end + 1):
+            m = self._manifest(v)
+            op = m.get("op")
+            ts = m.get("ts")
+            if m.get("change_data"):
+                df = self.spark.read.option("mergeSchema", "true").parquet(
+                    os.path.join(self.path, m["change_data"])
+                )
+                parts.append(stamp(df, v, ts))
+            elif op == "append":
+                prev = (
+                    {e["path"] for e in self._snapshot_files(v - 1)}
+                    if v > 1
+                    else set()
+                )
+                added = [
+                    e["path"]
+                    for e in self._snapshot_files(v)
+                    if e["path"] not in prev
+                ]
+                for rel in added:
+                    df = (
+                        self.spark.read.option("mergeSchema", "true")
+                        .parquet(os.path.join(self.path, rel))
+                        .withColumn(CHANGE_TYPE_COL, F.lit("insert"))
+                    )
+                    parts.append(stamp(df, v, ts))
+            elif op == "truncate":
+                try:
+                    prior = self.read(version=v - 1) if v > 1 else None
+                except FileNotFoundError:
+                    prior = None
+                if prior is not None:
+                    parts.append(
+                        stamp(
+                            prior.withColumn(
+                                CHANGE_TYPE_COL, F.lit("delete")
+                            ),
+                            v,
+                            ts,
+                        )
+                    )
+            elif op == "overwrite":
+                prior = None
+                if v > 1:
+                    try:
+                        prior = self.read(version=v - 1)
+                    except FileNotFoundError:
+                        pass
+                if prior is not None:
+                    parts.append(
+                        stamp(
+                            prior.withColumn(
+                                CHANGE_TYPE_COL, F.lit("delete")
+                            ),
+                            v,
+                            ts,
+                        )
+                    )
+                parts.append(
+                    stamp(
+                        self.read(version=v).withColumn(
+                            CHANGE_TYPE_COL, F.lit("insert")
+                        ),
+                        v,
+                        ts,
+                    )
+                )
+            elif op in ("compact", "vacuum"):
+                continue  # file layout changed, rows did not
+            else:
+                raise ValueError(
+                    f"commit v{v} ({op}) did not record change data; "
+                    f"re-run the writer with write_change_data=True to "
+                    f"get CDF for this operation"
+                )
+        if not parts:
+            # nothing row-changing in range: empty frame, CDF schema
+            base = self.read(version=end).limit(0)
+            return stamp(
+                base.withColumn(CHANGE_TYPE_COL, F.lit("")), end, None
+            ).limit(0)
+        out = parts[0]
+        for d in parts[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
 
     def history(self) -> list[dict]:
         """Commit log, newest first: version, op, commit ts, file count,
@@ -873,22 +1026,36 @@ class LakeTable:
         referenced = set()
         for kv in keep_versions:
             referenced.update(e["path"] for e in self._snapshot_files(kv))
-        data_root = os.path.join(self.path, _DATA_DIR)
+        # Change Data Feed files follow the same horizon: change dirs
+        # referenced by a RETAINED version's manifest stay (the feed for
+        # those versions remains readable); older or orphaned (raced /
+        # crashed commit) dirs are reclaimed behind the same in-flight
+        # age guard.
+        referenced_changes = set()
+        for kv in keep_versions:
+            cd = self._manifest(kv).get("change_data")
+            if cd:
+                referenced_changes.add(cd)
         removed = []
         now = time.time()
-        for d in os.listdir(data_root) if os.path.isdir(data_root) else []:
-            rel = os.path.join(_DATA_DIR, d)
-            if rel in referenced:
-                continue
-            full = os.path.join(self.path, rel)
-            try:
-                age = now - os.path.getmtime(full)
-            except OSError:
-                continue
-            if age < min_age_seconds:
-                continue  # possibly an in-flight writer's uncommitted dir
-            shutil.rmtree(full, ignore_errors=True)
-            removed.append(rel)
+        for root_dir, ref in (
+            (_DATA_DIR, referenced),
+            (_CHANGE_DIR, referenced_changes),
+        ):
+            abs_root = os.path.join(self.path, root_dir)
+            for d in os.listdir(abs_root) if os.path.isdir(abs_root) else []:
+                rel = os.path.join(root_dir, d)
+                if rel in ref:
+                    continue
+                full = os.path.join(self.path, rel)
+                try:
+                    age = now - os.path.getmtime(full)
+                except OSError:
+                    continue
+                if age < min_age_seconds:
+                    continue  # possibly an in-flight writer's uncommitted dir
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(rel)
         return removed
 
     # ---------------- delete / update ----------------
@@ -898,6 +1065,7 @@ class LakeTable:
         predicate: str | Column,
         partition_filter: str | None = None,
         return_count: bool = False,
+        write_change_data: bool = False,
     ) -> int | tuple[int, int]:
         """``DELETE FROM t WHERE predicate`` as copy-on-write — the
         privacy lakehouse's right-to-be-forgotten primitive. NULL
@@ -929,11 +1097,26 @@ class LakeTable:
                 F.coalesce(F.sum(hit.cast("long")), F.lit(0)).alias("n_deleted"),
             )
         kept = base.filter(~hit)
+        extra = None
+        if write_change_data:
+            # Recompute from a clean read — deriving from ``base`` would
+            # re-trigger its Observation on this side action.
+            src = self.read(version=base_v)
+            if partition_filter is not None:
+                src = src.filter(F.expr(partition_filter))
+            extra = {
+                "change_data": self._write_change_dir(
+                    src.filter(hit).withColumn(CHANGE_TYPE_COL, F.lit("delete"))
+                )
+            }
         if partition_filter is None:
-            version = self._overwrite_checked(kept, base_v, "delete")
+            version = self._overwrite_checked(
+                kept, base_v, "delete", extra=extra
+            )
         else:
             version = self._commit_partition_scoped(
-                kept, partition_filter, "delete", base_version=base_v
+                kept, partition_filter, "delete", base_version=base_v,
+                extra=extra,
             )
         if not return_count:
             return version
@@ -944,6 +1127,7 @@ class LakeTable:
         predicate: str | Column,
         set_values: dict[str, Column],
         partition_filter: str | None = None,
+        write_change_data: bool = False,
     ) -> int:
         """``UPDATE t SET col = expr WHERE predicate`` as copy-on-write.
         NULL predicate rows are untouched (SQL semantics). Accepts a
@@ -972,10 +1156,28 @@ class LakeTable:
                 for c in source.columns
             ]
         )
+        extra = None
+        if write_change_data:
+            hit_rows = source.filter(hit)
+            pre = hit_rows.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_preimage")
+            )
+            post = hit_rows.select(
+                *[
+                    set_values[c].alias(c) if c in set_values else F.col(c)
+                    for c in source.columns
+                ]
+            ).withColumn(CHANGE_TYPE_COL, F.lit("update_postimage"))
+            extra = {
+                "change_data": self._write_change_dir(pre.unionByName(post))
+            }
         if partition_filter is None:
-            return self._overwrite_checked(updated, base_v, "update")
+            return self._overwrite_checked(
+                updated, base_v, "update", extra=extra
+            )
         return self._commit_partition_scoped(
-            updated, partition_filter, "update", base_version=base_v
+            updated, partition_filter, "update", base_version=base_v,
+            extra=extra,
         )
 
     def _filter_may_match_entry(
@@ -1028,6 +1230,7 @@ class LakeTable:
         partition_filter: str,
         op: str,
         base_version: int | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Commit a rewrite of only the ``partition_filter`` slice:
         prior data dirs stay with the predicate recorded as an
@@ -1090,10 +1293,15 @@ class LakeTable:
             op,
             spec,
             delta={"exclude_all": partition_filter, "add": [new_entry]},
+            extra=extra,
         )
 
     def _overwrite_checked(
-        self, df: DataFrame, base_version: int | None, op: str
+        self,
+        df: DataFrame,
+        base_version: int | None,
+        op: str,
+        extra: dict | None = None,
     ) -> int:
         """Full-table rewrite commit with conflict DETECTION: the new
         snapshot replaces everything, but only if the log has not moved
@@ -1130,7 +1338,7 @@ class LakeTable:
                 )
             return [{"path": rel, "excludes": [], "stats": stats}]
 
-        return self._commit(build, op, spec)
+        return self._commit(build, op, spec, extra=extra)
 
     # ---------------- merge ----------------
 
@@ -1150,6 +1358,7 @@ class LakeTable:
         broadcast_hint: bool | None = None,
         merge_schema: bool = False,
         null_safe_keys: bool = True,
+        write_change_data: bool = False,
     ) -> int:
         """Three-clause MERGE, broadcast-only joins, copy-on-write.
 
@@ -1214,6 +1423,12 @@ class LakeTable:
         recorded as an exclusion the reader prunes on. The caller
         guarantees every source-affected row falls inside the filter —
         the Delta/Iceberg dynamic-partition-overwrite contract.
+
+        ``write_change_data=True`` records this commit's row-level
+        effect (insert / update_preimage / update_postimage / delete
+        rows) as change files readable via :meth:`read_changes` —
+        Delta's Change Data Feed. Costs one extra O(|source|) write;
+        the big target side is never rescanned for it.
 
         ``merge_schema=True`` admits source columns the target lacks
         (Delta's MERGE ``mergeSchema``): the new columns join the
@@ -1300,7 +1515,8 @@ class LakeTable:
         #    columns the source lacks. When an UPDATE condition is set,
         #    rows firing neither clause keep their target values (SQL
         #    MERGE fall-through; NULL condition → clause not fired).
-        matched = t.join(_hint(s), on, "inner").filter(~delete_cond)
+        joined = t.join(_hint(s), on, "inner")
+        matched = joined.filter(~delete_cond)
         upd_exprs = {
             c: upd.get(
                 c, F.col(f"s.{c}") if c in source.columns else F.col(f"t.{c}")
@@ -1352,13 +1568,47 @@ class LakeTable:
 
         merged = kept.unionByName(updated).unionByName(inserted)
 
+        # Change Data Feed (Delta CDF parity): materialize the row-level
+        # effect of THIS merge — delete preimages, update pre+post
+        # image pairs, inserts — as change files referenced from the
+        # manifest. Every piece is a broadcast join on the micro-batch
+        # side, so CDF costs O(|source|) extra, never a target scan.
+        extra = None
+        if write_change_data:
+            tvals = [F.col(f"t.{c}").alias(c) for c in tcols]
+            deleted_pre = joined.filter(delete_cond).select(*tvals)
+            if matched_update_condition is None:
+                upd_pre = matched.select(*tvals)
+                upd_post = updated
+            else:
+                fired = matched.filter(
+                    F.coalesce(
+                        matched_update_condition.cast("boolean"), F.lit(False)
+                    )
+                )
+                upd_pre = fired.select(*tvals)
+                upd_post = fired.select(
+                    *[upd_exprs[c].alias(c) for c in tcols]
+                )
+
+            def ct(df: DataFrame, kind: str) -> DataFrame:
+                return df.withColumn(CHANGE_TYPE_COL, F.lit(kind))
+
+            changes = (
+                ct(inserted, "insert")
+                .unionByName(ct(upd_pre, "update_preimage"))
+                .unionByName(ct(upd_post, "update_postimage"))
+                .unionByName(ct(deleted_pre, "delete"))
+            )
+            extra = {"change_data": self._write_change_dir(changes)}
+
         if partition_filter is None:
-            return self._overwrite_checked(merged, base_v, "merge")
+            return self._overwrite_checked(merged, base_v, "merge", extra=extra)
 
         # Partition-scoped commit: write only the rewritten slice; prior
         # dirs stay with the predicate excluded (readers prune it).
         return self._commit_partition_scoped(
-            merged, partition_filter, "merge", base_version=base_v
+            merged, partition_filter, "merge", base_version=base_v, extra=extra
         )
 
 
