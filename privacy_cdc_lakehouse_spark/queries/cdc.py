@@ -250,8 +250,12 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list (unlisted insert columns land NULL, which would break both
     # partition pruning and the filter's coverage of inserted rows).
     silver = LakeTable(spark, scratch)
+    # Seed layout: one file per bucket (repartition on the partition
+    # column before the partitioned write) — the compact bootstrap
+    # layout a real table starts from, not |tasks|×|buckets| fragments.
     silver.overwrite(
-        _with_bucket(silver_from_bronze(first)), partition_by=["order_bucket"]
+        _with_bucket(silver_from_bronze(first)).repartition("order_bucket"),
+        partition_by=["order_bucket"],
     )
     staged = _with_bucket(
         latest_state(parse_cdc_envelope(second), drop_tombstones=False, keep_op=True)
