@@ -1066,9 +1066,10 @@ class LakeTable:
         partition_filter: str | None = None,
         return_count: bool = False,
         write_change_data: bool = False,
+        mode: str = "copy_on_write",
     ) -> int | tuple[int, int]:
-        """``DELETE FROM t WHERE predicate`` as copy-on-write — the
-        privacy lakehouse's right-to-be-forgotten primitive. NULL
+        """``DELETE FROM t WHERE predicate`` — the privacy lakehouse's
+        right-to-be-forgotten primitive. NULL
         predicate rows are KEPT (SQL DELETE only removes rows where the
         predicate is true). Prefer a typed ``Column`` predicate (e.g.
         ``delete_where(F.col("user_key") == key)``) when the value is
@@ -1079,10 +1080,34 @@ class LakeTable:
         strategy; at 100 TB you rewrite the user's partitions, not the
         table).
 
-        ``return_count=True`` returns ``(version, n_deleted)`` with the
-        deleted-row count piggybacked on the rewrite via the
-        Observation API — the GDPR audit trail costs zero extra scans.
+        ``mode`` (Iceberg's two delete strategies):
+
+        - ``"copy_on_write"`` (default): matching files are rewritten
+          without the rows. Read-optimal; the GDPR path (bytes are
+          actually gone once ``vacuum`` reclaims old versions).
+        - ``"merge_on_read"``: an O(1) metadata-only commit records the
+          predicate as an exclusion on every current file entry —
+          readers filter it out (the same mechanism partition-scoped
+          merges already use; Iceberg equality-deletes / Delta deletion
+          vectors). No data is read OR written at delete time — at
+          100 TB a predicate delete costs one manifest write.
+          ``compact()`` later materializes the delete and drops the
+          predicate. Requires a STRING predicate (it is stored in the
+          manifest); pair with ``compact()+vacuum()`` when physical
+          erasure matters.
+
+        ``return_count=True`` returns ``(version, n_deleted)``; under
+        copy-on-write the count piggybacks on the rewrite via the
+        Observation API (zero extra scans); under merge-on-read it
+        costs the one scan the mode otherwise avoids (count-only — the
+        scan projects nothing).
         """
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown delete mode: {mode!r}")
+        if mode == "merge_on_read":
+            return self._delete_merge_on_read(
+                predicate, partition_filter, return_count, write_change_data
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
@@ -1121,6 +1146,66 @@ class LakeTable:
         if not return_count:
             return version
         return version, int(obs.get["n_deleted"])
+
+    def _delete_merge_on_read(
+        self,
+        predicate: str | Column,
+        partition_filter: str | None,
+        return_count: bool,
+        write_change_data: bool,
+    ) -> int | tuple[int, int]:
+        """O(1) predicate delete: commit the predicate as an exclusion
+        on every current file entry (see :meth:`delete_where`). A
+        concurrent append between our snapshot and the commit is ALSO
+        excluded by the rebased build — that is the correct
+        serialization (the append landed first, the predicate delete
+        second, covering it), so no conflict is raised."""
+        if not isinstance(predicate, str):
+            raise ValueError(
+                "merge_on_read DELETE stores the predicate in the "
+                "manifest and requires SQL text; use mode='copy_on_write' "
+                "for a typed Column predicate"
+            )
+        base_v = self.current_version()
+        if base_v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        pred = (
+            predicate
+            if partition_filter is None
+            else f"(({partition_filter}) AND ({predicate}))"
+        )
+        base = self.read(version=base_v)
+        # Force analysis NOW: a typo'd predicate must fail THIS delete,
+        # not every future read of the table.
+        base.filter(F.expr(pred)).schema
+        hit = F.coalesce(F.expr(pred), F.lit(False))
+        n_deleted = base.filter(hit).count() if return_count else None
+        extra = None
+        if write_change_data:
+            extra = {
+                "change_data": self._write_change_dir(
+                    base.filter(hit).withColumn(
+                        CHANGE_TYPE_COL, F.lit("delete")
+                    )
+                )
+            }
+
+        def build(latest: dict | None) -> list[dict]:
+            prior = [_entry(e) for e in latest["files"]] if latest else []
+            for e in prior:
+                _add_exclude(e["excludes"], pred)
+            return prior
+
+        version = self._commit(
+            build,
+            "delete",
+            self._manifest(base_v).get("partition_by", []),
+            delta={"exclude_all": pred},
+            extra=extra,
+        )
+        if not return_count:
+            return version
+        return version, int(n_deleted)
 
     def update_where(
         self,

@@ -872,3 +872,122 @@ def test_concurrent_merges_real_threads_disjoint(spark, tmp_path):
             f.result()  # neither may raise
 
     assert _rows(t) == [(1, "a2", 0), (2, "b2", 1)]
+
+
+# ---------------- merge-on-read DELETE (Iceberg equality-delete /
+# Delta deletion-vector analogue over the exclusion machinery) --------
+
+
+def _data_dirs(t):
+    import os
+
+    root = os.path.join(t.path, "data")
+    return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+
+def test_merge_on_read_delete_is_metadata_only(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+        )
+    )
+    dirs_before = _data_dirs(t)
+    v = t.delete_where("id = 2", mode="merge_on_read")
+    assert v == 2
+    # O(1): no data dir written or removed
+    assert _data_dirs(t) == dirs_before
+    assert _rows(t) == [(1, "a"), (3, "c")]
+    # time travel still shows the deleted row
+    assert sorted(tuple(r) for r in t.read(version=1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+        (3, "c"),
+    ]
+
+
+def test_merge_on_read_null_semantics_and_count(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id int, x int"
+        )
+    )
+    v, n = t.delete_where(
+        "x > 5", mode="merge_on_read", return_count=True
+    )
+    # NULL predicate rows are KEPT (SQL DELETE semantics)
+    assert n == 2
+    assert _rows(t) == [(2, None)]
+
+
+def test_merge_on_read_compact_materializes(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(
+        spark.createDataFrame([(i, i % 2) for i in range(10)], "id int, k int")
+    )
+    t.delete_where("k = 1", mode="merge_on_read")
+    t.compact(target_partitions=1)
+    assert [r["id"] for r in t.read().orderBy("id").collect()] == [
+        0, 2, 4, 6, 8,
+    ]
+    # the compacted entry carries no exclusion predicates
+    snap = t._snapshot(t.current_version())
+    assert all(e["excludes"] == [] for e in snap["files"])
+
+
+def test_merge_on_read_requires_string_predicate(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    with pytest.raises(ValueError, match="SQL text"):
+        t.delete_where(F.col("id") == 1, mode="merge_on_read")
+    with pytest.raises(ValueError, match="unknown delete mode"):
+        t.delete_where("id = 1", mode="nonsense")
+
+
+def test_merge_on_read_bad_predicate_fails_at_delete_time(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    with pytest.raises(Exception):
+        t.delete_where("no_such_col = 1", mode="merge_on_read")
+    # the table is still readable — the typo never reached the manifest
+    assert _rows(t) == [(1, "a")]
+
+
+def test_merge_on_read_cdf_and_partition_filter(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.tables import CHANGE_TYPE_COL
+
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 0, "b"), (3, 1, "c")],
+            "id int, p int, s string",
+        ),
+        partition_by=["p"],
+    )
+    v = t.delete_where(
+        "s <> 'a'",
+        partition_filter="p = 0",
+        mode="merge_on_read",
+        write_change_data=True,
+    )
+    # only the p=0 slice was in scope: (3,1,'c') survives
+    assert _rows(t) == [(1, "a", 0), (3, "c", 1)]
+    feed = sorted(
+        tuple(r)
+        for r in t.read_changes(v, v)
+        .select(CHANGE_TYPE_COL, "id", "s")
+        .collect()
+    )
+    assert feed == [("delete", 2, "b")]
+
+
+def test_merge_on_read_then_append_keeps_new_rows(spark, tmp_path):
+    """The exclusion applies to files present at the delete commit;
+    rows appended AFTER it must not be filtered, even when they match
+    the predicate."""
+    t = LakeTable(spark, str(tmp_path / "mor"))
+    t.overwrite(spark.createDataFrame([(1, "x"), (2, "y")], "id int, s string"))
+    t.delete_where("s = 'x'", mode="merge_on_read")
+    t.append(spark.createDataFrame([(9, "x")], "id int, s string"))
+    assert _rows(t) == [(2, "y"), (9, "x")]
