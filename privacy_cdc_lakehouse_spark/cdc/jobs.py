@@ -261,11 +261,18 @@ def _last_offset(lake: Lakehouse) -> int:
     return row["lo"] if row["lo"] is not None else -1
 
 
-def merge_silver(lake: Lakehouse) -> int | None:
+def merge_silver(
+    lake: Lakehouse, write_change_data: bool = False
+) -> int | None:
     """Incremental silver upsert: new offsets only, then 3-clause MERGE.
 
     Returns the new silver version, or None when no new data (early-exit
     guard parity: ``merge_orders_silver.py:63-66``).
+
+    ``write_change_data=True`` records each merge commit's row-level
+    effect as Change Data Feed files (``LakeTable.read_changes``) — the
+    lakehouse re-exports the same CDC contract it consumes, so a
+    downstream consumer tails silver without re-reading snapshots.
     """
     lo = _last_offset(lake)
     fresh = lake.bronze.read().filter(F.col("offset") > F.lit(lo))
@@ -290,12 +297,16 @@ def merge_silver(lake: Lakehouse) -> int | None:
         latest_state(parse_cdc_envelope(fresh), drop_tombstones=False, keep_op=True)
     ).persist()
     try:
-        return _merge_staged(lake, staged, obs)
+        return _merge_staged(
+            lake, staged, obs, write_change_data=write_change_data
+        )
     finally:
         staged.unpersist()
 
 
-def _merge_staged(lake: Lakehouse, staged: DataFrame, obs) -> int | None:
+def _merge_staged(
+    lake: Lakehouse, staged: DataFrame, obs, write_change_data: bool = False
+) -> int | None:
     if not lake.silver.exists():
         lake.silver.overwrite(
             staged.filter(F.col("op") != "d").drop("op"),
@@ -330,6 +341,7 @@ def _merge_staged(lake: Lakehouse, staged: DataFrame, obs) -> int | None:
                 validate_unique_source=False,
                 partition_filter=pf,
                 broadcast_hint=n_staged * _EST_ROW_BYTES <= _BROADCAST_CAP_BYTES,
+                write_change_data=write_change_data,
             )
 
     # obs resolved by the actions above (bucket-count collect or the

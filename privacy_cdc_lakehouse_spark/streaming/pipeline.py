@@ -54,6 +54,7 @@ def run_stream_to_silver(
     lake: Lakehouse,
     checkpoint_dir: str,
     max_files_per_trigger: int | None = None,
+    write_change_data: bool = False,
 ) -> None:
     """Drive the medallion pipeline from a file stream to completion.
 
@@ -72,7 +73,7 @@ def run_stream_to_silver(
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         ingest_bronze_idempotent(lake, batch_df)
-        merge_silver(lake)
+        merge_silver(lake, write_change_data=write_change_data)
 
     q = (
         stream.writeStream.foreachBatch(process)

@@ -229,3 +229,67 @@ def test_streaming_hash_split_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, split FROM split_out").collect()
     }
     assert streamed == batch and len(streamed) == 500
+
+
+def test_streaming_change_feed_replay_reconstructs_silver(spark, sf_dir, tmp_path):
+    """run_stream_to_silver(write_change_data=True): every micro-batch
+    MERGE records its Change Data Feed, and replaying the feed in
+    commit order (latest insert/update_postimage/delete per key)
+    reconstructs the final silver exactly — the downstream-consumer
+    contract: tail the feed, never re-read snapshots."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from privacy_cdc_lakehouse_spark.tables import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+    )
+
+    events = cdc_events(spark, sf_dir)
+    src = str(tmp_path / "cdf_src")
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    events.filter(F.col("offset") <= mid).coalesce(1).write.parquet(f"{src}/p0")
+    events.filter(F.col("offset") > mid).coalesce(1).write.parquet(f"{src}/p1")
+    flat = str(tmp_path / "cdf_flat")
+    os.makedirs(flat)
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src}/p*/part-*.parquet"))):
+        dst = f"{flat}/{i:04d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    lake = Lakehouse(spark, str(tmp_path / "cdf_lake"))
+    run_stream_to_silver(
+        spark,
+        flat,
+        lake,
+        str(tmp_path / "cdf_ckpt"),
+        max_files_per_trigger=1,
+        write_change_data=True,
+    )
+
+    silver = lake.silver
+    feed = silver.read_changes(1, silver.current_version())
+    cols = ["order_id", "user_id", "amount_eur", "status", "last_change_ts"]
+    winners = (
+        feed.filter(
+            F.col(CHANGE_TYPE_COL).isin(
+                "insert", "update_postimage", "delete"
+            )
+        )
+        .groupBy("order_id")
+        .agg(
+            F.max_by(
+                F.struct(CHANGE_TYPE_COL, *[c for c in cols if c != "order_id"]),
+                F.col(COMMIT_VERSION_COL),
+            ).alias("s")
+        )
+    )
+    recon = winners.filter(F.col(f"s.{CHANGE_TYPE_COL}") != "delete").select(
+        "order_id", *[F.col(f"s.{c}").alias(c) for c in cols if c != "order_id"]
+    )
+    a = sorted(tuple(r) for r in recon.select(cols).collect())
+    b = sorted(tuple(r) for r in silver.read().select(cols).collect())
+    assert a == b and len(b) > 0
