@@ -17,6 +17,8 @@ Operators:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -128,6 +130,122 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Normalized-text md5 fingerprint (lowercase, collapsed whitespace)."""
     return df.withColumn(
         "fingerprint", normalized_fingerprint(F.col(text_col))
+    )
+
+
+# ----------------------------- repetition signals ----------------------
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021,
+    "Scaling Language Models", app. A1.1 repetition filters):
+    documents dominated by repeated lines or n-grams are low-quality
+    training data. Per document:
+
+    - ``dup_word_frac``   — word occurrences beyond each word's first
+    - ``dup_2gram_frac``  — same, over word 2-grams
+    - ``top_2gram_char_frac`` — chars covered by the most frequent
+      2-gram (count × gram length / doc chars; ties break to the
+      lexicographically larger gram — deterministic cross-engine)
+    - ``dup_line_frac`` / ``dup_line_char_frac`` — line occurrences
+      beyond first, and chars inside lines occurring more than once
+      (``line_sep``-delimited)
+
+    100 TB shape: three explode → groupBy(doc, unit) → groupBy(doc)
+    cascades, every shuffle keyed by ``id_col`` (per-doc locality, no
+    global hot key), joined back on ``id_col``. No UDFs — the whole
+    plan is codegen'd built-ins."""
+    c = F.col(text_col)
+    ws = words(F.lower(c))
+    base = df.select(
+        id_col,
+        ws.alias("_ws"),
+        F.filter(F.split(c, re.escape(line_sep)), lambda l: l != "").alias(
+            "_lines"
+        ),
+        F.length(c).cast("double").alias("_nc"),
+    )
+
+    word_stats = (
+        base.select(id_col, F.explode("_ws").alias("u"))
+        .groupBy(id_col, "u")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_w"),
+            (F.sum("c") - F.count("*")).alias("dup_w"),
+        )
+    )
+
+    grams = F.when(
+        F.size("_ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size("_ws") - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at("_ws", i + 1), F.element_at("_ws", i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_counts = (
+        base.select(id_col, F.explode(grams).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    gram_stats = gram_counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_g"),
+        (F.sum("c") - F.count("*")).alias("dup_g"),
+        F.max(F.struct(F.col("c"), F.col("g"))).alias("top"),
+    )
+
+    line_stats = (
+        base.select(id_col, F.explode("_lines").alias("l"))
+        .groupBy(id_col, "l")
+        .agg(F.count("*").alias("c"), F.length(F.col("l")).alias("len"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_l"),
+            (F.sum("c") - F.count("*")).alias("dup_l"),
+            F.sum(F.col("c") * F.col("len")).alias("l_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("len")).otherwise(0)
+            ).alias("dup_l_chars"),
+        )
+    )
+
+    def frac(num, den):
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    return (
+        base.select(id_col, "_nc")
+        .join(word_stats, id_col, "left")
+        .join(gram_stats, id_col, "left")
+        .join(line_stats, id_col, "left")
+        .select(
+            id_col,
+            frac(F.coalesce(F.col("dup_w"), F.lit(0)), F.coalesce(F.col("n_w"), F.lit(0))).alias("dup_word_frac"),
+            frac(F.coalesce(F.col("dup_g"), F.lit(0)), F.coalesce(F.col("n_g"), F.lit(0))).alias("dup_2gram_frac"),
+            F.least(
+                F.lit(1.0),
+                frac(
+                    F.coalesce(
+                        F.col("top.c") * F.length(F.col("top.g")), F.lit(0)
+                    ),
+                    F.col("_nc"),
+                ),
+            ).alias("top_2gram_char_frac"),
+            frac(F.coalesce(F.col("dup_l"), F.lit(0)), F.coalesce(F.col("n_l"), F.lit(0))).alias("dup_line_frac"),
+            frac(
+                F.coalesce(F.col("dup_l_chars"), F.lit(0)),
+                F.coalesce(F.col("l_chars"), F.lit(0)),
+            ).alias("dup_line_char_frac"),
+        )
     )
 
 

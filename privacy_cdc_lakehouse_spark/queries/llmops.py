@@ -192,6 +192,118 @@ FROM feat GROUP BY 1 ORDER BY quality_score
 """
 
 
+def q_repetition_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/text.py::
+    repetition_stats) bucketed into per-metric decile histograms —
+    floor(10·frac) is computed with the IDENTICAL IEEE double op order
+    in the oracle, so every per-doc fraction is indirectly
+    hash-checked (one miscomputed doc shifts a bucket count)."""
+    pin_utc(spark)
+    rep = tx.repetition_stats(_docs(spark, sf_dir))
+    metrics = [
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "top_2gram_char_frac",
+        "dup_line_frac",
+        "dup_line_char_frac",
+    ]
+    stacked = rep.selectExpr(
+        "doc_id",
+        "stack(5, "
+        + ", ".join(f"'{m}', {m}" for m in metrics)
+        + ") as (metric, v)",
+    )
+    return (
+        stacked.groupBy(
+            "metric",
+            F.floor(F.col("v") * 10).cast("long").alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy("metric", "bucket")
+    )
+
+
+_REPETITION_SQL = """
+WITH w AS (
+    SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws,
+           list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+    FROM documents
+),
+wc AS (
+    SELECT doc_id, u, count(*) AS c
+    FROM (SELECT doc_id, unnest(ws) AS u FROM w) GROUP BY 1, 2
+),
+wstat AS (
+    SELECT doc_id, sum(c) AS n_w, sum(c) - count(*) AS dup_w
+    FROM wc GROUP BY 1
+),
+gc AS (
+    SELECT doc_id, g, count(*) AS c
+    FROM (
+        SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+        FROM w, LATERAL (
+            SELECT unnest(generate_series(1, len(ws) - 1)) AS i
+        )
+    ) GROUP BY 1, 2
+),
+gstat AS (
+    SELECT doc_id, sum(c) AS n_g, sum(c) - count(*) AS dup_g
+    FROM gc GROUP BY 1
+),
+gtop AS (
+    SELECT doc_id, c * length(g) AS top_chars
+    FROM (SELECT doc_id, g, c, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, g DESC) AS rn FROM gc)
+    WHERE rn = 1
+),
+lc AS (
+    SELECT doc_id, l, count(*) AS c, length(l) AS len
+    FROM (SELECT doc_id, unnest(lines) AS l FROM w) GROUP BY doc_id, l
+),
+lstat AS (
+    SELECT doc_id, sum(c) AS n_l, sum(c) - count(*) AS dup_l,
+           sum(c * len) AS l_chars,
+           sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_l_chars
+    FROM lc GROUP BY 1
+),
+rep AS (
+    SELECT w.doc_id,
+        CASE WHEN coalesce(n_w, 0) > 0
+             THEN CAST(coalesce(dup_w, 0) AS DOUBLE) / CAST(n_w AS DOUBLE)
+             ELSE 0.0 END AS dup_word_frac,
+        CASE WHEN coalesce(n_g, 0) > 0
+             THEN CAST(coalesce(dup_g, 0) AS DOUBLE) / CAST(n_g AS DOUBLE)
+             ELSE 0.0 END AS dup_2gram_frac,
+        least(1.0, CASE WHEN nc > 0
+             THEN CAST(coalesce(top_chars, 0) AS DOUBLE) / nc
+             ELSE 0.0 END) AS top_2gram_char_frac,
+        CASE WHEN coalesce(n_l, 0) > 0
+             THEN CAST(coalesce(dup_l, 0) AS DOUBLE) / CAST(n_l AS DOUBLE)
+             ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN coalesce(l_chars, 0) > 0
+             THEN CAST(coalesce(dup_l_chars, 0) AS DOUBLE)
+                  / CAST(l_chars AS DOUBLE)
+             ELSE 0.0 END AS dup_line_char_frac
+    FROM w
+    LEFT JOIN wstat USING (doc_id)
+    LEFT JOIN gstat USING (doc_id)
+    LEFT JOIN gtop USING (doc_id)
+    LEFT JOIN lstat USING (doc_id)
+),
+stacked AS (
+    SELECT doc_id, 'dup_word_frac' AS metric, dup_word_frac AS v FROM rep
+    UNION ALL SELECT doc_id, 'dup_2gram_frac', dup_2gram_frac FROM rep
+    UNION ALL SELECT doc_id, 'top_2gram_char_frac', top_2gram_char_frac FROM rep
+    UNION ALL SELECT doc_id, 'dup_line_frac', dup_line_frac FROM rep
+    UNION ALL SELECT doc_id, 'dup_line_char_frac', dup_line_char_frac FROM rep
+)
+SELECT metric, CAST(floor(v * 10) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM stacked GROUP BY 1, 2 ORDER BY metric, bucket
+"""
+
+
 def q_pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction + per-kind audit counts over support-ticket-style
     free text assembled deterministically from REAL customer fields
@@ -834,9 +946,10 @@ FROM b ORDER BY doc_id
 
 
 def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID confusion + quality-score histogram in one tagged
-    union (round-5 registry consolidation; both original plans run
-    unchanged via the original callables)."""
+    """Language-ID confusion + quality-score histogram + Gopher-style
+    repetition-signal histograms in one tagged union (rounds 5/6
+    registry consolidation; all original plans run unchanged via the
+    original callables)."""
     pin_utc(spark)
     lang = q_lang_id_confusion(spark, sf_dir).select(
         F.lit("lang").alias("kind"),
@@ -848,7 +961,12 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("quality_score").cast("string").alias("k"),
         F.col("n_docs").alias("n"),
     )
-    return lang.unionByName(qual).orderBy("kind", "k")
+    rep = q_repetition_histogram(spark, sf_dir).select(
+        F.lit("rep").alias("kind"),
+        F.concat_ws(":", F.col("metric"), F.col("bucket").cast("string")).alias("k"),
+        F.col("n"),
+    )
+    return lang.unionByName(qual).unionByName(rep).orderBy("kind", "k")
 
 
 _TEXT_QUALITY_PANEL_SQL = f"""
@@ -857,6 +975,9 @@ FROM ({_LANG_ID_SQL})
 UNION ALL
 SELECT 'quality', CAST(quality_score AS VARCHAR), n_docs
 FROM ({_QUALITY_SQL})
+UNION ALL
+SELECT 'rep', metric || ':' || CAST(bucket AS VARCHAR), n
+FROM ({_REPETITION_SQL})
 ORDER BY kind, k
 """
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.operators import dedup as dd
@@ -431,3 +433,42 @@ def test_connected_components_raises_when_unconverged(spark):
     # with budget it converges to one component
     out = dd.connected_components(chain, max_iters=20)
     assert set(r["component"] for r in out.collect()) == {0}
+
+
+def test_repetition_stats_gopher_signals(spark):
+    from privacy_cdc_lakehouse_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),        # heavy word + 2-gram repetition
+            (2, "x y z w q r"),        # none
+            (3, "l1\nl2\nl1\nl1"),     # duplicate lines
+            (4, "solo"),               # 1 word: no 2-grams
+            (5, ""),                   # empty: all zeros, no div-by-0
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict() for r in repetition_stats(df).collect()
+    }
+    assert rows[1]["dup_word_frac"] == pytest.approx(4 / 6)
+    assert rows[1]["dup_2gram_frac"] == pytest.approx(3 / 5)
+    # "a b" x3, len 3 chars, text len 11
+    assert rows[1]["top_2gram_char_frac"] == pytest.approx(9 / 11)
+    assert rows[2]["dup_word_frac"] == 0.0
+    assert rows[2]["dup_2gram_frac"] == 0.0
+    assert rows[3]["dup_line_frac"] == pytest.approx(0.5)   # l1 x3 + l2: 2 extra / 4
+    assert rows[3]["dup_line_char_frac"] == pytest.approx(6 / 8)
+    assert rows[4]["top_2gram_char_frac"] == 0.0
+    assert all(v == 0.0 for k, v in rows[5].items() if k != "doc_id")
+
+
+def test_repetition_stats_custom_line_sep(spark):
+    from privacy_cdc_lakehouse_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "s1.s2.s1.s1")], "doc_id int, text string"
+    )
+    r = repetition_stats(df, line_sep=".").collect()[0]
+    assert r["dup_line_frac"] == pytest.approx(0.5)
+    assert r["dup_line_char_frac"] == pytest.approx(6 / 8)
