@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.tables import LakeTable
@@ -460,6 +460,19 @@ _UPDATE_RE = re.compile(
     r"^\s*UPDATE\s+(?P<target>[\w.`]+)\s+SET\s+(?P<rest>.+?)\s*;?\s*$",
     re.I | re.S,
 )
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<target>[\w.`]+)"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
+    re.I,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+(?P<target>[\w.`]+)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS)?\s*;?\s*$",
+    re.I,
+)
+_DESC_HISTORY_RE = re.compile(
+    r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
+)
 
 
 def _split_on_where(text: str) -> tuple[str, str | None]:
@@ -485,7 +498,7 @@ def sql_dml(
     statement: str,
     tables: dict[str, LakeTable],
     partition_filter: str | None = None,
-) -> int:
+) -> int | DataFrame:
     """Execute one DML statement against LakeTables.
 
     Supported: ``MERGE INTO ...`` (dispatched to :func:`sql_merge`),
@@ -495,6 +508,13 @@ def sql_dml(
     columns reconciled by name). Predicates and assignment expressions
     are arbitrary Spark SQL scalars over the target's columns. Returns
     the new table version.
+
+    Delta-SQL maintenance verbs (round 6): ``OPTIMIZE t [ZORDER BY
+    (a, b)]`` → :meth:`LakeTable.compact` (returns the new version);
+    ``VACUUM t [RETAIN n VERSIONS]`` → :meth:`LakeTable.vacuum`
+    (returns the number of reclaimed dirs — vacuum commits nothing);
+    ``DESCRIBE HISTORY t`` → the commit log as a DataFrame (the one
+    statement that returns rows, like Spark's own DESCRIBE).
 
     All four routes are snapshot-commits on the copy-on-write table
     layer: DELETE/UPDATE rewrite (optionally ``partition_filter``-
@@ -506,6 +526,40 @@ def sql_dml(
     s = statement.strip()
     if re.match(r"^\s*MERGE\b", s, re.I):
         return sql_merge(spark, s, tables, partition_filter)
+    m = _OPTIMIZE_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        cols = (
+            [c.strip().replace("`", "") for c in m.group("cols").split(",")]
+            if m.group("cols")
+            else None
+        )
+        return target.compact(
+            cluster_by=cols, zorder=bool(cols) and len(cols) > 1
+        )
+    m = _VACUUM_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        retain = int(m.group("n")) if m.group("n") else 1
+        return len(target.vacuum(retain_last=retain))
+    m = _DESC_HISTORY_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        hist = target.history()
+        return spark.createDataFrame(
+            [
+                (
+                    h["version"],
+                    h["op"],
+                    float(h["ts"]) if h["ts"] is not None else None,
+                    h["n_data_dirs"],
+                    ",".join(h["partition_by"]),
+                )
+                for h in hist
+            ],
+            "version long, op string, ts double, n_data_dirs long, "
+            "partition_by string",
+        )
     m = _TRUNCATE_RE.match(s)
     if m:
         return _resolve_table(m.group("target").replace("`", ""), tables).truncate()

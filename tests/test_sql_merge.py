@@ -521,3 +521,58 @@ def test_equal_aliases_rejected():
             "MERGE INTO tgt x USING stage X ON x.k = x.k "
             "WHEN MATCHED THEN DELETE"
         )
+
+
+# ---------------- Delta-SQL maintenance verbs (round 6) -----------------
+
+
+def _seed_sql_table(spark, tmp_path, name="mt"):
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / name))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, float(i % 7), "x" * (i % 5)) for i in range(50)],
+            "id int, v double, s string",
+        )
+    )
+    return t
+
+
+def test_sql_optimize_and_zorder(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _seed_sql_table(spark, tmp_path)
+    t.append(spark.createDataFrame([(99, 1.0, "y")], "id int, v double, s string"))
+    before = sorted(tuple(r) for r in t.read().collect())
+    v = sql_dml(spark, "OPTIMIZE demo.scratch.mt", {"scratch.mt": t})
+    assert v == t.current_version()
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    # ZORDER form drives the multi-dim clustering path
+    v2 = sql_dml(
+        spark, "OPTIMIZE mt ZORDER BY (id, v)", {"mt": t, "scratch.mt": t}
+    )
+    assert v2 == v + 1
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
+def test_sql_vacuum_retain_versions(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _seed_sql_table(spark, tmp_path)
+    t.overwrite(spark.createDataFrame([(1, 1.0, "a")], "id int, v double, s string"))
+    # retain everything: nothing reclaimed
+    assert sql_dml(spark, "VACUUM mt RETAIN 10 VERSIONS", {"mt": t}) == 0
+    # default retain=1 with age guard zeroed via the API path is
+    # covered in test_tables; here assert the statement parses + routes
+    assert sql_dml(spark, "VACUUM mt", {"mt": t}) == 0  # age guard holds
+
+
+def test_sql_describe_history(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _seed_sql_table(spark, tmp_path)
+    t.truncate()
+    df = sql_dml(spark, "DESCRIBE HISTORY mt", {"mt": t})
+    rows = [(r["version"], r["op"]) for r in df.orderBy("version").collect()]
+    assert rows == [(1, "overwrite"), (2, "truncate")]
