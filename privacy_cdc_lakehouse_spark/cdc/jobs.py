@@ -171,7 +171,10 @@ def build_privacy(lake: Lakehouse, salt: str | None = None) -> int:
 
 
 def forget_user(
-    lake: Lakehouse, user_id: int, salt: str | None = None
+    lake: Lakehouse,
+    user_id: int,
+    salt: str | None = None,
+    mode: str = "copy_on_write",
 ) -> dict[str, int]:
     """GDPR-style erasure across the medallion: delete the subject's
     rows from silver AND the pseudonymized projection, and append an
@@ -185,23 +188,43 @@ def forget_user(
     data until `vacuum` reclaims it — run `vacuum(retain_last=1)` to
     make erasure irreversible, which the audit row records.
 
+    ``mode="merge_on_read"`` takes the O(1) tombstone path instead
+    (Delta deletion-vector pattern): the subject disappears from every
+    read IMMEDIATELY with no table rewrite — at 100 TB the takedown SLA
+    decouples from the rewrite cost — but the bytes persist until the
+    `compact()` + `vacuum()` maintenance pass, which a regulator-proof
+    deployment must schedule; the audit row records the mode so the
+    erasure trail shows which guarantee was given when. Predicates on
+    this path are strings built ONLY from `int()`-coerced ids and the
+    hex pseudonym — still injection-free.
+
     ``salt`` MUST be the salt `build_privacy` was run with (defaults
     to the same env-derived `pii_salt()` both share) — the projection
     is keyed by pseudonym, so a mismatched salt would delete nothing
     there while the audit claims success."""
     from privacy_cdc_lakehouse_spark.functions.scalars import pii_salt, pseudonym
 
+    if mode not in ("copy_on_write", "merge_on_read"):
+        raise ValueError(f"unknown erasure mode: {mode!r}")
     spark = lake.spark
     n_silver = 0
     v_silver = -1
     if lake.silver.exists():
-        # Typed Column predicates end-to-end — no string interpolation
-        # on the erasure path (round-2 advisory: injection-shaped API).
-        # The audit count rides the delete's own rewrite scan
-        # (Observation API) — one pass over silver, not two.
-        v_silver, n_silver = lake.silver.delete_where(
-            F.col("user_id") == int(user_id), return_count=True
-        )
+        if mode == "merge_on_read":
+            v_silver, n_silver = lake.silver.delete_where(
+                f"user_id = {int(user_id)}",
+                return_count=True,
+                mode="merge_on_read",
+            )
+        else:
+            # Typed Column predicates end-to-end — no string
+            # interpolation on the erasure path (round-2 advisory:
+            # injection-shaped API). The audit count rides the delete's
+            # own rewrite scan (Observation API) — one pass over
+            # silver, not two.
+            v_silver, n_silver = lake.silver.delete_where(
+                F.col("user_id") == int(user_id), return_count=True
+            )
     v_priv = None
     if lake.privacy.exists():
         # The projection is keyed by pseudonym, not raw id — derive it
@@ -221,9 +244,17 @@ def forget_user(
             )
             .collect()[0]["k"]
         )
-        v_priv = lake.privacy.delete_where(F.col("user_key") == F.lit(key))
+        if mode == "merge_on_read":
+            # `key` is a sha2 hex string — a fixed safe charset.
+            v_priv = lake.privacy.delete_where(
+                f"user_key = '{key}'", mode="merge_on_read"
+            )
+        else:
+            v_priv = lake.privacy.delete_where(
+                F.col("user_key") == F.lit(key)
+            )
     audit = spark.createDataFrame(
-        [(PIPELINE, int(user_id), n_silver, "forget_user")],
+        [(PIPELINE, int(user_id), n_silver, f"forget_user:{mode}")],
         "pipeline string, subject_id long, rows_erased long, action string",
     ).withColumn("at", F.current_timestamp())
     LakeTable(spark, f"{lake.root}/monitoring/privacy_audit").append(audit)

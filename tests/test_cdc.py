@@ -352,3 +352,62 @@ def test_forget_user_honors_empty_string_salt(spark, sf_dir, tmp_path):
     out = forget_user(lake, uid, salt="")
     assert out["rows_erased"] > 0
     assert lake.privacy.read().count() == n_priv_before - out["rows_erased"]
+
+
+def test_forget_user_merge_on_read_tombstone_path(spark, sf_dir, tmp_path):
+    """mode='merge_on_read': the subject vanishes from every read with
+    an O(1) metadata commit (no data dir written), the audit records
+    the mode, and the compact+vacuum maintenance pass makes the erasure
+    physical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        Lakehouse,
+        build_privacy,
+        forget_user,
+        ingest_bronze,
+        rebuild_silver,
+    )
+    from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    lake = Lakehouse(spark, str(tmp_path / "mor_forget_lake"))
+    ingest_bronze(lake, cdc_events(spark, sf_dir))
+    rebuild_silver(lake)
+    build_privacy(lake)
+
+    uid = lake.silver.read().select("user_id").first()["user_id"]
+    before = lake.silver.read().filter(F.col("user_id") == uid).count()
+    assert before > 0
+
+    def n_dirs(t):
+        root = os.path.join(t.path, "data")
+        return len(os.listdir(root))
+
+    silver_dirs = n_dirs(lake.silver)
+    priv_dirs = n_dirs(lake.privacy)
+    out = forget_user(lake, uid, mode="merge_on_read")
+    assert out["rows_erased"] == before
+    # logical erasure is immediate...
+    assert lake.silver.read().filter(F.col("user_id") == uid).count() == 0
+    assert (
+        lake.privacy.read()
+        .join(lake.silver.read(), "order_id", "left_anti")
+        .count()
+        == 0
+    )
+    # ...and metadata-only: no new data dirs on either table
+    assert n_dirs(lake.silver) == silver_dirs
+    assert n_dirs(lake.privacy) == priv_dirs
+
+    audit = LakeTable(
+        spark, str(tmp_path / "mor_forget_lake/monitoring/privacy_audit")
+    )
+    assert audit.read().collect()[0]["action"] == "forget_user:merge_on_read"
+
+    # the maintenance pass makes it physical
+    lake.silver.compact(target_partitions=2)
+    lake.silver.vacuum(retain_last=1, min_age_seconds=0)
+    assert lake.silver.read().filter(F.col("user_id") == uid).count() == 0
