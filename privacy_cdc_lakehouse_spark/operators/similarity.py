@@ -258,6 +258,67 @@ def kmeans_fit(
     return cents
 
 
+def ivf_model(
+    corpus: DataFrame,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persistable IVF coarse-quantizer model — the write-once artifact
+    twin of :func:`lsh_index` for the IVF path. One row per cluster:
+    ``(cluster, centroid, _k, _iters, _dim)``. The expensive part of
+    IVF is the iterative fit (``iters`` full-corpus aggregation
+    passes); this pays it once and parquet-persists the k×dim model so
+    every later probe batch skips it (``ivf_topk(model=...)``). The
+    per-call corpus cluster TAG is deliberately not part of the
+    artifact: it is a codegen'd argmin projection (no shuffle), and at
+    100 TB it belongs in the table layout itself (tag at ingest,
+    partition/bucket by cluster)."""
+    cents = kmeans_fit(
+        corpus, n_clusters=n_clusters, iters=iters, id_col=id_col,
+        vec_col=vec_col,
+    )
+    dim = len(cents[0][1]) if cents else 0
+    return corpus.sparkSession.createDataFrame(
+        [(cid, vec, n_clusters, iters, dim) for cid, vec in cents],
+        "cluster int, centroid array<double>, _k int, _iters int, _dim int",
+    )
+
+
+def _model_centroids(
+    model: DataFrame, n_clusters: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Load + stamp-check an :func:`ivf_model` artifact (k rows — the
+    same driver-resident model contract as ``kmeans_fit``). A model fit
+    with different params yields same-shaped rows from different
+    centroids — undetectable from the data — so the stamp is the only
+    reliable guard."""
+    missing = {"cluster", "centroid", "_k", "_iters"} - set(model.columns)
+    if missing:
+        raise ValueError(
+            f"ivf_model artifact lacks columns {sorted(missing)} — "
+            f"rebuild it with ivf_model()"
+        )
+    rows = model.collect()
+    for r in rows:
+        if r["_k"] != n_clusters or r["_iters"] != iters:
+            raise ValueError(
+                f"ivf_model artifact was fit with k={r['_k']} "
+                f"iters={r['_iters']} — does not match the query's "
+                f"k={n_clusters} iters={iters}; rebuild it"
+            )
+    cents = sorted(
+        (r["cluster"], [float(x) for x in r["centroid"]]) for r in rows
+    )
+    if len(cents) != n_clusters:
+        raise ValueError(
+            f"ivf_model artifact has {len(cents)} clusters, expected "
+            f"{n_clusters}"
+        )
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -267,6 +328,7 @@ def ivf_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    model: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: probe the ``nprobe`` nearest clusters.
 
@@ -277,10 +339,18 @@ def ivf_topk(
     ``sim_ivf_recall``). At 100 TB the cluster tag is computed once at
     ingest and the corpus is partitioned/bucketed by it, making the
     probe a pruned scan.
+
+    ``model`` — optional pre-fit :func:`ivf_model` artifact; skips the
+    iterative k-means fit (the per-call cost center), stamp-guarded
+    against parameter mismatch.
     """
-    cents = kmeans_fit(
-        corpus, n_clusters=n_clusters, iters=iters, id_col=id_col, vec_col=vec_col
-    )
+    if model is not None:
+        cents = _model_centroids(model, n_clusters, iters)
+    else:
+        cents = kmeans_fit(
+            corpus, n_clusters=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     ).withColumn("cluster", nearest_centroid(F.col("cvec"), cents))

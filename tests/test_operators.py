@@ -472,3 +472,51 @@ def test_repetition_stats_custom_line_sep(spark):
     r = repetition_stats(df, line_sep=".").collect()[0]
     assert r["dup_line_frac"] == pytest.approx(0.5)
     assert r["dup_line_char_frac"] == pytest.approx(6 / 8)
+
+
+def test_ivf_model_artifact_equivalence(spark, tmp_path):
+    import random
+
+    rng = random.Random(7)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    direct = sim.ivf_topk(corpus, queries, k=5, n_clusters=4, iters=1)
+    model = sim.ivf_model(corpus, n_clusters=4, iters=1)
+    # parquet round-trip: the artifact is a write-once table
+    path = str(tmp_path / "ivf_model")
+    model.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    via_model = sim.ivf_topk(
+        corpus, queries, k=5, n_clusters=4, iters=1, model=loaded
+    )
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, via_model.collect())
+    )
+
+
+def test_ivf_model_stamp_guard(spark):
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "query_id long, embedding array<double>"
+    )
+    model = sim.ivf_model(corpus, n_clusters=2, iters=1)
+    with pytest.raises(ValueError, match="does not match"):
+        sim.ivf_topk(
+            corpus, queries, n_clusters=2, iters=2, model=model
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        sim.ivf_topk(
+            corpus, queries, n_clusters=2, iters=1,
+            model=model.drop("_k"),
+        )
