@@ -48,7 +48,7 @@ from pyspark.sql import types as T
 TOPIC = "pg.public.orders"
 
 # Bump when generator logic changes — invalidates the /tmp bronze cache.
-_GENERATOR_VERSION = "v2"
+_GENERATOR_VERSION = "v3"  # v3: cache laid out at cluster parallelism
 
 # Parse schema for the envelope payload — mirrors the reference's
 # hand-declared StructType (/root/reference/jobs/build_orders_silver.py:30-44);
@@ -177,9 +177,15 @@ def cdc_events(
 
             _reap_stale_bronze_caches(cache)
             staging = f"{cache}.build-{os.getpid()}"
-            cdc_events(spark, sf_dir, materialize=False).write.mode(
-                "overwrite"
-            ).parquet(staging)
+            # Lay the cache out at cluster parallelism: the generator
+            # inherits orders.parquet's 4 input splits, and a 4-file
+            # bronze pins the CPU-heavy downstream JSON parse to 4
+            # tasks on a 32-core box (measured: the flagship's parse
+            # stage ran 4/32 cores). A real 100 TB bronze has thousands
+            # of files — the cache should look like one.
+            cdc_events(spark, sf_dir, materialize=False).repartition(
+                spark.sparkContext.defaultParallelism
+            ).write.mode("overwrite").parquet(staging)
             try:
                 os.rename(staging, cache)
             except OSError:
