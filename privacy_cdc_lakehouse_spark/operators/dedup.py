@@ -92,9 +92,12 @@ def minhash_signatures(
     oracle. explode → groupBy(min...) keeps partial aggregation
     map-side; the shuffle carries |docs| rows of num_perm longs.
     """
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
     h = F.md5(F.col("sh"))
     ex = (
-        df.select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        ensure_parallelism(df)
+        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
         .select(
             id_col,
             F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("h1"),
@@ -291,8 +294,12 @@ def simhash(
     """
     if bits > 63:
         raise ValueError("simhash supports at most 63 bits (signed-long weights)")
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
     hash_col = hash_fn or (lambda c: F.xxhash64(c))
-    ex = df.select(F.col(id_col), F.explode(words(F.col(text_col))).alias("w"))
+    ex = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w")
+    )
     h = ex.withColumn("h", hash_col(F.col("w")))
     bit_sums = h.groupBy(id_col).agg(
         *[

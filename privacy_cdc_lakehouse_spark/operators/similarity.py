@@ -82,7 +82,9 @@ def brute_force_topk(
     queries: (query_id, embedding). Output: query_id, neighbor_id, rank,
     cos_sim — deterministic tie-break on (sim desc, neighbor_id asc).
     """
-    c = corpus.select(
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     )
     q = queries.select(
@@ -166,6 +168,11 @@ def lsh_table_buckets(
     the downstream self-join is an equi-join on (t, bucket): no cross
     product, shuffle keyed on the bucket space.
     """
+    # NOTE: no ensure_parallelism here — measured at sf0.1 it made
+    # lsh_topk ~40% SLOWER: the plane-dot expressions are dominated by
+    # Catalyst/codegen fixed cost, not row compute, and the repartition
+    # splits the single codegen'd scan pipeline into shuffle stages.
+    # (minhash/simhash, which are md5-per-token bound, DO benefit.)
     tagged = [
         F.struct(
             F.lit(t).alias("t"),
@@ -351,7 +358,9 @@ def ivf_topk(
             corpus, n_clusters=n_clusters, iters=iters, id_col=id_col,
             vec_col=vec_col,
         )
-    c = corpus.select(
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
     ).withColumn("cluster", nearest_centroid(F.col("cvec"), cents))
     q = (

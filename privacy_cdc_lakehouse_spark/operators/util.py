@@ -1,0 +1,25 @@
+"""Shared operator plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Spread CPU-heavy per-row compute across the cluster when the
+    input arrives under-split.
+
+    Hash-heavy operator stages (one md5 per shingle, T×b hyperplane
+    dots per vector) are bound by the SCAN's split count, and a small
+    corpus often arrives as a single parquet row group — unsplittable
+    by byte range, so the whole stage pins to one core of a 32-core
+    box (measured: the sf0.1 documents fixture is one 594 KB row
+    group). A 100 TB corpus arrives as thousands of splits and takes
+    the no-op path — the repartition only fires when input partitions
+    < cluster parallelism, so the shuffle it adds is by construction
+    small (the data fit in fewer splits than cores)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
