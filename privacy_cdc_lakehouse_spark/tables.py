@@ -744,7 +744,7 @@ class LakeTable:
                             ts,
                         )
                     )
-            elif op == "overwrite":
+            elif op in ("overwrite", "clone"):
                 prior = None
                 if v > 1:
                     try:
@@ -788,6 +788,57 @@ class LakeTable:
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    def clone_to(self, dest_path: str) -> "LakeTable":
+        """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
+        CLONE`` parity): commit a v1 manifest at ``dest_path`` whose
+        entries point at THIS table's current data files — no data is
+        read or copied, the clone costs one manifest write at any table
+        size. The clone then evolves independently: its own appends/
+        merges/deletes write under its own root, and ``compact()``
+        materializes it into a full copy.
+
+        Source entry paths (and their stats keys) are rewritten to
+        absolute form so the clone's reads resolve them; the clone's
+        ``vacuum`` only walks its OWN data root, so it can never delete
+        source files. The one shared hazard is Delta's too: vacuuming
+        the SOURCE past the cloned snapshot removes files the clone
+        still references — materialize (``compact``) before retiring
+        the source."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        snap = self._snapshot(v)
+        src_root = os.path.abspath(self.path)
+
+        def absolutize(p: str) -> str:
+            return p if os.path.isabs(p) else os.path.join(src_root, p)
+
+        entries = [
+            {
+                "path": absolutize(e["path"]),
+                "excludes": list(e["excludes"]),
+                "stats": {
+                    absolutize(k): st for k, st in e["stats"].items()
+                },
+            }
+            for e in snap["files"]
+        ]
+        clone = LakeTable(self.spark, dest_path)
+        if clone.current_version() is not None:
+            raise ValueError(
+                f"clone target already has commits: {dest_path}"
+            )
+
+        def build(latest: dict | None) -> list[dict]:
+            if latest is not None:
+                raise ConcurrentWriteError(
+                    f"clone target raced another writer: {dest_path}"
+                )
+            return entries
+
+        clone._commit(build, "clone", snap.get("partition_by", []))
+        return clone
 
     def history(self) -> list[dict]:
         """Commit log, newest first: version, op, commit ts, file count,

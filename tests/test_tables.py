@@ -991,3 +991,82 @@ def test_merge_on_read_then_append_keeps_new_rows(spark, tmp_path):
     t.delete_where("s = 'x'", mode="merge_on_read")
     t.append(spark.createDataFrame([(9, "x")], "id int, s string"))
     assert _rows(t) == [(2, "y"), (9, "x")]
+
+
+# ---------------- shallow clone (zero-copy) ----------------------------
+
+
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    import os
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "id int, s string"
+        )
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # zero-copy: identical content, no data dir under the clone root
+    assert _rows(clone) == _rows(src)
+    assert not os.path.isdir(os.path.join(clone.path, "data"))
+    # independent evolution: the clone's writes never touch the source
+    clone.append(spark.createDataFrame([(4, "d")], "id int, s string"))
+    clone.delete_where(F.col("id") == 1)
+    assert _rows(src) == [(1, "a"), (2, "b"), (3, "c")]
+    assert _rows(clone) == [(2, "b"), (3, "c"), (4, "d")]
+    # clone vacuum walks only its own root: source files survive
+    clone.vacuum(retain_last=1, min_age_seconds=0)
+    assert _rows(src) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_shallow_clone_pruned_read_and_compact_materializes(spark, tmp_path):
+    import os
+
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame([(i, i * 10) for i in range(100)], "id int, x int")
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    # data-skipping read resolves the absolutized stats keys
+    got = sorted(
+        r["id"] for r in clone.read(where=[("id", ">=", 90)]).collect()
+    )
+    assert got == list(range(90, 100))
+    # compact materializes: clone owns its bytes afterwards
+    clone.compact(target_partitions=1)
+    assert os.path.isdir(os.path.join(clone.path, "data"))
+    snap = clone._snapshot(clone.current_version())
+    assert all(not os.path.isabs(e["path"]) for e in snap["files"])
+    assert sorted(tuple(r) for r in clone.read().collect()) == sorted(
+        tuple(r) for r in src.read().collect()
+    )
+
+
+def test_shallow_clone_guards(spark, tmp_path):
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    src.clone_to(str(tmp_path / "clone"))
+    with pytest.raises(ValueError, match="already has commits"):
+        src.clone_to(str(tmp_path / "clone"))
+    empty = LakeTable(spark, str(tmp_path / "none"))
+    with pytest.raises(FileNotFoundError):
+        empty.clone_to(str(tmp_path / "c2"))
+
+
+def test_shallow_clone_partitioned_source(spark, tmp_path):
+    src = LakeTable(spark, str(tmp_path / "src"))
+    src.overwrite(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b")], "id int, p int, s string"
+        ),
+        partition_by=["p"],
+    )
+    clone = src.clone_to(str(tmp_path / "clone"))
+    assert _rows(clone) == [(1, "a", 0), (2, "b", 1)]
+    # the clone inherits the partition spec: a partition-scoped merge works
+    clone.merge(
+        spark.createDataFrame([(3, 0, "c")], "id int, p int, s string"),
+        keys=["id"],
+        partition_filter="p = 0",
+    )
+    assert _rows(clone) == [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
