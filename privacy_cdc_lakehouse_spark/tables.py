@@ -120,6 +120,15 @@ def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     s = stats.get(col)
     if not s:
         return False
+    if op in ("is null", "is not null"):
+        # Gate on the round-6 "rows" key: older manifests recorded
+        # nulls=0 for UNKNOWN null counts, which would prune unsoundly.
+        if "rows" not in s:
+            return False
+        nulls, rows = s.get("nulls"), s.get("rows")
+        if op == "is null":
+            return nulls == 0  # provably no NULL rows (None → unknown)
+        return nulls is not None and rows is not None and nulls == rows
     lo, hi = s.get("min"), s.get("max")
     if lo is None or hi is None:
         return False
@@ -158,6 +167,11 @@ _OPS = {
     "<=": lambda c, v: c <= v,
     ">": lambda c, v: c > v,
     ">=": lambda c, v: c >= v,
+    # NULL-existence skipping (Delta collects null counts for exactly
+    # this): ("col", "is null", None) prunes files whose footer proves
+    # zero nulls; "is not null" prunes all-null files.
+    "is null": lambda c, v: c.isNull(),
+    "is not null": lambda c, v: c.isNotNull(),
 }
 
 
@@ -213,6 +227,7 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(full_path).metadata
+    n_rows = md.num_rows
     cols: dict[str, dict] = {}
     for rg_i in range(md.num_row_groups):
         rg = md.row_group(rg_i)
@@ -228,7 +243,17 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
             name_c = col.path_in_schema
             if "." in name_c:
                 continue  # nested leaf — skip, not prunable
-            agg = cols.setdefault(name_c, {"min": None, "max": None, "nulls": 0})
+            agg = cols.setdefault(
+                name_c, {"min": None, "max": None, "nulls": 0, "rows": n_rows}
+            )
+            # NULL-count soundness: a single row group with an unknown
+            # null count makes the file's total UNKNOWN (None, sticky) —
+            # an undercount would let IS NULL pruning drop a file that
+            # holds matching rows.
+            if st is None or not st.has_null_count:
+                agg["nulls"] = None
+            elif agg["nulls"] is not None:
+                agg["nulls"] += st.null_count
             if st is None or not st.has_min_max:
                 agg["min"] = agg["max"] = None
                 cols[name_c]["dead"] = True  # unknown range
@@ -243,8 +268,6 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
             else:
                 agg["min"] = lo if agg["min"] is None else min(agg["min"], lo)
                 agg["max"] = hi if agg["max"] is None else max(agg["max"], hi)
-            if st.has_null_count:
-                agg["nulls"] += st.null_count
     for agg in cols.values():
         agg.pop("dead", None)
     return cols

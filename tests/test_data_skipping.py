@@ -287,3 +287,41 @@ def test_zorder_compaction_prunes_on_both_dimensions(spark, tmp_path):
             r["payload"] for r in zo.read().filter(F.col(col) < cut).collect()
         )
         assert got == want and len(got) == 4 * 64
+
+
+def test_null_existence_skipping(spark, tmp_path):
+    """IS NULL / IS NOT NULL data skipping via footer null counts:
+    a no-null file is pruned for IS NULL, an all-null file for
+    IS NOT NULL, and results always equal the residual filter."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "nulls"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+        .coalesce(1)
+    )  # no nulls in s
+    t.append(
+        spark.createDataFrame(
+            [(3, None), (4, None)], "id int, s string"
+        ).coalesce(1)
+    )  # all nulls in s
+    t.append(
+        spark.createDataFrame([(5, "e"), (6, None)], "id int, s string")
+        .coalesce(1)
+    )  # mixed
+
+    total, read_isnull = t.scan_files(where=("s", "is null", None))
+    assert total == 3 and read_isnull == 2  # no-null file pruned
+    _, read_notnull = t.scan_files(where=("s", "is not null", None))
+    assert read_notnull == 2  # all-null file pruned
+
+    got = sorted(
+        r["id"] for r in t.read(where=("s", "is null", None)).collect()
+    )
+    assert got == [3, 4, 6]
+    got = sorted(
+        r["id"] for r in t.read(where=("s", "is not null", None)).collect()
+    )
+    assert got == [1, 2, 5]
