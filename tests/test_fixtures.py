@@ -86,3 +86,23 @@ def test_reap_dead_corrupt_roots(tmp_path):
     assert alive.exists()
     assert junk.exists()  # unparseable pid: leave it alone
     assert other.exists()  # different root: untouched
+
+
+def test_bench_headline_queries_registered():
+    """Registry consolidations must never orphan a bench headline (the
+    driver's BENCH comparisons key on these names)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(os.path.dirname(__file__)), "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from privacy_cdc_lakehouse_spark.queries import all_oracles, all_queries
+
+    q, o = all_queries(), all_oracles()
+    assert set(bench.HEADLINE) <= set(q)
+    assert len(q) == 50 and set(o) <= set(q)

@@ -33,8 +33,12 @@ AUDIT = {
     # pre-execution under AQE, so assert shape, not codegen markers.)
     "curation_hash_split": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
     "curation_decontam": ["BroadcastHashJoin", "Generate", "HashAggregate"],
-    "q18_large_volume_customers": ["HashAggregate", "BroadcastHashJoin"],
+    # round 6: q18 rides inside the tpch_customer_revenue union
+    "tpch_customer_revenue": ["HashAggregate", "BroadcastHashJoin"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
+    # CDF read: explicit change files are a plain parquet scan — no
+    # join, no aggregate on the read side (the merge paid them).
+    "cdc_changes_feed": ["Scan parquet", "!SortMergeJoin"],
 }
 
 spark = get_spark("explain_audit")
