@@ -473,6 +473,9 @@ _VACUUM_RE = re.compile(
 _DESC_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_DESC_DETAIL_RE = re.compile(
+    r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
+)
 
 
 def _split_on_where(text: str) -> tuple[str, str | None]:
@@ -542,6 +545,27 @@ def sql_dml(
         target = _resolve_table(m.group("target").replace("`", ""), tables)
         retain = int(m.group("n")) if m.group("n") else 1
         return len(target.vacuum(retain_last=retain))
+    m = _DESC_DETAIL_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        d = target.detail()
+        return spark.createDataFrame(
+            [
+                (
+                    d["location"],
+                    d["version"],
+                    ",".join(d["partition_by"]),
+                    d["n_data_dirs"],
+                    d["n_files"],
+                    d["size_bytes"],
+                    d["n_dirs_with_excludes"],
+                    d["has_change_data"],
+                )
+            ],
+            "location string, version long, partition_by string, "
+            "n_data_dirs long, n_files long, size_bytes long, "
+            "n_dirs_with_excludes long, has_change_data boolean",
+        )
     m = _DESC_HISTORY_RE.match(s)
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)

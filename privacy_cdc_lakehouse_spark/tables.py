@@ -812,6 +812,41 @@ class LakeTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def detail(self) -> dict:
+        """One-row table summary — Delta ``DESCRIBE DETAIL`` parity:
+        location, current version, partition spec, data-dir/file
+        counts, total data bytes, and how many entries carry
+        merge-on-read exclusion predicates (the "needs compaction"
+        signal). Driver-side metadata walk, O(files) stat calls, no
+        Spark job."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        snap = self._snapshot(v)
+        n_files = 0
+        size = 0
+        n_excluded = 0
+        for e in snap["files"]:
+            n_files += len(e["stats"])
+            if e["excludes"]:
+                n_excluded += 1
+            for f in e["stats"]:
+                full = f if os.path.isabs(f) else os.path.join(self.path, f)
+                try:
+                    size += os.path.getsize(full)
+                except OSError:
+                    pass
+        return {
+            "location": self.path,
+            "version": v,
+            "partition_by": snap.get("partition_by", []),
+            "n_data_dirs": len(snap["files"]),
+            "n_files": n_files,
+            "size_bytes": size,
+            "n_dirs_with_excludes": n_excluded,
+            "has_change_data": bool(self._manifest(v).get("change_data")),
+        }
+
     def clone_to(self, dest_path: str) -> "LakeTable":
         """Zero-copy SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW
         CLONE`` parity): commit a v1 manifest at ``dest_path`` whose

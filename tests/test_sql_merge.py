@@ -576,3 +576,16 @@ def test_sql_describe_history(spark, tmp_path):
     df = sql_dml(spark, "DESCRIBE HISTORY mt", {"mt": t})
     rows = [(r["version"], r["op"]) for r in df.orderBy("version").collect()]
     assert rows == [(1, "overwrite"), (2, "truncate")]
+
+
+def test_sql_describe_detail(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = _seed_sql_table(spark, tmp_path)
+    t.delete_where("id = 1", mode="merge_on_read")
+    row = sql_dml(spark, "DESCRIBE DETAIL mt", {"mt": t}).collect()[0]
+    assert row["version"] == 2
+    assert row["n_data_dirs"] == 1
+    assert row["n_files"] >= 1 and row["size_bytes"] > 0
+    assert row["n_dirs_with_excludes"] == 1  # the MoR tombstone
+    assert row["has_change_data"] is False
