@@ -347,6 +347,7 @@ def sql_merge(
     statement: str,
     tables: dict[str, LakeTable],
     partition_filter: str | None = None,
+    write_change_data: bool = False,
 ) -> int:
     """Execute a MERGE statement against LakeTables.
 
@@ -355,7 +356,8 @@ def sql_merge(
     segments, so the reference's ``{CATALOG}.`` prefix needs no rewrite.
     The source resolves as a temp view (``createOrReplaceTempView``
     before calling — the reference's own protocol) or an inline
-    ``(SELECT ...)`` subquery.
+    ``(SELECT ...)`` subquery. ``write_change_data=True`` records the
+    commit's Change Data Feed (``LakeTable.read_changes``).
     """
     p = parse_merge(statement)
     target = _resolve_table(p["target"], tables)
@@ -439,6 +441,7 @@ def sql_merge(
         insert_values=insert_values,
         partition_filter=partition_filter,
         null_safe_keys=p["null_safe_on"],
+        write_change_data=write_change_data,
     )
 
 

@@ -589,3 +589,31 @@ def test_sql_describe_detail(spark, tmp_path):
     assert row["n_files"] >= 1 and row["size_bytes"] > 0
     assert row["n_dirs_with_excludes"] == 1  # the MoR tombstone
     assert row["has_change_data"] is False
+
+
+def test_sql_merge_records_change_feed(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_merge
+    from privacy_cdc_lakehouse_spark.tables import CHANGE_TYPE_COL
+
+    t = LakeTable(spark, str(tmp_path / "sqlm_cdf"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string"))
+    spark.createDataFrame(
+        [(2, "b2", "u"), (3, "c", "c")], "id int, s string, op string"
+    ).createOrReplaceTempView("cdf_src")
+    v = sql_merge(
+        spark,
+        """MERGE INTO tbl t USING cdf_src s ON t.id = s.id
+           WHEN MATCHED THEN UPDATE SET s = s.s
+           WHEN NOT MATCHED THEN INSERT (id, s) VALUES (s.id, s.s)""",
+        {"tbl": t},
+        write_change_data=True,
+    )
+    feed = sorted(
+        tuple(r)
+        for r in t.read_changes(v, v).select(CHANGE_TYPE_COL, "id", "s").collect()
+    )
+    assert feed == [
+        ("insert", 3, "c"),
+        ("update_postimage", 2, "b2"),
+        ("update_preimage", 2, "b"),
+    ]
