@@ -214,3 +214,100 @@ def test_bad_range_raises(spark, tmp_path):
         t.read_changes(2, 3)
     with pytest.raises(ValueError, match="bad change range"):
         t.read_changes(0)
+
+
+def test_cdf_replay_reconstructs_random_history(spark, tmp_path):
+    """Property check over a random keyed op history (merge upserts +
+    deletes, UPDATE, DELETE in both modes, TRUNCATE, OVERWRITE, append
+    of fresh keys): replaying the feed in commit order — latest
+    insert/update_postimage/delete per key — must reconstruct the
+    final table exactly, and both must match an independently
+    maintained dict model."""
+    import random
+
+    rng = random.Random(42)
+    t = LakeTable(spark, str(tmp_path / "rnd"))
+    state: dict[int, int] = {1: 10, 2: 20, 3: 30}
+    t.overwrite(
+        spark.createDataFrame(
+            [(k, v) for k, v in state.items()], "id int, x int"
+        )
+    )
+    next_id = 100
+    for _ in range(10):
+        op = rng.choice(["merge", "update", "delete_cow", "delete_mor", "append", "truncate", "overwrite"])
+        if op == "merge" and state:
+            upd_k = rng.sample(sorted(state), min(2, len(state)))
+            del_k = rng.sample(sorted(state), 1)
+            ins = [(next_id, rng.randrange(1000), "c")]
+            next_id += 1
+            src = (
+                [(k, state[k] + 1, "u") for k in upd_k if k not in del_k]
+                + [(k, 0, "d") for k in del_k]
+                + ins
+            )
+            t.merge(
+                spark.createDataFrame(src, "id int, x int, op string"),
+                keys=["id"],
+                matched_delete=F.col("s.op") == "d",
+                insert_condition=F.col("s.op") != "d",
+                write_change_data=True,
+            )
+            for k, v, o in src:
+                if o == "d":
+                    state.pop(k, None)
+                else:
+                    state[k] = v
+        elif op == "update" and state:
+            k = rng.choice(sorted(state))
+            t.update_where(
+                F.col("id") == k,
+                {"x": F.col("x") * 2},
+                write_change_data=True,
+            )
+            state[k] *= 2
+        elif op == "delete_cow" and state:
+            k = rng.choice(sorted(state))
+            t.delete_where(F.col("id") == k, write_change_data=True)
+            state.pop(k)
+        elif op == "delete_mor" and state:
+            k = rng.choice(sorted(state))
+            t.delete_where(
+                f"id = {k}", mode="merge_on_read", write_change_data=True
+            )
+            state.pop(k)
+        elif op == "append":
+            rows = [(next_id + i, rng.randrange(1000)) for i in range(2)]
+            next_id += 2
+            t.append(spark.createDataFrame(rows, "id int, x int"))
+            state.update(dict(rows))
+        elif op == "truncate":
+            t.truncate()
+            state.clear()
+        elif op == "overwrite":
+            rows = [(next_id + i, rng.randrange(1000)) for i in range(3)]
+            next_id += 3
+            t.overwrite(spark.createDataFrame(rows, "id int, x int"))
+            state = dict(rows)
+
+    feed = t.read_changes(1, t.current_version())
+    winners = (
+        feed.filter(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage", "delete")
+        )
+        .groupBy("id")
+        .agg(
+            F.max_by(
+                F.struct(CHANGE_TYPE_COL, "x"), F.col(COMMIT_VERSION_COL)
+            ).alias("s")
+        )
+    )
+    recon = sorted(
+        (r["id"], r["s"]["x"])
+        for r in winners.filter(
+            F.col(f"s.{CHANGE_TYPE_COL}") != "delete"
+        ).collect()
+    )
+    table = sorted(tuple(r) for r in t.read().collect())
+    model = sorted(state.items())
+    assert recon == table == model
