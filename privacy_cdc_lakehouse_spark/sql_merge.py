@@ -481,6 +481,45 @@ _DESC_DETAIL_RE = re.compile(
 )
 
 
+def split_statements(script: str) -> list[str]:
+    """Split a SQL script on TOP-LEVEL semicolons (outside quotes and
+    parentheses) into non-empty statements — the reference ships its
+    DDL/DML as ;-separated scripts (``postgres/init/01_init.sql``).
+    Lines whose first non-blank token is ``--`` are dropped (full-line
+    comments; inline comment parsing is deliberately out of scope)."""
+    decommented = "\n".join(
+        line
+        for line in script.splitlines()
+        if not line.lstrip().startswith("--")
+    )
+    out, start = [], 0
+    for i, ch, depth, in_quote in _scan(decommented):
+        if ch == ";" and depth == 0 and not in_quote:
+            stmt = decommented[start:i].strip()
+            if stmt:
+                out.append(stmt)
+            start = i + 1
+    tail = decommented[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def sql_script(
+    spark: SparkSession,
+    script: str,
+    tables: dict[str, LakeTable],
+    partition_filter: str | None = None,
+) -> list:
+    """Execute a ;-separated DML script in statement order against
+    LakeTables (each statement through :func:`sql_dml`); returns the
+    per-statement results (versions / counts / DataFrames)."""
+    return [
+        sql_dml(spark, stmt, tables, partition_filter)
+        for stmt in split_statements(script)
+    ]
+
+
 def _split_on_where(text: str) -> tuple[str, str | None]:
     """Split ``text`` at the first TOP-LEVEL ``WHERE`` keyword — outside
     quotes and parentheses — so a ``'... where ...'`` string literal or

@@ -617,3 +617,30 @@ def test_sql_merge_records_change_feed(spark, tmp_path):
         ("update_postimage", 2, "b2"),
         ("update_preimage", 2, "b"),
     ]
+
+
+def test_sql_script_runs_statements_in_order(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import split_statements, sql_script
+
+    t = _seed_sql_table(spark, tmp_path)
+    results = sql_script(
+        spark,
+        """
+        -- seed is 50 rows; double v for low ids, then delete the rest
+        UPDATE mt SET v = v * 2 WHERE id < 10;
+        DELETE FROM mt WHERE id >= 10;
+        DESCRIBE HISTORY mt
+        """,
+        {"mt": t},
+    )
+    assert results[0] == 2 and results[1] == 3  # versions in order
+    rows = sorted((r["id"], r["v"]) for r in t.read().collect())
+    assert rows == [(i, float(i % 7) * 2) for i in range(10)]
+    assert [r["op"] for r in results[2].orderBy("version").collect()] == [
+        "overwrite", "update", "delete",
+    ]
+    # splitter: quoted/parenthesized semicolons don't split
+    stmts = split_statements(
+        "UPDATE t SET s = 'a;b' WHERE id IN (1, 2);\nDELETE FROM t"
+    )
+    assert len(stmts) == 2 and stmts[0].endswith("(1, 2)")
