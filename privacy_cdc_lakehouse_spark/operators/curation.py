@@ -212,3 +212,73 @@ def curate_corpus(
         F.round("quality_score", 2).alias("quality_score"),
         "split",
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    tokens_per_pack: int = 2048,
+    n_shards: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str | None = None,
+    salt: str = "pack",
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: documents are
+    concatenated in deterministic id order within hash shards and cut
+    every ``tokens_per_pack`` tokens; a document may straddle pack
+    boundaries — the standard pretraining treatment (docs separated by
+    an EOS token, chunks fed as fixed-length sequences), not bin
+    packing.
+
+    Output per doc: ``shard``, ``n_tokens``, ``start_offset`` (of the
+    doc's first token in its shard's concatenated stream), ``pack``
+    (shard-local pack index of that first token), ``offset_in_pack``,
+    and ``n_packs_spanned`` (0 for empty docs).
+
+    100 TB shape: packing is per-shard and embarrassingly parallel —
+    the only shuffle is the window's partition-by-shard exchange, and
+    shard count (not corpus size) bounds each window task; size
+    ``n_shards`` to the cluster. Assignment is a pure function of
+    (id-set, ids, token counts), reproducible across runs; pass
+    ``token_col`` when token counts are precomputed (the write-once
+    pattern — counting is the scan-heavy part).
+    """
+    from pyspark.sql import Window
+
+    from privacy_cdc_lakehouse_spark.operators.text import token_count
+
+    if tokens_per_pack <= 0 or n_shards <= 0:
+        raise ValueError("tokens_per_pack and n_shards must be positive")
+    n_tok = (
+        F.col(token_col).cast("long")
+        if token_col is not None
+        else token_count(F.col(text_col)).cast("long")
+    )
+    h = F.md5(F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 7), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    base = df.select(F.col(id_col), shard, n_tok.alias("n_tokens"))
+    w = Window.partitionBy("shard").orderBy(id_col)
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+        "start_offset"
+    )
+    out = base.select(id_col, "shard", "n_tokens", start)
+    b = F.lit(tokens_per_pack)
+    return out.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / b).cast("long").alias("pack"),
+        (F.col("start_offset") % b).cast("long").alias("offset_in_pack"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / b)
+            - F.floor(F.col("start_offset") / b)
+            + 1,
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_packs_spanned"),
+    )

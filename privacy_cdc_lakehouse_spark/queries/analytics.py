@@ -382,7 +382,7 @@ def q_setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
         .distinct()
     )
-    return (
+    cohorts = (
         big.intersect(urgent).withColumn("cohort", F.lit("both"))
         .unionByName(big.exceptAll(urgent).withColumn("cohort", F.lit("big_only")))
         .unionByName(
@@ -390,8 +390,20 @@ def q_setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("cohort")
         .agg(F.count("*").alias("n_customers"))
-        .orderBy("cohort")
     )
+    # round 6: distinct_counts folded in (freed the slot for
+    # curation_pack_sequences) — the ORIGINAL exact+HLL aggregate plan
+    # runs unchanged via q_distinct_counts, then unpivots into the
+    # tagged shape (booleans as 0/1).
+    d = q_distinct_counts(spark, sf_dir)
+    distinct_rows = d.selectExpr(
+        "stack(5, 'distinct:n_parts', n_parts, 'distinct:n_supps', n_supps, "
+        "'distinct:n_orders', n_orders, "
+        "'distinct:approx_parts_ok', CAST(approx_parts_ok AS BIGINT), "
+        "'distinct:approx_orders_ok', CAST(approx_orders_ok AS BIGINT)) "
+        "as (cohort, n_customers)"
+    )
+    return cohorts.unionByName(distinct_rows).orderBy("cohort")
 
 
 _SETOPS_SQL = """
@@ -405,7 +417,22 @@ WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
        SELECT o_custkey, 'urgent_only' FROM (SELECT * FROM urgent EXCEPT SELECT * FROM big)
      )
 SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
-FROM tagged GROUP BY cohort ORDER BY cohort
+FROM tagged GROUP BY cohort
+UNION ALL
+SELECT u.cohort, u.n_customers
+FROM (
+    SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+) d CROSS JOIN LATERAL (VALUES
+    ('distinct:n_parts', d.n_parts),
+    ('distinct:n_supps', d.n_supps),
+    ('distinct:n_orders', d.n_orders),
+    ('distinct:approx_parts_ok', CAST(1 AS BIGINT)),
+    ('distinct:approx_orders_ok', CAST(1 AS BIGINT))
+) AS u(cohort, n_customers)
+ORDER BY cohort
 """
 
 
@@ -1461,8 +1488,9 @@ QUERIES = {
     # callables remain above — the unions call them verbatim.
     "window_analytics": q_window_analytics,
     "grouping_analytics": q_grouping_analytics,
+    # round 6: distinct_counts → setops_customer_cohorts (distinct:*
+    # tagged rows; freed the slot for curation_pack_sequences)
     "setops_customer_cohorts": q_setops_customer_cohorts,
-    "distinct_counts": q_distinct_counts,
     "events_rollups": q_events_rollups,
     "events_sessionize": q_events_sessionize,
     # round 6: pivot_status_by_priority → grouping_analytics (pivot arm;
@@ -1500,7 +1528,6 @@ ORACLES = {
     "window_analytics": _WINDOW_ANALYTICS_SQL,
     "grouping_analytics": _GROUPING_ANALYTICS_SQL,
     "setops_customer_cohorts": _SETOPS_SQL,
-    "distinct_counts": _DISTINCT_SQL,
     "events_rollups": _EVENTS_ROLLUPS_SQL,
     "events_sessionize": _SESSIONIZE_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,

@@ -945,6 +945,52 @@ FROM b ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (``operators/curation.py::pack_sequences``):
+    concat-and-chunk the corpus into 512-token packs across 8 hash
+    shards. Every doc's shard, token count, stream offset, pack index,
+    in-pack offset, and straddle span are hash-checked — the oracle
+    replays the identical md5-shard + window-cumsum + floor arithmetic
+    (all integer, no float slack)."""
+    pin_utc(spark)
+    return cur.pack_sequences(
+        _docs(spark, sf_dir), tokens_per_pack=512, n_shards=8
+    ).orderBy("doc_id")
+
+
+_PACK_SQL = f"""
+WITH t AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS BIGINT)
+             AS n_tokens,
+           md5('pack' || '|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+s AS (
+    SELECT doc_id, n_tokens,
+           CAST({_duck_hex7(1)} AS BIGINT) % 8 AS shard
+    FROM t
+),
+c AS (
+    SELECT doc_id, shard, n_tokens,
+           sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) - n_tokens AS start_offset
+    FROM s
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(floor(start_offset / 512) AS BIGINT) AS pack,
+       CAST(start_offset % 512 AS BIGINT) AS offset_in_pack,
+       CAST(CASE WHEN n_tokens > 0
+            THEN floor((start_offset + n_tokens - 1) / 512)
+                 - floor(start_offset / 512) + 1
+            ELSE 0 END AS BIGINT) AS n_packs_spanned
+FROM c ORDER BY doc_id
+"""
+
+
 def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion + quality-score histogram + Gopher-style
     repetition-signal histograms in one tagged union (rounds 5/6
@@ -1366,6 +1412,9 @@ QUERIES = {
     "curation_hash_split": q_curation_hash_split,
     "curation_decontam": q_curation_decontam,
     "curation_pipeline": q_curation_pipeline,
+    # round 6 (slot freed by folding distinct_counts into
+    # analytics.py::setops_customer_cohorts):
+    "curation_pack_sequences": q_pack_sequences,
 }
 
 ORACLES = {
@@ -1390,4 +1439,5 @@ ORACLES = {
     "curation_hash_split": _HASH_SPLIT_SQL,
     "curation_decontam": _DECONTAM_SQL,
     "curation_pipeline": _CURATION_PIPELINE_SQL,
+    "curation_pack_sequences": _PACK_SQL,
 }

@@ -520,3 +520,54 @@ def test_ivf_model_stamp_guard(spark):
             corpus, queries, n_clusters=2, iters=1,
             model=model.drop("_k"),
         )
+
+
+def test_pack_sequences_concat_and_chunk(spark):
+    from privacy_cdc_lakehouse_spark.operators.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "e f g"), (3, ""), (4, "h i j k l m n o p q")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r.asDict()
+        for r in pack_sequences(df, tokens_per_pack=5, n_shards=1).collect()
+    }
+    assert rows[1]["start_offset"] == 0 and rows[1]["n_packs_spanned"] == 1
+    # doc 2: tokens 4..6 straddle packs 0 and 1
+    assert rows[2]["pack"] == 0 and rows[2]["offset_in_pack"] == 4
+    assert rows[2]["n_packs_spanned"] == 2
+    # empty doc: occupies no pack
+    assert rows[3]["n_tokens"] == 0 and rows[3]["n_packs_spanned"] == 0
+    # doc 4: tokens 7..16 -> packs 1..3
+    assert rows[4]["pack"] == 1 and rows[4]["n_packs_spanned"] == 3
+
+    # precomputed token counts (the write-once path) give identical packing
+    import pyspark.sql.functions as F
+    from privacy_cdc_lakehouse_spark.operators.text import token_count
+
+    pre = df.withColumn("n_tok", token_count(F.col("text")))
+    a = sorted(map(tuple, pack_sequences(df, 5, 1).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pack_sequences(pre, 5, 1, token_col="n_tok").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_pack_sequences_stable_under_input_partitioning(spark):
+    from privacy_cdc_lakehouse_spark.operators.curation import pack_sequences
+
+    rows = [(i, "w " * (i % 17 + 1)) for i in range(200)]
+    df1 = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    df32 = spark.createDataFrame(rows, "doc_id long, text string").repartition(32)
+    a = sorted(map(tuple, pack_sequences(df1, 64, 8).collect()))
+    b = sorted(map(tuple, pack_sequences(df32, 64, 8).collect()))
+    assert a == b
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        pack_sequences(df1, 0, 8)
