@@ -39,6 +39,8 @@ AUDIT = {
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them).
     "cdc_changes_feed": ["Scan parquet", "!SortMergeJoin"],
+    # packing = one per-shard window over a projection; never a join
+    "curation_pack_sequences": ["Window", "!Join"],
 }
 
 spark = get_spark("explain_audit")
