@@ -282,3 +282,41 @@ def pack_sequences(
         .cast("long")
         .alias("n_packs_spanned"),
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mix",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic data-mixture downsampling: keep each row with its
+    stratum's target rate, decided by the md5 bucket of the row id —
+    the mixing step that turns per-domain/per-language weights into an
+    actual training corpus.
+
+    Like ``hash_split``, the keep/drop decision is a pure per-row
+    function of (id, salt): no sampling pass, no shuffle, no RNG state
+    — a codegen'd projection + filter — and a row's fate is stable
+    under corpus growth and reruns (incremental ingest resamples
+    nothing). Rates are resolved to whole buckets (multiples of
+    1/SPLIT_BUCKETS); rows whose stratum is absent from ``rates`` get
+    ``default_rate``. The emitted ``sample_bucket`` column makes the
+    decision auditable downstream.
+    """
+    for k, r in rates.items():
+        if not (0.0 <= r <= 1.0):
+            raise ValueError(f"rate out of [0,1] for stratum {k!r}: {r}")
+    if not (0.0 <= default_rate <= 1.0):
+        raise ValueError(f"default_rate out of [0,1]: {default_rate}")
+    b = split_bucket(F.col(id_col), salt)
+    thresh = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    for k, r in sorted(rates.items()):
+        thresh = F.when(
+            F.col(strata_col) == k, F.lit(int(round(r * SPLIT_BUCKETS)))
+        ).otherwise(thresh)
+    return df.withColumn("sample_bucket", b).filter(
+        F.col("sample_bucket") < thresh
+    )

@@ -307,3 +307,64 @@ def with_pii_redaction(
     return df.withColumn(out_col, redact_pii(F.col(text_col))).withColumn(
         "pii_counts", pii_counts(F.col(text_col))
     )
+
+
+_WORD_RE = r"[a-z]{2,}"
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic distinctive-
+    term extraction a corpus-exploration / quality-triage pass runs.
+    Terms are lowercase alpha runs (len >= 2); ``idf = ln(N / df)``
+    with document frequency over the WHOLE input; ties broken by term
+    asc so the ranking is total.
+
+    Scale shape: one explode pass builds (doc, term, tf) with a
+    map-side-combinable count; df is a second aggregate over the same
+    exploded frame grouped by term alone (Catalyst reuses the
+    exchange); the idf join shuffles on term — vocabulary-sized, not
+    corpus-sized — and the final top-k window partitions by doc. No
+    UDFs, no driver-side vocabulary.
+
+    Returns (id, term, tf, df, tfidf6, rank). ``tfidf6`` is rounded to
+    6dp — ``ln`` ulps differ across engines.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    # N as a broadcast 1-row aggregate (decorrelated scalar), not a
+    # driver-side .count() — keeps the whole plan lazy/distributed.
+    n_docs = df.agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf6"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf6",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col, "term", "tf", "df", "tfidf6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

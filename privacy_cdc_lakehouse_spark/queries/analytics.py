@@ -850,6 +850,67 @@ GROUP BY band_id ORDER BY band_id
 """
 
 
+def q_join_asof_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of + range non-equi joins in one tagged union (round-6
+    consolidation: ``join_asof_last_error`` + ``join_range_value_bands``
+    — both ORIGINAL plans run unchanged via the callables above, tagged
+    by ``kind``; freed a registry slot for ``tpch_join_panel``)."""
+    pin_utc(spark)
+    asof = q_asof_last_error(spark, sf_dir).select(
+        F.lit("asof").alias("kind"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts",
+        "last_error_ts",
+        F.lit(None).cast("long").alias("band_id"),
+        F.lit(None).cast("double").alias("total_value"),
+        F.lit(None).cast("long").alias("n"),
+    )
+    rng = q_range_join_value_bands(spark, sf_dir).select(
+        F.lit("range").alias("kind"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("long").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.lit(None).cast("timestamp").alias("last_error_ts"),
+        F.col("band_id").cast("long").alias("band_id"),
+        "total_value",
+        F.col("n").cast("long").alias("n"),
+    )
+    return asof.unionByName(rng).orderBy(
+        "kind", F.asc_nulls_first("event_id"), F.asc_nulls_first("band_id")
+    )
+
+
+_ASOF_RANGE_SQL = """
+WITH marked AS (
+    SELECT event_id, user_id, ts, event_type,
+           last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS last_error_ts
+    FROM events
+),
+bands(band_id, lo, hi) AS (
+    VALUES (0, 0.0, 5.0), (1, 5.0, 10.0), (2, 10.0, 15.0), (3, 15.0, 1e9)
+)
+SELECT 'asof' AS kind, event_id, CAST(user_id AS BIGINT) AS user_id,
+       ts, last_error_ts,
+       CAST(NULL AS BIGINT) AS band_id,
+       CAST(NULL AS DOUBLE) AS total_value,
+       CAST(NULL AS BIGINT) AS n
+FROM marked WHERE event_type = 'purchase'
+UNION ALL
+SELECT 'range', NULL, NULL, NULL, NULL,
+       CAST(band_id AS BIGINT), total_value, CAST(n AS BIGINT)
+FROM (
+    SELECT band_id, CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value
+    FROM events JOIN bands ON value >= lo AND value < hi
+    GROUP BY band_id
+)
+ORDER BY kind, event_id ASC NULLS FIRST, band_id ASC NULLS FIRST
+"""
+
+
 def q_quantity_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per return flag (`percentile` is
     exact+sorted — the approximate scale path is percentile_approx /
@@ -879,6 +940,195 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 
 # bronze_latest_peek retired as a standalone entry (round 5): the peek
 # arm now rides inside queries/cdc.py::q_bronze_dq's monitoring row.
+
+
+# --- TPC-H join panel (Q7 / Q13 / Q22 shapes) -------------------------------
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bidirectional nation-pair shipping volume,
+    adapted to the fixture's column set): both nation hops broadcast,
+    the pair predicate is applied post-join as a codegen'd filter, and
+    the only shuffles are the two fact-side equi-joins + the final
+    tiny agg. The year comes off l_shipdate in the scan projection."""
+    pin_utc(spark)
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").isin(1996, 1997)
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT OUTER join so zero-order customers stay in
+    the distribution, then a second (tiny-key) aggregation. Two
+    shuffles — custkey, then c_count — both map-side combinable."""
+    pin_utc(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted: nationkey bands replace phone
+    prefixes): scalar AVG subquery over positive balances broadcast as
+    a 1-row cross join, then a left-anti join against orders — the
+    classic NOT EXISTS decorrelation. Customer side shuffles once on
+    custkey for the anti join; the final agg has ≤7 groups."""
+    pin_utc(spark)
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7)
+    )
+    avg_bal = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_acctbal") > 0.0) & F.col("c_nationkey").isin(1, 2, 3, 4, 5, 6, 7))
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum("c_acctbal").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7 + Q13 + Q22 in one tagged union — nation-pair volume
+    shipping, outer-join count distribution, and scalar-subquery +
+    anti-join (each ORIGINAL plan above runs unchanged, tagged by
+    ``query``). Widens the §2.3/§2.6 analytic-join surface the
+    reference leaves to its engines (README.md:200-207)."""
+    pin_utc(spark)
+
+    def pad(df: DataFrame, query: str, d1, d2, k, measure, n) -> DataFrame:
+        return df.select(
+            F.lit(query).alias("query"),
+            (d1 if d1 is not None else F.lit(None).cast("string")).alias("d1"),
+            (d2 if d2 is not None else F.lit(None).cast("string")).alias("d2"),
+            (k if k is not None else F.lit(None).cast("long")).cast("long").alias("k"),
+            (measure if measure is not None else F.lit(None).cast("double"))
+            .cast("double")
+            .alias("measure"),
+            (n if n is not None else F.lit(None).cast("long")).cast("long").alias("n"),
+        )
+
+    # measure rounded to 4dp: double-sum reduction order differs across
+    # engines by ulps (same policy as quantity_percentiles).
+    q7 = pad(
+        q7_volume_shipping(spark, sf_dir), "q7",
+        F.col("supp_nation"), F.col("cust_nation"), F.col("l_year"),
+        F.round("revenue", 4), F.col("n"),
+    )
+    q13 = pad(
+        q13_customer_distribution(spark, sf_dir), "q13",
+        None, None, F.col("c_count"), None, F.col("custdist"),
+    )
+    q22 = pad(
+        q22_global_sales_opportunity(spark, sf_dir), "q22",
+        F.col("c_nationkey").cast("string"), None, None,
+        F.round("totacctbal", 4), F.col("numcust"),
+    )
+    return (
+        q7.unionByName(q13)
+        .unionByName(q22)
+        .orderBy("query", F.asc_nulls_first("d1"), F.asc_nulls_first("k"))
+    )
+
+
+_TPCH_JOIN_PANEL_SQL = """
+WITH q7 AS (
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE EXTRACT(year FROM l_shipdate) IN (1996, 1997)
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+),
+q13 AS (
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                         AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    GROUP BY c_count
+),
+q22 AS (
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           sum(c_acctbal) AS totacctbal
+    FROM customer c
+    WHERE c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+      AND c_acctbal > (
+          SELECT avg(c_acctbal) FROM customer
+          WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 2, 3, 4, 5, 6, 7)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+)
+SELECT 'q7' AS query, supp_nation AS d1, cust_nation AS d2,
+       CAST(l_year AS BIGINT) AS k, round(revenue, 4) AS measure, n
+FROM q7
+UNION ALL
+SELECT 'q13', NULL, NULL, CAST(c_count AS BIGINT),
+       CAST(NULL AS DOUBLE), custdist
+FROM q13
+UNION ALL
+SELECT 'q22', CAST(c_nationkey AS VARCHAR), NULL, CAST(NULL AS BIGINT),
+       round(totacctbal, 4), numcust
+FROM q22
+ORDER BY query, d1 ASC NULLS FIRST, k ASC NULLS FIRST
+"""
 
 
 # --- Pandas UDF surface (Arrow-vectorized grouped map) ----------------------
@@ -1499,8 +1749,11 @@ QUERIES = {
     # correlated_subqueries (freed the slot for sql_dml_lifecycle)
     "correlated_subqueries": q_correlated_subqueries,
     "sql_privacy_view": q_privacy_view_sql,
-    "join_asof_last_error": q_asof_last_error,
-    "join_range_value_bands": q_range_join_value_bands,
+    # round 6 (cont.): join_asof_last_error + join_range_value_bands →
+    # join_asof_range (freed the slot for tpch_join_panel). The
+    # original callables remain above — the union calls them verbatim.
+    "join_asof_range": q_join_asof_range,
+    "tpch_join_panel": q_tpch_join_panel,
     "quantity_percentiles": q_quantity_percentiles,
 }
 
@@ -1533,7 +1786,7 @@ ORACLES = {
     "pandas_zscore_outliers": _ZSCORE_SQL,
     "correlated_subqueries": _CORRELATED_SQL,
     "sql_privacy_view": _priv_view_oracle(),
-    "join_asof_last_error": _ASOF_SQL,
-    "join_range_value_bands": _RANGE_JOIN_SQL,
+    "join_asof_range": _ASOF_RANGE_SQL,
+    "tpch_join_panel": _TPCH_JOIN_PANEL_SQL,
     "quantity_percentiles": _PERCENTILE_SQL,
 }

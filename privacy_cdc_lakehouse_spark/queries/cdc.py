@@ -638,6 +638,35 @@ def q_catalog_priv_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_silver_reads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both catalog read paths in one tagged union (round-6
+    consolidation: ``catalog_orders_current`` + ``catalog_priv_view`` —
+    the ORIGINAL spark.table plans over the silver table and the
+    STANDING privacy view run unchanged via the callables above, tagged
+    by ``kind``; freed a registry slot for ``curation_mixture_sample``).
+    user_id is stringified so both arms share one schema."""
+    pin_utc(spark)
+    cur_rows = q_catalog_orders_current(spark, sf_dir).select(
+        F.lit("current").alias("kind"),
+        "order_id",
+        F.col("user_id").cast("string").alias("user_id"),
+        F.lit(None).cast("string").alias("user_key"),
+        "amount_eur",
+        "status",
+        "last_change_ts",
+    )
+    priv_rows = q_catalog_priv_view(spark, sf_dir).select(
+        F.lit("priv").alias("kind"),
+        "order_id",
+        F.lit(None).cast("string").alias("user_id"),
+        "user_key",
+        "amount_eur",
+        "status",
+        "last_change_ts",
+    )
+    return cur_rows.unionByName(priv_rows).orderBy("kind", "order_id")
+
+
 def q_lake_point_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-skipping read path: a narrow key-range scan of the silver
     LakeTable via ``read(where=)`` — files whose footer min/max exclude
@@ -697,8 +726,10 @@ QUERIES = {
     "cdc_stream_silver": q_cdc_stream_silver,
     "sql_dml_lifecycle": q_sql_dml_lifecycle,
     "catalog_show_surface": q_catalog_surface,
-    "catalog_orders_current": q_catalog_orders_current,
-    "catalog_priv_view": q_catalog_priv_view,
+    # round 6 (cont.): catalog_orders_current + catalog_priv_view →
+    # catalog_silver_reads (both spark.table plans run unchanged; freed
+    # the slot for curation_mixture_sample)
+    "catalog_silver_reads": q_catalog_silver_reads,
     "lake_point_range": q_lake_point_range,
 }
 
@@ -745,14 +776,19 @@ ORACLES = {
     "cdc_changes_feed": _CHANGES_FEED_SQL,
     "sql_dml_lifecycle": _SQL_DML_LIFECYCLE_SQL,
     "catalog_show_surface": _CATALOG_SURFACE_SQL,
-    "catalog_orders_current": _LATEST_CTE
-    + "SELECT order_id, user_id, amount_eur, status, last_change_ts FROM current_state",
-    "catalog_priv_view": _LATEST_CTE
+    "catalog_silver_reads": _LATEST_CTE
     + f"""
-    SELECT order_id,
-           sha256(CAST(user_id AS VARCHAR) || '::' || '{DEFAULT_TEST_SALT}') AS user_key,
+    SELECT 'current' AS kind, order_id,
+           CAST(user_id AS VARCHAR) AS user_id,
+           CAST(NULL AS VARCHAR) AS user_key,
            amount_eur, status, last_change_ts
     FROM current_state
+    UNION ALL
+    SELECT 'priv', order_id, CAST(NULL AS VARCHAR),
+           sha256(CAST(user_id AS VARCHAR) || '::' || '{DEFAULT_TEST_SALT}'),
+           amount_eur, status, last_change_ts
+    FROM current_state
+    ORDER BY kind, order_id
     """,
     "lake_point_range": _LAKE_POINT_RANGE_SQL,
 }

@@ -991,6 +991,126 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture downsampling (``operators/curation.py::
+    mixture_sample``): per-language target rates (en 0.8 / de 0.5 /
+    es 0.25, default 0.1) resolved deterministically by md5 bucket of
+    doc_id. The full surviving per-doc assignment — id, stratum, AND
+    bucket — is hash-checked; the oracle replays the identical
+    hex-slice + CASE-threshold arithmetic, so the mixing step a
+    training run depends on is verified row-for-row, not just in
+    aggregate proportions."""
+    pin_utc(spark)
+    out = cur.mixture_sample(
+        _docs(spark, sf_dir),
+        rates={"en": 0.8, "de": 0.5, "es": 0.25},
+        strata_col="lang",
+        id_col="doc_id",
+        default_rate=0.1,
+    )
+    return out.select("doc_id", "lang", "sample_bucket").orderBy("doc_id")
+
+
+_MIXTURE_SQL = f"""
+WITH h AS (
+    SELECT doc_id, lang,
+           md5('mix' || '|' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+b AS (
+    SELECT doc_id, lang,
+           CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS sample_bucket
+    FROM h
+)
+SELECT doc_id, lang, sample_bucket
+FROM b
+WHERE sample_bucket < CASE lang
+    WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'es' THEN 250
+    ELSE 100 END
+ORDER BY doc_id
+"""
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (``operators/text.py::
+    tfidf_top_terms``) — distinctive-term extraction with corpus-wide
+    document frequencies. tf/df/rank are exact integers; tfidf is
+    rounded to 6dp (ln ulps differ across engines) and the ranking
+    orders by the ROUNDED score + term, so it is engine-independent."""
+    pin_utc(spark)
+    return (
+        tx.tfidf_top_terms(_docs(spark, sf_dir), k=3)
+        .orderBy("doc_id", "rank")
+    )
+
+
+_TFIDF_SQL = """
+WITH terms AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]{2,}')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+    FROM terms GROUP BY doc_id, term
+),
+dfreq AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (
+    SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents
+),
+scored AS (
+    SELECT doc_id, term, tf, df,
+           round(tf * ln(n_docs / df), 6) AS tfidf6
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf6 DESC, term ASC) AS rank
+    FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf6, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
+def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-feature decode + resize/frame-sample transform stats in
+    one tagged union (round-6 consolidation: ``multimodal_binary_
+    features`` + ``multimodal_transform_stats`` — both ORIGINAL
+    mapInPandas plans run unchanged via the callables above; freed a
+    registry slot for ``text_tfidf_topterms``)."""
+    pin_utc(spark)
+    feats = q_multimodal_binary_features(spark, sf_dir).select(
+        F.lit("features").alias("kind"),
+        F.col("doc_id").cast("long").alias("k"),
+        F.col("n_bytes").cast("long").alias("v1"),
+        F.col("first_byte").cast("long").alias("v2"),
+        F.col("checksum_mod").cast("long").alias("v3"),
+    )
+    stats = q_multimodal_transform_stats(spark, sf_dir).select(
+        "kind",
+        F.col("k").cast("long").alias("k"),
+        F.col("n_docs").cast("long").alias("v1"),
+        F.col("total_bytes").cast("long").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return feats.unionByName(stats).orderBy("kind", "k")
+
+
+def _multimodal_panel_sql() -> str:
+    return f"""
+SELECT 'features' AS kind, doc_id AS k, n_bytes AS v1,
+       CAST(first_byte AS BIGINT) AS v2, CAST(checksum_mod AS BIGINT) AS v3
+FROM ({_MULTIMODAL_SQL}) feats
+UNION ALL
+SELECT kind, k, n_docs, total_bytes, CAST(NULL AS BIGINT)
+FROM ({_TRANSFORM_STATS_SQL}) stats
+ORDER BY kind, k
+"""
+
+
 def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion + quality-score histogram + Gopher-style
     repetition-signal histograms in one tagged union (rounds 5/6
@@ -1396,8 +1516,10 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "dedup_embedding_near_dup": q_embedding_near_dup,
     "embedding_quantize": q_embedding_quantize,
-    "multimodal_binary_features": q_multimodal_binary_features,
-    "multimodal_transform_stats": q_multimodal_transform_stats,
+    # round 6 (cont.): multimodal_binary_features + multimodal_
+    # transform_stats → multimodal_panel (both mapInPandas plans run
+    # unchanged; freed the slot for text_tfidf_topterms).
+    "multimodal_panel": q_multimodal_panel,
     "text_stats_by_lang": q_text_stats_by_lang,
     # round 5: lang_id_confusion + quality_histogram → text_quality_panel
     # (freed the slot for curation_pipeline)
@@ -1415,6 +1537,10 @@ QUERIES = {
     # round 6 (slot freed by folding distinct_counts into
     # analytics.py::setops_customer_cohorts):
     "curation_pack_sequences": q_pack_sequences,
+    # round 6 (cont.): new surface on slots freed by the multimodal and
+    # catalog consolidations:
+    "curation_mixture_sample": q_curation_mixture_sample,
+    "text_tfidf_topterms": q_text_tfidf_topterms,
 }
 
 ORACLES = {
@@ -1428,8 +1554,7 @@ ORACLES = {
     "sim_ivf_topk": _IVF_TOPK_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "embedding_quantize": _EMB_QUANT_SQL,
-    "multimodal_binary_features": _MULTIMODAL_SQL,
-    "multimodal_transform_stats": _TRANSFORM_STATS_SQL,
+    "multimodal_panel": _multimodal_panel_sql(),
     "text_stats_by_lang": _TEXT_STATS_SQL,
     "text_quality_panel": _TEXT_QUALITY_PANEL_SQL,
     "dedup_exact_groups": _DEDUP_EXACT_SQL,
@@ -1440,4 +1565,6 @@ ORACLES = {
     "curation_decontam": _DECONTAM_SQL,
     "curation_pipeline": _CURATION_PIPELINE_SQL,
     "curation_pack_sequences": _PACK_SQL,
+    "curation_mixture_sample": _MIXTURE_SQL,
+    "text_tfidf_topterms": _TFIDF_SQL,
 }

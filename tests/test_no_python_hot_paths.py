@@ -11,8 +11,7 @@ from privacy_cdc_lakehouse_spark.queries import all_queries
 # is allowed ONLY here — these exist to exercise the pandas surface.
 PANDAS_SANCTIONED = {
     "pandas_zscore_outliers",
-    "multimodal_binary_features",
-    "multimodal_transform_stats",
+    "multimodal_panel",
 }
 
 

@@ -571,3 +571,70 @@ def test_pack_sequences_stable_under_input_partitioning(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df1, 0, 8)
+
+
+def test_mixture_sample_deterministic_and_rate_bound(spark):
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    rows = [(i, ["en", "de", "zh"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = cur.mixture_sample(
+        df, {"en": 1.0, "de": 0.5}, strata_col="lang", default_rate=0.0
+    )
+    got = {r["doc_id"]: r["lang"] for r in out.collect()}
+    langs = set(got.values())
+    # rate 1.0 keeps everything, 0.0 drops everything
+    assert sum(1 for v in got.values() if v == "en") == 200
+    assert "zh" not in langs
+    # de lands near 50% (hash-uniform; wide tolerance)
+    n_de = sum(1 for v in got.values() if v == "de")
+    assert 60 <= n_de <= 140
+    # deterministic: rerun yields the identical id set
+    again = {r["doc_id"] for r in out.collect()}
+    assert again == set(got)
+    # stable under corpus growth: a doc's fate doesn't change when new
+    # rows arrive (pure function of id)
+    bigger = spark.createDataFrame(
+        rows + [(10_000 + i, "de") for i in range(100)],
+        "doc_id long, lang string",
+    )
+    sub = {
+        r["doc_id"]
+        for r in cur.mixture_sample(
+            bigger, {"en": 1.0, "de": 0.5}, strata_col="lang"
+        ).collect()
+        if r["doc_id"] < 10_000
+    }
+    assert sub == set(got)
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        cur.mixture_sample(df, {"en": 1.5})
+    with pytest.raises(ValueError):
+        cur.mixture_sample(df, {"en": 0.5}, default_rate=-0.1)
+
+
+def test_tfidf_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_top_terms(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 'common' appears in all 3 docs -> idf = ln(1) = 0 -> never top
+    # (ranked below any term with positive idf; ties by term asc)
+    top1 = {d: rows[0]["term"] for d, rows in by_doc.items()}
+    assert top1 == {1: "apple", 2: "banana", 3: "cherry"}
+    r1 = by_doc[1][0]
+    assert r1["tf"] == 2 and r1["df"] == 1
+    assert r1["tfidf6"] == round(2 * math.log(3.0 / 1.0), 6)
+    # every doc gets exactly k rows (vocab per doc >= 2 here)
+    assert all(len(rows) == 2 for rows in by_doc.values())
+    assert [r["rank"] for r in by_doc[2]] == [1, 2]

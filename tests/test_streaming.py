@@ -293,3 +293,51 @@ def test_streaming_change_feed_replay_reconstructs_silver(spark, sf_dir, tmp_pat
     a = sorted(tuple(r) for r in recon.select(cols).collect())
     b = sorted(tuple(r) for r in silver.read().select(cols).collect())
     assert a == b and len(b) > 0
+
+
+def test_streaming_mixture_sample_matches_batch(spark, tmp_path):
+    """mixture_sample is a pure projection+filter, so it applies to a
+    streaming DataFrame unchanged and every micro-batching of the same
+    corpus keeps the identical row set — the deterministic-mixing
+    contract end to end (arrival order cannot perturb a row's fate)."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators.curation import mixture_sample
+
+    src = str(tmp_path / "mixsrc")
+    docs = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("en"), F.lit("de"), F.lit("zh")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("lang"),
+    )
+    docs.coalesce(2).write.parquet(src)
+    rates = {"en": 0.8, "de": 0.4}
+
+    batch = {
+        (r["doc_id"], r["lang"], r["sample_bucket"])
+        for r in mixture_sample(
+            spark.read.parquet(src), rates, default_rate=0.1
+        ).collect()
+    }
+
+    stream = spark.readStream.schema("doc_id long, lang string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        mixture_sample(stream, rates, default_rate=0.1)
+        .writeStream.format("memory")
+        .queryName("mix_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r["doc_id"], r["lang"], r["sample_bucket"])
+        for r in spark.sql(
+            "SELECT doc_id, lang, sample_bucket FROM mix_out"
+        ).collect()
+    }
+    assert streamed == batch and len(batch) > 0
