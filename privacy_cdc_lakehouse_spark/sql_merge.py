@@ -14,15 +14,20 @@ textual parity for S7→J1 without a full SQL grammar:
     [WHEN MATCHED [AND <cond>] THEN DELETE]
     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
     [WHEN NOT MATCHED [AND <cond>] THEN INSERT (cols) VALUES (exprs)]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
+    [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET col = expr, ...]
 
 Aliases are free (normalized to the ``t``/``s`` the executor uses);
 conditions and expressions are arbitrary Spark SQL scalars. The parser
-is deliberately strict — a clause it cannot map onto the three CDC
+is deliberately strict — a clause it cannot map onto the supported
 clauses raises rather than mis-executing. WHEN MATCHED clauses honor
 STATEMENT order (SQL fires the first matching clause): when UPDATE is
 written before DELETE, the delete condition is masked with
 ``NOT coalesce(update_cond, false)`` before reaching the executor,
-whose fixed evaluation order is delete-then-update.
+whose fixed evaluation order is delete-then-update; the NOT MATCHED BY
+SOURCE pair (Delta's retention-delete/mark-stale clauses) gets the
+same masking, and its conditions/assignments must reference only
+target columns (a source reference raises).
 
 Scale note: execution inherits the programmatic merge's plan contract
 (three BroadcastHashJoins, target never shuffled; optional
@@ -133,7 +138,8 @@ _HEAD_RE = re.compile(
 )
 
 _CLAUSE_RE = re.compile(
-    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
+    r"WHEN\s+(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+(?P<cond>.*?))?\s+THEN\s+"
     r"(?P<action>DELETE|UPDATE\s+SET\s+.*?|INSERT\s*\(.*?\)\s*VALUES\s*\(.*?\))"
     r"\s*(?=WHEN\s+(?:NOT\s+)?MATCHED|\Z)",
     re.I | re.S,
@@ -183,6 +189,34 @@ def _normalize_aliases(expr: str, talias: str | None, salias: str) -> str:
                 alias_re.sub(lambda m: mapping[m.group(1).lower()], seg)
             )
     return "".join(out)
+
+
+def _assert_target_only(expr: str, clause: str) -> str:
+    """A NOT MATCHED BY SOURCE clause sees only the target row — a
+    lingering ``s.`` reference (post-normalization) would resolve to
+    nothing or, worse, to an unrelated column. Refuse it loudly."""
+    for seg_start, seg in _unquoted_segments(expr):
+        if re.search(r"\bs\s*\.", seg, re.I):
+            raise MergeSqlError(
+                f"{clause} may reference only target columns, got source "
+                f"reference in: {expr!r}"
+            )
+    return expr
+
+
+def _unquoted_segments(expr: str):
+    """Yield (start, text) for the unquoted spans of ``expr`` using the
+    shared quote-aware scanner."""
+    seg_start = 0
+    prev_quote = False
+    for i, ch, depth, in_quote in _scan(expr):
+        if in_quote != prev_quote:
+            if not prev_quote:
+                yield seg_start, expr[seg_start:i]
+            seg_start = i
+            prev_quote = in_quote
+    if not prev_quote:
+        yield seg_start, expr[seg_start:]
 
 
 def parse_merge(statement: str) -> dict:
@@ -262,15 +296,20 @@ def parse_merge(statement: str) -> dict:
         "insert_cond": None,
         "insert_cols": None,
         "insert_vals": None,
+        "nmbs_delete_cond": None,
+        "nmbs_update_cond": None,
+        "nmbs_update_sets": None,
         # WHEN MATCHED clause kinds in statement order ("delete"/"update")
         # — SQL fires the FIRST matching clause, so the executor call
         # must mask the later clause's condition with the earlier one's.
         "matched_order": [],
+        # same contract for the WHEN NOT MATCHED BY SOURCE clause pair
+        "nmbs_order": [],
     }
     # Strict-parser contract: every WHEN clause must be consumed by the
     # clause regex. finditer silently SKIPS unmatchable spans, so an
-    # unsupported clause (WHEN NOT MATCHED BY SOURCE..., UPDATE missing
-    # SET) alongside one valid clause would otherwise silently not
+    # unsupported clause (UPDATE missing SET, a malformed INSERT)
+    # alongside one valid clause would otherwise silently not
     # execute — count the WHEN heads and require full tiling.
     n_clause_heads = len(
         re.findall(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", clause_text, flags=re.I)
@@ -279,6 +318,9 @@ def parse_merge(statement: str) -> dict:
     for cm in _CLAUSE_RE.finditer(clause_text):
         consumed += 1
         unmatched = bool(cm.group("not"))
+        by_source = bool(cm.group("bysrc"))
+        if by_source and not unmatched:
+            raise MergeSqlError("WHEN MATCHED BY SOURCE is not a SQL clause")
         cond = cm.group("cond")
         cond = (
             _normalize_aliases(cond.strip(), talias, salias) if cond else None
@@ -286,6 +328,16 @@ def parse_merge(statement: str) -> dict:
         action = cm.group("action").strip()
         au = action.upper()
         if au == "DELETE":
+            if by_source:
+                if out["nmbs_delete_cond"] is not None:
+                    raise MergeSqlError(
+                        "duplicate NOT MATCHED BY SOURCE DELETE clause"
+                    )
+                out["nmbs_delete_cond"] = _assert_target_only(
+                    cond or "true", "WHEN NOT MATCHED BY SOURCE DELETE"
+                )
+                out["nmbs_order"].append("delete")
+                continue
             if unmatched:
                 raise MergeSqlError("WHEN NOT MATCHED THEN DELETE unsupported")
             if out["delete_cond"] is not None:
@@ -293,9 +345,13 @@ def parse_merge(statement: str) -> dict:
             out["delete_cond"] = cond or "true"
             out["matched_order"].append("delete")
         elif au.startswith("UPDATE"):
-            if unmatched:
+            if not by_source and unmatched:
                 raise MergeSqlError("WHEN NOT MATCHED THEN UPDATE unsupported")
-            if out["update_sets"] is not None:
+            if by_source and out["nmbs_update_sets"] is not None:
+                raise MergeSqlError(
+                    "duplicate NOT MATCHED BY SOURCE UPDATE clause"
+                )
+            if not by_source and out["update_sets"] is not None:
                 raise MergeSqlError("duplicate UPDATE clause")
             sets = {}
             body = re.sub(r"^UPDATE\s+SET\s+", "", action, flags=re.I | re.S)
@@ -306,10 +362,25 @@ def parse_merge(statement: str) -> dict:
                 sets[col.strip().replace("`", "")] = _normalize_aliases(
                     expr.strip(), talias, salias
                 )
+            if by_source:
+                for e in sets.values():
+                    _assert_target_only(e, "WHEN NOT MATCHED BY SOURCE UPDATE")
+                if cond is not None:
+                    _assert_target_only(
+                        cond, "WHEN NOT MATCHED BY SOURCE UPDATE"
+                    )
+                out["nmbs_update_sets"] = sets
+                out["nmbs_update_cond"] = cond
+                out["nmbs_order"].append("update")
+                continue
             out["update_sets"] = sets
             out["update_cond"] = cond
             out["matched_order"].append("update")
         else:  # INSERT
+            if by_source:
+                raise MergeSqlError(
+                    "WHEN NOT MATCHED BY SOURCE THEN INSERT is not a SQL clause"
+                )
             if not unmatched:
                 raise MergeSqlError("WHEN MATCHED THEN INSERT unsupported")
             if out["insert_cols"] is not None:
@@ -431,6 +502,28 @@ def sql_merge(
     else:
         ins_cond = None
 
+    # WHEN NOT MATCHED BY SOURCE pair: the engine evaluates DELETE
+    # before UPDATE; when the statement writes UPDATE first, a row
+    # satisfying both must be UPDATED — mask the delete condition
+    # (mirror of the matched_order masking above).
+    nmbs_delete_cond = p["nmbs_delete_cond"]
+    if p["nmbs_order"] == ["update", "delete"]:
+        if p["nmbs_update_cond"] is None:
+            nmbs_delete_cond = None  # unconditional UPDATE shadows DELETE
+        else:
+            nmbs_delete_cond = (
+                f"({nmbs_delete_cond}) AND NOT "
+                f"coalesce(({p['nmbs_update_cond']}), false)"
+            )
+    nmbs_update_values = (
+        {c: F.expr(e) for c, e in p["nmbs_update_sets"].items()}
+        if p["nmbs_update_sets"]
+        else None
+    )
+    nmbs_update_cond = (
+        F.expr(p["nmbs_update_cond"]) if p["nmbs_update_cond"] is not None else None
+    )
+
     return target.merge(
         source,
         keys=p["keys"],
@@ -439,6 +532,11 @@ def sql_merge(
         update_values=update_values,
         insert_condition=ins_cond,
         insert_values=insert_values,
+        not_matched_by_source_delete=(
+            F.expr(nmbs_delete_cond) if nmbs_delete_cond else None
+        ),
+        not_matched_by_source_update_condition=nmbs_update_cond,
+        not_matched_by_source_update_values=nmbs_update_values,
         partition_filter=partition_filter,
         null_safe_keys=p["null_safe_on"],
         write_change_data=write_change_data,

@@ -1559,6 +1559,9 @@ class LakeTable:
         update_values: dict[str, Column] | None = None,
         insert_condition: Column | None = None,
         insert_values: dict[str, Column] | None = None,
+        not_matched_by_source_delete: Column | None = None,
+        not_matched_by_source_update_condition: Column | None = None,
+        not_matched_by_source_update_values: dict[str, Column] | None = None,
         validate_unique_source: bool = True,
         partition_filter: str | None = None,
         broadcast_threshold_bytes: int | None = 512 << 20,
@@ -1577,6 +1580,9 @@ class LakeTable:
             WHEN MATCHED AND <matched_update_condition>
                                                THEN UPDATE SET <update_values>
             WHEN NOT MATCHED AND <insert_cond> THEN INSERT <insert_values>
+            WHEN NOT MATCHED BY SOURCE AND <nmbs_delete> THEN DELETE
+            WHEN NOT MATCHED BY SOURCE AND <nmbs_update_condition>
+                                               THEN UPDATE SET <nmbs_update_values>
 
         ``matched_update_condition`` (default: always fire) gates the
         UPDATE clause: a matched row firing NEITHER clause survives
@@ -1635,7 +1641,23 @@ class LakeTable:
         effect (insert / update_preimage / update_postimage / delete
         rows) as change files readable via :meth:`read_changes` —
         Delta's Change Data Feed. Costs one extra O(|source|) write;
-        the big target side is never rescanned for it.
+        the big target side is never rescanned for it (NOT MATCHED BY
+        SOURCE clauses add O(affected target rows) — those clauses
+        touch target rows by definition).
+
+        The two ``not_matched_by_source_*`` clauses (Delta's
+        ``WHEN NOT MATCHED BY SOURCE``, since Delta 2.3) act on TARGET
+        rows no source row matched — retention deletes and
+        mark-stale updates in the same commit as the upsert.
+        Conditions/values are Columns over the target row (plain or
+        ``t.``-qualified names; source columns don't exist for these
+        rows). DELETE is evaluated before UPDATE; a NULL condition
+        doesn't fire; update values default to the row's own value.
+        Plan shape is unchanged: the clauses are a filter + projection
+        over the broadcast-anti ``kept`` branch — still zero Exchange
+        of the target. With ``partition_filter`` the clauses only see
+        rows inside the filter (the same scoping as every other
+        clause).
 
         ``merge_schema=True`` admits source columns the target lacks
         (Delta's MERGE ``mergeSchema``): the new columns join the
@@ -1712,10 +1734,74 @@ class LakeTable:
             small_source = est is not None and est <= broadcast_threshold_bytes
         _hint = F.broadcast if small_source else (lambda df: df)
 
+        if (
+            not_matched_by_source_update_values is not None
+            and not_matched_by_source_update_condition is None
+        ):
+            not_matched_by_source_update_condition = F.lit(True)
+        if (
+            not_matched_by_source_update_condition is not None
+            and not_matched_by_source_update_values is None
+        ):
+            raise MergeError(
+                "not_matched_by_source_update_condition without "
+                "not_matched_by_source_update_values"
+            )
+        nmbs_upd = not_matched_by_source_update_values or {}
+        unknown = set(nmbs_upd) - set(tcols)
+        if unknown:
+            raise MergeError(
+                f"MERGE not_matched_by_source_update_values columns not in "
+                f"target: {sorted(unknown)}"
+            )
+
         src_keys = _hint(source.select(*keys).alias("s"))
 
-        # 1) Target rows not touched by the batch — survive verbatim.
-        kept = t.join(src_keys, on, "left_anti").select(*tcols)
+        # 1) Target rows not touched by the batch. Without NOT MATCHED
+        #    BY SOURCE clauses they survive verbatim; with them, the
+        #    branch gains a filter (DELETE) + conditional projection
+        #    (UPDATE) — still the broadcast-anti plan, no shuffle.
+        kept_raw = t.join(src_keys, on, "left_anti")
+        nmbs_del_fire = (
+            F.coalesce(not_matched_by_source_delete.cast("boolean"), F.lit(False))
+            if not_matched_by_source_delete is not None
+            else F.lit(False)
+        )
+        nmbs_deleted_pre = None
+        nmbs_upd_pre = None
+        nmbs_upd_post = None
+        if not_matched_by_source_delete is None and (
+            not_matched_by_source_update_condition is None
+        ):
+            kept = kept_raw.select(*tcols)
+        else:
+            if write_change_data and not_matched_by_source_delete is not None:
+                nmbs_deleted_pre = kept_raw.filter(nmbs_del_fire).select(*tcols)
+            survivors = kept_raw.filter(~nmbs_del_fire)
+            if not_matched_by_source_update_condition is None:
+                kept = survivors.select(*tcols)
+            else:
+                nmbs_fire = F.coalesce(
+                    not_matched_by_source_update_condition.cast("boolean"),
+                    F.lit(False),
+                )
+                nmbs_exprs = {c: nmbs_upd.get(c, F.col(f"t.{c}")) for c in tcols}
+                kept = survivors.select(
+                    *[
+                        F.when(nmbs_fire, nmbs_exprs[c])
+                        .otherwise(F.col(f"t.{c}"))
+                        .alias(c)
+                        for c in tcols
+                    ]
+                )
+                if write_change_data:
+                    fired = survivors.filter(nmbs_fire)
+                    nmbs_upd_pre = fired.select(
+                        *[F.col(f"t.{c}").alias(c) for c in tcols]
+                    )
+                    nmbs_upd_post = fired.select(
+                        *[nmbs_exprs[c].alias(c) for c in tcols]
+                    )
 
         # 2) Matched rows: UPDATE unless the DELETE clause fires. The
         #    inner join keeps t.* available for update defaults on
@@ -1807,6 +1893,12 @@ class LakeTable:
                 .unionByName(ct(upd_post, "update_postimage"))
                 .unionByName(ct(deleted_pre, "delete"))
             )
+            if nmbs_deleted_pre is not None:
+                changes = changes.unionByName(ct(nmbs_deleted_pre, "delete"))
+            if nmbs_upd_pre is not None:
+                changes = changes.unionByName(
+                    ct(nmbs_upd_pre, "update_preimage")
+                ).unionByName(ct(nmbs_upd_post, "update_postimage"))
             extra = {"change_data": self._write_change_dir(changes)}
 
         if partition_filter is None:

@@ -385,11 +385,13 @@ def test_merge_without_insert_clause_ignores_unmatched(spark, tmp_path):
 def test_partially_unparseable_when_clause_raises():
     """One valid clause must not mask an unparseable one — partial
     execution of a MERGE statement is refused."""
+    # (WHEN NOT MATCHED BY SOURCE became a supported clause in round 6 —
+    # the unparseable specimen is now a malformed BY TARGET variant.)
     with pytest.raises(MergeSqlError, match="could not be parsed"):
         parse_merge(
             "MERGE INTO t t USING s s ON t.k = s.k "
             "WHEN MATCHED THEN DELETE "
-            "WHEN NOT MATCHED BY SOURCE THEN DELETE"
+            "WHEN NOT MATCHED BY TARGET THEN DELETE"
         )
     with pytest.raises(MergeSqlError, match="could not be parsed"):
         parse_merge(
@@ -644,3 +646,102 @@ def test_sql_script_runs_statements_in_order(spark, tmp_path):
         "UPDATE t SET s = 'a;b' WHERE id IN (1, 2);\nDELETE FROM t"
     )
     assert len(stmts) == 2 and stmts[0].endswith("(1, 2)")
+
+
+NMBS_MERGE = """
+MERGE INTO tgt t
+USING src s
+ON t.id = s.id
+WHEN MATCHED THEN UPDATE SET v = s.v
+WHEN NOT MATCHED THEN INSERT (id, v, state) VALUES (s.id, s.v, 'new')
+WHEN NOT MATCHED BY SOURCE AND t.state = 'old' THEN DELETE
+WHEN NOT MATCHED BY SOURCE THEN UPDATE SET state = 'stale'
+"""
+
+
+def test_parse_not_matched_by_source_clauses():
+    p = parse_merge(NMBS_MERGE)
+    assert p["nmbs_delete_cond"] == "t.state = 'old'"
+    assert p["nmbs_update_sets"] == {"state": "'stale'"}
+    assert p["nmbs_update_cond"] is None
+    assert p["nmbs_order"] == ["delete", "update"]
+    # statement's matched/unmatched clauses unaffected
+    assert p["update_sets"] == {"v": "s.v"}
+    assert p["insert_cols"] == ["id", "v", "state"]
+
+
+def test_parse_nmbs_rejects_source_references_and_bad_kinds():
+    with pytest.raises(MergeSqlError):
+        parse_merge(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE AND s.v > 0 THEN DELETE"
+        )
+    with pytest.raises(MergeSqlError):
+        parse_merge(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = s.v"
+        )
+    with pytest.raises(MergeSqlError):
+        parse_merge(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN MATCHED BY SOURCE THEN DELETE"
+        )
+    with pytest.raises(MergeSqlError):
+        parse_merge(
+            "MERGE INTO tgt t USING src s ON t.id = s.id "
+            "WHEN NOT MATCHED BY SOURCE THEN INSERT (id) VALUES (1)"
+        )
+    # a quoted 's.' lookalike is NOT a source reference
+    p = parse_merge(
+        "MERGE INTO tgt t USING src s ON t.id = s.id "
+        "WHEN NOT MATCHED BY SOURCE AND t.state = 's.fake' THEN DELETE"
+    )
+    assert p["nmbs_delete_cond"] == "t.state = 's.fake'"
+
+
+def test_sql_merge_executes_nmbs_retention(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "nmbs_sql"))
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                (1, 1.0, "live"),
+                (2, 2.0, "old"),
+                (3, 3.0, "live"),
+            ],
+            "id int, v double, state string",
+        )
+    )
+    spark.createDataFrame(
+        [(1, 1.5), (9, 9.0)], "id int, v double"
+    ).createOrReplaceTempView("src")
+    sql_merge(spark, NMBS_MERGE, {"tgt": t})
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [
+        (1, 1.5, "live"),      # matched update
+        (3, 3.0, "stale"),     # NMBS update (delete didn't fire)
+        (9, 9.0, "new"),       # insert
+    ]                           # id=2 NMBS-deleted
+
+
+def test_sql_merge_nmbs_statement_order_masks_delete(spark, tmp_path):
+    """UPDATE written before DELETE: a row satisfying both NMBS
+    conditions must be UPDATED (SQL fires the first matching clause)."""
+    t = LakeTable(spark, str(tmp_path / "nmbs_order"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "both"), (2, "del_only")], "id int, state string"
+        )
+    )
+    spark.createDataFrame([(99, "x")], "id int, state string").createOrReplaceTempView(
+        "src2"
+    )
+    stmt = """
+    MERGE INTO tgt t USING src2 s ON t.id = s.id
+    WHEN NOT MATCHED BY SOURCE AND t.state = 'both' THEN UPDATE SET state = 'updated'
+    WHEN NOT MATCHED BY SOURCE AND t.state IN ('both', 'del_only') THEN DELETE
+    """
+    sql_merge(spark, stmt, {"tgt": t})
+    rows = sorted(tuple(r) for r in t.read().collect())
+    # id=1 updated (clause order), id=2 deleted; the unmatched source
+    # row is IGNORED — the statement has no WHEN NOT MATCHED clause.
+    assert rows == [(1, "updated")]

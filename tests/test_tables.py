@@ -1070,3 +1070,106 @@ def test_shallow_clone_partitioned_source(spark, tmp_path):
         partition_filter="p = 0",
     )
     assert _rows(clone) == [(1, "a", 0), (2, "b", 1), (3, "c", 0)]
+
+
+def test_merge_not_matched_by_source_delete_and_update(spark, tmp_path):
+    """Delta's WHEN NOT MATCHED BY SOURCE pair: retention-delete and
+    mark-stale in the same commit as the upsert. Matched/unmatched
+    source clauses are unaffected; only target rows NO source row
+    matched see the clauses; DELETE wins over UPDATE."""
+    t = LakeTable(spark, str(tmp_path / "nmbs"))
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                (1, "touched", 1.0),
+                (2, "stale_delete", 2.0),
+                (3, "stale_mark", 9.0),
+                (4, "fresh", 3.0),
+            ],
+            "id int, s string, v double",
+        )
+    )
+    source = spark.createDataFrame(
+        [(1, "updated", 1.5), (5, "inserted", 5.0)], "id int, s string, v double"
+    )
+    v = t.merge(
+        source,
+        keys=["id"],
+        not_matched_by_source_delete=F.col("s") == "stale_delete",
+        not_matched_by_source_update_condition=F.col("v") > 5.0,
+        not_matched_by_source_update_values={"s": F.lit("archived")},
+    )
+    assert _rows(t) == [
+        (1, "updated", 1.5),
+        (3, "archived", 9.0),
+        (4, "fresh", 3.0),
+        (5, "inserted", 5.0),
+    ]
+    assert v == t.current_version()
+
+
+def test_merge_nmbs_unconditional_update_and_null_condition(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "nmbs2"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", None), (2, "b", "x"), (3, "c", None)],
+            "id int, s string, flag string",
+        )
+    )
+    source = spark.createDataFrame([(1, "a2")], "id int, s string")
+    # NULL delete condition (flag = 'y' is NULL for flag=NULL rows)
+    # must NOT fire; values without a condition fire unconditionally.
+    t.merge(
+        source,
+        keys=["id"],
+        update_values={"s": F.col("s.s")},
+        not_matched_by_source_delete=F.col("flag") == "y",
+        not_matched_by_source_update_values={"s": F.concat(F.col("t.s"), F.lit("!"))},
+    )
+    assert _rows(t) == [(1, "a2", None), (2, "b!", "x"), (3, "c!", None)]
+
+    with pytest.raises(MergeError):
+        t.merge(
+            source,
+            keys=["id"],
+            not_matched_by_source_update_condition=F.lit(True),
+        )
+    with pytest.raises(MergeError):
+        t.merge(
+            source,
+            keys=["id"],
+            not_matched_by_source_update_values={"nope": F.lit(1)},
+        )
+
+
+def test_merge_nmbs_change_data_feed(spark, tmp_path):
+    """CDF records the NOT MATCHED BY SOURCE effects: delete preimages
+    and update pre/post image pairs for untouched-by-source rows."""
+    t = LakeTable(spark, str(tmp_path / "nmbs3"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "touched"), (2, "to_delete"), (3, "to_mark")],
+            "id int, s string",
+        )
+    )
+    v0 = t.current_version()
+    source = spark.createDataFrame([(1, "updated")], "id int, s string")
+    t.merge(
+        source,
+        keys=["id"],
+        not_matched_by_source_delete=F.col("s") == "to_delete",
+        not_matched_by_source_update_condition=F.col("s") == "to_mark",
+        not_matched_by_source_update_values={"s": F.lit("marked")},
+        write_change_data=True,
+    )
+    feed = {
+        (r["id"], r["s"], r["_change_type"])
+        for r in t.read_changes(v0 + 1, v0 + 1).collect()
+    }
+    assert (2, "to_delete", "delete") in feed
+    assert (3, "to_mark", "update_preimage") in feed
+    assert (3, "marked", "update_postimage") in feed
+    # the matched-side update is recorded as usual
+    assert (1, "updated", "update_postimage") in feed
+    # untouched-and-unaffected rows never enter the feed
+    assert not any(k[0] == 4 for k in feed)
