@@ -577,6 +577,11 @@ _DESC_HISTORY_RE = re.compile(
 _DESC_DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_SET_TBLPROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+"
+    r"(?P<unset>UNSET|SET)\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
 
 
 def split_statements(script: str) -> list[str]:
@@ -636,6 +641,13 @@ def _split_on_where(text: str) -> tuple[str, str | None]:
     return text.strip(), None
 
 
+def _unquote_prop(text: str) -> str:
+    t = text.strip()
+    if len(t) >= 2 and t[0] == t[-1] and t[0] in ("'", '"'):
+        return t[1:-1]
+    return t
+
+
 def sql_dml(
     spark: SparkSession,
     statement: str,
@@ -657,7 +669,11 @@ def sql_dml(
     ``VACUUM t [RETAIN n VERSIONS]`` → :meth:`LakeTable.vacuum`
     (returns the number of reclaimed dirs — vacuum commits nothing);
     ``DESCRIBE HISTORY t`` → the commit log as a DataFrame (the one
-    statement that returns rows, like Spark's own DESCRIBE).
+    statement that returns rows, like Spark's own DESCRIBE);
+    ``ALTER TABLE t SET/UNSET TBLPROPERTIES (...)`` →
+    :meth:`LakeTable.set_properties` (versioned metadata-only commit —
+    the route that turns on per-file bloom-filter indexes via
+    ``'bloom.columns'``).
 
     All four routes are snapshot-commits on the copy-on-write table
     layer: DELETE/UPDATE rewrite (optionally ``partition_filter``-
@@ -724,6 +740,30 @@ def sql_dml(
             "version long, op string, ts double, n_data_dirs long, "
             "partition_by string",
         )
+    m = _SET_TBLPROPS_RE.match(s)
+    if m:
+        # Delta-SQL parity: ALTER TABLE t SET TBLPROPERTIES ('k' = 'v',
+        # ...) / UNSET TBLPROPERTIES ('k', ...). Values are quoted
+        # strings; 'bloom.columns' accepts a comma-separated list,
+        # numeric-looking values coerce to int (bloom.bits / bloom.k).
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        props: dict = {}
+        if m.group("unset").upper() == "UNSET":
+            for item in _split_top_level(m.group("props")):
+                props[_unquote_prop(item)] = None
+        else:
+            for item in _split_top_level(m.group("props")):
+                key, eq, val = item.partition("=")
+                if not eq:
+                    raise MergeSqlError(f"bad TBLPROPERTIES item: {item!r}")
+                k = _unquote_prop(key)
+                v: object = _unquote_prop(val)
+                if k == "bloom.columns":
+                    v = [c.strip() for c in str(v).split(",") if c.strip()]
+                elif re.fullmatch(r"-?\d+", str(v)):
+                    v = int(v)
+                props[k] = v
+        return target.set_properties(props)
     m = _TRUNCATE_RE.match(s)
     if m:
         return _resolve_table(m.group("target").replace("`", ""), tables).truncate()

@@ -47,7 +47,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import base64
 import datetime
+import hashlib
 import json
 import os
 import re
@@ -113,13 +115,76 @@ def _cmp_key(v):
     return v
 
 
+def _bloom_probe_str(value) -> str | None:
+    """Canonical string for bloom hashing — must equal Spark's
+    ``CAST(col AS STRING)`` for the value, or the probe is unsound.
+    Only int and str are canonical-safe (floats/temporal types render
+    differently across engines); anything else opts out of the bloom."""
+    if isinstance(value, bool) or value is None:
+        return None
+    if isinstance(value, int):
+        return str(value)
+    if isinstance(value, str):
+        return value
+    return None
+
+
+def _bloom_bits_for(sval: str, m: int, k: int) -> list[int]:
+    """The k bit positions of ``sval`` — md5 double hashing
+    (h1 + i*h2 mod m), the same arithmetic the Spark-side builder
+    emits. 15 hex nibbles < 2^60, so h1 + i*h2 never overflows a
+    signed 64-bit long for k <= 15 and the two sides agree bit for
+    bit; m is a power of two, so pmod == masking."""
+    h1 = int(hashlib.md5(("b0|" + sval).encode()).hexdigest()[:15], 16)
+    h2 = int(hashlib.md5(("b1|" + sval).encode()).hexdigest()[:15], 16)
+    return [((h1 + i * h2) & ((1 << 64) - 1)) & (m - 1) for i in range(k)]
+
+
+_BLOOM_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
+
+
+def _bloom_excludes(bloom: dict, value) -> bool:
+    """True iff the file's bloom filter PROVES ``col = value`` matches
+    no row (any probe bit unset). Unknown shapes → not prunable. The
+    literal's Python type must match the column type the bloom was
+    built over (``t`` stamp) — Spark's residual filter COERCES across
+    types (string col = int literal casts the column), and a coerced
+    match could hash differently than the stored strings ('05' matches
+    ``= 5`` post-cast but hashes as '05'); mismatched types opt out."""
+    sval = _bloom_probe_str(value)
+    if sval is None:
+        return False
+    t = bloom.get("t")
+    if isinstance(value, int):
+        if t not in _BLOOM_INT_TYPES:
+            return False
+    elif t != "string":
+        return False
+    try:
+        m, k = int(bloom["m"]), int(bloom["k"])
+        arr = base64.b64decode(bloom["b64"])
+    except (KeyError, TypeError, ValueError):
+        return False
+    if m <= 0 or (m & (m - 1)) or k <= 0 or k > 15 or len(arr) * 8 < m:
+        return False
+    for pos in _bloom_bits_for(sval, m, k):
+        if not (arr[pos // 8] >> (pos % 8)) & 1:
+            return True
+    return False
+
+
 def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     """True iff [min,max] of ``col`` in this file PROVES no row matches
     ``col <op> value``. Missing/null stats → not prunable (pruning is
-    an optimization, never a correctness lever)."""
+    an optimization, never a correctness lever). Equality predicates
+    additionally probe the per-file bloom filter when the table was
+    committed with one (high-cardinality point lookups where min/max
+    spans nearly every file)."""
     s = stats.get(col)
     if not s:
         return False
+    if op == "=" and "bloom" in s and _bloom_excludes(s["bloom"], value):
+        return True
     if op in ("is null", "is not null"):
         # Gate on the round-6 "rows" key: older manifests recorded
         # nulls=0 for UNKNOWN null counts, which would prune unsoundly.
@@ -388,6 +453,141 @@ class LakeTable:
         )
         return m
 
+    # ---------------- table properties ----------------
+
+    def properties(self, version: int | None = None) -> dict:
+        """Table properties at ``version`` (default: current). Stored
+        through the commit log (``set_properties`` writes the full
+        merged dict), so properties are versioned and time-travelable
+        like everything else; the lookup walks back to the most recent
+        properties-bearing manifest."""
+        v = version if version is not None else self.current_version()
+        while v is not None and v >= 1:
+            m = self._manifest(v)
+            if "properties" in m:
+                return dict(m["properties"])
+            v -= 1
+        return {}
+
+    def set_properties(self, props: dict) -> int:
+        """Merge ``props`` into the table properties via a metadata-only
+        commit (no data changes; a None value unsets a key). Recognized
+        keys: ``bloom.columns`` (list of column names — subsequent
+        commits build a per-file bloom filter over each, used by
+        ``read(where=)`` equality pruning), ``bloom.bits`` (filter size
+        in bits, power of two, default 65536), ``bloom.k`` (hash count,
+        default 7, max 15)."""
+        merged = self.properties()
+        for key, val in props.items():
+            if val is None:
+                merged.pop(key, None)
+            else:
+                merged[key] = val
+        bits = int(merged.get("bloom.bits", 65536))
+        kk = int(merged.get("bloom.k", 7))
+        if merged.get("bloom.columns") and (
+            bits <= 0 or bits & (bits - 1) or not (1 <= kk <= 15)
+        ):
+            raise ValueError(
+                f"bloom.bits must be a power of two and bloom.k in [1,15]; "
+                f"got bits={bits} k={kk}"
+            )
+        return self._commit(
+            lambda latest: [_entry(e) for e in latest["files"]] if latest else [],
+            "setproperties",
+            self._manifest(self.current_version()).get("partition_by", [])
+            if self.current_version() is not None
+            else [],
+            delta={},
+            extra={"properties": merged},
+        )
+
+    def _bloom_for_dir(
+        self, files: list[str], cols: list[str], m: int, k: int
+    ) -> dict[str, dict[str, dict]]:
+        """Per-file bloom filters for ``cols`` over the NEW data files —
+        Delta's BLOOMFILTER INDEX model: built at commit time with one
+        distributed pass over the new data (bloom columns only — the
+        scan is column-pruned), never a table-wide job. The bitset is
+        aggregated executor-side (bit positions OR-folded into
+        m/64-long words per file), so the driver receives O(files *
+        m/64) longs, not row hashes. Hashing is md5 double-hashing over
+        ``CAST(col AS STRING)`` — portable to the Python-side probe in
+        ``_bloom_excludes`` digit for digit."""
+        if not files:
+            return {}
+        df = self.spark.read.option("mergeSchema", "true").parquet(*files)
+        types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        # Only integer/string columns: the probe side needs a canonical
+        # CAST-AS-STRING it can replicate (floats/temporals render
+        # engine-dependently and opt out on both sides).
+        present = [
+            c
+            for c in cols
+            if c in df.columns
+            and (types[c] in _BLOOM_INT_TYPES or types[c] == "string")
+        ]
+        if not present:
+            return {}
+        out: dict[str, dict[str, dict]] = {}
+        n_words = m // 64
+        for col in present:
+
+            def hcol(salt: str) -> Column:
+                return F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(salt), F.col("_s"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+
+            bit = F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(m))
+            rows = (
+                df.select(
+                    F.input_file_name().alias("f"),
+                    F.col(col).cast("string").alias("_s"),
+                )
+                .filter(F.col("_s").isNotNull())
+                .select("f", hcol("b0|").alias("h1"), hcol("b1|").alias("h2"))
+                .select(
+                    "f",
+                    F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+                    "h1",
+                    "h2",
+                )
+                .select("f", bit.alias("bit"))
+                .groupBy("f", F.floor(F.col("bit") / 64).alias("word"))
+                .agg(
+                    F.expr(
+                        "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(bit % 64 AS INT)))"
+                    ).alias("bits")
+                )
+                .collect()
+            )
+            per_file: dict[str, bytearray] = {}
+            for r in rows:
+                path = re.sub(r"^file:/*", "/", r["f"])
+                rel = os.path.relpath(path, self.path)
+                arr = per_file.setdefault(rel, bytearray(m // 8))
+                word_bytes = (int(r["bits"]) & ((1 << 64) - 1)).to_bytes(
+                    8, "little"
+                )
+                w = int(r["word"])
+                if 0 <= w < n_words:
+                    start = w * 8
+                    for j in range(8):
+                        arr[start + j] |= word_bytes[j]
+            for rel, arr in per_file.items():
+                out.setdefault(rel, {})[col] = {
+                    "m": m,
+                    "k": k,
+                    "t": types[col],
+                    "b64": base64.b64encode(bytes(arr)).decode(),
+                }
+        return out
+
     def _commit(
         self,
         build_files: Callable[[dict | None], list[dict]],
@@ -493,7 +693,7 @@ class LakeTable:
         ``PCL_DISTRIBUTED_STATS=1``/``0`` force either path."""
         env = os.environ.get("PCL_DISTRIBUTED_STATS")
         if env == "1":
-            return self._file_stats_distributed(rel_dir)
+            return self._with_bloom_stats(self._file_stats_distributed(rel_dir))
         root = os.path.join(self.path, rel_dir)
         files = []
         for dirpath, _, names in os.walk(root):
@@ -501,11 +701,36 @@ class LakeTable:
                 if name.endswith(".parquet"):
                     files.append(os.path.join(dirpath, name))
         if env != "0" and len(files) > _distributed_stats_threshold():
-            return self._file_stats_distributed(rel_dir, files=files)
-        return {
-            os.path.relpath(full, self.path): _footer_column_stats(full)
-            for full in files
-        }
+            return self._with_bloom_stats(
+                self._file_stats_distributed(rel_dir, files=files)
+            )
+        return self._with_bloom_stats(
+            {
+                os.path.relpath(full, self.path): _footer_column_stats(full)
+                for full in files
+            }
+        )
+
+    def _with_bloom_stats(self, stats: dict[str, dict]) -> dict[str, dict]:
+        """Attach per-file bloom filters to freshly collected commit
+        stats when the table opted in via ``bloom.columns`` — one extra
+        column-pruned pass over the NEW files only."""
+        props = self.properties()
+        cols = props.get("bloom.columns") or []
+        if not cols or not stats:
+            return stats
+        m = int(props.get("bloom.bits", 65536))
+        k = int(props.get("bloom.k", 7))
+        blooms = self._bloom_for_dir(
+            [os.path.join(self.path, rel) for rel in stats], cols, m, k
+        )
+        for rel, colblooms in blooms.items():
+            st = stats.get(rel)
+            if st is None:
+                continue
+            for c, b in colblooms.items():
+                st.setdefault(c, {})["bloom"] = b
+        return stats
 
     def _file_stats_distributed(
         self, rel_dir: str, files: list[str] | None = None
@@ -963,9 +1188,16 @@ class LakeTable:
         table. Appends inherit the table's partitioning spec."""
         v = self.current_version()
         spec: list[str] = []
+        existing = None
         if v is not None:
             spec = self._manifest(v).get("partition_by", [])
-            existing = self.read(version=v).schema
+            try:
+                existing = self.read(version=v).schema
+            except FileNotFoundError:
+                # a properties-only commit on a fresh table: no data, no
+                # recorded schema — the first data batch defines it
+                existing = None
+        if existing is not None:
             if merge_schema:
                 incoming = set(df.columns)
                 for f in existing.fields:

@@ -325,3 +325,96 @@ def test_null_existence_skipping(spark, tmp_path):
         r["id"] for r in t.read(where=("s", "is not null", None)).collect()
     )
     assert got == [1, 2, 5]
+
+
+# ---------------- bloom-filter equality skipping (round 6) ----------------
+
+
+def _mk_bloom(spark, tmp_path, name, ids_a, ids_b):
+    """Two appended files with INTERLEAVED id ranges so min/max alone
+    can never prune a point lookup — the bloom's job."""
+    t = _mk(spark, tmp_path, name)
+    t.set_properties({"bloom.columns": ["id", "name"], "bloom.bits": 4096})
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in ids_a], "id long, name string"
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in ids_b], "id long, name string"
+        ).coalesce(1)
+    )
+    return t
+
+
+def test_bloom_prunes_point_lookup_where_minmax_cannot(spark, tmp_path):
+    # both files span [0, 999] by min/max; values are disjoint sets
+    t = _mk_bloom(
+        spark, tmp_path, "bloom1",
+        ids_a=[0, 2, 4, 998], ids_b=[1, 3, 5, 999],
+    )
+    total, read_minmax_only = 2, 2
+    assert t.scan_files(("id", ">=", 0)) == (2, 2)
+    # id=2 lives only in file A: min/max can't prune, the bloom can
+    total, read = t.scan_files(("id", "=", 2))
+    assert (total, read) == (2, 1)
+    # a value in NEITHER file prunes both
+    assert t.scan_files(("id", "=", 500)) == (2, 0)
+    # string column too
+    assert t.scan_files(("name", "=", "n3")) == (2, 1)
+    # correctness: read(where=) == read().filter(...) regardless
+    got = sorted(r["id"] for r in t.read(where=("id", "=", 2)).collect())
+    assert got == [2]
+    assert t.read(where=("id", "=", 500)).count() == 0
+
+
+def test_bloom_type_mismatch_never_prunes(spark, tmp_path):
+    """A string column probed with an int literal (or vice versa) must
+    opt out: Spark's residual filter coerces the COLUMN, so '05' DOES
+    match = 5 — a raw-string bloom probe would unsoundly prune it."""
+    t = _mk(spark, tmp_path, "bloom_t")
+    t.set_properties({"bloom.columns": ["s"], "bloom.bits": 4096})
+    t.append(
+        spark.createDataFrame([("05",), ("7",)], "s string").coalesce(1)
+    )
+    assert t.scan_files(("s", "=", 5)) == (1, 1)  # no bloom prune
+    got = [r["s"] for r in t.read(where=("s", "=", 5)).collect()]
+    assert got == ["05"]
+
+
+def test_bloom_composes_with_merge_and_unconfigured_commits(spark, tmp_path):
+    """Commits BEFORE the property have no bloom (never pruned by it);
+    commits after do — including the merge write path."""
+    t = _mk(spark, tmp_path, "bloom_m")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string").coalesce(1)
+    )
+    t.set_properties({"bloom.columns": ["id"], "bloom.bits": 4096})
+    t.merge(
+        spark.createDataFrame([(3, "c")], "id long, s string"),
+        keys=["id"],
+    )
+    # merge rewrote the table under the property: bloom present
+    assert t.scan_files(("id", "=", 99))[1] == 0
+    rows = sorted(tuple(r) for r in t.read().collect())
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_bloom_properties_are_versioned(spark, tmp_path):
+    t = _mk(spark, tmp_path, "bloom_v")
+    assert t.properties() == {}
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    v1 = t.current_version()
+    t.set_properties({"bloom.columns": ["id"]})
+    assert t.properties()["bloom.columns"] == ["id"]
+    assert t.properties(version=v1) == {}
+    t.set_properties({"bloom.columns": None, "owner": "me"})
+    assert t.properties() == {"owner": "me"}
+    # table contents unaffected by property commits
+    assert [r["id"] for r in t.read().collect()] == [1]
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        t.set_properties({"bloom.columns": ["id"], "bloom.bits": 1000})

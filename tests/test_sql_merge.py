@@ -745,3 +745,31 @@ def test_sql_merge_nmbs_statement_order_masks_delete(spark, tmp_path):
     # id=1 updated (clause order), id=2 deleted; the unmatched source
     # row is IGNORED — the statement has no WHEN NOT MATCHED clause.
     assert rows == [(1, "updated")]
+
+
+def test_sql_alter_table_tblproperties_bloom_roundtrip(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = LakeTable(spark, str(tmp_path / "props_sql"))
+    sql_dml(
+        spark,
+        "ALTER TABLE tgt SET TBLPROPERTIES ("
+        "'bloom.columns' = 'id,name', 'bloom.bits' = '4096', 'owner' = 'dq')",
+        {"tgt": t},
+    )
+    assert t.properties() == {
+        "bloom.columns": ["id", "name"],
+        "bloom.bits": 4096,
+        "owner": "dq",
+    }
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in (0, 2, 4)], "id long, name string"
+        ).coalesce(1)
+    )
+    # the committed file carries a bloom the reader prunes on
+    assert t.scan_files(("id", "=", 3)) == (1, 0)
+    assert t.scan_files(("id", "=", 2)) == (1, 1)
+    sql_dml(spark, "ALTER TABLE tgt UNSET TBLPROPERTIES ('owner')", {"tgt": t})
+    assert "owner" not in t.properties()
+    assert t.properties()["bloom.columns"] == ["id", "name"]
