@@ -577,6 +577,11 @@ _DESC_HISTORY_RE = re.compile(
 _DESC_DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<target>[\w.`]+)\s+"
+    r"(?:TO\s+)?VERSION\s+AS\s+OF\s+(?P<v>\d+)\s*;?\s*$",
+    re.I,
+)
 _SET_TBLPROPS_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+"
     r"(?P<unset>UNSET|SET)\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
@@ -673,7 +678,8 @@ def sql_dml(
     ``ALTER TABLE t SET/UNSET TBLPROPERTIES (...)`` →
     :meth:`LakeTable.set_properties` (versioned metadata-only commit —
     the route that turns on per-file bloom-filter indexes via
-    ``'bloom.columns'``).
+    ``'bloom.columns'``); ``RESTORE TABLE t [TO] VERSION AS OF n`` →
+    :meth:`LakeTable.restore` (zero-copy re-reference commit).
 
     All four routes are snapshot-commits on the copy-on-write table
     layer: DELETE/UPDATE rewrite (optionally ``partition_filter``-
@@ -740,6 +746,10 @@ def sql_dml(
             "version long, op string, ts double, n_data_dirs long, "
             "partition_by string",
         )
+    m = _RESTORE_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        return target.restore(int(m.group("v")))
     m = _SET_TBLPROPS_RE.match(s)
     if m:
         # Delta-SQL parity: ALTER TABLE t SET TBLPROPERTIES ('k' = 'v',

@@ -183,6 +183,10 @@ def _file_prunable(stats: dict, col: str, op: str, value) -> bool:
     s = stats.get(col)
     if not s:
         return False
+    if op == "in":
+        # An IN-list excludes the file iff EVERY value is excluded
+        # (min/max or bloom per value); the empty list matches nothing.
+        return all(_file_prunable(stats, col, "=", x) for x in value)
     if op == "=" and "bloom" in s and _bloom_excludes(s["bloom"], value):
         return True
     if op in ("is null", "is not null"):
@@ -237,6 +241,9 @@ _OPS = {
     # zero nulls; "is not null" prunes all-null files.
     "is null": lambda c, v: c.isNull(),
     "is not null": lambda c, v: c.isNotNull(),
+    # ("col", "in", [v1, v2, ...]): prunes files where EVERY listed
+    # value is excluded (min/max or bloom); [] matches nothing.
+    "in": lambda c, v: c.isin(*v) if v else F.lit(False),
 }
 
 
@@ -782,13 +789,15 @@ class LakeTable:
             tz = None
         if tz in ("UTC", "Etc/UTC", "GMT", "+00:00"):
             return preds
-        return [
-            p
-            for p in preds
-            if not (
-                isinstance(p[2], datetime.datetime) and p[2].tzinfo is None
-            )
-        ]
+
+        def naive(v) -> bool:
+            if isinstance(v, datetime.datetime):
+                return v.tzinfo is None
+            if isinstance(v, (list, tuple, set)):  # IN-list elements
+                return any(naive(x) for x in v)
+            return False
+
+        return [p for p in preds if not naive(p[2])]
 
     def read(self, version: int | None = None, where=None) -> DataFrame:
         """Read a snapshot. ``where`` — a ``(col, op, literal)`` tuple or
@@ -811,7 +820,7 @@ class LakeTable:
             if empty is None:
                 raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
             for c, op, val in preds:
-                empty = empty.filter(_OPS[op](F.col(c), F.lit(val)))
+                empty = empty.filter(_OPS[op](F.col(c), val))
             return empty
         # Per-dir reads unioned by name: each data dir is its own
         # partition-discovery root (a single multi-root read rejects
@@ -866,7 +875,7 @@ class LakeTable:
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         for c, op, v in preds:
-            out = out.filter(_OPS[op](F.col(c), F.lit(v)))
+            out = out.filter(_OPS[op](F.col(c), v))
         return out
 
     def _empty_snapshot_df(self, version: int) -> DataFrame | None:
@@ -1343,6 +1352,39 @@ class LakeTable:
                     1 << (i * len(cols) + j)
                 )
         return z
+
+    def restore(self, version: int) -> int:
+        """Delta ``RESTORE TABLE ... VERSION AS OF`` parity: commit a
+        NEW version whose file set equals the old snapshot's — zero
+        data movement (entries are re-referenced, like shallow clone),
+        full history preserved (the restore itself is a commit; the
+        versions in between stay time-travelable). Once the restore is
+        the head, vacuum's retention window protects the re-referenced
+        dirs again. Restoring past a vacuum horizon raises — the old
+        snapshot's data dirs are gone, and a restore that commits
+        dangling references would corrupt the table."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        if not (1 <= version <= cur):
+            raise ValueError(f"cannot restore to v{version} (head is v{cur})")
+        entries = [_entry(e) for e in self._snapshot_files(version)]
+        missing = [
+            e["path"]
+            for e in entries
+            if not os.path.isdir(os.path.join(self.path, e["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot restore to v{version}: data dirs vacuumed: {missing}"
+            )
+        spec = self._manifest(version).get("partition_by", [])
+        return self._commit(
+            lambda latest: [_entry(e) for e in entries],
+            "restore",
+            spec,
+            extra={"restored_from": version},
+        )
 
     def vacuum(
         self, retain_last: int = 1, min_age_seconds: float = 3600.0

@@ -773,3 +773,15 @@ def test_sql_alter_table_tblproperties_bloom_roundtrip(spark, tmp_path):
     sql_dml(spark, "ALTER TABLE tgt UNSET TBLPROPERTIES ('owner')", {"tgt": t})
     assert "owner" not in t.properties()
     assert t.properties()["bloom.columns"] == ["id", "name"]
+
+
+def test_sql_restore_table_version_as_of(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = LakeTable(spark, str(tmp_path / "restore_sql"))
+    t.overwrite(spark.createDataFrame([(1,)], "id int"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(2,)], "id int"))
+    sql_dml(spark, f"RESTORE TABLE tgt TO VERSION AS OF {v1}", {"tgt": t})
+    assert [r["id"] for r in t.read().collect()] == [1]
+    assert t.history()[0]["op"] == "restore"

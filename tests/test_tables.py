@@ -1173,3 +1173,63 @@ def test_merge_nmbs_change_data_feed(spark, tmp_path):
     assert (1, "updated", "update_postimage") in feed
     # untouched-and-unaffected rows never enter the feed
     assert not any(k[0] == 4 for k in feed)
+
+
+def test_restore_to_old_version(spark, tmp_path):
+    """Delta RESTORE parity: the restore is a NEW commit re-referencing
+    the old snapshot's dirs (zero data movement); intermediate versions
+    stay time-travelable, and vacuum's window protects the restored
+    dirs again once the restore is the head."""
+    t = LakeTable(spark, str(tmp_path / "restore1"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    t.delete_where("id = 1")
+    assert _rows(t) == [(2, "b")]
+    v_restored = t.restore(v1)
+    assert _rows(t) == [(1, "a")]
+    assert v_restored == t.current_version() and v_restored > v1 + 2
+    # intermediate history intact
+    assert sorted(tuple(r) for r in t.read(version=v1 + 1).collect()) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert t.history()[0]["op"] == "restore"
+    # another write on top of the restore works
+    t.append(spark.createDataFrame([(3, "c")], "id int, s string"))
+    assert _rows(t) == [(1, "a"), (3, "c")]
+
+    with pytest.raises(ValueError):
+        t.restore(0)
+    with pytest.raises(ValueError):
+        t.restore(t.current_version() + 1)
+
+
+def test_restore_past_vacuum_horizon_raises(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "restore2"))
+    t.overwrite(spark.createDataFrame([(1,)], "id int"))
+    v1 = t.current_version()
+    t.overwrite(spark.createDataFrame([(2,)], "id int"))
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        t.restore(v1)
+    # table still healthy at head
+    assert _rows(t) == [(2,)]
+
+
+def test_in_list_skipping(spark, tmp_path):
+    t = LakeTable(spark, str(tmp_path / "inlist"))
+    t.set_properties({"bloom.columns": ["id"], "bloom.bits": 4096})
+    t.append(spark.createDataFrame([(0,), (2,), (4,)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(100,), (102,)], "id long").coalesce(1))
+    # min/max prunes file B for small values; bloom prunes file A for
+    # absent values within its range
+    assert t.scan_files(("id", "in", [1, 3])) == (2, 0)
+    assert t.scan_files(("id", "in", [2, 100])) == (2, 2)
+    # 101 is INSIDE file B's min/max but absent -> the bloom prunes it
+    assert t.scan_files(("id", "in", [2, 101])) == (2, 1)
+    assert t.scan_files(("id", "in", [2, 3])) == (2, 1)
+    assert t.scan_files(("id", "in", [])) == (2, 0)
+    got = sorted(r["id"] for r in t.read(where=("id", "in", [2, 100, 7])).collect())
+    assert got == [2, 100]
+    assert t.read(where=("id", "in", [])).count() == 0
