@@ -41,6 +41,14 @@ AUDIT = {
     "cdc_changes_feed": ["Scan parquet", "!SortMergeJoin"],
     # packing = one per-shard window over a projection; never a join
     "curation_pack_sequences": ["Window", "!Join"],
+    # round 6 (cont.): Q7 broadcasts every dimension hop; Q13's outer
+    # join may broadcast at test SF; Q22's scalar avg is a broadcast
+    # 1-row cross join + a left-anti join.
+    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate"],
+    # mixing = pure projection + filter over the scan — no shuffle at all
+    "curation_mixture_sample": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
+    # tfidf: one explode, two aggregates, vocabulary join, per-doc window
+    "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
 }
 
 spark = get_spark("explain_audit")
