@@ -587,6 +587,16 @@ _SET_TBLPROPS_RE = re.compile(
     r"(?P<unset>UNSET|SET)\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
     re.I | re.S,
 )
+_ADD_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
+    re.I | re.S,
+)
+_DROP_CONSTRAINT_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<name>\w+)\s*;?\s*$",
+    re.I,
+)
 
 
 def split_statements(script: str) -> list[str]:
@@ -750,6 +760,14 @@ def sql_dml(
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)
         return target.restore(int(m.group("v")))
+    m = _ADD_CONSTRAINT_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        return target.add_check_constraint(m.group("name"), m.group("expr").strip())
+    m = _DROP_CONSTRAINT_RE.match(s)
+    if m:
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        return target.drop_check_constraint(m.group("name"))
     m = _SET_TBLPROPS_RE.match(s)
     if m:
         # Delta-SQL parity: ALTER TABLE t SET TBLPROPERTIES ('k' = 'v',

@@ -367,6 +367,10 @@ class MergeError(ValueError):
     """Raised when MERGE preconditions are violated (e.g. dup source keys)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows violating a CHECK constraint."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """A partition-scoped rewrite raced a commit it did not account for.
 
@@ -473,6 +477,13 @@ class LakeTable:
             m = self._manifest(v)
             if "properties" in m:
                 return dict(m["properties"])
+            if "files" in m:
+                # Checkpoint without properties ⇒ properties were empty
+                # there (checkpoints embed non-empty properties), so the
+                # walk is bounded by the checkpoint interval — this
+                # lookup runs on EVERY write via the constraint/bloom
+                # gate and must not scale with log length.
+                return {}
             v -= 1
         return {}
 
@@ -640,6 +651,14 @@ class LakeTable:
                 or version % self._checkpoint_interval == 0
             ):
                 body["files"] = files
+                # Carry properties into every checkpoint so the
+                # properties() walk-back is bounded by the checkpoint
+                # interval, not the log length — the constraint/bloom
+                # gate reads properties on every write.
+                if "properties" not in body:
+                    props = self.properties(version - 1) if current else {}
+                    if props:
+                        body["properties"] = props
             else:
                 body["delta"] = delta
             payload = json.dumps(body)
@@ -665,7 +684,58 @@ class LakeTable:
                 os.unlink(tmp)
             return version
 
+    # ---------------- CHECK constraints ----------------
+
+    def add_check_constraint(self, name: str, expr: str) -> int:
+        """Delta ``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``
+        parity: every subsequent data write validates the WRITTEN rows
+        against ``expr`` (SQL CHECK semantics — a NULL result passes;
+        only a provably-false row violates) and raises
+        :class:`ConstraintViolationError` before anything commits.
+        EXISTING rows must already satisfy it (Delta validates the
+        whole table on ADD) — one scan, done here once instead of on
+        every future read. Stored as a versioned table property, so
+        time travel shows which constraints held when."""
+        if not re.fullmatch(r"\w+", name):
+            raise ValueError(f"bad constraint name: {name!r}")
+        if self.current_version() is not None:
+            try:
+                existing = self.read()
+            except FileNotFoundError:
+                existing = None
+            if existing is not None:
+                self._check_rows(existing, {name: expr})
+        return self.set_properties({f"check.{name}": expr})
+
+    def drop_check_constraint(self, name: str) -> int:
+        return self.set_properties({f"check.{name}": None})
+
+    def check_constraints(self) -> dict[str, str]:
+        return {
+            k[len("check."):]: v
+            for k, v in self.properties().items()
+            if k.startswith("check.")
+        }
+
+    @staticmethod
+    def _check_rows(df: DataFrame, constraints: dict[str, str]) -> None:
+        for name, expr in constraints.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(expr).cast("boolean"), F.lit(True))
+            ).limit(1)
+            if not bad.isEmpty():
+                raise ConstraintViolationError(
+                    f"CHECK constraint {name!r} violated: {expr}"
+                )
+
     def _write_data_dir(self, df: DataFrame, partition_by: list[str] | None = None) -> str:
+        # Constraint gate: EVERY data write funnels through here, so
+        # nothing unvalidated can land. Cost is one extra pass over the
+        # written batch (Delta validates writes the same way); compact/
+        # clone re-validate already-valid rows — wasteful but airtight.
+        constraints = self.check_constraints()
+        if constraints:
+            self._check_rows(df, constraints)
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
         writer = df.write.mode("overwrite")
         if partition_by:

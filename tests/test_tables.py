@@ -1233,3 +1233,86 @@ def test_in_list_skipping(spark, tmp_path):
     got = sorted(r["id"] for r in t.read(where=("id", "in", [2, 100, 7])).collect())
     assert got == [2, 100]
     assert t.read(where=("id", "in", [])).count() == 0
+
+
+def test_check_constraints_enforced_on_writes(spark, tmp_path):
+    """Delta CHECK-constraint parity: ADD validates existing rows,
+    every subsequent write validates the written batch BEFORE
+    committing (nothing lands on violation), NULL results pass (SQL
+    CHECK), and DROP lifts enforcement."""
+    from privacy_cdc_lakehouse_spark.tables import ConstraintViolationError
+
+    t = LakeTable(spark, str(tmp_path / "chk"))
+    t.overwrite(
+        spark.createDataFrame([(1, 5.0), (2, None)], "id int, v double")
+    )
+    t.add_check_constraint("v_pos", "v > 0")  # NULL row passes
+    v_before = t.current_version()
+
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.append(spark.createDataFrame([(3, -1.0)], "id int, v double"))
+    assert t.current_version() == v_before  # nothing committed
+    assert _rows(t) == [(1, 5.0), (2, None)]
+
+    t.append(spark.createDataFrame([(3, 3.0)], "id int, v double"))
+    assert _rows(t) == [(1, 5.0), (2, None), (3, 3.0)]
+
+    # merge output is validated too (an UPDATE driving v negative)
+    with pytest.raises(ConstraintViolationError):
+        t.merge(
+            spark.createDataFrame([(1, -9.0)], "id int, v double"),
+            keys=["id"],
+        )
+
+    # ADD over a violating table refuses
+    with pytest.raises(ConstraintViolationError):
+        t.add_check_constraint("v_small", "v < 4")
+
+    t.drop_check_constraint("v_pos")
+    t.append(spark.createDataFrame([(4, -2.0)], "id int, v double"))
+    assert (4, -2.0) in _rows(t)
+
+
+def test_check_constraint_sql_verbs(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+    from privacy_cdc_lakehouse_spark.tables import ConstraintViolationError
+
+    t = LakeTable(spark, str(tmp_path / "chk_sql"))
+    t.overwrite(spark.createDataFrame([(1, "ok")], "id int, s string"))
+    sql_dml(
+        spark,
+        "ALTER TABLE tgt ADD CONSTRAINT s_nonempty CHECK (length(s) > 0)",
+        {"tgt": t},
+    )
+    assert t.check_constraints() == {"s_nonempty": "length(s) > 0"}
+    with pytest.raises(ConstraintViolationError):
+        sql_dml(spark, "INSERT INTO tgt VALUES (2, '')", {"tgt": t})
+    sql_dml(spark, "ALTER TABLE tgt DROP CONSTRAINT s_nonempty", {"tgt": t})
+    sql_dml(spark, "INSERT INTO tgt VALUES (2, '')", {"tgt": t})
+    assert len(_rows(t)) == 2
+
+
+def test_properties_survive_checkpoints_bounded_walk(spark, tmp_path):
+    """Checkpoints embed non-empty properties, so (a) properties set
+    long ago stay visible past many checkpoint rotations and (b) the
+    walk-back terminates at the first checkpoint — it runs on every
+    write via the constraint/bloom gate and must not scale with log
+    length."""
+    import os
+
+    os.environ["PCL_CHECKPOINT_INTERVAL"] = "5"
+    try:
+        t = LakeTable(spark, str(tmp_path / "props_ckpt"))
+        t.overwrite(spark.createDataFrame([(0,)], "id int"))
+        t.set_properties({"owner": "dq"})
+        for i in range(1, 13):  # crosses two checkpoint boundaries
+            t.append(spark.createDataFrame([(i,)], "id int"))
+        assert t.properties()["owner"] == "dq"
+        # the latest checkpoint manifest itself carries the properties
+        v = t.current_version()
+        ckpt = max(
+            kv for kv in range(1, v + 1) if "files" in t._manifest(kv)
+        )
+        assert t._manifest(ckpt).get("properties", {}).get("owner") == "dq"
+    finally:
+        del os.environ["PCL_CHECKPOINT_INTERVAL"]
