@@ -309,6 +309,63 @@ def with_pii_redaction(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 1000,
+    overlap: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size overlapping character chunks —
+    the RAG-ingest / context-window prep step. Chunk ``i`` covers
+    ``[i*stride, i*stride + chunk_chars)`` with ``stride = chunk_chars
+    - overlap``; the last chunk may be short; empty docs yield no
+    chunks.
+
+    Built entirely from codegen'd expressions (``sequence`` →
+    ``posexplode`` → ``substring``) — no UDF, no shuffle: chunking is
+    a per-row explode that scales with the scan. Output: (id,
+    chunk_id, chunk_text, chunk_chars_actual).
+    """
+    if chunk_chars <= 0 or overlap < 0 or overlap >= chunk_chars:
+        raise ValueError(
+            f"need chunk_chars > 0 and 0 <= overlap < chunk_chars; got "
+            f"{chunk_chars=} {overlap=}"
+        )
+    stride = chunk_chars - overlap
+    n = F.length(F.col(text_col))
+    # smallest c with c*stride + overlap >= n  ⇔  chunks cover the text
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(
+            F.ceil((n - F.lit(overlap)) / F.lit(stride)).cast("int"), F.lit(1)
+        )
+    )
+    # sequence(a, b) DESCENDS when a > b, so the empty-doc case must be
+    # an explicit empty array, not sequence(0, -1).
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(idxs).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(
+                F.col(text_col),
+                (F.col("chunk_id") * stride + 1).cast("int"),
+                chunk_chars,
+            ).alias("chunk_text"),
+        )
+        .withColumn(
+            "chunk_chars_actual", F.length("chunk_text").cast("long")
+        )
+    )
+
+
 _WORD_RE = r"[a-z]{2,}"
 
 

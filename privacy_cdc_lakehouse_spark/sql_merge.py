@@ -563,8 +563,9 @@ _UPDATE_RE = re.compile(
 )
 _OPTIMIZE_RE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<target>[\w.`]+)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]+)\))?\s*;?\s*$",
-    re.I,
+    re.I | re.S,
 )
 _VACUUM_RE = re.compile(
     r"^\s*VACUUM\s+(?P<target>[\w.`]+)"
@@ -710,7 +711,11 @@ def sql_dml(
             else None
         )
         return target.compact(
-            cluster_by=cols, zorder=bool(cols) and len(cols) > 1
+            cluster_by=cols,
+            zorder=bool(cols) and len(cols) > 1,
+            partition_filter=(
+                m.group("pred").strip() if m.group("pred") else None
+            ),
         )
     m = _VACUUM_RE.match(s)
     if m:

@@ -1097,8 +1097,30 @@ class LakeTable:
                         ts,
                     )
                 )
-            elif op in ("compact", "vacuum"):
-                continue  # file layout changed, rows did not
+            elif op in ("compact", "vacuum", "setproperties"):
+                continue  # file layout / metadata changed, rows did not
+            elif op == "restore":
+                # Delta computes restore CDF as the diff vs the prior
+                # head; both snapshots are time-travelable here — v-1 as
+                # deletes, the restored state as inserts (same shape as
+                # overwrite; consumers dedup by key downstream).
+                prior = self.read(version=v - 1)
+                parts.append(
+                    stamp(
+                        prior.withColumn(CHANGE_TYPE_COL, F.lit("delete")),
+                        v,
+                        ts,
+                    )
+                )
+                parts.append(
+                    stamp(
+                        self.read(version=v).withColumn(
+                            CHANGE_TYPE_COL, F.lit("insert")
+                        ),
+                        v,
+                        ts,
+                    )
+                )
             else:
                 raise ValueError(
                     f"commit v{v} ({op}) did not record change data; "
@@ -1355,6 +1377,7 @@ class LakeTable:
         target_partitions: int = 8,
         cluster_by: list[str] | None = None,
         zorder: bool = False,
+        partition_filter: str | None = None,
     ) -> int:
         """Rewrite the current snapshot into few large files (the
         OPTIMIZE/bin-packing maintenance op — many appends produce many
@@ -1370,9 +1393,21 @@ class LakeTable:
         interleaved quantile-rank bits (Delta ``OPTIMIZE ZORDER``):
         every output file covers a small hyper-rectangle, so predicates
         on EACH clustered column prune — the multi-dimensional
-        data-skipping lever at 100 TB."""
+        data-skipping lever at 100 TB.
+
+        ``partition_filter`` scopes the rewrite (Delta ``OPTIMIZE t
+        WHERE ...``): only the matching slice is read and rewritten,
+        prior dirs stay with the predicate excluded — at 100 TB you
+        optimize the partitions a streaming merge just fragmented, not
+        the whole table; disjoint-slice OPTIMIZEs land concurrently
+        under the partition-level conflict rules."""
         base_v = self.current_version()
-        df = self.read(version=base_v)
+        full = self.read(version=base_v)
+        df = (
+            full.filter(F.expr(partition_filter))
+            if partition_filter is not None
+            else full
+        )
         if cluster_by and zorder and len(cluster_by) > 1:
             z = self._zorder_key(df, cluster_by)
             df = (
@@ -1389,6 +1424,10 @@ class LakeTable:
             df = df.coalesce(target_partitions)
         # Checked commit: OPTIMIZE must never throw away a concurrent
         # append's rows (read-modify-write, not an atomic replace).
+        if partition_filter is not None:
+            return self._commit_partition_scoped(
+                df, partition_filter, "compact", base_version=base_v
+            )
         return self._overwrite_checked(df, base_v, "compact")
 
     def _zorder_key(self, df: DataFrame, cols: list[str], bits: int = 6) -> Column:

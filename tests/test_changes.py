@@ -311,3 +311,28 @@ def test_cdf_replay_reconstructs_random_history(spark, tmp_path):
     table = sorted(tuple(r) for r in t.read().collect())
     model = sorted(state.items())
     assert recon == table == model
+
+
+def test_restore_change_feed_is_overwrite_shaped(spark, tmp_path):
+    """CDF for a restore commit: prior head as deletes + restored
+    state as inserts (the overwrite shape); setproperties commits
+    contribute nothing."""
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "cdf_restore"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+    t.set_properties({"owner": "x"})
+    v_restore = t.restore(v1)
+    feed = {
+        (r["id"], r["s"], r["_change_type"])
+        for r in t.read_changes(v_restore, v_restore).collect()
+    }
+    assert feed == {
+        (1, "a", "delete"),
+        (2, "b", "delete"),
+        (1, "a", "insert"),
+    }
+    # the properties commit alone yields no rows
+    assert t.read_changes(v_restore - 1, v_restore - 1).count() == 0

@@ -418,3 +418,16 @@ def test_bloom_properties_are_versioned(spark, tmp_path):
 
     with pytest.raises(ValueError):
         t.set_properties({"bloom.columns": ["id"], "bloom.bits": 1000})
+
+
+def test_bloom_rebuilt_on_compaction(spark, tmp_path):
+    """compact() funnels through the same stats path, so the rewritten
+    files get FRESH blooms — pruning survives maintenance."""
+    t = _mk(spark, tmp_path, "bloom_c")
+    t.set_properties({"bloom.columns": ["id"], "bloom.bits": 4096})
+    t.append(spark.createDataFrame([(0,), (2,)], "id long").coalesce(1))
+    t.append(spark.createDataFrame([(1,), (3,)], "id long").coalesce(1))
+    t.compact(target_partitions=1)
+    total, read = t.scan_files(("id", "=", 9))
+    assert read == 0  # absent value still pruned post-compaction
+    assert sorted(r["id"] for r in t.read(where=("id", "=", 3)).collect()) == [3]

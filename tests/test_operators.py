@@ -638,3 +638,34 @@ def test_tfidf_top_terms_ranking(spark):
     # every doc gets exactly k rows (vocab per doc >= 2 here)
     assert all(len(rows) == 2 for rows in by_doc.values())
     assert [r["rank"] for r in by_doc[2]] == [1, 2]
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    df = _docs(
+        spark,
+        [(1, "abcdefghij"), (2, "ab"), (3, ""), (4, "abcdefgh")],
+    )
+    out = tx.chunk_documents(df, chunk_chars=4, overlap=1)
+    by_doc = {}
+    for r in sorted(out.collect(), key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    # stride 3: doc 1 (10 chars) -> ceil((10-1)/3)=3 chunks
+    assert by_doc[1] == ["abcd", "defg", "ghij"]
+    # short doc -> one short chunk
+    assert by_doc[2] == ["ab"]
+    # empty doc -> no chunks
+    assert 3 not in by_doc
+    # exact multiple: 8 chars -> ceil(7/3)=3 chunks, last is short
+    assert by_doc[4] == ["abcd", "defg", "gh"]
+    # reconstruction: drop the overlap from every chunk after the first
+    for doc_id, chunks in by_doc.items():
+        rebuilt = chunks[0] + "".join(c[1:] for c in chunks[1:])
+        original = {1: "abcdefghij", 2: "ab", 4: "abcdefgh"}[doc_id]
+        assert rebuilt == original
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_chars=4, overlap=4)
+    with pytest.raises(ValueError):
+        tx.chunk_documents(df, chunk_chars=0, overlap=0)

@@ -57,3 +57,37 @@ def test_salted_join_matches_plain_join(spark):
     plain = sorted(tuple(r) for r in left.join(right, "k").collect())
     salted = sorted(tuple(r) for r in salted_join(left, right, "k", salt=4).collect())
     assert plain == salted
+
+
+def test_partition_scoped_optimize(spark, tmp_path):
+    """OPTIMIZE ... WHERE (Delta parity): only the matching slice is
+    rewritten; rows and totals are unchanged; CDF treats it as
+    dataChange=false; the SQL verb routes the predicate through."""
+    import os
+
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "opt_where"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(i, "A" if i % 2 else "B") for i in range(20)],
+            "id int, part string",
+        ),
+        partition_by=["part"],
+    )
+    # fragment partition A with small appends
+    for i in range(100, 103):
+        t.append(
+            spark.createDataFrame([(i, "A")], "id int, part string")
+        )
+    before = sorted(
+        tuple(r) for r in t.read().select("id", "part").collect()
+    )
+    v_before = t.current_version()
+    sql_dml(spark, "OPTIMIZE tgt WHERE part = 'A'", {"tgt": t})
+    after = sorted(tuple(r) for r in t.read().select("id", "part").collect())
+    assert after == before
+    assert t.history()[0]["op"] == "compact"
+    # CDF: the scoped compact contributes no row changes
+    assert t.read_changes(v_before + 1, v_before + 1).count() == 0
