@@ -1682,11 +1682,31 @@ def q_grouping_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n"),
         )
     )
+    # round 6 (cont.): quantity_percentiles folded in as the 'pct' arm
+    # (the ORIGINAL exact-percentile plan runs unchanged, then stack()
+    # unpivots); freed the registry slot for text_chunk_stats.
+    pct_rows = (
+        q_quantity_percentiles(spark, sf_dir)
+        .selectExpr(
+            "'pct' as src",
+            "l_returnflag as d1",
+            "stack(3, 'p50_qty', p50_qty, 'p90_qty', p90_qty, "
+            "'p99_price', p99_price) as (d2, m)",
+        )
+        .select(
+            "src",
+            "d1",
+            "d2",
+            F.col("m").cast("double").alias("measure"),
+            F.lit(None).cast("long").alias("n"),
+        )
+    )
     return (
         shape("cube", q_cube_order_status(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total")
         .unionByName(shape("gsets", q_grouping_sets(spark, sf_dir), "o_orderstatus", "o_orderpriority", "total"))
         .unionByName(shape("rollup", q_rollup_returnflag(spark, sf_dir), "l_returnflag", "l_linestatus", "sum_qty"))
         .unionByName(pivot_rows)
+        .unionByName(pct_rows)
         .orderBy("src", F.asc_nulls_first("d1"), F.asc_nulls_first("d2"))
     )
 
@@ -1715,6 +1735,17 @@ FROM (
 ) p CROSS JOIN LATERAL (VALUES
     ('n_open', n_open), ('n_filled', n_filled), ('n_partial', n_partial)
 ) AS u(lbl, cnt)
+UNION ALL
+SELECT 'pct', l_returnflag, lbl, v, CAST(NULL AS BIGINT)
+FROM (
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+) q CROSS JOIN LATERAL (VALUES
+    ('p50_qty', p50), ('p90_qty', p90), ('p99_price', p99)
+) AS w(lbl, v)
 ORDER BY src, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST
 """
 
@@ -1754,7 +1785,8 @@ QUERIES = {
     # original callables remain above — the union calls them verbatim.
     "join_asof_range": q_join_asof_range,
     "tpch_join_panel": q_tpch_join_panel,
-    "quantity_percentiles": q_quantity_percentiles,
+    # round 6 (cont.): quantity_percentiles → grouping_analytics (pct
+    # arm; freed the slot for llmops.py::text_chunk_stats)
 }
 
 _PRIV_VIEW_SQL_TEMPLATE = """
@@ -1788,5 +1820,4 @@ ORACLES = {
     "sql_privacy_view": _priv_view_oracle(),
     "join_asof_range": _ASOF_RANGE_SQL,
     "tpch_join_panel": _TPCH_JOIN_PANEL_SQL,
-    "quantity_percentiles": _PERCENTILE_SQL,
 }

@@ -1075,6 +1075,48 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (``operators/text.py::chunk_documents``) —
+    RAG-ingest prep: fixed 200-char chunks with 40-char overlap over a
+    deterministic doc subset. Every chunk's id, index, length AND md5
+    of the chunk text are hash-checked — the oracle replays the
+    identical stride/substring arithmetic, so the whole chunk
+    extraction is verified byte for byte. The plan is a pure
+    explode+substring projection: no UDF, no shuffle (chunking scales
+    with the scan)."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
+    ch = tx.chunk_documents(docs, chunk_chars=200, overlap=40)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_chars_actual",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_id")
+
+
+_CHUNK_SQL = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 20 = 0
+),
+e AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(ceil((n - 40) / 160.0), 1) AS BIGINT)))
+           AS chunk_id
+  FROM d WHERE n > 0
+),
+c AS (
+  SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         substring(text, CAST(chunk_id * 160 + 1 AS INT), 200) AS chunk_text
+  FROM e
+)
+SELECT doc_id, chunk_id,
+       CAST(length(chunk_text) AS BIGINT) AS chunk_chars_actual,
+       md5(chunk_text) AS chunk_md5
+FROM c ORDER BY doc_id, chunk_id
+"""
+
+
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-feature decode + resize/frame-sample transform stats in
     one tagged union (round-6 consolidation: ``multimodal_binary_
@@ -1541,6 +1583,9 @@ QUERIES = {
     # catalog consolidations:
     "curation_mixture_sample": q_curation_mixture_sample,
     "text_tfidf_topterms": q_text_tfidf_topterms,
+    # round 6 (cont.): slot freed by folding quantity_percentiles into
+    # analytics.py::grouping_analytics (pct arm)
+    "text_chunk_stats": q_text_chunk_stats,
 }
 
 ORACLES = {
@@ -1567,4 +1612,5 @@ ORACLES = {
     "curation_pack_sequences": _PACK_SQL,
     "curation_mixture_sample": _MIXTURE_SQL,
     "text_tfidf_topterms": _TFIDF_SQL,
+    "text_chunk_stats": _CHUNK_SQL,
 }
