@@ -717,6 +717,47 @@ class LakeTable:
             if k.startswith("check.")
         }
 
+    # ---------------- generated columns ----------------
+
+    def add_generated_column(self, col: str, expr: str) -> int:
+        """Delta ``GENERATED ALWAYS AS (expr)`` parity: a write that
+        OMITS ``col`` gets it computed from ``expr`` (over the batch's
+        other columns); a write that SUPPLIES it is validated against
+        the expression (NULL-safe equality) and refused on mismatch —
+        the contract that makes derived partition columns (e.g.
+        ``date(ts)``) trustworthy for partition pruning: a reader can
+        translate a ``ts`` predicate to the partition column only if
+        every writer kept them consistent. Stored as a versioned table
+        property (``generated.<col>``)."""
+        if not re.fullmatch(r"\w+", col):
+            raise ValueError(f"bad column name: {col!r}")
+        return self.set_properties({f"generated.{col}": expr})
+
+    def drop_generated_column(self, col: str) -> int:
+        return self.set_properties({f"generated.{col}": None})
+
+    def generated_columns(self) -> dict[str, str]:
+        return {
+            k[len("generated."):]: v
+            for k, v in self.properties().items()
+            if k.startswith("generated.")
+        }
+
+    def _apply_generated(self, df: DataFrame) -> DataFrame:
+        for col, expr in self.generated_columns().items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr))
+            else:
+                bad = df.filter(
+                    ~(F.col(col).eqNullSafe(F.expr(expr)))
+                ).limit(1)
+                if not bad.isEmpty():
+                    raise ConstraintViolationError(
+                        f"generated column {col!r} does not match its "
+                        f"expression {expr!r} in the written batch"
+                    )
+        return df
+
     @staticmethod
     def _check_rows(df: DataFrame, constraints: dict[str, str]) -> None:
         for name, expr in constraints.items():
@@ -733,6 +774,8 @@ class LakeTable:
         # nothing unvalidated can land. Cost is one extra pass over the
         # written batch (Delta validates writes the same way); compact/
         # clone re-validate already-valid rows — wasteful but airtight.
+        if self.generated_columns():
+            df = self._apply_generated(df)
         constraints = self.check_constraints()
         if constraints:
             self._check_rows(df, constraints)
@@ -1137,6 +1180,59 @@ class LakeTable:
         for d in parts[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
+
+    def fsck(self, version: int | None = None) -> dict:
+        """Manifest↔disk consistency report (Delta ``FSCK REPAIR
+        TABLE``'s detection half): ``missing_dirs`` — data dirs the
+        snapshot references that are gone from disk (a vacuumed-or-lost
+        dir makes reads fail); ``missing_stat_files`` — stat-tracked
+        files absent inside a present dir; ``orphan_dirs`` — on-disk
+        data/change dirs no RETAINED version references (vacuum's
+        candidates; also what a crashed writer leaves). Driver-side
+        metadata walk, no Spark job; read-only (repair = ``vacuum`` for
+        orphans; a missing referenced dir needs a ``restore`` to a
+        version that predates the loss)."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        entries = self._snapshot_files(v)
+        missing_dirs = []
+        missing_stat_files = []
+        for e in entries:
+            d = os.path.join(self.path, e["path"])
+            if not os.path.isdir(d):
+                missing_dirs.append(e["path"])
+                continue
+            for f in e["stats"]:
+                if not os.path.isfile(os.path.join(self.path, f)):
+                    missing_stat_files.append(f)
+        referenced = set()
+        referenced_changes = set()
+        for kv in range(1, v + 1):
+            try:
+                referenced.update(x["path"] for x in self._snapshot_files(kv))
+            except RuntimeError:
+                pass
+            cd = self._manifest(kv).get("change_data")
+            if cd:
+                referenced_changes.add(cd)
+        orphan_dirs = []
+        for root_dir, ref in (
+            (_DATA_DIR, referenced),
+            (_CHANGE_DIR, referenced_changes),
+        ):
+            abs_root = os.path.join(self.path, root_dir)
+            for d in os.listdir(abs_root) if os.path.isdir(abs_root) else []:
+                rel = os.path.join(root_dir, d)
+                if rel not in ref:
+                    orphan_dirs.append(rel)
+        return {
+            "version": v,
+            "missing_dirs": sorted(missing_dirs),
+            "missing_stat_files": sorted(missing_stat_files),
+            "orphan_dirs": sorted(orphan_dirs),
+            "ok": not missing_dirs and not missing_stat_files,
+        }
 
     def detail(self) -> dict:
         """One-row table summary — Delta ``DESCRIBE DETAIL`` parity:

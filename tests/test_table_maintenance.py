@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.operators.skew import salted_join
@@ -91,3 +93,77 @@ def test_partition_scoped_optimize(spark, tmp_path):
     assert t.history()[0]["op"] == "compact"
     # CDF: the scoped compact contributes no row changes
     assert t.read_changes(v_before + 1, v_before + 1).count() == 0
+
+
+def test_generated_columns_computed_and_validated(spark, tmp_path):
+    """Delta GENERATED ALWAYS AS parity: omitted -> computed; supplied
+    -> validated NULL-safely; mismatch refused before commit."""
+    from privacy_cdc_lakehouse_spark.tables import (
+        ConstraintViolationError,
+        LakeTable,
+    )
+
+    t = LakeTable(spark, str(tmp_path / "gen"))
+    t.add_generated_column("order_date", "CAST(ts AS DATE)")
+    t.append(
+        spark.createDataFrame(
+            [(1, "2024-01-05 10:00:00")], "id int, ts string"
+        ).selectExpr("id", "CAST(ts AS TIMESTAMP) AS ts")
+    )
+    row = t.read().collect()[0]
+    import datetime
+
+    assert row["order_date"] == datetime.date(2024, 1, 5)
+
+    # supplying a CONSISTENT value passes
+    t.append(
+        spark.createDataFrame(
+            [(2, "2024-02-01 00:00:00", "2024-02-01")],
+            "id int, ts string, order_date string",
+        ).selectExpr(
+            "id",
+            "CAST(ts AS TIMESTAMP) AS ts",
+            "CAST(order_date AS DATE) AS order_date",
+        )
+    )
+    # supplying an INCONSISTENT value is refused, nothing lands
+    v = t.current_version()
+    with pytest.raises(ConstraintViolationError, match="order_date"):
+        t.append(
+            spark.createDataFrame(
+                [(3, "2024-03-01 00:00:00", "1999-01-01")],
+                "id int, ts string, order_date string",
+            ).selectExpr(
+                "id",
+                "CAST(ts AS TIMESTAMP) AS ts",
+                "CAST(order_date AS DATE) AS order_date",
+            )
+        )
+    assert t.current_version() == v
+    assert t.generated_columns() == {"order_date": "CAST(ts AS DATE)"}
+    t.drop_generated_column("order_date")
+    assert t.generated_columns() == {}
+
+
+def test_fsck_reports_missing_and_orphans(spark, tmp_path):
+    import os
+    import shutil
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "fsck"))
+    t.overwrite(spark.createDataFrame([(1,)], "id int"))
+    t.append(spark.createDataFrame([(2,)], "id int"))
+    assert t.fsck()["ok"] is True
+    assert t.fsck()["orphan_dirs"] == []
+
+    # orphan: a dir no manifest references (crashed writer shape)
+    os.makedirs(tmp_path / "fsck" / "data" / "deadbeef")
+    rep = t.fsck()
+    assert rep["ok"] is True and rep["orphan_dirs"] == ["data/deadbeef"]
+
+    # missing: nuke a referenced dir behind the log's back
+    ref = t._snapshot_files(t.current_version())[0]["path"]
+    shutil.rmtree(tmp_path / "fsck" / ref)
+    rep = t.fsck()
+    assert rep["ok"] is False and rep["missing_dirs"] == [ref]
