@@ -369,6 +369,84 @@ def chunk_documents(
 _WORD_RE = r"[a-z]{2,}"
 
 
+def collocations(
+    df: DataFrame,
+    k: int = 20,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` bigram collocations by PMI (pointwise mutual
+    information) with a ``min_count`` support floor — the classic
+    multi-word-expression miner for corpus exploration ("new york",
+    "machine learning"). ``pmi = ln(P(ab) / (P(a)·P(b)))`` with bigram
+    probability over the bigram total and unigram probabilities over
+    the token total.
+
+    Scale shape: tokens arrays are built per row (codegen'd regexp),
+    adjacent pairs come from an index-aware ``transform`` over the
+    array — no self-join, no window; the three aggregates (bigram,
+    unigram, totals) are map-side combinable; the two unigram joins
+    shuffle on the word — vocabulary-sized, not corpus-sized. Ties
+    break on the bigram string so the top-k is total."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit(_WORD_RE), 0
+        ).alias("a")
+    )
+    bigrams = toks.select(
+        F.explode(
+            F.when(
+                F.size("a") >= 2,
+                F.transform(
+                    F.slice(F.col("a"), 1, F.greatest(F.size("a") - 1, F.lit(0))),
+                    lambda x, i: F.struct(
+                        x.alias("w1"),
+                        F.element_at(F.col("a"), i + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    unigrams = toks.select(F.explode("a").alias("w"))
+
+    bg_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("n_ab"))
+    ug_counts = unigrams.groupBy("w").agg(F.count("*").alias("n_w"))
+    totals = bg_counts.agg(F.sum("n_ab").alias("n_bg")).crossJoin(
+        unigrams.agg(F.count("*").alias("n_tok"))
+    )
+    u1 = ug_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = ug_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        bg_counts.filter(F.col("n_ab") >= min_count)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "pmi6",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.col("n_bg"))
+                    / (
+                        (F.col("n_w1") / F.col("n_tok"))
+                        * (F.col("n_w2") / F.col("n_tok"))
+                    )
+                ),
+                6,
+            ),
+        )
+    )
+    # TakeOrdered top-k first (distributed, no global sort), THEN rank
+    # the k survivors — a bare global row_number window would funnel
+    # every scored bigram through one task.
+    topk = scored.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2")).limit(k)
+    w = Window.orderBy(F.desc("pmi6"), F.asc("w1"), F.asc("w2"))
+    return topk.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).select("rank", "w1", "w2", "n_ab", "n_w1", "n_w2", "pmi6")
+
+
 def tfidf_top_terms(
     df: DataFrame,
     k: int = 3,

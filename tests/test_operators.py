@@ -669,3 +669,31 @@ def test_chunk_documents_coverage_and_overlap(spark):
         tx.chunk_documents(df, chunk_chars=4, overlap=4)
     with pytest.raises(ValueError):
         tx.chunk_documents(df, chunk_chars=0, overlap=0)
+
+
+def test_collocations_pmi_ranking(spark):
+    # "san francisco" always co-occurs; "the" is everywhere -> low PMI
+    rows = [(i, "the city of san francisco is the place") for i in range(5)]
+    rows += [(100 + i, "the weather in san francisco the fog") for i in range(5)]
+    df = _docs(spark, rows)
+    out = tx.collocations(df, k=20, min_count=5).collect()
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+    top = {(r["w1"], r["w2"]): r for r in out}
+    r = top[("san", "francisco")]
+    assert r["n_ab"] == 10 and r["n_w1"] == 10 and r["n_w2"] == 10
+    # PMI sanity: P(ab)=10/n_bg, P(a)=P(b)=10/n_tok
+    import math
+
+    n_bg = 5 * 7 + 5 * 6  # per-doc bigram counts
+    n_tok = 5 * 8 + 5 * 7
+    expect = math.log((10 / n_bg) / ((10 / n_tok) * (10 / n_tok)))
+    assert r["pmi6"] == round(expect, 6)
+    # exclusive-pair ordering: PMI penalizes promiscuous words, so
+    # every pair containing 'the' (n_the=20) ranks below pairs whose
+    # words occur ONLY together ('san francisco' et al.)
+    the_ranks = [r["rank"] for r in out if "the" in (r["w1"], r["w2"])]
+    assert the_ranks and min(the_ranks) > r["rank"]
+    # min_count floor holds, ordering is by pmi desc
+    assert all(r["n_ab"] >= 5 for r in out)
+    pmis = [r["pmi6"] for r in out]
+    assert pmis == sorted(pmis, reverse=True)
