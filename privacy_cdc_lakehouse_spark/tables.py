@@ -743,8 +743,12 @@ class LakeTable:
             if k.startswith("generated.")
         }
 
-    def _apply_generated(self, df: DataFrame) -> DataFrame:
-        for col, expr in self.generated_columns().items():
+    def _apply_generated(
+        self, df: DataFrame, generated: dict[str, str] | None = None
+    ) -> DataFrame:
+        if generated is None:
+            generated = self.generated_columns()
+        for col, expr in generated.items():
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr))
             else:
@@ -774,9 +778,21 @@ class LakeTable:
         # nothing unvalidated can land. Cost is one extra pass over the
         # written batch (Delta validates writes the same way); compact/
         # clone re-validate already-valid rows — wasteful but airtight.
-        if self.generated_columns():
-            df = self._apply_generated(df)
-        constraints = self.check_constraints()
+        # One properties read serves generated columns AND constraints
+        # (the walk is checkpoint-bounded, but once per write is enough).
+        props = self.properties()
+        generated = {
+            k[len("generated."):]: v
+            for k, v in props.items()
+            if k.startswith("generated.")
+        }
+        if generated:
+            df = self._apply_generated(df, generated)
+        constraints = {
+            k[len("check."):]: v
+            for k, v in props.items()
+            if k.startswith("check.")
+        }
         if constraints:
             self._check_rows(df, constraints)
         rel = os.path.join(_DATA_DIR, uuid.uuid4().hex)
