@@ -1316,3 +1316,35 @@ def test_properties_survive_checkpoints_bounded_walk(spark, tmp_path):
         assert t._manifest(ckpt).get("properties", {}).get("owner") == "dq"
     finally:
         del os.environ["PCL_CHECKPOINT_INTERVAL"]
+
+
+def test_merge_nmbs_respects_partition_filter(spark, tmp_path):
+    """With partition_filter, NOT MATCHED BY SOURCE clauses only see
+    rows INSIDE the filter — stale rows in untouched partitions
+    survive (the Delta dynamic-scope contract)."""
+    t = LakeTable(spark, str(tmp_path / "nmbs_pf"))
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                (1, "A", "live"),
+                (2, "A", "stale"),
+                (3, "B", "stale"),
+            ],
+            "id int, part string, state string",
+        ),
+        partition_by=["part"],
+    )
+    source = spark.createDataFrame(
+        [(1, "A", "updated")], "id int, part string, state string"
+    )
+    t.merge(
+        source,
+        keys=["id"],
+        partition_filter="part = 'A'",
+        not_matched_by_source_delete=F.col("state") == "stale",
+    )
+    got = sorted(
+        tuple(r) for r in t.read().select("id", "part", "state").collect()
+    )
+    # A-stale deleted; B-stale untouched (outside the filter)
+    assert got == [(1, "A", "updated"), (3, "B", "stale")]
