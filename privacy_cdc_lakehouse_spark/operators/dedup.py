@@ -441,3 +441,80 @@ def near_dup_keepers(
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("component"))
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring duplication spans, à la Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): find
+    the word ranges of each document that also occur verbatim
+    elsewhere in the corpus, as maximal spans of corpus-duplicated
+    word ``n``-grams. Output: (id, span_start, span_end, n_grams) in
+    word offsets — the removal-or-weighting input for substring-level
+    dedup (span length >= n words by construction).
+
+    Spark shape instead of the paper's suffix array (which needs the
+    whole corpus in one address space): positional n-grams explode
+    once; duplicated grams are found with one md5-keyed aggregate
+    (count > 1 — map-side combinable, never all-pairs); the per-doc
+    positions collapse to maximal spans with the gaps-and-islands
+    window (lag + running flag-sum), partitioned by doc so the shuffle
+    carries only duplicated positions. A gram duplicated WITHIN one
+    doc counts too (self-repetition is still duplication).
+    """
+    from pyspark.sql import Window
+
+    from privacy_cdc_lakehouse_spark.operators.text import words
+
+    ws = words(F.col(text_col))
+    grams = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(
+                F.when(
+                    F.size(ws) >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(ws) - n),
+                        lambda i: F.md5(F.concat_ws(" ", F.slice(ws, i + 1, n))),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("pos", "g"),
+        )
+    )
+    dup = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") > 1)
+        .select("g")
+    )
+    dup_pos = grams.join(dup, "g", "left_semi").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup_pos.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_island",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + 1),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("new_island").over(w))
+    )
+    return (
+        islands.groupBy(id_col, "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+    )

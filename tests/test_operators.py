@@ -697,3 +697,34 @@ def test_collocations_pmi_ranking(spark):
     assert all(r["n_ab"] >= 5 for r in out)
     pmis = [r["pmi6"] for r in out]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_duplicate_spans_exact_substring_dedup(spark):
+    shared = "one two three four five six seven eight"  # 8 words
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"start {shared} end of text here now"),
+            (3, "totally unique words with no overlap at all present"),
+            # self-repetition inside ONE doc also counts
+            (4, "rep "
+                "a b c d e f g h "
+                "x y z q w r t u "
+                "a b c d e f g h"),
+        ],
+    )
+    out = dd.duplicate_spans(df, n=8)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    # doc 1: shared block at word offsets 2..9 -> one 1-gram span
+    assert spans[1] == [(2, 9, 1)]
+    # doc 2: shared block at offsets 1..8
+    assert spans[2] == [(1, 8, 1)]
+    # unique doc: no spans
+    assert 3 not in spans
+    # doc 4: 'a..h' occurs at offsets 1..8 and 17..24 -> two spans
+    assert sorted(spans[4]) == [(1, 8, 1), (17, 24, 1)]
