@@ -320,3 +320,76 @@ def mixture_sample(
     return df.withColumn("sample_bucket", b).filter(
         F.col("sample_bucket") < thresh
     )
+
+
+def dataset_report(
+    corpus: DataFrame,
+    strata_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-call corpus profile — the "dataset card" numbers a training
+    run starts from, as tagged (kind, k, v) metric rows:
+
+    - ``docs`` / ``tokens`` / ``chars`` per stratum (language mix and
+      its token weight — what the mixture weights act on);
+    - ``quality`` — doc count per quality-score decile (filter-floor
+      calibration);
+    - ``dup`` — ``exact_groups`` (duplicate groups) and
+      ``redundant_docs`` (docs an exact dedup would drop).
+
+    Composes only verified operators (text stats, quality score, exact
+    dedup); every arm is a map-side-combinable aggregate over one scan
+    family, unioned into a long-format frame that stays tiny
+    (strata + deciles + 2 rows) no matter the corpus size.
+    """
+    from privacy_cdc_lakehouse_spark.operators.text import (
+        quality_score,
+        token_count,
+    )
+
+    base = corpus.select(
+        F.col(id_col),
+        F.col(strata_col).alias("_stratum"),
+        token_count(F.col(text_col)).cast("long").alias("_toks"),
+        F.length(F.col(text_col)).cast("long").alias("_chars"),
+    )
+    per_stratum = base.groupBy("_stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_toks").alias("n_tokens"),
+        F.sum("_chars").alias("n_chars"),
+    )
+
+    def arm(kind: str, k, v) -> list:
+        return [F.lit(kind).alias("kind"), k.cast("string").alias("k"),
+                v.cast("double").alias("v")]
+
+    docs_rows = per_stratum.select(*arm("docs", F.col("_stratum"), F.col("n_docs")))
+    tok_rows = per_stratum.select(*arm("tokens", F.col("_stratum"), F.col("n_tokens")))
+    chr_rows = per_stratum.select(*arm("chars", F.col("_stratum"), F.col("n_chars")))
+
+    q = quality_score(corpus, text_col).select(
+        F.least(F.floor(F.col("quality_score") * 10), F.lit(9)).alias("dec")
+    )
+    q_rows = q.groupBy("dec").count().select(
+        *arm("quality", F.concat(F.lit("decile_"), F.col("dec")), F.col("count"))
+    )
+
+    from privacy_cdc_lakehouse_spark.operators.dedup import exact_duplicates
+
+    groups = exact_duplicates(corpus, text_col, id_col)
+    dup_rows = groups.agg(
+        F.count("*").alias("g"),
+        F.coalesce(F.sum(F.col("group_size") - 1), F.lit(0)).alias("r"),
+    ).selectExpr(
+        "stack(2, 'exact_groups', CAST(g AS DOUBLE), "
+        "'redundant_docs', CAST(r AS DOUBLE)) AS (k, v)"
+    ).select(F.lit("dup").alias("kind"), "k", "v")
+
+    return (
+        docs_rows.unionByName(tok_rows)
+        .unionByName(chr_rows)
+        .unionByName(q_rows)
+        .unionByName(dup_rows)
+        .orderBy("kind", "k")
+    )

@@ -728,3 +728,23 @@ def test_duplicate_spans_exact_substring_dedup(spark):
     assert 3 not in spans
     # doc 4: 'a..h' occurs at offsets 1..8 and 17..24 -> two spans
     assert sorted(spans[4]) == [(1, 8, 1), (17, 24, 1)]
+
+
+def test_dataset_report_profile(spark):
+    from privacy_cdc_lakehouse_spark.operators.curation import dataset_report
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "der schnelle braune fuchs ist hier gerade jetzt", "de"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    rep = {(r["kind"], r["k"]): r["v"] for r in dataset_report(df).collect()}
+    assert rep[("docs", "en")] == 2.0 and rep[("docs", "de")] == 1.0
+    assert rep[("tokens", "en")] == 18.0  # 9 tokens x 2 docs
+    assert rep[("chars", "de")] == float(len(rows[2][1]))
+    assert rep[("dup", "exact_groups")] == 1.0
+    assert rep[("dup", "redundant_docs")] == 1.0
+    # quality deciles cover all docs
+    n_quality = sum(v for (k, _), v in rep.items() if k == "quality")
+    assert n_quality == 3.0
