@@ -495,29 +495,46 @@ class LakeTable:
         ``read(where=)`` equality pruning), ``bloom.bits`` (filter size
         in bits, power of two, default 65536), ``bloom.k`` (hash count,
         default 7, max 15)."""
-        merged = self.properties()
-        for key, val in props.items():
-            if val is None:
-                merged.pop(key, None)
-            else:
-                merged[key] = val
-        bits = int(merged.get("bloom.bits", 65536))
-        kk = int(merged.get("bloom.k", 7))
-        if merged.get("bloom.columns") and (
-            bits <= 0 or bits & (bits - 1) or not (1 <= kk <= 15)
-        ):
-            raise ValueError(
-                f"bloom.bits must be a power of two and bloom.k in [1,15]; "
-                f"got bits={bits} k={kk}"
-            )
+        def merge_props(base: dict) -> dict:
+            merged = dict(base)
+            for key, val in props.items():
+                if val is None:
+                    merged.pop(key, None)
+                else:
+                    merged[key] = val
+            bits = int(merged.get("bloom.bits", 65536))
+            kk = int(merged.get("bloom.k", 7))
+            if merged.get("bloom.columns") and (
+                bits <= 0 or bits & (bits - 1) or not (1 <= kk <= 15)
+            ):
+                raise ValueError(
+                    f"bloom.bits must be a power of two and bloom.k in "
+                    f"[1,15]; got bits={bits} k={kk}"
+                )
+            return merged
+
+        merge_props(self.properties())  # validate eagerly
+
+        # The merge must happen INSIDE the commit retry: two racing
+        # set_properties on different keys would otherwise last-writer-
+        # win with a dict computed against the pre-race state, silently
+        # dropping the other writer's key. build_files runs before the
+        # manifest body is assembled, so mutating `extra` there lands
+        # the re-merged dict in the committed manifest.
+        extra: dict = {}
+
+        def build(latest: dict | None) -> list[dict]:
+            extra["properties"] = merge_props(self.properties())
+            return [_entry(e) for e in latest["files"]] if latest else []
+
         return self._commit(
-            lambda latest: [_entry(e) for e in latest["files"]] if latest else [],
+            build,
             "setproperties",
             self._manifest(self.current_version()).get("partition_by", [])
             if self.current_version() is not None
             else [],
             delta={},
-            extra={"properties": merged},
+            extra=extra,
         )
 
     def _bloom_for_dir(

@@ -1348,3 +1348,32 @@ def test_merge_nmbs_respects_partition_filter(spark, tmp_path):
     )
     # A-stale deleted; B-stale untouched (outside the filter)
     assert got == [(1, "A", "updated"), (3, "B", "stale")]
+
+
+def test_set_properties_race_merges_both_writers(spark, tmp_path):
+    """Two property commits racing on DIFFERENT keys must both survive:
+    the merge happens inside the commit retry, against the winner's
+    committed state — not against a pre-race snapshot."""
+    t = LakeTable(spark, str(tmp_path / "props_race"))
+    t.overwrite(spark.createDataFrame([(1,)], "id int"))
+
+    orig_commit = t._commit
+    fired = {"done": False}
+
+    def racing_commit(build, op, partition_by=None, **kw):
+        # another writer lands its OWN property between our read and
+        # our commit attempt (once — the retry must pick it up)
+        if not fired["done"]:
+            fired["done"] = True
+            winner = LakeTable(spark, t.path)
+            winner.set_properties({"theirs": "w"})
+        return orig_commit(build, op, partition_by, **kw)
+
+    t._commit = racing_commit
+    try:
+        t.set_properties({"ours": "l"})
+    finally:
+        t._commit = orig_commit
+
+    props = t.properties()
+    assert props.get("theirs") == "w" and props.get("ours") == "l"
