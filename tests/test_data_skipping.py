@@ -431,3 +431,26 @@ def test_bloom_rebuilt_on_compaction(spark, tmp_path):
     total, read = t.scan_files(("id", "=", 9))
     assert read == 0  # absent value still pruned post-compaction
     assert sorted(r["id"] for r in t.read(where=("id", "=", 3)).collect()) == [3]
+
+
+def test_bloom_never_false_negative_adversarial_values(spark, tmp_path):
+    """Soundness: a value PRESENT in a file must never be pruned by the
+    bloom — across negatives, boundary longs, unicode, and strings that
+    look like other types (the md5 double-hash must agree between the
+    Spark builder and the Python probe for every one)."""
+    ids = [0, -1, 1, -(2**62), 2**62, 42, -999999999999]
+    names = ["", "a", "05", "-7", "naïve café", "汉字文本", "s.fake", "x" * 300]
+    t = _mk(spark, tmp_path, "bloom_adv")
+    t.set_properties({"bloom.columns": ["id", "name"], "bloom.bits": 4096})
+    rows = list(zip(ids, (names + names)[: len(ids)]))
+    t.append(spark.createDataFrame(rows, "id long, name string").coalesce(1))
+    for v in ids:
+        total, read = t.scan_files(("id", "=", v))
+        assert read == 1, f"false negative for id={v}"
+        assert [r["id"] for r in t.read(where=("id", "=", v)).collect()] == [v]
+    for s in {r[1] for r in rows}:
+        total, read = t.scan_files(("name", "=", s))
+        assert read == 1, f"false negative for name={s!r}"
+    # absent adversarial probes: never an error, pruning allowed
+    assert t.scan_files(("id", "=", 7))[1] in (0, 1)
+    assert t.scan_files(("name", "=", "absent"))[1] in (0, 1)

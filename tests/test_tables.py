@@ -1377,3 +1377,24 @@ def test_set_properties_race_merges_both_writers(spark, tmp_path):
 
     props = t.properties()
     assert props.get("theirs") == "w" and props.get("ours") == "l"
+
+
+def test_merge_nmbs_with_schema_evolution(spark, tmp_path):
+    """NOT MATCHED BY SOURCE update may SET a column the merge itself
+    just evolved in (merge_schema=True): kept rows see the new column
+    as NULL and the clause can fill it."""
+    t = LakeTable(spark, str(tmp_path / "nmbs_evo"))
+    t.overwrite(
+        spark.createDataFrame([(1, "touched"), (2, "stale")], "id int, s string")
+    )
+    source = spark.createDataFrame(
+        [(1, "updated", "fresh")], "id int, s string, status string"
+    )
+    t.merge(
+        source,
+        keys=["id"],
+        merge_schema=True,
+        not_matched_by_source_update_values={"status": F.lit("aged")},
+    )
+    got = sorted(tuple(r) for r in t.read().select("id", "s", "status").collect())
+    assert got == [(1, "updated", "fresh"), (2, "stale", "aged")]
