@@ -1033,6 +1033,49 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): a 6-way join where only
+    the lineitem↔orders hop shuffles — part, customer, supplier, both
+    nation copies, and region all broadcast — then a conditional-sum
+    ratio per year. The share expression is a single grouped aggregate
+    (sum(when)/sum), never two scans."""
+    pin_utc(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(region), F.col("c_rk") == region.r_regionkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("o_year")
+    )
+
+
 def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 + Q13 + Q22 in one tagged union — nation-pair volume
     shipping, outer-join count distribution, and scalar-subquery +
@@ -1069,9 +1112,15 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").cast("string"), None, None,
         F.round("totacctbal", 4), F.col("numcust"),
     )
+    q8 = pad(
+        q8_market_share(spark, sf_dir), "q8",
+        F.lit("NATION_3"), None, F.col("o_year"),
+        F.col("mkt_share"), F.col("n"),
+    )
     return (
         q7.unionByName(q13)
         .unionByName(q22)
+        .unionByName(q8)
         .orderBy("query", F.asc_nulls_first("d1"), F.asc_nulls_first("k"))
     )
 
@@ -1115,6 +1164,26 @@ q22 AS (
       )
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
     GROUP BY c_nationkey
+),
+q8 AS (
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           round(
+               sum(CASE WHEN n1.n_name = 'NATION_3'
+                        THEN l_extendedprice * (1 - l_discount)
+                        ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    JOIN region   ON n2.n_regionkey = r_regionkey
+    WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
+      AND EXTRACT(year FROM o_orderdate) IN (1996, 1997)
+    GROUP BY 1
 )
 SELECT 'q7' AS query, supp_nation AS d1, cust_nation AS d2,
        CAST(l_year AS BIGINT) AS k, round(revenue, 4) AS measure, n
@@ -1127,6 +1196,9 @@ UNION ALL
 SELECT 'q22', CAST(c_nationkey AS VARCHAR), NULL, CAST(NULL AS BIGINT),
        round(totacctbal, 4), numcust
 FROM q22
+UNION ALL
+SELECT 'q8', 'NATION_3', NULL, CAST(o_year AS BIGINT), mkt_share, n
+FROM q8
 ORDER BY query, d1 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 
