@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 _LOG_DIR = "_log"
 _DATA_DIR = "data"
 _CHANGE_DIR = "_change_data"
+_BLOOM_DIR = "_bloom"
 
 # Change Data Feed column names (Delta CDF parity)
 CHANGE_TYPE_COL = "_change_type"
@@ -502,14 +503,16 @@ class LakeTable:
                     merged.pop(key, None)
                 else:
                     merged[key] = val
-            bits = int(merged.get("bloom.bits", 65536))
+            bits = merged.get("bloom.bits")  # None → adaptive per-file sizing
             kk = int(merged.get("bloom.k", 7))
             if merged.get("bloom.columns") and (
-                bits <= 0 or bits & (bits - 1) or not (1 <= kk <= 15)
+                (bits is not None and (int(bits) <= 0 or int(bits) & (int(bits) - 1)))
+                or not (1 <= kk <= 15)
             ):
                 raise ValueError(
-                    f"bloom.bits must be a power of two and bloom.k in "
-                    f"[1,15]; got bits={bits} k={kk}"
+                    f"bloom.bits must be a power of two (or unset for "
+                    f"adaptive sizing) and bloom.k in [1,15]; got "
+                    f"bits={bits} k={kk}"
                 )
             return merged
 
@@ -865,25 +868,112 @@ class LakeTable:
         )
 
     def _with_bloom_stats(self, stats: dict[str, dict]) -> dict[str, dict]:
-        """Attach per-file bloom filters to freshly collected commit
-        stats when the table opted in via ``bloom.columns`` — one extra
-        column-pruned pass over the NEW files only."""
+        """Build per-file bloom filters for this commit when the table
+        opted in via ``bloom.columns`` — one extra column-pruned pass
+        over the NEW files only.
+
+        Sizing is ADAPTIVE per file (~10 bits per row from the footer
+        row count, power of two, capped at 2^23 = 1 MiB raw): a fixed
+        size either saturates on big files (every bit set → zero
+        pruning) or wastes space on small ones. ``bloom.bits`` pins a
+        fixed size instead.
+
+        The bitsets live in a SIDECAR json under ``_bloom/<uuid>/`` —
+        one per commit, referenced from each file's stats as a tiny
+        ``bloom_ref`` — so manifests stay O(files) however large the
+        filters are (a 1000-file backfill with MiB-sized blooms inline
+        would balloon the log). Sidecars follow the data-dir lifecycle:
+        only manifest-referenced ones are live, vacuum reclaims them
+        past the retention horizon, and a missing sidecar (vacuumed, or
+        a shallow clone whose refs point at the source) degrades to
+        no-bloom — pruning is lost, correctness is not."""
         props = self.properties()
         cols = props.get("bloom.columns") or []
         if not cols or not stats:
             return stats
-        m = int(props.get("bloom.bits", 65536))
         k = int(props.get("bloom.k", 7))
-        blooms = self._bloom_for_dir(
-            [os.path.join(self.path, rel) for rel in stats], cols, m, k
-        )
-        for rel, colblooms in blooms.items():
+        m_override = props.get("bloom.bits")
+        groups: dict[int, list[str]] = {}
+        for rel, st in stats.items():
+            if m_override is not None:
+                m = int(m_override)
+            else:
+                rows = 0
+                for cst in st.values():
+                    r = cst.get("rows")
+                    if r:
+                        rows = max(rows, int(r))
+                m = 1024
+                while m < rows * 10 and m < (1 << 23):
+                    m <<= 1
+            groups.setdefault(m, []).append(rel)
+        sidecar_files: dict[str, dict] = {}
+        for m, rels in groups.items():
+            blooms = self._bloom_for_dir(
+                [os.path.join(self.path, r) for r in rels], cols, m, k
+            )
+            for rel, colblooms in blooms.items():
+                sidecar_files.setdefault(rel, {}).update(colblooms)
+        if not sidecar_files:
+            return stats
+        rel_dir = os.path.join(_BLOOM_DIR, uuid.uuid4().hex)
+        os.makedirs(os.path.join(self.path, rel_dir), exist_ok=True)
+        sc_rel = os.path.join(rel_dir, "bloom.json")
+        with open(os.path.join(self.path, sc_rel), "w") as f:
+            json.dump({"files": sidecar_files}, f)
+        for rel, colblooms in sidecar_files.items():
             st = stats.get(rel)
             if st is None:
                 continue
             for c, b in colblooms.items():
-                st.setdefault(c, {})["bloom"] = b
+                st.setdefault(c, {})["bloom_ref"] = {
+                    "path": sc_rel,
+                    "m": b["m"],
+                    "k": b["k"],
+                    "t": b["t"],
+                }
         return stats
+
+    def _load_bloom_sidecar(self, rel: str) -> dict | None:
+        cache = getattr(self, "_bloom_cache", None)
+        if cache is None:
+            cache = self._bloom_cache = {}
+        if rel not in cache:
+            try:
+                with open(os.path.join(self.path, rel)) as f:
+                    cache[rel] = json.load(f)
+            except (OSError, ValueError):
+                # vacuumed / clone-source sidecar: degrade to no-bloom
+                cache[rel] = None
+        return cache[rel]
+
+    def _stats_with_blooms(self, stats: dict[str, dict], preds) -> dict:
+        """Overlay sidecar bloom bitsets onto a stats dict for the
+        predicate columns that can use them (equality / IN). Lazy: only
+        referenced sidecars load, once per table instance."""
+        cols = {c for c, op, _ in preds if op in ("=", "in")}
+        if not cols:
+            return stats
+        out = None
+        for fpath, st in stats.items():
+            overlay = None
+            for c in cols:
+                cst = st.get(c)
+                ref = cst.get("bloom_ref") if cst else None
+                if not ref:
+                    continue
+                sc = self._load_bloom_sidecar(ref["path"])
+                b = (sc or {}).get("files", {}).get(fpath, {}).get(c)
+                if not b:
+                    continue
+                if overlay is None:
+                    overlay = {k2: dict(v2) for k2, v2 in st.items()}
+                overlay[c]["bloom"] = b
+            if overlay is not None:
+                if out is None:
+                    out = dict(stats)
+                out[fpath] = overlay
+        return out if out is not None else stats
 
     def _file_stats_distributed(
         self, rel_dir: str, files: list[str] | None = None
@@ -986,9 +1076,10 @@ class LakeTable:
             base = os.path.join(self.path, e["path"])
             reader = self.spark.read.option("mergeSchema", "true")
             if prune_preds and e["stats"]:
+                sview = self._stats_with_blooms(e["stats"], prune_preds)
                 keep = [
                     f
-                    for f, st in e["stats"].items()
+                    for f, st in sview.items()
                     if not any(
                         _file_prunable(st, c, op, v) for c, op, v in prune_preds
                     )
@@ -1241,9 +1332,22 @@ class LakeTable:
                     missing_stat_files.append(f)
         referenced = set()
         referenced_changes = set()
+        referenced_blooms = set()
         for kv in range(1, v + 1):
             try:
-                referenced.update(x["path"] for x in self._snapshot_files(kv))
+                for x in self._snapshot_files(kv):
+                    referenced.add(x["path"])
+                    for st in x["stats"].values():
+                        for cst in st.values():
+                            ref = (
+                                cst.get("bloom_ref")
+                                if isinstance(cst, dict)
+                                else None
+                            )
+                            if ref:
+                                referenced_blooms.add(
+                                    os.path.dirname(ref["path"])
+                                )
             except RuntimeError:
                 pass
             cd = self._manifest(kv).get("change_data")
@@ -1253,6 +1357,7 @@ class LakeTable:
         for root_dir, ref in (
             (_DATA_DIR, referenced),
             (_CHANGE_DIR, referenced_changes),
+            (_BLOOM_DIR, referenced_blooms),
         ):
             abs_root = os.path.join(self.path, root_dir)
             for d in os.listdir(abs_root) if os.path.isdir(abs_root) else []:
@@ -1397,9 +1502,10 @@ class LakeTable:
         for e in self._snapshot_files(v):
             n = len(e["stats"])
             total += n
+            sview = self._stats_with_blooms(e["stats"], preds)
             read += sum(
                 1
-                for st in e["stats"].values()
+                for st in sview.values()
                 if not any(_file_prunable(st, c, op, v2) for c, op, v2 in preds)
             )
         return (total, read)
@@ -1657,11 +1763,22 @@ class LakeTable:
             cd = self._manifest(kv).get("change_data")
             if cd:
                 referenced_changes.add(cd)
+        # Bloom sidecars follow the same horizon: a sidecar dir is live
+        # while any RETAINED version's stats reference it.
+        referenced_blooms = set()
+        for kv in keep_versions:
+            for e in self._snapshot_files(kv):
+                for st in e["stats"].values():
+                    for cst in st.values():
+                        ref = cst.get("bloom_ref") if isinstance(cst, dict) else None
+                        if ref:
+                            referenced_blooms.add(os.path.dirname(ref["path"]))
         removed = []
         now = time.time()
         for root_dir, ref in (
             (_DATA_DIR, referenced),
             (_CHANGE_DIR, referenced_changes),
+            (_BLOOM_DIR, referenced_blooms),
         ):
             abs_root = os.path.join(self.path, root_dir)
             for d in os.listdir(abs_root) if os.path.isdir(abs_root) else []:

@@ -454,3 +454,48 @@ def test_bloom_never_false_negative_adversarial_values(spark, tmp_path):
     # absent adversarial probes: never an error, pruning allowed
     assert t.scan_files(("id", "=", 7))[1] in (0, 1)
     assert t.scan_files(("name", "=", "absent"))[1] in (0, 1)
+
+
+def test_bloom_adaptive_sizing_avoids_saturation(spark, tmp_path):
+    """Default (no bloom.bits) sizes the filter from the footer row
+    count — a 20k-row file must still prune absent values (a fixed
+    small filter would saturate: every bit set, zero pruning)."""
+    t = _mk(spark, tmp_path, "bloom_sat")
+    t.set_properties({"bloom.columns": ["id"]})
+    # two interleaved 20k-row files: min/max can never prune
+    t.append(
+        spark.range(20_000).selectExpr("id * 2 AS id").coalesce(1)
+    )
+    t.append(
+        spark.range(20_000).selectExpr("id * 2 + 1 AS id").coalesce(1)
+    )
+    # even id present only in file A; odd only in file B
+    assert t.scan_files(("id", "=", 2_000)) == (2, 1)
+    assert t.scan_files(("id", "=", 2_001)) == (2, 1)
+    # absent beyond both ranges handled by min/max anyway; inside the
+    # range but absent (= 40001 odd > max of A... pick 39_999+2=40001 out) —
+    # use an in-range absent value instead: ids cover 0..39999 fully, so
+    # probe the not-covered parity beyond coverage:
+    assert t.read(where=("id", "=", 2_000)).count() == 1
+
+
+def test_bloom_sidecars_follow_vacuum_horizon(spark, tmp_path):
+    import glob
+    import os
+
+    t = _mk(spark, tmp_path, "bloom_vac")
+    t.set_properties({"bloom.columns": ["id"], "bloom.bits": 4096})
+    t.append(spark.createDataFrame([(1,), (3,)], "id long").coalesce(1))
+    t.overwrite(spark.createDataFrame([(5,), (7,)], "id long").coalesce(1))
+    root = str(tmp_path / "bloom_vac")
+    assert len(glob.glob(os.path.join(root, "_bloom", "*"))) == 2
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    # the superseded commit's sidecar is reclaimed with its data dir;
+    # the live one survives and still prunes
+    assert len(glob.glob(os.path.join(root, "_bloom", "*"))) == 1
+    t._bloom_cache = {}
+    assert t.scan_files(("id", "=", 6)) == (1, 0)
+    assert t.scan_files(("id", "=", 5)) == (1, 1)
+    # fsck sees no orphans and no missing files
+    rep = t.fsck()
+    assert rep["ok"] is True and rep["orphan_dirs"] == []
