@@ -43,6 +43,7 @@ statements dispatched to :func:`sql_merge`.
 
 from __future__ import annotations
 
+import json
 import re
 
 from pyspark.sql import DataFrame, SparkSession
@@ -737,11 +738,13 @@ def sql_dml(
                     d["size_bytes"],
                     d["n_dirs_with_excludes"],
                     d["has_change_data"],
+                    json.dumps(d["properties"], sort_keys=True),
                 )
             ],
             "location string, version long, partition_by string, "
             "n_data_dirs long, n_files long, size_bytes long, "
-            "n_dirs_with_excludes long, has_change_data boolean",
+            "n_dirs_with_excludes long, has_change_data boolean, "
+            "properties string",
         )
     m = _DESC_HISTORY_RE.match(s)
     if m:

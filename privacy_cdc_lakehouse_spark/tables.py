@@ -1405,6 +1405,7 @@ class LakeTable:
             "size_bytes": size,
             "n_dirs_with_excludes": n_excluded,
             "has_change_data": bool(self._manifest(v).get("change_data")),
+            "properties": self.properties(v),
         }
 
     def clone_to(self, dest_path: str) -> "LakeTable":
