@@ -557,10 +557,35 @@ def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "avg_k",
         "max_k",
     )
-    return win.unionByName(jp).orderBy("kind", "window_start", "event_type")
+    # round 6 (cont.): events_funnel folded in as the 'funnel' arm (the
+    # ORIGINAL funnel plan runs unchanged, stack-unpivoted into the
+    # tagged shape); freed the registry slot for dedup_duplicate_spans.
+    fun = (
+        q_events_funnel(spark, sf_dir)
+        .selectExpr(
+            "stack(3, 'n_signup_users', CAST(n_signup_users AS DOUBLE), "
+            "'n_converted', CAST(n_converted AS DOUBLE), "
+            "'conversion_rate', conversion_rate) AS (metric, val)"
+        )
+        .select(
+            F.lit("funnel").alias("kind"),
+            F.lit(None).cast("timestamp").alias("window_start"),
+            F.col("metric").alias("event_type"),
+            F.lit(None).cast("long").alias("n"),
+            F.col("val").alias("total_value"),
+            F.lit(None).cast("double").alias("avg_k"),
+            F.lit(None).cast("int").alias("max_k"),
+        )
+    )
+    return (
+        win.unionByName(jp)
+        .unionByName(fun)
+        .orderBy("kind", "window_start", "event_type")
+    )
 
 
-_EVENTS_ROLLUPS_SQL = f"""
+def _events_rollups_sql() -> str:
+    return f"""
 WITH win AS ({_EVENTS_WIN_SQL}), jp AS ({_EVENTS_JSON_SQL})
 SELECT 'window' AS kind, window_start, event_type, n, total_value,
        CAST(NULL AS DOUBLE) AS avg_k, CAST(NULL AS INTEGER) AS max_k
@@ -569,6 +594,14 @@ UNION ALL
 SELECT 'json_props', CAST(NULL AS TIMESTAMP), event_type, n,
        CAST(NULL AS DOUBLE), avg_k, max_k
 FROM jp
+UNION ALL
+SELECT 'funnel', CAST(NULL AS TIMESTAMP), m, CAST(NULL AS BIGINT), v,
+       CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+FROM ({_FUNNEL_SQL}) f CROSS JOIN LATERAL (VALUES
+    ('n_signup_users', CAST(n_signup_users AS DOUBLE)),
+    ('n_converted', CAST(n_converted AS DOUBLE)),
+    ('conversion_rate', conversion_rate)
+) AS u(m, v)
 ORDER BY kind, window_start, event_type
 """
 
@@ -1827,7 +1860,8 @@ QUERIES = {
     # round 6: q10_returned_item_revenue + q18_large_volume_customers →
     # tpch_customer_revenue (freed the slot for cdc_stream_silver)
     "tpch_customer_revenue": q_tpch_customer_revenue,
-    "events_funnel": q_events_funnel,
+    # round 6 (cont.): events_funnel → events_rollups (funnel arm;
+    # freed the slot for llmops.py::dedup_duplicate_spans)
     "pandas_zscore_outliers": q_pandas_zscore_outliers,
     "tpch_scalar_aggregates": q_tpch_scalar_aggregates,
     "q3_top_unshipped": q3_top_unshipped,
@@ -1877,7 +1911,6 @@ def _priv_view_oracle() -> str:
 ORACLES = {
     "q1_pricing_summary": _Q1_SQL,
     "tpch_customer_revenue": _TPCH_CUSTOMER_REVENUE_SQL,
-    "events_funnel": _FUNNEL_SQL,
     "q3_top_unshipped": _Q3_SQL,
     "q5_revenue_by_nation": _Q5_SQL,
     "tpch_scalar_aggregates": _SCALAR_AGG_SQL,
@@ -1885,7 +1918,7 @@ ORACLES = {
     "window_analytics": _WINDOW_ANALYTICS_SQL,
     "grouping_analytics": _GROUPING_ANALYTICS_SQL,
     "setops_customer_cohorts": _SETOPS_SQL,
-    "events_rollups": _EVENTS_ROLLUPS_SQL,
+    "events_rollups": _events_rollups_sql(),
     "events_sessionize": _SESSIONIZE_SQL,
     "pandas_zscore_outliers": _ZSCORE_SQL,
     "correlated_subqueries": _CORRELATED_SQL,

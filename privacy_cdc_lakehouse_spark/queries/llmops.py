@@ -1075,6 +1075,64 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication spans (Lee et al. 2022-style dedup;
+    ``operators/dedup.py::duplicate_spans``) over the augmented corpus
+    — its exact copies and perturbed near-dups produce real duplicated
+    substrings. Every span's doc, start, end, and gram count are
+    hash-checked: the oracle replays the identical positional-8-gram
+    md5 + count>1 + gaps-and-islands arithmetic (pure integers plus one
+    portable hash)."""
+    pin_utc(spark)
+    return (
+        dd.duplicate_spans(_augmented(_docs(spark, sf_dir)), n=8)
+        .orderBy("doc_id", "span_start")
+    )
+
+
+_DUP_SPANS_SQL = f"""
+WITH {_AUG_CTE.strip()},
+w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+    FROM aug
+),
+grams AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos,
+           md5(array_to_string(ws[CAST(i + 1 AS BIGINT):CAST(i + 8 AS BIGINT)], ' ')) AS g
+    FROM (
+        SELECT doc_id, ws,
+               unnest(range(0, CAST(greatest(len(ws) - 7, 0) AS BIGINT))) AS i
+        FROM w WHERE len(ws) >= 8
+    )
+),
+dup AS (
+    SELECT g FROM grams GROUP BY g HAVING count(*) > 1
+),
+d AS (
+    SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dup)
+),
+marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+                THEN 1 ELSE 0 END AS ni
+    FROM d
+),
+isl AS (
+    SELECT doc_id, pos,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM marked
+)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 7 AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
 def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (``operators/text.py::chunk_documents``) —
     RAG-ingest prep: fixed 200-char chunks with 40-char overlap over a
@@ -1586,6 +1644,9 @@ QUERIES = {
     # round 6 (cont.): slot freed by folding quantity_percentiles into
     # analytics.py::grouping_analytics (pct arm)
     "text_chunk_stats": q_text_chunk_stats,
+    # round 6 (cont.): slot freed by folding events_funnel into
+    # analytics.py::events_rollups (funnel arm)
+    "dedup_duplicate_spans": q_dedup_duplicate_spans,
 }
 
 ORACLES = {
@@ -1613,4 +1674,5 @@ ORACLES = {
     "curation_mixture_sample": _MIXTURE_SQL,
     "text_tfidf_topterms": _TFIDF_SQL,
     "text_chunk_stats": _CHUNK_SQL,
+    "dedup_duplicate_spans": _DUP_SPANS_SQL,
 }
