@@ -49,6 +49,9 @@ AUDIT = {
     "curation_mixture_sample": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
+    # spans: positional-gram explode + dup aggregate + islands window;
+    # never a cartesian/self-join of the corpus
+    "dedup_duplicate_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
 }
 
 spark = get_spark("explain_audit")
