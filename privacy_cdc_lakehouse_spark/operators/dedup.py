@@ -463,8 +463,12 @@ def duplicate_spans(
     (count > 1 — map-side combinable, never all-pairs); the per-doc
     positions collapse to maximal spans with the gaps-and-islands
     window (lag + running flag-sum), partitioned by doc so the shuffle
-    carries only duplicated positions. A gram duplicated WITHIN one
-    doc counts too (self-repetition is still duplication).
+    carries only duplicated positions. Two duplicated gram positions
+    belong to one island whenever their word spans [pos, pos+n-1]
+    overlap (pos <= prev + n - 1), so emitted spans are maximal and
+    never overlap; ``n_grams`` counts the duplicated gram positions
+    inside the span (not necessarily consecutive). A gram duplicated
+    WITHIN one doc counts too (self-repetition is still duplication).
     """
     from pyspark.sql import Window
 
@@ -498,7 +502,7 @@ def duplicate_spans(
         .withColumn(
             "new_island",
             F.when(
-                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + 1),
+                F.col("prev").isNull() | (F.col("pos") > F.col("prev") + (n - 1)),
                 F.lit(1),
             ).otherwise(F.lit(0)),
         )

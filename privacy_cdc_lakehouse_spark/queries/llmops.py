@@ -1082,7 +1082,8 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     substrings. Every span's doc, start, end, and gram count are
     hash-checked: the oracle replays the identical positional-8-gram
     md5 + count>1 + gaps-and-islands arithmetic (pure integers plus one
-    portable hash)."""
+    portable hash). Islands merge whenever gram spans overlap
+    (pos <= prev + 7), so emitted spans are maximal and disjoint."""
     pin_utc(spark)
     return (
         dd.duplicate_spans(_augmented(_docs(spark, sf_dir)), n=8)
@@ -1115,7 +1116,7 @@ d AS (
 marked AS (
     SELECT doc_id, pos,
            CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 1
+                  OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + 7
                 THEN 1 ELSE 0 END AS ni
     FROM d
 ),

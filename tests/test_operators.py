@@ -730,6 +730,34 @@ def test_duplicate_spans_exact_substring_dedup(spark):
     assert sorted(spans[4]) == [(1, 8, 1), (17, 24, 1)]
 
 
+def test_duplicate_spans_merge_overlapping_islands(spark):
+    # Two duplicated 8-grams whose word spans overlap (positions 0 and
+    # 3) must merge into ONE maximal span [0, 10] with n_grams=2 —
+    # overlapping spans would double-count words downstream.
+    a = "w0 w1 w2 w3 w4 w5 w6 w7"          # gram at pos 0 of both docs
+    b = "w3 w4 w5 w6 w7 x8 x9 x10"         # gram at pos 3 of both docs
+    df = _docs(
+        spark,
+        [
+            (1, f"{a} x8 x9 x10"),          # words 0..10; grams 0 and 3 dup
+            (2, f"{a} zz"),                 # repeats gram a
+            (3, f"pad pad pad {b} zz"),     # repeats gram b
+        ],
+    )
+    out = dd.duplicate_spans(df, n=8)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["span_start"], r["span_end"], r["n_grams"])
+        )
+    assert spans[1] == [(0, 10, 2)]
+    # non-overlap invariant: within each doc, spans never overlap
+    for sp in spans.values():
+        sp = sorted(sp)
+        for (s1, e1, _), (s2, _, _) in zip(sp, sp[1:]):
+            assert s2 > e1
+
+
 def test_dataset_report_profile(spark):
     from privacy_cdc_lakehouse_spark.operators.curation import dataset_report
 
