@@ -130,15 +130,21 @@ def _bloom_probe_str(value) -> str | None:
     return None
 
 
+_BLOOM_HASH_VERSION = 2  # v2: 14-nibble hashes (ANSI-overflow-safe)
+
+
 def _bloom_bits_for(sval: str, m: int, k: int) -> list[int]:
     """The k bit positions of ``sval`` — md5 double hashing
     (h1 + i*h2 mod m), the same arithmetic the Spark-side builder
-    emits. 15 hex nibbles < 2^60, so h1 + i*h2 never overflows a
-    signed 64-bit long for k <= 15 and the two sides agree bit for
-    bit; m is a power of two, so pmod == masking."""
-    h1 = int(hashlib.md5(("b0|" + sval).encode()).hexdigest()[:15], 16)
-    h2 = int(hashlib.md5(("b1|" + sval).encode()).hexdigest()[:15], 16)
-    return [((h1 + i * h2) & ((1 << 64) - 1)) & (m - 1) for i in range(k)]
+    emits. 14 hex nibbles keep h1,h2 < 2^56, so h1 + i*h2 < 2^60 for
+    k <= 15 — it never overflows a signed 64-bit long, so the Spark
+    side is safe even under ``spark.sql.ansi.enabled=true`` (15
+    nibbles could reach ~15*2^60 > 2^63 and throw at commit time) and
+    the two sides agree bit for bit; m is a power of two, so pmod ==
+    masking."""
+    h1 = int(hashlib.md5(("b0|" + sval).encode()).hexdigest()[:14], 16)
+    h2 = int(hashlib.md5(("b1|" + sval).encode()).hexdigest()[:14], 16)
+    return [(h1 + i * h2) & (m - 1) for i in range(k)]
 
 
 _BLOOM_INT_TYPES = {"tinyint", "smallint", "int", "integer", "bigint", "long"}
@@ -160,6 +166,10 @@ def _bloom_excludes(bloom: dict, value) -> bool:
         if t not in _BLOOM_INT_TYPES:
             return False
     elif t != "string":
+        return False
+    if bloom.get("h") != _BLOOM_HASH_VERSION:
+        # Sidecar built by an older hash scheme: probing with today's
+        # arithmetic would be unsound — degrade to no-prune.
         return False
     try:
         m, k = int(bloom["m"]), int(bloom["k"])
@@ -569,61 +579,81 @@ class LakeTable:
             return {}
         out: dict[str, dict[str, dict]] = {}
         n_words = m // 64
-        for col in present:
 
-            def hcol(salt: str) -> Column:
-                return F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(salt), F.col("_s"))), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long")
+        def hcol(salt: str) -> Column:
+            # 14 hex nibbles: h < 2^56, so h1 + i*h2 < 2^60 for k<=15 —
+            # no signed-long overflow even under ANSI mode (see
+            # _bloom_bits_for, which must agree digit for digit).
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(salt), F.col("_s"))), 1, 14
+                ),
+                16,
+                10,
+            ).cast("long")
 
-            bit = F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(m))
-            rows = (
-                df.select(
-                    F.input_file_name().alias("f"),
-                    F.col(col).cast("string").alias("_s"),
+        # ONE job for every bloom column: (column, CAST-AS-STRING)
+        # pairs explode from an array of structs, so k columns cost one
+        # pass over the new data instead of k; the column name rides
+        # the aggregation key and the driver splits the O(files *
+        # columns * m/64) words afterwards.
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("c"),
+                    F.col(c).cast("string").alias("_s"),
                 )
-                .filter(F.col("_s").isNotNull())
-                .select("f", hcol("b0|").alias("h1"), hcol("b1|").alias("h2"))
-                .select(
-                    "f",
-                    F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
-                    "h1",
-                    "h2",
-                )
-                .select("f", bit.alias("bit"))
-                .groupBy("f", F.floor(F.col("bit") / 64).alias("word"))
-                .agg(
-                    F.expr(
-                        "bit_or(shiftleft(CAST(1 AS BIGINT), "
-                        "CAST(bit % 64 AS INT)))"
-                    ).alias("bits")
-                )
-                .collect()
+                for c in present
+            ]
+        )
+        bit = F.pmod(F.col("h1") + F.col("i") * F.col("h2"), F.lit(m))
+        rows = (
+            df.select(
+                F.input_file_name().alias("f"), F.explode(pairs).alias("p")
             )
-            per_file: dict[str, bytearray] = {}
-            for r in rows:
-                path = re.sub(r"^file:/*", "/", r["f"])
-                rel = os.path.relpath(path, self.path)
-                arr = per_file.setdefault(rel, bytearray(m // 8))
-                word_bytes = (int(r["bits"]) & ((1 << 64) - 1)).to_bytes(
-                    8, "little"
-                )
-                w = int(r["word"])
-                if 0 <= w < n_words:
-                    start = w * 8
-                    for j in range(8):
-                        arr[start + j] |= word_bytes[j]
-            for rel, arr in per_file.items():
-                out.setdefault(rel, {})[col] = {
-                    "m": m,
-                    "k": k,
-                    "t": types[col],
-                    "b64": base64.b64encode(bytes(arr)).decode(),
-                }
+            .select("f", F.col("p.c").alias("c"), F.col("p._s").alias("_s"))
+            .filter(F.col("_s").isNotNull())
+            .select(
+                "f", "c", hcol("b0|").alias("h1"), hcol("b1|").alias("h2")
+            )
+            .select(
+                "f",
+                "c",
+                F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i"),
+                "h1",
+                "h2",
+            )
+            .select("f", "c", bit.alias("bit"))
+            .groupBy("f", "c", F.floor(F.col("bit") / 64).alias("word"))
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), "
+                    "CAST(bit % 64 AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        per_file: dict[tuple[str, str], bytearray] = {}
+        for r in rows:
+            path = re.sub(r"^file:/*", "/", r["f"])
+            rel = os.path.relpath(path, self.path)
+            arr = per_file.setdefault((rel, r["c"]), bytearray(m // 8))
+            word_bytes = (int(r["bits"]) & ((1 << 64) - 1)).to_bytes(
+                8, "little"
+            )
+            w = int(r["word"])
+            if 0 <= w < n_words:
+                start = w * 8
+                for j in range(8):
+                    arr[start + j] |= word_bytes[j]
+        for (rel, col), arr in per_file.items():
+            out.setdefault(rel, {})[col] = {
+                "m": m,
+                "k": k,
+                "t": types[col],
+                "h": _BLOOM_HASH_VERSION,
+                "b64": base64.b64encode(bytes(arr)).decode(),
+            }
         return out
 
     def _commit(

@@ -499,3 +499,88 @@ def test_bloom_sidecars_follow_vacuum_horizon(spark, tmp_path):
     # fsck sees no orphans and no missing files
     rep = t.fsck()
     assert rep["ok"] is True and rep["orphan_dirs"] == []
+
+
+# ------------- single-pass multi-column bloom build (round 7) -------------
+
+
+def test_bloom_sidecar_bytes_match_python_reference(spark, tmp_path):
+    """The Spark-side bloom builder and the Python-side probe share the
+    md5 double-hash arithmetic; this recomputes every sidecar bitset
+    byte-for-byte in pure Python from the parquet data (2-column
+    config), proving build/probe agreement digit for digit."""
+    import base64
+    import glob
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from privacy_cdc_lakehouse_spark.tables import (
+        _BLOOM_HASH_VERSION,
+        _bloom_bits_for,
+    )
+
+    t = _mk_bloom(
+        spark, tmp_path, "bloom_ref",
+        ids_a=[0, 2, 4, 998], ids_b=[1, 3, 5, 999],
+    )
+    sidecars = glob.glob(str(tmp_path / "bloom_ref" / "_bloom" / "*" / "*.json"))
+    assert sidecars
+    checked = 0
+    for sc in sidecars:
+        with open(sc) as f:
+            files = json.load(f)["files"]
+        for rel, colblooms in files.items():
+            tbl = pq.read_table(os.path.join(str(tmp_path / "bloom_ref"), rel))
+            for col, b in colblooms.items():
+                assert b["h"] == _BLOOM_HASH_VERSION
+                m, k = b["m"], b["k"]
+                arr = bytearray(m // 8)
+                for v in tbl.column(col).to_pylist():
+                    if v is None:
+                        continue
+                    for pos in _bloom_bits_for(str(v), m, k):
+                        arr[pos // 8] |= 1 << (pos % 8)
+                assert bytes(arr) == base64.b64decode(b["b64"]), (rel, col)
+                checked += 1
+    assert checked >= 4  # 2 files x 2 columns
+
+
+def test_bloom_multicolumn_build_is_one_job(spark, tmp_path, monkeypatch):
+    """k bloom columns must cost ONE distributed pass (the column name
+    rides the aggregation key), not one job per column."""
+    # Spark 4: pyspark.sql.DataFrame is the abstract interface; the
+    # classic engine subclass OVERRIDES collect, so patch that one.
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    collects = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        collects.append(1)
+        return orig(self)
+
+    t = _mk(spark, tmp_path, "bloom_1job")
+    t.set_properties({"bloom.columns": ["id", "name"], "bloom.bits": 4096})
+    orig_bloom = LakeTable._bloom_for_dir
+
+    def instrumented(self, files, cols, m, k):
+        monkeypatch.setattr(DataFrame, "collect", counting_collect)
+        try:
+            return orig_bloom(self, files, cols, m, k)
+        finally:
+            monkeypatch.setattr(DataFrame, "collect", orig)
+
+    monkeypatch.setattr(LakeTable, "_bloom_for_dir", instrumented)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"n{i}") for i in range(10)], "id long, name string"
+        ).coalesce(1)
+    )
+    assert sum(collects) == 1
+    # and the blooms still prune both columns
+    assert t.scan_files(("id", "=", 99))[1] == 0
+    assert t.scan_files(("name", "=", "n3"))[1] == 1
