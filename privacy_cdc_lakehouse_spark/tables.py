@@ -498,14 +498,22 @@ class LakeTable:
             v -= 1
         return {}
 
-    def set_properties(self, props: dict) -> int:
+    def set_properties(
+        self, props: dict, _pre_commit: Callable[[], None] | None = None
+    ) -> int:
         """Merge ``props`` into the table properties via a metadata-only
         commit (no data changes; a None value unsets a key). Recognized
         keys: ``bloom.columns`` (list of column names — subsequent
         commits build a per-file bloom filter over each, used by
         ``read(where=)`` equality pruning), ``bloom.bits`` (filter size
         in bits, power of two, default 65536), ``bloom.k`` (hash count,
-        default 7, max 15)."""
+        default 7, max 15).
+
+        ``_pre_commit`` (internal) runs inside the commit retry, before
+        the manifest body is assembled — the transactional-validation
+        hook for ``add_check_constraint``: a concurrent data write that
+        wins the version race triggers a rebase, which re-runs the hook
+        against the new snapshot before the property lands."""
         def merge_props(base: dict) -> dict:
             merged = dict(base)
             for key, val in props.items():
@@ -537,6 +545,8 @@ class LakeTable:
         extra: dict = {}
 
         def build(latest: dict | None) -> list[dict]:
+            if _pre_commit is not None:
+                _pre_commit()
             extra["properties"] = merge_props(self.properties())
             return [_entry(e) for e in latest["files"]] if latest else []
 
@@ -743,19 +753,33 @@ class LakeTable:
         only a provably-false row violates) and raises
         :class:`ConstraintViolationError` before anything commits.
         EXISTING rows must already satisfy it (Delta validates the
-        whole table on ADD) — one scan, done here once instead of on
-        every future read. Stored as a versioned table property, so
-        time travel shows which constraints held when."""
+        whole table on ADD, transactionally) — the scan runs INSIDE the
+        property commit's retry loop: if a concurrent data write wins
+        the version race between our scan and our commit, the rebase
+        re-scans the new snapshot before the property lands, so the
+        committed constraint can never coexist with violating rows it
+        never saw. Stored as a versioned table property, so time travel
+        shows which constraints held when."""
         if not re.fullmatch(r"\w+", name):
             raise ValueError(f"bad constraint name: {name!r}")
-        if self.current_version() is not None:
-            try:
-                existing = self.read()
-            except FileNotFoundError:
-                existing = None
-            if existing is not None:
-                self._check_rows(existing, {name: expr})
-        return self.set_properties({f"check.{name}": expr})
+        validated_at: list[int | None] = [-1]  # -1 = never scanned
+
+        def revalidate() -> None:
+            current = self.current_version()
+            if current == validated_at[0]:
+                return  # this snapshot's rows are already proven clean
+            if current is not None:
+                try:
+                    existing = self.read()
+                except FileNotFoundError:
+                    existing = None
+                if existing is not None:
+                    self._check_rows(existing, {name: expr})
+            validated_at[0] = current
+
+        return self.set_properties(
+            {f"check.{name}": expr}, _pre_commit=revalidate
+        )
 
     def drop_check_constraint(self, name: str) -> int:
         return self.set_properties({f"check.{name}": None})

@@ -1398,3 +1398,41 @@ def test_merge_nmbs_with_schema_evolution(spark, tmp_path):
     )
     got = sorted(tuple(r) for r in t.read().select("id", "s", "status").collect())
     assert got == [(1, "updated", "fresh"), (2, "stale", "aged")]
+
+
+def test_add_check_constraint_revalidates_on_concurrent_write(
+    spark, tmp_path, monkeypatch
+):
+    """ADD CONSTRAINT is transactional (Delta parity): a concurrent
+    data write that lands BETWEEN the existing-rows scan and the
+    property commit forces a rebase that re-scans the new snapshot —
+    the constraint can never commit over violating rows it never saw."""
+    from privacy_cdc_lakehouse_spark.tables import ConstraintViolationError
+
+    t = LakeTable(spark, str(tmp_path / "chk_race"))
+    t.overwrite(spark.createDataFrame([(1, 5.0), (2, 2.0)], "id int, v double"))
+
+    raced = []
+    orig_check = LakeTable._check_rows  # staticmethod → plain function
+
+    def racing_check(df, constraints):
+        orig_check(df, constraints)
+        if not raced:
+            raced.append(1)
+            # a concurrent writer lands a VIOLATING row after our scan
+            # passed but before our property commit claims a version
+            LakeTable(spark, str(tmp_path / "chk_race")).append(
+                spark.createDataFrame([(3, -1.0)], "id int, v double")
+            )
+
+    monkeypatch.setattr(LakeTable, "_check_rows", staticmethod(racing_check))
+    with pytest.raises(ConstraintViolationError, match="v_pos"):
+        t.add_check_constraint("v_pos", "v > 0")
+    monkeypatch.undo()
+    fresh = LakeTable(spark, str(tmp_path / "chk_race"))
+    # the property never landed; the racing append did
+    assert "check.v_pos" not in fresh.properties()
+    assert sorted(_rows(fresh)) == [(1, 5.0), (2, 2.0), (3, -1.0)]
+    # and without the race, ADD still refuses over the violating table
+    with pytest.raises(ConstraintViolationError):
+        fresh.add_check_constraint("v_pos", "v > 0")
