@@ -1214,37 +1214,200 @@ ORDER BY kind, k
 
 def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion + quality-score histogram + Gopher-style
-    repetition-signal histograms in one tagged union (rounds 5/6
-    registry consolidation; all original plans run unchanged via the
-    original callables)."""
+    repetition-signal histograms + per-language quality-feature
+    aggregates in one tagged union (rounds 5/6/7 registry
+    consolidation; all original plans run unchanged via the original
+    callables — the ``stats`` arm is the former ``text_stats_by_lang``
+    row, folded in round 7 to free a slot for ``corpus_profile``).
+    Values ride one double column (counts are small enough to be
+    exact; the avg ratios were already 6dp-rounded on both sides)."""
     pin_utc(spark)
     lang = q_lang_id_confusion(spark, sf_dir).select(
         F.lit("lang").alias("kind"),
         F.concat_ws(":", F.col("lang"), F.col("lang_pred")).alias("k"),
-        F.col("n"),
+        F.col("n").cast("double").alias("v"),
     )
     qual = q_quality_histogram(spark, sf_dir).select(
         F.lit("quality").alias("kind"),
         F.col("quality_score").cast("string").alias("k"),
-        F.col("n_docs").alias("n"),
+        F.col("n_docs").cast("double").alias("v"),
     )
     rep = q_repetition_histogram(spark, sf_dir).select(
         F.lit("rep").alias("kind"),
         F.concat_ws(":", F.col("metric"), F.col("bucket").cast("string")).alias("k"),
-        F.col("n"),
+        F.col("n").cast("double").alias("v"),
     )
-    return lang.unionByName(qual).unionByName(rep).orderBy("kind", "k")
+    stats = (
+        q_text_stats_by_lang(spark, sf_dir)
+        .selectExpr(
+            "lang",
+            "stack(5, "
+            "'n_docs', CAST(n_docs AS DOUBLE), "
+            "'total_words', CAST(total_words AS DOUBLE), "
+            "'total_tokens', CAST(total_tokens AS DOUBLE), "
+            "'avg_stopword_ratio', avg_stopword_ratio, "
+            "'avg_punct_ratio', avg_punct_ratio) AS (m, v)",
+        )
+        .select(
+            F.lit("stats").alias("kind"),
+            F.concat_ws(":", F.col("lang"), F.col("m")).alias("k"),
+            "v",
+        )
+    )
+    return (
+        lang.unionByName(qual)
+        .unionByName(rep)
+        .unionByName(stats)
+        .orderBy("kind", "k")
+    )
 
 
 _TEXT_QUALITY_PANEL_SQL = f"""
-SELECT 'lang' AS kind, lang || ':' || lang_pred AS k, n
+SELECT 'lang' AS kind, lang || ':' || lang_pred AS k, CAST(n AS DOUBLE) AS v
 FROM ({_LANG_ID_SQL})
 UNION ALL
-SELECT 'quality', CAST(quality_score AS VARCHAR), n_docs
+SELECT 'quality', CAST(quality_score AS VARCHAR), CAST(n_docs AS DOUBLE)
 FROM ({_QUALITY_SQL})
 UNION ALL
-SELECT 'rep', metric || ':' || CAST(bucket AS VARCHAR), n
+SELECT 'rep', metric || ':' || CAST(bucket AS VARCHAR), CAST(n AS DOUBLE)
 FROM ({_REPETITION_SQL})
+UNION ALL
+SELECT 'stats', lang || ':' || m, v FROM (
+    SELECT lang,
+           unnest(ARRAY['n_docs', 'total_words', 'total_tokens',
+                        'avg_stopword_ratio', 'avg_punct_ratio']) AS m,
+           unnest(ARRAY[CAST(n_docs AS DOUBLE), CAST(total_words AS DOUBLE),
+                        CAST(total_tokens AS DOUBLE), avg_stopword_ratio,
+                        avg_punct_ratio]) AS v
+    FROM ({_TEXT_STATS_SQL})
+)
+ORDER BY kind, k
+"""
+
+
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile / dataset card (``operators/curation.py::
+    dataset_report``) + top-20 PMI bigram collocations
+    (``operators/text.py::collocations``) in one tagged long-format
+    union — the round-7 driver rows for the last two operators that
+    were pytest-only. The report runs over a lang-preserving augmented
+    corpus (exact copies of every 10th doc) so the dup arm has real
+    duplicate groups to count; collocations run over the raw corpus.
+    Every metric is hash-checked: counts are exact doubles, PMI is
+    6dp-rounded on both sides (same trick as TF-IDF), and the rank is
+    computed over the ROUNDED score so ordering is engine-independent.
+    """
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
+    aug = docs.unionByName(
+        docs.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    rep = cur.dataset_report(aug)
+    col_long = (
+        tx.collocations(docs, k=20, min_count=5)
+        .selectExpr(
+            "concat(w1, ' ', w2) AS k",
+            "stack(3, "
+            "'colloc_pmi', pmi6, "
+            "'colloc_n', CAST(n_ab AS DOUBLE), "
+            "'colloc_rank', CAST(rank AS DOUBLE)) AS (kind, v)",
+        )
+        .select("kind", "k", "v")
+    )
+    return rep.unionByName(col_long).orderBy("kind", "k")
+
+
+_WORD_RE_SQL = "[a-z]{2,}"  # tx._WORD_RE, brace-free for the f-string
+
+_CORPUS_PROFILE_SQL = f"""
+WITH aug AS (
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 10 = 0
+),
+base AS (
+    SELECT lang AS s,
+           len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS toks,
+           length(text) AS chars
+    FROM aug
+),
+ps AS (
+    SELECT s, count(*) AS n_docs, sum(toks) AS n_tokens,
+           sum(chars) AS n_chars
+    FROM base GROUP BY s
+),
+w AS (SELECT text, {_DUCK_WORDS} AS ws FROM aug),
+feat AS (
+    SELECT len(ws) AS n_words,
+           len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
+             greatest(len(ws), 1) AS stopword_ratio,
+           length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
+             greatest(length(text), 1) AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) /
+             greatest(length(text), 1) AS digit_ratio
+    FROM w
+),
+qd AS (
+    SELECT least(CAST(floor((
+             CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END
+           ) * 10) AS BIGINT), 9) AS dec
+    FROM feat
+),
+dup AS (
+    SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS h,
+           count(*) AS sz
+    FROM aug GROUP BY 1 HAVING count(*) > 1
+),
+toks AS (
+    SELECT regexp_extract_all(lower(text), '{_WORD_RE_SQL}') AS a
+    FROM documents
+),
+bg AS (
+    SELECT a[i] AS w1, a[i + 1] AS w2
+    FROM (SELECT a, unnest(range(1, len(a))) AS i FROM toks WHERE len(a) >= 2)
+),
+ug AS (SELECT unnest(a) AS w FROM toks),
+bgc AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2),
+ugc AS (SELECT w, count(*) AS n_w FROM ug GROUP BY w),
+tot AS (
+    SELECT (SELECT sum(n_ab) FROM bgc) AS n_bg,
+           (SELECT count(*) FROM ug) AS n_tok
+),
+sc AS (
+    SELECT bgc.w1, bgc.w2, bgc.n_ab,
+           round(ln((bgc.n_ab / tot.n_bg) /
+                    ((u1.n_w / tot.n_tok) * (u2.n_w / tot.n_tok))), 6) AS pmi6
+    FROM bgc
+    JOIN ugc u1 ON u1.w = bgc.w1
+    JOIN ugc u2 ON u2.w = bgc.w2
+    CROSS JOIN tot
+    WHERE bgc.n_ab >= 5
+),
+topk AS (
+    SELECT w1, w2, n_ab, pmi6,
+           row_number() OVER (ORDER BY pmi6 DESC, w1 ASC, w2 ASC) AS rank
+    FROM sc
+    QUALIFY rank <= 20
+)
+SELECT kind, k, v FROM (
+    SELECT 'docs' AS kind, s AS k, CAST(n_docs AS DOUBLE) AS v FROM ps
+    UNION ALL SELECT 'tokens', s, CAST(n_tokens AS DOUBLE) FROM ps
+    UNION ALL SELECT 'chars', s, CAST(n_chars AS DOUBLE) FROM ps
+    UNION ALL SELECT 'quality', 'decile_' || CAST(dec AS VARCHAR),
+                     CAST(count(*) AS DOUBLE) FROM qd GROUP BY dec
+    UNION ALL SELECT 'dup', 'exact_groups', CAST(count(*) AS DOUBLE) FROM dup
+    UNION ALL SELECT 'dup', 'redundant_docs',
+                     CAST(coalesce(sum(sz - 1), 0) AS DOUBLE) FROM dup
+    UNION ALL SELECT 'colloc_pmi', w1 || ' ' || w2, pmi6 FROM topk
+    UNION ALL SELECT 'colloc_n', w1 || ' ' || w2, CAST(n_ab AS DOUBLE) FROM topk
+    UNION ALL SELECT 'colloc_rank', w1 || ' ' || w2, CAST(rank AS DOUBLE)
+              FROM topk
+)
 ORDER BY kind, k
 """
 
@@ -1621,10 +1784,13 @@ QUERIES = {
     # transform_stats → multimodal_panel (both mapInPandas plans run
     # unchanged; freed the slot for text_tfidf_topterms).
     "multimodal_panel": q_multimodal_panel,
-    "text_stats_by_lang": q_text_stats_by_lang,
     # round 5: lang_id_confusion + quality_histogram → text_quality_panel
-    # (freed the slot for curation_pipeline)
+    # (freed the slot for curation_pipeline); round 7: text_stats_by_lang
+    # folded in as the 'stats' arm (freed the slot for corpus_profile)
     "text_quality_panel": q_text_quality_panel,
+    # round 7: dataset_report + collocations — the last two operators
+    # that were pytest-only — get a hash-checked driver row
+    "corpus_profile": q_corpus_profile,
     "dedup_exact_groups": q_dedup_exact,
     "dedup_jaccard_verified": q_dedup_jaccard_verified,
     # round-4 additions (slots freed by the analytics consolidations):
@@ -1662,8 +1828,8 @@ ORACLES = {
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_panel": _multimodal_panel_sql(),
-    "text_stats_by_lang": _TEXT_STATS_SQL,
     "text_quality_panel": _TEXT_QUALITY_PANEL_SQL,
+    "corpus_profile": _CORPUS_PROFILE_SQL,
     "dedup_exact_groups": _DEDUP_EXACT_SQL,
     "dedup_jaccard_verified": _JACCARD_SQL,
     "dedup_clusters": _CLUSTERS_SQL,

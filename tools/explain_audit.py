@@ -52,6 +52,12 @@ AUDIT = {
     # spans: positional-gram explode + dup aggregate + islands window;
     # never a cartesian/self-join of the corpus
     "dedup_duplicate_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
+    # round 7: dataset_report + collocations union — explodes and
+    # map-side-combinable aggregates; the only non-equi join is the
+    # sanctioned broadcast-1-row totals scalar, never a corpus
+    # self-join (collocation pairs come from an index-aware transform,
+    # not a join); top-k via TakeOrdered, not a global sort
+    "corpus_profile": ["Generate", "HashAggregate", "TakeOrderedAndProject", "!SortMergeJoin"],
 }
 
 spark = get_spark("explain_audit")
