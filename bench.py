@@ -117,6 +117,58 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Informational, NOT part of the total: the 100 TB ANN contract is
+    # "build the LSH index once, query many". The sim_lsh_topk headline
+    # deliberately prices the full build-and-probe; this line times the
+    # steady-state per-batch cost alone — lsh_topk() consuming a
+    # MATERIALIZED lsh_index() artifact (written to parquet and read
+    # back, exactly how a deployment would persist it next to the
+    # corpus).
+    import shutil
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim_ops
+    from privacy_cdc_lakehouse_spark.queries.llmops import (
+        LSH_TOPK_PLANES,
+        LSH_TOPK_TABLES,
+    )
+    from privacy_cdc_lakehouse_spark.session import pin_utc
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+    from pyspark.sql import functions as F
+
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx_dir = tempfile.mkdtemp(prefix="lsh_index_bench_")
+    try:
+        sim_ops.lsh_index(
+            emb, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64
+        ).write.mode("overwrite").parquet(idx_dir)
+        index = spark.read.parquet(idx_dir)
+        qdf = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            sim_ops.lsh_topk(
+                emb,
+                qdf,
+                k=10,
+                planes=LSH_TOPK_PLANES,
+                tables=LSH_TOPK_TABLES,
+                dim=64,
+                corpus_index=index,
+            ).collect()
+            samples.append(time.time() - t0)
+        amortized = round(statistics.median(samples), 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+    print(
+        f"# sim_lsh_topk_amortized (prebuilt index): median {amortized}s "
+        f"of {[round(s, 3) for s in samples]}",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -128,6 +180,9 @@ def main() -> None:
                 # not part of the total: divide query times by this
                 # box-speed canary when comparing across rounds
                 "calibration_sec": calibration,
+                # not part of the total: per-batch ANN cost with the
+                # corpus bucketing amortized into a write-once artifact
+                "informational": {"sim_lsh_topk_amortized": amortized},
             }
         )
     )
