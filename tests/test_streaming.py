@@ -341,3 +341,80 @@ def test_streaming_mixture_sample_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_streaming_cdf_no_double_emit_on_batch_replay(spark, sf_dir, tmp_path):
+    """The export contract under at-least-once foreachBatch replay: a
+    crash between the bronze append and the stream-checkpoint commit
+    redelivers the batch; the idempotent ingest discards it and
+    merge_silver early-exits, so the Change Data Feed must NOT
+    double-emit — replaying the same micro-batch adds zero feed rows,
+    and the concatenated feed still reconstructs the final silver."""
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        ingest_bronze_idempotent,
+        merge_silver,
+    )
+    from privacy_cdc_lakehouse_spark.tables import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+    )
+
+    events = cdc_events(spark, sf_dir)
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    b0 = events.filter(F.col("offset") <= mid)
+    b1 = events.filter(F.col("offset") > mid)
+
+    lake = Lakehouse(spark, str(tmp_path / "replay_lake"))
+    ingest_bronze_idempotent(lake, b0)
+    assert merge_silver(lake, write_change_data=True) is not None
+    v1 = lake.silver.current_version()
+    n1 = lake.silver.read_changes(1, v1).count()
+    assert n1 > 0
+
+    # replay micro-batch 0 verbatim: discarded at bronze, merge no-ops,
+    # silver version unchanged, zero new feed rows
+    assert ingest_bronze_idempotent(lake, b0) is None
+    assert merge_silver(lake, write_change_data=True) is None
+    assert lake.silver.current_version() == v1
+    assert lake.silver.read_changes(1, v1).count() == n1
+
+    ingest_bronze_idempotent(lake, b1)
+    assert merge_silver(lake, write_change_data=True) is not None
+    v2 = lake.silver.current_version()
+    n2 = lake.silver.read_changes(1, v2).count()
+
+    # replay micro-batch 1: again zero new feed rows
+    assert ingest_bronze_idempotent(lake, b1) is None
+    assert merge_silver(lake, write_change_data=True) is None
+    assert lake.silver.current_version() == v2
+    assert lake.silver.read_changes(1, v2).count() == n2
+
+    feed = lake.silver.read_changes(1, v2)
+    # a clean feed is duplicate-free on (key, commit, change_type) —
+    # a double-emitted batch would collide here
+    assert (
+        feed.groupBy("order_id", COMMIT_VERSION_COL, CHANGE_TYPE_COL)
+        .count()
+        .filter(F.col("count") > 1)
+        .isEmpty()
+    )
+    # and the feed replay still reconstructs the final silver exactly
+    cols = ["order_id", "user_id", "amount_eur", "status", "last_change_ts"]
+    winners = (
+        feed.filter(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage", "delete")
+        )
+        .groupBy("order_id")
+        .agg(
+            F.max_by(
+                F.struct(CHANGE_TYPE_COL, *[c for c in cols if c != "order_id"]),
+                F.col(COMMIT_VERSION_COL),
+            ).alias("s")
+        )
+    )
+    recon = winners.filter(F.col(f"s.{CHANGE_TYPE_COL}") != "delete").select(
+        "order_id", *[F.col(f"s.{c}").alias(c) for c in cols if c != "order_id"]
+    )
+    a = sorted(tuple(r) for r in recon.select(cols).collect())
+    b = sorted(tuple(r) for r in lake.silver.read().select(cols).collect())
+    assert a == b and len(b) > 0
