@@ -20,6 +20,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     small (the data fit in fewer splits than cores)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Partition count straight from the JVM physical plan: df.rdd would
+    # additionally build the InternalRow->Row conversion plan on the
+    # Python side just to ask a number — pure driver overhead at high
+    # call rates. No job runs either way.
+    try:
+        n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+    except Exception:  # non-classic backends: fall back to the RDD path
+        n = df.rdd.getNumPartitions()
+    if n < target:
         return df.repartition(target)
     return df
