@@ -2006,12 +2006,35 @@ class LakeTable:
         set_values: dict[str, Column],
         partition_filter: str | None = None,
         write_change_data: bool = False,
+        mode: str = "copy_on_write",
     ) -> int:
-        """``UPDATE t SET col = expr WHERE predicate`` as copy-on-write.
+        """``UPDATE t SET col = expr WHERE predicate``.
         NULL predicate rows are untouched (SQL semantics). Accepts a
         typed ``Column`` predicate for runtime values (see
         :meth:`delete_where`). Combined with ``partition_filter`` the
-        rewrite is partition-scoped."""
+        rewrite is partition-scoped.
+
+        ``mode`` (the two Iceberg row-level strategies, completing the
+        write-amplification story delete_where already has):
+
+        - ``"copy_on_write"`` (default): matching files are rewritten
+          with the SET applied. Read-optimal.
+        - ``"merge_on_read"``: ONE commit records the predicate as an
+          exclusion on every current file entry (the MoR-delete
+          mechanism) AND adds a new data dir holding only the matching
+          rows with their SET applied — Iceberg's equality-delete +
+          insert pair in a single snapshot. Write cost is O(changed
+          rows) (the scan of matches prunes via data skipping), not
+          O(files containing matches); read amplification is one
+          residual filter per prior file, same as MoR delete.
+          ``compact()`` materializes both halves. Requires a STRING
+          predicate (stored in the manifest)."""
+        if mode not in ("copy_on_write", "merge_on_read"):
+            raise ValueError(f"unknown update mode: {mode!r}")
+        if mode == "merge_on_read":
+            return self._update_merge_on_read(
+                predicate, set_values, partition_filter, write_change_data
+            )
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
         hit = F.coalesce(pred, F.lit(False))
         base_v = self.current_version()
@@ -2055,6 +2078,80 @@ class LakeTable:
             )
         return self._commit_partition_scoped(
             updated, partition_filter, "update", base_version=base_v,
+            extra=extra,
+        )
+
+    def _update_merge_on_read(
+        self,
+        predicate: str | Column,
+        set_values: dict[str, Column],
+        partition_filter: str | None,
+        write_change_data: bool,
+    ) -> int:
+        """O(changed rows) UPDATE (see :meth:`update_where`): exclusion
+        on prior entries + one new data dir of rewritten matches, in a
+        single commit. Delta replay applies ``exclude_all`` BEFORE
+        ``add``, so the new rows are never masked by their own
+        predicate (SET expressions may leave the predicate true —
+        ``SET v = v + 1 WHERE v > 5``). A concurrent append racing this
+        commit gets the exclusion on rebase — the same serialization
+        MoR delete defines (append first, predicate update second)."""
+        if not isinstance(predicate, str):
+            raise ValueError(
+                "merge_on_read UPDATE stores the predicate in the "
+                "manifest and requires SQL text; use mode='copy_on_write' "
+                "for a typed Column predicate"
+            )
+        base_v = self.current_version()
+        if base_v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        source = self.read(version=base_v)
+        unknown = set(set_values) - set(source.columns)
+        if unknown:
+            raise ValueError(
+                f"UPDATE SET columns not in table: {sorted(unknown)}"
+            )
+        pred = (
+            predicate
+            if partition_filter is None
+            else f"(({partition_filter}) AND ({predicate}))"
+        )
+        # Force analysis NOW: a typo'd predicate must fail THIS update,
+        # not every future read of the table.
+        source.filter(F.expr(pred)).schema
+        hit = F.coalesce(F.expr(pred), F.lit(False))
+        hit_rows = source.filter(hit)
+        updated = hit_rows.select(
+            *[
+                set_values[c].alias(c) if c in set_values else F.col(c)
+                for c in source.columns
+            ]
+        )
+        spec = self._manifest(base_v).get("partition_by", [])
+        rel = self._write_data_dir(updated, spec)
+        stats = self._file_stats(rel)
+        new_entry = {"path": rel, "excludes": [], "stats": stats}
+        extra = None
+        if write_change_data:
+            pre = hit_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
+            post = updated.withColumn(
+                CHANGE_TYPE_COL, F.lit("update_postimage")
+            )
+            extra = {
+                "change_data": self._write_change_dir(pre.unionByName(post))
+            }
+
+        def build(latest: dict | None) -> list[dict]:
+            prior = [_entry(e) for e in latest["files"]] if latest else []
+            for e in prior:
+                _add_exclude(e["excludes"], pred)
+            return prior + [new_entry]
+
+        return self._commit(
+            build,
+            "update",
+            spec,
+            delta={"exclude_all": pred, "add": [new_entry]},
             extra=extra,
         )
 

@@ -1436,3 +1436,90 @@ def test_add_check_constraint_revalidates_on_concurrent_write(
     # and without the race, ADD still refuses over the violating table
     with pytest.raises(ConstraintViolationError):
         fresh.add_check_constraint("v_pos", "v > 0")
+
+
+def test_merge_on_read_update_o_changed_rows(spark, tmp_path):
+    """MoR UPDATE (round 7): one commit = exclusion on prior entries +
+    a new data dir holding ONLY the rewritten matches — O(changed rows)
+    write cost, matching semantics with copy-on-write."""
+    t = LakeTable(spark, str(tmp_path / "mor_u"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", None), (4, "c", 40)],
+            "id int, tag string, amt int",
+        )
+    )
+    dirs_before = _data_dirs(t)
+    v = t.update_where(
+        "tag = 'b'", {"amt": F.coalesce(F.col("amt"), F.lit(0)) * 2},
+        mode="merge_on_read",
+    )
+    assert v == 2
+    # prior dirs survive (excluded, not rewritten); exactly ONE new dir
+    dirs_after = _data_dirs(t)
+    assert set(dirs_before) < set(dirs_after)
+    assert len(set(dirs_after) - set(dirs_before)) == 1
+    # NULL predicate rows untouched; matches updated
+    assert _rows(t) == [(1, "a", 10), (2, "b", 40), (3, "b", 0), (4, "c", 40)]
+    # the new dir holds ONLY the changed rows
+    snap = t._snapshot(t.current_version())
+    new_entry = [e for e in snap["files"] if not e["excludes"]]
+    assert len(new_entry) == 1
+    import os
+
+    n_new = spark.read.parquet(
+        os.path.join(t.path, new_entry[0]["path"])
+    ).count()
+    assert n_new == 2
+    # time travel shows the pre-update state
+    assert sorted(tuple(r) for r in t.read(version=1).collect())[1] == (2, "b", 20)
+    # semantics == copy-on-write on the same input
+    t2 = LakeTable(spark, str(tmp_path / "cow_u"))
+    t2.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "b", None), (4, "c", 40)],
+            "id int, tag string, amt int",
+        )
+    )
+    t2.update_where("tag = 'b'", {"amt": F.coalesce(F.col("amt"), F.lit(0)) * 2})
+    assert _rows(t) == _rows(t2)
+
+
+def test_merge_on_read_update_set_keeps_predicate_true(spark, tmp_path):
+    """SET can leave the predicate true (v = v + 1 WHERE v > 5): the
+    exclusion attaches only to PRIOR entries, never to the new rows —
+    delta replay applies exclude_all before add."""
+    t = LakeTable(spark, str(tmp_path / "mor_u2"))
+    t.overwrite(spark.createDataFrame([(1, 3), (2, 7)], "id int, v int"))
+    t.update_where("v > 5", {"v": F.col("v") + 1}, mode="merge_on_read")
+    assert _rows(t) == [(1, 3), (2, 8)]
+    # idempotence check of the mechanism: a second MoR update stacks
+    t.update_where("v > 5", {"v": F.col("v") + 1}, mode="merge_on_read")
+    assert _rows(t) == [(1, 3), (2, 9)]
+    # compact materializes: no exclusions survive, rows unchanged
+    t.compact(target_partitions=1)
+    snap = t._snapshot(t.current_version())
+    assert all(e["excludes"] == [] for e in snap["files"])
+    assert _rows(t) == [(1, 3), (2, 9)]
+
+
+def test_merge_on_read_update_change_feed_and_guards(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.tables import CHANGE_TYPE_COL
+
+    t = LakeTable(spark, str(tmp_path / "mor_u3"))
+    t.overwrite(spark.createDataFrame([(1, 10), (2, 20)], "id int, v int"))
+    v = t.update_where(
+        "id = 2", {"v": F.lit(99)}, mode="merge_on_read",
+        write_change_data=True,
+    )
+    feed = t.read_changes(v, v)
+    got = sorted(
+        (r[CHANGE_TYPE_COL], r["id"], r["v"]) for r in feed.collect()
+    )
+    assert got == [("update_postimage", 2, 99), ("update_preimage", 2, 20)]
+    with pytest.raises(ValueError, match="SQL text"):
+        t.update_where(F.col("id") == 1, {"v": F.lit(0)}, mode="merge_on_read")
+    with pytest.raises(ValueError, match="unknown update mode"):
+        t.update_where("id = 1", {"v": F.lit(0)}, mode="nope")
+    with pytest.raises(ValueError, match="SET columns"):
+        t.update_where("id = 1", {"zz": F.lit(0)}, mode="merge_on_read")
