@@ -51,6 +51,26 @@ HEADLINE = [
 ]
 
 
+def headline_queries() -> dict:
+    """Registry queries + retired-headline direct calls. Round-7
+    registry consolidations folded text_stats_by_lang (into
+    text_quality_panel) and the two ANN top-k rows (into
+    sim_ann_topk_panel), but each stays a HEADLINE under its original
+    name — same plan, called directly — so per-query bench history
+    remains comparable round over round."""
+    queries = all_queries()
+    from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_sim_lsh_topk,
+        q_sim_topk_bruteforce,
+        q_text_stats_by_lang,
+    )
+
+    queries.setdefault("text_stats_by_lang", q_text_stats_by_lang)
+    queries.setdefault("sim_topk_bruteforce", q_sim_topk_bruteforce)
+    queries.setdefault("sim_lsh_topk", q_sim_lsh_topk)
+    return queries
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     try:
@@ -58,17 +78,7 @@ def main() -> None:
     except ValueError:
         sf = -1.0
     spark = get_spark("bench")
-    queries = all_queries()
-    # text_stats_by_lang left the 50-row registry in round 7 (folded
-    # into text_quality_panel's 'stats' arm) but stays a HEADLINE under
-    # its original name so per-query bench history remains comparable
-    # round over round — same plan, called directly.
-    if "text_stats_by_lang" not in queries:
-        from privacy_cdc_lakehouse_spark.queries.llmops import (
-            q_text_stats_by_lang,
-        )
-
-        queries["text_stats_by_lang"] = q_text_stats_by_lang
+    queries = headline_queries()
 
     # JVM/JIT + Arrow warmup so the first timed query doesn't absorb
     # session bring-up (standard benchmarking practice; we time queries,

@@ -522,3 +522,88 @@ def duplicate_spans(
             F.col("n_grams").cast("long").alias("n_grams"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/CCNet/RefinedWeb-style line-level boilerplate removal: a line
+    whose trimmed content occurs in >= ``min_docs`` DISTINCT documents
+    is boilerplate (nav bars, cookie banners, license footers); rebuild
+    every document from its surviving lines in original order. Output:
+    (id, text_clean, n_lines, n_kept) — ``n_kept < n_lines`` marks docs
+    that lost boilerplate; ``text_clean`` is '' when nothing survives.
+
+    Scale shape: one ``posexplode`` pass over the corpus; the
+    boilerplate set is one md5-keyed aggregate (count-distinct docs per
+    line hash — two-level partial agg, shuffle is line-vocabulary-
+    sized, never all-pairs); surviving lines anti-join the boilerplate
+    hashes (broadcast at any realistic boilerplate-set size); the
+    rebuild groups by doc with an ``array_sort`` on (pos, line) — the
+    shuffle carries each line once. No UDFs anywhere.
+    """
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    keyed = lines.withColumn("lh", F.md5(F.trim(F.col("line"))))
+    boiler = (
+        keyed.groupBy("lh")
+        .agg(F.count_distinct(F.col(id_col)).alias("ndocs"))
+        .filter(F.col("ndocs") >= min_docs)
+        .select("lh")
+    )
+    kept = keyed.join(F.broadcast(boiler), "lh", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+def incremental_exact_dedup(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fingerprint",
+) -> DataFrame:
+    """Ingest-time exact dedup of a NEW batch against the persistent
+    fingerprint store — the daily-ingest pattern at 100 TB: the corpus
+    is never re-scanned; the store is a fingerprint table (at scale a
+    LakeTable bucketed by fingerprint so the anti-join co-locates, or
+    the batch side — by far the smaller — shuffles alone). Drops batch
+    docs whose fingerprint is already stored AND collapses in-batch
+    duplicate groups to the min-id keeper. Returns survivors
+    (id, fingerprint); appending them to the store completes the ingest
+    cycle, keeping the store the single source of dedup truth across
+    arbitrarily many batches.
+
+    Uses :func:`operators.text.normalized_fingerprint` — the ONE
+    canonical exact-dedup identity every consumer shares.
+    """
+    fp = batch.select(
+        F.col(id_col),
+        normalized_fingerprint(F.col(text_col)).alias(fp_col),
+    )
+    fresh = fp.join(store.select(F.col(fp_col)), fp_col, "left_anti")
+    return (
+        fresh.groupBy(fp_col)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col, fp_col)
+    )

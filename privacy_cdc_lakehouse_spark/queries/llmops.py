@@ -902,6 +902,15 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
 FROM ivf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
+_SIM_ANN_TOPK_PANEL_SQL = f"""
+SELECT 'bruteforce' AS method, * FROM ({_SIM_TOPK_SQL})
+UNION ALL
+SELECT 'lsh', * FROM ({_LSH_TOPK_SQL})
+UNION ALL
+SELECT 'ivf', * FROM ({_IVF_TOPK_SQL})
+ORDER BY method, query_id, rank
+"""
+
 
 # ----------------------------- curation -------------------------------------
 
@@ -1282,6 +1291,139 @@ SELECT 'stats', lang || ':' || m, v FROM (
     FROM ({_TEXT_STATS_SQL})
 )
 ORDER BY kind, k
+"""
+
+
+def q_sim_ann_topk_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The three ANN top-k strategies — exact brute force, OR-amplified
+    hyperplane LSH, IVF with the fixed coarse quantizer — in one tagged
+    union (round-7 consolidation; every arm is the ORIGINAL plan via
+    the original callable, identical output schemas). Freed two
+    registry slots for ``text_line_dedup`` and ``dedup_incremental``;
+    the bench HEADLINES still time ``sim_topk_bruteforce`` and
+    ``sim_lsh_topk`` individually under their original names."""
+    pin_utc(spark)
+    bf = q_sim_topk_bruteforce(spark, sf_dir).select(
+        F.lit("bruteforce").alias("method"), "*"
+    )
+    lsh = q_sim_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
+    ivf = q_sim_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    return (
+        bf.unionByName(lsh)
+        .unionByName(ivf)
+        .orderBy("method", "query_id", "rank")
+    )
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate removal
+    (``operators/dedup.py::dedup_lines``). The fixture corpus is a flat
+    word stream, so both engines first lay it out as 8-word lines with
+    identical integer arithmetic (the operator itself is plain
+    newline-based); a line appearing in >= 2 distinct docs is dropped
+    and every doc is rebuilt from its surviving lines in order. The
+    rebuilt text is verified via md5 — one wrong/misordered line in any
+    doc breaks the hash."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ws = tx.words(F.col("text"))
+    fmt = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.when(
+                F.size(ws) >= 1,
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor((F.size(ws) - 1) / 8).cast("int")
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(ws, i * 8 + 1, 8)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("text"),
+    )
+    return (
+        dd.dedup_lines(fmt, min_docs=2)
+        .select(
+            "doc_id",
+            F.md5("text_clean").alias("clean_md5"),
+            "n_lines",
+            "n_kept",
+        )
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_SQL = f"""
+WITH w AS (
+    SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+),
+li AS (
+    SELECT doc_id, unnest(range(0, CAST(floor((len(ws) - 1) / 8) AS BIGINT) + 1)) AS pos, ws
+    FROM w WHERE len(ws) >= 1
+),
+lines AS (
+    SELECT doc_id, pos,
+           array_to_string(ws[pos * 8 + 1:pos * 8 + 8], ' ') AS line
+    FROM li
+),
+boiler AS (
+    SELECT md5(trim(line)) AS lh FROM lines
+    GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+),
+kept AS (
+    SELECT doc_id, pos, line FROM lines
+    WHERE md5(trim(line)) NOT IN (SELECT lh FROM boiler)
+),
+rebuilt AS (
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           count(*) AS n_kept
+    FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+SELECT t.doc_id, md5(coalesce(r.text_clean, '')) AS clean_md5,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup against a persistent fingerprint store
+    (``operators/dedup.py::incremental_exact_dedup``): the raw corpus
+    plays the historical store, the augmented corpus plays the new
+    batch — base docs and exact copies are dropped (fingerprint already
+    stored), perturbed near-dups survive, and in-batch duplicate groups
+    collapse to the min-id keeper. Every survivor's id AND fingerprint
+    are hash-checked."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir)
+    store = docs.select(
+        dd.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    ).distinct()
+    batch = _augmented(docs)
+    return dd.incremental_exact_dedup(batch, store).orderBy("doc_id")
+
+
+_DEDUP_INCREMENTAL_SQL = f"""
+WITH {_AUG_CTE},
+store AS (
+    SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+),
+fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM aug
+),
+fresh AS (
+    SELECT * FROM fp
+    WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
+)
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fingerprint
+FROM fresh GROUP BY fingerprint ORDER BY doc_id
 """
 
 
@@ -1774,10 +1916,13 @@ FROM b ORDER BY doc_id
 # input — see its oracle CTE — plus the verify stage).
 QUERIES = {
     "simhash_portable": q_simhash_portable,
-    "sim_topk_bruteforce": q_sim_topk_bruteforce,
-    "sim_lsh_topk": q_sim_lsh_topk,
+    # round 7: the three identically-shaped ANN top-k rows ride one
+    # tagged union (each arm the ORIGINAL plan via the original
+    # callable) — freed two slots for text_line_dedup + dedup_incremental
+    "sim_ann_topk_panel": q_sim_ann_topk_panel,
     "sim_ann_recall": q_sim_ann_recall,
-    "sim_ivf_topk": q_sim_ivf_topk,
+    "text_line_dedup": q_text_line_dedup,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_near_dup": q_embedding_near_dup,
     "embedding_quantize": q_embedding_quantize,
     # round 6 (cont.): multimodal_binary_features + multimodal_
@@ -1818,13 +1963,14 @@ QUERIES = {
 
 ORACLES = {
     "simhash_portable": _simhash_portable_sql(16),
-    "sim_topk_bruteforce": _SIM_TOPK_SQL,
-    "sim_lsh_topk": _LSH_TOPK_SQL,
-    "sim_ann_recall": _ANN_RECALL_SQL,
-    # sim_ivf_topk runs the iters=0 fixed-centroid quantizer, which IS
+    # The panel unions the three SQL replicas unchanged; the ivf arm
+    # runs the iters=0 fixed-centroid quantizer, which IS
     # SQL-expressible (seeds are raw data vectors); the ITERATED
     # quantizer's quality floor is inside sim_ann_recall.
-    "sim_ivf_topk": _IVF_TOPK_SQL,
+    "sim_ann_topk_panel": _SIM_ANN_TOPK_PANEL_SQL,
+    "sim_ann_recall": _ANN_RECALL_SQL,
+    "text_line_dedup": _LINE_DEDUP_SQL,
+    "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
     "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_panel": _multimodal_panel_sql(),

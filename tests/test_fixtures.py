@@ -104,5 +104,8 @@ def test_bench_headline_queries_registered():
     from privacy_cdc_lakehouse_spark.queries import all_oracles, all_queries
 
     q, o = all_queries(), all_oracles()
-    assert set(bench.HEADLINE) <= set(q)
+    # every headline must resolve — in the registry or via bench's
+    # retired-headline direct calls (round-7 consolidations keep
+    # original names timeable for round-over-round comparability)
+    assert set(bench.HEADLINE) <= set(bench.headline_queries())
     assert len(q) == 50 and set(o) <= set(q)

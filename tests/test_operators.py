@@ -776,3 +776,66 @@ def test_dataset_report_profile(spark):
     # quality deciles cover all docs
     n_quality = sum(v for (k, _), v in rep.items() if k == "quality")
     assert n_quality == 3.0
+
+
+def test_dedup_lines_boilerplate_removal(spark):
+    # 'cookie banner' appears in docs 1+2 (boilerplate, min_docs=2);
+    # every other line is unique and must survive IN ORDER.
+    df = _docs(
+        spark,
+        [
+            (1, "accept our cookies\nreal content one\nmore text here"),
+            (2, "intro line two\naccept our cookies\nunique ending"),
+            (3, "totally unique doc\nwith two lines"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in dd.dedup_lines(df, min_docs=2).collect()}
+    assert out[1]["text_clean"] == "real content one\nmore text here"
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text_clean"] == "intro line two\nunique ending"
+    # untouched doc: clean == original, nothing removed
+    assert out[3]["text_clean"] == "totally unique doc\nwith two lines"
+    assert out[3]["n_lines"] == out[3]["n_kept"] == 2
+    # trimming defines line identity ('  accept our cookies ' == same)
+    df2 = _docs(
+        spark,
+        [
+            (1, "  accept our cookies \nkeep me"),
+            (2, "accept our cookies\nother line"),
+        ],
+    )
+    out2 = {r["doc_id"]: r for r in dd.dedup_lines(df2, min_docs=2).collect()}
+    assert out2[1]["text_clean"] == "keep me"
+    # a doc losing EVERY line yields '' with n_kept=0
+    df3 = _docs(spark, [(1, "only line"), (2, "only line")])
+    out3 = {r["doc_id"]: r for r in dd.dedup_lines(df3, min_docs=2).collect()}
+    assert out3[1]["text_clean"] == "" and out3[1]["n_kept"] == 0
+    assert out3[1]["n_lines"] == 1
+
+
+def test_incremental_exact_dedup_store_and_batch(spark):
+    store_docs = _docs(spark, [(1, "old doc one"), (2, "old doc two")])
+    store = store_docs.select(
+        dd.normalized_fingerprint(F.col("text")).alias("fingerprint")
+    )
+    batch = _docs(
+        spark,
+        [
+            (10, "old doc one"),        # already stored -> dropped
+            (11, "Old  DOC one"),       # normalized twin -> dropped
+            (12, "brand new doc"),      # fresh -> survives
+            (13, "brand new doc"),      # in-batch dup -> collapses to 12
+            (14, "another new doc"),    # fresh -> survives
+        ],
+    )
+    out = dd.incremental_exact_dedup(batch, store)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [12, 14]
+    # survivors carry the canonical fingerprint (appendable to the store)
+    fps = {r["doc_id"]: r["fingerprint"] for r in out.collect()}
+    import hashlib
+
+    assert fps[12] == hashlib.md5(b"brand new doc").hexdigest()
+    # second cycle: append survivors, replay the SAME batch -> all dropped
+    store2 = store.unionByName(out.select("fingerprint"))
+    assert dd.incremental_exact_dedup(batch, store2).count() == 0

@@ -21,7 +21,14 @@ AUDIT = {
     # buffer) — the point is `partial_max_by` BEFORE the exchange: the
     # shuffle carries ~|keys| rows, not every event like a window would.
     "cdc_orders_current": ["SortAggregate|HashAggregate", "partial_max_by"],
-    "sim_topk_bruteforce": ["BroadcastNestedLoopJoin|CartesianProduct"],
+    # round 7: the three ANN top-k rows ride one union — the brute-force
+    # arm's sanctioned cross-score plus the LSH/IVF broadcast joins
+    "sim_ann_topk_panel": ["BroadcastNestedLoopJoin|CartesianProduct", "BroadcastHashJoin", "!SortMergeJoin"],
+    # line-level boilerplate removal: explode + count-distinct agg +
+    # anti-join + per-doc rebuild; never a corpus self-join
+    "text_line_dedup": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # batch-vs-store anti-join + in-batch keeper election
+    "dedup_incremental": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
     # q12 rides inside the scalar-aggregate union since round 5 — its
     # fact-fact join broadcasts at test SF (AQE observes tiny sides)
     # and sort-merges at scale, so any join node satisfies the check.
