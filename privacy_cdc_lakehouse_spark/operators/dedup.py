@@ -541,9 +541,12 @@ def dedup_lines(
     boilerplate set is one md5-keyed aggregate (count-distinct docs per
     line hash — two-level partial agg, shuffle is line-vocabulary-
     sized, never all-pairs); surviving lines anti-join the boilerplate
-    hashes (broadcast at any realistic boilerplate-set size); the
-    rebuild groups by doc with an ``array_sort`` on (pos, line) — the
-    shuffle carries each line once. No UDFs anywhere.
+    hashes ON the line hash — deliberately NOT broadcast-hinted: at
+    100 TB the duplicated-line set is itself huge (C4 scale), so the
+    correct plan is a shuffle join co-partitioned on ``lh`` (AQE
+    broadcasts it anyway when it measures small); the rebuild groups by
+    doc with an ``array_sort`` on (pos, line) — the shuffle carries
+    each line once. No UDFs anywhere.
     """
     lines = docs.select(
         F.col(id_col),
@@ -556,7 +559,7 @@ def dedup_lines(
         .filter(F.col("ndocs") >= min_docs)
         .select("lh")
     )
-    kept = keyed.join(F.broadcast(boiler), "lh", "left_anti")
+    kept = keyed.join(boiler, "lh", "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.concat_ws(
             "\n",

@@ -25,8 +25,11 @@ AUDIT = {
     # arm's sanctioned cross-score plus the LSH/IVF broadcast joins
     "sim_ann_topk_panel": ["BroadcastNestedLoopJoin|CartesianProduct", "BroadcastHashJoin", "!SortMergeJoin"],
     # line-level boilerplate removal: explode + count-distinct agg +
-    # anti-join + per-doc rebuild; never a corpus self-join
-    "text_line_dedup": ["Generate", "HashAggregate", "!CartesianProduct", "!SortMergeJoin"],
+    # anti-join + per-doc rebuild; never a corpus self-join. The
+    # boilerplate anti-join is deliberately NOT broadcast-hinted (the
+    # duplicated-line set is corpus-scale at 100 TB), so any join
+    # strategy is acceptable — assert shape, not join flavor.
+    "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
     # batch-vs-store anti-join + in-batch keeper election
     "dedup_incremental": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
     # q12 rides inside the scalar-aggregate union since round 5 — its
