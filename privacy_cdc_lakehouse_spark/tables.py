@@ -1859,7 +1859,7 @@ class LakeTable:
         partition_filter: str | None = None,
         return_count: bool = False,
         write_change_data: bool = False,
-        mode: str = "copy_on_write",
+        mode: str | None = None,
     ) -> int | tuple[int, int]:
         """``DELETE FROM t WHERE predicate`` — the privacy lakehouse's
         right-to-be-forgotten primitive. NULL
@@ -1894,7 +1894,16 @@ class LakeTable:
         Observation API (zero extra scans); under merge-on-read it
         costs the one scan the mode otherwise avoids (count-only — the
         scan projects nothing).
+
+        The table property ``write.delete.mode`` (Iceberg's name;
+        ``copy-on-write``/``merge-on-read``, hyphens or underscores)
+        sets the default when ``mode`` is not passed explicitly. A
+        property-selected merge-on-read gracefully falls back to
+        copy-on-write for a typed ``Column`` predicate (the manifest
+        can only store SQL text; semantics are identical — the property
+        is a performance policy, not a semantics switch).
         """
+        mode = self._row_level_mode("delete", mode, predicate)
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown delete mode: {mode!r}")
         if mode == "merge_on_read":
@@ -1939,6 +1948,32 @@ class LakeTable:
         if not return_count:
             return version
         return version, int(obs.get["n_deleted"])
+
+    def _row_level_mode(
+        self, op: str, mode: str | None, predicate: str | Column
+    ) -> str:
+        """Resolve the row-level write strategy: explicit ``mode`` arg >
+        table property ``write.<op>.mode`` (Iceberg's property names,
+        hyphen or underscore values) > ``copy_on_write``. A
+        PROPERTY-selected merge_on_read silently falls back to
+        copy_on_write when the predicate is a typed Column (the
+        manifest can only store SQL text; the property is a performance
+        policy with identical semantics) — an EXPLICIT
+        ``mode="merge_on_read"`` still fails loudly on a Column
+        predicate so callers who demanded O(1) commits notice."""
+        explicit = mode is not None
+        if mode is None:
+            mode = str(
+                self.properties().get(f"write.{op}.mode", "copy_on_write")
+            )
+        mode = mode.replace("-", "_")
+        if (
+            mode == "merge_on_read"
+            and not explicit
+            and not isinstance(predicate, str)
+        ):
+            return "copy_on_write"
+        return mode
 
     def _delete_merge_on_read(
         self,
@@ -2006,7 +2041,7 @@ class LakeTable:
         set_values: dict[str, Column],
         partition_filter: str | None = None,
         write_change_data: bool = False,
-        mode: str = "copy_on_write",
+        mode: str | None = None,
     ) -> int:
         """``UPDATE t SET col = expr WHERE predicate``.
         NULL predicate rows are untouched (SQL semantics). Accepts a
@@ -2028,7 +2063,13 @@ class LakeTable:
           O(files containing matches); read amplification is one
           residual filter per prior file, same as MoR delete.
           ``compact()`` materializes both halves. Requires a STRING
-          predicate (stored in the manifest)."""
+          predicate (stored in the manifest).
+
+        The table property ``write.update.mode`` (Iceberg's name) sets
+        the default when ``mode`` is not passed; see
+        :meth:`delete_where` for the property semantics and the typed-
+        predicate fallback."""
+        mode = self._row_level_mode("update", mode, predicate)
         if mode not in ("copy_on_write", "merge_on_read"):
             raise ValueError(f"unknown update mode: {mode!r}")
         if mode == "merge_on_read":

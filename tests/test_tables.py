@@ -1523,3 +1523,40 @@ def test_merge_on_read_update_change_feed_and_guards(spark, tmp_path):
         t.update_where("id = 1", {"v": F.lit(0)}, mode="nope")
     with pytest.raises(ValueError, match="SET columns"):
         t.update_where("id = 1", {"zz": F.lit(0)}, mode="merge_on_read")
+
+
+def test_row_level_mode_table_properties(spark, tmp_path):
+    """Iceberg-parity write.delete.mode / write.update.mode properties
+    default the row-level strategy; explicit mode args override; a
+    property-selected merge-on-read falls back to copy-on-write for a
+    typed Column predicate (explicit MoR still fails loudly)."""
+    t = LakeTable(spark, str(tmp_path / "rlm"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id int, tag string, v int"
+        )
+    )
+    t.set_properties(
+        {"write.delete.mode": "merge-on-read", "write.update.mode": "merge-on-read"}
+    )
+    dirs_before = _data_dirs(t)
+    # property-driven MoR delete: metadata-only, no dir change
+    t.delete_where("id = 3")
+    assert _data_dirs(t) == dirs_before
+    assert _rows(t) == [(1, "a", 10), (2, "b", 20)]
+    # property-driven MoR update: exactly one new dir, priors excluded
+    t.update_where("tag = 'b'", {"v": F.lit(99)})
+    assert len(set(_data_dirs(t)) - set(dirs_before)) == 1
+    assert _rows(t) == [(1, "a", 10), (2, "b", 99)]
+    # typed Column predicate under the MoR property: graceful CoW
+    t.delete_where(F.col("id") == 1)
+    assert _rows(t) == [(2, "b", 99)]
+    # explicit MoR + Column predicate still fails loudly
+    with pytest.raises(ValueError, match="SQL text"):
+        t.delete_where(F.col("id") == 2, mode="merge_on_read")
+    # explicit CoW overrides the property (rewrites, drops exclusions
+    # on the touched set); hyphenated explicit value accepted too
+    t.update_where("id = 2", {"v": F.lit(1)}, mode="copy-on-write")
+    assert _rows(t) == [(2, "b", 1)]
+    snap = t._snapshot(t.current_version())
+    assert all(e["excludes"] == [] for e in snap["files"])
