@@ -610,3 +610,58 @@ def incremental_exact_dedup(
         .agg(F.min(id_col).alias(id_col))
         .select(id_col, fp_col)
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 substring dedup: cut the
+    duplicated word ranges (:func:`duplicate_spans` output) out of each
+    document. Words covered by ANY span are dropped; survivors rejoin
+    in original order (single-space separated — the same word-stream
+    normalization the span offsets were computed over). Docs with no
+    spans pass through with their normalized word stream intact.
+    Output: (id, text_clean, n_words, n_kept).
+
+    Scale shape: tokens explode once; span coverage is a per-doc
+    equi-join on the doc key followed by a range filter — spans per doc
+    are few by construction (maximal + disjoint), so the multiplicity
+    is bounded; survivors anti-join the covered positions and the
+    per-doc rebuild carries each word once. No UDFs, no cross join.
+    """
+    ws = words(F.col(text_col))
+    toks = docs.select(
+        F.col(id_col), F.posexplode(ws).alias("pos", "w")
+    )
+    sp = spans.select(F.col(id_col), "span_start", "span_end")
+    covered = (
+        toks.select(id_col, "pos")
+        .join(sp, id_col)
+        .filter(
+            (F.col("pos") >= F.col("span_start"))
+            & (F.col("pos") <= F.col("span_end"))
+        )
+        .select(id_col, "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                lambda s: s["w"],
+            ),
+        ).alias("text_clean"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = docs.select(F.col(id_col), F.size(ws).alias("n_words"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -1085,19 +1085,43 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 
 
 def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-substring duplication spans (Lee et al. 2022-style dedup;
-    ``operators/dedup.py::duplicate_spans``) over the augmented corpus
-    — its exact copies and perturbed near-dups produce real duplicated
-    substrings. Every span's doc, start, end, and gram count are
-    hash-checked: the oracle replays the identical positional-8-gram
-    md5 + count>1 + gaps-and-islands arithmetic (pure integers plus one
-    portable hash). Islands merge whenever gram spans overlap
-    (pos <= prev + 7), so emitted spans are maximal and disjoint."""
+    """The COMPLETE Lee et al. 2022-style substring-dedup pipeline over
+    the augmented corpus, as a tagged union (round-7 extension of the
+    round-6 spans-only row):
+
+    - ``span`` rows — ``operators/dedup.py::duplicate_spans``: every
+      duplicated span's doc, start, end, gram count. Islands merge
+      whenever gram spans overlap (pos <= prev + 7), so spans are
+      maximal and disjoint.
+    - ``clean`` rows — ``operators/dedup.py::remove_duplicate_spans``:
+      the REMOVAL step; every doc's rebuilt text is md5-verified (k),
+      with total/surviving word counts. Docs without spans verify the
+      pass-through path (normalized word stream hashes must match).
+
+    The oracle replays both halves: positional-8-gram md5 + count>1 +
+    gaps-and-islands, then span coverage + ordered rebuild — pure
+    integers plus portable hashes. (The spans subplan feeds both arms;
+    at 100 TB persist it between the two, the composition is lazy.)"""
     pin_utc(spark)
-    return (
-        dd.duplicate_spans(_augmented(_docs(spark, sf_dir)), n=8)
-        .orderBy("doc_id", "span_start")
+    corpus = _augmented(_docs(spark, sf_dir))
+    spans = dd.duplicate_spans(corpus, n=8)
+    span_rows = spans.select(
+        F.lit("span").alias("kind"),
+        "doc_id",
+        F.lit("").alias("k"),
+        F.col("span_start").alias("v1"),
+        F.col("span_end").alias("v2"),
+        F.col("n_grams").alias("v3"),
     )
+    clean_rows = dd.remove_duplicate_spans(corpus, spans).select(
+        F.lit("clean").alias("kind"),
+        "doc_id",
+        F.md5("text_clean").alias("k"),
+        F.col("n_words").alias("v1"),
+        F.col("n_kept").alias("v2"),
+        F.lit(None).cast("long").alias("v3"),
+    )
+    return span_rows.unionByName(clean_rows).orderBy("kind", "doc_id", "v1")
 
 
 _DUP_SPANS_SQL = f"""
@@ -1134,12 +1158,46 @@ isl AS (
            sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
     FROM marked
+),
+sp AS (
+    SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 7 AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM isl GROUP BY doc_id, island
+),
+tok AS (
+    SELECT doc_id, unnest(range(0, len(ws))) AS pos, ws FROM w
+),
+tw AS (SELECT doc_id, pos, ws[CAST(pos + 1 AS BIGINT)] AS wd FROM tok),
+cov AS (
+    SELECT DISTINCT t.doc_id, t.pos
+    FROM tw t JOIN sp s
+      ON s.doc_id = t.doc_id
+     AND t.pos BETWEEN s.span_start AND s.span_end
+),
+keptw AS (
+    SELECT t.doc_id, t.pos, t.wd FROM tw t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM cov c WHERE c.doc_id = t.doc_id AND c.pos = t.pos
+    )
+),
+reb AS (
+    SELECT doc_id, string_agg(wd, ' ' ORDER BY pos) AS text_clean,
+           count(*) AS n_kept
+    FROM keptw GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(ws) AS n_words FROM w)
+SELECT kind, doc_id, k, v1, v2, v3 FROM (
+    SELECT 'span' AS kind, doc_id, '' AS k,
+           span_start AS v1, span_end AS v2, n_grams AS v3
+    FROM sp
+    UNION ALL
+    SELECT 'clean', t.doc_id, md5(coalesce(r.text_clean, '')),
+           CAST(t.n_words AS BIGINT), CAST(coalesce(r.n_kept, 0) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM tot t LEFT JOIN reb r ON r.doc_id = t.doc_id
 )
-SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-       CAST(max(pos) + 7 AS BIGINT) AS span_end,
-       CAST(count(*) AS BIGINT) AS n_grams
-FROM isl GROUP BY doc_id, island
-ORDER BY doc_id, span_start
+ORDER BY kind, doc_id, v1
 """
 
 

@@ -839,3 +839,25 @@ def test_incremental_exact_dedup_store_and_batch(spark):
     # second cycle: append survivors, replay the SAME batch -> all dropped
     store2 = store.unionByName(out.select("fingerprint"))
     assert dd.incremental_exact_dedup(batch, store2).count() == 0
+
+
+def test_remove_duplicate_spans_cuts_covered_words(spark):
+    shared = "one two three four five six seven eight"  # 8 words
+    df = _docs(
+        spark,
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"start {shared} end of text here now"),
+            (3, "totally unique words with no overlap at all present"),
+        ],
+    )
+    spans = dd.duplicate_spans(df, n=8)
+    out = {r["doc_id"]: r for r in dd.remove_duplicate_spans(df, spans).collect()}
+    # doc 1: words 2..9 cut -> survivors in order
+    assert out[1]["text_clean"] == "alpha beta gamma delta"
+    assert (out[1]["n_words"], out[1]["n_kept"]) == (12, 4)
+    # doc 2: words 1..8 cut
+    assert out[2]["text_clean"] == "start end of text here now"
+    # doc 3 untouched: full normalized word stream, n_kept == n_words
+    assert out[3]["text_clean"] == "totally unique words with no overlap at all present"
+    assert out[3]["n_kept"] == out[3]["n_words"] == 9
