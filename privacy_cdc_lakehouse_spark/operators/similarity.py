@@ -539,3 +539,71 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): embedding-space
+    dedup scoped to k-means cells. Vectors are assigned to their
+    nearest centroid; pairs are compared ONLY within a cell — the
+    paper's core trick: semantic duplicates land in the same cell, so
+    the quadratic pair expansion is bounded by cell size, never corpus
+    size. Pairs at cosine >= ``threshold`` transitively close into
+    components; the min-id member is the keeper (the paper keeps the
+    LOW-similarity-to-centroid example; min-id is the deterministic
+    stand-in that makes the output oracle-checkable).
+    Output: (id, cluster, component, is_keeper) for every vector.
+
+    100 TB shape: the fit is the write-once :func:`ivf_model` artifact
+    (pass ``model=``); assignment is a codegen'd argmin projection; the
+    in-cell expansion reuses :func:`dedup.bucket_pairs` (grouped ids,
+    never a cell self-join — that would plan the assignment twice), so
+    choose ``n_clusters ~ sqrt(N)`` as the paper does to keep cells
+    small; the exact-cosine verify touches candidate pairs only; the
+    closure is the checkpointed min-label propagation of
+    :func:`dedup.connected_components`.
+    """
+    from privacy_cdc_lakehouse_spark.operators.dedup import (
+        bucket_pairs,
+        connected_components,
+    )
+
+    if model is not None:
+        cents = _model_centroids(model, n_clusters, iters)
+    else:
+        cents = kmeans_fit(
+            corpus, n_clusters=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    ).withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+    cand = bucket_pairs(c.select(id_col, "cluster"), ["cluster"], id_col)
+    a = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+    b = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+    dup = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(dup)
+    return (
+        c.select(id_col, "cluster")
+        .join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cluster",
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+        .withColumn("is_keeper", F.col(id_col) == F.col("component"))
+    )

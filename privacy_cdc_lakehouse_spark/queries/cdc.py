@@ -93,6 +93,36 @@ def q_cdc_op_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bronze_dq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC monitoring surface as one tagged long-format row set
+    (round-7 consolidation; both original plans run unchanged via the
+    original callables): the bronze/silver/peek DQ counters of
+    ``q_bronze_dq`` stack-unpivoted as ``dq`` rows, plus the change-op
+    histogram as ``op`` rows. Values ride one string column — every
+    source value is an exact integer or a string, so the cast is
+    lossless and engine-identical. Freed the ``cdc_op_histogram`` slot
+    for ``dedup_semantic``."""
+    pin_utc(spark)
+    dq = q_bronze_dq(spark, sf_dir).selectExpr(
+        "stack(9, "
+        "'n_events', CAST(n_events AS STRING), "
+        "'max_offset', CAST(max_offset AS STRING), "
+        "'n_keys', CAST(n_keys AS STRING), "
+        "'n_rows', CAST(n_rows AS STRING), "
+        "'null_user_ids', CAST(null_user_ids AS STRING), "
+        "'negative_amounts', CAST(negative_amounts AS STRING), "
+        "'duplicate_keys', CAST(duplicate_keys AS STRING), "
+        "'peek_offset', CAST(peek_offset AS STRING), "
+        "'key_peek', key_peek) AS (k, v)"
+    ).select(F.lit("dq").alias("kind"), "k", "v")
+    ops = q_cdc_op_histogram(spark, sf_dir).select(
+        F.lit("op").alias("kind"),
+        F.col("op").alias("k"),
+        F.col("n").cast("string").alias("v"),
+    )
+    return dq.unionByName(ops).orderBy("kind", "k")
+
+
 def q_decimal_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Precise-mode Debezium Decimal backfill (``README.md:167-172``):
     amounts encoded as Kafka Connect base64 two's-complement payloads
@@ -711,8 +741,9 @@ ORDER BY kind, schema_name, table_name
 QUERIES = {
     "cdc_orders_current": q_orders_current,
     "cdc_orders_current_priv": q_orders_current_priv,
-    "cdc_bronze_dq": q_bronze_dq,
-    "cdc_op_histogram": q_cdc_op_histogram,
+    # round 7: cdc_op_histogram folded in as 'op' rows (both original
+    # plans unchanged) — freed the slot for llmops.py::dedup_semantic
+    "cdc_bronze_dq": q_bronze_dq_panel,
     "cdc_decimal_backfill": q_decimal_backfill,
     "sql_merge_orders": q_sql_merge_orders,
     # round 6: Change Data Feed surfaced as a hash-checked row (slot
@@ -748,6 +779,7 @@ ORACLES = {
     """,
     "cdc_bronze_dq": _LATEST_CTE
     + """
+    , dqrow AS (
     SELECT * FROM (
         SELECT CAST(count(*) AS BIGINT) AS n_events,
                CAST(max(off) AS BIGINT) AS max_offset,
@@ -764,10 +796,24 @@ ORACLES = {
                substr('{"order_id":' || CAST(order_id AS VARCHAR) || '}', 1, 500) AS key_peek
         FROM cdc_ev ORDER BY off DESC LIMIT 1
     ) p
-    """,
-    "cdc_op_histogram": f"""
-    WITH {ORACLE_EVENTS_CTE}
-    SELECT op, CAST(count(*) AS BIGINT) AS n FROM cdc_ev GROUP BY op ORDER BY op
+    )
+    SELECT kind, k, v FROM (
+        SELECT 'dq' AS kind, m AS k, v FROM (
+            SELECT unnest(ARRAY['n_events', 'max_offset', 'n_keys', 'n_rows',
+                                'null_user_ids', 'negative_amounts',
+                                'duplicate_keys', 'peek_offset', 'key_peek']) AS m,
+                   unnest(ARRAY[CAST(n_events AS VARCHAR), CAST(max_offset AS VARCHAR),
+                                CAST(n_keys AS VARCHAR), CAST(n_rows AS VARCHAR),
+                                CAST(null_user_ids AS VARCHAR),
+                                CAST(negative_amounts AS VARCHAR),
+                                CAST(duplicate_keys AS VARCHAR),
+                                CAST(peek_offset AS VARCHAR), key_peek]) AS v
+            FROM dqrow
+        )
+        UNION ALL
+        SELECT 'op', op, CAST(count(*) AS VARCHAR) FROM cdc_ev GROUP BY op
+    )
+    ORDER BY kind, k
     """,
     "cdc_decimal_backfill": _DECIMAL_BACKFILL_SQL,
     # SQL-text MERGE must land on the SAME final state as the flagship.

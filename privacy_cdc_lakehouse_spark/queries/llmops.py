@@ -912,6 +912,93 @@ ORDER BY method, query_id, rank
 """
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (``operators/similarity.py::semantic_dedup``) over the
+    AUGMENTED embeddings corpus (the same vec_id%10 perturbed copies as
+    ``dedup_embedding_near_dup`` — the raw corpus has no semantic dups
+    to find) with the FIXED coarse quantizer (``iters=0`` — the same
+    SQL-replicable seed assignment as the ivf arm of
+    ``sim_ann_topk_panel``): cluster-scoped cosine pairs at >= 0.99,
+    recursive-CTE transitive closure, min-id keeper. Every vector's
+    cell, component and keeper flag are hash-checked — seed selection,
+    argmin assignment (tie-break lowest cluster), in-cell pair cosine,
+    and the closure are all replayed in DuckDB."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    perturbed = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    return sim.semantic_dedup(
+        corpus, threshold=0.99, n_clusters=8, iters=0, vec_col="v"
+    ).orderBy("vec_id")
+
+
+_DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id, cv FROM base
+    UNION ALL
+    SELECT vec_id + 100000,
+           list_transform(range(1, 65),
+             i -> CASE WHEN i = 1 THEN cv[i] * 1.05 ELSE cv[i] END)
+    FROM base WHERE vec_id % 10 = 0
+),
+seeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, cv AS svec
+    FROM (SELECT vec_id, cv FROM c ORDER BY vec_id LIMIT 8)
+),
+cdist AS (
+    SELECT vec_id, cv, s.cl,
+           {_SQDIST.format(a='cv', b='s.svec')} AS d
+    FROM c CROSS JOIN seeds s
+),
+assigned AS (
+    SELECT vec_id, cv, cl AS cluster FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d, cl) AS rn
+        FROM cdist
+    ) WHERE rn = 1
+),
+pairs AS (
+    SELECT id_a, id_b,
+           CASE WHEN na * nb > 0 THEN dot / (na * nb) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_DOT.format(a='a.cv', b='b.cv')} AS dot,
+               sqrt({_DOT.format(a='a.cv', b='a.cv')}) AS na,
+               sqrt({_DOT.format(a='b.cv', b='b.cv')}) AS nb
+        FROM assigned a JOIN assigned b
+          ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    )
+),
+verified AS (SELECT id_a, id_b FROM pairs WHERE cos_sim >= 0.99),
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM verified
+    UNION
+    SELECT id_b, id_a FROM verified
+),
+reach(id, r) AS (
+    SELECT src, src FROM edges
+    UNION
+    SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
+),
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
+       coalesce(c2.component, s.vec_id) AS component,
+       coalesce(c2.component, s.vec_id) = s.vec_id AS is_keeper
+FROM assigned s LEFT JOIN comp c2 ON c2.id = s.vec_id
+ORDER BY s.vec_id
+"""
+
+
 # ----------------------------- curation -------------------------------------
 
 
@@ -1982,6 +2069,9 @@ QUERIES = {
     "text_line_dedup": q_text_line_dedup,
     "dedup_incremental": q_dedup_incremental,
     "dedup_embedding_near_dup": q_embedding_near_dup,
+    # round 7: SemDeDup — slot freed by folding cdc_op_histogram into
+    # the cdc_bronze_dq monitoring panel
+    "dedup_semantic": q_dedup_semantic,
     "embedding_quantize": q_embedding_quantize,
     # round 6 (cont.): multimodal_binary_features + multimodal_
     # transform_stats → multimodal_panel (both mapInPandas plans run
@@ -2030,6 +2120,7 @@ ORACLES = {
     "text_line_dedup": _LINE_DEDUP_SQL,
     "dedup_incremental": _DEDUP_INCREMENTAL_SQL,
     "dedup_embedding_near_dup": _NEAR_DUP_SQL,
+    "dedup_semantic": _DEDUP_SEMANTIC_SQL,
     "embedding_quantize": _EMB_QUANT_SQL,
     "multimodal_panel": _multimodal_panel_sql(),
     "text_quality_panel": _TEXT_QUALITY_PANEL_SQL,

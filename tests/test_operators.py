@@ -861,3 +861,37 @@ def test_remove_duplicate_spans_cuts_covered_words(spark):
     # doc 3 untouched: full normalized word stream, n_kept == n_words
     assert out[3]["text_clean"] == "totally unique words with no overlap at all present"
     assert out[3]["n_kept"] == out[3]["n_words"] == 9
+
+
+def test_semantic_dedup_cluster_scoped_components(spark):
+    """SemDeDup: near-identical vectors land in one cell and collapse
+    to a min-id component; distinct directions stay their own keepers
+    even inside the same cell."""
+    import math
+
+    def unit(theta):
+        return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+    rows = [
+        (0, unit(0.0)),            # seed 0
+        (1, unit(1.5)),            # seed 1 (far from seed 0)
+        (2, unit(0.001)),          # ~dup of 0 -> same cell, cos>0.99
+        (3, unit(0.002)),          # ~dup of 0 -> chains into component 0
+        (4, unit(1.2)),            # same cell as 1 but cos(0.3)~0.955 < 0.99
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in sim.semantic_dedup(
+            emb, threshold=0.99, n_clusters=2, iters=0, vec_col="v"
+        ).collect()
+    }
+    assert out[0]["component"] == 0 and out[0]["is_keeper"]
+    assert out[2]["component"] == 0 and not out[2]["is_keeper"]
+    assert out[3]["component"] == 0 and not out[3]["is_keeper"]
+    # 4 shares cell 1 but is below threshold: own keeper
+    assert out[4]["component"] == 4 and out[4]["is_keeper"]
+    assert out[1]["component"] == 1 and out[1]["is_keeper"]
+    # cells: 0,2,3 with seed 0; 1,4 with seed 1
+    assert out[2]["cluster"] == out[0]["cluster"]
+    assert out[4]["cluster"] == out[1]["cluster"] != out[0]["cluster"]

@@ -32,6 +32,12 @@ AUDIT = {
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
     # batch-vs-store anti-join + in-batch keeper election
     "dedup_incremental": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
+    # SemDeDup: the closure's checkpoint MATERIALIZES the upstream
+    # assignment/pair-expansion subplan (same truncation as
+    # dedup_clusters), so the visible final plan is the keeper
+    # election join over checkpointed components — assert the join is
+    # an equi-join, never a cartesian.
+    "dedup_semantic": ["Join", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     # q12 rides inside the scalar-aggregate union since round 5 — its
     # fact-fact join broadcasts at test SF (AQE observes tiny sides)
     # and sort-merges at scale, so any join node satisfies the check.
