@@ -503,3 +503,66 @@ def tfidf_top_terms(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+# ----------------------- unigram LM / perplexity filter ---------------------
+
+
+def unigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained unigram language model — the CCNet-style
+    perplexity-filter scoring model as a write-once artifact: one row
+    per lowercased word, ``(w, logp, _total)`` with
+    ``logp = ln(count / total)``. Train it ONCE on a trusted reference
+    corpus, parquet-persist it, and score any number of candidate
+    corpora against it (the same amortization contract as
+    ``similarity.lsh_index`` / ``curation.corpus_ngrams``). ``_total``
+    rides every row as a constant column (parquet RLE makes it free) so
+    scorers can price unseen words at ``ln(1 / total)`` without
+    re-aggregating the model."""
+    toks = docs.select(
+        F.explode(words(F.col(text_col))).alias("w0")
+    ).select(F.lower(F.col("w0")).alias("w"))
+    counts = toks.groupBy("w").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "w",
+        F.log(F.col("n") / F.col("_total")).alias("logp"),
+        "_total",
+    )
+
+
+def doc_logprob(
+    docs: DataFrame,
+    lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean unigram log-probability under a :func:`unigram_lm`
+    model — the perplexity-filter signal (higher = more reference-like
+    text; gibberish and boilerplate-free word salad score low). Words
+    absent from the model price at the ``ln(1 / total)`` floor. Output:
+    (id, n_scored, mean_logp 6dp).
+
+    Scale shape: one explode pass; the model join shuffles on the word
+    — VOCABULARY-sized, not corpus-sized (same as TF-IDF's df join);
+    the floor constant arrives as a broadcast 1-row scalar; the per-doc
+    mean is a map-side-combinable avg. 6dp rounding absorbs the
+    sub-1e-9 summation-order slack of the double mean, keeping the
+    output engine-portable."""
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w0")
+    ).select(id_col, F.lower(F.col("w0")).alias("w"))
+    floor = F.broadcast(
+        lm.agg(F.first("_total").alias("_total")).select(
+            F.log(F.lit(1.0) / F.col("_total")).alias("_floor")
+        )
+    )
+    scored = (
+        toks.join(lm.select("w", "logp"), "w", "left")
+        .crossJoin(floor)
+        .select(id_col, F.coalesce(F.col("logp"), F.col("_floor")).alias("lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_scored"),
+        F.round(F.avg("lp"), 6).alias("mean_logp"),
+    )

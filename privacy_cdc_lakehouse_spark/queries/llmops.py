@@ -1408,10 +1408,29 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "v",
         )
     )
+    # round 7 (cont.): perplexity-filter arm — per-doc mean unigram
+    # log-prob under the corpus-trained LM, bucketed by integer floor
+    # of the 6dp-rounded mean (engine-stable: round absorbs summation-
+    # order slack, floor of the rounded value is then exact)
+    docs = _docs(spark, sf_dir)
+    lp = tx.doc_logprob(docs, tx.unigram_lm(docs))
+    lm_rows = (
+        lp.select(
+            F.floor(F.col("mean_logp") * 10).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .select(
+            F.lit("lm").alias("kind"),
+            F.concat(F.lit("bucket_"), F.col("b")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
         .unionByName(stats)
+        .unionByName(lm_rows)
         .orderBy("kind", "k")
     )
 
@@ -1435,6 +1454,20 @@ SELECT 'stats', lang || ':' || m, v FROM (
                         avg_punct_ratio]) AS v
     FROM ({_TEXT_STATS_SQL})
 )
+UNION ALL
+SELECT 'lm', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
+    WITH lmw AS (
+        SELECT doc_id, lower(unnest({_DUCK_WORDS})) AS w FROM documents
+    ),
+    lmc AS (SELECT w, count(*) AS n FROM lmw GROUP BY w),
+    lmt AS (SELECT sum(n) AS total FROM lmc),
+    lmd AS (
+        SELECT l.doc_id, round(avg(ln(c.n / t.total)), 6) AS mlp
+        FROM lmw l JOIN lmc c USING (w) CROSS JOIN lmt t
+        GROUP BY l.doc_id
+    )
+    SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM lmd
+) GROUP BY b
 ORDER BY kind, k
 """
 

@@ -895,3 +895,26 @@ def test_semantic_dedup_cluster_scoped_components(spark):
     # cells: 0,2,3 with seed 0; 1,4 with seed 1
     assert out[2]["cluster"] == out[0]["cluster"]
     assert out[4]["cluster"] == out[1]["cluster"] != out[0]["cluster"]
+
+
+def test_unigram_lm_and_doc_logprob(spark):
+    """Closed-form check of the perplexity-filter signal: corpus
+    'a a a b' -> p(a)=3/4, p(b)=1/4; doc means follow; an UNSEEN word
+    prices at the ln(1/total) floor."""
+    train = _docs(spark, [(1, "a a a"), (2, "b")])
+    lm = tx.unigram_lm(train)
+    got = {r["w"]: (r["logp"], r["_total"]) for r in lm.collect()}
+    assert got["a"][1] == 4 and abs(got["a"][0] - math.log(3 / 4)) < 1e-12
+    assert abs(got["b"][0] - math.log(1 / 4)) < 1e-12
+    # score a corpus with a seen-only doc and a doc with an unseen word
+    score = _docs(spark, [(10, "a b"), (11, "a zzz")])
+    out = {r["doc_id"]: r for r in tx.doc_logprob(score, lm).collect()}
+    exp10 = round((math.log(3 / 4) + math.log(1 / 4)) / 2, 6)
+    exp11 = round((math.log(3 / 4) + math.log(1 / 4)) / 2, 6)  # floor = ln(1/4)
+    assert out[10]["mean_logp"] == exp10 and out[10]["n_scored"] == 2
+    assert out[11]["mean_logp"] == exp11
+    # case-insensitive: 'A' scores as 'a'
+    up = _docs(spark, [(12, "A")])
+    assert {r["mean_logp"] for r in tx.doc_logprob(up, lm).collect()} == {
+        round(math.log(3 / 4), 6)
+    }
