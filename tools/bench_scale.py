@@ -64,6 +64,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
     "curation_pack_sequences": ["Window", "!Join"],
     "curation_pipeline": ["BroadcastHashJoin", "!CartesianProduct"],
+    # round-7 additions. NOT gated: dedup_semantic — its registry row
+    # pins n_clusters=8 for SQL-oracle-ability, which is quadratic in
+    # cell size and deliberately NOT the production sizing
+    # (n_clusters ~ sqrt(N), see operators/similarity.py::semantic_dedup);
+    # scaling the fixed-8 row to sf1 would measure a configuration the
+    # operator's own docs forbid at scale.
+    "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
+    "corpus_profile": ["Generate", "HashAggregate", "!SortMergeJoin"],
 }
 
 
