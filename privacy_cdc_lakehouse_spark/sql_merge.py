@@ -576,6 +576,12 @@ _VACUUM_RE = re.compile(
 _DESC_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_TABLE_CHANGES_RE = re.compile(
+    r"^\s*(?:SELECT\s+\*\s+FROM\s+)?TABLE_CHANGES\s*\(\s*"
+    r"(?P<target>[\w.`]+)\s*,\s*(?P<start>\d+)"
+    r"(?:\s*,\s*(?P<end>\d+))?\s*\)\s*;?\s*$",
+    re.I,
+)
 _DESC_DETAIL_RE = re.compile(
     r"^\s*DESCRIBE\s+DETAIL\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
@@ -685,8 +691,11 @@ def sql_dml(
     (a, b)]`` → :meth:`LakeTable.compact` (returns the new version);
     ``VACUUM t [RETAIN n VERSIONS]`` → :meth:`LakeTable.vacuum`
     (returns the number of reclaimed dirs — vacuum commits nothing);
-    ``DESCRIBE HISTORY t`` → the commit log as a DataFrame (the one
-    statement that returns rows, like Spark's own DESCRIBE);
+    ``DESCRIBE HISTORY t`` → the commit log as a DataFrame;
+    ``SELECT * FROM TABLE_CHANGES(t, start[, end])`` → the Change Data
+    Feed as a DataFrame (Delta's CDF table-valued function; ``end``
+    defaults to the current version — these two are the row-returning
+    statements, like Spark's own DESCRIBE);
     ``ALTER TABLE t SET/UNSET TBLPROPERTIES (...)`` →
     :meth:`LakeTable.set_properties` (versioned metadata-only commit —
     the route that turns on per-file bloom-filter indexes via
@@ -764,6 +773,19 @@ def sql_dml(
             "version long, op string, ts double, n_data_dirs long, "
             "partition_by string",
         )
+    m = _TABLE_CHANGES_RE.match(s)
+    if m:
+        # Delta-SQL parity: SELECT * FROM table_changes(t, start[, end])
+        # — the Change Data Feed as a DataFrame (the second
+        # row-returning statement, like DESCRIBE HISTORY). end defaults
+        # to the current version.
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        end = (
+            int(m.group("end"))
+            if m.group("end")
+            else target.current_version()
+        )
+        return target.read_changes(int(m.group("start")), end)
     m = _RESTORE_RE.match(s)
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)

@@ -336,3 +336,29 @@ def test_restore_change_feed_is_overwrite_shaped(spark, tmp_path):
     }
     # the properties commit alone yields no rows
     assert t.read_changes(v_restore - 1, v_restore - 1).count() == 0
+
+
+def test_sql_table_changes_tvf(spark, tmp_path):
+    """Delta-SQL parity: SELECT * FROM table_changes(t, start[, end])
+    returns the CDF frame; end defaults to the current version."""
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+
+    t = LakeTable(spark, str(tmp_path / "tvf"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    t.merge(
+        spark.createDataFrame([(1, "a2"), (2, "b")], "id int, s string"),
+        keys=["id"],
+        write_change_data=True,
+    )
+    df = sql_dml(spark, "SELECT * FROM table_changes(tgt, 2, 2)", {"tgt": t})
+    got = sorted(
+        (r[CHANGE_TYPE_COL], r["id"], r["s"]) for r in df.collect()
+    )
+    assert got == [
+        ("insert", 2, "b"),
+        ("update_postimage", 1, "a2"),
+        ("update_preimage", 1, "a"),
+    ]
+    # bare-TVF form, end defaulting to current version
+    df2 = sql_dml(spark, "TABLE_CHANGES(tgt, 2)", {"tgt": t})
+    assert df2.count() == 3
