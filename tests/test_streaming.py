@@ -418,3 +418,81 @@ def test_streaming_cdf_no_double_emit_on_batch_replay(spark, sf_dir, tmp_path):
     a = sorted(tuple(r) for r in recon.select(cols).collect())
     b = sorted(tuple(r) for r in lake.silver.read().select(cols).collect())
     assert a == b and len(b) > 0
+
+
+def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
+    """Ingest-time dedup in a stream: incremental_exact_dedup runs
+    inside foreachBatch with the fingerprint store as a LakeTable that
+    GROWS per micro-batch (survivors append back), so (a) duplicates
+    across micro-batches are dropped even though no batch sees the
+    others, (b) replayed content is dropped via the store, and (c) the
+    final accepted set equals one batch-mode dedup of the whole stream.
+    """
+    from privacy_cdc_lakehouse_spark.operators.dedup import (
+        incremental_exact_dedup,
+        normalized_fingerprint,
+    )
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    # three files -> three micro-batches; dup texts straddle batches
+    rows = [
+        (1, "alpha doc"), (2, "beta doc"),           # batch 0
+        (3, "alpha doc"), (4, "gamma doc"),          # batch 1: 3 dups 1
+        (5, "Beta  DOC"), (6, "delta doc"),          # batch 2: 5 dups 2
+    ]
+    src = str(tmp_path / "incsrc")
+    for i in range(3):
+        spark.createDataFrame(
+            rows[2 * i : 2 * i + 2], "doc_id long, text string"
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    import glob
+    import os
+    import shutil
+    import time
+
+    flat = str(tmp_path / "incflat")
+    os.makedirs(flat)
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(f"{src}/b*/part-*.parquet"))):
+        dst = f"{flat}/{i:04d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    store = LakeTable(spark, str(tmp_path / "fpstore"))
+    store.overwrite(
+        spark.createDataFrame([], "fingerprint string")
+    )
+    accepted = LakeTable(spark, str(tmp_path / "accepted"))
+    accepted.overwrite(
+        spark.createDataFrame([], "doc_id long, fingerprint string")
+    )
+
+    def process(batch_df, batch_id):
+        surv = incremental_exact_dedup(batch_df, store.read())
+        accepted.append(surv)
+        store.append(surv.select("fingerprint"))
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "incckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = sorted(r["doc_id"] for r in accepted.read().collect())
+    assert got == [1, 2, 4, 6]
+    # == batch-mode dedup of the whole stream against an empty store
+    whole = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_ids = sorted(
+        r["doc_id"]
+        for r in incremental_exact_dedup(
+            whole, spark.createDataFrame([], "fingerprint string")
+        ).collect()
+    )
+    assert got == batch_ids
+    # store holds exactly the accepted fingerprints
+    assert store.read().count() == 4
