@@ -595,6 +595,11 @@ _SET_TBLPROPS_RE = re.compile(
     r"(?P<unset>UNSET|SET)\s+TBLPROPERTIES\s*\((?P<props>.+)\)\s*;?\s*$",
     re.I | re.S,
 )
+_SET_PARTITIONING_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+SET\s+PARTITIONED\s+BY\s*"
+    r"\(\s*(?P<cols>[\w.`,\s]*)\)\s*;?\s*$",
+    re.I,
+)
 _ADD_CONSTRAINT_RE = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<target>[\w.`]+)\s+ADD\s+CONSTRAINT\s+"
     r"(?P<name>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*;?\s*$",
@@ -790,6 +795,17 @@ def sql_dml(
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)
         return target.restore(int(m.group("v")))
+    m = _SET_PARTITIONING_RE.match(s)
+    if m:
+        # Iceberg partition evolution: ALTER TABLE t SET PARTITIONED BY
+        # (a, b) — empty parens drop partitioning for future writes.
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        cols = [
+            c.strip().replace("`", "")
+            for c in m.group("cols").split(",")
+            if c.strip()
+        ]
+        return target.set_partitioning(cols)
     m = _ADD_CONSTRAINT_RE.match(s)
     if m:
         target = _resolve_table(m.group("target").replace("`", ""), tables)

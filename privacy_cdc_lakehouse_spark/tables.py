@@ -1949,6 +1949,33 @@ class LakeTable:
             return version
         return version, int(obs.get["n_deleted"])
 
+    def set_partitioning(self, partition_by: list[str]) -> int:
+        """Iceberg-style PARTITION EVOLUTION: change the partition spec
+        for FUTURE writes with an O(1) metadata-only commit. Existing
+        data dirs keep their old hive layout — the read path unions
+        per-dir discovery roots, so mixed specs coexist transparently
+        (each dir prunes under its own layout); ``compact()`` rewrites
+        everything under the current spec when physical unification
+        matters. Iceberg semantics exactly: evolution never rewrites
+        data, it only changes how new data lands. Columns must exist in
+        the current schema."""
+        v = self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table has no commits: {self.path}")
+        cols = set(self.read(version=v).columns)
+        unknown = set(partition_by) - cols
+        if unknown:
+            raise ValueError(
+                f"partition columns not in table: {sorted(unknown)}"
+            )
+
+        def build(latest: dict | None) -> list[dict]:
+            return [_entry(e) for e in latest["files"]] if latest else []
+
+        return self._commit(
+            build, "setpartitioning", list(partition_by), delta={"add": []}
+        )
+
     def _row_level_mode(
         self, op: str, mode: str | None, predicate: str | Column
     ) -> str:

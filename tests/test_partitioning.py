@@ -58,3 +58,71 @@ def test_scoped_merge_exclusion_prunes_at_planning(spark, tmp_path):
     # correctness unchanged
     got = {r["id"]: r["s"] for r in df.collect()}
     assert got[0] == "updated" and got[1] == "v1" and len(got) == 16
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: the spec change is a metadata
+    commit; old dirs keep their layout, new appends land under the new
+    spec, reads union both transparently, and compact() unifies
+    physically under the current spec."""
+    import glob
+
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pevo"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20)], "id int, k string, v int"
+        ),
+        partition_by=["k"],
+    )
+    assert t.detail()["partition_by"] == ["k"]
+    v_before = t.current_version()
+
+    with pytest.raises(ValueError, match="not in table"):
+        t.set_partitioning(["nope"])
+    t.set_partitioning(["v"])
+    assert t.detail()["partition_by"] == ["v"]
+    # metadata-only: no new data dir
+    t.append(spark.createDataFrame([(3, "c", 30)], "id int, k string, v int"))
+    # new dir is hive-laid-out on v, old on k
+    layouts = {
+        seg.split("=")[0]
+        for p in glob.glob(str(tmp_path / "pevo" / "data" / "*" / "*=*"))
+        for seg in [p.rsplit("/", 1)[1]]
+    }
+    assert layouts == {"k", "v"}
+    # reads union both specs
+    rows = sorted(tuple(r) for r in t.read().select("id", "k", "v").collect())
+    assert rows == [(1, "a", 10), (2, "b", 20), (3, "c", 30)]
+    # time travel: the old spec still reads
+    assert t.read(version=v_before).count() == 2
+    # compact unifies under the CURRENT spec
+    t.compact(target_partitions=1)
+    layouts_after = {
+        seg.split("=")[0]
+        for p in glob.glob(str(tmp_path / "pevo" / "data" / "*" / "*=*"))
+        for seg in [p.rsplit("/", 1)[1]]
+        if p.rsplit("/", 2)[1] in {e["path"].split("/")[-1] for e in t._snapshot(t.current_version())["files"]}
+    }
+    assert "v" in layouts_after
+    rows2 = sorted(tuple(r) for r in t.read().select("id", "k", "v").collect())
+    assert rows2 == rows
+
+
+def test_partition_evolution_sql_verb(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "pevo_sql"))
+    t.overwrite(
+        spark.createDataFrame([(1, "a")], "id int, k string"),
+        partition_by=["k"],
+    )
+    sql_dml(spark, "ALTER TABLE tgt SET PARTITIONED BY (id)", {"tgt": t})
+    assert t.detail()["partition_by"] == ["id"]
+    sql_dml(spark, "ALTER TABLE tgt SET PARTITIONED BY ()", {"tgt": t})
+    assert t.detail()["partition_by"] == []
+    assert t.read().count() == 1
