@@ -1191,7 +1191,14 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB persist it between the two, the composition is lazy.)"""
     pin_utc(spark)
     corpus = _augmented(_docs(spark, sf_dir))
-    spans = dd.duplicate_spans(corpus, n=8)
+    # persist(): the spans OUTPUT is tiny (O(duplicated regions)) but
+    # its subplan (explode + corpus-wide dup aggregate + islands
+    # window) is the row's cost center, and BOTH arms consume it —
+    # materialize once explicitly rather than trusting exchange reuse
+    # across the union (sf1: ~5 s of 84, modest because Spark's
+    # ReusedExchange already recovers most of it; the persist makes
+    # the reuse a contract instead of an optimizer mood).
+    spans = dd.duplicate_spans(corpus, n=8).persist()
     span_rows = spans.select(
         F.lit("span").alias("kind"),
         "doc_id",
