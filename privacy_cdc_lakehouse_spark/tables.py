@@ -130,6 +130,19 @@ def _bloom_probe_str(value) -> str | None:
     return None
 
 
+def _dir_has_parquet(base: str) -> bool:
+    """True iff ``base`` contains at least one parquet data file. A
+    partitioned write of an EMPTY frame emits no part files at all
+    (an unpartitioned one emits a schema-bearing empty part), so
+    zero-file data dirs are a legal artifact of empty-result rewrites
+    and must read as zero rows, not as a schema-inference error."""
+    for root, _dirs, names in os.walk(base):
+        for n in names:
+            if n.endswith(".parquet") and not n.startswith((".", "_")):
+                return True
+    return False
+
+
 _BLOOM_HASH_VERSION = 2  # v2: 14-nibble hashes (ANSI-overflow-safe)
 
 
@@ -1128,6 +1141,16 @@ class LakeTable:
         dfs = []
         for e in files:
             base = os.path.join(self.path, e["path"])
+            # A ZERO-FILE dir is a legal manifest entry: a partitioned
+            # write of an empty frame emits no part files at all (an
+            # unpartitioned one emits a schema-bearing empty part), so a
+            # rewrite that keeps nothing — partitioned CoW delete-all,
+            # an empty-match row-level op after TRUNCATE — commits a
+            # dir Spark cannot infer a schema from. It contributes zero
+            # rows by definition: skip it (stats are authoritative when
+            # recorded; a physical walk covers stats-less entries).
+            if not e["stats"] and not _dir_has_parquet(base):
+                continue
             reader = self.spark.read.option("mergeSchema", "true")
             if prune_preds and e["stats"]:
                 sview = self._stats_with_blooms(e["stats"], prune_preds)
@@ -1153,15 +1176,26 @@ class LakeTable:
             dfs.append(d)
         if not dfs:
             # Everything pruned: preserve the FULL evolved schema by
-            # limit(0)-scanning every dir (footer-only, no data read) —
-            # files[0] alone would drop columns added by later appends
-            # and break the read().filter(...) equivalence.
+            # limit(0)-scanning every non-empty dir (footer-only, no
+            # data read) — files[0] alone would drop columns added by
+            # later appends and break the read().filter(...)
+            # equivalence.
             dfs = [
                 self.spark.read.option("mergeSchema", "true")
                 .parquet(os.path.join(self.path, e["path"]))
                 .limit(0)
                 for e in files
+                if e["stats"] or _dir_has_parquet(os.path.join(self.path, e["path"]))
             ]
+        if not dfs:
+            # every committed dir is physically empty: same contract as
+            # the files==[] snapshot — a typed 0-row frame
+            empty = self._empty_snapshot_df(v)
+            if empty is None:
+                raise FileNotFoundError(f"table is empty at v{v}: {self.path}")
+            for c, op, val in preds:
+                empty = empty.filter(_OPS[op](F.col(c), val))
+            return empty
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=True)
@@ -2199,14 +2233,15 @@ class LakeTable:
         rel = self._write_data_dir(updated, spec)
         stats = self._file_stats(rel)
         new_entry = {"path": rel, "excludes": [], "stats": stats}
-        extra = None
+        extra = self._empty_write_extra(updated, rel, None)
         if write_change_data:
             pre = hit_rows.withColumn(CHANGE_TYPE_COL, F.lit("update_preimage"))
             post = updated.withColumn(
                 CHANGE_TYPE_COL, F.lit("update_postimage")
             )
             extra = {
-                "change_data": self._write_change_dir(pre.unionByName(post))
+                **(extra or {}),
+                "change_data": self._write_change_dir(pre.unionByName(post)),
             }
 
         def build(latest: dict | None) -> list[dict]:
@@ -2311,6 +2346,7 @@ class LakeTable:
             rewritten = rewritten.repartition(*[F.col(c) for c in spec])
         rel = self._write_data_dir(rewritten, spec)
         stats = self._file_stats(rel)
+        extra = self._empty_write_extra(rewritten, rel, extra)
         new_entry = {"path": rel, "excludes": [], "stats": stats}
 
         def build(latest: dict | None) -> list[dict]:
@@ -2381,6 +2417,7 @@ class LakeTable:
         )
         rel = self._write_data_dir(df, spec)
         stats = self._file_stats(rel)
+        extra = self._empty_write_extra(df, rel, extra)
 
         def build(latest: dict | None) -> list[dict]:
             prior_paths = (
@@ -2395,6 +2432,17 @@ class LakeTable:
             return [{"path": rel, "excludes": [], "stats": stats}]
 
         return self._commit(build, op, spec, extra=extra)
+
+    def _empty_write_extra(
+        self, df: DataFrame, rel: str, extra: dict | None
+    ) -> dict | None:
+        """When a rewrite produced a ZERO-FILE dir (empty partitioned
+        write), record the frame's schema in the commit — the same key
+        TRUNCATE writes — so a snapshot whose every dir is empty still
+        serves a typed 0-row read."""
+        if _dir_has_parquet(os.path.join(self.path, rel)):
+            return extra
+        return {**(extra or {}), "schema": json.dumps(df.schema.jsonValue())}
 
     # ---------------- merge ----------------
 
