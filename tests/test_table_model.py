@@ -49,7 +49,8 @@ def _apply_ops(spark, t, seed, n_steps, log):
     for step in range(n_steps):
         op = rng.choice(
             ["append", "delete_cow", "delete_mor", "update_cow",
-             "update_mor", "compact", "restore", "truncate"]
+             "update_mor", "compact", "restore", "truncate",
+             "merge", "evolve"]
         )
         if op == "append":
             rows = []
@@ -94,6 +95,32 @@ def _apply_ops(spark, t, seed, n_steps, log):
             t.restore(version)
             model = {r[0]: r for r in rows_then}
             log.append((op, version))
+        elif op == "merge":
+            # upsert: touch a mix of existing and new ids
+            src = []
+            ids = list(model) or [next_id]
+            for _ in range(rng.randrange(1, 4)):
+                if model and rng.random() < 0.5:
+                    rid = rng.choice(ids)
+                else:
+                    rid, next_id = next_id, next_id + 1
+                row = (rid, rng.choice("ab"), rng.randrange(100))
+                src.append(row)
+            src = list({r[0]: r for r in src}.values())  # unique keys
+            if not model:
+                # merge into a truncated (0-row) table still works
+                pass
+            t.merge(
+                spark.createDataFrame(src, "id int, grp string, v int"),
+                keys=["id"],
+            )
+            for r in src:
+                model[r[0]] = r
+            log.append((op, src))
+        elif op == "evolve":
+            spec = rng.choice([["grp"], ["v"], []])
+            t.set_partitioning(spec)
+            log.append((op, spec))  # metadata-only: model unchanged
         snap()
         got = _read_rows(t)
         want = sorted(model.values())
@@ -101,7 +128,7 @@ def _apply_ops(spark, t, seed, n_steps, log):
     return history
 
 
-@pytest.mark.parametrize("seed", [7, 1337, 424242])
+@pytest.mark.parametrize("seed", [7, 1337, 424242, 31337, 987654])
 def test_model_based_table_ops(spark, tmp_path, seed):
     log: list = []
     t = LakeTable(spark, str(tmp_path / f"model_{seed}"))
