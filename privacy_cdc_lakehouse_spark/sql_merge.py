@@ -576,6 +576,12 @@ _VACUUM_RE = re.compile(
 _DESC_HISTORY_RE = re.compile(
     r"^\s*DESCRIBE\s+HISTORY\s+(?P<target>[\w.`]+)\s*;?\s*$", re.I
 )
+_SELECT_VERSION_RE = re.compile(
+    r"^\s*SELECT\s+\*\s+FROM\s+(?P<target>[\w.`]+)\s+"
+    r"(?:VERSION\s+AS\s+OF\s+(?P<v>\d+)"
+    r"|TIMESTAMP\s+AS\s+OF\s+(?P<ts>\d+(?:\.\d+)?))\s*;?\s*$",
+    re.I,
+)
 _TABLE_CHANGES_RE = re.compile(
     r"^\s*(?:SELECT\s+\*\s+FROM\s+)?TABLE_CHANGES\s*\(\s*"
     r"(?P<target>[\w.`]+)\s*,\s*(?P<start>\d+)"
@@ -699,8 +705,10 @@ def sql_dml(
     ``DESCRIBE HISTORY t`` → the commit log as a DataFrame;
     ``SELECT * FROM TABLE_CHANGES(t, start[, end])`` → the Change Data
     Feed as a DataFrame (Delta's CDF table-valued function; ``end``
-    defaults to the current version — these two are the row-returning
-    statements, like Spark's own DESCRIBE);
+    defaults to the current version); ``SELECT * FROM t VERSION AS OF
+    n`` / ``TIMESTAMP AS OF epoch`` → time-travel reads (general
+    SELECTs belong to ``spark.sql`` over registered views; these are
+    the row-returning statements, like Spark's own DESCRIBE);
     ``ALTER TABLE t SET/UNSET TBLPROPERTIES (...)`` →
     :meth:`LakeTable.set_properties` (versioned metadata-only commit —
     the route that turns on per-file bloom-filter indexes via
@@ -778,6 +786,16 @@ def sql_dml(
             "version long, op string, ts double, n_data_dirs long, "
             "partition_by string",
         )
+    m = _SELECT_VERSION_RE.match(s)
+    if m:
+        # Delta-SQL time travel: SELECT * FROM t VERSION AS OF n /
+        # TIMESTAMP AS OF epoch — a row-returning statement like the
+        # CDF TVF (general SELECTs belong to spark.sql over registered
+        # views; only the time-travel form needs the table layer).
+        target = _resolve_table(m.group("target").replace("`", ""), tables)
+        if m.group("v") is not None:
+            return target.read(version=int(m.group("v")))
+        return target.read(version=target.version_as_of(float(m.group("ts"))))
     m = _TABLE_CHANGES_RE.match(s)
     if m:
         # Delta-SQL parity: SELECT * FROM table_changes(t, start[, end])

@@ -785,3 +785,30 @@ def test_sql_restore_table_version_as_of(spark, tmp_path):
     sql_dml(spark, f"RESTORE TABLE tgt TO VERSION AS OF {v1}", {"tgt": t})
     assert [r["id"] for r in t.read().collect()] == [1]
     assert t.history()[0]["op"] == "restore"
+
+
+def test_sql_time_travel_select(spark, tmp_path):
+    """Delta-SQL parity: SELECT * FROM t VERSION AS OF n and
+    TIMESTAMP AS OF epoch read historical snapshots."""
+    import time as _time
+
+    from privacy_cdc_lakehouse_spark.sql_merge import sql_dml
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tt_sql"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id int, s string"))
+    ts_between = _time.time()
+    _time.sleep(0.05)
+    t.append(spark.createDataFrame([(2, "b")], "id int, s string"))
+
+    v1 = sql_dml(spark, "SELECT * FROM tgt VERSION AS OF 1", {"tgt": t})
+    assert [tuple(r) for r in v1.collect()] == [(1, "a")]
+    cur = sql_dml(
+        spark, f"SELECT * FROM tgt VERSION AS OF {t.current_version()}",
+        {"tgt": t},
+    )
+    assert sorted(tuple(r) for r in cur.collect()) == [(1, "a"), (2, "b")]
+    old = sql_dml(
+        spark, f"SELECT * FROM tgt TIMESTAMP AS OF {ts_between}", {"tgt": t}
+    )
+    assert [tuple(r) for r in old.collect()] == [(1, "a")]
