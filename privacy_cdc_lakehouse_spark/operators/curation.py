@@ -159,6 +159,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     train: float = 0.9,
     val: float = 0.05,
+    persist_intermediate: bool = False,
 ) -> DataFrame:
     """The end-to-end curation pipeline a training run consumes:
 
@@ -174,12 +175,11 @@ def curate_corpus(
     and fingerprinting fuse into the scan projection; the shuffles are
     the fingerprint group and the gram join, nothing for the split).
     The ``kept`` subplan is referenced twice (gram explode + the
-    contamination join back) — at 100 TB persist the corpus between
-    stages (``kept.persist()`` via your own staging, or feed a
-    pre-staged corpus) rather than paying the quality+dedup subtree
-    twice; the composition itself stays lazy so callers control
-    materialization.
-    """
+    contamination join back); ``persist_intermediate=True`` caches it
+    so the quality+dedup subtree runs once instead of twice — the
+    right call whenever the pipeline runs to completion in one job (at
+    100 TB stage it to a table instead; the default stays lazy so
+    callers control materialization)."""
     from privacy_cdc_lakehouse_spark.operators.dedup import normalized_fingerprint
     from privacy_cdc_lakehouse_spark.operators.text import quality_score
 
@@ -194,6 +194,8 @@ def curate_corpus(
     )
     keepers = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     kept = fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
+    if persist_intermediate:
+        kept = kept.persist()
     # Inline contamination (vs calling ngram_contamination, whose
     # zero-fill join would reference `kept` a third time): hits joined
     # back once, clean = no-hit rows.

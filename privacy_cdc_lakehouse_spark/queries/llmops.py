@@ -1793,7 +1793,9 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % CURATION_BENCH_MOD == 0).select(
         "doc_id", "text"
     )
-    return cur.curate_corpus(corpus, bench, n=3).orderBy("doc_id")
+    return cur.curate_corpus(
+        corpus, bench, n=3, persist_intermediate=True
+    ).orderBy("doc_id")
 
 
 _CURATION_PIPELINE_SQL = f"""
