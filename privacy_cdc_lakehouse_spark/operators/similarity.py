@@ -541,6 +541,35 @@ def lsh_topk(
     )
 
 
+def _assign_by_join(c: DataFrame, cents, id_col: str) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast join — the large-k
+    twin of :func:`nearest_centroid` (literal expressions stop scaling
+    past ~64 centroids; a k-row broadcast table scales to any k the
+    driver can hold). Returns ``c`` with a ``cluster`` column; the
+    argmin is ``min(struct(d, c))`` so ties break toward the lowest
+    cluster id, bit-identical to the literal path."""
+    spark = c.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cluster int, _cv array<double>",
+    )
+    assigned = (
+        c.select(id_col, "_v")
+        .join(F.broadcast(cent_df))
+        .select(
+            id_col,
+            F.struct(
+                _sqdist(F.col("_v"), F.col("_cv")).alias("d"),
+                F.col("cluster").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("dc").alias("m"))
+        .select(id_col, F.col("m.c").alias("cluster"))
+    )
+    return c.join(assigned, id_col)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -585,7 +614,19 @@ def semantic_dedup(
         )
     c = corpus.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
-    ).withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+    )
+    # Assignment dispatch: the literal-expression argmin is the fastest
+    # shape for small k (no join at all) but its expression tree grows
+    # as k×dim literals — at the paper's n_clusters ~ sqrt(N) sizing
+    # (hundreds+ of cells) codegen/Janino becomes the bottleneck, so
+    # large k switches to a broadcast centroid-table join with a
+    # map-side-combinable min(struct(d, c)) argmin (N×k scored rows,
+    # distributed; same deterministic lowest-id tie-break because the
+    # struct compares (d, c)).
+    if n_clusters <= 64:
+        c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+    else:
+        c = _assign_by_join(c, cents, id_col)
     cand = bucket_pairs(c.select(id_col, "cluster"), ["cluster"], id_col)
     a = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     b = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))

@@ -918,3 +918,47 @@ def test_unigram_lm_and_doc_logprob(spark):
     assert {r["mean_logp"] for r in tx.doc_logprob(up, lm).collect()} == {
         round(math.log(3 / 4), 6)
     }
+
+
+def test_semantic_dedup_join_assignment_matches_literal(spark):
+    """The broadcast-join argmin (large-k path) must agree with the
+    literal-expression argmin bit for bit, including the lowest-id
+    tie-break."""
+    import random as _r
+
+    rng = _r.Random(5)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(80)
+    ]
+    rows.append((80, list(rows[0][1])))  # exact dup -> tie-break case
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    lit_out = sorted(
+        tuple(r)
+        for r in sim.semantic_dedup(
+            emb, threshold=0.99, n_clusters=6, iters=0, vec_col="v"
+        ).collect()
+    )
+    # force the join path by monkey-free construction: call the helper
+    from privacy_cdc_lakehouse_spark.operators.similarity import (
+        _assign_by_join,
+        kmeans_fit,
+        nearest_centroid,
+    )
+    from pyspark.sql import functions as F
+
+    cents = kmeans_fit(emb, n_clusters=6, iters=0, vec_col="v")
+    c = emb.select("vec_id", sim.as_double(F.col("v")).alias("_v"))
+    lit = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents)).select(
+        "vec_id", "cluster"
+    )
+    jn = _assign_by_join(c, cents, "vec_id").select("vec_id", "cluster")
+    a = sorted(tuple(r) for r in lit.collect())
+    b = sorted(tuple(r) for r in jn.collect())
+    assert a == b
+    # and the auto-dispatch at k>64 runs the join path end to end
+    big = sim.semantic_dedup(
+        emb, threshold=0.99, n_clusters=70, iters=0, vec_col="v"
+    )
+    out = {r["vec_id"]: r for r in big.collect()}
+    assert len(out) == 81 and not out[80]["is_keeper"]
+    assert out[80]["component"] == 0
