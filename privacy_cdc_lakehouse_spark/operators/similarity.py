@@ -648,3 +648,287 @@ def semantic_dedup(
         )
         .withColumn("is_keeper", F.col(id_col) == F.col("component"))
     )
+
+
+def pq_model(
+    corpus: DataFrame,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): the vector space is
+    split into ``m`` orthogonal subspaces of ``dim/m`` dims and a
+    ``n_codes``-entry k-means codebook is fit per subspace (reusing
+    :func:`kmeans_fit`, so the same determinism contract holds: seeds
+    are the lowest-id vectors' subvectors bit-exact, iterated means
+    round to 6 dp, and ``iters=0`` is exactly SQL-replicable).
+
+    One row per (sub, code): ``(sub, code, centroid, _m, _codes,
+    _iters, _subdim)`` — m×n_codes rows, a driver/broadcast-sized
+    model like :func:`ivf_model`, parquet-persistable and
+    stamp-guarded by :func:`_pq_codebook`. The fit runs m×(iters+1)
+    aggregation passes; it is the write-once artifact cost — encode
+    and search never re-pay it.
+    """
+    subdim, rem = divmod(dim, m)
+    if rem:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    rows = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col).alias("_id"),
+            F.slice(as_double(F.col(vec_col)), s * subdim + 1, subdim).alias("_sv"),
+        )
+        cents = kmeans_fit(
+            sub, n_clusters=n_codes, iters=iters, id_col="_id", vec_col="_sv"
+        )
+        rows += [
+            (s, code, vec, m, n_codes, iters, subdim) for code, vec in cents
+        ]
+    return corpus.sparkSession.createDataFrame(
+        rows,
+        "sub int, code int, centroid array<double>, "
+        "_m int, _codes int, _iters int, _subdim int",
+    )
+
+
+def _pq_codebook(
+    model: DataFrame, m: int, n_codes: int, iters: int
+) -> list[list[tuple[int, list[float]]]]:
+    """Load + stamp-check a :func:`pq_model` artifact into per-subspace
+    centroid lists (``cb[sub] = [(code, subcentroid), ...]`` sorted by
+    code). Same rationale as :func:`_model_centroids`: a codebook fit
+    with different (m, n_codes, iters) yields same-shaped rows from
+    different centroids, so the stamp is the only reliable guard."""
+    missing = {"sub", "code", "centroid", "_m", "_codes", "_iters"} - set(
+        model.columns
+    )
+    if missing:
+        raise ValueError(
+            f"pq_model artifact lacks columns {sorted(missing)} — "
+            f"rebuild it with pq_model()"
+        )
+    rows = model.collect()
+    for r in rows:
+        if r["_m"] != m or r["_codes"] != n_codes or r["_iters"] != iters:
+            raise ValueError(
+                f"pq_model artifact was fit with m={r['_m']} "
+                f"n_codes={r['_codes']} iters={r['_iters']} — does not "
+                f"match the query's m={m} n_codes={n_codes} "
+                f"iters={iters}; rebuild it"
+            )
+    cb: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
+    for r in rows:
+        cb[r["sub"]].append((r["code"], [float(x) for x in r["centroid"]]))
+    for s in range(m):
+        cb[s].sort()
+        if len(cb[s]) != n_codes:
+            raise ValueError(
+                f"pq_model artifact has {len(cb[s])} codes for sub {s}, "
+                f"expected {n_codes}"
+            )
+    return cb
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    literal_max: int = 4096,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the id of the nearest
+    codebook centroid (tie-break lowest code). Output ``(id_col,
+    codes array<int>)`` — m small ints per vector instead of dim
+    floats: the compressed-corpus artifact that makes 100 TB ANN
+    storable (64-dim float64 = 512 B → m=4 codes ≈ 4 B, persisted
+    once at ingest like the cluster tag of :func:`ivf_topk`).
+
+    Dispatch mirrors :func:`semantic_dedup`'s assignment: the literal
+    argmin is a pure projection (no join, no shuffle — the shape you
+    want in the ingest path) while large m×n_codes×subdim codebooks
+    switch to a broadcast join with min(struct(d, code)) per (id, sub)
+    — bit-identical tie-break, parity-tested."""
+    m = len(codebook)
+    subdim = len(codebook[0][0][1])
+    literal_size = sum(len(cs) * subdim for cs in codebook)
+    v = as_double(F.col(vec_col))
+    if literal_size <= literal_max:
+        return corpus.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    nearest_centroid(
+                        F.slice(v, s * subdim + 1, subdim), codebook[s]
+                    )
+                    for s in range(m)
+                ]
+            ).alias("codes"),
+        )
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(
+        [
+            (s, int(code), [float(x) for x in cent])
+            for s, cs in enumerate(codebook)
+            for code, cent in cs
+        ],
+        "sub int, code int, _cent array<double>",
+    )
+    return (
+        corpus.select(F.col(id_col), v.alias("_v"))
+        .join(F.broadcast(cb_df))
+        .select(
+            id_col,
+            F.col("sub"),
+            F.struct(
+                _sqdist(
+                    F.slice(
+                        F.col("_v"),
+                        F.col("sub") * subdim + 1,
+                        F.lit(subdim),
+                    ),
+                    F.col("_cent"),
+                ).alias("d"),
+                F.col("code").alias("c"),
+            ).alias("dc"),
+        )
+        .groupBy(id_col, "sub")
+        .agg(F.min("dc").alias("mn"))
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("mn.c").alias("c")))
+            ).alias("sc")
+        )
+        .select(
+            id_col,
+            F.transform(F.col("sc"), lambda e: e["c"]).alias("codes"),
+        )
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: DataFrame | None = None,
+    corpus_codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ/ADC approximate top-k (asymmetric distance computation):
+    rank corpus vectors by the sum of per-subspace squared distances
+    from the query SUBVECTOR to each corpus code's CENTROID — the
+    query side stays exact (asymmetric), the corpus side is read only
+    as codes. Per query the m×n_codes distance table is computed once
+    (a broadcast-sized artifact); per (query, vector) pair the scan
+    does m table lookups — no float vector reads at all, which is the
+    whole point at 100 TB: the scan touches the ~m-byte codes column,
+    not the dim×8-byte embedding.
+
+    The reported score is the EXACT cosine of the chosen candidates
+    (the standard fetch-and-rerank step): the k winners per query are
+    broadcast back against the float corpus, so the full-vector fetch
+    is O(|queries|×k), never a corpus scan. Rank order is the ADC
+    order (recall vs brute force is measured by the ann-recall tests,
+    like the LSH/IVF arms).
+
+    ``model=`` — pre-fit :func:`pq_model` artifact (skips the fit);
+    ``corpus_codes=`` — pre-encoded :func:`pq_encode` artifact (skips
+    the encode; the ingest-time shape)."""
+    if model is not None:
+        cb = _pq_codebook(model, m, n_codes, iters)
+    else:
+        cb = _pq_codebook(
+            pq_model(
+                corpus, m=m, n_codes=n_codes, iters=iters, dim=dim,
+                id_col=id_col, vec_col=vec_col,
+            ),
+            m, n_codes, iters,
+        )
+    subdim = dim // m
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
+    if corpus_codes is None:
+        corpus_codes = pq_encode(
+            ensure_parallelism(corpus), cb, id_col=id_col, vec_col=vec_col
+        )
+    spark = corpus.sparkSession
+    cb_df = spark.createDataFrame(
+        [
+            (s, int(code), [float(x) for x in cent])
+            for s, cs in enumerate(cb)
+            for code, cent in cs
+        ],
+        "sub int, code int, _cent array<double>",
+    )
+    qv = queries.select("query_id", as_double(F.col(vec_col)).alias("qv"))
+    # Per-query ADC distance table: flat array indexed sub*n_codes+code
+    # (struct sort on the unique index keeps construction join-order-
+    # independent and bit-deterministic).
+    dtab = (
+        qv.join(F.broadcast(cb_df))
+        .select(
+            "query_id",
+            F.struct(
+                (F.col("sub") * n_codes + F.col("code")).alias("i"),
+                _sqdist(
+                    F.slice(
+                        F.col("qv"), F.col("sub") * subdim + 1, F.lit(subdim)
+                    ),
+                    F.col("_cent"),
+                ).alias("d"),
+            ).alias("e"),
+        )
+        .groupBy("query_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+        .select(
+            "query_id", F.transform(F.col("es"), lambda e: e["d"]).alias("dtab")
+        )
+    )
+    # ADC scan: m lookups per pair, left-to-right fold over subspaces
+    # (fixed association — the oracle adds its four terms in the same
+    # order).
+    scored = corpus_codes.crossJoin(F.broadcast(dtab)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(
+                    F.col("dtab"), (i * n_codes + c + 1).cast("int")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("pq_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("pq_dist"), F.asc("neighbor_id")
+    )
+    winners = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    )
+    return (
+        cv.join(F.broadcast(winners), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
+        )
+    )

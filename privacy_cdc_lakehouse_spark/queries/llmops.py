@@ -902,12 +902,104 @@ SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
 FROM ivf_ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
+def q_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (``operators/similarity.py::pq_topk``)
+    with a FIXED codebook (``iters=0``: per-subspace centroids = the 8
+    lowest-vec_id vectors' subvector slices, bit-exact — the same
+    SQL-replicability trick as the ivf arm; trained codebooks stay
+    quality-gated through the recall tests). m=4 subspaces × 16 dims ×
+    8 codes; rank = ADC order (sum of per-subspace squared distances
+    to the corpus codes' centroids, query side exact), reported score
+    = exact cosine of the chosen candidates. Fully oracle-checked:
+    seed slicing, per-subspace argmin encode (tie-break lowest code),
+    the left-associated 4-term ADC sum, ADC ranking, and the cosine
+    fetch are all replicated in DuckDB."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = sim.pq_topk(emb, queries, k=10, m=4, n_codes=8, iters=0, dim=64)
+    return out.select(
+        "query_id", "rank", "neighbor_id", F.round("cos_sim", 6).alias("cos_sim_r")
+    ).orderBy("query_id", "rank")
+
+
+# Per-subspace squared distance over a 16-dim slice at offset {off}
+# (both sides indexed in dim order — the same element order as Spark's
+# slice-then-fold).
+_PQ_SQD = (
+    "list_sum(list_transform(range(1, 17), "
+    "i -> (CAST({a}[{off} + i] AS DOUBLE) - {b}[{off} + i]) "
+    "* (CAST({a}[{off} + i] AS DOUBLE) - {b}[{off} + i])))"
+)
+
+_PQ_TOPK_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+subs AS (SELECT unnest(range(0, 4)) AS sub),
+pseeds AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS svec
+    FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+),
+enc AS (
+    SELECT neighbor_id, sub, code FROM (
+        SELECT c.neighbor_id, s.sub, p.code,
+               row_number() OVER (
+                   PARTITION BY c.neighbor_id, s.sub
+                   ORDER BY {_PQ_SQD.format(a='cv', b='p.svec', off='(s.sub * 16)')}, p.code
+               ) AS rn
+        FROM c CROSS JOIN subs s CROSS JOIN pseeds p
+    ) WHERE rn = 1
+),
+qd AS (
+    SELECT query_id, s.sub, p.code,
+           {_PQ_SQD.format(a='qv', b='p.svec', off='(s.sub * 16)')} AS d
+    FROM q CROSS JOIN subs s CROSS JOIN pseeds p
+),
+adc AS (
+    SELECT qd.query_id, e.neighbor_id,
+           (((max(CASE WHEN qd.sub = 0 THEN qd.d END)
+            + max(CASE WHEN qd.sub = 1 THEN qd.d END))
+            + max(CASE WHEN qd.sub = 2 THEN qd.d END))
+            + max(CASE WHEN qd.sub = 3 THEN qd.d END)) AS pq_dist
+    FROM enc e JOIN qd ON e.sub = qd.sub AND e.code = qd.code
+    GROUP BY qd.query_id, e.neighbor_id
+),
+pq_win AS (
+    SELECT query_id, rank, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY pq_dist, neighbor_id) AS rank
+        FROM adc
+    ) WHERE rank <= 10
+),
+pq_out AS (
+    SELECT w.query_id, w.rank, w.neighbor_id,
+           CASE WHEN nq * nc > 0 THEN dot / (nq * nc) ELSE 0.0 END AS cos_sim
+    FROM (
+        SELECT w.query_id, w.rank, w.neighbor_id,
+               {_DOT.format(a='qv', b='cv')} AS dot,
+               sqrt({_DOT.format(a='qv', b='qv')}) AS nq,
+               sqrt({_DOT.format(a='cv', b='cv')}) AS nc
+        FROM pq_win w
+        JOIN c ON c.neighbor_id = w.neighbor_id
+        JOIN q ON q.query_id = w.query_id
+    ) w
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+       round(cos_sim, 6) AS cos_sim_r
+FROM pq_out ORDER BY query_id, rank
+"""
+
 _SIM_ANN_TOPK_PANEL_SQL = f"""
 SELECT 'bruteforce' AS method, * FROM ({_SIM_TOPK_SQL})
 UNION ALL
 SELECT 'lsh', * FROM ({_LSH_TOPK_SQL})
 UNION ALL
 SELECT 'ivf', * FROM ({_IVF_TOPK_SQL})
+UNION ALL
+SELECT 'pq', * FROM ({_PQ_TOPK_SQL})
 ORDER BY method, query_id, rank
 """
 
@@ -1480,22 +1572,25 @@ ORDER BY kind, k
 
 
 def q_sim_ann_topk_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The three ANN top-k strategies — exact brute force, OR-amplified
-    hyperplane LSH, IVF with the fixed coarse quantizer — in one tagged
-    union (round-7 consolidation; every arm is the ORIGINAL plan via
-    the original callable, identical output schemas). Freed two
-    registry slots for ``text_line_dedup`` and ``dedup_incremental``;
-    the bench HEADLINES still time ``sim_topk_bruteforce`` and
-    ``sim_lsh_topk`` individually under their original names."""
+    """The four ANN top-k strategies — exact brute force, OR-amplified
+    hyperplane LSH, IVF with the fixed coarse quantizer, PQ/ADC with
+    the fixed codebook — in one tagged union (round-7 consolidation;
+    every arm is the ORIGINAL plan via the original callable, identical
+    output schemas). Freed two registry slots for ``text_line_dedup``
+    and ``dedup_incremental``; the bench HEADLINES still time
+    ``sim_topk_bruteforce`` and ``sim_lsh_topk`` individually under
+    their original names."""
     pin_utc(spark)
     bf = q_sim_topk_bruteforce(spark, sf_dir).select(
         F.lit("bruteforce").alias("method"), "*"
     )
     lsh = q_sim_lsh_topk(spark, sf_dir).select(F.lit("lsh").alias("method"), "*")
     ivf = q_sim_ivf_topk(spark, sf_dir).select(F.lit("ivf").alias("method"), "*")
+    pq = q_sim_pq_topk(spark, sf_dir).select(F.lit("pq").alias("method"), "*")
     return (
         bf.unionByName(lsh)
         .unionByName(ivf)
+        .unionByName(pq)
         .orderBy("method", "query_id", "rank")
     )
 

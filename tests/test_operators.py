@@ -962,3 +962,112 @@ def test_semantic_dedup_join_assignment_matches_literal(spark):
     out = {r["vec_id"]: r for r in big.collect()}
     assert len(out) == 81 and not out[80]["is_keeper"]
     assert out[80]["component"] == 0
+
+
+def test_pq_exact_when_codebook_covers(spark):
+    """Zero quantization error == exact search: when every corpus
+    subvector IS a codebook centroid (prototype corpus, seeds cover
+    all prototypes), ADC distance equals true squared distance, so
+    the top-k per query is exactly the query's prototype copies."""
+    protos = [
+        [1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 2.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 2.0],
+    ]
+    corpus = spark.createDataFrame(
+        [(i, protos[i % 4]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, protos[0]), (1, protos[1])],
+        "query_id long, embedding array<double>",
+    )
+    out = sim.pq_topk(
+        corpus, queries, k=3, m=2, n_codes=4, iters=0, dim=8
+    ).collect()
+    by_q = {}
+    for r in sorted(map(tuple, out)):
+        by_q.setdefault(r[0], []).append(r)
+    # query p's top-3 = the three copies of prototype p, lowest ids
+    # first (ADC dist 0 for them, > 0 for every other vector), and the
+    # reported exact cosine of an identical vector is 1.
+    for qid, rows in by_q.items():
+        assert [r[2] for r in rows] == [qid, qid + 4, qid + 8]
+        assert [r[1] for r in rows] == [1, 2, 3]
+        assert all(abs(r[3] - 1.0) < 1e-9 for r in rows)
+
+
+def test_pq_model_artifact_roundtrip_and_codes(spark, tmp_path):
+    import random
+
+    rng = random.Random(11)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(2)],
+        "query_id long, embedding array<double>",
+    )
+    kw = dict(k=5, m=2, n_codes=4, iters=1, dim=8)
+    direct = sorted(map(tuple, sim.pq_topk(corpus, queries, **kw).collect()))
+    model = sim.pq_model(corpus, m=2, n_codes=4, iters=1, dim=8)
+    path = str(tmp_path / "pq_model")
+    model.write.parquet(path)
+    loaded = spark.read.parquet(path)
+    via_model = sim.pq_topk(corpus, queries, model=loaded, **kw)
+    assert sorted(map(tuple, via_model.collect())) == direct
+    # pre-encoded corpus codes (the ingest-time artifact) — same result
+    cb = sim._pq_codebook(loaded, 2, 4, 1)
+    codes = sim.pq_encode(corpus, cb)
+    cpath = str(tmp_path / "pq_codes")
+    codes.write.parquet(cpath)
+    via_codes = sim.pq_topk(
+        corpus, queries, model=loaded,
+        corpus_codes=spark.read.parquet(cpath), **kw,
+    )
+    assert sorted(map(tuple, via_codes.collect())) == direct
+
+
+def test_pq_model_stamp_guard(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), 0.0, 1.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 2.0, 0.0, 1.0])], "query_id long, embedding array<double>"
+    )
+    model = sim.pq_model(corpus, m=2, n_codes=2, iters=1, dim=4)
+    with pytest.raises(ValueError, match="does not match"):
+        sim.pq_topk(
+            corpus, queries, m=2, n_codes=2, iters=2, dim=4, model=model
+        )
+    with pytest.raises(ValueError, match="lacks columns"):
+        sim.pq_topk(
+            corpus, queries, m=2, n_codes=2, iters=1, dim=4,
+            model=model.drop("_m"),
+        )
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_model(corpus, m=3, n_codes=2, iters=0, dim=4)
+
+
+def test_pq_encode_join_path_matches_literal(spark):
+    import random
+
+    rng = random.Random(13)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    model = sim.pq_model(corpus, m=4, n_codes=4, iters=1, dim=8)
+    cb = sim._pq_codebook(model, 4, 4, 1)
+    lit = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(corpus, cb).collect()
+    }
+    joined = {
+        (r["vec_id"], tuple(r["codes"]))
+        for r in sim.pq_encode(corpus, cb, literal_max=0).collect()
+    }
+    assert lit == joined
