@@ -723,6 +723,11 @@ FROM lsh_ranked WHERE rank <= 10 ORDER BY query_id, rank
 
 IVF_RECALL_FLOOR = 0.5
 LSH_RECALL_FLOOR = 0.5
+# PQ at top-10 over the iid-random fixture: quantization error is the
+# worst case with no cluster structure; measured per-query hits at the
+# m=16/16-code/3-iter config are >= 3/10 at sf0.01 and sf0.001
+# (deterministic — seeded k-means), so 0.2 holds with 50% margin.
+PQ_RECALL_FLOOR = 0.2
 
 
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +741,11 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``ivf`` rows: n_hits is NULL (centroid means are
       float-summation-order dependent across engines — not
       SQL-replicable); only the recall-floor boolean is checked.
+    - ``pq`` rows (round 7): the TRAINED codebook path
+      (m=16 subspaces, 16 codes, 3 k-means iterations — the
+      production shape whose ``iters=0`` twin is hash-checked in
+      ``sim_ann_topk_panel``); n_hits NULL for the same reason as
+      ivf, floor-boolean gated.
     """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -779,7 +789,17 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_hits"),
         (F.col("n_hits") / 10.0 >= IVF_RECALL_FLOOR).alias("recall_ok"),
     )
-    return ls.unionByName(iv).orderBy("method", "query_id")
+    pq = hits_of(
+        sim.pq_topk(
+            emb, queries, k=10, m=16, n_codes=16, iters=3, dim=64
+        ).select("query_id", "neighbor_id")
+    ).select(
+        F.lit("pq").alias("method"),
+        "query_id",
+        F.lit(None).cast("long").alias("n_hits"),
+        (F.col("n_hits") / 10.0 >= PQ_RECALL_FLOOR).alias("recall_ok"),
+    )
+    return ls.unionByName(iv).unionByName(pq).orderBy("method", "query_id")
 
 
 _ANN_RECALL_SQL = _LSH_TOPK_CTE + f"""
@@ -815,6 +835,10 @@ FROM (SELECT DISTINCT query_id FROM q) q
 LEFT JOIN hits h USING (query_id)
 UNION ALL
 SELECT 'ivf', query_id, CAST(NULL AS BIGINT), recall_ok
+FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+AS t(query_id, recall_ok)
+UNION ALL
+SELECT 'pq', query_id, CAST(NULL AS BIGINT), recall_ok
 FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
 AS t(query_id, recall_ok)
 ORDER BY method, query_id
