@@ -740,6 +740,7 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     literal_max: int = 4096,
+    coarse: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """Encode vectors to PQ codes: per subspace, the id of the nearest
     codebook centroid (tie-break lowest code). Output ``(id_col,
@@ -747,6 +748,15 @@ def pq_encode(
     floats: the compressed-corpus artifact that makes 100 TB ANN
     storable (64-dim float64 = 512 B → m=4 codes ≈ 4 B, persisted
     once at ingest like the cluster tag of :func:`ivf_topk`).
+
+    ``coarse=`` — optional IVF coarse-quantizer centroids (from
+    :func:`kmeans_fit` / :func:`_model_centroids`): adds a ``cluster``
+    column tagging each vector's nearest coarse cell, making the
+    artifact consumable by the cell-pruned :func:`pq_topk` path (the
+    FAISS IVFADC layout: partition/bucket the persisted table by
+    ``cluster`` and the probe becomes a pruned scan). Assignment uses
+    the same small-k-literal / large-k-broadcast-join dispatch as
+    :func:`semantic_dedup`.
 
     Dispatch mirrors :func:`semantic_dedup`'s assignment: the literal
     argmin is a pure projection (no join, no shuffle — the shape you
@@ -756,14 +766,27 @@ def pq_encode(
     m = len(codebook)
     subdim = len(codebook[0][0][1])
     literal_size = sum(len(cs) * subdim for cs in codebook)
-    v = as_double(F.col(vec_col))
+    base = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    extra = []
+    if coarse is not None:
+        extra = ["cluster"]
+        if len(coarse) <= 64:
+            base = base.withColumn(
+                "cluster", nearest_centroid(F.col("_v"), coarse)
+            )
+        else:
+            base = _assign_by_join(base, coarse, id_col)
     if literal_size <= literal_max:
-        return corpus.select(
+        return base.select(
             F.col(id_col),
+            *extra,
             F.array(
                 *[
                     nearest_centroid(
-                        F.slice(v, s * subdim + 1, subdim), codebook[s]
+                        F.slice(F.col("_v"), s * subdim + 1, subdim),
+                        codebook[s],
                     )
                     for s in range(m)
                 ]
@@ -779,10 +802,10 @@ def pq_encode(
         "sub int, code int, _cent array<double>",
     )
     return (
-        corpus.select(F.col(id_col), v.alias("_v"))
-        .join(F.broadcast(cb_df))
+        base.join(F.broadcast(cb_df))
         .select(
             id_col,
+            *extra,
             F.col("sub"),
             F.struct(
                 _sqdist(
@@ -796,9 +819,9 @@ def pq_encode(
                 F.col("code").alias("c"),
             ).alias("dc"),
         )
-        .groupBy(id_col, "sub")
+        .groupBy(id_col, *extra, "sub")
         .agg(F.min("dc").alias("mn"))
-        .groupBy(id_col)
+        .groupBy(id_col, *extra)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("sub"), F.col("mn.c").alias("c")))
@@ -806,6 +829,7 @@ def pq_encode(
         )
         .select(
             id_col,
+            *extra,
             F.transform(F.col("sc"), lambda e: e["c"]).alias("codes"),
         )
     )
@@ -823,6 +847,10 @@ def pq_topk(
     vec_col: str = "embedding",
     model: DataFrame | None = None,
     corpus_codes: DataFrame | None = None,
+    coarse_clusters: int | None = None,
+    nprobe: int = 4,
+    coarse_iters: int = 2,
+    coarse_model: DataFrame | None = None,
 ) -> DataFrame:
     """PQ/ADC approximate top-k (asymmetric distance computation):
     rank corpus vectors by the sum of per-subspace squared distances
@@ -843,7 +871,18 @@ def pq_topk(
 
     ``model=`` — pre-fit :func:`pq_model` artifact (skips the fit);
     ``corpus_codes=`` — pre-encoded :func:`pq_encode` artifact (skips
-    the encode; the ingest-time shape)."""
+    the encode; the ingest-time shape).
+
+    ``coarse_clusters=`` — IVFADC composition (FAISS's default index
+    shape): an IVF coarse quantizer prunes the scan to each query's
+    ``nprobe`` nearest cells AND the surviving candidates are scored
+    by ADC over codes — pruning and compression compose, so the scan
+    touches ~nprobe/n_clusters of the corpus and reads only code
+    bytes. The cell tag comes from ``pq_encode(coarse=...)`` (at
+    100 TB: tagged at ingest, table partitioned by cluster → the probe
+    is a pruned scan); a pre-encoded ``corpus_codes`` must then carry
+    the ``cluster`` column. ``coarse_model=`` accepts a pre-fit
+    :func:`ivf_model` artifact for the coarse quantizer."""
     if model is not None:
         cb = _pq_codebook(model, m, n_codes, iters)
     else:
@@ -857,9 +896,25 @@ def pq_topk(
     subdim = dim // m
     from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
 
+    pruned = coarse_clusters is not None
+    ccents: list[tuple[int, list[float]]] | None = None
+    if pruned:
+        if coarse_model is not None:
+            ccents = _model_centroids(coarse_model, coarse_clusters, coarse_iters)
+        else:
+            ccents = kmeans_fit(
+                corpus, n_clusters=coarse_clusters, iters=coarse_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
     if corpus_codes is None:
         corpus_codes = pq_encode(
-            ensure_parallelism(corpus), cb, id_col=id_col, vec_col=vec_col
+            ensure_parallelism(corpus), cb, id_col=id_col, vec_col=vec_col,
+            coarse=ccents,
+        )
+    elif pruned and "cluster" not in corpus_codes.columns:
+        raise ValueError(
+            "cell-pruned pq_topk needs a cluster-tagged corpus_codes — "
+            "re-encode with pq_encode(coarse=...)"
         )
     spark = corpus.sparkSession
     cb_df = spark.createDataFrame(
@@ -896,8 +951,31 @@ def pq_topk(
     )
     # ADC scan: m lookups per pair, left-to-right fold over subspaces
     # (fixed association — the oracle adds its four terms in the same
-    # order).
-    scored = corpus_codes.crossJoin(F.broadcast(dtab)).select(
+    # order). Pruned: an equi-join on the probed cell replaces the
+    # cross join, so only ~nprobe/n_clusters of the codes are scored.
+    if pruned:
+        probe = dtab.join(
+            queries.select(
+                "query_id",
+                F.explode(
+                    F.transform(
+                        F.slice(
+                            _centroid_dists(
+                                as_double(F.col(vec_col)), ccents
+                            ),
+                            1,
+                            nprobe,
+                        ),
+                        lambda s: s["c"],
+                    )
+                ).alias("cluster"),
+            ),
+            "query_id",
+        )
+        paired = corpus_codes.join(F.broadcast(probe), "cluster")
+    else:
+        paired = corpus_codes.crossJoin(F.broadcast(dtab))
+    scored = paired.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         F.aggregate(

@@ -1071,3 +1071,78 @@ def test_pq_encode_join_path_matches_literal(spark):
         for r in sim.pq_encode(corpus, cb, literal_max=0).collect()
     }
     assert lit == joined
+
+
+def test_pq_pruned_allcells_matches_full_scan(spark):
+    """IVFADC composition sanity: probing ALL coarse cells must equal
+    the unpruned ADC scan exactly (same codebook, same ranking)."""
+    import random
+
+    rng = random.Random(17)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    kw = dict(k=5, m=2, n_codes=4, iters=1, dim=8)
+    full = sorted(map(tuple, sim.pq_topk(corpus, queries, **kw).collect()))
+    pruned = sim.pq_topk(
+        corpus, queries, coarse_clusters=3, nprobe=3, coarse_iters=1, **kw
+    )
+    assert sorted(map(tuple, pruned.collect())) == full
+
+
+def test_pq_pruned_scan_restricted_to_probed_cells(spark):
+    """nprobe=1: every returned neighbor lives in the query's nearest
+    coarse cell, and a query that is itself a corpus vector still
+    finds itself (its own cell is always probed)."""
+    import random
+
+    rng = random.Random(19)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ccents = sim.kmeans_fit(corpus, n_clusters=4, iters=1)
+    cb = sim._pq_codebook(
+        sim.pq_model(corpus, m=2, n_codes=4, iters=1, dim=8), 2, 4, 1
+    )
+    tagged = sim.pq_encode(corpus, cb, coarse=ccents)
+    cell_of = {r["vec_id"]: r["cluster"] for r in tagged.collect()}
+    out = sim.pq_topk(
+        corpus, queries, k=5, m=2, n_codes=4, iters=1, dim=8,
+        coarse_clusters=4, nprobe=1, coarse_iters=1,
+        corpus_codes=tagged,
+    ).collect()
+    by_q = {}
+    for r in sorted(map(tuple, out)):
+        by_q.setdefault(r[0], []).append(r)
+    for qid, rows in by_q.items():
+        # all hits share the query's own cell; self is the rank-1 hit
+        assert all(cell_of[r[2]] == cell_of[qid] for r in rows)
+        assert rows[0][2] == qid and abs(rows[0][3] - 1.0) < 1e-9
+
+
+def test_pq_pruned_requires_cluster_tag(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0, 2.0])], "query_id long, embedding array<double>"
+    )
+    cb = sim._pq_codebook(
+        sim.pq_model(corpus, m=2, n_codes=2, iters=0, dim=4), 2, 2, 0
+    )
+    untagged = sim.pq_encode(corpus, cb)
+    with pytest.raises(ValueError, match="cluster-tagged"):
+        sim.pq_topk(
+            corpus, queries, k=3, m=2, n_codes=2, iters=0, dim=4,
+            coarse_clusters=2, corpus_codes=untagged,
+        )
