@@ -362,18 +362,21 @@ def ivf_topk(
 
     c = ensure_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cvec")
-    ).withColumn("cluster", nearest_centroid(F.col("cvec"), cents))
-    q = (
-        queries.select("query_id", as_double(F.col(vec_col)).alias("qvec"))
-        .withColumn(
-            "cluster",
-            F.explode(
-                F.transform(
-                    F.slice(_centroid_dists(F.col("qvec"), cents), 1, nprobe),
-                    lambda s: s["c"],
-                )
-            ),
-        )
+    )
+    # Large coarse quantizers (n_clusters ~ sqrt(N)) dispatch both the
+    # corpus tag and the query probe to broadcast-join twins — the
+    # literal argmin expression tree grows as k×dim and hits codegen
+    # limits exactly at production sizing (same dispatch as
+    # semantic_dedup assignment).
+    if n_clusters <= LITERAL_MAX_CENTROIDS:
+        c = c.withColumn("cluster", nearest_centroid(F.col("cvec"), cents))
+    else:
+        c = _assign_by_join(c, cents, "neighbor_id", vec_field="cvec")
+    q = _probe_clusters(
+        queries.select("query_id", as_double(F.col(vec_col)).alias("qvec")),
+        cents,
+        nprobe,
+        vec_field="qvec",
     )
     scored = c.join(F.broadcast(q), "cluster").select(
         "query_id",
@@ -541,25 +544,36 @@ def lsh_topk(
     )
 
 
-def _assign_by_join(c: DataFrame, cents, id_col: str) -> DataFrame:
+# Literal-expression argmin/probe expressions grow as k×dim and hit
+# the codegen (Janino) limit past roughly this many centroids; larger
+# coarse quantizers dispatch to broadcast-join twins (bit-identical
+# tie-breaks, parity-tested). Module-level so tests can force the
+# join paths.
+LITERAL_MAX_CENTROIDS = 64
+
+
+def _assign_by_join(
+    c: DataFrame, cents, id_col: str, vec_field: str = "_v"
+) -> DataFrame:
     """Nearest-centroid assignment as a broadcast join — the large-k
     twin of :func:`nearest_centroid` (literal expressions stop scaling
-    past ~64 centroids; a k-row broadcast table scales to any k the
-    driver can hold). Returns ``c`` with a ``cluster`` column; the
-    argmin is ``min(struct(d, c))`` so ties break toward the lowest
-    cluster id, bit-identical to the literal path."""
+    past ~:data:`LITERAL_MAX_CENTROIDS` centroids; a k-row broadcast
+    table scales to any k the driver can hold). Returns ``c`` with a
+    ``cluster`` column; the argmin is ``min(struct(d, c))`` so ties
+    break toward the lowest cluster id, bit-identical to the literal
+    path."""
     spark = c.sparkSession
     cent_df = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cluster int, _cv array<double>",
     )
     assigned = (
-        c.select(id_col, "_v")
+        c.select(id_col, vec_field)
         .join(F.broadcast(cent_df))
         .select(
             id_col,
             F.struct(
-                _sqdist(F.col("_v"), F.col("_cv")).alias("d"),
+                _sqdist(F.col(vec_field), F.col("_cv")).alias("d"),
                 F.col("cluster").alias("c"),
             ).alias("dc"),
         )
@@ -568,6 +582,49 @@ def _assign_by_join(c: DataFrame, cents, id_col: str) -> DataFrame:
         .select(id_col, F.col("m.c").alias("cluster"))
     )
     return c.join(assigned, id_col)
+
+
+def _probe_clusters(
+    q: DataFrame,
+    cents,
+    nprobe: int,
+    key_col: str = "query_id",
+    vec_field: str = "qv",
+) -> DataFrame:
+    """Explode each query row to its ``nprobe`` nearest coarse cells
+    (``cluster`` column added). Small quantizers use the codegen'd
+    literal sort (:func:`_centroid_dists`); past
+    :data:`LITERAL_MAX_CENTROIDS` a broadcast centroid join with a
+    per-query rank replaces it — the query side is small, so the q×k
+    scored rows and the window are trivial, while the expression tree
+    stays bounded. Tie-break is (distance, cluster id) on both paths."""
+    if len(cents) <= LITERAL_MAX_CENTROIDS:
+        return q.withColumn(
+            "cluster",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        _centroid_dists(F.col(vec_field), cents), 1, nprobe
+                    ),
+                    lambda s: s["c"],
+                )
+            ),
+        )
+    spark = q.sparkSession
+    cent_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cluster int, _cv array<double>",
+    )
+    w = Window.partitionBy(key_col).orderBy(
+        F.asc("_d"), F.asc("cluster")
+    )
+    return (
+        q.join(F.broadcast(cent_df))
+        .withColumn("_d", _sqdist(F.col(vec_field), F.col("_cv")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .drop("_cv", "_d", "_rn")
+    )
 
 
 def semantic_dedup(
@@ -623,7 +680,7 @@ def semantic_dedup(
     # map-side-combinable min(struct(d, c)) argmin (N×k scored rows,
     # distributed; same deterministic lowest-id tie-break because the
     # struct compares (d, c)).
-    if n_clusters <= 64:
+    if n_clusters <= LITERAL_MAX_CENTROIDS:
         c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
     else:
         c = _assign_by_join(c, cents, id_col)
@@ -772,7 +829,7 @@ def pq_encode(
     extra = []
     if coarse is not None:
         extra = ["cluster"]
-        if len(coarse) <= 64:
+        if len(coarse) <= LITERAL_MAX_CENTROIDS:
             base = base.withColumn(
                 "cluster", nearest_centroid(F.col("_v"), coarse)
             )
@@ -955,21 +1012,14 @@ def pq_topk(
     # cross join, so only ~nprobe/n_clusters of the codes are scored.
     if pruned:
         probe = dtab.join(
-            queries.select(
-                "query_id",
-                F.explode(
-                    F.transform(
-                        F.slice(
-                            _centroid_dists(
-                                as_double(F.col(vec_col)), ccents
-                            ),
-                            1,
-                            nprobe,
-                        ),
-                        lambda s: s["c"],
-                    )
-                ).alias("cluster"),
-            ),
+            _probe_clusters(
+                queries.select(
+                    "query_id", as_double(F.col(vec_col)).alias("_qpv")
+                ),
+                ccents,
+                nprobe,
+                vec_field="_qpv",
+            ).select("query_id", "cluster"),
             "query_id",
         )
         paired = corpus_codes.join(F.broadcast(probe), "cluster")

@@ -1146,3 +1146,47 @@ def test_pq_pruned_requires_cluster_tag(spark):
             corpus, queries, k=3, m=2, n_codes=2, iters=0, dim=4,
             coarse_clusters=2, corpus_codes=untagged,
         )
+
+
+def test_ivf_topk_join_dispatch_matches_literal(spark, monkeypatch):
+    """Forcing the large-k broadcast-join corpus tag + query probe
+    (LITERAL_MAX_CENTROIDS=0) must reproduce the literal-expression
+    path bit for bit, tie-breaks included."""
+    import random
+
+    rng = random.Random(23)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    kw = dict(k=5, n_clusters=4, nprobe=2, iters=1)
+    lit = sorted(map(tuple, sim.ivf_topk(corpus, queries, **kw).collect()))
+    monkeypatch.setattr(sim, "LITERAL_MAX_CENTROIDS", 0)
+    joined = sorted(map(tuple, sim.ivf_topk(corpus, queries, **kw).collect()))
+    assert joined == lit
+
+
+def test_pq_pruned_join_probe_matches_literal(spark, monkeypatch):
+    import random
+
+    rng = random.Random(29)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(3)],
+        "query_id long, embedding array<double>",
+    )
+    kw = dict(
+        k=5, m=2, n_codes=4, iters=1, dim=8,
+        coarse_clusters=4, nprobe=2, coarse_iters=1,
+    )
+    lit = sorted(map(tuple, sim.pq_topk(corpus, queries, **kw).collect()))
+    monkeypatch.setattr(sim, "LITERAL_MAX_CENTROIDS", 0)
+    joined = sorted(map(tuple, sim.pq_topk(corpus, queries, **kw).collect()))
+    assert joined == lit
