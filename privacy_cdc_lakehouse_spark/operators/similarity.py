@@ -242,7 +242,17 @@ def kmeans_fit(
         (i, [float(x) for x in r["_v"]]) for i, r in enumerate(seeds)
     ]
     for _ in range(iters):
-        assigned = df.withColumn("_c", nearest_centroid(F.col("_v"), cents))
+        # Same large-k dispatch as every other assignment site: the
+        # literal argmin tree is k×dim and breaks codegen at
+        # production cluster counts.
+        if n_clusters <= LITERAL_MAX_CENTROIDS:
+            assigned = df.withColumn(
+                "_c", nearest_centroid(F.col("_v"), cents)
+            )
+        else:
+            assigned = _assign_by_join(df, cents, "_id").withColumnRenamed(
+                "cluster", "_c"
+            )
         means = (
             assigned.select("_c", F.posexplode("_v").alias("_d", "_x"))
             .groupBy("_c", "_d")
@@ -558,30 +568,39 @@ def _assign_by_join(
     """Nearest-centroid assignment as a broadcast join — the large-k
     twin of :func:`nearest_centroid` (literal expressions stop scaling
     past ~:data:`LITERAL_MAX_CENTROIDS` centroids; a k-row broadcast
-    table scales to any k the driver can hold). Returns ``c`` with a
-    ``cluster`` column; the argmin is ``min(struct(d, c))`` so ties
-    break toward the lowest cluster id, bit-identical to the literal
-    path."""
+    table scales to any k the driver can hold). Returns
+    ``(id_col, vec_field, cluster)``; the argmin is
+    ``min(struct(d, c))`` so ties break toward the lowest cluster id,
+    bit-identical to the literal path.
+
+    The vector rides THROUGH the argmin aggregate (``first`` — every
+    scored row of an id carries the identical vector, so it is
+    deterministic) rather than a corpus-to-corpus join-back: one
+    map-side-combinable shuffle, no sort-merge join sneaking in once
+    the corpus outgrows the broadcast threshold."""
     spark = c.sparkSession
     cent_df = spark.createDataFrame(
         [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
         "cluster int, _cv array<double>",
     )
-    assigned = (
+    return (
         c.select(id_col, vec_field)
         .join(F.broadcast(cent_df))
         .select(
             id_col,
+            F.col(vec_field),
             F.struct(
                 _sqdist(F.col(vec_field), F.col("_cv")).alias("d"),
                 F.col("cluster").alias("c"),
             ).alias("dc"),
         )
         .groupBy(id_col)
-        .agg(F.min("dc").alias("m"))
-        .select(id_col, F.col("m.c").alias("cluster"))
+        .agg(
+            F.min("dc").alias("m"),
+            F.first(vec_field).alias(vec_field),
+        )
+        .select(id_col, vec_field, F.col("m.c").alias("cluster"))
     )
-    return c.join(assigned, id_col)
 
 
 def _probe_clusters(
@@ -1011,7 +1030,10 @@ def pq_topk(
     # order). Pruned: an equi-join on the probed cell replaces the
     # cross join, so only ~nprobe/n_clusters of the codes are scored.
     if pruned:
-        probe = dtab.join(
+        # both sides are query-sized; hint so the planner never
+        # sort-merges two tiny frames whose stats it can't estimate
+        # through the aggregate
+        probe = F.broadcast(dtab).join(
             _probe_clusters(
                 queries.select(
                     "query_id", as_double(F.col(vec_col)).alias("_qpv")

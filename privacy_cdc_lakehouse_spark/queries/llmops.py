@@ -648,6 +648,29 @@ FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
 """
 
 
+def q_sim_pq_pruned_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC at PRODUCTION sizing — the scale-rehearsal twin of the
+    hash-checked panel arm (which pins iters=0/m=4 for
+    SQL-oracle-ability). Trained m=16×16-code codebook, sqrt(N)-sized
+    coarse quantizer via the broadcast-join dispatch, nprobe=16: the
+    configuration the 100 TB story actually runs. NOT a registry row
+    (iterated k-means means are not bit-replicable cross-engine —
+    same reason the ivf arm's n_hits is NULL); consumed by
+    tools/bench_scale.py with plan assertions."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n = emb.count()
+    k_coarse = max(8, int(n ** 0.5))
+    return sim.pq_topk(
+        emb, queries, k=10, m=16, n_codes=16, iters=1, dim=64,
+        coarse_clusters=k_coarse, nprobe=max(4, k_coarse // 8),
+        coarse_iters=1,
+    ).orderBy("query_id", "rank")
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets. The oracle
     replicates the bucketing bit-for-bit (literal ±1 planes, identical

@@ -1190,3 +1190,17 @@ def test_pq_pruned_join_probe_matches_literal(spark, monkeypatch):
     monkeypatch.setattr(sim, "LITERAL_MAX_CENTROIDS", 0)
     joined = sorted(map(tuple, sim.pq_topk(corpus, queries, **kw).collect()))
     assert joined == lit
+
+
+def test_kmeans_fit_join_iteration_matches_literal(spark, monkeypatch):
+    import random
+
+    rng = random.Random(31)
+    corpus = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    lit = sim.kmeans_fit(corpus, n_clusters=5, iters=2)
+    monkeypatch.setattr(sim, "LITERAL_MAX_CENTROIDS", 0)
+    joined = sim.kmeans_fit(corpus, n_clusters=5, iters=2)
+    assert joined == lit

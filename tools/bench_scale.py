@@ -72,6 +72,12 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # operator's own docs forbid at scale.
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
     "corpus_profile": ["Generate", "HashAggregate", "!SortMergeJoin"],
+    # IVFADC at production sizing (sqrt(N) coarse cells via the
+    # broadcast-join dispatch, trained m=16 codebook): prices the full
+    # cold path (fit + encode + probe); the probe's cell equi-join and
+    # the winners-only float fetch must broadcast, and nothing may
+    # sort-merge or go all-pairs even with the ingest stages in-plan.
+    "sim_pq_pruned": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
 }
 
 
@@ -111,6 +117,11 @@ def main() -> None:
         from privacy_cdc_lakehouse_spark.queries.llmops import q_sim_lsh_topk
 
         queries["sim_lsh_topk"] = q_sim_lsh_topk
+    from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_sim_pq_pruned_production,
+    )
+
+    queries["sim_pq_pruned"] = q_sim_pq_pruned_production
     out: dict[str, dict] = {}
     gate_ok = True
     for name, checks in SCALE_AUDIT.items():
