@@ -179,6 +179,50 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # Same steady-state story for the round-7 IVFADC path: codebook +
+    # cluster-tagged code table are the persisted artifacts (built once
+    # at ingest); this times the per-batch probe alone — cell-pruned
+    # ADC scan over the materialized codes + winners-only float fetch.
+    pq_m, pq_codes_n, pq_iters, pq_cells, pq_nprobe = 16, 16, 1, 16, 4
+    mdl_dir = tempfile.mkdtemp(prefix="pq_model_bench_")
+    coarse_dir = tempfile.mkdtemp(prefix="pq_coarse_bench_")
+    codes_dir = tempfile.mkdtemp(prefix="pq_codes_bench_")
+    try:
+        sim_ops.pq_model(
+            emb, m=pq_m, n_codes=pq_codes_n, iters=pq_iters, dim=64
+        ).write.mode("overwrite").parquet(mdl_dir)
+        model = spark.read.parquet(mdl_dir)
+        sim_ops.ivf_model(emb, n_clusters=pq_cells, iters=1).write.mode(
+            "overwrite"
+        ).parquet(coarse_dir)
+        coarse_model = spark.read.parquet(coarse_dir)
+        cb = sim_ops._pq_codebook(model, pq_m, pq_codes_n, pq_iters)
+        ccents = sim_ops._model_centroids(coarse_model, pq_cells, 1)
+        sim_ops.pq_encode(emb, cb, coarse=ccents).write.mode(
+            "overwrite"
+        ).parquet(codes_dir)
+        codes = spark.read.parquet(codes_dir)
+        samples = []
+        for _ in range(reps):
+            t0 = time.time()
+            sim_ops.pq_topk(
+                emb, qdf, k=10, m=pq_m, n_codes=pq_codes_n, iters=pq_iters,
+                dim=64, model=model, corpus_codes=codes,
+                coarse_clusters=pq_cells, nprobe=pq_nprobe, coarse_iters=1,
+                coarse_model=coarse_model,
+            ).collect()
+            samples.append(time.time() - t0)
+        pq_amortized = round(statistics.median(samples), 3)
+    finally:
+        shutil.rmtree(mdl_dir, ignore_errors=True)
+        shutil.rmtree(coarse_dir, ignore_errors=True)
+        shutil.rmtree(codes_dir, ignore_errors=True)
+    print(
+        f"# sim_pq_adc_amortized (prebuilt codebook+codes): median "
+        f"{pq_amortized}s of {[round(s, 3) for s in samples]}",
+        file=sys.stderr,
+    )
+
     print(
         json.dumps(
             {
@@ -192,7 +236,10 @@ def main() -> None:
                 "calibration_sec": calibration,
                 # not part of the total: per-batch ANN cost with the
                 # corpus bucketing amortized into a write-once artifact
-                "informational": {"sim_lsh_topk_amortized": amortized},
+                "informational": {
+                    "sim_lsh_topk_amortized": amortized,
+                    "sim_pq_adc_amortized": pq_amortized,
+                },
             }
         )
     )
