@@ -1204,3 +1204,79 @@ def test_kmeans_fit_join_iteration_matches_literal(spark, monkeypatch):
     monkeypatch.setattr(sim, "LITERAL_MAX_CENTROIDS", 0)
     joined = sim.kmeans_fit(corpus, n_clusters=5, iters=2)
     assert joined == lit
+
+
+def test_dataset_diff_statuses_and_token_deltas(spark):
+    from privacy_cdc_lakehouse_spark.operators.curation import (
+        dataset_diff,
+        dataset_diff_summary,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta epsilon"), (3, "zeta")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma rewritten"), (4, "new doc here")],
+        "doc_id long, text string",
+    )
+    diff = {r["doc_id"]: r for r in dataset_diff(old, new).collect()}
+    assert set(diff) == {2, 3, 4}  # doc 1 identical -> excluded
+    assert diff[2]["status"] == "changed"
+    assert (diff[2]["tokens_old"], diff[2]["tokens_new"]) == (3, 2)
+    assert diff[3]["status"] == "removed" and diff[3]["tokens_new"] is None
+    assert diff[4]["status"] == "added" and diff[4]["tokens_old"] is None
+    summ = {
+        r["status"]: (r["n_docs"], r["token_delta"])
+        for r in dataset_diff_summary(dataset_diff(old, new)).collect()
+    }
+    assert summ == {
+        "changed": (1, -1),
+        "removed": (1, -1),
+        "added": (1, 3),
+    }
+
+
+def test_dataset_diff_agrees_with_change_feed(spark, tmp_path):
+    """Content diff between two table versions must tell the same
+    story as the table's own Change Data Feed over that range —
+    time-travel reads, CDF, and the diff operator triangulate."""
+    from privacy_cdc_lakehouse_spark.operators.curation import dataset_diff
+    from privacy_cdc_lakehouse_spark.tables import CHANGE_TYPE_COL, LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "corpus"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "stable doc"), (2, "will change"), (3, "will vanish")],
+            "doc_id long, text string",
+        )
+    )
+    v1 = t.current_version()
+    src = spark.createDataFrame(
+        [(2, "has changed", "u"), (3, None, "d"), (4, "brand new", "u")],
+        "doc_id long, text string, op string",
+    )
+    t.merge(
+        src,
+        keys=["doc_id"],
+        matched_delete=F.col("s.op") == "d",
+        insert_condition=F.col("s.op") != "d",
+        write_change_data=True,
+    )
+    diff = {
+        r["doc_id"]: r["status"]
+        for r in dataset_diff(t.read(version=v1), t.read()).collect()
+    }
+    assert diff == {2: "changed", 3: "removed", 4: "added"}
+    # reconstruct the same statuses from the change feed
+    feed = t.read_changes(v1 + 1).select("doc_id", CHANGE_TYPE_COL).collect()
+    from_feed = {}
+    for r in feed:
+        ct = r[CHANGE_TYPE_COL]
+        if ct == "insert":
+            from_feed[r["doc_id"]] = "added"
+        elif ct == "delete":
+            from_feed[r["doc_id"]] = "removed"
+        elif ct == "update_postimage":
+            from_feed[r["doc_id"]] = "changed"
+    assert from_feed == diff
