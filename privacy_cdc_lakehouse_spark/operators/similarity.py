@@ -1082,3 +1082,153 @@ def pq_topk(
             cosine(F.col("qv"), F.col("cv")).alias("cos_sim"),
         )
     )
+
+
+def pca_model(
+    corpus: DataFrame,
+    n_components: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PCA for embedding columns — the classic pre-ANN/pre-PQ
+    transform (dimensionality reduction / decorrelation; whitening is
+    what OPQ-style pipelines apply before product quantization). No
+    MLlib dependency; the same driver-resident-model contract as
+    :func:`kmeans_fit`:
+
+    - ONE distributed pass computes the d-vector of column means and
+      the d×d sum-of-outer-products: each row explodes to its d²
+      (i, j, x_i*x_j) terms and a map-side-combinable groupBy(i, j)
+      sums them — shuffle volume is d²×partitions, independent of
+      corpus size.
+    - The 64×64 covariance eigendecomposition runs on the driver via
+      numpy (``eigh`` on a symmetric matrix — O(d³) on d=64 is
+      microseconds; the same place MLlib's PCA materializes its
+      Gramian).
+    - Output: one row per component ``(component, loading, mean,
+      eigenvalue, _dim, _k)`` — a persistable stamp-guarded artifact
+      like :func:`pq_model`. Whitening is a PROJECTION-time choice
+      (the eigenvalues are stored), so it is not a fit stamp. Components are sign-normalized
+      (largest-|loading| coordinate positive) so the artifact is
+      deterministic up to float summation order.
+    """
+    import numpy as np
+
+    d = dim
+    v = as_double(F.col(vec_col))
+    pairs = corpus.select(v.alias("_v")).select(
+        F.posexplode(
+            F.flatten(
+                F.transform(
+                    F.col("_v"),
+                    lambda xi: F.transform(F.col("_v"), lambda xj: xi * xj),
+                )
+            )
+        ).alias("_p", "_xx"),
+        F.col("_v"),
+    )
+    sums = (
+        pairs.groupBy("_p")
+        .agg(
+            F.sum("_xx").alias("_sxx"),
+            # the mean only needs each coordinate once: take the i-th
+            # element on the diagonal rows (p = i*d + i)
+            F.count("*").alias("_n"),
+            F.sum(
+                F.when(
+                    F.col("_p") % (d + 1) == 0,
+                    F.element_at(F.col("_v"), (F.col("_p") / (d + 1) + 1).cast("int")),
+                )
+            ).alias("_sx"),
+        )
+        .collect()
+    )
+    n = sums[0]["_n"]
+    sxx = np.zeros((d, d))
+    sx = np.zeros(d)
+    for r in sums:
+        i, j = divmod(r["_p"], d)
+        sxx[i, j] = r["_sxx"]
+        if i == j:
+            sx[i] = r["_sx"]
+    mean = sx / n
+    cov = sxx / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    rows = []
+    for rank, idx in enumerate(order):
+        vec = evecs[:, idx]
+        # deterministic sign: largest-|coordinate| entry positive
+        pivot = int(np.argmax(np.abs(vec)))
+        if vec[pivot] < 0:
+            vec = -vec
+        rows.append(
+            (
+                rank,
+                [round(float(x), 9) for x in vec],
+                [round(float(x), 9) for x in mean],
+                round(float(max(evals[idx], 0.0)), 9),
+                d,
+                n_components,
+            )
+        )
+    return corpus.sparkSession.createDataFrame(
+        rows,
+        "component int, loading array<double>, mean array<double>, "
+        "eigenvalue double, _dim int, _k int",
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    model: DataFrame,
+    n_components: int = 16,
+    whiten: bool = False,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto a :func:`pca_model` artifact: a pure
+    codegen'd projection (k dot products against literal loading
+    vectors — no join, no shuffle, the ingest-path shape shared with
+    :func:`pq_encode`'s literal path). ``whiten=True`` divides each
+    component by sqrt(eigenvalue) (+1e-12 floor), giving unit variance
+    per component."""
+    rows = model.collect()
+    missing = {"component", "loading", "mean", "eigenvalue", "_k"} - {
+        c for r in rows for c in r.asDict()
+    }
+    if missing:
+        raise ValueError(
+            f"pca_model artifact lacks columns {sorted(missing)} — "
+            f"rebuild it with pca_model()"
+        )
+    for r in rows:
+        if r["_k"] != n_components:
+            raise ValueError(
+                f"pca_model artifact was fit with k={r['_k']} — does "
+                f"not match the query's k={n_components}; rebuild it"
+            )
+    comps = sorted((r["component"], r) for r in rows)
+    if len(comps) != n_components:
+        raise ValueError(
+            f"pca_model artifact has {len(comps)} components, expected "
+            f"{n_components}"
+        )
+    mean = comps[0][1]["mean"]
+    v = as_double(F.col(vec_col))
+    centered = F.zip_with(
+        v, F.array(*[F.lit(float(x)) for x in mean]), lambda a, b: a - b
+    )
+    outs = []
+    for rank, r in comps:
+        load = F.array(*[F.lit(float(x)) for x in r["loading"]])
+        proj = F.aggregate(
+            F.zip_with(centered, load, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if whiten:
+            proj = proj / float((r["eigenvalue"] + 1e-12) ** 0.5)
+        outs.append(proj)
+    return df.withColumn(out_col, F.array(*outs))

@@ -1280,3 +1280,59 @@ def test_dataset_diff_agrees_with_change_feed(spark, tmp_path):
         elif ct == "update_postimage":
             from_feed[r["doc_id"]] = "changed"
     assert from_feed == diff
+
+
+def test_pca_model_matches_reference_and_whitens(spark, tmp_path):
+    """pca_model's one-pass distributed covariance + driver eigh must
+    agree with a straight numpy PCA; whitened projections have unit
+    variance per component; the artifact parquet-round-trips."""
+    np = pytest.importorskip("numpy")
+
+    rng = np.random.default_rng(5)
+    X = rng.normal(size=(300, 8)) @ np.diag([5, 3, 2, 1, 0.5, 0.3, 0.2, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    mdl = sim.pca_model(df, n_components=3, dim=8)
+    path = str(tmp_path / "pca_model")
+    mdl.write.parquet(path)
+    mdl = spark.read.parquet(path)
+
+    mean = X.mean(axis=0)
+    C = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    order = np.argsort(evals)[::-1][:3]
+    got = {r["component"]: r for r in mdl.collect()}
+    for rank, idx in enumerate(order):
+        v = evecs[:, idx]
+        p = int(np.argmax(np.abs(v)))
+        if v[p] < 0:
+            v = -v
+        assert np.abs(np.array(got[rank]["loading"]) - v).max() < 1e-8
+        assert abs(got[rank]["eigenvalue"] - evals[idx]) < 1e-8
+        assert np.abs(np.array(got[rank]["mean"]) - mean).max() < 1e-8
+
+    proj = sim.pca_project(df, mdl, n_components=3, whiten=True)
+    P = np.array([r["pca"] for r in proj.orderBy("vec_id").collect()])
+    assert np.abs(np.var(P, axis=0) - 1.0).max() < 1e-6
+    # unwhitened: component variances = eigenvalues, components
+    # uncorrelated
+    raw = sim.pca_project(df, mdl, n_components=3)
+    R = np.array([r["pca"] for r in raw.orderBy("vec_id").collect()])
+    want = np.array([got[i]["eigenvalue"] for i in range(3)])
+    assert np.abs(np.var(R, axis=0) - want).max() < 1e-6
+    off = np.cov(R.T, bias=True) - np.diag(np.var(R, axis=0))
+    assert np.abs(off).max() < 1e-6
+
+
+def test_pca_model_stamp_guard(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i % 3), 1.0, 0.0]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    mdl = sim.pca_model(df, n_components=2, dim=4)
+    with pytest.raises(ValueError, match="does not match"):
+        sim.pca_project(df, mdl, n_components=3)
+    with pytest.raises(ValueError, match="lacks columns"):
+        sim.pca_project(df, mdl.drop("_k"), n_components=2)
