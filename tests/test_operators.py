@@ -1336,3 +1336,33 @@ def test_pca_model_stamp_guard(spark):
         sim.pca_project(df, mdl, n_components=3)
     with pytest.raises(ValueError, match="lacks columns"):
         sim.pca_project(df, mdl.drop("_k"), n_components=2)
+
+
+def test_pca_then_pq_composition(spark):
+    """OPQ-lite: PCA-reduce then product-quantize — the operators
+    compose through an ordinary column (pq_topk over vec_col='pca',
+    dim=n_components). Exact-duplicate vectors must still resolve as
+    top matches after both transforms."""
+    np = pytest.importorskip("numpy")
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(80, 16))
+    X[40:] = X[:40]  # second half duplicates the first
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    mdl = sim.pca_model(df, n_components=8, dim=16)
+    reduced = sim.pca_project(df, mdl, n_components=8)
+    out = sim.pq_topk(
+        reduced, reduced.filter("vec_id < 3").select(
+            F.col("vec_id").alias("query_id"), "pca"
+        ),
+        k=2, m=4, n_codes=8, iters=1, dim=8, vec_col="pca",
+    ).collect()
+    by_q = {}
+    for r in sorted(map(tuple, out)):
+        by_q.setdefault(r[0], []).append(r)
+    for qid, rows in by_q.items():
+        # self and its exact duplicate occupy the top-2 (ADC dist 0)
+        assert {rows[0][2], rows[1][2]} == {qid, qid + 40}
