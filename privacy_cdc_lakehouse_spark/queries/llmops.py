@@ -1759,12 +1759,16 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset_report``) + top-20 PMI bigram collocations
     (``operators/text.py::collocations``) in one tagged long-format
     union — the round-7 driver rows for the last two operators that
-    were pytest-only. The report runs over a lang-preserving augmented
-    corpus (exact copies of every 10th doc) so the dup arm has real
-    duplicate groups to count; collocations run over the raw corpus.
-    Every metric is hash-checked: counts are exact doubles, PMI is
-    6dp-rounded on both sides (same trick as TF-IDF), and the rank is
-    computed over the ROUNDED score so ordering is engine-independent.
+    were pytest-only — plus (round-7 cont.) a ``dataset_diff`` arm
+    over a deterministic synthetic release (every 13th+5 doc removed,
+    13th+3 changed, 13th+1 re-added under a shifted id; per-doc
+    status + token delta AND the per-class summary hash-checked). The
+    report runs over a lang-preserving augmented corpus (exact copies
+    of every 10th doc) so the dup arm has real duplicate groups to
+    count; collocations run over the raw corpus. Every metric is
+    hash-checked: counts are exact doubles, PMI is 6dp-rounded on both
+    sides (same trick as TF-IDF), and the rank is computed over the
+    ROUNDED score so ordering is engine-independent.
     """
     pin_utc(spark)
     docs = _docs(spark, sf_dir).select("doc_id", "text", "lang")
@@ -1785,7 +1789,45 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("kind", "k", "v")
     )
-    return rep.unionByName(col_long).orderBy("kind", "k")
+    # diff arm (round-7 cont.): dataset_diff against a deterministic
+    # synthetic release — every 13th+5 doc removed, 13th+3 changed,
+    # 13th+1 re-added under a shifted id. Per-doc status+token-delta
+    # rows AND the summary are hash-checked.
+    old = docs.select("doc_id", "text")
+    new = old.filter(F.col("doc_id") % 13 != 5).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 3,
+            F.concat(F.col("text"), F.lit(" changed")),
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        old.filter(F.col("doc_id") % 13 == 1).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    dif = cur.dataset_diff(old, new)
+    dif_long = dif.select(
+        F.lit("diff").alias("kind"),
+        F.concat_ws(
+            ":", F.col("status"), F.col("doc_id").cast("string")
+        ).alias("k"),
+        (
+            F.coalesce(F.col("tokens_new"), F.lit(0))
+            - F.coalesce(F.col("tokens_old"), F.lit(0))
+        ).cast("double").alias("v"),
+    )
+    dif_sum = cur.dataset_diff_summary(dif).selectExpr(
+        "stack(2, "
+        "'diff_docs', status, CAST(n_docs AS DOUBLE), "
+        "'diff_tokens', status, CAST(token_delta AS DOUBLE)"
+        ") AS (kind, k, v)"
+    )
+    return (
+        rep.unionByName(col_long)
+        .unionByName(dif_long)
+        .unionByName(dif_sum)
+        .orderBy("kind", "k")
+    )
 
 
 _WORD_RE_SQL = "[a-z]{2,}"  # tx._WORD_RE, brace-free for the f-string
@@ -1862,6 +1904,33 @@ topk AS (
            row_number() OVER (ORDER BY pmi6 DESC, w1 ASC, w2 ASC) AS rank
     FROM sc
     QUALIFY rank <= 20
+),
+dnew AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 3 THEN text || ' changed' ELSE text END AS text
+    FROM documents WHERE doc_id % 13 <> 5
+    UNION ALL
+    SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 13 = 1
+),
+dold2 AS (
+    SELECT doc_id, md5(text) AS fp,
+           len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS toks
+    FROM documents
+),
+dnew2 AS (
+    SELECT doc_id, md5(text) AS fp,
+           len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS toks
+    FROM dnew
+),
+ddiff AS (
+    SELECT doc_id, status, delta FROM (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               CASE WHEN a.fp IS NULL THEN 'added'
+                    WHEN b.fp IS NULL THEN 'removed'
+                    WHEN a.fp <> b.fp THEN 'changed' END AS status,
+               coalesce(b.toks, 0) - coalesce(a.toks, 0) AS delta
+        FROM dold2 a FULL OUTER JOIN dnew2 b ON a.doc_id = b.doc_id
+    ) WHERE status IS NOT NULL
 )
 SELECT kind, k, v FROM (
     SELECT 'docs' AS kind, s AS k, CAST(n_docs AS DOUBLE) AS v FROM ps
@@ -1876,6 +1945,12 @@ SELECT kind, k, v FROM (
     UNION ALL SELECT 'colloc_n', w1 || ' ' || w2, CAST(n_ab AS DOUBLE) FROM topk
     UNION ALL SELECT 'colloc_rank', w1 || ' ' || w2, CAST(rank AS DOUBLE)
               FROM topk
+    UNION ALL SELECT 'diff', status || ':' || CAST(doc_id AS VARCHAR),
+                     CAST(delta AS DOUBLE) FROM ddiff
+    UNION ALL SELECT 'diff_docs', status, CAST(count(*) AS DOUBLE)
+              FROM ddiff GROUP BY status
+    UNION ALL SELECT 'diff_tokens', status, CAST(sum(delta) AS DOUBLE)
+              FROM ddiff GROUP BY status
 )
 ORDER BY kind, k
 """
