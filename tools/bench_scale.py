@@ -71,7 +71,10 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # scaling the fixed-8 row to sf1 would measure a configuration the
     # operator's own docs forbid at scale.
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
-    "corpus_profile": ["Generate", "HashAggregate", "!SortMergeJoin"],
+    # the diff arm's FULL OUTER id-join sort-merges by design (full
+    # outer cannot broadcast; both sides corpus-sized) — assert the
+    # equi form, forbid cartesian
+    "corpus_profile": ["Generate", "HashAggregate", "FullOuter", "!CartesianProduct"],
     # IVFADC at production sizing (sqrt(N) coarse cells via the
     # broadcast-join dispatch, trained m=16 codebook): prices the full
     # cold path (fit + encode + probe); the probe's cell equi-join and

@@ -68,12 +68,16 @@ AUDIT = {
     # spans: positional-gram explode + dup aggregate + islands window;
     # never a cartesian/self-join of the corpus
     "dedup_duplicate_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
-    # round 7: dataset_report + collocations union — explodes and
-    # map-side-combinable aggregates; the only non-equi join is the
-    # sanctioned broadcast-1-row totals scalar, never a corpus
-    # self-join (collocation pairs come from an index-aware transform,
-    # not a join); top-k via TakeOrdered, not a global sort
-    "corpus_profile": ["Generate", "HashAggregate", "TakeOrderedAndProject", "!SortMergeJoin"],
+    # round 7: dataset_report + collocations + dataset_diff union —
+    # explodes and map-side-combinable aggregates; the only non-equi
+    # join is the sanctioned broadcast-1-row totals scalar, never a
+    # corpus self-join (collocation pairs come from an index-aware
+    # transform, not a join); top-k via TakeOrdered, not a global
+    # sort. The diff arm's FULL OUTER id-join is deliberately a
+    # SortMergeJoin (full outer cannot broadcast; both sides are
+    # corpus-sized — co-partition by id at scale), so assert it is the
+    # equi form, not absent: FullOuter must appear, Cartesian must not.
+    "corpus_profile": ["Generate", "HashAggregate", "TakeOrderedAndProject", "FullOuter", "!CartesianProduct"],
 }
 
 spark = get_spark("explain_audit")
