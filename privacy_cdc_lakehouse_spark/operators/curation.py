@@ -455,3 +455,73 @@ def dataset_diff_summary(diff: DataFrame) -> DataFrame:
             - F.coalesce(F.col("tokens_old"), F.lit(0))
         ).alias("token_delta"),
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    oversample: float = 4.0,
+) -> DataFrame:
+    """Deterministic EXACT-count stratified sample — eval-set /
+    balanced-subset construction: per stratum, the ``n_per_stratum``
+    rows with the lowest ``md5(id)`` (tie-break id), so the selection
+    is reproducible across runs and engines and growth-stable the same
+    way :func:`hash_split` is. Output: ``(strata_col, id_col,
+    sample_rank)``.
+
+    100 TB shape (two-phase top-n): a naive per-stratum window ranks —
+    and therefore shuffles — the ENTIRE corpus to keep n rows. Instead:
+    (1) one map-side-combinable agg counts each stratum; (2) a pure
+    PROJECTION pre-filter keeps rows whose hash-fraction (first 8 md5
+    nibbles as uniform [0,1)) clears ~``oversample``×n/count — the
+    expected survivor set is oversample×n per stratum, so the exact
+    window in (3) ranks a few thousand rows however big the corpus is.
+    Because hex order is prefix-monotone, the threshold keeps a
+    prefix-closed set of the hash order: whenever ≥n rows survive, the
+    top-n among survivors IS the global top-n. Strata that come up
+    short (hash variance, or n > stratum size) retry with a doubled
+    threshold — a driver-side geometric loop that degenerates to
+    keep-everything, never to a wrong answer.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(strata_col), F.col(id_col), h.alias("_h"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / 2.0 ** 32).alias("_u"),
+    )
+    counts = {
+        r[strata_col]: r["_n"]
+        for r in base.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
+    }
+    w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(id_col))
+    factor = float(oversample)
+    while True:
+        thresholds = {
+            s: min(1.0, factor * n_per_stratum / max(c, 1))
+            for s, c in counts.items()
+        }
+        thr = F.lit(None).cast("double")
+        for s, t in thresholds.items():
+            thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+        survivors = base.filter(F.col("_u") <= thr)
+        got = {
+            r[strata_col]: r["_n"]
+            for r in survivors.groupBy(strata_col)
+            .agg(F.count("*").alias("_n"))
+            .collect()
+        }
+        short = [
+            s for s, c in counts.items()
+            if got.get(s, 0) < min(n_per_stratum, c) and thresholds[s] < 1.0
+        ]
+        if not short:
+            break
+        factor *= 2.0
+    return (
+        survivors.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+        .select(strata_col, id_col, "sample_rank")
+    )

@@ -1762,7 +1762,11 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     were pytest-only — plus (round-7 cont.) a ``dataset_diff`` arm
     over a deterministic synthetic release (every 13th+5 doc removed,
     13th+3 changed, 13th+1 re-added under a shifted id; per-doc
-    status + token delta AND the per-class summary hash-checked). The
+    status + token delta AND the per-class summary hash-checked) and a
+    ``stratified_sample`` arm (exact 10-per-lang deterministic sample;
+    the operator runs its two-phase top-n scale path, the oracle is
+    the naive global window — identical selection by construction,
+    every (stratum, doc, rank) hash-checked). The
     report runs over a lang-preserving augmented corpus (exact copies
     of every 10th doc) so the dup arm has real duplicate groups to
     count; collocations run over the raw corpus. Every metric is
@@ -1822,10 +1826,22 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'diff_tokens', status, CAST(token_delta AS DOUBLE)"
         ") AS (kind, k, v)"
     )
+    # sample arm: exact-count deterministic stratified sample (10 per
+    # lang) — every selected (stratum, doc, rank) hash-checked. The
+    # operator runs its two-phase top-n scale path; the oracle is the
+    # naive global window — same selection by construction.
+    samp_long = cur.stratified_sample(
+        _docs(spark, sf_dir), 10, strata_col="lang"
+    ).select(
+        F.lit("sample").alias("kind"),
+        F.concat_ws(":", "lang", F.col("doc_id").cast("string")).alias("k"),
+        F.col("sample_rank").cast("double").alias("v"),
+    )
     return (
         rep.unionByName(col_long)
         .unionByName(dif_long)
         .unionByName(dif_sum)
+        .unionByName(samp_long)
         .orderBy("kind", "k")
     )
 
@@ -1931,6 +1947,14 @@ ddiff AS (
                coalesce(b.toks, 0) - coalesce(a.toks, 0) AS delta
         FROM dold2 a FULL OUTER JOIN dnew2 b ON a.doc_id = b.doc_id
     ) WHERE status IS NOT NULL
+),
+samp AS (
+    SELECT lang, doc_id, r FROM (
+        SELECT lang, doc_id, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM documents
+    ) WHERE r <= 10
 )
 SELECT kind, k, v FROM (
     SELECT 'docs' AS kind, s AS k, CAST(n_docs AS DOUBLE) AS v FROM ps
@@ -1951,6 +1975,8 @@ SELECT kind, k, v FROM (
               FROM ddiff GROUP BY status
     UNION ALL SELECT 'diff_tokens', status, CAST(sum(delta) AS DOUBLE)
               FROM ddiff GROUP BY status
+    UNION ALL SELECT 'sample', lang || ':' || CAST(doc_id AS VARCHAR),
+                     CAST(r AS DOUBLE) FROM samp
 )
 ORDER BY kind, k
 """

@@ -1366,3 +1366,46 @@ def test_pca_then_pq_composition(spark):
     for qid, rows in by_q.items():
         # self and its exact duplicate occupy the top-2 (ADC dist 0)
         assert {rows[0][2], rows[1][2]} == {qid, qid + 40}
+
+
+def test_stratified_sample_exact_deterministic_and_two_phase(spark):
+    from pyspark.sql import Window as W
+
+    from privacy_cdc_lakehouse_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)]
+        + [(1000 + i, "tiny") for i in range(3)],
+        "doc_id long, lang string",
+    )
+    out = sorted(map(tuple, stratified_sample(df, 7).collect()))
+    by_s = {}
+    for s, i, r in out:
+        by_s.setdefault(s, []).append((r, i))
+    # exact n per stratum; a stratum smaller than n keeps everything
+    assert {s: len(v) for s, v in by_s.items()} == {
+        "a": 7, "b": 7, "c": 7, "tiny": 3,
+    }
+    # ranks are 1..n and the selection equals the naive global window
+    h = F.md5(F.col("doc_id").cast("string"))
+    naive = (
+        df.select("lang", "doc_id", h.alias("_h"))
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.asc("_h"), F.asc("doc_id"))
+            ),
+        )
+        .filter("sample_rank <= 7")
+        .select("lang", "doc_id", "sample_rank")
+    )
+    assert out == sorted(map(tuple, naive.collect()))
+    # deterministic across calls
+    assert out == sorted(map(tuple, stratified_sample(df, 7).collect()))
+    # a hopeless initial threshold retries geometrically and still
+    # lands the exact same answer
+    assert out == sorted(
+        map(tuple, stratified_sample(df, 7, oversample=0.001).collect())
+    )
