@@ -484,6 +484,13 @@ def stratified_sample(
     short (hash variance, or n > stratum size) retry with a doubled
     threshold — a driver-side geometric loop that degenerates to
     keep-everything, never to a wrong answer.
+
+    The per-stratum counts/thresholds are driver-resident (the same
+    model contract as the quantizer fits); rows with a NULL stratum
+    are excluded. Few strata inline the threshold as a literal CASE
+    (pure projection); past ~64 strata it rides a broadcast
+    (stratum, threshold) join — same dispatch discipline as the
+    centroid argmin sites.
     """
     from pyspark.sql import Window
 
@@ -495,6 +502,7 @@ def stratified_sample(
     counts = {
         r[strata_col]: r["_n"]
         for r in base.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
+        if r[strata_col] is not None
     }
     w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(id_col))
     factor = float(oversample)
@@ -503,10 +511,19 @@ def stratified_sample(
             s: min(1.0, factor * n_per_stratum / max(c, 1))
             for s, c in counts.items()
         }
-        thr = F.lit(None).cast("double")
-        for s, t in thresholds.items():
-            thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
-        survivors = base.filter(F.col("_u") <= thr)
+        if len(thresholds) <= 64:
+            thr = F.lit(None).cast("double")
+            for s, t in thresholds.items():
+                thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
+            survivors = base.filter(F.col("_u") <= thr)
+        else:
+            thr_df = df.sparkSession.createDataFrame(
+                [(s, float(t)) for s, t in thresholds.items()],
+                [strata_col, "_thr"],
+            )
+            survivors = base.join(F.broadcast(thr_df), strata_col).filter(
+                F.col("_u") <= F.col("_thr")
+            ).drop("_thr")
         got = {
             r[strata_col]: r["_n"]
             for r in survivors.groupBy(strata_col)

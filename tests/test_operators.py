@@ -1409,3 +1409,26 @@ def test_stratified_sample_exact_deterministic_and_two_phase(spark):
     assert out == sorted(
         map(tuple, stratified_sample(df, 7, oversample=0.001).collect())
     )
+
+
+def test_stratified_sample_join_threshold_matches_literal(spark):
+    """>64 strata dispatch the threshold to a broadcast join — must
+    select exactly what the literal CASE path selects."""
+    from privacy_cdc_lakehouse_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 100}") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    out = sorted(map(tuple, stratified_sample(df, 3).collect()))
+    # 100 strata of 10 docs each -> join path; every stratum exactly 3
+    per = {}
+    for s, i, r in out:
+        per[s] = per.get(s, 0) + 1
+    assert per == {f"s{j}": 3 for j in range(100)}
+    # literal path over a <=64-strata subset picks the same rows
+    sub = df.filter(F.col("lang").isin([f"s{j}" for j in range(50)]))
+    lit = sorted(map(tuple, stratified_sample(sub, 3).collect()))
+    assert [t for t in out if t[0] in {f"s{j}" for j in range(50)}] == lit
