@@ -566,3 +566,56 @@ def doc_logprob(
         F.count("*").cast("long").alias("n_scored"),
         F.round(F.avg("lp"), 6).alias("mean_logp"),
     )
+
+
+def normalize_text(
+    col: Column,
+    form: str = "NFC",
+    casefold: bool = False,
+    strip_accents: bool = False,
+) -> Column:
+    """Unicode text normalization — the preprocessing step every
+    multilingual corpus needs before hashing/dedup (a composed and a
+    decomposed "é" are different bytes, so exact dedup and MinHash
+    both miss the match until text is normalized). Spark has no
+    built-in ICU normalizer, so this is a deliberately SANCTIONED
+    Arrow-batched ``pandas_udf`` (Python's ``unicodedata`` is the
+    reference implementation) — the slow path by design: run it ONCE
+    at ingest and persist the normalized column; never call it inside
+    a per-query hot path (``test_no_python_hot_paths`` enforces that
+    no registered query does).
+
+    ``form``: NFC/NFD/NFKC/NFKD. ``casefold``: full Unicode casefold
+    (ß → ss), stronger than lower(). ``strip_accents``: NFD-decompose,
+    drop combining marks, then apply ``form``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NB: text.py uses `from __future__ import annotations`, so the
+    # hint below is the STRING "pd.Series"; pyspark resolves it via
+    # get_type_hints against this function's globals — bind pd there.
+    normalize_text.__globals__.setdefault("pd", pd)
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        def one(x):
+            if x is None:
+                return None
+            y = x
+            if strip_accents:
+                y = "".join(
+                    ch
+                    for ch in unicodedata.normalize("NFD", y)
+                    if not unicodedata.combining(ch)
+                )
+            y = unicodedata.normalize(form, y)
+            if casefold:
+                y = y.casefold()
+            return y
+
+        return s.map(one)
+
+    return _norm(col)

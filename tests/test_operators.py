@@ -1432,3 +1432,49 @@ def test_stratified_sample_join_threshold_matches_literal(spark):
     sub = df.filter(F.col("lang").isin([f"s{j}" for j in range(50)]))
     lit = sorted(map(tuple, stratified_sample(sub, 3).collect()))
     assert [t for t in out if t[0] in {f"s{j}" for j in range(50)}] == lit
+
+
+def test_normalize_text_unicode_forms(spark):
+    import unicodedata
+
+    from privacy_cdc_lakehouse_spark.operators.text import normalize_text
+
+    rows = [
+        (1, "Café"),            # composed é
+        (2, "Café"),           # decomposed e + combining acute
+        (3, "Straße"),          # ß casefolds to ss
+        (4, "ﬁne"),             # fi ligature (NFKC splits)
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    nfc = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id", normalize_text(F.col("text")).alias("n")
+        ).collect()
+    }
+    # composed == decomposed after NFC; matches unicodedata exactly
+    assert nfc[1] == nfc[2] == unicodedata.normalize("NFC", "Café")
+    assert nfc[5] is None
+    nfkc_fold = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id",
+            normalize_text(F.col("text"), form="NFKC", casefold=True).alias("n"),
+        ).collect()
+    }
+    assert nfkc_fold[3] == "strasse"
+    assert nfkc_fold[4] == "fine"
+    stripped = {
+        r["id"]: r["n"]
+        for r in df.select(
+            "id",
+            normalize_text(F.col("text"), strip_accents=True).alias("n"),
+        ).collect()
+    }
+    assert stripped[1] == stripped[2] == "Cafe"
+    # normalized exact-dedup now matches what raw bytes missed
+    fp = df.filter("id <= 2").select(
+        F.md5(normalize_text(F.col("text"))).alias("h")
+    ).distinct()
+    assert fp.count() == 1
