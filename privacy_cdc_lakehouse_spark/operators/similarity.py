@@ -1090,6 +1090,7 @@ def pca_model(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "explode",
 ) -> DataFrame:
     """PCA for embedding columns — the classic pre-ANN/pre-PQ
     transform (dimensionality reduction / decorrelation; whitening is
@@ -1112,10 +1113,57 @@ def pca_model(
       (the eigenvalues are stored), so it is not a fit stamp. Components are sign-normalized
       (largest-|loading| coordinate positive) so the artifact is
       deterministic up to float summation order.
+
+    ``method``: ``"explode"`` (default) keeps everything JVM-side —
+    per-row work is O(d²) generated terms, the right trade at
+    d ≲ a few hundred. ``"pandas"`` computes per-batch Gramian
+    partials with BLAS (``mapInPandas`` emitting one
+    (count, sum-vec, flattened X'X) row per Arrow batch, summed
+    driver-side) — at large d the O(N·d²) flops belong in BLAS, not
+    codegen'd expressions; this is a sanctioned Arrow batch path like
+    the multimodal operators, never in a registered query's hot path.
+    Both methods agree to float-summation-order (parity-tested).
     """
     import numpy as np
 
     d = dim
+    if method == "pandas":
+        import pandas as pd  # noqa: F401
+
+        def gram_partials(batches):
+            for pdf in batches:
+                X = np.asarray(
+                    [list(map(float, v)) for v in pdf["_v"]], dtype=np.float64
+                )
+                if X.size == 0:
+                    continue
+                yield __import__("pandas").DataFrame(
+                    {
+                        "n": [X.shape[0]],
+                        "sx": [X.sum(axis=0).tolist()],
+                        "sxx": [(X.T @ X).ravel().tolist()],
+                    }
+                )
+
+        parts = (
+            corpus.select(as_double(F.col(vec_col)).alias("_v"))
+            .mapInPandas(
+                gram_partials,
+                "n long, sx array<double>, sxx array<double>",
+            )
+            .collect()
+        )
+        n = sum(r["n"] for r in parts)
+        sx = np.zeros(d)
+        sxx = np.zeros((d, d))
+        for r in parts:
+            sx += np.asarray(r["sx"])
+            sxx += np.asarray(r["sxx"]).reshape(d, d)
+        return _pca_from_moments(
+            corpus.sparkSession, n, sx, sxx, d, n_components
+        )
+    if method != "explode":
+        raise ValueError(f"unknown pca_model method {method!r}")
     v = as_double(F.col(vec_col))
     pairs = corpus.select(v.alias("_v")).select(
         F.posexplode(
@@ -1152,6 +1200,14 @@ def pca_model(
         sxx[i, j] = r["_sxx"]
         if i == j:
             sx[i] = r["_sx"]
+    return _pca_from_moments(corpus.sparkSession, n, sx, sxx, d, n_components)
+
+
+def _pca_from_moments(spark, n, sx, sxx, d, n_components) -> DataFrame:
+    """Driver-side tail shared by both pca_model methods: moments →
+    covariance → eigh → sign-normalized component artifact."""
+    import numpy as np
+
     mean = sx / n
     cov = sxx / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -1173,7 +1229,7 @@ def pca_model(
                 n_components,
             )
         )
-    return corpus.sparkSession.createDataFrame(
+    return spark.createDataFrame(
         rows,
         "component int, loading array<double>, mean array<double>, "
         "eigenvalue double, _dim int, _k int",

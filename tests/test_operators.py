@@ -1478,3 +1478,29 @@ def test_normalize_text_unicode_forms(spark):
         F.md5(normalize_text(F.col("text"))).alias("h")
     ).distinct()
     assert fp.count() == 1
+
+
+def test_pca_pandas_gramian_matches_explode(spark):
+    """The BLAS (mapInPandas Gramian) fit must agree with the JVM
+    explode fit to float-summation tolerance — same moments, same
+    eigh, same sign normalization."""
+    np = pytest.importorskip("numpy")
+
+    rng = np.random.default_rng(13)
+    X = rng.normal(size=(200, 8)) @ np.diag([4, 3, 2, 1, 1, 0.5, 0.3, 0.1])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {r["component"]: r for r in sim.pca_model(df, 3, dim=8).collect()}
+    b = {
+        r["component"]: r
+        for r in sim.pca_model(df, 3, dim=8, method="pandas").collect()
+    }
+    for c in range(3):
+        assert np.abs(
+            np.array(a[c]["loading"]) - np.array(b[c]["loading"])
+        ).max() < 1e-6
+        assert abs(a[c]["eigenvalue"] - b[c]["eigenvalue"]) < 1e-6
+    with pytest.raises(ValueError, match="unknown pca_model method"):
+        sim.pca_model(df, 3, dim=8, method="bogus")
