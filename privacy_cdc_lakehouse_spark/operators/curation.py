@@ -195,7 +195,12 @@ def curate_corpus(
     keepers = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     kept = fp.join(keepers, ["_fp", id_col], "left_semi").drop("_fp")
     if persist_intermediate:
-        kept = kept.persist()
+        # slot-bounded: repeated pipeline invocations in one session
+        # (bench reps, oracle harness) hold one cached subplan, not a
+        # growing pile awaiting LRU eviction.
+        from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+        kept = slot_persist(kept, "curate_corpus_kept")
     # Inline contamination (vs calling ngram_contamination, whose
     # zero-fill join would reference `kept` a third time): hits joined
     # back once, clean = no-hit rows.
@@ -422,14 +427,19 @@ def dataset_diff(
     """
     from privacy_cdc_lakehouse_spark.operators.text import token_count
 
+    # coalesce BEFORE hashing: md5(NULL) is NULL, and a NULL fingerprint
+    # is how the full-outer join signals "row absent on this side" — a
+    # doc present in both snapshots with NULL text would otherwise be
+    # misclassified as added/removed instead of identical/changed.
+    fp = lambda c: F.md5(F.coalesce(c, F.lit("")))  # noqa: E731
     a = old.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("_fp_a"),
+        fp(F.col(text_col)).alias("_fp_a"),
         token_count(F.col(text_col)).alias("tokens_old"),
     )
     b = new.select(
         F.col(id_col),
-        F.md5(F.col(text_col)).alias("_fp_b"),
+        fp(F.col(text_col)).alias("_fp_b"),
         token_count(F.col(text_col)).alias("tokens_new"),
     )
     status = (
@@ -481,9 +491,16 @@ def stratified_sample(
     Because hex order is prefix-monotone, the threshold keeps a
     prefix-closed set of the hash order: whenever ≥n rows survive, the
     top-n among survivors IS the global top-n. Strata that come up
-    short (hash variance, or n > stratum size) retry with a doubled
-    threshold — a driver-side geometric loop that degenerates to
-    keep-everything, never to a wrong answer.
+    short (hash variance, or n > stratum size) get a doubled threshold
+    — and the doubling decision costs NO extra Spark jobs: one grouped
+    aggregate histograms every row by its DOUBLING LEVEL
+    ``ceil(log2(u·count/(oversample·n)))`` (the number of doublings
+    before that row survives), so the driver reads the cumulative
+    counts at EVERY candidate threshold from a single O(strata×64)-row
+    result and picks each stratum's final threshold exactly. Total: 2
+    jobs always (count + level histogram), even for pathological
+    stratum distributions; degenerates to keep-everything, never to a
+    wrong answer.
 
     The per-stratum counts/thresholds are driver-resident (the same
     model contract as the quantizer fits); rows with a NULL stratum
@@ -499,6 +516,7 @@ def stratified_sample(
         F.col(strata_col), F.col(id_col), h.alias("_h"),
         (F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / 2.0 ** 32).alias("_u"),
     )
+    # Job 1: per-stratum counts (sets the base threshold scale).
     counts = {
         r[strata_col]: r["_n"]
         for r in base.groupBy(strata_col).agg(F.count("*").alias("_n")).collect()
@@ -506,37 +524,67 @@ def stratified_sample(
     }
     w = Window.partitionBy(strata_col).orderBy(F.asc("_h"), F.asc(id_col))
     factor = float(oversample)
-    while True:
-        thresholds = {
-            s: min(1.0, factor * n_per_stratum / max(c, 1))
-            for s, c in counts.items()
-        }
-        if len(thresholds) <= 64:
-            thr = F.lit(None).cast("double")
-            for s, t in thresholds.items():
-                thr = F.when(F.col(strata_col) == s, F.lit(t)).otherwise(thr)
-            survivors = base.filter(F.col("_u") <= thr)
-        else:
-            thr_df = df.sparkSession.createDataFrame(
-                [(s, float(t)) for s, t in thresholds.items()],
-                [strata_col, "_thr"],
-            )
-            survivors = base.join(F.broadcast(thr_df), strata_col).filter(
-                F.col("_u") <= F.col("_thr")
-            ).drop("_thr")
-        got = {
-            r[strata_col]: r["_n"]
-            for r in survivors.groupBy(strata_col)
-            .agg(F.count("*").alias("_n"))
-            .collect()
-        }
-        short = [
-            s for s, c in counts.items()
-            if got.get(s, 0) < min(n_per_stratum, c) and thresholds[s] < 1.0
-        ]
-        if not short:
-            break
-        factor *= 2.0
+
+    def per_stratum(values: dict, alias: str):
+        """Dispatch a driver-resident per-stratum scalar into the plan:
+        literal CASE for few strata, broadcast join past 64."""
+        if len(values) <= 64:
+            expr = F.lit(None).cast("double")
+            for s, v in values.items():
+                expr = F.when(F.col(strata_col) == s, F.lit(v)).otherwise(expr)
+            return lambda frame: frame.withColumn(alias, expr)
+        vdf = df.sparkSession.createDataFrame(
+            [(s, float(v)) for s, v in values.items()], [strata_col, alias]
+        )
+        return lambda frame: frame.join(F.broadcast(vdf), strata_col)
+
+    # Job 2: doubling-level histogram. A row survives threshold
+    # min(1, factor·2^k·n/c) iff u·c/(factor·n) <= 2^k, so its LEVEL
+    # (first doubling at which it survives) is ceil(log2(u·c/(factor·n)))
+    # clamped at 0 — one grouped count per (stratum, level) replaces the
+    # old count-survivors-per-doubling driver loop (one job per doubling).
+    scale = per_stratum(
+        {s: float(c) / (factor * n_per_stratum) for s, c in counts.items()},
+        "_scale",
+    )
+    g = F.col("_u") * F.col("_scale")
+    level = F.when(g <= 1.0, F.lit(0)).otherwise(
+        F.ceil(F.log2(g)).cast("int")
+    )
+    hist: dict = {}
+    rows = (
+        scale(base.filter(F.col(strata_col).isNotNull()))
+        .withColumn("_lvl", level)
+        .groupBy(strata_col, "_lvl")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+    )
+    for r in rows:
+        hist.setdefault(r[strata_col], {})[r["_lvl"]] = r["_n"]
+
+    # Driver: per stratum, the smallest doubling k whose cumulative
+    # survivor count reaches min(n, stratum size) — or the
+    # keep-everything cap when the threshold saturates at 1.0 first.
+    thresholds: dict = {}
+    for s, c in counts.items():
+        target = min(n_per_stratum, c)
+        levels = hist.get(s, {})
+        cum, k = 0, 0
+        while True:
+            thr = factor * (2.0 ** k) * n_per_stratum / max(c, 1)
+            cum += levels.get(k, 0)
+            if thr >= 1.0 or cum >= target:
+                break
+            k += 1
+        # 1e-9 relative headroom: the histogram's u·scale <= 2^k and the
+        # final u <= thr are different float expressions; the margin
+        # keeps boundary rows in (a SUPERSET of survivors is harmless —
+        # prefix-closure means the top-n among survivors is unchanged).
+        thresholds[s] = min(1.0, thr * (1.0 + 1e-9))
+
+    survivors = per_stratum(thresholds, "_thr")(base).filter(
+        F.col("_u") <= F.col("_thr")
+    )
     return (
         survivors.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= n_per_stratum)

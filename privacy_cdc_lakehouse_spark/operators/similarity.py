@@ -773,16 +773,21 @@ def pq_model(
 
 
 def _pq_codebook(
-    model: DataFrame, m: int, n_codes: int, iters: int
+    model: DataFrame, m: int, n_codes: int, iters: int,
+    dim: int | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Load + stamp-check a :func:`pq_model` artifact into per-subspace
     centroid lists (``cb[sub] = [(code, subcentroid), ...]`` sorted by
     code). Same rationale as :func:`_model_centroids`: a codebook fit
     with different (m, n_codes, iters) yields same-shaped rows from
-    different centroids, so the stamp is the only reliable guard."""
-    missing = {"sub", "code", "centroid", "_m", "_codes", "_iters"} - set(
-        model.columns
-    )
+    different centroids, so the stamp is the only reliable guard.
+    ``dim=`` additionally rejects a codebook fit at a different vector
+    dimensionality (``_subdim != dim // m``) — without it an
+    other-dim artifact would silently zip-with mismatched-length
+    arrays and produce null-padded ADC distances."""
+    missing = {
+        "sub", "code", "centroid", "_m", "_codes", "_iters", "_subdim"
+    } - set(model.columns)
     if missing:
         raise ValueError(
             f"pq_model artifact lacks columns {sorted(missing)} — "
@@ -796,6 +801,12 @@ def _pq_codebook(
                 f"n_codes={r['_codes']} iters={r['_iters']} — does not "
                 f"match the query's m={m} n_codes={n_codes} "
                 f"iters={iters}; rebuild it"
+            )
+        if dim is not None and r["_subdim"] != dim // m:
+            raise ValueError(
+                f"pq_model artifact was fit with subdim={r['_subdim']} "
+                f"(vector dim {r['_subdim'] * m}) — does not match the "
+                f"query's dim={dim} (subdim {dim // m}); rebuild it"
             )
     cb: list[list[tuple[int, list[float]]]] = [[] for _ in range(m)]
     for r in rows:
@@ -960,14 +971,14 @@ def pq_topk(
     the ``cluster`` column. ``coarse_model=`` accepts a pre-fit
     :func:`ivf_model` artifact for the coarse quantizer."""
     if model is not None:
-        cb = _pq_codebook(model, m, n_codes, iters)
+        cb = _pq_codebook(model, m, n_codes, iters, dim=dim)
     else:
         cb = _pq_codebook(
             pq_model(
                 corpus, m=m, n_codes=n_codes, iters=iters, dim=dim,
                 id_col=id_col, vec_col=vec_col,
             ),
-            m, n_codes, iters,
+            m, n_codes, iters, dim=dim,
         )
     subdim = dim // m
     from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
@@ -1165,33 +1176,45 @@ def pca_model(
     if method != "explode":
         raise ValueError(f"unknown pca_model method {method!r}")
     v = as_double(F.col(vec_col))
-    pairs = corpus.select(v.alias("_v")).select(
-        F.posexplode(
-            F.flatten(
-                F.transform(
-                    F.col("_v"),
-                    lambda xi: F.transform(F.col("_v"), lambda xj: xi * xj),
+    # The diagonal element is resolved in a projection IMMEDIATELY
+    # after the generate, so the d² exploded rows entering the partial
+    # aggregate are 3 scalars wide — not 2 scalars + the full _v array
+    # (which would be ~d³ transient doubles per input row at d=64).
+    pairs = (
+        corpus.select(v.alias("_v"))
+        .select(
+            F.posexplode(
+                F.flatten(
+                    F.transform(
+                        F.col("_v"),
+                        lambda xi: F.transform(F.col("_v"), lambda xj: xi * xj),
+                    )
                 )
-            )
-        ).alias("_p", "_xx"),
-        F.col("_v"),
+            ).alias("_p", "_xx"),
+            F.col("_v"),
+        )
+        .select(
+            "_p",
+            "_xx",
+            # the mean only needs each coordinate once: the i-th
+            # element on the diagonal rows (p = i*d + i)
+            F.when(
+                F.col("_p") % (d + 1) == 0,
+                F.element_at(F.col("_v"), (F.col("_p") / (d + 1) + 1).cast("int")),
+            ).alias("_x"),
+        )
     )
     sums = (
         pairs.groupBy("_p")
         .agg(
             F.sum("_xx").alias("_sxx"),
-            # the mean only needs each coordinate once: take the i-th
-            # element on the diagonal rows (p = i*d + i)
             F.count("*").alias("_n"),
-            F.sum(
-                F.when(
-                    F.col("_p") % (d + 1) == 0,
-                    F.element_at(F.col("_v"), (F.col("_p") / (d + 1) + 1).cast("int")),
-                )
-            ).alias("_sx"),
+            F.sum("_x").alias("_sx"),
         )
         .collect()
     )
+    if not sums:
+        raise ValueError("pca_model needs a non-empty corpus")
     n = sums[0]["_n"]
     sxx = np.zeros((d, d))
     sx = np.zeros(d)
@@ -1208,6 +1231,8 @@ def _pca_from_moments(spark, n, sx, sxx, d, n_components) -> DataFrame:
     covariance → eigh → sign-normalized component artifact."""
     import numpy as np
 
+    if n == 0:
+        raise ValueError("pca_model needs a non-empty corpus")
     mean = sx / n
     cov = sxx / n - np.outer(mean, mean)
     evals, evecs = np.linalg.eigh(cov)  # ascending

@@ -5,6 +5,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+_PERSIST_SLOTS: dict[str, DataFrame] = {}
+
+
+def slot_persist(df: DataFrame, slot: str) -> DataFrame:
+    """``persist()`` with a bounded lifetime for lazy-return query
+    shapes: the cached subplan is part of the RETURNED plan, so the
+    call site cannot ``unpersist()`` before the caller's action — but
+    a long-lived session invoking the query repeatedly (bench reps,
+    the oracle harness) would otherwise accumulate cached blocks until
+    LRU eviction. Each call unpersists the PREVIOUS occupant of
+    ``slot``, holding at most one cached subplan per site regardless
+    of invocation count (unpersisting a block mid-consumption is safe
+    in Spark — consumers recompute from lineage)."""
+    prev = _PERSIST_SLOTS.pop(slot, None)
+    if prev is not None:
+        try:
+            prev.unpersist()
+        except Exception:
+            pass  # session torn down between invocations
+    _PERSIST_SLOTS[slot] = df.persist()
+    return df
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row compute across the cluster when the
     input arrives under-split.
@@ -23,7 +46,11 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     # Partition count straight from the JVM physical plan: df.rdd would
     # additionally build the InternalRow->Row conversion plan on the
     # Python side just to ask a number — pure driver overhead at high
-    # call rates. No job runs either way.
+    # call rates. NOTE: under AQE, materializing executedPlan().execute()
+    # can run jobs for upstream shuffle-stage materialization — the same
+    # as the old df.rdd path did; the claim here is parity with df.rdd
+    # minus the Python-side conversion plan, NOT "no job ever runs".
+    # Keep this out of per-row hot paths; it is called once per operator.
     try:
         n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
     except Exception:  # non-classic backends: fall back to the RDD path

@@ -1336,8 +1336,11 @@ def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize once explicitly rather than trusting exchange reuse
     # across the union (sf1: ~5 s of 84, modest because Spark's
     # ReusedExchange already recovers most of it; the persist makes
-    # the reuse a contract instead of an optimizer mood).
-    spans = dd.duplicate_spans(corpus, n=8).persist()
+    # the reuse a contract instead of an optimizer mood). slot_persist
+    # bounds the cache to ONE subplan across repeated invocations.
+    from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+    spans = slot_persist(dd.duplicate_spans(corpus, n=8), "dedup_spans")
     span_rows = spans.select(
         F.lit("span").alias("kind"),
         "doc_id",

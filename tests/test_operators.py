@@ -1050,6 +1050,13 @@ def test_pq_model_stamp_guard(spark):
         )
     with pytest.raises(ValueError, match="not divisible"):
         sim.pq_model(corpus, m=3, n_codes=2, iters=0, dim=4)
+    # an artifact fit at a DIFFERENT vector dim must be rejected too —
+    # zip_with over mismatched-length subvectors would otherwise
+    # null-pad the ADC products silently
+    with pytest.raises(ValueError, match="subdim"):
+        sim.pq_topk(
+            corpus, queries, m=2, n_codes=2, iters=1, dim=8, model=model
+        )
 
 
 def test_pq_encode_join_path_matches_literal(spark):
@@ -1237,6 +1244,26 @@ def test_dataset_diff_statuses_and_token_deltas(spark):
     }
 
 
+def test_dataset_diff_null_text_is_presence_not_absence(spark):
+    """md5(NULL) is NULL — without the coalesce, a doc present on both
+    sides with NULL text reads as added/removed instead of
+    identical/changed."""
+    from privacy_cdc_lakehouse_spark.operators.curation import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, None), (3, "had text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, "now has text"), (3, None)],
+        "doc_id long, text string",
+    )
+    diff = {r["doc_id"]: r["status"] for r in dataset_diff(old, new).collect()}
+    # doc 1: NULL on both sides -> identical -> excluded;
+    # docs 2/3: present on both sides -> changed, never added/removed
+    assert diff == {2: "changed", 3: "changed"}
+
+
 def test_dataset_diff_agrees_with_change_feed(spark, tmp_path):
     """Content diff between two table versions must tell the same
     story as the table's own Change Data Feed over that range —
@@ -1338,6 +1365,13 @@ def test_pca_model_stamp_guard(spark):
         sim.pca_project(df, mdl.drop("_k"), n_components=2)
 
 
+def test_pca_model_empty_corpus_raises(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    for method in ("explode", "pandas"):
+        with pytest.raises(ValueError, match="non-empty corpus"):
+            sim.pca_model(empty, n_components=2, dim=4, method=method)
+
+
 def test_pca_then_pq_composition(spark):
     """OPQ-lite: PCA-reduce then product-quantize — the operators
     compose through an ordinary column (pq_topk over vec_col='pca',
@@ -1432,6 +1466,22 @@ def test_stratified_sample_join_threshold_matches_literal(spark):
     sub = df.filter(F.col("lang").isin([f"s{j}" for j in range(50)]))
     lit = sorted(map(tuple, stratified_sample(sub, 3).collect()))
     assert [t for t in out if t[0] in {f"s{j}" for j in range(50)}] == lit
+
+
+def test_slot_persist_bounds_cache_to_one_subplan(spark):
+    """Repeated invocations of a lazy-return persisting query must not
+    accumulate cached blocks — each slot_persist evicts the slot's
+    previous occupant."""
+    from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+    a = spark.range(10)
+    b = spark.range(20)
+    assert slot_persist(a, "_test_slot").storageLevel.useMemory
+    a.count()
+    assert slot_persist(b, "_test_slot").storageLevel.useMemory
+    assert not a.storageLevel.useMemory  # previous occupant unpersisted
+    assert b.count() == 20
+    slot_persist(spark.range(1), "_test_slot").unpersist()
 
 
 def test_normalize_text_unicode_forms(spark):
