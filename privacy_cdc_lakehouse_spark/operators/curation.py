@@ -427,11 +427,17 @@ def dataset_diff(
     """
     from privacy_cdc_lakehouse_spark.operators.text import token_count
 
-    # coalesce BEFORE hashing: md5(NULL) is NULL, and a NULL fingerprint
-    # is how the full-outer join signals "row absent on this side" — a
-    # doc present in both snapshots with NULL text would otherwise be
-    # misclassified as added/removed instead of identical/changed.
-    fp = lambda c: F.md5(F.coalesce(c, F.lit("")))  # noqa: E731
+    # Presence-prefixed fingerprint: md5(NULL) is NULL, and a NULL
+    # fingerprint is how the full-outer join signals "row absent on
+    # this side" — a doc present in both snapshots with NULL text would
+    # otherwise be misclassified as added/removed. The '0'/'1' presence
+    # prefix additionally keeps NULL text distinct from '' (a doc whose
+    # text flips between the two IS a change: token_count('')=0 vs
+    # NULL), and is injective on non-null text — no planted sentinel
+    # string can collide with real content.
+    fp = lambda c: F.md5(  # noqa: E731
+        F.when(c.isNull(), F.lit("0")).otherwise(F.concat(F.lit("1"), c))
+    )
     a = old.select(
         F.col(id_col),
         fp(F.col(text_col)).alias("_fp_a"),

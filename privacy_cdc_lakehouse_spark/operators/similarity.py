@@ -785,6 +785,12 @@ def _pq_codebook(
     dimensionality (``_subdim != dim // m``) — without it an
     other-dim artifact would silently zip-with mismatched-length
     arrays and produce null-padded ADC distances."""
+    if dim is not None and dim % m:
+        # same contract as pq_model's fit path: a non-divisible dim
+        # would otherwise pass the truncating dim // m stamp check and
+        # silently drop the trailing query coordinates from the
+        # slice-based ADC tables
+        raise ValueError(f"dim={dim} not divisible by m={m}")
     missing = {
         "sub", "code", "centroid", "_m", "_codes", "_iters", "_subdim"
     } - set(model.columns)

@@ -2,10 +2,23 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+# (session-object-id, slot) -> (session, persisted df). Guarded by
+# _PERSIST_LOCK; entries from stopped sessions are purged on every
+# call so a torn-down session's plan is never pinned past the next
+# slot_persist anywhere in the process.
+_PERSIST_SLOTS: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+_PERSIST_LOCK = threading.Lock()
 
 
-_PERSIST_SLOTS: dict[str, DataFrame] = {}
+def _session_stopped(sess) -> bool:
+    try:
+        return sess._sc._jsc is None  # SparkContext.stop() nulls _jsc
+    except Exception:
+        return True
 
 
 def slot_persist(df: DataFrame, slot: str) -> DataFrame:
@@ -15,16 +28,32 @@ def slot_persist(df: DataFrame, slot: str) -> DataFrame:
     a long-lived session invoking the query repeatedly (bench reps,
     the oracle harness) would otherwise accumulate cached blocks until
     LRU eviction. Each call unpersists the PREVIOUS occupant of
-    ``slot``, holding at most one cached subplan per site regardless
-    of invocation count (unpersisting a block mid-consumption is safe
-    in Spark — consumers recompute from lineage)."""
-    prev = _PERSIST_SLOTS.pop(slot, None)
-    if prev is not None:
-        try:
-            prev.unpersist()
-        except Exception:
-            pass  # session torn down between invocations
-    _PERSIST_SLOTS[slot] = df.persist()
+    ``slot`` (across ALL sessions — the bound is per call site, not
+    per session) plus any entry whose session has been stopped,
+    holding at most one cached subplan per site regardless of
+    invocation count (unpersisting a block mid-consumption is safe in
+    Spark — consumers recompute from lineage).
+
+    SINGLE-IN-FLIGHT ASSUMPTION: because eviction happens at CALL time
+    while the persist pays off at ACTION time, building the same
+    slot-keyed query twice before executing the first silently drops
+    the first build's persist (its action recomputes the subtree from
+    lineage — correct, just unaccelerated). Call sites
+    (``curate_corpus(persist_intermediate=True)``,
+    ``q_dedup_duplicate_spans``) are invoke-then-consume, which is the
+    supported pattern."""
+    sess = df.sparkSession
+    persisted = df.persist()
+    with _PERSIST_LOCK:
+        for key in list(_PERSIST_SLOTS):
+            prev_sess, prev = _PERSIST_SLOTS[key]
+            if key[1] == slot or _session_stopped(prev_sess):
+                del _PERSIST_SLOTS[key]
+                try:
+                    prev.unpersist()
+                except Exception:
+                    pass  # session torn down between invocations
+        _PERSIST_SLOTS[(id(sess), slot)] = (sess, persisted)
     return df
 
 

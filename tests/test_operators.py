@@ -1554,3 +1554,79 @@ def test_pca_pandas_gramian_matches_explode(spark):
         assert abs(a[c]["eigenvalue"] - b[c]["eigenvalue"]) < 1e-6
     with pytest.raises(ValueError, match="unknown pca_model method"):
         sim.pca_model(df, 3, dim=8, method="bogus")
+
+
+def test_dataset_diff_null_vs_empty_is_changed(spark):
+    """NULL text and '' are different values (token_count('')=0 vs
+    NULL) — the presence-prefixed fingerprint must classify a
+    NULL<->'' flip as changed, not identical (round-9 ADVICE: the bare
+    md5(coalesce(text, '')) conflated them)."""
+    from privacy_cdc_lakehouse_spark.operators.curation import dataset_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, ""), (2, None), (3, "")], "doc_id long, text string"
+    )
+    diff = {r["doc_id"]: r["status"] for r in dataset_diff(old, new).collect()}
+    # 1/2 flip between NULL and '' -> changed; 3 is '' on both -> identical
+    assert diff == {1: "changed", 2: "changed"}
+
+
+def test_pq_topk_rejects_non_divisible_query_dim(spark):
+    """dim=9, m=2 truncates to subdim 4 and would stamp-match a
+    subdim-4 artifact while silently dropping the 9th query coordinate
+    from the slice-based ADC tables — the artifact path must enforce
+    the same divisibility contract as the fit path (round-9 ADVICE)."""
+    import pytest
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i + j) for j in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    model = sim.pq_model(corpus, m=2, n_codes=2, iters=1, dim=4)
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_topk(
+            corpus, queries, m=2, n_codes=2, iters=1, dim=9, model=model
+        )
+
+
+def test_slot_persist_purges_stopped_session_entries(spark):
+    """An entry left by a torn-down session must be evicted on the next
+    slot_persist call ANYWHERE — not retained until its own slot is
+    reused (round-9 verdict task: the module-global dict pinned the
+    dead session's plan)."""
+    from privacy_cdc_lakehouse_spark.operators import util
+
+    class _DeadSC:
+        _jsc = None
+
+    class _DeadSession:
+        _sc = _DeadSC()
+
+    class _Recorder:
+        unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    rec = _Recorder()
+    stale_key = (-1, "_stale_other_slot")
+    with util._PERSIST_LOCK:
+        util._PERSIST_SLOTS[stale_key] = (_DeadSession(), rec)
+    df = util.slot_persist(spark.range(5), "_evict_test_slot")
+    assert stale_key not in util._PERSIST_SLOTS
+    assert rec.unpersisted
+    assert df.count() == 5
+    # live-session entries for OTHER slots survive
+    assert any(k[1] == "_evict_test_slot" for k in util._PERSIST_SLOTS)
+    df.unpersist()
+    with util._PERSIST_LOCK:
+        util._PERSIST_SLOTS.pop(
+            next(k for k in util._PERSIST_SLOTS if k[1] == "_evict_test_slot"),
+            None,
+        )
