@@ -104,6 +104,31 @@ def main() -> None:
     calibration = calibrate()
     print(f"# calibration: {calibration}s", file=sys.stderr)
 
+    # I/O-bound box canary (round 9; complements the CPU canary): a
+    # timed full-width scan+decode of the lineitem fixture, median of
+    # 3. xxhash64 over every column defeats column pruning and forces
+    # full parquet decode while adding only cheap hashing, so the run
+    # is dominated by the same scan/decode path the headline queries'
+    # table reads exercise. Two canaries make round-over-round
+    # movement attributable: CPU-bound queries track calibration_sec,
+    # scan-bound ones track io_calibration_sec — previously a slower
+    # disk and a slower CPU were indistinguishable in the history.
+    def calibrate_io() -> float:
+        from pyspark.sql import functions as F
+
+        from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+        samples = []
+        for _ in range(3):
+            t0 = time.time()
+            li = load_table(spark, sf_dir, "lineitem")
+            li.select(F.sum(F.xxhash64(*li.columns)).alias("h")).collect()
+            samples.append(time.time() - t0)
+        return round(statistics.median(samples), 3)
+
+    io_calibration = calibrate_io()
+    print(f"# io_calibration: {io_calibration}s", file=sys.stderr)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # The flagship pair is the round-over-round comparison that matters
     # most — extra reps buy noise immunity where it counts.
@@ -231,9 +256,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # not part of the total: divide query times by this
-                # box-speed canary when comparing across rounds
+                # not part of the total: divide query times by these
+                # box-speed canaries when comparing across rounds —
+                # calibration_sec is CPU-bound (pure codegen, no I/O),
+                # io_calibration_sec is scan-bound (full-width parquet
+                # decode of the lineitem fixture)
                 "calibration_sec": calibration,
+                "io_calibration_sec": io_calibration,
                 # not part of the total: per-batch ANN cost with the
                 # corpus bucketing amortized into a write-once artifact
                 "informational": {

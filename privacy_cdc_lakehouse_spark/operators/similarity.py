@@ -76,11 +76,16 @@ def brute_force_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Exact cosine top-k neighbors per query vector.
+    """Exact top-k neighbors per query vector.
 
     queries: (query_id, embedding). Output: query_id, neighbor_id, rank,
     cos_sim — deterministic tie-break on (sim desc, neighbor_id asc).
+    ``metric="l2"`` ranks by ascending squared Euclidean distance
+    instead (same tie-break; output column ``dist``) — the metric the
+    PCA-space lossless-rotation check needs, since centering preserves
+    distances but not angles.
     """
     from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
 
@@ -90,18 +95,31 @@ def brute_force_topk(
     q = queries.select(
         F.col("query_id"), as_double(F.col(vec_col)).alias("qvec")
     )
+    if metric == "l2":
+        score, out_col = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("qvec"), F.col("cvec"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            "dist",
+        )
+        order = [F.asc(out_col), F.asc("neighbor_id")]
+    elif metric == "cosine":
+        score, out_col = cosine(F.col("qvec"), F.col("cvec")), "cos_sim"
+        order = [F.desc(out_col), F.asc("neighbor_id")]
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
     scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        "query_id", "neighbor_id", score.alias(out_col)
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cos_sim"), F.asc("neighbor_id")
-    )
+    w = Window.partitionBy("query_id").orderBy(*order)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cos_sim")
+        .select("query_id", "rank", "neighbor_id", out_col)
     )
 
 

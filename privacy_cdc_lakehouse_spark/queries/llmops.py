@@ -671,6 +671,46 @@ def q_sim_pq_pruned_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def q_dedup_semantic_pruned_production(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup at PRODUCTION sizing — the scale-rehearsal twin of the
+    ``dedup_semantic`` registry row (which pins n_clusters=8/iters=0
+    for SQL-oracle-ability; the in-cell pair expansion is quadratic in
+    cell size, so the fixed-8 shape is exactly what the operator's own
+    docs forbid at scale). This runs ``n_clusters ~ sqrt(N)`` with a
+    trained (iters=1) quantizer over the same augmented corpus — the
+    configuration the 100 TB claim in
+    ``operators/similarity.py::semantic_dedup`` rests on: sqrt(N)
+    cells keep expected cell size at sqrt(N), so pair work stays
+    ~N^1.5/k bounded instead of N². At sqrt(N) > 64 cells the argmin
+    rides the broadcast-join dispatch (the literal-CASE tree would
+    bottleneck Janino), which the scale gate plan-asserts. NOT a
+    registry row (iterated k-means means are not bit-replicable
+    cross-engine); consumed by tools/bench_scale.py with plan
+    assertions, keeper-count sanity via the returned rows."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
+    perturbed = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform(
+            "v", lambda x, i: F.when(i == 0, x * 1.05).otherwise(x)
+        ).alias("v"),
+    )
+    corpus = base.unionByName(perturbed)
+    n = corpus.count()
+    k = max(8, int(n ** 0.5))
+    return (
+        sim.semantic_dedup(
+            corpus, threshold=0.99, n_clusters=k, iters=1, vec_col="v"
+        )
+        .groupBy("is_keeper")
+        .agg(F.count("*").alias("n"), F.countDistinct("component").alias("n_components"))
+        .orderBy("is_keeper")
+    )
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets. The oracle
     replicates the bucketing bit-for-bit (literal ±1 planes, identical
@@ -751,6 +791,11 @@ LSH_RECALL_FLOOR = 0.5
 # m=16/16-code/3-iter config are >= 3/10 at sf0.01 and sf0.001
 # (deterministic — seeded k-means), so 0.2 holds with 50% margin.
 PQ_RECALL_FLOOR = 0.2
+# PCA-16 over iid-random 64-dim vectors is the no-structure worst case
+# (no low-rank signal to keep: 16 components hold ~25% of variance);
+# measured per-query hits are >= 2/10 at sf0.01 and sf0.001
+# (deterministic — eigh on the same covariance), so 0.1 holds 2x.
+PCA16_RECALL_FLOOR = 0.1
 
 
 def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -769,6 +814,17 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       production shape whose ``iters=0`` twin is hash-checked in
       ``sim_ann_topk_panel``); n_hits NULL for the same reason as
       ivf, floor-boolean gated.
+    - ``pca_full`` / ``pca16`` rows (round 9 — driver visibility for
+      ``pca_model``/``pca_project``, previously pytest-only): PCA is a
+      centered rotation, so the lossless check ranks by L2 distance
+      (centering preserves distances, not angles). ``pca_full``
+      projects at k=d=64 — an orthogonal rotation — so L2 top-10 over
+      projected vectors must EXACTLY equal raw-space L2 top-10:
+      n_hits is hash-checked as literally 10 and recall_ok is the
+      Spark-computed n_hits == 10 (a broken fit/projection goes red on
+      both). ``pca16`` slices the top-16 variance components (the
+      components are eigenvalue-ordered, so the slice IS the k=16
+      projection) and is floor-gated like ivf/pq.
     """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -777,9 +833,10 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
 
-    def hits_of(approx: DataFrame) -> DataFrame:
+    def hits_of(approx: DataFrame, baseline: DataFrame | None = None) -> DataFrame:
         h = (
-            bf.join(approx, ["query_id", "neighbor_id"], "left_semi")
+            (bf if baseline is None else baseline)
+            .join(approx, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")
             .agg(F.count("*").alias("n"))
         )
@@ -822,7 +879,53 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_hits"),
         (F.col("n_hits") / 10.0 >= PQ_RECALL_FLOOR).alias("recall_ok"),
     )
-    return ls.unionByName(iv).unionByName(pq).orderBy("method", "query_id")
+    # PCA arms: one full-rank fit serves both (k=64 rotation; the k=16
+    # projection is the eigenvalue-ordered slice of the projected
+    # array). L2 baseline, not cosine — see docstring.
+    bf_l2 = sim.brute_force_topk(emb, queries, k=10, metric="l2").select(
+        "query_id", "neighbor_id"
+    )
+    mdl = sim.pca_model(emb, n_components=64, dim=64)
+    proj_c = sim.pca_project(emb, mdl, n_components=64).select(
+        "vec_id", F.col("pca").alias("embedding")
+    )
+    proj_q = sim.pca_project(queries, mdl, n_components=64).select(
+        "query_id", F.col("pca").alias("embedding")
+    )
+    pca_full = hits_of(
+        sim.brute_force_topk(proj_c, proj_q, k=10, metric="l2").select(
+            "query_id", "neighbor_id"
+        ),
+        baseline=bf_l2,
+    ).select(
+        F.lit("pca_full").alias("method"),
+        "query_id",
+        "n_hits",
+        (F.col("n_hits") == 10).alias("recall_ok"),
+    )
+    pca16 = hits_of(
+        sim.brute_force_topk(
+            proj_c.select("vec_id", F.slice("embedding", 1, 16).alias("embedding")),
+            proj_q.select(
+                "query_id", F.slice("embedding", 1, 16).alias("embedding")
+            ),
+            k=10,
+            metric="l2",
+        ).select("query_id", "neighbor_id"),
+        baseline=bf_l2,
+    ).select(
+        F.lit("pca16").alias("method"),
+        "query_id",
+        F.lit(None).cast("long").alias("n_hits"),
+        (F.col("n_hits") / 10.0 >= PCA16_RECALL_FLOOR).alias("recall_ok"),
+    )
+    return (
+        ls.unionByName(iv)
+        .unionByName(pq)
+        .unionByName(pca_full)
+        .unionByName(pca16)
+        .orderBy("method", "query_id")
+    )
 
 
 _ANN_RECALL_SQL = _LSH_TOPK_CTE + f"""
@@ -862,6 +965,17 @@ FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
 AS t(query_id, recall_ok)
 UNION ALL
 SELECT 'pq', query_id, CAST(NULL AS BIGINT), recall_ok
+FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
+AS t(query_id, recall_ok)
+UNION ALL
+-- full-rank PCA is a centered orthogonal rotation: L2 top-10 over the
+-- projected vectors must EXACTLY equal raw-space L2 top-10, so the
+-- oracle pins n_hits to literally 10 (a broken fit/projection
+-- hash-mismatches) and recall_ok to the n_hits==10 boolean
+SELECT 'pca_full', query_id, CAST(10 AS BIGINT), true
+FROM (VALUES (0), (1), (2), (3), (4)) AS t(query_id)
+UNION ALL
+SELECT 'pca16', query_id, CAST(NULL AS BIGINT), recall_ok
 FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
 AS t(query_id, recall_ok)
 ORDER BY method, query_id
@@ -1575,11 +1689,50 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 9: normalize_text arm — driver visibility for the
+    # (sanctioned, ingest-path) Unicode normalizer, previously
+    # pytest-only. The fixture corpus is pure ASCII (verified per sf),
+    # so planting a decomposed e+combining-acute on every 3rd doc and
+    # an NFKC-only fi-ligature on every 3rd+1 doc makes the
+    # changed-under-normalization counts exact integers the oracle
+    # replicates from the planting arithmetic alone: NFC recomposes
+    # only the planted decomposed pair; NFKC additionally splits the
+    # ligature. md5 equality detects any byte change.
+    planted = docs.select(
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            # decomposed e + U+0301 combining acute, escaped so no
+            # editor/tool can silently NFC-compose the source file
+            F.concat(F.col("text"), F.lit(" Cafe\u0301")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            # U+FB01 fi ligature: NFC-stable, NFKC splits it to "fi"
+            F.concat(F.col("text"), F.lit(" \ufb01ne")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    norm_rows = planted.select(
+        (F.md5("text") != F.md5(tx.normalize_text(F.col("text"), "NFC")))
+        .cast("int")
+        .alias("_nfc"),
+        (F.md5("text") != F.md5(tx.normalize_text(F.col("text"), "NFKC")))
+        .cast("int")
+        .alias("_nfkc"),
+    ).agg(
+        F.sum("_nfc").cast("double").alias("nfc_changed"),
+        F.sum("_nfkc").cast("double").alias("nfkc_changed"),
+    ).selectExpr(
+        "stack(2, 'nfc_changed', nfc_changed, "
+        "'nfkc_changed', nfkc_changed) AS (k, v)"
+    ).select(F.lit("norm").alias("kind"), "k", "v")
     return (
         lang.unionByName(qual)
         .unionByName(rep)
         .unionByName(stats)
         .unionByName(lm_rows)
+        .unionByName(norm_rows)
         .orderBy("kind", "k")
     )
 
@@ -1602,6 +1755,20 @@ SELECT 'stats', lang || ':' || m, v FROM (
                         CAST(total_tokens AS DOUBLE), avg_stopword_ratio,
                         avg_punct_ratio]) AS v
     FROM ({_TEXT_STATS_SQL})
+)
+UNION ALL
+SELECT 'norm', k, v FROM (
+    -- planting arithmetic (the corpus is pure ASCII, verified per sf):
+    -- NFC changes exactly the docs planted with the decomposed pair
+    -- (doc_id % 3 = 0); NFKC additionally splits the fi ligature
+    -- planted on doc_id % 3 = 1
+    SELECT 'nfc_changed' AS k,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 = 0)
+                AS DOUBLE) AS v
+    UNION ALL
+    SELECT 'nfkc_changed',
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1))
+                AS DOUBLE)
 )
 UNION ALL
 SELECT 'lm', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (

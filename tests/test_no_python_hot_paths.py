@@ -9,9 +9,15 @@ from privacy_cdc_lakehouse_spark.queries import all_queries
 
 # Arrow-batched (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas)
 # is allowed ONLY here — these exist to exercise the pandas surface.
+# text_quality_panel joined in round 9: its norm arm is the
+# driver-visibility row for normalize_text, which is itself the
+# documented sanctioned-Arrow ingest-path operator (Spark has no
+# built-in ICU normalizer) — the arm exists to verify it, not to put
+# Python in an analytic hot path.
 PANDAS_SANCTIONED = {
     "pandas_zscore_outliers",
     "multimodal_panel",
+    "text_quality_panel",
 }
 
 

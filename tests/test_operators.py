@@ -1630,3 +1630,54 @@ def test_slot_persist_purges_stopped_session_entries(spark):
             next(k for k in util._PERSIST_SLOTS if k[1] == "_evict_test_slot"),
             None,
         )
+
+
+def test_stratified_sample_doubling_boundary_property(spark):
+    """Boundary property sweep pinning the histogram/threshold float-
+    expression agreement the 1e-9 headroom relies on (round-9 verdict
+    task #8): stratum sizes sit exactly AT and ±1 AROUND the doubling
+    boundaries c = oversample*n*2^k for levels 0-3, where the
+    histogram's `u*scale <= 2^k` and the final filter's `u <= thr` are
+    evaluated as different float expressions. The two-phase selection
+    must equal the naive global window at every size — one wrong
+    boundary row breaks the per-stratum equality."""
+    from pyspark.sql import Window as W
+
+    from privacy_cdc_lakehouse_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    n, oversample = 2, 4.0
+    sizes = sorted(
+        {
+            max(1, int(oversample * n * (2 ** k)) + d)
+            for k in range(4)
+            for d in (-1, 0, 1)
+        }
+    )
+    rows = []
+    for si, size in enumerate(sizes):
+        rows += [(si * 10_000 + j, f"s{size}") for j in range(size)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    two_phase = sorted(
+        map(tuple, stratified_sample(df, n, oversample=oversample).collect())
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    naive = (
+        df.select("lang", "doc_id", h.alias("_h"))
+        .withColumn(
+            "sample_rank",
+            F.row_number().over(
+                W.partitionBy("lang").orderBy(F.asc("_h"), F.asc("doc_id"))
+            ),
+        )
+        .filter(F.col("sample_rank") <= n)
+        .select("lang", "doc_id", "sample_rank")
+    )
+    assert two_phase == sorted(map(tuple, naive.collect()))
+    # every stratum yields exactly min(n, size) rows
+    got = {}
+    for s, _, _ in two_phase:
+        got[s] = got.get(s, 0) + 1
+    assert got == {f"s{size}": min(n, size) for size in sizes}

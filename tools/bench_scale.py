@@ -64,12 +64,7 @@ SCALE_AUDIT: dict[str, list[str]] = {
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
     "curation_pack_sequences": ["Window", "!Join"],
     "curation_pipeline": ["BroadcastHashJoin", "!CartesianProduct"],
-    # round-7 additions. NOT gated: dedup_semantic — its registry row
-    # pins n_clusters=8 for SQL-oracle-ability, which is quadratic in
-    # cell size and deliberately NOT the production sizing
-    # (n_clusters ~ sqrt(N), see operators/similarity.py::semantic_dedup);
-    # scaling the fixed-8 row to sf1 would measure a configuration the
-    # operator's own docs forbid at scale.
+    # round-7 additions:
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
     # the diff arm's FULL OUTER id-join sort-merges by design (full
     # outer cannot broadcast; both sides corpus-sized) — assert the
@@ -81,6 +76,24 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # the winners-only float fetch must broadcast, and nothing may
     # sort-merge or go all-pairs even with the ingest stages in-plan.
     "sim_pq_pruned": ["BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
+    # round-9 additions:
+    # SemDeDup at its OWN production sizing (n_clusters ~ sqrt(N),
+    # trained quantizer — the registry row pins n_clusters=8 for
+    # SQL-oracle-ability, a shape the operator's docs forbid at scale):
+    # the sqrt(N)>64 argmin must ride the broadcast centroid join and
+    # nothing may go all-pairs — the n^1.5 pair-work bound the 100 TB
+    # claim rests on. (The closure's per-iteration joins run in their
+    # own checkpointed jobs; the final plan carries the component-label
+    # join — a corpus-keyed equi-join where SMJ is the legitimate
+    # 100 TB shape, same standing as dataset_diff's, so !SortMergeJoin
+    # is deliberately NOT asserted here.)
+    "dedup_semantic_pruned": ["BroadcastHashJoin", "!CartesianProduct"],
+    # streaming micro-batch MERGE path at sf1 (availableNow foreachBatch
+    # over the scaled event log): the returned frame is the silver table
+    # read back, same contract shape as sql_merge_orders — the MERGE's
+    # own broadcast guards are size-gated code with their own tests; the
+    # gate prices the end-to-end stream-to-silver wall clock.
+    "cdc_stream_silver": ["Scan parquet"],
 }
 
 
@@ -121,10 +134,12 @@ def main() -> None:
 
         queries["sim_lsh_topk"] = q_sim_lsh_topk
     from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_dedup_semantic_pruned_production,
         q_sim_pq_pruned_production,
     )
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
+    queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
     out: dict[str, dict] = {}
     gate_ok = True
     for name, checks in SCALE_AUDIT.items():
@@ -161,18 +176,65 @@ def main() -> None:
               f"bhj={rec['bhj']} smj={rec['smj']} {failed or ''}",
               file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "sf1_scale_gate_sec",
-                "value": round(sum(r["sec"] for r in out.values()), 3),
-                "unit": "sec",
-                "sf_factor": factor,
-                "plan_gate": "pass" if gate_ok else "fail",
-                "queries": out,
-            }
-        )
+    result = {
+        "metric": "sf1_scale_gate_sec",
+        "value": round(sum(r["sec"] for r in out.values()), 3),
+        "unit": "sec",
+        "sf_factor": factor,
+        "plan_gate": "pass" if gate_ok else "fail",
+        "queries": out,
+    }
+
+    # Persist BENCH_SF1_r<N>.json at the repo root and diff against the
+    # most recent prior round's file — sf1 timings are claims about THIS
+    # round's code, so the gate re-runs (and re-records) every round
+    # that touches operator code instead of being argued from a stale
+    # file. Round number: $SPARK_GRAFT_ROUND if set, else 1 + the
+    # highest BENCH_r<N>.json the driver has recorded (the driver
+    # writes BENCH_r<N> at round END, so during round N the max is N-1).
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prior = sorted(
+        (int(m.group(1)), f)
+        for f in os.listdir(repo)
+        for m in [re.match(r"BENCH_SF1_r(\d+)\.json$", f)]
+        if m
     )
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if rnd is None:
+        bench_rounds = [
+            int(m.group(1))
+            for f in os.listdir(repo)
+            for m in [re.match(r"BENCH_r(\d+)\.json$", f)]
+            if m
+        ]
+        rnd = str(max(bench_rounds, default=0) + 1)
+    if prior:
+        prev_n, prev_f = prior[-1]
+        with open(os.path.join(repo, prev_f)) as fh:
+            prev = json.load(fh).get("queries", {})
+        deltas = {}
+        movers = []
+        for name, rec in out.items():
+            p = prev.get(name, {}).get("sec")
+            if p:
+                ratio = round(rec["sec"] / p, 2)
+                deltas[name] = ratio
+                if ratio > 1.5 or ratio < 1 / 1.5:
+                    movers.append(f"{name} {ratio}x")
+        result["delta_vs"] = {"round": prev_n, "per_query_ratio": deltas}
+        print(
+            f"# delta vs r{prev_n}: "
+            + " ".join(f"{k}={v}x" for k, v in sorted(deltas.items()))
+            + (f"  MOVERS>1.5x: {', '.join(movers)}" if movers else "  no >1.5x movers"),
+            file=sys.stderr,
+        )
+    out_path = os.path.join(repo, f"BENCH_SF1_r{int(rnd):02d}.json")
+    with open(out_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+        fh.write("\n")
+    print(f"# wrote {out_path}", file=sys.stderr)
+
+    print(json.dumps(result))
     sys.exit(0 if gate_ok else 1)
 
 

@@ -24,6 +24,17 @@ AUDIT = {
     # round 7: the three ANN top-k rows ride one union — the brute-force
     # arm's sanctioned cross-score plus the LSH/IVF broadcast joins
     "sim_ann_topk_panel": ["BroadcastNestedLoopJoin|CartesianProduct", "BroadcastHashJoin", "!SortMergeJoin"],
+    # round 9: recall panel (lsh/ivf/pq + the pca_full/pca16 lossless-
+    # rotation arms). The exact baselines are the sanctioned broadcast
+    # cross-scores; the hit-count semi-joins join window outputs whose
+    # stats the static planner can't see, so SMJ appears pre-AQE and is
+    # converted at runtime — assert no cartesian and no Python instead
+    # (pca_project must stay a pure codegen'd projection).
+    "sim_ann_recall": ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round 9: the norm arm's normalize_text is the SANCTIONED Arrow
+    # ingest-path operator (driver-visibility arm) — Arrow-batched is
+    # expected; row-at-a-time Python never is.
+    "text_quality_panel": ["Generate", "HashAggregate", "ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
     # line-level boilerplate removal: explode + count-distinct agg +
     # anti-join + per-doc rebuild; never a corpus self-join. The
     # boilerplate anti-join is deliberately NOT broadcast-hinted (the
