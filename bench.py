@@ -122,7 +122,10 @@ def main() -> None:
         for _ in range(3):
             t0 = time.time()
             li = load_table(spark, sf_dir, "lineitem")
-            li.select(F.sum(F.xxhash64(*li.columns)).alias("h")).collect()
+            # bit_xor, not sum: summing 64-bit hashes overflows long
+            # under ANSI mode; xor is overflow-free and still forces
+            # every column through the decoder
+            li.select(F.bit_xor(F.xxhash64(*li.columns)).alias("h")).collect()
             samples.append(time.time() - t0)
         return round(statistics.median(samples), 3)
 
