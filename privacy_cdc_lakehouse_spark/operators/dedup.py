@@ -376,6 +376,14 @@ def connected_components(
             pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
         )
         .distinct()
+        # Materialize ONCE: edges are re-joined every iteration, and
+        # the upstream pair pipeline (LSH bucketing / in-cell cosine
+        # verify — the expensive part) would otherwise re-execute per
+        # round (2 + 2×iterations times including the label seeding).
+        # The edge list is O(near-dup pairs) — far smaller than the
+        # corpus — so materializing it is the standard iterative-graph
+        # move (GraphFrames does the same before its CC loop).
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("id"))

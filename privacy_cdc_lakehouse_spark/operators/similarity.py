@@ -721,6 +721,15 @@ def semantic_dedup(
         c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
     else:
         c = _assign_by_join(c, cents, id_col)
+    # The assigned corpus feeds FOUR consumers (candidate buckets, both
+    # sides of the pair-vector join, the final label join) — without a
+    # persist the N×k argmin recomputes per consumer. slot_persist
+    # bounds the cache to one subplan across repeated invocations; at
+    # cluster scale persist() is MEMORY_AND_DISK, evictable, and strictly
+    # cheaper than 4× re-scoring the corpus against every centroid.
+    from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+    c = slot_persist(c, "semantic_dedup_assigned")
     cand = bucket_pairs(c.select(id_col, "cluster"), ["cluster"], id_col)
     a = c.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
     b = c.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
