@@ -371,10 +371,21 @@ def connected_components(
     rather than DuckDB-oracle-checked (same as streaming §2.9).
     """
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        # both directions from ONE pass over pairs (a union of two
+        # selects would execute the upstream pair pipeline twice)
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(id_b).alias("src"), F.col(id_a).alias("dst")
+                    ),
+                )
+            ).alias("e")
         )
+        .select("e.src", "e.dst")
         .distinct()
         # Materialize ONCE: edges are re-joined every iteration, and
         # the upstream pair pipeline (LSH bucketing / in-cell cosine

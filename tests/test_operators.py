@@ -1681,3 +1681,36 @@ def test_stratified_sample_doubling_boundary_property(spark):
     for s, _, _ in two_phase:
         got[s] = got.get(s, 0) + 1
     assert got == {f"s{size}": min(n, size) for size in sizes}
+
+
+def test_connected_components_executes_pair_pipeline_once(spark):
+    """The closure loop must consume a MATERIALIZED edge list: before
+    round 9 the lazily-built edges re-executed the full upstream pair
+    pipeline (the expensive LSH/cosine part) once per iteration, plus
+    twice more for the two-select union and label seeding. An
+    accumulator-bumping UDF in the pair plan counts actual upstream
+    executions: exactly one pass over the 3 pairs, regardless of how
+    many iterations run or how often the result is collected."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    from privacy_cdc_lakehouse_spark.operators.dedup import (
+        connected_components,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return x
+
+    bump_udf = udf(bump, LongType())
+    # chain 1-2-3 needs >1 closure iteration; 5-6 is a separate component
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    ).select(bump_udf("id_a").alias("id_a"), "id_b")
+    comp = connected_components(pairs)
+    out = {r["id"]: r["component"] for r in comp.collect()}
+    comp.collect()  # second action — edges must not recompute
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    assert acc.value == 3, f"pair pipeline executed {acc.value / 3}x"
