@@ -1714,3 +1714,31 @@ def test_connected_components_executes_pair_pipeline_once(spark):
     comp.collect()  # second action — edges must not recompute
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
     assert acc.value == 3, f"pair pipeline executed {acc.value / 3}x"
+
+
+def test_brute_force_topk_l2_metric(spark):
+    """metric='l2' ranks by ascending squared Euclidean distance with
+    the same (score, neighbor_id) tie-break as the cosine path."""
+    corpus = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [1.0, 0.0]),
+            (2, [0.0, 2.0]),
+            (3, [3.0, 4.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(9, [0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    out = [
+        (r["rank"], r["neighbor_id"], r["dist"])
+        for r in sim.brute_force_topk(corpus, q, k=3, metric="l2")
+        .orderBy("rank")
+        .collect()
+    ]
+    assert out == [(1, 0, 0.0), (2, 1, 1.0), (3, 2, 4.0)]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown metric"):
+        sim.brute_force_topk(corpus, q, metric="chebyshev")
