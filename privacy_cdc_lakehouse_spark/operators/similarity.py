@@ -123,6 +123,51 @@ def brute_force_topk(
     )
 
 
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """kNN majority-vote label prediction over an embedding column —
+    the label-propagation / embedding-quality-probe eval every
+    labeled-corpus pipeline runs (semi-supervised labeling, quality-
+    classifier sanity checks, probe accuracy as an embedding metric).
+
+    Per query: exact top-``k`` cosine neighbors (the
+    :func:`brute_force_topk` baseline — swap in an ANN top-k for the
+    100 TB path, the vote is downstream of WHICH top-k), then the
+    modal neighbor label, ties broken (count desc, label asc) so the
+    prediction is deterministic and engine-replicable. Output:
+    ``(query_id, predicted_label)``.
+
+    100 TB shape: the vote itself is O(queries×k) — trivial; the cost
+    center is the top-k, which inherits its operator's contract
+    (queries broadcast, corpus never shuffles). The label lookup joins
+    the O(queries×k) neighbor list against the (id, label) projection
+    of the corpus — AQE broadcasts the small side.
+    """
+    top = brute_force_topk(
+        corpus, queries, k=k, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    lab = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("_nl")
+    )
+    votes = (
+        top.join(lab, "neighbor_id")
+        .groupBy("query_id", "_nl")
+        .agg(F.count("*").alias("_n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_n"), F.asc("_nl"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("_nl").alias("predicted_label"))
+    )
+
+
 def plane_vector(plane_seed: int, dim: int) -> list[float]:
     """Deterministic ±1 hyperplane from md5("p<seed>|<i>") parity.
 

@@ -825,6 +825,14 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       both). ``pca16`` slices the top-16 variance components (the
       components are eigenvalue-ordered, so the slice IS the k=16
       projection) and is floor-gated like ivf/pq.
+    - ``knn`` rows (round 9): kNN majority-vote label propagation
+      (``operators/similarity.py::knn_classify`` over the fixture's
+      ``label`` column) — the union's long slot (``n_hits``) carries
+      the PREDICTED LABEL, hash-checked against the oracle's replay of
+      the exact top-10 + modal-vote (count desc, label asc) pipeline;
+      ``recall_ok`` = prediction == the query's own label. The bf
+      top-10 membership is the same engine-stable ranking the lsh
+      arm's hit counts already rely on.
     """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
@@ -919,11 +927,27 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_hits"),
         (F.col("n_hits") / 10.0 >= PCA16_RECALL_FLOOR).alias("recall_ok"),
     )
+    # knn arm: majority-vote label prediction, fully hash-checked —
+    # n_hits carries the predicted label (the union's long slot)
+    qlab = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("_true")
+    )
+    knn = (
+        sim.knn_classify(emb, queries, k=10)
+        .join(qlab, "query_id")
+        .select(
+            F.lit("knn").alias("method"),
+            "query_id",
+            F.col("predicted_label").cast("long").alias("n_hits"),
+            (F.col("predicted_label") == F.col("_true")).alias("recall_ok"),
+        )
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
         .unionByName(pca_full)
         .unionByName(pca16)
+        .unionByName(knn)
         .orderBy("method", "query_id")
     )
 
@@ -978,6 +1002,27 @@ UNION ALL
 SELECT 'pca16', query_id, CAST(NULL AS BIGINT), recall_ok
 FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
 AS t(query_id, recall_ok)
+UNION ALL
+-- knn majority-vote label propagation: n_hits carries the PREDICTED
+-- label; exact replay of top-10 membership (the same engine-stable
+-- bf ranking the lsh hit counts use) + modal vote (count desc, label
+-- asc tie-break)
+SELECT 'knn', k.query_id, CAST(k.pred AS BIGINT),
+       k.pred = e.label
+FROM (
+    SELECT query_id, label AS pred FROM (
+        SELECT v.query_id, v.label, row_number() OVER (
+            PARTITION BY v.query_id ORDER BY v.n DESC, v.label) AS rn
+        FROM (
+            SELECT b.query_id, e2.label, count(*) AS n
+            FROM bf_ranked b
+            JOIN embeddings e2 ON e2.vec_id = b.neighbor_id
+            WHERE b.rank <= 10
+            GROUP BY b.query_id, e2.label
+        ) v
+    ) WHERE rn = 1
+) k
+JOIN embeddings e ON e.vec_id = k.query_id
 ORDER BY method, query_id
 """
 

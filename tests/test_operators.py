@@ -1742,3 +1742,34 @@ def test_brute_force_topk_l2_metric(spark):
 
     with pytest.raises(ValueError, match="unknown metric"):
         sim.brute_force_topk(corpus, q, metric="chebyshev")
+
+
+def test_knn_classify_majority_vote_and_tiebreak(spark):
+    """Majority label among the top-k cosine neighbors; ties break
+    (count desc, label asc) so prediction is deterministic."""
+    # 1-d embeddings on a line: cosine of positive scalars is always 1,
+    # so use 2-d unit vectors at distinct angles — neighbors by angle.
+    import math
+
+    def vec(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg))]
+
+    rows = [
+        (0, vec(0), 7),    # query
+        (1, vec(1), 3),
+        (2, vec(2), 3),
+        (3, vec(3), 5),
+        (4, vec(80), 9),   # far — outside k=3
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    q = spark.createDataFrame(
+        [(0, vec(0))], "query_id long, embedding array<double>"
+    )
+    # k=4: neighbors {0(self,7), 1(3), 2(3), 3(5)} -> label 3 wins 2-1-1
+    out = sim.knn_classify(corpus, q, k=4).collect()
+    assert [(r["query_id"], r["predicted_label"]) for r in out] == [(0, 3)]
+    # k=2: neighbors {0(7), 1(3)} -> 1-1 tie -> lowest label wins
+    out2 = sim.knn_classify(corpus, q, k=2).collect()
+    assert [(r["query_id"], r["predicted_label"]) for r in out2] == [(0, 3)]
