@@ -619,3 +619,128 @@ def normalize_text(
         return s.map(one)
 
     return _norm(col)
+
+
+# ------------- trained quality / domain classifier (Naive Bayes) ------------
+
+
+def nb_model(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Multinomial Naive Bayes text classifier — the TRAINED curation
+    filter of GPT-3-era pipelines (the fastText-style "is this
+    reference-like?" quality gate, domain router, or language
+    classifier; reference's repo has no classifier — this extends the
+    unigram-LM perplexity filter, ``unigram_lm``, with supervision).
+    Train ONCE on a labeled reference set, parquet-persist, score any
+    number of candidate corpora — the same write-once artifact
+    contract as ``unigram_lm`` / ``similarity.lsh_index``.
+
+    One row per (label, word)::
+
+        (label, w, logp, floor_logp, log_prior)
+
+    with Laplace-smoothed ``logp = ln((n_lw + alpha) / (n_l + alpha·V))``
+    where ``V`` is the corpus vocabulary size; ``floor_logp`` prices
+    words unseen under that label (``n_lw = 0``) and ``log_prior`` is
+    the class prior — both label-constant columns riding every row
+    (parquet RLE makes them ~free) so scorers never re-aggregate the
+    model. All three are stored 6dp-ROUNDED: the artifact is
+    engine-portable and byte-deterministic (the ``tfidf6`` /
+    ``mean_logp`` precedent) at a precision far beyond any
+    classification margin that matters.
+
+    Scale shape: one explode pass; (label, w) counts and per-label
+    totals are map-side-combinable aggregates; vocabulary size and the
+    doc total arrive as broadcast 1-row scalars; output is
+    O(labels × vocabulary) — corpus-size-independent."""
+    toks = docs.select(
+        F.col(label_col).alias("label"),
+        F.explode(words(F.col(text_col))).alias("w0"),
+    ).select("label", F.lower(F.col("w0")).alias("w"))
+    cw = toks.groupBy("label", "w").agg(F.count("*").alias("n"))
+    ctot = cw.groupBy("label").agg(F.sum("n").alias("n_l"))
+    vsize = cw.agg(F.countDistinct("w").alias("v"))
+    priors = docs.groupBy(F.col(label_col).alias("label")).agg(
+        F.count("*").alias("nd")
+    )
+    total = priors.agg(F.sum("nd").alias("td"))
+    lab = (
+        ctot.join(priors, "label")
+        .crossJoin(F.broadcast(vsize))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "label",
+            F.round(
+                F.log(F.lit(alpha) / (F.col("n_l") + alpha * F.col("v"))), 6
+            ).alias("floor_logp"),
+            F.round(
+                F.log(F.col("nd").cast("double") / F.col("td")), 6
+            ).alias("log_prior"),
+            "n_l",
+            "v",
+        )
+    )
+    return cw.join(lab, "label").select(
+        "label",
+        "w",
+        F.round(
+            F.log((F.col("n") + F.lit(alpha)) / (F.col("n_l") + alpha * F.col("v"))),
+            6,
+        ).alias("logp"),
+        "floor_logp",
+        "log_prior",
+    )
+
+
+def nb_classify(
+    docs: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a :func:`nb_model` artifact and take the
+    argmax class: ``(id, label_pred, score)`` with
+    ``score = round(log_prior + Σ_tokens logp-or-floor, 4)`` — the 4dp
+    round absorbs cross-engine/cross-partition summation-order slack
+    so the argmax (and therefore every downstream keep/drop decision)
+    is deterministic; ties break to the lexicographically smallest
+    label via a single ``min_by`` hash aggregate (no per-doc window).
+    Docs with zero tokens are absent from the output (nothing to
+    classify) — mirror of ``doc_logprob``.
+
+    Scale shape: tokens × labels expansion via a BROADCAST of the
+    O(labels) summary table (labels are single digits to hundreds in
+    every real curation filter); the model join shuffles on (label, w)
+    — vocabulary-sized, not corpus-sized (``doc_logprob``'s standing);
+    per-doc scores and the argmax are map-side-combinable hash aggs."""
+    lab = F.broadcast(
+        model.groupBy("label").agg(
+            F.first("floor_logp").alias("floor_logp"),
+            F.first("log_prior").alias("log_prior"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w0")
+    ).select(id_col, F.lower(F.col("w0")).alias("w"))
+    scored = (
+        toks.crossJoin(lab)
+        .join(model.select("label", "w", "logp"), ["label", "w"], "left")
+        .groupBy(id_col, "label")
+        .agg(
+            F.round(
+                F.sum(F.coalesce(F.col("logp"), F.col("floor_logp")))
+                + F.first("log_prior"),
+                4,
+            ).alias("score")
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.min_by(
+            "label", F.struct((-F.col("score")).alias("ns"), F.col("label"))
+        ).alias("label_pred"),
+        F.max("score").alias("score"),
+    )

@@ -1772,12 +1772,37 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'nfc_changed', nfc_changed, "
         "'nfkc_changed', nfkc_changed) AS (k, v)"
     ).select(F.lit("norm").alias("kind"), "k", "v")
+    # round 9 (cont.): trained-classifier arm — multinomial Naive
+    # Bayes (operators/text.py::nb_model / nb_classify), the
+    # fastText-style supervised curation gate. Train on the even-id
+    # half, score the odd-id holdout, emit the full confusion matrix
+    # (true lang × predicted label) — exact integers once the 4dp
+    # score round pins the per-doc argmax, which the oracle replays
+    # term for term (6dp-rounded model, 4dp-rounded scores,
+    # smallest-label tie-break).
+    nb_pred = tx.nb_classify(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        tx.nb_model(docs.filter(F.col("doc_id") % 2 == 0), label_col="lang"),
+    )
+    nbc_rows = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang")
+        .join(nb_pred, "doc_id")
+        .groupBy("lang", "label_pred")
+        .count()
+        .select(
+            F.lit("nbc").alias("kind"),
+            F.concat_ws(":", F.col("lang"), F.col("label_pred")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
         .unionByName(stats)
         .unionByName(lm_rows)
         .unionByName(norm_rows)
+        .unionByName(nbc_rows)
         .orderBy("kind", "k")
     )
 
@@ -1829,6 +1854,56 @@ SELECT 'lm', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
     )
     SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM lmd
 ) GROUP BY b
+UNION ALL
+SELECT 'nbc', k, v FROM (
+    -- multinomial NB replay: 6dp-rounded Laplace model trained on the
+    -- even-id half, 4dp-rounded per-(doc,label) scores over the
+    -- odd-id holdout, argmax with smallest-label tie-break
+    WITH nbt AS (
+        SELECT lang AS label, lower(unnest({_DUCK_WORDS})) AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    ncw AS (SELECT label, w, count(*) AS n FROM nbt GROUP BY 1, 2),
+    ncl AS (SELECT label, sum(n) AS n_l FROM ncw GROUP BY 1),
+    nv AS (SELECT count(DISTINCT w) AS v FROM ncw),
+    npr AS (
+        SELECT lang AS label, count(*) AS nd
+        FROM documents WHERE doc_id % 2 = 0 GROUP BY 1
+    ),
+    ntd AS (SELECT sum(nd) AS td FROM npr),
+    nlab AS (
+        SELECT t.label,
+               round(ln(1.0 / (t.n_l + 1.0 * nv.v)), 6) AS floor_logp,
+               round(ln(p.nd / ntd.td), 6) AS log_prior
+        FROM ncl t CROSS JOIN nv JOIN npr p USING (label) CROSS JOIN ntd
+    ),
+    nmod AS (
+        SELECT c.label, c.w,
+               round(ln((c.n + 1.0) / (t.n_l + 1.0 * nv.v)), 6) AS logp
+        FROM ncw c JOIN ncl t USING (label) CROSS JOIN nv
+    ),
+    nst AS (
+        SELECT doc_id, lang AS true_label, lower(unnest({_DUCK_WORDS})) AS w
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    nsc AS (
+        SELECT s.doc_id, s.true_label, l.label,
+               round(sum(coalesce(m.logp, l.floor_logp))
+                     + min(l.log_prior), 4) AS score
+        FROM nst s CROSS JOIN nlab l
+        LEFT JOIN nmod m ON m.label = l.label AND m.w = s.w
+        GROUP BY 1, 2, 3
+    ),
+    npred AS (
+        SELECT doc_id, true_label, label AS pred FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, label
+            ) AS rn FROM nsc
+        ) WHERE rn = 1
+    )
+    SELECT true_label || ':' || pred AS k, CAST(count(*) AS DOUBLE) AS v
+    FROM npred GROUP BY 1
+)
 ORDER BY kind, k
 """
 

@@ -1773,3 +1773,47 @@ def test_knn_classify_majority_vote_and_tiebreak(spark):
     # k=2: neighbors {0(7), 1(3)} -> 1-1 tie -> lowest label wins
     out2 = sim.knn_classify(corpus, q, k=2).collect()
     assert [(r["query_id"], r["predicted_label"]) for r in out2] == [(0, 3)]
+
+
+def test_nb_model_closed_form_and_classify(spark):
+    """Closed-form Laplace smoothing check + argmax classification.
+    Train: class x = 'a a b', class y = 'c c'; V = 3.
+    p(a|x) = (2+1)/(3+3) = 1/2; p(c|x) = (0+1)/6 floor;
+    p(c|y) = (2+1)/(2+3) = 3/5; priors 1/2 each."""
+    train = spark.createDataFrame(
+        [("x", "a a b"), ("y", "c c")], ["lab", "text"]
+    )
+    m = tx.nb_model(train, label_col="lab", text_col="text")
+    rows = {(r["label"], r["w"]): r for r in m.collect()}
+    assert rows[("x", "a")]["logp"] == round(math.log(3 / 6), 6)
+    assert rows[("x", "b")]["logp"] == round(math.log(2 / 6), 6)
+    assert rows[("y", "c")]["logp"] == round(math.log(3 / 5), 6)
+    assert rows[("x", "a")]["floor_logp"] == round(math.log(1 / 6), 6)
+    assert rows[("y", "c")]["floor_logp"] == round(math.log(1 / 5), 6)
+    assert rows[("x", "a")]["log_prior"] == round(math.log(1 / 2), 6)
+    # classification: 'a b' -> x; 'c' -> y; case-folds ('C' == 'c')
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "C"), (3, "")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in tx.nb_classify(docs, m).collect()}
+    assert out[1]["label_pred"] == "x" and out[2]["label_pred"] == "y"
+    assert out[1]["score"] == round(
+        round(math.log(1 / 2), 6)
+        + round(math.log(3 / 6), 6)
+        + round(math.log(2 / 6), 6),
+        4,
+    )
+    assert 3 not in out  # zero-token doc is absent, like doc_logprob
+
+
+def test_nb_classify_tiebreak_smallest_label(spark):
+    """Symmetric training data makes both class scores identical for a
+    word seen equally under both labels — the argmax must break to the
+    lexicographically smallest label, deterministically."""
+    train = spark.createDataFrame(
+        [("x", "a"), ("y", "a")], ["lab", "text"]
+    )
+    m = tx.nb_model(train, label_col="lab", text_col="text")
+    docs = spark.createDataFrame([(1, "a a")], ["doc_id", "text"])
+    out = tx.nb_classify(docs, m).collect()
+    assert [(r["doc_id"], r["label_pred"]) for r in out] == [(1, "x")]
