@@ -150,6 +150,105 @@ def ngram_contamination(
     )
 
 
+def fuzzy_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    num_perm: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    corpus_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """MinHash-level benchmark decontamination — the fuzzy twin of
+    :func:`ngram_contamination`. Exact n-gram screening misses
+    reformatted / lightly-paraphrased benchmark text (the overlap
+    published eval-contamination audits actually find); this flags
+    corpus docs whose shingle-set Jaccard against ANY benchmark doc
+    clears ``threshold``, discovered via MinHash-LSH banding so the
+    corpus is never joined all-pairs against the benchmark. Output:
+    ``(id, n_fuzzy_docs, max_jaccard)`` for EVERY corpus doc
+    (zero-filled when clean) — ``n_fuzzy_docs`` is the number of
+    distinct benchmark docs near-duplicated, ``max_jaccard`` the worst
+    overlap (integer-ratio double, engine-exact).
+
+    Scale shape: benchmark signatures + banded buckets are
+    benchmark-sized and BROADCAST; the corpus side reuses the
+    write-once ``minhash_signatures`` artifact via
+    ``corpus_signatures`` (the same amortization contract as
+    ``corpus_ngrams`` — one signature pass serves every benchmark
+    sweep AND the self-dedup pipeline); banding is a pure projection,
+    so the broadcast bucket join adds ZERO corpus shuffles. The exact
+    Jaccard verify touches only candidate docs (semi-join first, the
+    ``ngram_jaccard_pairs`` discipline)."""
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    if corpus_signatures is not None:
+        csig = corpus_signatures.filter(
+            F.assert_true(
+                F.size("signature") == num_perm,
+                F.lit(
+                    f"minhash signatures artifact was built with a "
+                    f"different num_perm (expected {num_perm})"
+                ),
+            ).isNull()
+        )
+    else:
+        csig = dd.minhash_signatures(corpus, text_col, id_col, num_perm)
+    bsig = dd.minhash_signatures(benchmark, text_col, id_col, num_perm)
+    bband = dd.band_buckets(bsig, id_col, num_perm, bands).select(
+        F.col(id_col).alias("_bench_id"), "band", "bucket"
+    )
+    cband = dd.band_buckets(csig, id_col, num_perm, bands)
+    cands = (
+        cband.join(F.broadcast(bband), ["band", "bucket"])
+        .select(id_col, "_bench_id")
+        .distinct()
+    )
+    # Exact-Jaccard verify on candidates only: corpus docs are
+    # semi-joined to the candidate id set before growing a shingle
+    # array (only colliding docs pay), then both small sides broadcast
+    # into the pair join — zero corpus-wide shuffles.
+    cand_ids = cands.select(id_col).distinct()
+    csh = corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col), shingles(F.col(text_col)).alias("sh_c")
+    )
+    bsh = benchmark.select(
+        F.col(id_col).alias("_bench_id"),
+        shingles(F.col(text_col)).alias("sh_b"),
+    )
+    ver = (
+        cands.join(F.broadcast(csh), id_col)
+        .join(F.broadcast(bsh), "_bench_id")
+        .withColumn(
+            "inter", F.size(F.array_intersect("sh_c", "sh_b")).cast("double")
+        )
+        .withColumn("uni", F.size(F.array_union("sh_c", "sh_b")).cast("double"))
+        .withColumn(
+            "jaccard",
+            F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(
+                0.0
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    hits = ver.groupBy(id_col).agg(
+        F.countDistinct("_bench_id").alias("n_fuzzy_docs"),
+        F.max("jaccard").alias("max_jaccard"),
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_fuzzy_docs"), F.lit(0))
+            .cast("long")
+            .alias("n_fuzzy_docs"),
+            F.coalesce(F.col("max_jaccard"), F.lit(0.0)).alias("max_jaccard"),
+        )
+    )
+
+
 def curate_corpus(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -154,7 +154,32 @@ def minhash_lsh_pairs(
         )
     else:
         sig = minhash_signatures(df, text_col, id_col, num_perm)
-    banded = sig.select(
+    banded = band_buckets(sig, id_col, num_perm, bands)
+    # Pair generation: group ids per (band, bucket) and expand pairs
+    # within the bucket array — NOT a self-join. A self-join would
+    # recompute the whole shingle→explode→min signature pipeline for
+    # both sides (verified: Spark plans two full scans + aggregations);
+    # grouping computes signatures once and shuffles once on the bucket
+    # key. In-bucket expansion is quadratic only in the bucket size,
+    # which LSH keeps small by construction — the same bound the join
+    # had. All higher-order functions, JVM-side.
+    return bucket_pairs(banded, ["band", "bucket"], id_col)
+
+
+def band_buckets(
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """(id, band, bucket) rows from a :func:`minhash_signatures` frame
+    — the LSH banding step shared by corpus self-dedup
+    (:func:`minhash_lsh_pairs`) and corpus-vs-benchmark fuzzy
+    decontamination (``curation.fuzzy_contamination``). One explode per
+    signature row, bucket = md5 over the band's sub-signature; pure
+    projection, no shuffle."""
+    rows_per_band = num_perm // bands
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -177,16 +202,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # Pair generation: group ids per (band, bucket) and expand pairs
-    # within the bucket array — NOT a self-join. A self-join would
-    # recompute the whole shingle→explode→min signature pipeline for
-    # both sides (verified: Spark plans two full scans + aggregations);
-    # grouping computes signatures once and shuffles once on the bucket
-    # key. In-bucket expansion is quadratic only in the bucket size,
-    # which LSH keeps small by construction — the same bound the join
-    # had. All higher-order functions, JVM-side.
-    return bucket_pairs(banded, ["band", "bucket"], id_col)
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
 
 
 def bucket_pairs(

@@ -2276,38 +2276,77 @@ CURATION_BENCH_MOD = 97
 
 
 def q_curation_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark n-gram decontamination: every 97th document plays the
-    held-out benchmark (a slice of the corpus itself — the worst-case
-    leak shape, so benchmark docs flag fully and near-verbatim overlap
-    flags partially). Runs through the pre-exploded ``corpus_ngrams``
-    reuse hook — the one-pass-per-corpus contract that makes screening
-    many benchmark sets affordable at 100 TB. Per-doc contaminated-gram
-    counts (zero-filled for clean docs) are hash-checked against the
-    identical explode→broadcast-join→countDistinct in DuckDB."""
+    """Benchmark decontamination, exact AND fuzzy: every 97th RAW
+    document plays the held-out benchmark (a slice of the corpus
+    itself — the worst-case leak shape) and the AUGMENTED corpus is
+    screened (round 9 — its exact +1M copies and tail-perturbed +2M
+    near-copies of benchmark docs are precisely what the two screens
+    must separate: the exact n-gram arm counts shared grams; the
+    MinHash-LSH fuzzy arm, ``fuzzy_contamination``, catches the
+    near-verbatim copy as a whole-doc Jaccard≥0.5 hit the fingerprint
+    dedup would miss). The exact arm runs through the pre-exploded
+    ``corpus_ngrams`` reuse hook; the fuzzy arm broadcasts the
+    benchmark's banded buckets so screening adds zero corpus shuffles.
+    Per-doc gram counts, fuzzy-hit counts and max Jaccard
+    (integer-ratio double, engine-exact) are all hash-checked."""
     pin_utc(spark)
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    grams = cur.corpus_ngrams(docs, n=3)
+    corpus = _augmented(docs)
+    grams = cur.corpus_ngrams(corpus, n=3)
     bench = docs.filter(F.col("doc_id") % CURATION_BENCH_MOD == 0)
-    return cur.ngram_contamination(
-        docs, bench, n=3, corpus_grams=grams
-    ).orderBy("doc_id")
+    exact = cur.ngram_contamination(corpus, bench, n=3, corpus_grams=grams)
+    fuzzy = cur.fuzzy_contamination(
+        corpus, bench, num_perm=NUM_PERM, bands=BANDS, threshold=0.5
+    )
+    return exact.join(fuzzy, "doc_id").orderBy("doc_id")
 
 
-_DECONTAM_SQL = f"""
-WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents),
-sh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM w),
-bg AS (
+# The fuzzy arm reuses _MINHASH_CTE's signature/banding CTEs over the
+# augmented corpus (its corpus-pair `cand` CTE goes unreferenced —
+# DuckDB prunes unused CTEs); the benchmark side needs no separate
+# CTE chain because benchmark docs ARE augmented-corpus rows
+# (raw ids % 97, id < 1e6), so its banded buckets are a filter of
+# `bands` and its shingle sets a filter of `sh`.
+_DECONTAM_SQL = _MINHASH_CTE + f"""
+, bg AS (
     SELECT DISTINCT unnest(shs) AS g FROM sh
-    WHERE doc_id % {CURATION_BENCH_MOD} = 0
+    WHERE doc_id % {CURATION_BENCH_MOD} = 0 AND doc_id < 1000000
 ),
 cg AS (SELECT doc_id, unnest(shs) AS g FROM sh),
 hits AS (
     SELECT cg.doc_id, count(DISTINCT cg.g) AS n
     FROM cg JOIN bg ON cg.g = bg.g GROUP BY cg.doc_id
+),
+fcand AS (
+    SELECT DISTINCT l.doc_id, r.doc_id AS bench_id
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.bucket = r.bucket
+   WHERE r.doc_id % {CURATION_BENCH_MOD} = 0 AND r.doc_id < 1000000
+),
+fj AS (
+    SELECT c.doc_id, c.bench_id,
+           len(list_intersect(a.shs, b.shs)) AS inter,
+           len(list_distinct(list_concat(a.shs, b.shs))) AS uni
+    FROM fcand c
+    JOIN sh a ON a.doc_id = c.doc_id
+    JOIN sh b ON b.doc_id = c.bench_id
+),
+fhits AS (
+    SELECT doc_id, count(DISTINCT bench_id) AS nf,
+           max(CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+               ELSE 0.0 END) AS mj
+    FROM fj
+    WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+          ELSE 0.0 END >= 0.5
+    GROUP BY doc_id
 )
-SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam_grams
-FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
-ORDER BY d.doc_id
+SELECT a.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_contam_grams,
+       CAST(coalesce(f.nf, 0) AS BIGINT) AS n_fuzzy_docs,
+       coalesce(f.mj, 0.0) AS max_jaccard
+FROM aug a
+LEFT JOIN hits h ON h.doc_id = a.doc_id
+LEFT JOIN fhits f ON f.doc_id = a.doc_id
+ORDER BY a.doc_id
 """
 
 

@@ -1817,3 +1817,57 @@ def test_nb_classify_tiebreak_smallest_label(spark):
     docs = spark.createDataFrame([(1, "a a")], ["doc_id", "text"])
     out = tx.nb_classify(docs, m).collect()
     assert [(r["doc_id"], r["label_pred"]) for r in out] == [(1, "x")]
+
+
+def test_fuzzy_contamination_catches_near_verbatim(spark):
+    """A lightly-perturbed copy of a benchmark doc must flag
+    (0.5 <= J < 1), the benchmark doc itself flags at J = 1.0, and an
+    unrelated doc is zero-filled. Tokens repeat-free so shingle-set
+    Jaccard is predictable."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    corpus = spark.createDataFrame(
+        [
+            (1, base),                      # == benchmark doc: J = 1
+            (2, base + " tail extra"),      # near copy: J < 1, >= 0.5
+            (3, "zz yy xx ww vv uu tt ss"), # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r for r in cur.fuzzy_contamination(corpus, bench).collect()
+    }
+    assert len(out) == 3  # every corpus doc present, zero-filled
+    assert out[1]["n_fuzzy_docs"] == 1 and out[1]["max_jaccard"] == 1.0
+    assert out[2]["n_fuzzy_docs"] == 1 and 0.5 <= out[2]["max_jaccard"] < 1.0
+    assert out[3]["n_fuzzy_docs"] == 0 and out[3]["max_jaccard"] == 0.0
+
+
+def test_fuzzy_contamination_signature_artifact_reuse_and_guard(spark):
+    """The corpus_signatures reuse hook must give identical results to
+    the computed path, and a num_perm-mismatched artifact must raise
+    instead of silently joining nothing."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "p q r s t u v w")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, "a b c d e f g h")], ["doc_id", "text"])
+    sigs = dd.minhash_signatures(corpus, num_perm=16)
+    got = sorted(
+        tuple(r)
+        for r in cur.fuzzy_contamination(
+            corpus, bench, corpus_signatures=sigs
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in cur.fuzzy_contamination(corpus, bench).collect()
+    )
+    assert got == want
+    with pytest.raises(Exception, match="different num_perm"):
+        cur.fuzzy_contamination(
+            corpus, bench, num_perm=8, corpus_signatures=sigs
+        ).collect()
