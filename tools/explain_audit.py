@@ -59,7 +59,17 @@ AUDIT = {
     # comparator, not part of the operator. Codegen ids aren't printed
     # pre-execution under AQE, so assert shape, not codegen markers.)
     "curation_hash_split": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
-    "curation_decontam": ["BroadcastHashJoin", "Generate", "HashAggregate"],
+    # round 9: + fuzzy arm — benchmark banded buckets broadcast, the
+    # candidate verify semi-joins before growing shingles; the ONE
+    # SortMergeJoin is the final exact⋈fuzzy per-doc assembly (both
+    # sides corpus-keyed full-width results — dataset_diff's standing);
+    # never a cartesian product.
+    "curation_decontam": [
+        "BroadcastHashJoin",
+        "Generate",
+        "HashAggregate",
+        "!CartesianProduct",
+    ],
     # round 6: q18 rides inside the tpch_customer_revenue union
     "tpch_customer_revenue": ["HashAggregate", "BroadcastHashJoin"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
