@@ -359,6 +359,99 @@ def simhash_portable(
     )
 
 
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    hash_fn=None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs (Manku et al. 2007's web-dedup
+    shape): signatures banded into ``bands`` chunks of ``bits/bands``
+    bits; a pair is a candidate when ANY band matches exactly; verify
+    = ``bit_count(xor)`` ≤ ``max_hamming``. The pigeonhole bound makes
+    recall EXACT: a pair within hamming distance h < bands differs in
+    at most h bands, so at least one band is identical — which is why
+    ``max_hamming > bands - 1`` is refused instead of silently
+    missing pairs. Output: (id_a, id_b, hamming), id_a < id_b.
+
+    ``signatures`` — optional pre-computed :func:`simhash` /
+    :func:`simhash_portable` frame (same ``bits``; the write-once
+    artifact contract of ``minhash_signatures``). A too-wide artifact
+    is rejected by a value-range guard; width below ``bits`` is
+    indistinguishable from legitimately-zero high bits, so the
+    ``bits`` match stays the caller's contract.
+
+    Scale shape: banding is a pure projection of the |docs|-row
+    signature table (one long per doc); candidates come from
+    ``bucket_pairs`` (grouped ids, never a bucket self-join); the
+    verify joins only candidate ids' signatures, semi-joined first and
+    broadcast (``ngram_jaccard_pairs``'s discipline) — the corpus text
+    is never touched after the one signature pass."""
+    if bits % bands:
+        raise ValueError("bits must be divisible by bands")
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds bands-1={bands - 1}: the "
+            f"banding pigeonhole guarantee (every pair within hamming "
+            f"h < bands collides on >= 1 band) would no longer hold — "
+            f"raise bands or lower max_hamming"
+        )
+    width = bits // bands
+    if signatures is not None:
+        sig = signatures.filter(
+            F.assert_true(
+                F.col("simhash") < F.lit(2**bits),
+                F.lit(
+                    f"simhash signatures artifact is wider than "
+                    f"bits={bits} — it was built with a different width"
+                ),
+            ).isNull()
+        )
+    else:
+        sig = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    pairs = bucket_pairs(banded, ["band", "bucket"], id_col)
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    s = sig.join(F.broadcast(cand_ids), id_col, "left_semi")
+    a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
+    b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
+    return (
+        pairs.join(F.broadcast(a), "id_a")
+        .join(F.broadcast(b), "id_b")
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ----------------------- near-dup clustering ---------------------------
 
 

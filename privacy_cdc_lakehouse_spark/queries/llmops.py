@@ -553,22 +553,52 @@ ORDER BY doc_id
 
 
 def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash with md5 bit material — the same Charikar
-    sign-sum as `simhash_signatures`, but every bit is replicated in
-    DuckDB, so the full signature is value-hash-checked."""
+    """28-bit SimHash with md5 bit material over the AUGMENTED corpus
+    — the same Charikar sign-sum as `simhash_signatures`, every bit
+    replicated in DuckDB so the full signature is value-hash-checked —
+    plus (round 9) the `pair` arm completing the pipeline:
+    `simhash_near_dups` bands the signature (4 × 7 bits), expands
+    band-bucket candidates and verifies hamming ≤ 3 via
+    ``bit_count(xor)``; the signature frame is passed through the
+    `signatures` reuse hook so the sign-sum pass runs ONCE for both
+    arms. The augmented corpus's exact copies verify at hamming 0."""
     pin_utc(spark)
-    return dd.simhash_portable(_docs(spark, sf_dir), bits=16).orderBy("doc_id")
+    corpus = _augmented(_docs(spark, sf_dir))
+    sig = dd.simhash_portable(corpus, bits=28)
+    sig_rows = sig.select(
+        F.lit("sig").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.col("simhash").alias("v"),
+    )
+    pairs = dd.simhash_near_dups(
+        corpus, bits=28, bands=4, max_hamming=3, signatures=sig
+    )
+    pair_rows = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.concat_ws(":", "id_a", "id_b").alias("k"),
+        F.col("hamming").alias("v"),
+    )
+    return sig_rows.unionByName(pair_rows).orderBy("kind", "k")
 
 
-def _simhash_portable_sql(bits: int = 16) -> str:
+def _simhash_portable_sql(
+    bits: int = 28, bands: int = 4, max_hamming: int = 3
+) -> str:
     sums = ",\n           ".join(
         f"sum(CASE WHEN (h1 // {2 ** i}) % 2 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(bits)
     )
     sig = " + ".join(f"CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END" for i in range(bits))
+    width = bits // bands
+    band_rows = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"(simhash // {2 ** (b * width)}) % {2 ** width} AS bucket FROM sigs"
+        for b in range(bands)
+    )
     return f"""
-WITH w AS (
-    SELECT doc_id, unnest({_DUCK_WORDS}) AS wd FROM documents
+WITH {_AUG_CTE},
+w AS (
+    SELECT doc_id, unnest({_DUCK_WORDS}) AS wd FROM aug
 ), hx AS (
     SELECT doc_id, md5(wd) AS h FROM w
 ), hp AS (
@@ -577,9 +607,29 @@ WITH w AS (
     SELECT doc_id,
            {sums}
     FROM hp GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM b),
+bnd AS (
+    {band_rows}
+),
+scand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bnd l JOIN bnd r
+      ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+),
+ham AS (
+    SELECT c.id_a, c.id_b,
+           bit_count(xor(x.simhash, y.simhash)) AS hamming
+    FROM scand c
+    JOIN sigs x ON x.doc_id = c.id_a
+    JOIN sigs y ON y.doc_id = c.id_b
 )
-SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
-FROM b ORDER BY doc_id
+SELECT 'sig' AS kind, CAST(doc_id AS VARCHAR) AS k, simhash AS v FROM sigs
+UNION ALL
+SELECT 'pair', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+       CAST(hamming AS BIGINT)
+FROM ham WHERE hamming <= {max_hamming}
+ORDER BY kind, k
 """
 
 
@@ -2724,7 +2774,7 @@ QUERIES = {
 }
 
 ORACLES = {
-    "simhash_portable": _simhash_portable_sql(16),
+    "simhash_portable": _simhash_portable_sql(),
     # The panel unions the three SQL replicas unchanged; the ivf arm
     # runs the iters=0 fixed-centroid quantizer, which IS
     # SQL-expressible (seeds are raw data vectors); the ITERATED

@@ -1871,3 +1871,72 @@ def test_fuzzy_contamination_signature_artifact_reuse_and_guard(spark):
         cur.fuzzy_contamination(
             corpus, bench, num_perm=8, corpus_signatures=sigs
         ).collect()
+
+
+def test_simhash_near_dups_pigeonhole_and_verify(spark):
+    """An identical doc pair must verify at hamming 0; a lightly
+    perturbed doc within the hamming budget is found (pigeonhole: any
+    pair with hamming < bands collides on >= 1 band); an unrelated doc
+    pairs with nothing; max_hamming beyond bands-1 is refused."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),  # exact copy
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 tail"), # near copy
+            (4, "aa bb cc dd ee ff gg hh ii jj kk ll"),     # unrelated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_near_dups(
+            corpus, bits=28, bands=7, max_hamming=6
+        ).collect()
+    }
+    assert out[(1, 2)] == 0
+    assert (1, 3) in out and 0 < out[(1, 3)] <= 6
+    assert not any(4 in p for p in out)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dd.simhash_near_dups(corpus, bits=28, bands=4, max_hamming=4)
+    with pytest.raises(ValueError, match="divisible"):
+        dd.simhash_near_dups(corpus, bits=30, bands=4)
+
+
+def test_simhash_near_dups_signature_artifact_reuse_and_guard(spark):
+    """The signatures reuse hook must match the computed path exactly,
+    and an artifact wider than the declared bits must raise."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig28 = dd.simhash_portable(corpus, bits=28)
+    got = sorted(
+        tuple(r)
+        for r in dd.simhash_near_dups(
+            corpus, bits=28, bands=4, max_hamming=3, signatures=sig28
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in dd.simhash_near_dups(
+            corpus,
+            bits=28,
+            bands=4,
+            max_hamming=3,
+            hash_fn=lambda c: F.conv(
+                F.substring(F.md5(c), 1, 7), 16, 10
+            ).cast("long"),
+        ).collect()
+    )
+    assert got == want and got  # non-empty: the exact pair is found
+    # a 28-bit artifact used as 16-bit must fail the width guard
+    # (unless every signature happens to fit — these don't)
+    wide = sig28.filter(F.col("simhash") >= 2**16)
+    if wide.limit(1).count():
+        with pytest.raises(Exception, match="wider"):
+            dd.simhash_near_dups(
+                corpus, bits=16, bands=4, max_hamming=3, signatures=sig28
+            ).collect()

@@ -88,6 +88,13 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # 100 TB shape, same standing as dataset_diff's, so !SortMergeJoin
     # is deliberately NOT asserted here.)
     "dedup_semantic_pruned": ["BroadcastHashJoin", "!CartesianProduct"],
+    # round-9 (cont.): exact+fuzzy benchmark decontamination at sf1 —
+    # the benchmark's grams, banded buckets and shingle sets must all
+    # broadcast (each sweep adds zero corpus shuffles); the corpus must
+    # never pair with itself or the benchmark all-pairs. The one
+    # SortMergeJoin is the corpus-keyed exact⋈fuzzy assembly join
+    # (dataset_diff's standing), so !SortMergeJoin is not asserted.
+    "curation_decontam": ["BroadcastHashJoin", "Generate", "!CartesianProduct"],
     # streaming micro-batch MERGE path at sf1 (availableNow foreachBatch
     # over the scaled event log): the returned frame is the silver table
     # read back, same contract shape as sql_merge_orders — the MERGE's
