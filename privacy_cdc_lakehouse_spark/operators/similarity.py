@@ -798,6 +798,82 @@ def semantic_dedup(
     )
 
 
+def prototypes_filter(
+    corpus: DataFrame,
+    drop_frac: float = 0.25,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    model: DataFrame | None = None,
+) -> DataFrame:
+    """SSL-prototype diversification (Sorscher et al. 2022, "Beyond
+    neural scaling laws"; the second stage of D4, Tirumala et al. 2023):
+    within each k-means cell, rank vectors by cosine similarity TO THE
+    CELL CENTROID descending — the centroid-nearest examples are the
+    cluster's redundant prototypical core — and drop the top
+    ``drop_frac`` fraction, keeping the diverse tail. Complements
+    :func:`semantic_dedup` (which removes near-identical PAIRS; this
+    prunes region-level redundancy with no pair expansion at all).
+    Output: ``(id, cluster, proto_rank, cell_n, is_kept)`` —
+    ``proto_rank`` 1 = most prototypical; a cell of n rows drops its
+    ``floor(drop_frac * n)`` lowest ranks.
+
+    Determinism: the rank orders by the 6dp-ROUNDED cosine (absorbing
+    float summation-order slack) with id tie-break, so the kept set is
+    engine-exact — the same rank-over-rounded-score contract as
+    ``tfidf_top_terms`` / ``collocations``.
+
+    100 TB shape: the fit is the write-once :func:`ivf_model` artifact
+    (pass ``model=``); assignment is the same literal/broadcast-join
+    argmin dispatch as every other site; the centroid similarity is ONE
+    broadcast join against the k-row centroid table; the only shuffle
+    is the per-cell window, whose partitions are cell-sized — bounded
+    by the paper's ``n_clusters ~ sqrt(N)`` sizing, never corpus-sized.
+    No pair expansion: strictly cheaper than the dedup stage it
+    follows in the D4 pipeline.
+    """
+    if not 0.0 <= drop_frac < 1.0:
+        raise ValueError(f"drop_frac must be in [0, 1), got {drop_frac}")
+    if model is not None:
+        cents = _model_centroids(model, n_clusters, iters)
+    else:
+        cents = kmeans_fit(
+            corpus, n_clusters=n_clusters, iters=iters, id_col=id_col,
+            vec_col=vec_col,
+        )
+    c = corpus.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    if n_clusters <= LITERAL_MAX_CENTROIDS:
+        c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+    else:
+        c = _assign_by_join(c, cents, id_col)
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(int(cid), [float(x) for x in vec]) for cid, vec in cents],
+        "cluster int, _cv array<double>",
+    )
+    scored = c.join(F.broadcast(cent_df), "cluster").select(
+        id_col,
+        "cluster",
+        F.round(cosine(F.col("_v"), F.col("_cv")), 6).alias("_cos"),
+    )
+    cell = Window.partitionBy("cluster")
+    rank_w = cell.orderBy(F.desc("_cos"), F.asc(id_col))
+    return (
+        scored.withColumn(
+            "proto_rank", F.row_number().over(rank_w).cast("long")
+        )
+        .withColumn("cell_n", F.count("*").over(cell).cast("long"))
+        .withColumn(
+            "is_kept",
+            F.col("proto_rank")
+            > F.floor(F.lit(float(drop_frac)) * F.col("cell_n")),
+        )
+        .select(id_col, "cluster", "proto_rank", "cell_n", "is_kept")
+    )
+
+
 def pq_model(
     corpus: DataFrame,
     m: int = 4,

@@ -1270,7 +1270,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE transitive closure, min-id keeper. Every vector's
     cell, component and keeper flag are hash-checked — seed selection,
     argmin assignment (tie-break lowest cluster), in-cell pair cosine,
-    and the closure are all replayed in DuckDB."""
+    and the closure are all replayed in DuckDB.
+
+    Round 9 completes the D4 pipeline (Tirumala et al. 2023 = SemDeDup
+    then SSL-prototype pruning) with a ``proto`` arm:
+    ``operators/similarity.py::prototypes_filter`` over the SAME cells
+    — rank-to-centroid cosine descending (6dp-rounded, id tie-break),
+    drop the top 25% of each cell. Every vector's rank AND kept flag
+    are hash-checked; the oracle replays the centroid cosine, the
+    rank-over-rounded-score window and the floor arithmetic."""
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", sim.as_double(F.col("embedding")).alias("v"))
@@ -1281,9 +1289,25 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionByName(perturbed)
-    return sim.semantic_dedup(
+    sem = sim.semantic_dedup(
         corpus, threshold=0.99, n_clusters=8, iters=0, vec_col="v"
-    ).orderBy("vec_id")
+    ).select(
+        F.lit("sem").alias("kind"),
+        "vec_id",
+        "cluster",
+        F.col("component").alias("val"),
+        F.col("is_keeper").alias("flag"),
+    )
+    proto = sim.prototypes_filter(
+        corpus, drop_frac=0.25, n_clusters=8, iters=0, vec_col="v"
+    ).select(
+        F.lit("proto").alias("kind"),
+        "vec_id",
+        "cluster",
+        F.col("proto_rank").alias("val"),
+        F.col("is_kept").alias("flag"),
+    )
+    return sem.unionByName(proto).orderBy("kind", "vec_id")
 
 
 _DEDUP_SEMANTIC_SQL = f"""
@@ -1338,12 +1362,39 @@ reach(id, r) AS (
     UNION
     SELECT rc.id, e.dst FROM reach rc JOIN edges e ON e.src = rc.r
 ),
-comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
-SELECT s.vec_id, CAST(s.cluster AS INT) AS cluster,
-       coalesce(c2.component, s.vec_id) AS component,
-       coalesce(c2.component, s.vec_id) = s.vec_id AS is_keeper
+comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+pcos AS (
+    -- proto arm: cosine of every vector to its OWN cell centroid,
+    -- rounded 6dp (the rank-over-rounded-score contract)
+    SELECT vec_id, cluster,
+           round(CASE WHEN na * nb > 0 THEN dot / (na * nb)
+                      ELSE 0.0 END, 6) AS pc
+    FROM (
+        SELECT s.vec_id, s.cluster,
+               {_DOT.format(a='s.cv', b='sd.svec')} AS dot,
+               sqrt({_DOT.format(a='s.cv', b='s.cv')}) AS na,
+               sqrt({_DOT.format(a='sd.svec', b='sd.svec')}) AS nb
+        FROM assigned s JOIN seeds sd ON sd.cl = s.cluster
+    )
+),
+pranked AS (
+    SELECT vec_id, cluster,
+           row_number() OVER (
+               PARTITION BY cluster ORDER BY pc DESC, vec_id
+           ) AS proto_rank,
+           count(*) OVER (PARTITION BY cluster) AS cell_n
+    FROM pcos
+)
+SELECT 'sem' AS kind, s.vec_id, CAST(s.cluster AS INT) AS cluster,
+       coalesce(c2.component, s.vec_id) AS val,
+       coalesce(c2.component, s.vec_id) = s.vec_id AS flag
 FROM assigned s LEFT JOIN comp c2 ON c2.id = s.vec_id
-ORDER BY s.vec_id
+UNION ALL
+SELECT 'proto', vec_id, CAST(cluster AS INT),
+       CAST(proto_rank AS BIGINT),
+       proto_rank > floor(0.25 * cell_n)
+FROM pranked
+ORDER BY kind, vec_id
 """
 
 

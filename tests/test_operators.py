@@ -1940,3 +1940,84 @@ def test_simhash_near_dups_signature_artifact_reuse_and_guard(spark):
             dd.simhash_near_dups(
                 corpus, bits=16, bands=4, max_hamming=3, signatures=sig28
             ).collect()
+
+
+def test_prototypes_filter_ranks_and_drops_per_cell(spark):
+    """Two well-separated cells; within each, the vector nearest its
+    centroid gets rank 1 and is dropped at drop_frac=0.5 while the
+    diverse tail survives; ranks are dense per cell; floor arithmetic
+    drops exactly floor(0.5 * n) per cell."""
+    # cell A around e1 (ids 1-4), cell B around e2 (ids 5-8); iters=0
+    # seeds are the 2 lowest ids, so seed 0 = id 1 (cell A), seed 1 =
+    # id 2... put the two seeds in opposite corners instead.
+    rows = [
+        (1, [1.0, 0.0, 0.0]),    # seed 0 -> cell A centroid
+        (2, [0.0, 1.0, 0.0]),    # seed 1 -> cell B centroid
+        (3, [0.9, 0.1, 0.0]),    # A, very prototypical
+        (4, [0.6, 0.0, 0.8]),    # A, diverse
+        (5, [0.1, 0.9, 0.0]),    # B, very prototypical
+        (6, [0.0, 0.6, 0.8]),    # B, diverse
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: r
+        for r in sim.prototypes_filter(
+            corpus, drop_frac=0.5, n_clusters=2, iters=0
+        ).collect()
+    }
+    a = [i for i in out if out[i]["cluster"] == 0]
+    b = [i for i in out if out[i]["cluster"] == 1]
+    assert sorted(a) == [1, 3, 4] and sorted(b) == [2, 5, 6]
+    for cell in (a, b):
+        ranks = sorted(out[i]["proto_rank"] for i in cell)
+        assert ranks == [1, 2, 3]
+        assert all(out[i]["cell_n"] == 3 for i in cell)
+        # floor(0.5 * 3) = 1 dropped: exactly the rank-1 prototype
+        dropped = [i for i in cell if not out[i]["is_kept"]]
+        assert [out[i]["proto_rank"] for i in dropped] == [1]
+    # the seed itself IS its centroid -> cosine 1.0 -> rank 1
+    assert out[1]["proto_rank"] == 1 and out[2]["proto_rank"] == 1
+    assert out[4]["is_kept"] and out[6]["is_kept"]  # diverse tail survives
+    with pytest.raises(ValueError, match="drop_frac"):
+        sim.prototypes_filter(corpus, drop_frac=1.0, n_clusters=2)
+
+
+def test_prototypes_filter_model_artifact_and_join_path_parity(spark):
+    """An ivf_model artifact must reproduce the inline fit exactly, and
+    the broadcast-join assignment path (forced via LITERAL_MAX_CENTROIDS)
+    must match the literal-expression path bit for bit."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    inline = sorted(
+        tuple(r)
+        for r in sim.prototypes_filter(
+            corpus, drop_frac=0.25, n_clusters=4, iters=1
+        ).collect()
+    )
+    model = sim.ivf_model(corpus, n_clusters=4, iters=1)
+    via_model = sorted(
+        tuple(r)
+        for r in sim.prototypes_filter(
+            corpus, drop_frac=0.25, n_clusters=4, iters=1, model=model
+        ).collect()
+    )
+    assert inline == via_model
+    old = sim.LITERAL_MAX_CENTROIDS
+    sim.LITERAL_MAX_CENTROIDS = 0
+    try:
+        joined = sorted(
+            tuple(r)
+            for r in sim.prototypes_filter(
+                corpus, drop_frac=0.25, n_clusters=4, iters=1, model=model
+            ).collect()
+        )
+    finally:
+        sim.LITERAL_MAX_CENTROIDS = old
+    assert joined == inline
+    with pytest.raises(ValueError, match="k=4"):
+        sim.prototypes_filter(corpus, n_clusters=8, iters=1, model=model)
