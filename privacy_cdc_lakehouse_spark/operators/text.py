@@ -568,6 +568,65 @@ def doc_logprob(
     )
 
 
+def dsir_logweights(
+    docs: DataFrame,
+    target_lm: DataFrame,
+    raw_lm: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per doc,
+    ``log w = Σ_tokens [ log p_target(w) − log p_raw(w) ]`` under two
+    :func:`unigram_lm` artifacts — the paper's hashed-n-gram generative
+    models in the unigram family this repo's perplexity filter already
+    trains. Positive = more target-like; select by ranking on the
+    weight (the deterministic stand-in for the paper's Gumbel-noised
+    resampling, same substitution as ``semantic_dedup``'s min-id
+    keeper). Words absent from a model price at its ``ln(1/total)``
+    floor. Output: ``(id, n_tokens, log_weight)`` with the weight
+    rounded to 4dp — the precision ``nb_classify`` already proved
+    engine-portable for sum-over-token log scores.
+
+    Scale shape: the two vocab tables full-outer-join into ONE
+    ``(w, lp_t, lp_r)`` lookup — vocabulary-sized, corpus-independent;
+    corpus tokens explode once and join that lookup once (the same
+    vocabulary-sized shuffle as TF-IDF's df join); the per-doc sum is
+    map-side combinable. Train both LMs once, parquet-persist, score
+    any number of candidate corpora — the write-once artifact contract
+    of ``lsh_index`` / ``corpus_ngrams``."""
+    lookup = (
+        target_lm.select("w", F.col("logp").alias("_lp_t"))
+        .join(raw_lm.select("w", F.col("logp").alias("_lp_r")), "w", "full")
+    )
+    floors = F.broadcast(
+        target_lm.agg(F.first("_total").alias("_tt"))
+        .crossJoin(raw_lm.agg(F.first("_total").alias("_rt")))
+        .select(
+            F.log(F.lit(1.0) / F.col("_tt")).alias("_floor_t"),
+            F.log(F.lit(1.0) / F.col("_rt")).alias("_floor_r"),
+        )
+    )
+    toks = docs.select(
+        F.col(id_col), F.explode(words(F.col(text_col))).alias("w0")
+    ).select(id_col, F.lower(F.col("w0")).alias("w"))
+    scored = (
+        toks.join(lookup, "w", "left")
+        .crossJoin(floors)
+        .select(
+            id_col,
+            (
+                F.coalesce(F.col("_lp_t"), F.col("_floor_t"))
+                - F.coalesce(F.col("_lp_r"), F.col("_floor_r"))
+            ).alias("_d"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.round(F.sum("_d"), 4).alias("log_weight"),
+    )
+
+
 def normalize_text(
     col: Column,
     form: str = "NFC",

@@ -15,7 +15,7 @@ Portability rules that make hash-matching possible:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from privacy_cdc_lakehouse_spark.operators import curation as cur
@@ -1897,6 +1897,45 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 9 (cont.): DSIR arm — importance-resampling log-weights
+    # (operators/text.py::dsir_logweights): target LM = the English
+    # slice, raw LM = the full corpus, per-doc Σ log-ratio rounded 4dp
+    # (the nb_classify-proven precision). Emitted as integer-floor
+    # weight buckets (one mis-weighted doc shifts a bucket) plus the
+    # exact top-10 most-target-like doc ids (rank over the rounded
+    # weight, id tie-break — the deterministic resampling stand-in).
+    dw = tx.dsir_logweights(
+        docs,
+        tx.unigram_lm(docs.filter(F.col("lang") == "en")),
+        tx.unigram_lm(docs),
+    )
+    dsir_buckets = (
+        dw.select(F.floor("log_weight").cast("long").alias("b"))
+        .groupBy("b")
+        .count()
+        .select(
+            F.lit("dsir").alias("kind"),
+            F.concat(F.lit("bucket_"), F.col("b")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
+    top = dw.orderBy(F.desc("log_weight"), F.asc("doc_id")).limit(10)
+    dsir_top = top.select(
+        F.lit("dsir").alias("kind"),
+        F.concat(
+            F.lit("top_"),
+            F.lpad(
+                F.row_number()
+                .over(
+                    Window.orderBy(F.desc("log_weight"), F.asc("doc_id"))
+                )
+                .cast("string"),
+                2,
+                "0",
+            ),
+        ).alias("k"),
+        F.col("doc_id").cast("double").alias("v"),
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
@@ -1904,6 +1943,8 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm_rows)
         .unionByName(norm_rows)
         .unionByName(nbc_rows)
+        .unionByName(dsir_buckets)
+        .unionByName(dsir_top)
         .orderBy("kind", "k")
     )
 
@@ -2004,6 +2045,44 @@ SELECT 'nbc', k, v FROM (
     )
     SELECT true_label || ':' || pred AS k, CAST(count(*) AS DOUBLE) AS v
     FROM npred GROUP BY 1
+)
+UNION ALL
+SELECT 'dsir', k, v FROM (
+    -- DSIR replay: target LM over the English slice, raw LM over the
+    -- full corpus, per-doc sum of log-ratios rounded 4dp (unseen-in-
+    -- target words at the ln(1/total) floor; every word is in the raw
+    -- LM by construction), then integer-floor buckets + exact top-10
+    WITH dwc AS (
+        SELECT doc_id, lower(unnest({_DUCK_WORDS})) AS w FROM documents
+    ),
+    dtc AS (
+        SELECT w, count(*) AS n FROM (
+            SELECT lower(unnest({_DUCK_WORDS})) AS w
+            FROM documents WHERE lang = 'en'
+        ) GROUP BY w
+    ),
+    dtt AS (SELECT sum(n) AS total FROM dtc),
+    drc AS (SELECT w, count(*) AS n FROM dwc GROUP BY w),
+    drt AS (SELECT sum(n) AS total FROM drc),
+    dwgt AS (
+        SELECT d.doc_id,
+               round(sum(coalesce(ln(t.n / dtt.total), ln(1.0 / dtt.total))
+                         - ln(r.n / drt.total)), 4) AS lw
+        FROM dwc d
+        LEFT JOIN dtc t USING (w) CROSS JOIN dtt
+        JOIN drc r USING (w) CROSS JOIN drt
+        GROUP BY d.doc_id
+    )
+    SELECT 'bucket_' || CAST(CAST(floor(lw) AS BIGINT) AS VARCHAR) AS k,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM dwgt GROUP BY 1
+    UNION ALL
+    SELECT 'top_' || lpad(CAST(rn AS VARCHAR), 2, '0'),
+           CAST(doc_id AS DOUBLE)
+    FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY lw DESC, doc_id) AS rn
+        FROM dwgt
+    ) WHERE rn <= 10
 )
 ORDER BY kind, k
 """

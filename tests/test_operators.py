@@ -2021,3 +2021,26 @@ def test_prototypes_filter_model_artifact_and_join_path_parity(spark):
     assert joined == inline
     with pytest.raises(ValueError, match="k=4"):
         sim.prototypes_filter(corpus, n_clusters=8, iters=1, model=model)
+
+
+def test_dsir_logweights_closed_form_and_floors(spark):
+    """Hand-computed log-ratio weights: target LM trained on
+    'aa aa aa aa bb bb' (p(aa)=4/6, p(bb)=2/6, floor ln(1/6)), raw LM
+    on 'aa bb cc dd' (p=1/4 each). A doc of target-like words scores
+    positive; an off-target doc hits the target floor for unseen words
+    and scores negative."""
+    target = tx.unigram_lm(_docs(spark, [(1, "aa aa aa aa bb bb")]))
+    raw = tx.unigram_lm(_docs(spark, [(1, "aa bb cc dd")]))
+    docs = _docs(spark, [(10, "aa bb"), (11, "cc dd"), (12, "aa aa aa")])
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_weight"])
+        for r in tx.dsir_logweights(docs, target, raw).collect()
+    }
+    ln = math.log
+    # doc 10: [ln(4/6)-ln(1/4)] + [ln(2/6)-ln(1/4)]
+    assert got[10] == (2, round(ln(4 / 6) - ln(1 / 4) + ln(2 / 6) - ln(1 / 4), 4))
+    # doc 11: cc/dd unseen in target -> floor ln(1/6) each
+    assert got[11] == (2, round(2 * (ln(1 / 6) - ln(1 / 4)), 4))
+    # doc 12: 3 * [ln(4/6) - ln(1/4)] > 0 (strongly target-like)
+    assert got[12] == (3, round(3 * (ln(4 / 6) - ln(1 / 4)), 4))
+    assert got[12][1] > 0 > got[11][1]

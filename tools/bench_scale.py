@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import subprocess
 import sys
 import time
@@ -133,6 +134,40 @@ def main() -> None:
     ensure_fixture(src, dst, factor)
 
     spark = get_spark("bench_scale")
+
+    # Box canaries (same instruments as bench.py, round 9): the gate's
+    # single-shot timings are claims about THIS round's code on THIS
+    # box — the canaries make round-over-round gate movement
+    # attributable (CPU-bound queries track calibration_sec, scan-bound
+    # ones io_calibration_sec) instead of being adjudicated by
+    # argument. The IO canary scans the sf1 fixture's lineitem so it
+    # prices the same files the gate queries read.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
+    cpu_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr(
+            "sum(id * 2 + 1)", "count(if(id % 7 = 0, 1, NULL))"
+        ).collect()
+        cpu_samples.append(time.time() - t0)
+    calibration = round(statistics.median(cpu_samples), 3)
+    from pyspark.sql import functions as F  # noqa: E402
+
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+    io_samples = []
+    for _ in range(3):
+        t0 = time.time()
+        li = load_table(spark, dst, "lineitem")
+        # bit_xor, not sum: 64-bit hash sums overflow long under ANSI
+        li.select(F.bit_xor(F.xxhash64(*li.columns)).alias("h")).collect()
+        io_samples.append(time.time() - t0)
+    io_calibration = round(statistics.median(io_samples), 3)
+    print(
+        f"# calibration: {calibration}s io_calibration: {io_calibration}s",
+        file=sys.stderr,
+    )
+
     queries = all_queries()
     if "sim_lsh_topk" not in queries:
         # consolidated into sim_ann_topk_panel (round 7); the gate
@@ -188,6 +223,8 @@ def main() -> None:
         "value": round(sum(r["sec"] for r in out.values()), 3),
         "unit": "sec",
         "sf_factor": factor,
+        "calibration_sec": calibration,
+        "io_calibration_sec": io_calibration,
         "plan_gate": "pass" if gate_ok else "fail",
         "queries": out,
     }
@@ -218,7 +255,8 @@ def main() -> None:
     if prior:
         prev_n, prev_f = prior[-1]
         with open(os.path.join(repo, prev_f)) as fh:
-            prev = json.load(fh).get("queries", {})
+            prev_all = json.load(fh)
+        prev = prev_all.get("queries", {})
         deltas = {}
         movers = []
         for name, rec in out.items():
@@ -229,6 +267,11 @@ def main() -> None:
                 if ratio > 1.5 or ratio < 1 / 1.5:
                     movers.append(f"{name} {ratio}x")
         result["delta_vs"] = {"round": prev_n, "per_query_ratio": deltas}
+        for key in ("calibration_sec", "io_calibration_sec"):
+            if prev_all.get(key):
+                result["delta_vs"][key.replace("_sec", "_ratio")] = round(
+                    result[key] / prev_all[key], 2
+                )
         print(
             f"# delta vs r{prev_n}: "
             + " ".join(f"{k}={v}x" for k, v in sorted(deltas.items()))
