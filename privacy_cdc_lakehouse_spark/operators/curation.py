@@ -428,6 +428,95 @@ def mixture_sample(
     )
 
 
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget — the data
+    budgeting step when assembling a training mix ("take the best docs
+    until we have B tokens"). Docs are ordered by (``score_col`` desc,
+    id asc) and kept while the running token total stays <= ``budget``
+    (strict prefix rule: the doc that would overflow is dropped and
+    nothing later backfills — deterministic, growth-stable given a
+    deterministic score). Output: the input plus ``(_tokens,
+    is_selected)``. ``token_col`` is the precomputed-counts reuse hook
+    (``pack_sequences``' contract); otherwise whitespace tokens are
+    counted here. The caller owns score determinism — pass a rounded
+    score (the repo-wide rank-over-rounded-score contract) or ranking
+    is engine/partition-dependent.
+
+    100 TB shape — the naive form is a GLOBAL ordered cumsum (one
+    window partition = the whole corpus), so this is two-phase like
+    ``stratified_sample``: (1) one map-side-combinable aggregate
+    collapses the corpus to per-SCORE-bucket token sums; the running
+    total over that SCORE-distribution-sized table (a single-partition
+    window over |distinct scores| rows, corpus-independent) classifies
+    every bucket all-in / all-out / boundary; (2) the per-doc cumsum
+    window runs ONLY inside the single boundary bucket (cum totals are
+    monotone, so exactly one bucket straddles the budget) — its
+    partition is one score-tie group, never the corpus. Docs in
+    all-in/all-out buckets are decided by a broadcast join alone.
+    """
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    from pyspark.sql import Window
+
+    from privacy_cdc_lakehouse_spark.operators.text import token_count
+
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col))
+    )
+    d = df.withColumn("_tokens", toks)
+    buckets = d.groupBy(F.col(score_col).alias("_s")).agg(
+        F.sum("_tokens").alias("_bt")
+    )
+    # running total BEFORE each bucket, over the score-distribution-
+    # sized table (orderBy with no partition: |distinct scores| rows)
+    wb = (
+        Window.orderBy(F.desc("_s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = buckets.select(
+        "_s",
+        "_bt",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_cum_before"),
+    )
+    d = d.join(
+        F.broadcast(buckets),
+        d[score_col] == buckets["_s"],
+    ).drop("_s")
+    full = F.col("_cum_before") + F.col("_bt") <= budget
+    # STRICT: at cum_before == budget the bucket is boundary (its
+    # zero-token docs still fit), keeping two-phase == the naive
+    # global-cumsum rule even on that edge; bt=0 buckets are always
+    # `full`, so exactly one bucket can satisfy neither branch
+    none = F.col("_cum_before") > budget
+    decided = d.filter(full | none).withColumn("is_selected", full)
+    # exactly one boundary bucket: per-doc cumsum window over that
+    # score-tie group only
+    wd = (
+        Window.partitionBy(F.col(score_col))
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    boundary = (
+        d.filter(~(full | none))
+        .withColumn("_run", F.sum("_tokens").over(wd))
+        .withColumn(
+            "is_selected",
+            F.col("_cum_before") + F.col("_run") <= budget,
+        )
+        .drop("_run")
+    )
+    return decided.unionByName(boundary).drop("_bt", "_cum_before")
+
+
 def dataset_report(
     corpus: DataFrame,
     strata_col: str = "lang",

@@ -452,6 +452,96 @@ def simhash_near_dups(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    hash_fn=None,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al. 2003, "Local
+    algorithms for document fingerprinting" — the MOSS algorithm): the
+    rolling-hash fingerprint sketch. Text is whitespace-collapsed and
+    lowercased (the same normalization as :func:`exact_duplicates`),
+    every char ``k``-gram is hashed, and each window of ``window``
+    consecutive gram hashes selects its MINIMUM (rightmost position on
+    ties — the paper's robust winnowing rule); the distinct selected
+    ``(pos, hash)`` set is the sketch. The paper's guarantee holds by
+    construction: any exact substring match of length >=
+    ``window + k - 1`` chars between two docs shares at least one
+    fingerprint — the detection floor is a parameter, not luck. Docs
+    with fewer than ``window`` grams winnow their single partial
+    window (min of all grams); docs shorter than ``k`` chars produce
+    no fingerprints. Output: ``(id, pos, fingerprint)``, ``pos`` the
+    1-based gram position of the selected hash.
+
+    ``hash_fn``: column fn gram → long; default ``xxhash64`` (fast
+    path). Pass an md5-hex-slice fn for an ANSI-SQL-replicable 28-bit
+    variant (the ``simhash``/``simhash_portable`` pattern).
+
+    Scale shape: gram hashes are computed INSIDE a per-doc
+    ``transform(sequence)`` array (the text is never duplicated per
+    gram) and posexploded to one slim (id, pos, hash) row per gram;
+    the window-min is a per-doc window over gram positions —
+    partitions are DOC-sized, never corpus-sized; the distinct
+    de-selects repeated picks per doc. No joins, no corpus-wide
+    shuffle beyond the doc-keyed window. Downstream, shared-sketch
+    candidate pairs reuse :func:`bucket_pairs` on the fingerprint —
+    the same never-all-pairs discipline as every other dedup path."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    hf = hash_fn or F.xxhash64
+    norm = F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")))
+    base = df.select(
+        F.col(id_col),
+        norm.alias("_t"),
+    ).select(
+        id_col,
+        "_t",
+        F.greatest(F.length("_t") - k + 1, F.lit(0)).alias("_ng"),
+    ).filter(F.col("_ng") > 0)
+    grams = base.select(
+        id_col,
+        "_ng",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("_ng")),
+                lambda p: hf(F.col("_t").substr(p, F.lit(k))),
+            )
+        ).alias("_p0", "_h"),
+    ).select(
+        id_col, "_ng", (F.col("_p0") + 1).alias("_pos"), "_h"
+    )
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("_pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    sel = F.min(
+        F.struct(F.col("_h").alias("h"), (-F.col("_pos")).alias("np"))
+    ).over(win)
+    return (
+        grams.withColumn("_sel", sel)
+        # only full windows start here (a shorter doc keeps its single
+        # pos-1 partial window — the paper's degenerate case)
+        .filter(
+            F.col("_pos")
+            <= F.greatest(F.col("_ng") - window + 1, F.lit(1))
+        )
+        .select(
+            id_col,
+            (-F.col("_sel.np")).cast("long").alias("pos"),
+            F.col("_sel.h").cast("long").alias("fingerprint"),
+        )
+        .distinct()
+    )
+
+
 # ----------------------- near-dup clustering ---------------------------
 
 

@@ -385,33 +385,57 @@ FROM t ORDER BY c_custkey
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dup groups over the augmented corpus; members as a joined
-    string (portable across engines)."""
+    """Exact dup groups over the augmented corpus (members as a joined
+    string, portable across engines) — plus, round 9, a ``winnow`` arm:
+    Schleimer et al. 2003 rolling-hash winnowing fingerprints
+    (``operators/dedup.py::winnow_fingerprints``, md5-hex7 28-bit
+    portable hash, k=8-char grams, window=4). Each doc's full selected
+    (pos, fingerprint) SET is hash-checked via an exact order-free
+    digest — count + bit_xor(pos·2^28 + fingerprint) — so one wrong,
+    missing or extra selection in any doc breaks that doc's row; the
+    oracle replays gram hashing, the rightmost-min window rule and the
+    full-window cutoff. The augmented corpus's exact copies winnow to
+    byte-identical digests (positions are normalization-relative)."""
     pin_utc(spark)
-    groups = dd.exact_duplicates(_augmented(_docs(spark, sf_dir)))
-    return groups.select(
-        "fingerprint",
-        "keeper_id",
-        "group_size",
-        F.array_join(F.transform("member_ids", lambda x: x.cast("string")), ",").alias(
-            "members"
+    corpus = _augmented(_docs(spark, sf_dir))
+    groups = dd.exact_duplicates(corpus)
+    exact = groups.select(
+        F.lit("exact").alias("kind"),
+        F.col("fingerprint").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("keeper_id").cast("string"),
+            F.col("group_size").cast("string"),
+            F.array_join(
+                F.transform("member_ids", lambda x: x.cast("string")), ","
+            ),
+        ).alias("v"),
+    )
+    fps = dd.winnow_fingerprints(
+        corpus,
+        k=8,
+        window=4,
+        hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast(
+            "long"
         ),
-    ).orderBy("keeper_id")
-
-
-_DEDUP_EXACT_SQL = f"""
-WITH {_AUG_CTE},
-fp AS (
-    SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
-    FROM aug
-)
-SELECT fingerprint, min(doc_id) AS keeper_id,
-       CAST(count(*) AS BIGINT) AS group_size,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
-FROM fp GROUP BY fingerprint HAVING count(*) > 1
-ORDER BY keeper_id
-"""
+    )
+    win = (
+        fps.select(
+            "doc_id",
+            (F.col("pos") * F.lit(1 << 28) + F.col("fingerprint")).alias("_c"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("string").alias("_n"),
+            F.bit_xor("_c").cast("string").alias("_x"),
+        )
+        .select(
+            F.lit("winnow").alias("kind"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.concat_ws(":", "_n", "_x").alias("v"),
+        )
+    )
+    return exact.unionByName(win).orderBy("kind", "k")
 
 
 def _duck_hex7(start: int) -> str:
@@ -421,6 +445,58 @@ def _duck_hex7(start: int) -> str:
         for k in range(7)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_AUG_CTE},
+fp AS (
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM aug
+),
+nrm AS (
+    SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+    FROM aug
+),
+wgm AS (
+    SELECT doc_id, pos, md5(substr(t, CAST(pos AS INT), 8)) AS h
+    FROM (
+        SELECT doc_id, t, unnest(range(1, length(t) - 8 + 2)) AS pos
+        FROM nrm WHERE length(t) >= 8
+    )
+),
+wg AS (SELECT doc_id, pos, CAST({_duck_hex7(1)} AS BIGINT) AS h FROM wgm),
+wng AS (SELECT doc_id, count(*) AS n FROM wg GROUP BY doc_id),
+wsel AS (
+    SELECT doc_id, pos,
+           min(struct_pack(h := h, np := -pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+           ) AS s
+    FROM wg
+),
+wpick AS (
+    SELECT DISTINCT w.doc_id,
+           -struct_extract(w.s, 'np') AS pos,
+           struct_extract(w.s, 'h') AS fingerprint
+    FROM wsel w JOIN wng USING (doc_id)
+    WHERE w.pos <= greatest(wng.n - 4 + 1, 1)
+),
+wdig AS (
+    SELECT doc_id, count(*) AS n,
+           bit_xor(pos * 268435456 + fingerprint) AS x
+    FROM wpick GROUP BY doc_id
+)
+SELECT 'exact' AS kind, fingerprint AS k,
+       CAST(min(doc_id) AS VARCHAR) || ':' || CAST(count(*) AS VARCHAR)
+         || ':' || string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS v
+FROM fp GROUP BY fingerprint HAVING count(*) > 1
+UNION ALL
+SELECT 'winnow', CAST(doc_id AS VARCHAR),
+       CAST(n AS VARCHAR) || ':' || CAST(x AS VARCHAR)
+FROM wdig
+ORDER BY kind, k
+"""
 
 
 def _duck_minhash_cols() -> str:
@@ -1494,16 +1570,47 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — is hash-checked; the oracle replays the identical
     hex-slice + CASE-threshold arithmetic, so the mixing step a
     training run depends on is verified row-for-row, not just in
-    aggregate proportions."""
+    aggregate proportions.
+
+    Round 9 adds the ``budget`` arm — quality-ranked selection under a
+    10k-token budget (``operators/curation.py::token_budget_select``,
+    two-phase: score-bucket running totals classify buckets all-in/
+    all-out, the per-doc cumsum window runs only inside the single
+    boundary bucket). Every doc's token count AND keep/drop decision
+    are hash-checked against the oracle's naive global-cumsum replay
+    (ORDER BY rounded score DESC, id), proving two-phase == naive on
+    driver data — the same equivalence `stratified_sample` pins in
+    pytest, here driver-visible."""
     pin_utc(spark)
+    docs = _docs(spark, sf_dir)
     out = cur.mixture_sample(
-        _docs(spark, sf_dir),
+        docs,
         rates={"en": 0.8, "de": 0.5, "es": 0.25},
         strata_col="lang",
         id_col="doc_id",
         default_rate=0.1,
     )
-    return out.select("doc_id", "lang", "sample_bucket").orderBy("doc_id")
+    mix = out.select(
+        F.lit("mix").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            ":", "lang", F.col("sample_bucket").cast("string")
+        ).alias("v"),
+    )
+    scored = tx.quality_score(docs).select(
+        "doc_id", "text", F.round("quality_score", 2).alias("qs")
+    )
+    sel = cur.token_budget_select(scored, budget=10_000, score_col="qs")
+    budget_rows = sel.select(
+        F.lit("budget").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("_tokens").cast("string"),
+            F.col("is_selected").cast("int").cast("string"),
+        ).alias("v"),
+    )
+    return mix.unionByName(budget_rows).orderBy("kind", "k")
 
 
 _MIXTURE_SQL = f"""
@@ -1516,13 +1623,52 @@ b AS (
     SELECT doc_id, lang,
            CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS sample_bucket
     FROM h
+),
+qf AS (
+    SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM documents
+),
+qfeat AS (
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_TOKEN_RE_SQL}')) AS nt,
+           len(ws) AS n_words,
+           len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
+             greatest(len(ws), 1) AS stopword_ratio,
+           length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
+             greatest(length(text), 1) AS punct_ratio,
+           length(regexp_replace(text, '[^0-9]', '', 'g')) /
+             greatest(length(text), 1) AS digit_ratio
+    FROM qf
+),
+qsc AS (
+    SELECT doc_id, nt,
+           round(CAST(
+             CASE WHEN n_words BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+             + CASE WHEN stopword_ratio > 0.05 THEN 0.3 ELSE 0.0 END
+             + CASE WHEN punct_ratio < 0.2 THEN 0.2 ELSE 0.0 END
+             + CASE WHEN digit_ratio < 0.3 THEN 0.1 ELSE 0.0 END
+             AS DOUBLE), 2) AS s
+    FROM qfeat
+),
+brun AS (
+    SELECT doc_id, nt,
+           sum(nt) OVER (
+               ORDER BY s DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS r
+    FROM qsc
 )
-SELECT doc_id, lang, sample_bucket
+SELECT 'mix' AS kind, CAST(doc_id AS VARCHAR) AS k,
+       lang || ':' || CAST(sample_bucket AS VARCHAR) AS v
 FROM b
 WHERE sample_bucket < CASE lang
     WHEN 'en' THEN 800 WHEN 'de' THEN 500 WHEN 'es' THEN 250
     ELSE 100 END
-ORDER BY doc_id
+UNION ALL
+SELECT 'budget', CAST(doc_id AS VARCHAR),
+       CAST(nt AS VARCHAR) || ':' ||
+       CAST(CAST(r <= 10000 AS INT) AS VARCHAR)
+FROM brun
+ORDER BY kind, k
 """
 
 

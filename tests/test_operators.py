@@ -2044,3 +2044,155 @@ def test_dsir_logweights_closed_form_and_floors(spark):
     # doc 12: 3 * [ln(4/6) - ln(1/4)] > 0 (strongly target-like)
     assert got[12] == (3, round(3 * (ln(4 / 6) - ln(1 / 4)), 4))
     assert got[12][1] > 0 > got[11][1]
+
+
+def test_winnow_fingerprints_guarantee_and_window_rule(spark):
+    """The Schleimer guarantee: two docs sharing a substring of length
+    >= window + k - 1 share at least one fingerprint; identical docs
+    produce identical sketches; a doc shorter than k yields nothing;
+    one with fewer than `window` grams winnows its single partial
+    window; whitespace/case normalization aligns grams."""
+    shared = "abcdefghijklmnopqrstuv"  # 22 chars >> window+k-1 = 11
+    docs = _docs(
+        spark,
+        [
+            (1, f"xxxx {shared} yyyy"),
+            (2, f"zz {shared} qqqq rrr"),
+            (3, f"xxxx {shared} yyyy"),           # identical to 1
+            (4, f"XXXX   {shared}  YYYY"),        # normalizes to doc 1
+            (5, "tiny"),                          # < k chars: no grams
+            (6, "exactly9!"),                     # 9 chars: 2 grams < window
+        ],
+    )
+    out = dd.winnow_fingerprints(docs, k=8, window=4)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], set()).add((r["pos"], r["fingerprint"]))
+    assert {f for _, f in by_doc[1]} & {f for _, f in by_doc[2]}
+    assert by_doc[1] == by_doc[3] == by_doc[4]
+    assert 5 not in by_doc
+    # 2 grams, no full window -> the pos-1 partial window picks ONE min
+    assert len(by_doc[6]) == 1
+    with pytest.raises(ValueError, match="window"):
+        dd.winnow_fingerprints(docs, k=8, window=0)
+    with pytest.raises(ValueError, match="k must"):
+        dd.winnow_fingerprints(docs, k=0)
+
+
+def test_winnow_fingerprints_rightmost_min_tie(spark):
+    """A run of identical grams hashes to identical values; the robust
+    winnowing rule must select the RIGHTMOST minimal position in each
+    window, so a constant doc of n grams with window w selects exactly
+    the positions {w, w+1, ..., n} plus nothing earlier — i.e. each
+    window start p selects p + w - 1."""
+    # 'aaaaaaaaaaaa' -> 12 chars, k=4 -> 9 identical grams, window=3
+    docs = _docs(spark, [(1, "a" * 12)])
+    got = sorted(
+        r["pos"]
+        for r in dd.winnow_fingerprints(docs, k=4, window=3).collect()
+    )
+    # window starts p = 1..7 select p+2 (rightmost of the tied mins)
+    assert got == [3, 4, 5, 6, 7, 8, 9]
+
+
+def test_token_budget_select_prefix_rule_and_boundary_bucket(spark):
+    """Deterministic budgeted selection: docs ordered by (score desc,
+    id asc) keep while the running token total fits; the overflowing
+    doc drops and nothing later backfills; two-phase == the naive
+    global cumsum on a case whose boundary bucket splits mid-bucket."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    rows = [
+        # (doc_id, text->tokens, score): score 0.9 bucket = 6 tokens,
+        # score 0.5 bucket = 9 tokens across 3 docs, score 0.1 = 4
+        (1, "a b c", 0.9),        # 3 tokens
+        (2, "d e f", 0.9),        # 3 tokens
+        (3, "g h i", 0.5),        # 3
+        (4, "j k l", 0.5),        # 3
+        (5, "m n o", 0.5),        # 3
+        (6, "p q r s", 0.1),      # 4
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, s double")
+    # budget 10: all of 0.9 (6 tokens) + doc 3 of the 0.5 bucket
+    # (cum 9); doc 4 would overflow to 12 and drops, as does all after
+    got = {
+        r["doc_id"]: (r["_tokens"], r["is_selected"])
+        for r in cur.token_budget_select(
+            docs, budget=10, score_col="s"
+        ).collect()
+    }
+    assert got == {
+        1: (3, True), 2: (3, True), 3: (3, True), 4: (3, False),
+        5: (3, False), 6: (4, False),
+    }
+    # budget exactly at a bucket edge: 6 -> whole 0.9 bucket, none else
+    got6 = {
+        r["doc_id"]: r["is_selected"]
+        for r in cur.token_budget_select(docs, budget=6, score_col="s").collect()
+    }
+    assert got6 == {1: True, 2: True, 3: False, 4: False, 5: False, 6: False}
+    # zero budget selects nothing; negative refused
+    got0 = {
+        r["doc_id"]: r["is_selected"]
+        for r in cur.token_budget_select(docs, budget=0, score_col="s").collect()
+    }
+    assert not any(got0.values())
+    with pytest.raises(ValueError, match="budget"):
+        cur.token_budget_select(docs, budget=-1, score_col="s")
+
+
+def test_token_budget_select_token_col_hook_matches_naive(spark):
+    """Randomized parity: the two-phase plan equals the naive global
+    window on 60 docs with noisy scores/token counts, using the
+    precomputed token_col reuse hook."""
+    import random
+
+    from pyspark.sql import Window
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randint(0, 30), round(rng.choice([0.1, 0.3, 0.7, 0.9]), 1))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, nt long, s double")
+    budget = 300
+    got = {
+        r["doc_id"]: r["is_selected"]
+        for r in cur.token_budget_select(
+            docs, budget=budget, score_col="s", token_col="nt"
+        ).collect()
+    }
+    naive_w = Window.orderBy(F.desc("s"), F.asc("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        r["doc_id"]: r["keep"]
+        for r in docs.withColumn(
+            "keep", F.sum("nt").over(naive_w) <= budget
+        ).collect()
+    }
+    assert got == want
+
+
+def test_mixture_sample_plan_is_pure_projection(spark):
+    """The mixing decision must stay a codegen'd projection + filter —
+    no aggregate, no join, no explode (the growth-stability claim: a
+    row's fate is a pure function of its id). Pinned here because the
+    registered query's union now carries the budget arm's aggregate."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "de")], "doc_id long, lang string"
+    )
+    out = cur.mixture_sample(docs, rates={"en": 0.5}, default_rate=0.1)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "HashAggregate" not in plan
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    assert "Exchange" not in plan

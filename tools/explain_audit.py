@@ -82,8 +82,12 @@ AUDIT = {
     # join may broadcast at test SF; Q22's scalar avg is a broadcast
     # 1-row cross join + a left-anti join.
     "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate"],
-    # mixing = pure projection + filter over the scan — no shuffle at all
-    "curation_mixture_sample": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
+    # the mix arm is a pure projection + filter (that purity is pinned
+    # at the operator level by test_mixture_sample_plan_is_pure_projection);
+    # the round-9 budget arm legitimately adds ONE score-bucket
+    # aggregate, a broadcast bucket join and the boundary-bucket window
+    # — assert those stay broadcast/windowed, never SMJ or cartesian
+    "curation_mixture_sample": ["Project", "Scan parquet", "BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"],
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
     # spans: positional-gram explode + dup aggregate + islands window;
