@@ -517,6 +517,60 @@ def token_budget_select(
     return decided.unionByName(boundary).drop("_bt", "_cum_before")
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strata_col: str = "lang",
+    token_col: str | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """Temperature-smoothed mixture rates — the multilingual exponent
+    sampling recipe (mBERT / XLM-R, Conneau et al. 2020: sample
+    stratum i with probability q_i ∝ p_i^alpha). Emits per-stratum
+    keep-RATES for :func:`mixture_sample`: ``rate_i ∝ p_i^(alpha-1)``
+    normalized so the SMALLEST stratum keeps everything (rate 1.0) —
+    high-resource strata are down-sampled toward the flattened target
+    instead of duplicating low-resource data. ``alpha=1`` reproduces
+    the natural distribution (all rates 1); ``alpha → 0`` flattens
+    toward uniform. ``p_i`` is the stratum's TOKEN share (``token_col``
+    is the precomputed-counts reuse hook). Output:
+    ``(stratum, n_tokens, share 6dp, rate 6dp)``.
+
+    Scale shape: ONE map-side-combinable per-stratum token aggregate;
+    the total and the minimum share arrive as broadcast 1-row scalars
+    over the strata-sized table. The result is a driver-resident model
+    the size of the stratum count (the ``kmeans_fit`` contract) —
+    collect it into ``mixture_sample(rates=...)`` to materialize the
+    mix as a pure projection."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    from privacy_cdc_lakehouse_spark.operators.text import token_count
+
+    toks = (
+        F.col(token_col).cast("long")
+        if token_col
+        else token_count(F.col(text_col))
+    )
+    per = (
+        df.select(F.col(strata_col).alias("stratum"), toks.alias("_t"))
+        .groupBy("stratum")
+        .agg(F.sum("_t").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    shared = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_share", F.col("n_tokens") / F.col("_tot")
+    )
+    mn = shared.agg(F.min("_share").alias("_mn"))
+    return shared.crossJoin(F.broadcast(mn)).select(
+        "stratum",
+        "n_tokens",
+        F.round("_share", 6).alias("share"),
+        F.round(
+            F.pow(F.col("_share") / F.col("_mn"), F.lit(alpha - 1.0)), 6
+        ).alias("rate"),
+    )
+
+
 def dataset_report(
     corpus: DataFrame,
     strata_col: str = "lang",

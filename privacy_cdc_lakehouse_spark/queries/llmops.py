@@ -1610,7 +1610,26 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_selected").cast("int").cast("string"),
         ).alias("v"),
     )
-    return mix.unionByName(budget_rows).orderBy("kind", "k")
+    # round 9 (cont.): temperature arm — exponent-smoothed mixture
+    # rates (operators/curation.py::temperature_rates, alpha=0.5):
+    # per-language token counts, shares and keep-rates, each 6dp-
+    # rounded then scaled to exact integers (×1e6, round-0) so the
+    # union's string column carries them losslessly cross-engine.
+    temp_rows = cur.temperature_rates(docs, alpha=0.5).select(
+        F.lit("temp").alias("kind"),
+        F.col("stratum").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("n_tokens").cast("string"),
+            F.round(F.col("share") * 1e6, 0).cast("long").cast("string"),
+            F.round(F.col("rate") * 1e6, 0).cast("long").cast("string"),
+        ).alias("v"),
+    )
+    return (
+        mix.unionByName(budget_rows)
+        .unionByName(temp_rows)
+        .orderBy("kind", "k")
+    )
 
 
 _MIXTURE_SQL = f"""
@@ -1668,6 +1687,30 @@ SELECT 'budget', CAST(doc_id AS VARCHAR),
        CAST(nt AS VARCHAR) || ':' ||
        CAST(CAST(r <= 10000 AS INT) AS VARCHAR)
 FROM brun
+UNION ALL
+SELECT 'temp', stratum, v FROM (
+    -- temperature_rates replay: per-lang token shares, rate =
+    -- round(pow(share/min_share, alpha-1), 6), both scaled to exact
+    -- integers the same way the Spark arm does
+    WITH tper AS (
+        SELECT lang AS stratum,
+               sum(len(regexp_extract_all(text, '{_TOKEN_RE_SQL}'))) AS nt
+        FROM documents GROUP BY 1
+    ),
+    ttot AS (SELECT sum(nt) AS tot FROM tper),
+    tsh AS (
+        SELECT stratum, nt, nt / ttot.tot AS share
+        FROM tper CROSS JOIN ttot
+    ),
+    tmn AS (SELECT min(share) AS mn FROM tsh)
+    SELECT stratum,
+           CAST(nt AS VARCHAR) || ':' ||
+           CAST(CAST(round(round(share, 6) * 1e6, 0) AS BIGINT) AS VARCHAR)
+             || ':' ||
+           CAST(CAST(round(round(pow(share / tmn.mn, -0.5), 6) * 1e6, 0)
+                AS BIGINT) AS VARCHAR) AS v
+    FROM tsh CROSS JOIN tmn
+)
 ORDER BY kind, k
 """
 

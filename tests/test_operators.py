@@ -2196,3 +2196,32 @@ def test_mixture_sample_plan_is_pure_projection(spark):
     assert "Join" not in plan
     assert "Generate" not in plan
     assert "Exchange" not in plan
+
+
+def test_temperature_rates_closed_form(spark):
+    """alpha=0.5 on an 80/20 token split: shares 0.8/0.2; rates
+    (p/p_min)^(-0.5) -> small stratum keeps 1.0, large keeps 1/2
+    (sqrt(0.2/0.8)); alpha=1 reproduces the natural distribution
+    (all rates 1); invalid alpha refused; token_col hook honored."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame(
+        [(1, "en", 80), (2, "de", 20)], "doc_id long, lang string, nt long"
+    )
+    got = {
+        r["stratum"]: r
+        for r in cur.temperature_rates(
+            docs, alpha=0.5, token_col="nt"
+        ).collect()
+    }
+    assert got["en"]["n_tokens"] == 80 and got["de"]["n_tokens"] == 20
+    assert got["en"]["share"] == 0.8 and got["de"]["share"] == 0.2
+    assert got["de"]["rate"] == 1.0
+    assert got["en"]["rate"] == 0.5  # (0.8/0.2)^-0.5 = 1/2 exactly
+    flat = {
+        r["stratum"]: r["rate"]
+        for r in cur.temperature_rates(docs, alpha=1.0, token_col="nt").collect()
+    }
+    assert flat == {"en": 1.0, "de": 1.0}
+    with pytest.raises(ValueError, match="alpha"):
+        cur.temperature_rates(docs, alpha=0.0, token_col="nt")
