@@ -41,6 +41,15 @@ AUDIT = {
     # duplicated-line set is corpus-scale at 100 TB), so any join
     # strategy is acceptable — assert shape, not join flavor.
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
+    # round 9: exact groups are a plain fingerprint groupBy; the winnow
+    # arm is posexplode + doc-keyed window + per-doc digest aggregate —
+    # the whole union must stay JOIN-FREE (rolling-hash sketching never
+    # pairs anything)
+    "dedup_exact_groups": ["Generate", "Window", "HashAggregate", "!Join"],
+    # round 9: the sig arm is explode+groupBy; the pair arm's candidate
+    # semi-join and both signature fetches are explicitly broadcast —
+    # banding must never sort-merge or go all-pairs
+    "simhash_portable": ["Generate", "HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     # batch-vs-store anti-join + in-batch keeper election
     "dedup_incremental": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
     # SemDeDup: the closure's checkpoint MATERIALIZES the upstream
