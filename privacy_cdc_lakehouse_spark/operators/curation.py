@@ -70,6 +70,47 @@ def hash_split(
     )
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    train: float = 0.9,
+    val: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Dedup-aware train/val/test split: bucket by the near-dup
+    COMPONENT id instead of the doc id, so every member of a duplicate
+    cluster lands in the SAME split — near-dups straddling train/test
+    are the classic eval-leakage bug that survives doc-keyed splitting
+    (Lee et al. 2022 measure it directly). ``components`` is an
+    ``(id, component)`` frame from any of this repo's cluster sources
+    — :func:`dedup.connected_components` over verified MinHash/SimHash
+    pairs, :func:`dedup.exact_duplicates` keeper groups, or
+    ``similarity.semantic_dedup`` — docs absent from it are their own
+    singleton (component defaults to the doc id). Adds
+    ``(_split_key, split)``; same whole-bucket fraction semantics as
+    :func:`hash_split`.
+
+    Scale shape: ONE left equi-join on the id (both sides id-keyed —
+    co-partition/bucket by id at scale) followed by the same pure
+    codegen'd bucket projection as ``hash_split``; growth-stable as
+    long as components are (min-id components are: adding docs never
+    relabels an existing cluster below its current min)."""
+    key = F.coalesce(F.col(comp_col), F.col(id_col)).cast("string")
+    joined = df.join(
+        components.select(
+            F.col(id_col), F.col(comp_col)
+        ),
+        id_col,
+        "left",
+    ).withColumn("_split_key", key)
+    return hash_split(
+        joined.drop(comp_col), id_col="_split_key", train=train, val=val,
+        salt=salt,
+    )
+
+
 def corpus_ngrams(
     corpus: DataFrame,
     n: int = 8,

@@ -218,6 +218,16 @@ def bucket_pairs(
     twice) and never a cross join. Bucket size is the skew risk — the
     expansion is quadratic IN-bucket, so band/plane counts are chosen to
     keep buckets small."""
+    return _bucket_pair_rows(bucketed, group_cols, id_col).distinct()
+
+
+def _bucket_pair_rows(
+    bucketed: DataFrame, group_cols: list[str], id_col: str
+) -> DataFrame:
+    """The raw in-bucket pair expansion behind :func:`bucket_pairs` —
+    one (id_a, id_b) row PER BUCKET the pair shares (no distinct), so
+    callers that need co-occurrence multiplicity (``winnow_near_dups``
+    counts shared fingerprints) aggregate instead of dedup."""
     grouped = (
         bucketed.groupBy(*group_cols)
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -232,10 +242,8 @@ def bucket_pairs(
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
+    return grouped.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b"
     )
 
 
@@ -539,6 +547,65 @@ def winnow_fingerprints(
             F.col("_sel.h").cast("long").alias("fingerprint"),
         )
         .distinct()
+    )
+
+
+def winnow_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+    max_df: int | None = None,
+    min_shared: int = 2,
+    hash_fn=None,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
+    """MOSS-style near-duplicate candidates from shared winnowing
+    fingerprints: doc pairs sharing >= ``min_shared`` distinct selected
+    fingerprints, scored by that shared count (the plagiarism-detector
+    signal — winnowing's guarantee makes the count a lower bound on
+    aligned substring matches of length >= window+k-1).
+    Output: ``(id_a, id_b, n_shared)``, id_a < id_b.
+
+    ``max_df`` drops fingerprints selected in more than ``max_df``
+    docs BEFORE pairing — boilerplate phrases (the C4 line-dedup move)
+    both pollute the signal and create the hot buckets that break
+    quadratic in-bucket expansion at scale; the dropped set is
+    boilerplate-vocabulary-sized and broadcast-anti-joined, exactly
+    :func:`dedup_lines`' discipline. ``fingerprints`` is the
+    :func:`winnow_fingerprints` reuse artifact (same k/window —
+    positions/hashes are opaque here so the stamp is the caller's
+    contract).
+
+    Scale shape: pairing rides the shared in-bucket expansion
+    (grouped ids per fingerprint, never a self-join); the shared
+    count is one map-side-combinable groupBy over pair rows."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    fps = (
+        fingerprints
+        if fingerprints is not None
+        else winnow_fingerprints(
+            df, text_col, id_col, k=k, window=window, hash_fn=hash_fn
+        )
+    )
+    # pair on the distinct fingerprint VALUES per doc (a doc selecting
+    # the same hash at two positions still shares it once)
+    docfp = fps.select(id_col, "fingerprint").distinct()
+    if max_df is not None:
+        hot = (
+            docfp.groupBy("fingerprint")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fingerprint")
+        )
+        docfp = docfp.join(F.broadcast(hot), "fingerprint", "left_anti")
+    return (
+        _bucket_pair_rows(docfp, ["fingerprint"], id_col)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
     )
 
 

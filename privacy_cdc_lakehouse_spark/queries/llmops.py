@@ -395,7 +395,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing or extra selection in any doc breaks that doc's row; the
     oracle replays gram hashing, the rightmost-min window rule and the
     full-window cutoff. The augmented corpus's exact copies winnow to
-    byte-identical digests (positions are normalization-relative)."""
+    byte-identical digests (positions are normalization-relative).
+    The ``wpair`` arm completes the MOSS pipeline
+    (``winnow_near_dups``, reusing the SAME slot-persisted sketch):
+    doc pairs sharing >= 2 non-boilerplate fingerprints (max_df=10),
+    every pair's shared count hash-checked against the SQL pairing
+    replay."""
     pin_utc(spark)
     corpus = _augmented(_docs(spark, sf_dir))
     groups = dd.exact_duplicates(corpus)
@@ -411,13 +416,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("v"),
     )
-    fps = dd.winnow_fingerprints(
-        corpus,
-        k=8,
-        window=4,
-        hash_fn=lambda c: F.conv(F.substring(F.md5(c), 1, 7), 16, 10).cast(
-            "long"
+    # the sketch feeds THREE consumers (the per-doc digest, the pair
+    # expansion, and its own hot-fingerprint filter) — slot_persist
+    # bounds it to one cached subplan instead of 3x recomputing the
+    # gram hashing + window-min
+    from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+    fps = slot_persist(
+        dd.winnow_fingerprints(
+            corpus,
+            k=8,
+            window=4,
+            hash_fn=lambda c: F.conv(
+                F.substring(F.md5(c), 1, 7), 16, 10
+            ).cast("long"),
         ),
+        "dedup_exact_winnow_fps",
     )
     win = (
         fps.select(
@@ -435,7 +449,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(":", "_n", "_x").alias("v"),
         )
     )
-    return exact.unionByName(win).orderBy("kind", "k")
+    wpairs = dd.winnow_near_dups(
+        corpus, max_df=10, min_shared=2, fingerprints=fps
+    ).select(
+        F.lit("wpair").alias("kind"),
+        F.concat_ws(
+            ":", F.col("id_a").cast("string"), F.col("id_b").cast("string")
+        ).alias("k"),
+        F.col("n_shared").cast("string").alias("v"),
+    )
+    return exact.unionByName(win).unionByName(wpairs).orderBy("kind", "k")
 
 
 def _duck_hex7(start: int) -> str:
@@ -486,6 +509,20 @@ wdig AS (
     SELECT doc_id, count(*) AS n,
            bit_xor(pos * 268435456 + fingerprint) AS x
     FROM wpick GROUP BY doc_id
+),
+wdocfp AS (SELECT DISTINCT doc_id, fingerprint FROM wpick),
+wdf AS (
+    SELECT fingerprint, count(*) AS df FROM wdocfp GROUP BY 1
+),
+wkept AS (
+    SELECT d.doc_id, d.fingerprint
+    FROM wdocfp d JOIN wdf USING (fingerprint) WHERE wdf.df <= 10
+),
+wpair AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+    FROM wkept a JOIN wkept b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
 )
 SELECT 'exact' AS kind, fingerprint AS k,
        CAST(min(doc_id) AS VARCHAR) || ':' || CAST(count(*) AS VARCHAR)
@@ -495,6 +532,10 @@ UNION ALL
 SELECT 'winnow', CAST(doc_id AS VARCHAR),
        CAST(n AS VARCHAR) || ':' || CAST(x AS VARCHAR)
 FROM wdig
+UNION ALL
+SELECT 'wpair', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+       CAST(n_shared AS VARCHAR)
+FROM wpair
 ORDER BY kind, k
 """
 
@@ -1487,15 +1528,41 @@ def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Because the bucket is a pure function of the id, the assignment is
     stable under corpus growth — the property that makes incremental
     ingest reproducible at 100 TB (no sampling pass, no shuffle: a
-    codegen'd projection)."""
+    codegen'd projection).
+
+    Round 9 adds the ``safe`` arm — dedup-aware splitting
+    (``operators/curation.py::leakage_safe_split``) over the AUGMENTED
+    corpus: the split key is the exact-dup COMPONENT (min member id;
+    singletons key on themselves), so duplicate clusters can never
+    straddle train/test — the eval-leakage bug Lee et al. 2022
+    measure. Every doc's split KEY and label are hash-checked; the
+    oracle replays the component (min-over-fingerprint-partition) and
+    the same md5 arithmetic, which structurally forces dup partners
+    into the same split."""
     pin_utc(spark)
     docs = _docs(spark, sf_dir)
     out = cur.hash_split(docs, id_col="doc_id", train=0.9, val=0.05)
-    return out.select(
-        "doc_id",
-        cur.split_bucket(F.col("doc_id")).alias("bucket"),
-        "split",
-    ).orderBy("doc_id")
+    doc_rows = out.select(
+        F.lit("doc").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            cur.split_bucket(F.col("doc_id")).cast("string"),
+            "split",
+        ).alias("v"),
+    )
+    corpus = _augmented(docs)
+    comps = dd.exact_duplicates(corpus).select(
+        F.col("keeper_id").alias("component"),
+        F.explode("member_ids").alias("doc_id"),
+    )
+    safe = cur.leakage_safe_split(corpus.select("doc_id"), comps)
+    safe_rows = safe.select(
+        F.lit("safe").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat_ws(":", "_split_key", "split").alias("v"),
+    )
+    return doc_rows.unionByName(safe_rows).orderBy("kind", "k")
 
 
 _HASH_SPLIT_SQL = f"""
@@ -1507,12 +1574,37 @@ WITH h AS (
 b AS (
     SELECT doc_id, CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS bucket
     FROM h
+),
+{_AUG_CTE},
+scomp AS (
+    SELECT doc_id,
+           CAST(min(doc_id) OVER (PARTITION BY
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+           ) AS VARCHAR) AS skey
+    FROM aug
+),
+sh AS (
+    SELECT doc_id, skey, md5('split' || '|' || skey) AS h FROM scomp
+),
+sb AS (
+    SELECT doc_id, skey,
+           CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS} AS bucket
+    FROM sh
 )
-SELECT doc_id, bucket,
+SELECT 'doc' AS kind, CAST(doc_id AS VARCHAR) AS k,
+       CAST(bucket AS VARCHAR) || ':' ||
        CASE WHEN bucket < 900 THEN 'train'
             WHEN bucket < 950 THEN 'val'
-            ELSE 'test' END AS split
-FROM b ORDER BY doc_id
+            ELSE 'test' END AS v
+FROM b
+UNION ALL
+SELECT 'safe', CAST(doc_id AS VARCHAR),
+       skey || ':' ||
+       CASE WHEN bucket < 900 THEN 'train'
+            WHEN bucket < 950 THEN 'val'
+            ELSE 'test' END
+FROM sb
+ORDER BY kind, k
 """
 
 

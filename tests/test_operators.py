@@ -2225,3 +2225,98 @@ def test_temperature_rates_closed_form(spark):
     assert flat == {"en": 1.0, "de": 1.0}
     with pytest.raises(ValueError, match="alpha"):
         cur.temperature_rates(docs, alpha=0.0, token_col="nt")
+
+
+def test_winnow_near_dups_shared_counts_and_boilerplate_filter(spark):
+    """Docs sharing a long substring pair with n_shared >= 1 lower-
+    bounded by the winnowing guarantee; identical docs share their
+    whole sketch; max_df drops a boilerplate phrase present in every
+    doc (without it that phrase pairs everything with everything);
+    the fingerprints reuse hook matches the inline path."""
+    boiler = "subscribe to our newsletter today"
+    shared = "the quick brown fox jumps over the lazy dog"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{shared} alpha beta gamma. {boiler}"),
+            (2, f"intro words here. {shared} {boiler}"),
+            (3, f"{shared} alpha beta gamma. {boiler}"),   # == doc 1
+            (4, f"totally unrelated content qq ww ee rr tt yy. {boiler}"),
+        ],
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.winnow_near_dups(
+            docs, k=8, window=4, max_df=3, min_shared=2
+        ).collect()
+    }
+    assert (1, 2) in out and (1, 3) in out and (2, 3) in out
+    # identical docs share everything: their count is the max
+    assert out[(1, 3)] == max(out.values())
+    # doc 4 only shares the boilerplate tail, which max_df=3 dropped
+    assert not any(4 in p for p in out)
+    # without the filter, the boilerplate pairs doc 4 into the graph
+    unfiltered = {
+        (r["id_a"], r["id_b"])
+        for r in dd.winnow_near_dups(
+            docs, k=8, window=4, min_shared=2
+        ).collect()
+    }
+    assert any(4 in p for p in unfiltered)
+    # reuse hook parity
+    fps = dd.winnow_fingerprints(docs, k=8, window=4)
+    via_hook = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.winnow_near_dups(
+            docs, max_df=3, min_shared=2, fingerprints=fps
+        ).collect()
+    }
+    assert via_hook == out
+    with pytest.raises(ValueError, match="min_shared"):
+        dd.winnow_near_dups(docs, min_shared=0)
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a component gets the component's split (no
+    cluster straddles train/test); singletons split on their own id,
+    exactly matching plain hash_split for them."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 101)], "doc_id long"
+    )
+    comps = spark.createDataFrame(
+        # two clusters: {1,2,3} -> 1, {10, 50} -> 10
+        [(1, 1), (2, 1), (3, 1), (10, 10), (50, 10)],
+        "doc_id long, component long",
+    )
+    out = {
+        r["doc_id"]: (r["_split_key"], r["split"])
+        for r in cur.leakage_safe_split(docs, comps).collect()
+    }
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[50]
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in cur.hash_split(docs).collect()
+    }
+    for i in out:
+        if i not in (1, 2, 3, 10, 50):
+            assert out[i] == (str(i), plain[i])
+
+
+def test_hash_split_plan_is_pure_projection(spark):
+    """hash_split itself must stay a codegen'd projection — no
+    aggregate, join, explode or shuffle (growth-stability claim);
+    pinned here because the registered query's union now carries the
+    safe arm's component machinery."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    plan = cur.hash_split(docs)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for bad in ("HashAggregate", "Join", "Generate", "Exchange"):
+        assert bad not in plan

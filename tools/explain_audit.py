@@ -42,10 +42,11 @@ AUDIT = {
     # strategy is acceptable — assert shape, not join flavor.
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
     # round 9: exact groups are a plain fingerprint groupBy; the winnow
-    # arm is posexplode + doc-keyed window + per-doc digest aggregate —
-    # the whole union must stay JOIN-FREE (rolling-hash sketching never
-    # pairs anything)
-    "dedup_exact_groups": ["Generate", "Window", "HashAggregate", "!Join"],
+    # arm is posexplode + doc-keyed window + per-doc digest aggregate
+    # (join-free); the wpair arm adds the boilerplate-fingerprint
+    # broadcast ANTI-join (dedup_lines' discipline) and the grouped
+    # in-bucket pair expansion — never a sort-merge or cartesian
+    "dedup_exact_groups": ["Generate", "Window", "HashAggregate", "LeftAnti", "!SortMergeJoin", "!CartesianProduct"],
     # round 9: the sig arm is explode+groupBy; the pair arm's candidate
     # semi-join and both signature fetches are explicitly broadcast —
     # banding must never sort-merge or go all-pairs
@@ -67,7 +68,11 @@ AUDIT = {
     # plan is the registry query's output orderBy for the oracle
     # comparator, not part of the operator. Codegen ids aren't printed
     # pre-execution under AQE, so assert shape, not codegen markers.)
-    "curation_hash_split": ["Project", "Scan parquet", "!HashAggregate", "!Join", "!Generate"],
+    # the doc arm is a pure projection (pinned at the operator level by
+    # test_hash_split_plan_is_pure_projection); the round-9 safe arm
+    # adds the exact-dup component aggregate + member explode + the
+    # id-keyed component join — assert nothing sort-merges or crosses
+    "curation_hash_split": ["Project", "Scan parquet", "HashAggregate", "Generate", "!SortMergeJoin", "!CartesianProduct"],
     # round 9: + fuzzy arm — benchmark banded buckets broadcast, the
     # candidate verify semi-joins before growing shingles; the ONE
     # SortMergeJoin is the final exact⋈fuzzy per-doc assembly (both
