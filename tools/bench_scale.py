@@ -96,6 +96,13 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # SortMergeJoin is the corpus-keyed exact⋈fuzzy assembly join
     # (dataset_diff's standing), so !SortMergeJoin is not asserted.
     "curation_decontam": ["BroadcastHashJoin", "Generate", "!CartesianProduct"],
+    # round-9 (cont. 2): the full fingerprinting union at sf1 — exact
+    # groups (fingerprint groupBy), winnowing sketches (per-doc window,
+    # posexplode'd gram hashes), per-doc digests, and MOSS pair mining
+    # (boilerplate anti-join + grouped in-bucket expansion). The scaled
+    # fixture's per-replica documents make the pair arm genuinely busy.
+    # Nothing may sort-merge or go all-pairs.
+    "dedup_exact_groups": ["Generate", "Window", "HashAggregate", "LeftAnti", "!SortMergeJoin", "!CartesianProduct"],
     # streaming micro-batch MERGE path at sf1 (availableNow foreachBatch
     # over the scaled event log): the returned frame is the silver table
     # read back, same contract shape as sql_merge_orders — the MERGE's
