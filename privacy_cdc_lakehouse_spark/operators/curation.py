@@ -558,6 +558,54 @@ def token_budget_select(
     return decided.unionByName(boundary).drop("_bt", "_cum_before")
 
 
+def mixture_upsample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "mixup",
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic data-mixture UP-sampling — the replication twin of
+    :func:`mixture_sample` for rates ABOVE 1 (low-resource strata that
+    temperature flattening says to see more than once per epoch).
+    Each row is replicated ``floor(rate)`` times plus one more when its
+    md5 bucket falls under the fractional part — exact expectation,
+    no RNG state, and a row's replica count is a pure function of
+    (id, salt): growth-stable and reproducible across reruns, the
+    ``hash_split`` contract. Emits ``copy`` (0-based replica index) so
+    replicas are distinguishable downstream (sequence packing, epoch
+    bookkeeping); rate 0 drops the row (explode of an empty sequence).
+
+    Scale shape: a codegen'd projection + ``explode(sequence)`` — no
+    shuffle, no join; output size is the ceil-expectation of the
+    rates. Compose: ``temperature_rates`` → rates > 1 here, rates < 1
+    to ``mixture_sample``."""
+    for k, r in rates.items():
+        if r < 0:
+            raise ValueError(f"rate must be >= 0 for stratum {k!r}: {r}")
+    if default_rate < 0:
+        raise ValueError(f"default_rate must be >= 0: {default_rate}")
+
+    def n_copies(rate: float):
+        base = int(rate)
+        extra = int(round((rate - base) * SPLIT_BUCKETS))
+        return base, extra
+
+    b = split_bucket(F.col(id_col), salt)
+    d_base, d_extra = n_copies(default_rate)
+    n = F.lit(d_base) + (b < d_extra).cast("int")
+    for k, r in sorted(rates.items()):
+        kb, ke = n_copies(r)
+        n = F.when(
+            F.col(strata_col) == k, F.lit(kb) + (b < ke).cast("int")
+        ).otherwise(n)
+    copies = F.when(
+        n >= 1, F.sequence(F.lit(0), (n - 1).cast("int"))
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy", F.explode(copies))
+
+
 def temperature_rates(
     df: DataFrame,
     alpha: float = 0.5,

@@ -1717,9 +1717,26 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("rate") * 1e6, 0).cast("long").cast("string"),
         ).alias("v"),
     )
+    # round 9 (cont.): up-sampling arm — the replication twin
+    # (operators/curation.py::mixture_upsample, fr 2.5x / zh 1.25x /
+    # default 1x): every replica row's (doc, copy index, stratum) is
+    # hash-checked, the md5-bucket fractional-part arithmetic replayed
+    # exactly like the mix arm's.
+    up_rows = cur.mixture_upsample(
+        docs, rates={"fr": 2.5, "zh": 1.25}, default_rate=1.0
+    ).select(
+        F.lit("up").alias("kind"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.col("copy").cast("string"),
+        ).alias("k"),
+        F.col("lang").alias("v"),
+    )
     return (
         mix.unionByName(budget_rows)
         .unionByName(temp_rows)
+        .unionByName(up_rows)
         .orderBy("kind", "k")
     )
 
@@ -1802,6 +1819,34 @@ SELECT 'temp', stratum, v FROM (
            CAST(CAST(round(round(pow(share / tmn.mn, -0.5), 6) * 1e6, 0)
                 AS BIGINT) AS VARCHAR) AS v
     FROM tsh CROSS JOIN tmn
+)
+UNION ALL
+SELECT 'up', k, v FROM (
+    -- mixture_upsample replay: n = floor(rate) + (bucket < frac*1000),
+    -- one output row per (doc, copy) replica
+    WITH uph AS (
+        SELECT doc_id, lang,
+               md5('mixup' || '|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents
+    ),
+    upb AS (
+        SELECT doc_id, lang,
+               CAST({_duck_hex7(1)} AS BIGINT) % {cur.SPLIT_BUCKETS}
+                 AS bucket
+        FROM uph
+    ),
+    upn AS (
+        SELECT doc_id, lang,
+               CASE lang
+                 WHEN 'fr' THEN 2 + CASE WHEN bucket < 500 THEN 1 ELSE 0 END
+                 WHEN 'zh' THEN 1 + CASE WHEN bucket < 250 THEN 1 ELSE 0 END
+                 ELSE 1 END AS n
+        FROM upb
+    )
+    SELECT CAST(doc_id AS VARCHAR) || ':' ||
+           CAST(unnest(range(0, n)) AS VARCHAR) AS k,
+           lang AS v
+    FROM upn
 )
 ORDER BY kind, k
 """

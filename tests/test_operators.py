@@ -2320,3 +2320,34 @@ def test_hash_split_plan_is_pure_projection(spark):
     )
     for bad in ("HashAggregate", "Join", "Generate", "Exchange"):
         assert bad not in plan
+
+
+def test_mixture_upsample_replica_counts_and_determinism(spark):
+    """floor(rate) copies plus one more under the fractional bucket:
+    rate 2.0 -> exactly 2 copies each; rate 0 drops the stratum; a
+    fractional rate's realized count over many ids approximates the
+    expectation and is bit-identical across reruns; copy indices are
+    dense 0..n-1."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame(
+        [(i, "fr" if i % 2 else "zh") for i in range(200)],
+        "doc_id long, lang string",
+    )
+    out = cur.mixture_upsample(
+        docs, rates={"fr": 2.0, "zh": 0.0}, default_rate=1.0
+    ).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["copy"])
+    # zh dropped entirely, fr exactly doubled with copies [0, 1]
+    assert all(i % 2 for i in by_doc)
+    assert all(sorted(v) == [0, 1] for v in by_doc.values())
+    # fractional: 1.5x over the fr half -> count strictly between 1x
+    # and 2x, deterministic across reruns
+    frac1 = cur.mixture_upsample(docs, rates={"fr": 1.5, "zh": 1.0}).count()
+    frac2 = cur.mixture_upsample(docs, rates={"fr": 1.5, "zh": 1.0}).count()
+    assert frac1 == frac2
+    assert 200 < frac1 < 300
+    with pytest.raises(ValueError, match="rate"):
+        cur.mixture_upsample(docs, rates={"fr": -0.1})
