@@ -496,3 +496,46 @@ def test_streaming_incremental_dedup_foreachbatch(spark, tmp_path):
     assert got == batch_ids
     # store holds exactly the accepted fingerprints
     assert store.read().count() == 4
+
+
+def test_streaming_mixture_upsample_matches_batch(spark, tmp_path):
+    """Up-sampling in a stream: mixture_upsample is a pure stateless
+    projection + explode, so it runs unchanged inside readStream and
+    emits the SAME (doc, copy) replicas the batch path does — ingest
+    order and micro-batch boundaries can never perturb replica counts."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators.curation import (
+        mixture_upsample,
+    )
+
+    src = str(tmp_path / "upsrc")
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "fr").otherwise("zh").alias("lang"),
+    )
+    docs.coalesce(3).write.parquet(src)
+
+    rates = {"fr": 2.5, "zh": 0.5}
+    batch = sorted(
+        (r["doc_id"], r["copy"])
+        for r in mixture_upsample(spark.read.parquet(src), rates).collect()
+    )
+
+    stream = spark.readStream.schema("doc_id long, lang string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    q = (
+        mixture_upsample(stream, rates)
+        .writeStream.format("memory")
+        .queryName("up_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = sorted(
+        (r["doc_id"], r["copy"])
+        for r in spark.sql("SELECT doc_id, copy FROM up_out").collect()
+    )
+    assert streamed == batch and len(streamed) > 300
