@@ -17,6 +17,7 @@ Operators:
 
 from __future__ import annotations
 
+import math
 import re
 
 from pyspark.sql import Column, DataFrame
@@ -624,6 +625,105 @@ def dsir_logweights(
     return scored.groupBy(id_col).agg(
         F.count("*").cast("long").alias("n_tokens"),
         F.round(F.sum("_d"), 4).alias("log_weight"),
+    )
+
+
+def bigram_lm(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language model — the n-gram upgrade of
+    :func:`unigram_lm` (CCNet scores with a 5-gram KenLM; a bigram MLE
+    with stupid backoff is the same family, SQL-replicable). One row
+    per adjacent lowercased word pair: ``(w1, w2, logp)`` with
+    ``logp = ln(c(w1,w2) / c(w1·))`` — the MLE conditional over the
+    pair table. Train once, parquet-persist, score many (the
+    ``unigram_lm`` artifact contract). Pairs are built with an
+    index-aware ``transform`` over the token array (``collocations``'
+    machinery — no self-join, no per-token window); the model
+    aggregate is bigram-vocabulary-sized, map-side combinable."""
+    arr = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    p = docs.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    c12 = p.groupBy("w1", "w2").agg(F.count("*").alias("_n12"))
+    c1 = p.groupBy("w1").agg(F.count("*").alias("_n1"))
+    return c12.join(c1, "w1").select(
+        "w1", "w2", F.log(F.col("_n12") / F.col("_n1")).alias("logp")
+    )
+
+
+def doc_bigram_logprob(
+    docs: DataFrame,
+    bi_lm: DataFrame,
+    uni_lm: DataFrame,
+    alpha: float = 0.4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-doc mean bigram log-probability with STUPID BACKOFF (Brants
+    et al. 2007, "Large language models in machine translation"): each
+    adjacent pair scores ``logp_bi(w1,w2)`` when the bigram is in the
+    model, else ``ln(alpha) + logp_uni(w2)`` (unigram floor
+    ``ln(1/total)`` when even the word is unseen) — the web-scale
+    smoothing that needs no held-out tuning. Higher = more
+    reference-like word ORDER, the signal unigram perplexity cannot
+    see (a scrambled doc keeps its unigram score, its bigram score
+    collapses to backoff). Output: ``(id, n_pairs, mean_logp 6dp)``;
+    single-word docs have no pairs and emit no row.
+
+    Scale shape: one pair-explode pass; the bigram join shuffles on
+    (w1,w2) — bigram-VOCABULARY-sized; the unigram fallback join is
+    ``doc_logprob``'s vocabulary-sized join; floors/constants arrive
+    broadcast; the per-doc mean is map-side combinable."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    arr = F.transform(words(F.col(text_col)), lambda w: F.lower(w))
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(arr) - 1),
+            lambda i: F.struct(
+                F.element_at(arr, i).alias("w1"),
+                F.element_at(arr, i + F.lit(1)).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    dp = docs.select(F.col(id_col), F.explode(pairs).alias("p")).select(
+        id_col, "p.w1", "p.w2"
+    )
+    floor = F.broadcast(
+        uni_lm.agg(F.first("_total").alias("_total")).select(
+            F.log(F.lit(1.0) / F.col("_total")).alias("_floor")
+        )
+    )
+    scored = (
+        dp.join(bi_lm.withColumnRenamed("logp", "_lp_bi"), ["w1", "w2"], "left")
+        .join(
+            uni_lm.select(
+                F.col("w").alias("w2"), F.col("logp").alias("_lp_u")
+            ),
+            "w2",
+            "left",
+        )
+        .crossJoin(floor)
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("_lp_bi"),
+                F.lit(math.log(alpha))
+                + F.coalesce(F.col("_lp_u"), F.col("_floor")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("lp"), 6).alias("mean_logp"),
     )
 
 

@@ -2161,6 +2161,28 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 9 (cont.): bigram-LM arm — stupid-backoff scoring
+    # (operators/text.py::bigram_lm / doc_bigram_logprob). Models train
+    # on the EVEN-id half and score the whole corpus so the backoff
+    # paths (unseen bigram → ln(0.4)+unigram; unseen word → floor)
+    # genuinely fire on odd docs; same deci-bucket histogram contract
+    # as the unigram lm arm.
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    lp2 = tx.doc_bigram_logprob(
+        docs, tx.bigram_lm(even), tx.unigram_lm(even)
+    )
+    lm2_rows = (
+        lp2.select(
+            F.floor(F.col("mean_logp") * 10).cast("long").alias("b")
+        )
+        .groupBy("b")
+        .count()
+        .select(
+            F.lit("lm2").alias("kind"),
+            F.concat(F.lit("bucket_"), F.col("b")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
     # round 9: normalize_text arm — driver visibility for the
     # (sanctioned, ingest-path) Unicode normalizer, previously
     # pytest-only. The fixture corpus is pure ASCII (verified per sf),
@@ -2267,6 +2289,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(rep)
         .unionByName(stats)
         .unionByName(lm_rows)
+        .unionByName(lm2_rows)
         .unionByName(norm_rows)
         .unionByName(nbc_rows)
         .unionByName(dsir_buckets)
@@ -2372,6 +2395,49 @@ SELECT 'nbc', k, v FROM (
     SELECT true_label || ':' || pred AS k, CAST(count(*) AS DOUBLE) AS v
     FROM npred GROUP BY 1
 )
+UNION ALL
+SELECT 'lm2', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
+    -- bigram stupid-backoff replay: models over the EVEN-id half,
+    -- scored over everything; backoff = ln(0.4) + unigram (floor for
+    -- unseen words)
+    WITH bw AS (
+        SELECT doc_id,
+               list_transform({_DUCK_WORDS}, x -> lower(x)) AS ws
+        FROM documents
+    ),
+    bp AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (
+            SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM bw WHERE len(ws) >= 2
+        )
+    ),
+    btr AS (SELECT w1, w2 FROM bp WHERE doc_id % 2 = 0),
+    b12 AS (SELECT w1, w2, count(*) AS n12 FROM btr GROUP BY 1, 2),
+    b1 AS (SELECT w1, count(*) AS n1 FROM btr GROUP BY 1),
+    bm AS (
+        SELECT b12.w1, b12.w2, ln(n12 / b1.n1) AS lpb
+        FROM b12 JOIN b1 USING (w1)
+    ),
+    buw AS (
+        SELECT lower(unnest({_DUCK_WORDS})) AS w
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    buc AS (SELECT w, count(*) AS n FROM buw GROUP BY w),
+    but AS (SELECT sum(n) AS total FROM buc),
+    bsc AS (
+        SELECT p.doc_id,
+               coalesce(m.lpb,
+                        ln(0.4) + coalesce(ln(u.n / but.total),
+                                           ln(1.0 / but.total))) AS lp
+        FROM bp p
+        LEFT JOIN bm m ON m.w1 = p.w1 AND m.w2 = p.w2
+        LEFT JOIN buc u ON u.w = p.w2
+        CROSS JOIN but
+    ),
+    bmd AS (SELECT doc_id, round(avg(lp), 6) AS mlp FROM bsc GROUP BY 1)
+    SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM bmd
+) GROUP BY b
 UNION ALL
 SELECT 'dsir', k, v FROM (
     -- DSIR replay: target LM over the English slice, raw LM over the

@@ -2351,3 +2351,48 @@ def test_mixture_upsample_replica_counts_and_determinism(spark):
     assert 200 < frac1 < 300
     with pytest.raises(ValueError, match="rate"):
         cur.mixture_upsample(docs, rates={"fr": -0.1})
+
+
+def test_bigram_lm_and_stupid_backoff_closed_form(spark):
+    """MLE conditionals + stupid backoff by hand: train on 'aa bb aa
+    bb aa cc' -> c(aa·)=3, p(bb|aa)=2/3, p(cc|aa)=1/3, p(aa|bb)=1;
+    scoring 'aa bb' gives ln(2/3); an unseen bigram with a seen second
+    word backs off to ln(0.4)+ln(p_uni); an unseen word hits the
+    unigram floor."""
+    train = _docs(spark, [(1, "aa bb aa bb aa cc")])
+    bi = tx.bigram_lm(train)
+    uni = tx.unigram_lm(train)
+    model = {(r["w1"], r["w2"]): r["logp"] for r in bi.collect()}
+    ln = math.log
+    assert model[("aa", "bb")] == pytest.approx(ln(2 / 3))
+    assert model[("aa", "cc")] == pytest.approx(ln(1 / 3))
+    assert model[("bb", "aa")] == pytest.approx(ln(1.0))
+    docs = _docs(
+        spark,
+        [
+            (10, "aa bb"),            # seen bigram
+            (11, "cc bb"),            # unseen bigram, seen word bb
+            (12, "aa zz"),            # unseen word zz -> floor
+            (13, "solo"),             # single word: no pairs, no row
+        ],
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["mean_logp"])
+        for r in tx.doc_bigram_logprob(docs, bi, uni, alpha=0.4).collect()
+    }
+    # uni: p(aa)=3/6, p(bb)=2/6, p(cc)=1/6, total=6
+    assert got[10] == (1, round(ln(2 / 3), 6))
+    assert got[11] == (1, round(ln(0.4) + ln(2 / 6), 6))
+    assert got[12] == (1, round(ln(0.4) + ln(1 / 6), 6))
+    assert 13 not in got
+    # word ORDER sensitivity: the scrambled twin keeps its unigram
+    # score but collapses to backoff under the bigram model
+    fwd = tx.doc_bigram_logprob(
+        _docs(spark, [(1, "aa bb aa bb")]), bi, uni
+    ).collect()[0]["mean_logp"]
+    rev = tx.doc_bigram_logprob(
+        _docs(spark, [(1, "bb bb aa aa")]), bi, uni
+    ).collect()[0]["mean_logp"]
+    assert fwd > rev
+    with pytest.raises(ValueError, match="alpha"):
+        tx.doc_bigram_logprob(docs, bi, uni, alpha=0.0)
