@@ -2396,3 +2396,52 @@ def test_bigram_lm_and_stupid_backoff_closed_form(spark):
     assert fwd > rev
     with pytest.raises(ValueError, match="alpha"):
         tx.doc_bigram_logprob(docs, bi, uni, alpha=0.0)
+
+
+def test_mixing_triple_composes_end_to_end(spark):
+    """The full mixing recipe composes: temperature_rates picks the
+    targets, rates < 1 materialize through mixture_sample, rates > 1
+    through mixture_upsample, and leakage_safe_split keys the final
+    split on dedup components — with the realized composition pulled
+    toward flat and no component straddling splits."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    # 10:1 skew between strata
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 400 else "zh", 10) for i in range(440)],
+        "doc_id long, lang string, nt long",
+    )
+    rates = {
+        r["stratum"]: r["rate"]
+        for r in cur.temperature_rates(
+            docs, alpha=0.5, token_col="nt"
+        ).collect()
+    }
+    # alpha=0.5 on a 10:1 split: big stratum keeps sqrt(1/10)~0.316
+    assert rates["zh"] == 1.0 and 0.25 < rates["en"] < 0.4
+    down = cur.mixture_sample(
+        docs, rates={k: v for k, v in rates.items() if v < 1.0},
+        default_rate=1.0,
+    )
+    mixed = cur.mixture_upsample(
+        down.drop("sample_bucket"),
+        rates={k: v for k, v in rates.items() if v > 1.0},
+        default_rate=1.0,
+    )
+    counts = {
+        r["lang"]: r["count"]
+        for r in mixed.groupBy("lang").count().collect()
+    }
+    # realized skew pulled from 10:1 toward ~3.2:1
+    assert 2.0 < counts["en"] / counts["zh"] < 5.0
+    # dedup-aware split on top: planted components stay together
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "doc_id long, component long"
+    )
+    final = cur.leakage_safe_split(mixed, comps)
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in final.select("doc_id", "split").distinct().collect()
+    }
+    present = [i for i in (0, 1, 2) if i in splits]
+    assert len({splits[i] for i in present}) <= 1
