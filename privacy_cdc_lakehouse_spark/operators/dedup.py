@@ -609,6 +609,45 @@ def winnow_near_dups(
     )
 
 
+def update_minhash_store(
+    store: DataFrame,
+    diff: DataFrame,
+    new_corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+) -> DataFrame:
+    """Incremental MinHash signature-store maintenance — the artifact
+    lifecycle step between releases: given a
+    :func:`curation.dataset_diff` of the store's snapshot vs the new
+    corpus, recompute signatures ONLY for added/changed docs and drop
+    removed/changed stale rows. The store stays current in O(churn):
+    the corpus is semi-joined down to the changed set BEFORE the
+    shingle explode, so unchanged docs are never re-hashed and the
+    full-corpus signature pass never reruns. Equivalent to
+    ``minhash_signatures(new_corpus)`` by construction (pytest-pinned).
+
+    Scale shape: two id-keyed joins against the O(churn) diff (semi on
+    the corpus, anti on the store — both co-partitionable by id; AQE
+    broadcasts the diff when churn is small) plus one churn-sized
+    signature pass. ``num_perm`` must match the store's construction —
+    signatures are opaque longs, so that stamp is the caller's
+    contract (the ``fuzzy_contamination`` artifact discipline)."""
+    refresh = diff.filter(
+        F.col("status").isin("added", "changed")
+    ).select(id_col)
+    stale = diff.filter(
+        F.col("status").isin("removed", "changed")
+    ).select(id_col)
+    fresh = minhash_signatures(
+        new_corpus.join(refresh, id_col, "left_semi"),
+        text_col,
+        id_col,
+        num_perm=num_perm,
+    )
+    return store.join(stale, id_col, "left_anti").unionByName(fresh)
+
+
 # ----------------------- near-dup clustering ---------------------------
 
 

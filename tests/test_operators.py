@@ -2445,3 +2445,37 @@ def test_mixing_triple_composes_end_to_end(spark):
     }
     present = [i for i in (0, 1, 2) if i in splits]
     assert len({splits[i] for i in present}) <= 1
+
+
+def test_update_minhash_store_matches_full_recompute(spark):
+    """Incremental store maintenance == full recompute: after an
+    add/change/remove churn, the updated store is row-identical to
+    minhash_signatures over the new corpus, and unchanged docs keep
+    their original signature rows."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    old = _docs(
+        spark,
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "old text here")],
+    )
+    new = _docs(
+        spark,
+        [
+            (1, "alpha beta gamma"),        # unchanged
+            (2, "delta epsilon CHANGED"),   # changed
+            (4, "brand new document"),      # added; 3 removed
+        ],
+    )
+    store = dd.minhash_signatures(old, num_perm=8)
+    diff = cur.dataset_diff(old, new)
+    updated = sorted(
+        tuple(r) for r in dd.update_minhash_store(
+            store, diff, new, num_perm=8
+        ).collect()
+    )
+    full = sorted(
+        tuple(r) for r in dd.minhash_signatures(new, num_perm=8).collect()
+    )
+    assert updated == full
+    ids = {r[0] for r in updated}
+    assert ids == {1, 2, 4}
