@@ -2479,3 +2479,33 @@ def test_update_minhash_store_matches_full_recompute(spark):
     assert updated == full
     ids = {r[0] for r in updated}
     assert ids == {1, 2, 4}
+
+
+def test_winnow_guarantee_randomized(spark):
+    """Property sweep of the Schleimer guarantee in one job: for 25
+    random doc pairs with a shared substring of exactly window+k-1
+    chars (the minimum covered length) planted at random offsets in
+    otherwise-random text, every pair shares at least one fingerprint
+    value."""
+    import random
+    import string
+
+    rng = random.Random(42)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    k, w = 8, 4
+    rows = []
+    for p in range(25):
+        shared = rand_text(w + k - 1)  # exactly the guarantee floor
+        a = rand_text(rng.randint(0, 40)) + shared + rand_text(rng.randint(0, 40))
+        b = rand_text(rng.randint(0, 40)) + shared + rand_text(rng.randint(0, 40))
+        rows.append((2 * p, a))
+        rows.append((2 * p + 1, b))
+    docs = _docs(spark, rows)
+    by_doc: dict[int, set] = {}
+    for r in dd.winnow_fingerprints(docs, k=k, window=w).collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    for p in range(25):
+        assert by_doc[2 * p] & by_doc[2 * p + 1], f"pair {p} shares nothing"
