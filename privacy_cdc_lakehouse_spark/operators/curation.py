@@ -300,6 +300,8 @@ def curate_corpus(
     train: float = 0.9,
     val: float = 0.05,
     persist_intermediate: bool = False,
+    token_budget: int | None = None,
+    safe_split: bool = False,
 ) -> DataFrame:
     """The end-to-end curation pipeline a training run consumes:
 
@@ -307,7 +309,15 @@ def curate_corpus(
     2. exact dedup     — keeper (min id) per normalized-md5 fingerprint
     3. decontamination — drop docs sharing ANY word ``n``-gram with the
        held-out ``benchmark``
-    4. split           — deterministic growth-stable train/val/test
+    4. (optional) budgeting — ``token_budget=`` keeps the best
+       survivors by rounded quality score until the budget fills
+       (:func:`token_budget_select`'s strict prefix rule)
+    5. split           — deterministic growth-stable train/val/test;
+       ``safe_split=True`` keys it on the exact-dup COMPONENT
+       (:func:`leakage_safe_split`) so every fingerprint group —
+       including the non-keeper members ALREADY dropped in stage 2 —
+       maps to one split, keeping assignments stable if dropped dups
+       are ever re-admitted
 
     Returns survivors as (id, quality_score, split). Every stage is a
     verified operator composed unchanged; the chain stays fully
@@ -354,7 +364,30 @@ def curate_corpus(
         .distinct()
     )
     clean = kept.join(hits, id_col, "left_anti")
-    return hash_split(clean, id_col, train, val).select(
+    if token_budget is not None:
+        clean = (
+            token_budget_select(
+                clean.withColumn("_qs2", F.round("quality_score", 2)),
+                budget=token_budget,
+                score_col="_qs2",
+                id_col=id_col,
+                text_col=text_col,
+            )
+            .filter(F.col("is_selected"))
+            .drop("_qs2", "_tokens", "is_selected")
+        )
+    if safe_split:
+        comps = (
+            fp.select(F.col(id_col), "_fp")
+            .join(keepers.withColumnRenamed(id_col, "component"), "_fp")
+            .select(id_col, "component")
+        )
+        out = leakage_safe_split(
+            clean, comps, id_col=id_col, train=train, val=val
+        )
+    else:
+        out = hash_split(clean, id_col, train, val)
+    return out.select(
         id_col,
         F.round("quality_score", 2).alias("quality_score"),
         "split",

@@ -2509,3 +2509,46 @@ def test_winnow_guarantee_randomized(spark):
         by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
     for p in range(25):
         assert by_doc[2 * p] & by_doc[2 * p + 1], f"pair {p} shares nothing"
+
+
+def test_curate_corpus_budget_and_safe_split_stages(spark):
+    """The optional round-9 stages compose into the one-call pipeline:
+    token_budget keeps the best survivors by rounded score until the
+    budget fills (a strict subset of the unbudgeted manifest, highest
+    scores first); safe_split reproduces the default split for
+    survivors (keepers ARE their components' min ids) while keying on
+    the component — and defaults leave the original manifest
+    byte-identical."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = _docs(
+        spark,
+        [
+            (i, f"the quick document number {i} talks about topic "
+                f"{'alpha' if i % 2 else 'beta'} with enough words here")
+            for i in range(40)
+        ]
+        + [(100, "the quick document number 1 talks about topic alpha "
+                  "with enough words here")],  # near-dup of nothing: unique
+    )
+    bench = _docs(spark, [(9000, "held out benchmark text entirely disjoint")])
+    base = {
+        r["doc_id"]: (r["quality_score"], r["split"])
+        for r in cur.curate_corpus(docs, bench).collect()
+    }
+    # defaults unchanged: rerun equals itself and exercises no new stage
+    again = {
+        r["doc_id"]: (r["quality_score"], r["split"])
+        for r in cur.curate_corpus(docs, bench).collect()
+    }
+    assert base == again and base
+    budgeted = {
+        r["doc_id"]
+        for r in cur.curate_corpus(docs, bench, token_budget=150).collect()
+    }
+    assert budgeted and budgeted < set(base)
+    safe = {
+        r["doc_id"]: (r["quality_score"], r["split"])
+        for r in cur.curate_corpus(docs, bench, safe_split=True).collect()
+    }
+    assert safe == base  # survivors are keepers: component == own id
