@@ -263,6 +263,31 @@ PII_PATTERNS = {
 }
 
 
+def strip_markup(col: Column) -> Column:
+    """Markup stripping — the extraction-cleanup step every web corpus
+    needs before quality scoring and dedup (tags survive extraction in
+    the tail of any crawl and pollute token counts, fingerprints and
+    n-grams). Removes ``<...>`` tags, THEN decodes the common HTML
+    entities (``&amp;`` last so ``&amp;lt;`` cannot double-decode;
+    entities decoded after tag removal stay literal text), then
+    collapses the whitespace the removals leave behind. Chained
+    codegen'd ``regexp_replace``/``replace`` — scan-speed, the
+    :func:`redact_pii` contract; patterns are Java-regex/RE2
+    parity-safe so results are oracle-checkable."""
+    c = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, ch in [
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+        ("&apos;", "'"),
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+    ]:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
 def redact_pii(col: Column) -> Column:
     """Replace emails / phone numbers / IPv4 addresses with typed
     ``[REDACTED:<kind>]`` tokens — the text-side twin of the pipeline's

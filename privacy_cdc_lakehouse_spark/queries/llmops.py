@@ -2221,6 +2221,35 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(2, 'nfc_changed', nfc_changed, "
         "'nfkc_changed', nfkc_changed) AS (k, v)"
     ).select(F.lit("norm").alias("kind"), "k", "v")
+    # round 9 (cont.): markup-strip arm — the extraction-cleanup
+    # operator (operators/text.py::strip_markup) verified by planting
+    # arithmetic like the norm arm: the fixture is markup- and
+    # collapsible-whitespace-free (verified per sf), so a tag+entity
+    # plant on doc_id % 5 == 0 and an escaped-entity plant on
+    # % 5 == 1 make both the changed-doc count AND the exact total
+    # char delta (11 per tag plant, 6 per entity plant) integers the
+    # oracle derives from counts alone.
+    planted_m = docs.select(
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" <b>bold</b> &amp; more")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" x &lt;tag&gt; y")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).withColumn("_stripped", tx.strip_markup(F.col("text")))
+    markup_rows = planted_m.select(
+        (F.md5("text") != F.md5("_stripped")).cast("int").alias("_chg"),
+        (F.length("text") - F.length("_stripped")).cast("long").alias("_d"),
+    ).agg(
+        F.sum("_chg").cast("double").alias("changed"),
+        F.sum("_d").cast("double").alias("char_delta"),
+    ).selectExpr(
+        "stack(2, 'changed', changed, 'char_delta', char_delta) AS (k, v)"
+    ).select(F.lit("markup").alias("kind"), "k", "v")
     # round 9 (cont.): trained-classifier arm — multinomial Naive
     # Bayes (operators/text.py::nb_model / nb_classify), the
     # fastText-style supervised curation gate. Train on the even-id
@@ -2291,6 +2320,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lm_rows)
         .unionByName(lm2_rows)
         .unionByName(norm_rows)
+        .unionByName(markup_rows)
         .unionByName(nbc_rows)
         .unionByName(dsir_buckets)
         .unionByName(dsir_top)
@@ -2330,6 +2360,20 @@ SELECT 'norm', k, v FROM (
     SELECT 'nfkc_changed',
            CAST((SELECT count(*) FROM documents WHERE doc_id % 3 IN (0, 1))
                 AS DOUBLE)
+)
+UNION ALL
+SELECT 'markup', k, v FROM (
+    -- planting arithmetic (corpus markup-free and whitespace-clean,
+    -- verified per sf): both plant classes change under strip; the
+    -- char delta is 11 per tag plant (%5=0) and 6 per entity plant
+    SELECT 'changed' AS k,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 5 IN (0, 1))
+                AS DOUBLE) AS v
+    UNION ALL
+    SELECT 'char_delta',
+           CAST((SELECT sum(CASE WHEN doc_id % 5 = 0 THEN 11
+                                 WHEN doc_id % 5 = 1 THEN 6
+                                 ELSE 0 END) FROM documents) AS DOUBLE)
 )
 UNION ALL
 SELECT 'lm', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (

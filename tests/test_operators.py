@@ -2552,3 +2552,31 @@ def test_curate_corpus_budget_and_safe_split_stages(spark):
         for r in cur.curate_corpus(docs, bench, safe_split=True).collect()
     }
     assert safe == base  # survivors are keepers: component == own id
+
+
+def test_strip_markup_tags_entities_whitespace(spark):
+    """Tags removed, entities decoded AFTER tag removal (so a decoded
+    <tag> stays literal text and &amp;lt; cannot double-decode),
+    whitespace collapsed/trimmed; markup-free text passes through
+    byte-identical."""
+    df = spark.createDataFrame(
+        [
+            (1, "<p>Hello <b>world</b></p>"),
+            (2, "a &lt;tag&gt; and &amp; &quot;quotes&quot;"),
+            (3, "&amp;lt; stays escaped-once"),
+            (4, "plain text untouched"),
+            (5, "<div   class='x'>y</div>"),
+        ],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["out"]
+        for r in df.select(
+            "id", tx.strip_markup(F.col("text")).alias("out")
+        ).collect()
+    }
+    assert got[1] == "Hello world"
+    assert got[2] == 'a <tag> and & "quotes"'
+    assert got[3] == "&lt; stays escaped-once"
+    assert got[4] == "plain text untouched"
+    assert got[5] == "y"
