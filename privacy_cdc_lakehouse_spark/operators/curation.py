@@ -70,6 +70,26 @@ def hash_split(
     )
 
 
+def epoch_shuffle_key(
+    id_col: Column, epoch: int, salt: str = "epoch"
+) -> Column:
+    """Deterministic per-epoch shuffle key — the reproducible
+    dataloader-order primitive: sort (or range-partition) training
+    rows by ``md5(salt|epoch|id)`` and every worker, rerun, and resume
+    sees the SAME order for a given epoch while different epochs get
+    independent orders (no RNG state to checkpoint — the ``hash_split``
+    determinism contract applied to ordering). A pure codegen'd
+    projection; at scale feed it to ``repartitionByRange`` +
+    ``sortWithinPartitions`` so the global order materializes without
+    a single-partition sort."""
+    return F.md5(
+        F.concat_ws(
+            "|", F.lit(salt), F.lit(int(epoch)).cast("string"),
+            id_col.cast("string"),
+        )
+    )
+
+
 def leakage_safe_split(
     df: DataFrame,
     components: DataFrame,

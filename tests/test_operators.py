@@ -2580,3 +2580,36 @@ def test_strip_markup_tags_entities_whitespace(spark):
     assert got[3] == "&lt; stays escaped-once"
     assert got[4] == "plain text untouched"
     assert got[5] == "y"
+
+
+def test_epoch_shuffle_key_reproducible_and_epoch_independent(spark):
+    """Same epoch -> identical order across invocations; different
+    epochs -> different orders; the key is a pure projection (no
+    shuffle/agg in its plan)."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+
+    def order(epoch):
+        return [
+            r["doc_id"]
+            for r in docs.orderBy(
+                cur.epoch_shuffle_key(F.col("doc_id"), epoch)
+            ).collect()
+        ]
+
+    e0a, e0b, e1 = order(0), order(0), order(1)
+    assert e0a == e0b
+    assert e0a != e1
+    assert sorted(e0a) == sorted(e1) == list(range(200))
+    # it actually shuffles (not identity order)
+    assert e0a != list(range(200))
+    plan = docs.select(
+        cur.epoch_shuffle_key(F.col("doc_id"), 3).alias("k")
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    for bad in ("Exchange", "HashAggregate", "Join"):
+        assert bad not in plan
