@@ -268,10 +268,14 @@ def fuzzy_contamination(
     )
     # Exact-Jaccard verify on candidates only: corpus docs are
     # semi-joined to the candidate id set before growing a shingle
-    # array (only colliding docs pay), then both small sides broadcast
-    # into the pair join — zero corpus-wide shuffles.
+    # array (only colliding docs pay). The benchmark side stays
+    # broadcast (benchmark suites are bounded by construction); the
+    # CANDIDATE shingle frame carries no hint — a contamination-heavy
+    # corpus can make it corpus-scale, and AQE broadcasts it when
+    # small / shuffles when not instead of OOMing on a forced
+    # broadcast (round-10 hardening).
     cand_ids = cands.select(id_col).distinct()
-    csh = corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+    csh = corpus.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), shingles(F.col(text_col)).alias("sh_c")
     )
     bsh = benchmark.select(
@@ -279,7 +283,7 @@ def fuzzy_contamination(
         shingles(F.col(text_col)).alias("sh_b"),
     )
     ver = (
-        cands.join(F.broadcast(csh), id_col)
+        cands.join(csh, id_col)
         .join(F.broadcast(bsh), "_bench_id")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_c", "sh_b")).cast("double")
@@ -553,7 +557,10 @@ def token_budget_select(
     window runs ONLY inside the single boundary bucket (cum totals are
     monotone, so exactly one bucket straddles the budget) — its
     partition is one score-tie group, never the corpus. Docs in
-    all-in/all-out buckets are decided by a broadcast join alone.
+    all-in/all-out buckets are decided by the bucket join alone —
+    un-hinted, so AQE broadcasts a small (rounded-score) bucket table
+    and falls back to a shuffle join for a pathological unrounded
+    score instead of OOMing.
     """
     if budget < 0:
         raise ValueError(f"budget must be >= 0, got {budget}")
@@ -581,8 +588,14 @@ def token_budget_select(
         "_bt",
         F.coalesce(F.sum("_bt").over(wb), F.lit(0)).alias("_cum_before"),
     )
+    # No broadcast hint: the bucket table is |distinct scores| rows —
+    # tiny when the caller rounds scores (the documented contract),
+    # but corpus-sized for an unrounded float score. AQE broadcasts a
+    # genuinely small bucket table at runtime and degrades to a
+    # shuffle join otherwise, where a forced broadcast would OOM the
+    # driver (round-10 hardening).
     d = d.join(
-        F.broadcast(buckets),
+        buckets,
         d[score_col] == buckets["_s"],
     ).drop("_s")
     full = F.col("_cum_before") + F.col("_bt") <= budget

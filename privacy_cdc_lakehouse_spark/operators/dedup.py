@@ -261,11 +261,15 @@ def ngram_jaccard_pairs(
 
     At scale the candidate list is LSH output (tiny vs n²) — so the
     verify stage must never shuffle the corpus: docs are first
-    SEMI-JOINED to the broadcast candidate-id set (only candidate docs
-    ever grow a shingle array), and the resulting small shingle table is
-    broadcast into both pair joins. The corpus is scanned once, zero
-    corpus-wide shuffles (the round-3 bench showed the previous
-    unrestricted joins shuffling full-corpus shingle arrays twice).
+    SEMI-JOINED to the candidate-id set (only candidate docs ever grow
+    a shingle array), and the small shingle table joins into both pair
+    sides. The corpus is scanned once, zero corpus-wide shuffles (the
+    round-3 bench showed the previous unrestricted joins shuffling
+    full-corpus shingle arrays twice). The candidate-sized frames are
+    deliberately NOT broadcast-hinted: a duplicate-heavy corpus can
+    make the candidate set corpus-scale, and a forced broadcast then
+    OOMs the driver where AQE would broadcast when small and degrade
+    to a shuffle join when not (round-10 hardening).
     """
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
@@ -273,14 +277,14 @@ def ngram_jaccard_pairs(
         .distinct()
     )
     sh = (
-        df.join(F.broadcast(cand_ids), id_col, "left_semi")
+        df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        candidates.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         )
@@ -396,9 +400,12 @@ def simhash_near_dups(
     Scale shape: banding is a pure projection of the |docs|-row
     signature table (one long per doc); candidates come from
     ``bucket_pairs`` (grouped ids, never a bucket self-join); the
-    verify joins only candidate ids' signatures, semi-joined first and
-    broadcast (``ngram_jaccard_pairs``'s discipline) — the corpus text
-    is never touched after the one signature pass."""
+    verify joins only candidate ids' signatures, semi-joined first
+    (``ngram_jaccard_pairs``'s discipline) — the corpus text is never
+    touched after the one signature pass. The candidate frames carry
+    no broadcast hint: AQE broadcasts them when genuinely small and
+    degrades to a shuffle join on a duplicate-heavy corpus where a
+    forced broadcast would OOM (round-10 hardening)."""
     if bits % bands:
         raise ValueError("bits must be divisible by bands")
     if max_hamming > bands - 1:
@@ -445,12 +452,12 @@ def simhash_near_dups(
         .unionByName(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    s = sig.join(F.broadcast(cand_ids), id_col, "left_semi")
+    s = sig.join(cand_ids, id_col, "left_semi")
     a = s.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"))
     b = s.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"))
     return (
-        pairs.join(F.broadcast(a), "id_a")
-        .join(F.broadcast(b), "id_b")
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
             "hamming",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long"),
@@ -656,6 +663,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iters: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list → (id,
     component) with component = min id in the component.
@@ -676,7 +684,27 @@ def connected_components(
     (the MLlib iterative-algorithm contract). Iterative fixpoints are
     not single-statement SQL, so this operator is pytest-verified
     rather than DuckDB-oracle-checked (same as streaming §2.9).
+
+    ``checkpoint_dir`` — per-iteration materialization strategy. The
+    default (None) uses ``localCheckpoint``: executor-local blocks,
+    right for local[32] and zero-config. On a real cluster an executor
+    loss mid-loop is fatal under localCheckpoint (truncated lineage
+    cannot recompute lost blocks), so the 100 TB path passes a
+    reliable directory (HDFS/S3) and gets fault-tolerant
+    ``checkpoint()`` snapshots instead — the GraphFrames
+    ``setCheckpointDir`` pattern (round-10 hardening).
     """
+    if checkpoint_dir is not None:
+        spark = pairs.sparkSession
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+
+        def _materialize(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = (
         # both directions from ONE pass over pairs (a union of two
         # selects would execute the upstream pair pipeline twice)
@@ -701,8 +729,8 @@ def connected_components(
         # The edge list is O(near-dup pairs) — far smaller than the
         # corpus — so materializing it is the standard iterative-graph
         # move (GraphFrames does the same before its CC loop).
-        .localCheckpoint(eager=True)
     )
+    edges = _materialize(edges)
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -714,11 +742,10 @@ def connected_components(
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = (
+        new_labels = _materialize(  # truncate lineage per round
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)  # truncate lineage per round
         )
         # convergence check against the MATERIALIZED result (no
         # recompute of the round's join+agg)

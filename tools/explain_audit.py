@@ -48,8 +48,9 @@ AUDIT = {
     # in-bucket pair expansion — never a sort-merge or cartesian
     "dedup_exact_groups": ["Generate", "Window", "HashAggregate", "LeftAnti", "!SortMergeJoin", "!CartesianProduct"],
     # round 9: the sig arm is explode+groupBy; the pair arm's candidate
-    # semi-join and both signature fetches are explicitly broadcast —
-    # banding must never sort-merge or go all-pairs
+    # semi-join and both signature fetches are un-hinted since round 10
+    # (AQE broadcasts them at this SF; a duplicate-heavy corpus may
+    # legitimately shuffle) — banding must never go all-pairs
     "simhash_portable": ["Generate", "HashAggregate", "BroadcastHashJoin", "!SortMergeJoin", "!CartesianProduct"],
     # batch-vs-store anti-join + in-batch keeper election
     "dedup_incremental": ["LeftAnti", "HashAggregate", "!CartesianProduct"],
@@ -99,8 +100,9 @@ AUDIT = {
     # the mix arm is a pure projection + filter (that purity is pinned
     # at the operator level by test_mixture_sample_plan_is_pure_projection);
     # the round-9 budget arm legitimately adds ONE score-bucket
-    # aggregate, a broadcast bucket join and the boundary-bucket window
-    # — assert those stay broadcast/windowed, never SMJ or cartesian
+    # aggregate, a bucket join (un-hinted since round 10 — AQE
+    # broadcasts the rounded-score bucket table at this SF) and the
+    # boundary-bucket window — never SMJ or cartesian here
     "curation_mixture_sample": ["Project", "Scan parquet", "BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"],
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
@@ -122,7 +124,13 @@ AUDIT = {
 spark = get_spark("explain_audit")
 qs = all_queries()
 sf = "/root/testdata/sf0.01"
+# optional argv filter: `explain_audit.py simhash_portable ...` audits
+# only the named queries (full run when no args)
+only = set(sys.argv[1:])
+n_fail = 0
 for name, checks in AUDIT.items():
+    if only and name not in only:
+        continue
     df = qs[name](spark, sf)
     plan = df._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
@@ -134,8 +142,12 @@ for name, checks in AUDIT.items():
             ok = not re.search(c[1:], plan)
         else:
             ok = bool(re.search(c, plan))
+        n_fail += 0 if ok else 1
         print(f"  [{'x' if ok else ' '}] {c}")
     # show scan lines (pushdown evidence) and join nodes
     for line in plan.splitlines():
         if re.search(r"PushedFilters|ReadSchema|Join|WindowGroupLimit|TakeOrdered|codegen id", line):
             print("   ", line.strip()[:200])
+
+print(f"\n{n_fail} failed checks")
+sys.exit(1 if n_fail else 0)
