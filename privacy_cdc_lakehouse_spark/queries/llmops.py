@@ -1538,7 +1538,19 @@ def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure. Every doc's split KEY and label are hash-checked; the
     oracle replays the component (min-over-fingerprint-partition) and
     the same md5 arithmetic, which structurally forces dup partners
-    into the same split."""
+    into the same split.
+
+    Round 10 adds the ``ep1``/``ep2`` arms — reproducible per-epoch
+    training order (``operators/curation.py::epoch_shuffle_key``,
+    previously pytest-only): every doc's GLOBAL dataloader position
+    for two epochs (row_number over the md5 epoch key) plus a key
+    prefix is hash-checked against the oracle's identical md5 replay —
+    pinning both that the key is the documented md5 construction and
+    that sorting by it yields the same order in any engine, with
+    epochs 1 and 2 giving independent orders. (The global row_number
+    here is the VERIFICATION comparator at fixture scale; the
+    operator's at-scale contract is repartitionByRange +
+    sortWithinPartitions, no global window — see its docstring.)"""
     pin_utc(spark)
     docs = _docs(spark, sf_dir)
     out = cur.hash_split(docs, id_col="doc_id", train=0.9, val=0.05)
@@ -1562,7 +1574,26 @@ def q_curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("k"),
         F.concat_ws(":", "_split_key", "split").alias("v"),
     )
-    return doc_rows.unionByName(safe_rows).orderBy("kind", "k")
+    from pyspark.sql import Window as W
+
+    ep_arms = [
+        docs.select(
+            F.lit(f"ep{e}").alias("kind"),
+            F.col("doc_id").cast("string").alias("k"),
+            F.concat_ws(
+                ":",
+                F.row_number()
+                .over(W.orderBy(cur.epoch_shuffle_key(F.col("doc_id"), e)))
+                .cast("string"),
+                F.substring(cur.epoch_shuffle_key(F.col("doc_id"), e), 1, 8),
+            ).alias("v"),
+        )
+        for e in (1, 2)
+    ]
+    out_rows = doc_rows.unionByName(safe_rows)
+    for arm in ep_arms:
+        out_rows = out_rows.unionByName(arm)
+    return out_rows.orderBy("kind", "k")
 
 
 _HASH_SPLIT_SQL = f"""
@@ -1604,6 +1635,20 @@ SELECT 'safe', CAST(doc_id AS VARCHAR),
             WHEN bucket < 950 THEN 'val'
             ELSE 'test' END
 FROM sb
+UNION ALL
+SELECT 'ep1', CAST(doc_id AS VARCHAR),
+       CAST(row_number() OVER (
+           ORDER BY md5('epoch' || '|' || '1' || '|' || CAST(doc_id AS VARCHAR))
+       ) AS VARCHAR) || ':' ||
+       substr(md5('epoch' || '|' || '1' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+FROM documents
+UNION ALL
+SELECT 'ep2', CAST(doc_id AS VARCHAR),
+       CAST(row_number() OVER (
+           ORDER BY md5('epoch' || '|' || '2' || '|' || CAST(doc_id AS VARCHAR))
+       ) AS VARCHAR) || ':' ||
+       substr(md5('epoch' || '|' || '2' || '|' || CAST(doc_id AS VARCHAR)), 1, 8)
+FROM documents
 ORDER BY kind, k
 """
 
@@ -2630,14 +2675,57 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch — base docs and exact copies are dropped (fingerprint already
     stored), perturbed near-dups survive, and in-batch duplicate groups
     collapse to the min-id keeper. Every survivor's id AND fingerprint
-    are hash-checked."""
+    are hash-checked.
+
+    Round 10 adds the ``store`` arm — incremental MinHash
+    signature-store maintenance (``operators/dedup.py::
+    update_minhash_store``, previously pytest-only): the raw corpus
+    plays snapshot v1, a deterministic churned release plays v2
+    (every 17th+5 doc removed, 17th+3 changed, 17th+1 re-added under
+    a +5M id), the v1 signature store is updated through a
+    ``dataset_diff`` of the two, and every updated-store row's full
+    16-permutation signature is hash-checked against the oracle's
+    from-scratch recompute over v2 — the operator's contract
+    (updated store == full rebuild) verified end to end. Store-arm
+    rows ride the same (doc_id, fingerprint) schema under a +10M id
+    offset, with fingerprint = md5 of the comma-joined signature."""
     pin_utc(spark)
     docs = _docs(spark, sf_dir)
     store = docs.select(
         dd.normalized_fingerprint(F.col("text")).alias("fingerprint")
     ).distinct()
     batch = _augmented(docs)
-    return dd.incremental_exact_dedup(batch, store).orderBy("doc_id")
+    exact = dd.incremental_exact_dedup(batch, store).orderBy("doc_id")
+
+    old = docs.select("doc_id", "text")
+    new = (
+        old.filter(F.col("doc_id") % 17 != 5)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 17 == 3, F.concat(F.col("text"), F.lit(" rev2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            old.filter(F.col("doc_id") % 17 == 1).select(
+                (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+            )
+        )
+    )
+    sig_store = dd.minhash_signatures(old, num_perm=NUM_PERM)
+    diff = cur.dataset_diff(old, new)
+    updated = dd.update_minhash_store(
+        sig_store, diff, new, num_perm=NUM_PERM
+    )
+    store_rows = updated.select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        F.md5(
+            F.array_join(
+                F.transform("signature", lambda x: x.cast("string")), ","
+            )
+        ).alias("fingerprint"),
+    )
+    return exact.unionByName(store_rows).orderBy("doc_id")
 
 
 _DEDUP_INCREMENTAL_SQL = f"""
@@ -2654,10 +2742,46 @@ fp AS (
 fresh AS (
     SELECT * FROM fp
     WHERE fingerprint NOT IN (SELECT fingerprint FROM store)
+),
+-- store arm: the churned v2 release; the oracle recomputes every v2
+-- signature from scratch — update_minhash_store's contract is that
+-- the incrementally-maintained store equals exactly this rebuild
+newc AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 17 = 3 THEN text || ' rev2' ELSE text END AS text
+    FROM documents WHERE doc_id % 17 <> 5
+    UNION ALL
+    SELECT doc_id + 5000000, text FROM documents WHERE doc_id % 17 = 1
+),
+nw AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM newc),
+nsh AS (SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM nw),
+nex AS (SELECT doc_id, unnest(shs) AS s FROM nsh),
+nhx AS (SELECT doc_id, md5(s) AS h FROM nex),
+nhp AS (
+    SELECT doc_id,
+           CAST({_duck_hex7(1)} AS BIGINT) AS h1,
+           CAST({_duck_hex7(9)} AS BIGINT) AS h2
+    FROM nhx
+),
+nmh AS (
+    SELECT doc_id,
+           {{_MINHASH_COLS}}
+    FROM nhp GROUP BY doc_id
 )
 SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fingerprint
-FROM fresh GROUP BY fingerprint ORDER BY doc_id
+FROM fresh GROUP BY fingerprint
+UNION ALL
+SELECT CAST(doc_id + 10000000 AS BIGINT) AS doc_id,
+       md5({{_SIG_JOIN}}) AS fingerprint
+FROM nmh
+ORDER BY doc_id
 """
+_DEDUP_INCREMENTAL_SQL = _DEDUP_INCREMENTAL_SQL.replace(
+    "{_MINHASH_COLS}", _duck_minhash_cols()
+).replace(
+    "{_SIG_JOIN}",
+    " || ',' || ".join(f"CAST(mh_{s} AS VARCHAR)" for s in range(NUM_PERM)),
+)
 
 
 def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
