@@ -256,6 +256,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs (id_a, id_b).
 
@@ -265,26 +266,37 @@ def ngram_jaccard_pairs(
     a shingle array), and the small shingle table joins into both pair
     sides. The corpus is scanned once, zero corpus-wide shuffles (the
     round-3 bench showed the previous unrestricted joins shuffling
-    full-corpus shingle arrays twice). The candidate-sized frames are
-    deliberately NOT broadcast-hinted: a duplicate-heavy corpus can
-    make the candidate set corpus-scale, and a forced broadcast then
-    OOMs the driver where AQE would broadcast when small and degrade
-    to a shuffle join when not (round-10 hardening).
+    full-corpus shingle arrays twice).
+
+    ``broadcast_candidates`` (default True) keeps explicit broadcast
+    hints on the candidate-sized frames. This is a MEASURED choice,
+    not a guess: the round-10 sf1 gate ran this operator un-hinted and
+    AQE still chose BHJ everywhere (bhj=32, smj=0) — but only after
+    planning shuffle exchanges, so the corpus semi-join and both
+    shingle fetches paid map-side shuffle WRITES the hinted plan never
+    plans, and the row regressed 3.16x (55 s → 174 s, reproduced on
+    two samples on a faster-canary box). The hint is the right default
+    under the operator's contract (candidates are LSH output, bounded
+    by the near-dup rate); pass False for an adversarially
+    duplicate-heavy corpus where the candidate set approaches corpus
+    scale and a forced broadcast would OOM the driver — the un-hinted
+    plan degrades to shuffle joins instead.
     """
+    maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
     sh = (
-        df.join(cand_ids, id_col, "left_semi")
+        df.join(maybe_bc(cand_ids), id_col, "left_semi")
         .select(F.col(id_col), shingles(F.col(text_col)).alias("sh"))
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
-        candidates.join(a, "id_a")
-        .join(b, "id_b")
+        candidates.join(maybe_bc(a), "id_a")
+        .join(maybe_bc(b), "id_b")
         .withColumn(
             "inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
         )

@@ -1,0 +1,187 @@
+"""Byte-pair-encoding tokenizer training + encoding, Spark-first.
+
+The real subword recipe (Sennrich, Haddow & Birch 2016, "Neural
+Machine Translation of Rare Words with Subword Units") — not the
+BPE-ish regex token *count* in ``text.py``: train a merge table on the
+corpus, then segment every document with it. The training trick that
+makes this tractable at 100 TB is in the paper itself: all pair
+counting happens on the WORD-FREQUENCY dictionary (vocabulary-sized,
+zipf-bounded), never on the corpus. The corpus is touched exactly
+twice — once to build the word-frequency dict, once to encode.
+
+Representation: a word is its symbol sequence joined by ``SEP``
+(U+001F, unit separator — absent from natural text by construction;
+callers with binary-ish text should pre-clean) with a ``</w>``
+end-of-word symbol, padded with leading/trailing SEP so a merge is ONE
+literal string ``replace`` of ``SEP+a+SEP+b+SEP`` with ``SEP+ab+SEP``
+— leftmost, non-overlapping, exactly the greedy merge order the paper
+specifies, and exactly the semantics of ``replace`` in Spark, Java and
+DuckDB (which is what makes the whole pipeline oracle-checkable).
+
+Scale shape:
+- ``word_frequencies``: one explode + one map-side-combinable groupBy
+  (corpus-shuffle carries |vocab| rows).
+- ``bpe_train``: ``num_merges`` driver iterations, each ONE aggregate
+  over the vocabulary-sized dict (pairs come from an index-aware
+  ``transform`` — the collocations idiom, no join, no corpus access)
+  + a 1-row argmax collect (the sanctioned driver-scalar pattern,
+  same as kmeans_fit). Lineage grows one ``replace`` per round over a
+  vocab-sized frame — k chained codegen'd string ops, no
+  materialization needed.
+- ``bpe_encode``: the trained dict already carries every corpus
+  word's final segmentation, so encoding is ONE vocabulary join
+  (un-hinted: AQE broadcasts a small vocab, shuffles a huge one)
+  against the posexploded corpus + an order-preserving re-assembly
+  aggregate. No per-merge work ever touches the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+EOW = "</w>"
+
+
+def word_frequencies(
+    df: DataFrame, text_col: str = "text", lowercase: bool = True
+) -> DataFrame:
+    """(word, freq) dictionary of the corpus — BPE's training input."""
+    w = F.explode(
+        F.filter(
+            F.split(
+                F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+                r"\s+",
+            ),
+            lambda x: x != "",
+        )
+    ).alias("word")
+    return df.select(w).groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def initial_repr(word: Column) -> Column:
+    """``SEP + c1 + SEP + c2 + ... + SEP + </w> + SEP`` — every
+    character its own symbol plus the end-of-word marker, SEP-padded
+    so merges are boundary-safe literal replaces."""
+    chars = F.regexp_replace(word, "(.)", "$1" + SEP)
+    return F.concat(F.lit(SEP), chars, F.lit(EOW), F.lit(SEP))
+
+
+def _symbols(repr_col: Column) -> Column:
+    return F.filter(F.split(repr_col, SEP), lambda x: x != "")
+
+
+def bpe_train(
+    word_freq: DataFrame, num_merges: int, word_col: str = "word"
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Learn ``num_merges`` merges; returns (merge list in rank order,
+    vocab DataFrame (word, tokens array) with every training word's
+    final segmentation — the encode artifact).
+
+    Each round scores every adjacent symbol pair by summed word
+    frequency and merges the argmax (ties broken lexicographically on
+    (left, right) so the table is engine-independent — the
+    rank-over-rounded-score determinism contract applied to counts,
+    which are exact longs). Stops early if no pair remains.
+    """
+    if num_merges < 0:
+        raise ValueError(f"num_merges must be >= 0, got {num_merges}")
+    wf = word_freq.select(
+        F.col(word_col).alias("word"),
+        F.col("freq").cast("long").alias("freq"),
+        initial_repr(F.col(word_col)).alias("repr"),
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(num_merges):
+        syms = _symbols(F.col("repr"))
+        pairs = F.when(
+            F.size(syms) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(syms) - 2),
+                lambda i: F.struct(
+                    F.element_at(syms, i + 1).alias("a"),
+                    F.element_at(syms, i + 2).alias("b"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        best = (
+            wf.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        wf = wf.withColumn(
+            "repr",
+            F.replace(
+                F.col("repr"),
+                F.lit(SEP + a + SEP + b + SEP),
+                F.lit(SEP + a + b + SEP),
+            ),
+        )
+    vocab = wf.select("word", _symbols(F.col("repr")).alias("tokens"))
+    return merges, vocab
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Segment every document with a trained vocab (word → tokens):
+    posexplode words, ONE vocabulary join, order-preserving
+    re-assembly. Words absent from the vocab (possible when encoding a
+    different corpus than the training one) fall back to their
+    character segmentation — the paper's OOV behavior with an
+    all-single-character base vocabulary. Output: (id, tokens array,
+    n_tokens)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos", "word"),
+    )
+    joined = words.join(vocab, "word", "left").withColumn(
+        "tokens",
+        F.coalesce(F.col("tokens"), _symbols(initial_repr(F.col("word")))),
+    )
+    assembled = (
+        joined.groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tokens"))
+                    ),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens")
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
+    # docs with zero words (empty/whitespace text) still get a row
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        )
+    )

@@ -2204,13 +2204,17 @@ def test_token_budget_select_token_col_hook_matches_naive(spark):
 
 def test_candidate_joins_survive_without_forced_broadcast(spark):
     """Round-10 hardening: the candidate-sized frames in
-    token_budget_select (score buckets), ngram_jaccard_pairs /
-    simhash_near_dups (candidate signatures) and fuzzy_contamination
-    (candidate shingles) carry NO F.broadcast hint — with runtime
-    broadcast disabled entirely they degrade to shuffle joins and
-    still return the right answers. Before round 10 a forced hint made
-    an unrounded score column / duplicate-heavy corpus a driver OOM
-    instead of a graceful shuffle."""
+    token_budget_select (score buckets), simhash_near_dups (candidate
+    signatures) and fuzzy_contamination (candidate shingles) carry NO
+    F.broadcast hint, and ngram_jaccard_pairs offers
+    broadcast_candidates=False — with runtime broadcast disabled
+    entirely they all degrade to shuffle joins and still return the
+    right answers. Before round 10 a forced hint made an unrounded
+    score column / duplicate-heavy corpus a driver OOM instead of a
+    graceful shuffle. (ngram_jaccard_pairs keeps the hint as its
+    DEFAULT — the sf1 gate measured the un-hinted plan at 3.16x from
+    shuffle writes AQE's late BHJ conversion cannot unplan; see its
+    docstring.)"""
     from privacy_cdc_lakehouse_spark.operators import curation as cur
 
     saved = {
@@ -2258,7 +2262,7 @@ def test_candidate_joins_survive_without_forced_broadcast(spark):
         jac = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in dd.ngram_jaccard_pairs(
-                corpus, cands, threshold=0.5
+                corpus, cands, threshold=0.5, broadcast_candidates=False
             ).collect()
         }
         assert jac[(1, 2)] == 1.0 and not any(4 in p for p in jac)
