@@ -87,6 +87,12 @@ AUDIT = {
     ],
     # round 6: q18 rides inside the tpch_customer_revenue union
     "tpch_customer_revenue": ["HashAggregate", "BroadcastHashJoin"],
+    # round 10: Q9/Q11/Q15/Q16/Q20/Q21 shapes — dims broadcast, the
+    # Q11/Q15 global scalars are sanctioned broadcast-1-row cross
+    # joins, Q21's EXISTS/NOT-EXISTS are semi/anti joins on the
+    # orderkey (broadcast at this SF, co-partitioned SMJ at scale) —
+    # never a cartesian or a per-row re-execution
+    "tpch_supplier_panel": ["BroadcastHashJoin", "HashAggregate", "LeftAnti|left_anti", "!CartesianProduct"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them).
