@@ -1110,11 +1110,15 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q7 + Q13 + Q22 in one tagged union — nation-pair volume
-    shipping, outer-join count distribution, and scalar-subquery +
-    anti-join (each ORIGINAL plan above runs unchanged, tagged by
-    ``query``). Widens the §2.3/§2.6 analytic-join surface the
-    reference leaves to its engines (README.md:200-207)."""
+    """Q7 + Q13 + Q22 + Q8 + (round 10) Q9 + Q11 + Q15 + Q16 + Q20 +
+    Q21 in one tagged union — each ORIGINAL plan above runs unchanged,
+    tagged by ``query``. Widens the §2.3/§2.6 analytic-join surface
+    the reference leaves to its engines (README.md:200-207); with the
+    round-10 supplier-side arms (global-scalar HAVING, view-max
+    lookup, distinct-count + NOT-IN exclusion, nested-IN semi-joins,
+    double-correlated EXISTS/NOT-EXISTS), every one of the 22 TPC-H
+    query SHAPES now has an implementation + oracle in this module
+    (fixture adaptations noted per shape function)."""
     pin_utc(spark)
 
     def pad(df: DataFrame, query: str, d1, d2, k, measure, n) -> DataFrame:
@@ -1150,11 +1154,39 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("NATION_3"), None, F.col("o_year"),
         F.col("mkt_share"), F.col("n"),
     )
-    return (
-        q7.unionByName(q13)
-        .unionByName(q22)
-        .unionByName(q8)
-        .orderBy("query", F.asc_nulls_first("d1"), F.asc_nulls_first("k"))
+    q9 = pad(
+        q9_product_type_profit(spark, sf_dir), "q9",
+        F.col("n_name"), None, F.col("o_year"), F.col("profit"), F.col("n"),
+    )
+    q11 = pad(
+        q11_important_stock(spark, sf_dir), "q11",
+        None, None, F.col("l_partkey"), F.col("value"), None,
+    )
+    q15 = pad(
+        q15_top_supplier(spark, sf_dir), "q15",
+        F.col("s_name"), None, F.col("s_suppkey"), F.col("total_revenue"), None,
+    )
+    q16 = pad(
+        q16_parts_supplier_count(spark, sf_dir), "q16",
+        F.col("p_brand"), F.col("p_type"), F.col("p_size"),
+        None, F.col("supplier_cnt"),
+    )
+    q20 = pad(
+        q20_potential_promotion(spark, sf_dir), "q20",
+        F.col("s_name"), None, None, None, None,
+    )
+    q21 = pad(
+        q21_suppliers_kept_waiting(spark, sf_dir), "q21",
+        F.col("s_name"), None, None, None, F.col("numwait"),
+    )
+    out = q7
+    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21):
+        out = out.unionByName(arm)
+    return out.orderBy(
+        "query",
+        F.asc_nulls_first("d1"),
+        F.asc_nulls_first("d2"),
+        F.asc_nulls_first("k"),
     )
 
 
@@ -1218,6 +1250,81 @@ q8 AS (
       AND EXTRACT(year FROM o_orderdate) IN (1996, 1997)
     GROUP BY 1
 )
+, q9 AS (
+    SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY 1, 2
+),
+q11v AS (
+    SELECT l_partkey, sum(l_extendedprice) AS value
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_1'
+    GROUP BY 1
+),
+q11 AS (
+    SELECT l_partkey, round(value, 4) AS value
+    FROM q11v WHERE value > 0.001 * (SELECT sum(value) FROM q11v)
+),
+q15rev AS (
+    SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY 1
+),
+q15 AS (
+    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
+    FROM q15rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT max(total_revenue) FROM q15rev)
+),
+q16 AS (
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'ECONOMY%'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+),
+q20 AS (
+    SELECT s_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2' AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 150
+    )
+),
+q21 AS (
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders ON l1.l_orderkey = o_orderkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
+)
 SELECT 'q7' AS query, supp_nation AS d1, cust_nation AS d2,
        CAST(l_year AS BIGINT) AS k, round(revenue, 4) AS measure, n
 FROM q7
@@ -1232,7 +1339,19 @@ FROM q22
 UNION ALL
 SELECT 'q8', 'NATION_3', NULL, CAST(o_year AS BIGINT), mkt_share, n
 FROM q8
-ORDER BY query, d1 ASC NULLS FIRST, k ASC NULLS FIRST
+UNION ALL
+SELECT 'q9', n_name, NULL, CAST(o_year AS BIGINT), profit, n FROM q9
+UNION ALL
+SELECT 'q11', NULL, NULL, l_partkey, value, NULL FROM q11
+UNION ALL
+SELECT 'q15', s_name, NULL, s_suppkey, total_revenue, NULL FROM q15
+UNION ALL
+SELECT 'q16', p_brand, p_type, CAST(p_size AS BIGINT), NULL, supplier_cnt FROM q16
+UNION ALL
+SELECT 'q20', s_name, NULL, NULL, NULL, NULL FROM q20
+UNION ALL
+SELECT 'q21', s_name, NULL, NULL, NULL, numwait FROM q21
+ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 
 
@@ -1453,155 +1572,6 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(20)
     )
-
-
-def q_tpch_supplier_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q9 + Q11 + Q15 + Q16 + Q20 + Q21 in one tagged union — the six
-    remaining TPC-H shapes (supplier-side joins, global-scalar HAVING,
-    view-max lookup, distinct-count with NOT-IN exclusion, nested-IN
-    semi-joins, and the double-correlated EXISTS/NOT-EXISTS), each
-    running its original plan above unchanged. Completes 22/22 TPC-H
-    query-shape coverage for the §2.3-§2.6 analytic surface."""
-    pin_utc(spark)
-
-    def pad(df: DataFrame, query: str, d1, d2, k, measure, n) -> DataFrame:
-        return df.select(
-            F.lit(query).alias("query"),
-            (d1 if d1 is not None else F.lit(None).cast("string")).alias("d1"),
-            (d2 if d2 is not None else F.lit(None).cast("string")).alias("d2"),
-            (k if k is not None else F.lit(None).cast("long")).cast("long").alias("k"),
-            (measure if measure is not None else F.lit(None).cast("double"))
-            .cast("double")
-            .alias("measure"),
-            (n if n is not None else F.lit(None).cast("long")).cast("long").alias("n"),
-        )
-
-    q9 = pad(
-        q9_product_type_profit(spark, sf_dir), "q9",
-        F.col("n_name"), None, F.col("o_year"), F.col("profit"), F.col("n"),
-    )
-    q11 = pad(
-        q11_important_stock(spark, sf_dir), "q11",
-        None, None, F.col("l_partkey"), F.col("value"), None,
-    )
-    q15 = pad(
-        q15_top_supplier(spark, sf_dir), "q15",
-        F.col("s_name"), None, F.col("s_suppkey"), F.col("total_revenue"), None,
-    )
-    q16 = pad(
-        q16_parts_supplier_count(spark, sf_dir), "q16",
-        F.col("p_brand"), F.col("p_type"), F.col("p_size"),
-        None, F.col("supplier_cnt"),
-    )
-    q20 = pad(
-        q20_potential_promotion(spark, sf_dir), "q20",
-        F.col("s_name"), None, None, None, None,
-    )
-    q21 = pad(
-        q21_suppliers_kept_waiting(spark, sf_dir), "q21",
-        F.col("s_name"), None, None, None, F.col("numwait"),
-    )
-    out = q9
-    for arm in (q11, q15, q16, q20, q21):
-        out = out.unionByName(arm)
-    return out.orderBy(
-        "query",
-        F.asc_nulls_first("d1"),
-        F.asc_nulls_first("d2"),
-        F.asc_nulls_first("k"),
-    )
-
-
-_TPCH_SUPPLIER_PANEL_SQL = """
-WITH q9 AS (
-    SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
-           round(sum(l_extendedprice * (1 - l_discount)), 4) AS profit,
-           CAST(count(*) AS BIGINT) AS n
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN part ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%gear%'
-    GROUP BY 1, 2
-),
-q11v AS (
-    SELECT l_partkey, sum(l_extendedprice) AS value
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_1'
-    GROUP BY 1
-),
-q11 AS (
-    SELECT l_partkey, round(value, 4) AS value
-    FROM q11v WHERE value > 0.001 * (SELECT sum(value) FROM q11v)
-),
-q15rev AS (
-    SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_revenue
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-      AND l_shipdate < TIMESTAMP '1996-04-01'
-    GROUP BY 1
-),
-q15 AS (
-    SELECT s_suppkey, s_name, round(total_revenue, 4) AS total_revenue
-    FROM q15rev JOIN supplier ON l_suppkey = s_suppkey
-    WHERE total_revenue = (SELECT max(total_revenue) FROM q15rev)
-),
-q16 AS (
-    SELECT p_brand, p_type, p_size,
-           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE p_brand <> 'Brand#2' AND p_type NOT LIKE 'ECONOMY%'
-      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
-      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY 1, 2, 3
-),
-q20 AS (
-    SELECT s_name
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    WHERE n_name = 'NATION_2' AND s_suppkey IN (
-        SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_name LIKE 'small%'
-          AND l_shipdate >= TIMESTAMP '1996-01-01'
-          AND l_shipdate < TIMESTAMP '1997-01-01'
-        GROUP BY l_suppkey HAVING sum(l_quantity) > 150
-    )
-),
-q21 AS (
-    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
-    FROM lineitem l1
-    JOIN orders ON l1.l_orderkey = o_orderkey
-    JOIN supplier ON l1.l_suppkey = s_suppkey
-    JOIN nation ON s_nationkey = n_nationkey
-    WHERE o_orderstatus = 'F' AND n_name = 'NATION_0'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-      AND EXISTS (
-          SELECT 1 FROM lineitem l2
-          WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-      )
-      AND NOT EXISTS (
-          SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
-          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
-      )
-    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20
-)
-SELECT 'q9' AS query, n_name AS d1, NULL AS d2, CAST(o_year AS BIGINT) AS k,
-       profit AS measure, n FROM q9
-UNION ALL
-SELECT 'q11', NULL, NULL, l_partkey, value, NULL FROM q11
-UNION ALL
-SELECT 'q15', s_name, NULL, s_suppkey, total_revenue, NULL FROM q15
-UNION ALL
-SELECT 'q16', p_brand, p_type, CAST(p_size AS BIGINT), NULL, supplier_cnt FROM q16
-UNION ALL
-SELECT 'q20', s_name, NULL, NULL, NULL, NULL FROM q20
-UNION ALL
-SELECT 'q21', s_name, NULL, NULL, NULL, numwait FROM q21
-ORDER BY query, d1 NULLS FIRST, d2 NULLS FIRST, k NULLS FIRST
-"""
 
 
 # --- Pandas UDF surface (Arrow-vectorized grouped map) ----------------------
@@ -2259,8 +2229,6 @@ QUERIES = {
     # original callables remain above — the union calls them verbatim.
     "join_asof_range": q_join_asof_range,
     "tpch_join_panel": q_tpch_join_panel,
-    # round 10: the six remaining TPC-H shapes — 22/22 coverage
-    "tpch_supplier_panel": q_tpch_supplier_panel,
     # round 6 (cont.): quantity_percentiles → grouping_analytics (pct
     # arm; freed the slot for llmops.py::text_chunk_stats)
 }
@@ -2295,5 +2263,4 @@ ORACLES = {
     "sql_privacy_view": _priv_view_oracle(),
     "join_asof_range": _ASOF_RANGE_SQL,
     "tpch_join_panel": _TPCH_JOIN_PANEL_SQL,
-    "tpch_supplier_panel": _TPCH_SUPPLIER_PANEL_SQL,
 }

@@ -87,12 +87,6 @@ AUDIT = {
     ],
     # round 6: q18 rides inside the tpch_customer_revenue union
     "tpch_customer_revenue": ["HashAggregate", "BroadcastHashJoin"],
-    # round 10: Q9/Q11/Q15/Q16/Q20/Q21 shapes — dims broadcast, the
-    # Q11/Q15 global scalars are sanctioned broadcast-1-row cross
-    # joins, Q21's EXISTS/NOT-EXISTS are semi/anti joins on the
-    # orderkey (broadcast at this SF, co-partitioned SMJ at scale) —
-    # never a cartesian or a per-row re-execution
-    "tpch_supplier_panel": ["BroadcastHashJoin", "HashAggregate", "LeftAnti|left_anti", "!CartesianProduct"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them).
@@ -101,8 +95,12 @@ AUDIT = {
     "curation_pack_sequences": ["Window", "!Join"],
     # round 6 (cont.): Q7 broadcasts every dimension hop; Q13's outer
     # join may broadcast at test SF; Q22's scalar avg is a broadcast
-    # 1-row cross join + a left-anti join.
-    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate"],
+    # 1-row cross join + a left-anti join. Round 10 adds the supplier
+    # arms (Q9/Q11/Q15/Q16/Q20/Q21 — 22/22 shape coverage): dims
+    # broadcast, the Q11/Q15 global scalars are sanctioned
+    # broadcast-1-row cross joins, Q21's EXISTS/NOT-EXISTS are
+    # semi/anti joins on the orderkey — never a cartesian.
+    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate", "LeftAnti|left_anti", "!CartesianProduct"],
     # the mix arm is a pure projection + filter (that purity is pinned
     # at the operator level by test_mixture_sample_plan_is_pure_projection);
     # the round-9 budget arm legitimately adds ONE score-bucket
