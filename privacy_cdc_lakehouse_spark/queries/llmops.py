@@ -2068,6 +2068,9 @@ ORDER BY kind, doc_id, v1
 """
 
 
+_BPE_MERGES = 16
+
+
 def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (``operators/text.py::chunk_documents``) —
     RAG-ingest prep: fixed 200-char chunks with 40-char overlap over a
@@ -2076,19 +2079,97 @@ def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical stride/substring arithmetic, so the whole chunk
     extraction is verified byte for byte. The plan is a pure
     explode+substring projection: no UDF, no shuffle (chunking scales
-    with the scan)."""
+    with the scan).
+
+    Round 10 adds the BPE arms (``operators/tokenizer.py`` — the real
+    Sennrich et al. 2016 subword recipe, trained on the corpus's
+    word-frequency dict): the full 16-entry MERGE TABLE (rank, merged
+    pair) and every document's SEGMENTATION (token count + md5 of the
+    SEP-joined token sequence) are hash-checked — the oracle replays
+    the entire training loop (16 materialized pair-count/argmax/merge
+    stages over the identical SEP-padded representation; ``replace``
+    has the same leftmost non-overlapping semantics in both engines)
+    and the encode join. Arm rows ride the chunk schema under id
+    offsets: merge rows at doc_id 20M+rank (chunk_chars_actual = merged
+    symbol length), token rows at 30M+doc_id (chunk_chars_actual =
+    n_tokens)."""
     pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") % 20 == 0)
     ch = tx.chunk_documents(docs, chunk_chars=200, overlap=40)
-    return ch.select(
+    chunk_rows = ch.select(
         "doc_id",
         "chunk_id",
         "chunk_chars_actual",
         F.md5("chunk_text").alias("chunk_md5"),
-    ).orderBy("doc_id", "chunk_id")
+    )
+    corpus = _docs(spark, sf_dir)
+    wf = tk.word_frequencies(corpus, lowercase=False)
+    merges, vocab = tk.bpe_train(wf, _BPE_MERGES)
+    merge_rows = spark.createDataFrame(
+        [(i + 1, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    ).select(
+        (F.col("rank") + 20_000_000).alias("doc_id"),
+        F.col("rank").alias("chunk_id"),
+        (F.length("a") + F.length("b")).cast("long").alias(
+            "chunk_chars_actual"
+        ),
+        F.md5(F.concat("a", F.lit(tk.SEP), "b")).alias("chunk_md5"),
+    )
+    tok_rows = tk.bpe_encode(corpus, vocab, lowercase=False).select(
+        (F.col("doc_id") + 30_000_000).alias("doc_id"),
+        F.lit(0).cast("long").alias("chunk_id"),
+        F.col("n_tokens").alias("chunk_chars_actual"),
+        F.md5(F.array_join("tokens", tk.SEP)).alias("chunk_md5"),
+    )
+    return (
+        chunk_rows.unionByName(merge_rows)
+        .unionByName(tok_rows)
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
-_CHUNK_SQL = """
+def _bpe_oracle_ctes(k: int) -> str:
+    # One MATERIALIZED stage pair per merge (DuckDB inlines plain CTEs,
+    # which re-executes the whole chain per reference — the same lazy
+    # re-execution trap connected_components hit in Spark): p{i} is the
+    # argmax pair of round i, r{i} the dictionary after applying it.
+    stages = []
+    for i in range(1, k + 1):
+        stages.append(f"""
+bp{i} AS MATERIALIZED (
+    SELECT string_split(pair, chr(31))[1] AS a, string_split(pair, chr(31))[2] AS b
+    FROM (
+      SELECT unnest(list_transform(range(1, len(syms)),
+                    j -> syms[j] || chr(31) || syms[j+1])) AS pair, freq
+      FROM (SELECT freq,
+                   list_filter(string_split(repr, chr(31)), x -> x <> '') AS syms
+            FROM br{i - 1})
+    ) GROUP BY pair ORDER BY sum(freq) DESC, a, b LIMIT 1
+),
+br{i} AS MATERIALIZED (
+    SELECT word, freq,
+           replace(repr,
+             chr(31) || (SELECT a FROM bp{i}) || chr(31) || (SELECT b FROM bp{i}) || chr(31),
+             chr(31) || (SELECT a FROM bp{i}) || (SELECT b FROM bp{i}) || chr(31)) AS repr
+    FROM br{i - 1}
+)""")
+    return ",".join(stages)
+
+
+def _bpe_merge_selects(k: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT CAST(20000000 + {i} AS BIGINT) AS doc_id, "
+        f"CAST({i} AS BIGINT) AS chunk_id, "
+        f"(SELECT CAST(length(a) + length(b) AS BIGINT) FROM bp{i}) AS chunk_chars_actual, "
+        f"(SELECT md5(a || chr(31) || b) FROM bp{i}) AS chunk_md5"
+        for i in range(1, k + 1)
+    )
+
+
+_CHUNK_SQL = f"""
 WITH d AS (
   SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 20 = 0
 ),
@@ -2102,12 +2183,59 @@ c AS (
   SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
          substring(text, CAST(chunk_id * 160 + 1 AS INT), 200) AS chunk_text
   FROM e
+),
+bw AS (
+  SELECT doc_id, {_DUCK_WORDS} AS ws FROM documents
+),
+bwf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(ws) AS word FROM bw) GROUP BY 1
+),
+br0 AS MATERIALIZED (
+  SELECT word, freq,
+         chr(31) || regexp_replace(word, '(.)', '\\1' || chr(31), 'g')
+                 || '</w>' || chr(31) AS repr
+  FROM bwf
+),
+{{_BPE_STAGES}},
+bvocab AS MATERIALIZED (
+  SELECT word,
+         list_filter(string_split(repr, chr(31)), x -> x <> '') AS toks
+  FROM br{{_BPE_K}}
+),
+bcw AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos FROM bw
+),
+bdt AS (
+  SELECT bcw.doc_id, flatten(list(bvocab.toks ORDER BY bcw.pos)) AS tokens
+  FROM bcw JOIN bvocab ON bvocab.word = bcw.word
+  GROUP BY bcw.doc_id
+),
+btok AS (
+  SELECT d2.doc_id,
+         coalesce(bdt.tokens, CAST([] AS VARCHAR[])) AS tokens
+  FROM (SELECT doc_id FROM documents) d2
+  LEFT JOIN bdt ON bdt.doc_id = d2.doc_id
 )
-SELECT doc_id, chunk_id,
-       CAST(length(chunk_text) AS BIGINT) AS chunk_chars_actual,
-       md5(chunk_text) AS chunk_md5
-FROM c ORDER BY doc_id, chunk_id
+SELECT * FROM (
+  SELECT doc_id, chunk_id,
+         CAST(length(chunk_text) AS BIGINT) AS chunk_chars_actual,
+         md5(chunk_text) AS chunk_md5
+  FROM c
+  UNION ALL
+  {{_BPE_MERGE_ROWS}}
+  UNION ALL
+  SELECT CAST(30000000 + doc_id AS BIGINT), CAST(0 AS BIGINT),
+         CAST(len(tokens) AS BIGINT),
+         md5(coalesce(array_to_string(tokens, chr(31)), ''))
+  FROM btok
+) ORDER BY doc_id, chunk_id
 """
+_CHUNK_SQL = (
+    _CHUNK_SQL.replace("{_BPE_STAGES}", _bpe_oracle_ctes(_BPE_MERGES))
+    .replace("{_BPE_K}", str(_BPE_MERGES))
+    .replace("{_BPE_MERGE_ROWS}", _bpe_merge_selects(_BPE_MERGES))
+)
 
 
 def q_multimodal_panel(spark: SparkSession, sf_dir: str) -> DataFrame:

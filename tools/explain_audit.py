@@ -110,6 +110,14 @@ AUDIT = {
     "curation_mixture_sample": ["Project", "Scan parquet", "BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"],
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
+    # round 10: + BPE arms. Train never appears in this plan (it is k
+    # driver-collected vocab-sized aggregates, each pinned join-free by
+    # test_bpe_train_plan_is_vocab_sized_no_join); what the final plan
+    # shows is encode — posexplode + ONE un-hinted vocabulary join
+    # (AQE broadcasts a small vocab; the static plan may SMJ) + the
+    # order-preserving reassembly aggregate. Never a cartesian, never
+    # Python.
+    "text_chunk_stats": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # spans: positional-gram explode + dup aggregate + islands window;
     # never a cartesian/self-join of the corpus
     "dedup_duplicate_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
