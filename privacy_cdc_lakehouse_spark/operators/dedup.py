@@ -312,6 +312,88 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_similarity_pairs(
+    candidates: DataFrame,
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_similarity: float = 0.0,
+    prefix_chars: int | None = None,
+    broadcast_candidates: bool = True,
+) -> DataFrame:
+    """Levenshtein edit-similarity verification for candidate pairs —
+    the edit-distance near-dup verify used alongside MinHash in code /
+    training-data dedup (e.g. the Codex/AlphaCode-style
+    ``1 - lev(a,b)/max(|a|,|b|)`` similarity). Output:
+    (id_a, id_b, edit_distance, edit_sim) with ``edit_sim`` rounded to
+    6dp (the rank-over-rounded-score determinism contract) and rows
+    filtered to ``edit_sim >= min_similarity``; both-empty texts are
+    defined as similarity 1.0.
+
+    Levenshtein is O(|a|·|b|) PER PAIR — at 100 TB it is strictly a
+    VERIFY stage over sketch candidates (simhash/minhash buckets),
+    never an all-pairs metric, and ``prefix_chars`` caps the per-pair
+    cost by comparing fixed prefixes (the standard long-document
+    escape). When BOTH ``prefix_chars`` and a positive
+    ``min_similarity`` are set, the join uses Spark's bounded
+    ``levenshtein(l, r, threshold)`` form, which abandons a pair early
+    once the distance provably exceeds ``(1-min_similarity) *
+    prefix_chars`` (any pair at or above ``min_similarity`` has
+    distance <= (1-s)*max_len <= (1-s)*prefix_chars, so the early
+    exit can never drop a qualifying pair).
+
+    Join discipline is ``ngram_jaccard_pairs``'s, measured there at
+    the sf1 gate: texts are semi-joined to the candidate-id set before
+    either pair-side fetch, the corpus is scanned once, and
+    ``broadcast_candidates`` keeps the candidate-sized frames hinted
+    by default with the same adversarial-corpus opt-out."""
+    if not 0.0 <= min_similarity <= 1.0:
+        raise ValueError(f"min_similarity must be in [0,1], got {min_similarity}")
+    maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
+    txt = F.col(text_col)
+    if prefix_chars is not None:
+        txt = F.substring(F.col(text_col), 1, prefix_chars)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .unionByName(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    t = df.join(maybe_bc(cand_ids), id_col, "left_semi").select(
+        F.col(id_col), txt.alias("t")
+    )
+    a = t.select(F.col(id_col).alias("id_a"), F.col("t").alias("t_a"))
+    b = t.select(F.col(id_col).alias("id_b"), F.col("t").alias("t_b"))
+    if prefix_chars is not None and min_similarity > 0.0:
+        bound = int((1.0 - min_similarity) * prefix_chars)
+        dist = F.levenshtein("t_a", "t_b", bound)
+    else:
+        dist = F.levenshtein("t_a", "t_b")
+    mx = F.greatest(F.length("t_a"), F.length("t_b"))
+    out = (
+        candidates.select("id_a", "id_b")
+        .join(maybe_bc(a), "id_a")
+        .join(maybe_bc(b), "id_b")
+        .withColumn("edit_distance", dist.cast("long"))
+        .withColumn(
+            "edit_sim",
+            F.round(
+                F.when(mx == 0, F.lit(1.0)).otherwise(
+                    1.0 - F.col("edit_distance") / mx
+                ),
+                6,
+            ),
+        )
+        # the bounded form returns -1 for over-threshold pairs; the
+        # similarity filter already excludes them (edit_sim > 1 there),
+        # but filter explicitly so the contract is visible
+        .filter(
+            (F.col("edit_distance") >= 0)
+            & (F.col("edit_sim") >= min_similarity)
+        )
+    )
+    return out.select("id_a", "id_b", "edit_distance", "edit_sim")
+
+
 # ----------------------------- simhash ---------------------------------
 
 

@@ -678,7 +678,18 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-bucket candidates and verifies hamming ≤ 3 via
     ``bit_count(xor)``; the signature frame is passed through the
     `signatures` reuse hook so the sign-sum pass runs ONCE for both
-    arms. The augmented corpus's exact copies verify at hamming 0."""
+    arms. The augmented corpus's exact copies verify at hamming 0.
+
+    Round 10 adds the `edit` arm: every near-dup pair re-verified by
+    exact Levenshtein distance
+    (``operators/dedup.py::edit_similarity_pairs`` — the
+    edit-similarity verify stage of code/training-data dedup
+    pipelines), hash-checked as the raw integer distance. Texts are
+    projected to printable ASCII on BOTH engines first: Spark's
+    levenshtein counts codepoints while DuckDB's counts BYTES, so the
+    oracle is only meaningful where the two units coincide (the
+    operator itself is codepoint-correct; the projection is purely
+    the cross-engine comparison contract)."""
     pin_utc(spark)
     corpus = _augmented(_docs(spark, sf_dir))
     sig = dd.simhash_portable(corpus, bits=28)
@@ -695,7 +706,19 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "id_a", "id_b").alias("k"),
         F.col("hamming").alias("v"),
     )
-    return sig_rows.unionByName(pair_rows).orderBy("kind", "k")
+    ascii_corpus = corpus.select(
+        "doc_id", F.regexp_replace("text", "[^ -~]", "").alias("text")
+    )
+    edit_rows = dd.edit_similarity_pairs(pairs, ascii_corpus).select(
+        F.lit("edit").alias("kind"),
+        F.concat_ws(":", "id_a", "id_b").alias("k"),
+        F.col("edit_distance").alias("v"),
+    )
+    return (
+        sig_rows.unionByName(pair_rows)
+        .unionByName(edit_rows)
+        .orderBy("kind", "k")
+    )
 
 
 def _simhash_portable_sql(
@@ -740,12 +763,25 @@ ham AS (
     FROM scand c
     JOIN sigs x ON x.doc_id = c.id_a
     JOIN sigs y ON y.doc_id = c.id_b
+),
+nd AS (SELECT id_a, id_b, hamming FROM ham WHERE hamming <= {max_hamming}),
+ed AS (
+    SELECT p.id_a, p.id_b,
+           levenshtein(regexp_replace(ta.text, '[^ -~]', '', 'g'),
+                       regexp_replace(tb.text, '[^ -~]', '', 'g')) AS dist
+    FROM nd p
+    JOIN aug ta ON ta.doc_id = p.id_a
+    JOIN aug tb ON tb.doc_id = p.id_b
 )
 SELECT 'sig' AS kind, CAST(doc_id AS VARCHAR) AS k, simhash AS v FROM sigs
 UNION ALL
 SELECT 'pair', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
        CAST(hamming AS BIGINT)
-FROM ham WHERE hamming <= {max_hamming}
+FROM nd
+UNION ALL
+SELECT 'edit', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+       CAST(dist AS BIGINT)
+FROM ed
 ORDER BY kind, k
 """
 

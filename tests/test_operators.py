@@ -2724,3 +2724,72 @@ def test_epoch_shuffle_key_reproducible_and_epoch_independent(spark):
     )
     for bad in ("Exchange", "HashAggregate", "Join"):
         assert bad not in plan
+
+
+def test_edit_similarity_pairs_known_distances_and_empty(spark):
+    """Hand-computed Levenshtein on candidate pairs; both-empty pairs
+    are similarity 1.0; the similarity is 1 - d/max(len)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "kitten"),
+            (2, "sitting"),  # lev(kitten, sitting) = 3
+            (3, "kitten"),  # exact dup of 1
+            (4, ""),
+            (5, ""),
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "id_a long, id_b long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (r["edit_distance"], r["edit_sim"])
+        for r in dd.edit_similarity_pairs(cands, docs).collect()
+    }
+    assert got[(1, 2)] == (3, round(1 - 3 / 7, 6))
+    assert got[(1, 3)] == (0, 1.0)
+    assert got[(4, 5)] == (0, 1.0)
+    # threshold filter drops the distant pair
+    kept = dd.edit_similarity_pairs(cands, docs, min_similarity=0.9)
+    assert {(r["id_a"], r["id_b"]) for r in kept.collect()} == {
+        (1, 3),
+        (4, 5),
+    }
+    with pytest.raises(ValueError):
+        dd.edit_similarity_pairs(cands, docs, min_similarity=1.5)
+
+
+def test_edit_similarity_pairs_prefix_cap_and_bounded_form(spark):
+    """prefix_chars compares fixed prefixes; with min_similarity set,
+    the bounded levenshtein early-exit must never drop a qualifying
+    pair and must drop every over-threshold pair (its -1 sentinel may
+    not leak into the output)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaa" + "X" * 90),
+            (2, "aaaaaaaaaa" + "Y" * 90),  # identical 10-char prefix
+            (3, "zzzzzzzzzz" + "X" * 90),  # all-diff prefix vs 1
+        ],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    out = dd.edit_similarity_pairs(
+        cands, docs, min_similarity=0.5, prefix_chars=10
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+    assert set(rows) == {(1, 2)}
+    assert rows[(1, 2)]["edit_distance"] == 0
+    assert rows[(1, 2)]["edit_sim"] == 1.0
+    # boundary: distance exactly at the bound survives (bound = 5)
+    docs2 = spark.createDataFrame(
+        [(1, "aaaaaaaaaa"), (2, "aaaaabbbbb")],  # lev = 5, sim = 0.5
+        "doc_id long, text string",
+    )
+    out2 = dd.edit_similarity_pairs(
+        spark.createDataFrame([(1, 2)], "id_a long, id_b long"),
+        docs2,
+        min_similarity=0.5,
+        prefix_chars=10,
+    ).collect()
+    assert len(out2) == 1 and out2[0]["edit_distance"] == 5
+    assert all(r["edit_distance"] >= 0 for r in out2)

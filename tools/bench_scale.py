@@ -124,6 +124,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # window confined to the boundary bucket; upsample stays a
     # shuffle-free explode(sequence). Never a cartesian.
     "curation_mixture_sample": ["BroadcastHashJoin", "Window", "Generate", "!CartesianProduct"],
+    # round-10 (cont.): BPE tokenizer — prices the paper's scale claim
+    # (training cost rides the vocab-sized word-frequency dict, never
+    # the corpus; encode is ONE vocabulary join + reassembly). The
+    # vocab join is deliberately un-hinted — a 10x corpus with
+    # per-replica suffix words grows the vocab, and shuffle is the
+    # legitimate shape if AQE prices it so — so no join flavor is
+    # asserted, only that nothing goes all-pairs or row-Python.
+    "text_chunk_stats": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
 }
 
 
@@ -233,9 +241,15 @@ def main() -> None:
             "smj": len(re.findall(r"SortMergeJoin", plan)),
         }
 
+    # optional argv filter (positions 4+): time/audit only the named
+    # rows — a dev convenience; filtered runs are NOT persisted as the
+    # round's BENCH_SF1 file (a partial gate is not gate evidence).
+    only = set(sys.argv[4:])
     out: dict[str, dict] = {}
     gate_ok = True
     for name, checks in SCALE_AUDIT.items():
+        if only and name not in only:
+            continue
         rec = run_query(name, checks)
         gate_ok = gate_ok and rec["plan_ok"]
         out[name] = rec
@@ -333,11 +347,14 @@ def main() -> None:
             + (f"  MOVERS>1.5x: {', '.join(movers)}" if movers else "  no >1.5x movers"),
             file=sys.stderr,
         )
-    out_path = os.path.join(repo, f"BENCH_SF1_r{int(rnd):02d}.json")
-    with open(out_path, "w") as fh:
-        json.dump(result, fh, indent=1)
-        fh.write("\n")
-    print(f"# wrote {out_path}", file=sys.stderr)
+    if only:
+        print("# filtered run — not persisted as gate evidence", file=sys.stderr)
+    else:
+        out_path = os.path.join(repo, f"BENCH_SF1_r{int(rnd):02d}.json")
+        with open(out_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+            fh.write("\n")
+        print(f"# wrote {out_path}", file=sys.stderr)
 
     print(json.dumps(result))
     sys.exit(0 if gate_ok else 1)
