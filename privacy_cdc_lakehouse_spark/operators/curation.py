@@ -726,6 +726,66 @@ def temperature_rates(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement — Efraimidis & Spirakis
+    2006 (A-Res): every row gets key ``ln(u)/w`` with ``u`` a
+    deterministic per-id uniform and ``w`` its positive weight; the k
+    LARGEST keys are exactly a weighted sample without replacement
+    (inclusion probability proportional to weight at each draw). The
+    quality-weighted subset-selection primitive: ``token_budget_select``
+    keeps the BEST docs until a budget, this keeps a size-k RANDOMIZED
+    mixture that still favors high weights — the standard way to
+    subsample a corpus without collapsing onto only top-scored docs.
+
+    Determinism contract (``hash_split``'s, applied to randomness): the
+    uniform is ``(int(md5(salt|id)[:13 hex], 16) + 1) / 2^52`` — in
+    (0, 1], reproducible across runs, engines and partitionings, no RNG
+    state — and the key is ROUNDED to 6dp with id tie-break, the
+    rank-over-rounded-score contract (cross-engine ``ln`` may drift a
+    ulp; ranking on the rounded value with a total tie-break keeps the
+    selected set engine-independent).
+
+    100 TB shape: one pure projection + ``orderBy().limit(k)``, which
+    physically plans as TakeOrderedAndProject — per-partition top-k
+    heaps merged on the driver, NO global sort/shuffle of the corpus
+    (k rows cross the wire per partition). Rows with weight <= 0 or
+    NULL are excluded (zero weight = zero inclusion probability; ES
+    keys are undefined there). Output: (id, weight, es_key,
+    sample_rank), rank 1 = first drawn."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    from pyspark.sql import Window
+
+    h = F.md5(
+        F.concat_ws("|", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    u = (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0
+    ) / 2.0 ** 52
+    key = F.round(F.log(u) / F.col(weight_col).cast("double"), 6)
+    top = (
+        df.filter(F.col(weight_col).cast("double") > 0)
+        .select(
+            F.col(id_col),
+            F.col(weight_col).cast("double").alias("weight"),
+            key.alias("es_key"),
+        )
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )
+    # the rank window runs over <= k already-selected rows, not the corpus
+    w = Window.orderBy(F.desc("es_key"), F.asc(id_col))
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("long")
+    ).select(id_col, "weight", "es_key", "sample_rank")
+
+
 def dataset_report(
     corpus: DataFrame,
     strata_col: str = "lang",

@@ -463,9 +463,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_hex7(start: int) -> str:
     """SQL for int(md5-hex[start:start+7], 16) — 7 nibbles, big-endian."""
+    return _duck_hexn(start, 7)
+
+
+def _duck_hexn(start: int, n: int) -> str:
+    """SQL for int(md5-hex[start:start+n], 16) — n nibbles, big-endian
+    (n <= 15 keeps the sum inside BIGINT)."""
     terms = [
-        f"(strpos('0123456789abcdef', substr(h, {start + k}, 1)) - 1) * {16 ** (6 - k)}"
-        for k in range(7)
+        f"(strpos('0123456789abcdef', substr(h, {start + k}, 1)) - 1) * {16 ** (n - 1 - k)}"
+        for k in range(n)
     ]
     return "(" + " + ".join(terms) + ")"
 
@@ -1814,10 +1820,25 @@ def q_curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("lang").alias("v"),
     )
+    # round 10: weighted-sample arm — Efraimidis–Spirakis A-Res top-50
+    # by n_chars weight (operators/curation.py::weighted_sample): every
+    # drawn doc's identity, draw order AND 6dp ln(u)/w key (scaled to
+    # an exact integer like the temp arm) hash-checked against the
+    # oracle's identical md5-uniform replay.
+    wrs_rows = cur.weighted_sample(docs, k=50, weight_col="n_chars").select(
+        F.lit("wrs").alias("kind"),
+        F.col("sample_rank").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("doc_id").cast("string"),
+            F.round(F.col("es_key") * 1e6, 0).cast("long").cast("string"),
+        ).alias("v"),
+    )
     return (
         mix.unionByName(budget_rows)
         .unionByName(temp_rows)
         .unionByName(up_rows)
+        .unionByName(wrs_rows)
         .orderBy("kind", "k")
     )
 
@@ -1928,6 +1949,32 @@ SELECT 'up', k, v FROM (
            CAST(unnest(range(0, n)) AS VARCHAR) AS k,
            lang AS v
     FROM upn
+)
+UNION ALL
+SELECT 'wrs', CAST(r AS VARCHAR), v FROM (
+    -- weighted_sample replay: A-Res key ln(u)/w, u = (md5-hex[1:13]
+    -- int + 1) / 2^52, 6dp round, rank by key DESC with id tie-break
+    WITH wh AS (
+        SELECT doc_id, n_chars,
+               md5('wrs' || '|' || CAST(doc_id AS VARCHAR)) AS h
+        FROM documents WHERE n_chars > 0
+    ),
+    wk AS (
+        SELECT doc_id,
+               round(ln((CAST({_duck_hexn(1, 13)} AS BIGINT) + 1)
+                        / 4503599627370496.0)
+                     / n_chars, 6) AS es_key
+        FROM wh
+    ),
+    wr AS (
+        SELECT doc_id, es_key,
+               row_number() OVER (ORDER BY es_key DESC, doc_id) AS r
+        FROM wk
+    )
+    SELECT r,
+           CAST(doc_id AS VARCHAR) || ':' ||
+           CAST(CAST(round(es_key * 1e6, 0) AS BIGINT) AS VARCHAR) AS v
+    FROM wr WHERE r <= 50
 )
 ORDER BY kind, k
 """

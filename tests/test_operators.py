@@ -2793,3 +2793,51 @@ def test_edit_similarity_pairs_prefix_cap_and_bounded_form(spark):
     ).collect()
     assert len(out2) == 1 and out2[0]["edit_distance"] == 5
     assert all(r["edit_distance"] >= 0 for r in out2)
+
+
+def test_weighted_sample_matches_independent_replay(spark):
+    """The selected set, order and keys must equal an independent
+    hashlib replay of the A-Res math (md5 uniform, ln(u)/w key, 6dp
+    round, id tie-break)."""
+    import hashlib
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    rows = [(i, float(1 + (i * 7) % 13)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    got = [
+        (r["doc_id"], r["es_key"], r["sample_rank"])
+        for r in cur.weighted_sample(df, 25, "weight")
+        .orderBy("sample_rank")
+        .collect()
+    ]
+
+    def key(i, w):
+        h = hashlib.md5(f"wrs|{i}".encode()).hexdigest()
+        u = (int(h[:13], 16) + 1) / 2.0 ** 52
+        return round(math.log(u) / w, 6)
+
+    expected = sorted(
+        ((i, key(i, w)) for i, w in rows), key=lambda t: (-t[1], t[0])
+    )[:25]
+    assert got == [(i, k, r + 1) for r, (i, k) in enumerate(expected)]
+
+
+def test_weighted_sample_properties(spark):
+    """A dominating weight is always drawn first; zero/negative/NULL
+    weights never selected; k >= n returns every positive-weight row;
+    k <= 0 refused; the plan is TakeOrdered, not a global sort."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    rows = [(i, 1.0) for i in range(100)] + [(100, 1e9), (101, 0.0), (102, -1.0), (103, None)]
+    df = spark.createDataFrame(rows, "doc_id long, weight double")
+    top = cur.weighted_sample(df, 10, "weight").orderBy("sample_rank").collect()
+    assert top[0]["doc_id"] == 100
+    allk = cur.weighted_sample(df, 500, "weight")
+    ids = {r["doc_id"] for r in allk.collect()}
+    assert len(ids) == 101 and not {101, 102, 103} & ids
+    with pytest.raises(ValueError):
+        cur.weighted_sample(df, 0, "weight")
+    plan = cur.weighted_sample(df, 10, "weight")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
