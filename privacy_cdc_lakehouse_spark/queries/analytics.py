@@ -787,10 +787,23 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 parity: the privacy layer as a SQL VIEW over silver (the
     Trino `orders_current_priv` view, README.md:106-117) — temp view +
-    masking expressions in pure spark.sql."""
+    masking expressions in pure spark.sql (`view` arm; user_key is a
+    bijective sha2 pseudonym of user_id, so the oracle's distinct
+    count over user_id is exact parity).
+
+    Round 10 widens the row into the release-side privacy surface
+    (``operators/privacy.py``), every arm hash-checked:
+    - `kanon`: suppression-model k-anonymity over customer with the
+      quasi-identifier (nation, segment, $2000 balance GENERALIZATION
+      band) — every surviving row's full class assignment + size;
+    - `kaud`: per-class audit (n, is_suppressed) at k=12 over the
+      (nation, segment) classes;
+    - `ldiv`: distinct l-diversity audit — per segment, how many
+      distinct nations (the homogeneity-attack check) at l=10."""
     pin_utc(spark)
     from privacy_cdc_lakehouse_spark.cdc.silver import silver_from_bronze
     from privacy_cdc_lakehouse_spark.functions.scalars import DEFAULT_TEST_SALT
+    from privacy_cdc_lakehouse_spark.operators import privacy as pv
     from privacy_cdc_lakehouse_spark.sources.debezium import cdc_events
 
     silver_from_bronze(cdc_events(spark, sf_dir)).createOrReplaceTempView(
@@ -806,9 +819,62 @@ def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_orders_current
         """
     )
-    return spark.sql(
-        "SELECT status, count(*) AS n, count(DISTINCT user_key) AS n_users "
-        "FROM v_orders_current_priv GROUP BY status ORDER BY status"
+    view = spark.sql(
+        "SELECT 'view' AS kind, status AS k, "
+        "concat_ws(':', cast(count(*) AS string), "
+        "cast(count(DISTINCT user_key) AS string)) AS v "
+        "FROM v_orders_current_priv GROUP BY status"
+    )
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        pv.generalize_numeric(F.col("c_acctbal"), 2000).alias("bal_band"),
+    )
+    kanon = pv.k_anonymize(
+        g, ["c_nationkey", "c_mktsegment", "bal_band"], k=2
+    ).select(
+        F.lit("kanon").alias("kind"),
+        F.col("c_custkey").cast("string").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("c_nationkey").cast("string"),
+            "c_mktsegment",
+            "bal_band",
+            F.col("class_size").cast("string"),
+        ).alias("v"),
+    )
+    kaud = pv.k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], k=12
+    ).select(
+        F.lit("kaud").alias("kind"),
+        F.concat_ws(
+            ":", F.col("c_nationkey").cast("string"), "c_mktsegment"
+        ).alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("n").cast("string"),
+            F.col("is_suppressed").cast("int").cast("string"),
+        ).alias("v"),
+    )
+    ldiv = pv.l_diversity_audit(
+        cust, ["c_mktsegment"], "c_nationkey", l_threshold=10
+    ).select(
+        F.lit("ldiv").alias("kind"),
+        F.col("c_mktsegment").alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("n").cast("string"),
+            F.col("n_sensitive").cast("string"),
+            F.col("is_l_diverse").cast("int").cast("string"),
+        ).alias("v"),
+    )
+    return (
+        view.unionByName(kanon)
+        .unionByName(kaud)
+        .unionByName(ldiv)
+        .orderBy("kind", "k")
     )
 
 
@@ -2234,9 +2300,43 @@ QUERIES = {
 }
 
 _PRIV_VIEW_SQL_TEMPLATE = """
-SELECT status, CAST(count(*) AS BIGINT) AS n,
-       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-FROM current_state GROUP BY status ORDER BY status
+, gc AS (
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           '[' || CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) * 2000 AS VARCHAR)
+               || ',' ||
+               CAST(CAST(floor(c_acctbal / 2000) AS BIGINT) * 2000 + 2000 AS VARCHAR)
+               || ')' AS bal_band
+    FROM customer
+),
+kcl AS (
+    SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS cs
+    FROM gc GROUP BY 1, 2, 3
+)
+SELECT 'view' AS kind, status AS k,
+       CAST(count(*) AS VARCHAR) || ':' ||
+       CAST(count(DISTINCT user_id) AS VARCHAR) AS v
+FROM current_state GROUP BY status
+UNION ALL
+SELECT 'kanon', CAST(gc.c_custkey AS VARCHAR),
+       CAST(gc.c_nationkey AS VARCHAR) || ':' || gc.c_mktsegment || ':'
+       || gc.bal_band || ':' || CAST(kcl.cs AS VARCHAR)
+FROM gc
+JOIN kcl ON kcl.c_nationkey = gc.c_nationkey
+        AND kcl.c_mktsegment = gc.c_mktsegment
+        AND kcl.bal_band = gc.bal_band
+WHERE kcl.cs >= 2
+UNION ALL
+SELECT 'kaud', CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment,
+       CAST(count(*) AS VARCHAR) || ':' ||
+       CAST(CAST(count(*) < 12 AS INT) AS VARCHAR)
+FROM customer GROUP BY c_nationkey, c_mktsegment
+UNION ALL
+SELECT 'ldiv', c_mktsegment,
+       CAST(count(*) AS VARCHAR) || ':' ||
+       CAST(count(DISTINCT c_nationkey) AS VARCHAR) || ':' ||
+       CAST(CAST(count(DISTINCT c_nationkey) >= 10 AS INT) AS VARCHAR)
+FROM customer GROUP BY c_mktsegment
+ORDER BY kind, k
 """
 
 

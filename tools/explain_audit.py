@@ -87,6 +87,11 @@ AUDIT = {
     ],
     # round 6: q18 rides inside the tpch_customer_revenue union
     "tpch_customer_revenue": ["HashAggregate", "BroadcastHashJoin"],
+    # round 10: privacy release surface — the kanon arm's class table
+    # is ONE aggregate joined back (AQE broadcasts it; a
+    # high-cardinality quasi set may legitimately shuffle, so no join
+    # flavor asserted); never a corpus window, never a cartesian.
+    "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them).
