@@ -123,6 +123,75 @@ def brute_force_topk(
     )
 
 
+def retrieval_metrics(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Ranked-retrieval quality metrics against a binary relevance set
+    — the IR-eval triple every retrieval/ANN stack reports:
+    ``recall_at_k`` (relevant retrieved / relevant), ``mrr``
+    (1 / rank of the first relevant hit, 0 when none), and binary
+    ``ndcg_at_k`` (DCG with the standard 1/log2(rank+1) discount over
+    the ideal DCG for min(k, |relevant|) hits). All three rounded to
+    6dp (cross-engine log drift is sub-ulp; rounding is the standing
+    determinism contract). Queries present in ``qrels`` but absent
+    from ``results`` score 0 / 0 / 0.
+
+    ``results``: (query, doc, rank) ranked lists (e.g. any of this
+    module's top-k outputs); ``qrels``: (query, doc) relevant pairs.
+
+    Scale shape: results are |queries|·k rows and qrels
+    |queries|·|rel| — both query-bounded, nothing corpus-sized. One
+    equi-join (un-hinted; AQE broadcasts the smaller side) + one
+    per-query aggregate; the IDCG is an ``aggregate(sequence(...))``
+    fold, pure codegen, no join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.col(rank_col).alias("_r"),
+    )
+    rel = qrels.select(
+        F.col(query_col).alias("_q"),
+        F.col(doc_col).alias("_d"),
+        F.lit(1).alias("_rel"),
+    ).distinct()
+    n_rel = rel.groupBy("_q").agg(F.count("*").alias("_n_rel"))
+    hit = r.join(rel, ["_q", "_d"], "left")
+    per_q = hit.groupBy("_q").agg(
+        F.sum(F.coalesce("_rel", F.lit(0))).alias("_n_hit"),
+        F.min(F.when(F.col("_rel") == 1, F.col("_r"))).alias("_first"),
+        F.sum(
+            F.when(F.col("_rel") == 1, 1.0 / F.log2(F.col("_r") + 1.0))
+        ).alias("_dcg"),
+    )
+    ideal = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(k), F.col("_n_rel"))),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i.cast("double") + 1.0),
+    )
+    return (
+        n_rel.join(per_q, "_q", "left")
+        .select(
+            F.col("_q").alias(query_col),
+            F.round(
+                F.coalesce(F.col("_n_hit"), F.lit(0)) / F.col("_n_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(
+                F.coalesce(1.0 / F.col("_first"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("_dcg"), F.lit(0.0)) / ideal, 6
+            ).alias("ndcg_at_k"),
+        )
+    )
+
+
 def knn_classify(
     corpus: DataFrame,
     queries: DataFrame,

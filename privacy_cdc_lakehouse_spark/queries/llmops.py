@@ -1034,6 +1034,11 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       both). ``pca16`` slices the top-16 variance components (the
       components are eigenvalue-ordered, so the slice IS the k=16
       projection) and is floor-gated like ivf/pq.
+    - ``mrr`` / ``ndcg`` rows (round 10): the IR-eval triple's ranked
+      metrics (``operators/similarity.py::retrieval_metrics``) of the
+      lsh ranked list against the exact top-10 relevance set — the
+      6dp metric scaled to an exact integer in the long slot, fully
+      hash-checked (recall@10 is the lsh arm's n_hits/10 already).
     - ``knn`` rows (round 9): kNN majority-vote label propagation
       (``operators/similarity.py::knn_classify`` over the fixture's
       ``label`` column) — the union's long slot (``n_hits``) carries
@@ -1066,16 +1071,33 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    ls = hits_of(
-        sim.lsh_topk(
-            emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64
-        ).select("query_id", "neighbor_id")
-    ).select(
+    lsh_res = sim.lsh_topk(
+        emb, queries, k=10, planes=LSH_TOPK_PLANES, tables=LSH_TOPK_TABLES, dim=64
+    )
+    ls = hits_of(lsh_res.select("query_id", "neighbor_id")).select(
         F.lit("lsh").alias("method"),
         "query_id",
         "n_hits",
         (F.col("n_hits") / 10.0 >= LSH_RECALL_FLOOR).alias("recall_ok"),
     )
+    # round 10: IR-eval arms — MRR and binary NDCG@10 of the SAME lsh
+    # ranked lists against the exact top-10 as the relevance set
+    # (operators/similarity.py::retrieval_metrics); the union's long
+    # slot carries the 6dp metric scaled to an exact integer, fully
+    # hash-checked since both the lsh ranking and the bf ground truth
+    # are engine-replicable.
+    met = sim.retrieval_metrics(lsh_res, bf, k=10)
+
+    def _metric_arm(name: str, col: str) -> DataFrame:
+        return met.select(
+            F.lit(name).alias("method"),
+            "query_id",
+            F.round(F.col(col) * 1e6, 0).cast("long").alias("n_hits"),
+            (F.col(col) > 0).alias("recall_ok"),
+        )
+
+    mrr_rows = _metric_arm("mrr", "mrr")
+    ndcg_rows = _metric_arm("ndcg", "ndcg_at_k")
     iv = hits_of(
         sim.ivf_topk(emb, queries, k=10, n_clusters=8, nprobe=4).select(
             "query_id", "neighbor_id"
@@ -1157,6 +1179,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pca_full)
         .unionByName(pca16)
         .unionByName(knn)
+        .unionByName(mrr_rows)
+        .unionByName(ndcg_rows)
         .orderBy("method", "query_id")
     )
 
@@ -1186,12 +1210,42 @@ hits AS (
      AND l.rank <= 10
     WHERE b.rank <= 10
     GROUP BY b.query_id
+),
+-- retrieval_metrics replay: MRR + binary NDCG@10 of the lsh ranked
+-- list vs the exact top-10 relevance set; idcg's left fold matches
+-- Spark's aggregate(sequence(...)) term order exactly
+irmet AS (
+    SELECT qq.query_id,
+           min(CASE WHEN b.neighbor_id IS NOT NULL THEN l.rank END) AS first_rel,
+           sum(CASE WHEN b.neighbor_id IS NOT NULL
+                    THEN 1.0 / log2(l.rank + 1.0) END) AS dcg
+    FROM (SELECT DISTINCT query_id FROM q) qq
+    LEFT JOIN (SELECT * FROM lsh_ranked WHERE rank <= 10) l
+      ON l.query_id = qq.query_id
+    LEFT JOIN (SELECT query_id, neighbor_id FROM bf_ranked WHERE rank <= 10) b
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY qq.query_id
+),
+iridcg AS (
+    SELECT list_sum(list_transform(range(1, 11),
+                    i -> 1.0 / log2(i + 1.0))) AS v
 )
 SELECT 'lsh' AS method, q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
        coalesce(h.n, 0) / 10.0 >= {LSH_RECALL_FLOOR} AS recall_ok
 FROM (SELECT DISTINCT query_id FROM q) q
 LEFT JOIN hits h USING (query_id)
+UNION ALL
+SELECT 'mrr', query_id,
+       CAST(round(round(coalesce(1.0 / first_rel, 0.0), 6) * 1e6, 0)
+            AS BIGINT),
+       coalesce(1.0 / first_rel, 0.0) > 0
+FROM irmet
+UNION ALL
+SELECT 'ndcg', query_id,
+       CAST(round(round(coalesce(m.dcg, 0.0) / i.v, 6) * 1e6, 0) AS BIGINT),
+       coalesce(m.dcg, 0.0) > 0
+FROM irmet m CROSS JOIN iridcg i
 UNION ALL
 SELECT 'ivf', query_id, CAST(NULL AS BIGINT), recall_ok
 FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))

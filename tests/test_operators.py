@@ -2841,3 +2841,43 @@ def test_weighted_sample_properties(spark):
         cur.weighted_sample(df, 0, "weight")
     plan = cur.weighted_sample(df, 10, "weight")._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_retrieval_metrics_hand_computed(spark):
+    """recall@k / MRR / binary NDCG@k against hand-computed values,
+    including a zero-hit query, a query missing from results, and the
+    |relevant| < k ideal truncation."""
+    import math
+
+    results = spark.createDataFrame(
+        # q1: relevant at ranks 1 and 3 (of k=3); q2: none relevant
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 20, 1), (2, 21, 2), (2, 22, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    qrels = spark.createDataFrame(
+        # q1 has 3 relevant (one never retrieved); q2 has 1; q3 only in qrels
+        [(1, 10), (1, 12), (1, 99), (2, 98), (3, 97)],
+        "query_id long, neighbor_id long",
+    )
+    got = {
+        r["query_id"]: (r["recall_at_k"], r["mrr"], r["ndcg_at_k"])
+        for r in sim.retrieval_metrics(results, qrels, k=3).collect()
+    }
+    dcg1 = 1 / math.log2(2) + 1 / math.log2(4)
+    idcg1 = sum(1 / math.log2(i + 1) for i in (1, 2, 3))
+    assert got[1] == (
+        round(2 / 3, 6),
+        1.0,
+        round(dcg1 / idcg1, 6),
+    )
+    assert got[2] == (0.0, 0.0, 0.0)
+    assert got[3] == (0.0, 0.0, 0.0)
+    # |relevant| < k: perfect single hit at rank 1 is NDCG 1.0
+    res2 = spark.createDataFrame(
+        [(9, 5, 1), (9, 6, 2)], "query_id long, neighbor_id long, rank long"
+    )
+    qr2 = spark.createDataFrame([(9, 5)], "query_id long, neighbor_id long")
+    row = sim.retrieval_metrics(res2, qr2, k=2).collect()[0]
+    assert (row["recall_at_k"], row["mrr"], row["ndcg_at_k"]) == (1.0, 1.0, 1.0)
+    with pytest.raises(ValueError):
+        sim.retrieval_metrics(res2, qr2, k=0)
