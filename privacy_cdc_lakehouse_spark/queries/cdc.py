@@ -331,7 +331,16 @@ def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical classification relationally (batch keys joined against
     the seed state), so every feed row's values AND change-type tag are
     hash-checked. This is the read side of a CDC lakehouse: the same
-    contract the pipeline consumes from Debezium, exported downstream."""
+    contract the pipeline consumes from Debezium, exported downstream.
+
+    Round-10 widening — ``scd2`` arm: the OTHER canonical consumption
+    of the same feed, the slowly-changing-dimension type-2 history
+    (``cdc/scd2.py``), run through the INCREMENTAL path over the same
+    split (seed history from the first half, ``scd2_apply`` the second
+    half) — so the arm pins ``apply == rebuild`` against an oracle
+    that rebuilds the full history relationally: every version's row
+    image, ``valid_from``/``valid_to`` interval, continued version
+    number, and ``is_current`` flag is hash-checked."""
     from privacy_cdc_lakehouse_spark.cdc.silver import (
         PIPELINE_VERSION,
         latest_state,
@@ -362,17 +371,38 @@ def q_cdc_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         insert_condition=F.col("s.op") != "d",
         write_change_data=True,
     )
-    return (
-        silver.read_changes(v, v)
-        .select(
-            F.col(CHANGE_TYPE_COL).alias("change_type"),
-            "order_id",
-            "user_id",
-            "amount_eur",
-            "status",
-            "last_change_ts",
-        )
-        .orderBy("change_type", "order_id")
+    feed_rows = silver.read_changes(v, v).select(
+        F.lit("feed").alias("kind"),
+        F.col(CHANGE_TYPE_COL).alias("change_type"),
+        "order_id",
+        "user_id",
+        "amount_eur",
+        "status",
+        F.col("last_change_ts").alias("ts"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(None).cast("int").alias("is_current"),
+        F.lit(None).cast("int").alias("version"),
+    )
+
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import scd2_apply, scd2_history
+
+    hist = scd2_apply(
+        scd2_history(parse_cdc_envelope(first)), parse_cdc_envelope(second)
+    )
+    scd2_rows = hist.select(
+        F.lit("scd2").alias("kind"),
+        F.lit(None).cast("string").alias("change_type"),
+        "order_id",
+        "user_id",
+        "amount_eur",
+        "status",
+        F.col("valid_from").alias("ts"),
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+        "version",
+    )
+    return feed_rows.unionByName(scd2_rows).orderBy(
+        "kind", "order_id", "version", "change_type"
     )
 
 
@@ -395,24 +425,48 @@ batch AS (
             PARTITION BY order_id ORDER BY change_ts DESC, off DESC) AS rn
         FROM cdc_ev WHERE off > (SELECT mid FROM bounds)
     ) WHERE rn = 1
+),
+-- SCD2 full rebuild: the incremental apply the Spark side runs must
+-- land on exactly this history
+scd2_lead AS (
+    SELECT *, lead(change_ts) OVER (
+        PARTITION BY order_id ORDER BY change_ts, off) AS next_ts
+    FROM cdc_ev
+),
+scd2_hist AS (
+    SELECT order_id, user_id, amount_eur, status, change_ts, next_ts,
+           CAST(row_number() OVER (
+               PARTITION BY order_id ORDER BY change_ts, off) AS INT)
+             AS version
+    FROM scd2_lead WHERE op <> 'd'
 )
-SELECT 'delete' AS change_type, s.order_id, s.user_id, s.amount_eur,
-       s.status, s.last_change_ts
+SELECT 'feed' AS kind, 'delete' AS change_type, s.order_id, s.user_id,
+       s.amount_eur, s.status, s.last_change_ts AS ts,
+       CAST(NULL AS TIMESTAMP) AS valid_to, CAST(NULL AS INT) AS is_current,
+       CAST(NULL AS INT) AS version
 FROM batch b JOIN seed s USING (order_id) WHERE b.op = 'd'
 UNION ALL
-SELECT 'update_preimage', s.order_id, s.user_id, s.amount_eur,
-       s.status, s.last_change_ts
+SELECT 'feed', 'update_preimage', s.order_id, s.user_id, s.amount_eur,
+       s.status, s.last_change_ts,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS INT), CAST(NULL AS INT)
 FROM batch b JOIN seed s USING (order_id) WHERE b.op <> 'd'
 UNION ALL
-SELECT 'update_postimage', b.order_id, b.user_id, b.amount_eur,
-       b.status, b.last_change_ts
+SELECT 'feed', 'update_postimage', b.order_id, b.user_id, b.amount_eur,
+       b.status, b.last_change_ts,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS INT), CAST(NULL AS INT)
 FROM batch b JOIN seed s USING (order_id) WHERE b.op <> 'd'
 UNION ALL
-SELECT 'insert', b.order_id, b.user_id, b.amount_eur,
-       b.status, b.last_change_ts
+SELECT 'feed', 'insert', b.order_id, b.user_id, b.amount_eur,
+       b.status, b.last_change_ts,
+       CAST(NULL AS TIMESTAMP), CAST(NULL AS INT), CAST(NULL AS INT)
 FROM batch b LEFT JOIN seed s USING (order_id)
 WHERE s.order_id IS NULL AND b.op <> 'd'
-ORDER BY change_type, order_id
+UNION ALL
+SELECT 'scd2', CAST(NULL AS VARCHAR), order_id, user_id, amount_eur,
+       status, change_ts, next_ts,
+       CAST(CASE WHEN next_ts IS NULL THEN 1 ELSE 0 END AS INT), version
+FROM scd2_hist
+ORDER BY kind, order_id, version, change_type
 """
 
 

@@ -94,8 +94,11 @@ AUDIT = {
     "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
     # CDF read: explicit change files are a plain parquet scan — no
-    # join, no aggregate on the read side (the merge paid them).
-    "cdc_changes_feed": ["Scan parquet", "!SortMergeJoin"],
+    # join, no aggregate on the read side (the merge paid them). The
+    # round-10 scd2 arm adds the incremental history: key-partitioned
+    # stacked windows (lead + row_number share ONE exchange) plus the
+    # batch-key-sized closing/version-base equi-joins — never cartesian.
+    "cdc_changes_feed": ["Scan parquet", "Window", "!CartesianProduct"],
     # packing = one per-shard window over a projection; never a join
     "curation_pack_sequences": ["Window", "!Join"],
     # round 6 (cont.): Q7 broadcasts every dimension hop; Q13's outer
