@@ -533,12 +533,41 @@ ORDER BY event_type
 """
 
 
+def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitoring (``operators/drift.py``): the event
+    log split at its mid-timestamp into reference/current windows, then
+    the full panel — binned PSI and KS over ``value`` (one shared
+    100-bin pass, PSI re-bucketed to 10), per-side moments, categorical
+    PSI over ``event_type``. The split compares exact epoch MICROSECOND
+    integers (``unix_micros`` / DuckDB ``epoch_us`` — the fixture has
+    sub-second event times, so second-truncating comparisons would
+    classify boundary rows differently across engines)."""
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    ts_d = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(((F.min(ts_d) + F.max(ts_d)) / 2).alias("_mid"))
+    tagged = ev.crossJoin(F.broadcast(mid))
+    from privacy_cdc_lakehouse_spark.operators.drift import drift_report
+
+    return drift_report(
+        tagged.filter(ts_d <= F.col("_mid")),
+        tagged.filter(ts_d > F.col("_mid")),
+        "value",
+        n_bins=10,
+        ks_bins=100,
+        categorical_col="event_type",
+    )
+
+
 def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of BOTH grouped event aggregates (round-4 registry
     consolidation): ``window`` rows are the tumbling 5-minute
     event-time windows; ``json_props`` rows are the
     get_json_object-extracted per-type stats. All columns of the two
-    originals preserved, distinguished by ``kind``."""
+    originals preserved, distinguished by ``kind``. Round 10 adds the
+    ``drift`` arm: the PSI/KS/moments monitoring panel of
+    ``q_events_drift`` riding the same tagged shape (metric name in
+    ``event_type``, value in ``total_value``)."""
     win = q_events_5min_windows(spark, sf_dir).select(
         F.lit("window").alias("kind"),
         "window_start",
@@ -577,11 +606,100 @@ def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("int").alias("max_k"),
         )
     )
+    dr = q_events_drift(spark, sf_dir).select(
+        F.lit("drift").alias("kind"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        F.col("metric").alias("event_type"),
+        F.lit(None).cast("long").alias("n"),
+        F.col("value").alias("total_value"),
+        F.lit(None).cast("double").alias("avg_k"),
+        F.lit(None).cast("int").alias("max_k"),
+    )
     return (
         win.unionByName(jp)
         .unionByName(fun)
+        .unionByName(dr)
         .orderBy("kind", "window_start", "event_type")
     )
+
+
+# Drift-panel replay: mid-ts split (epoch() doubles — micros/1e6 in
+# both engines), reference-anchored 100-bin histogram (PSI re-bucketed
+# to 10 exactly like drift_report), cumulative-diff KS, moments,
+# categorical PSI over event_type. greatest(p, 1e-6) is the PSI
+# smoothing floor.
+_EVENTS_DRIFT_SQL = """
+WITH drift_mid AS (
+    SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0 AS mid FROM events
+),
+drift_ev AS (
+    SELECT value, event_type,
+           CASE WHEN epoch_us(ts) <= (SELECT mid FROM drift_mid)
+                THEN 1 ELSE 0 END AS is_ref
+    FROM events
+),
+drift_bounds AS (
+    SELECT min(value) AS lo, max(value) AS hi FROM drift_ev WHERE is_ref = 1
+),
+drift_counts AS (
+    SELECT CAST(greatest(0, least(99,
+               floor((value - lo) / ((hi - lo) / 100.0)))) AS INT) AS bin,
+           sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+    FROM drift_ev, drift_bounds
+    WHERE value IS NOT NULL
+    GROUP BY 1
+),
+drift_shares AS (
+    SELECT bin,
+           CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS p_ref,
+           CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS p_cur
+    FROM drift_counts
+),
+drift_coarse AS (
+    SELECT CAST(floor(bin / 10) AS INT) AS cbin,
+           sum(p_ref) AS p_ref, sum(p_cur) AS p_cur
+    FROM drift_shares GROUP BY 1
+),
+drift_cat AS (
+    SELECT CAST(event_type AS VARCHAR) AS category,
+           sum(is_ref) AS n_ref, sum(1 - is_ref) AS n_cur
+    FROM drift_ev GROUP BY 1
+),
+drift_cat_shares AS (
+    SELECT CAST(n_ref AS DOUBLE) / sum(n_ref) OVER () AS p_ref,
+           CAST(n_cur AS DOUBLE) / sum(n_cur) OVER () AS p_cur
+    FROM drift_cat
+),
+drift_moments AS (
+    SELECT CASE WHEN is_ref = 1 THEN 'ref' ELSE 'cur' END AS s,
+           CAST(count(*) AS DOUBLE) AS n,
+           round(avg(value), 6) AS mean,
+           round(stddev_samp(value), 6) AS std
+    FROM drift_ev WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT 'psi' AS metric,
+       round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+         AS value
+FROM drift_coarse
+UNION ALL
+SELECT 'ks', round(max(abs(d)), 6) FROM (
+    SELECT sum(p_ref) OVER (ORDER BY bin)
+         - sum(p_cur) OVER (ORDER BY bin) AS d
+    FROM drift_shares
+)
+UNION ALL
+SELECT 'psi_categorical',
+       round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
+                 * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
+FROM drift_cat_shares
+UNION ALL
+SELECT 'n_' || s, n FROM drift_moments
+UNION ALL
+SELECT 'mean_' || s, mean FROM drift_moments
+UNION ALL
+SELECT 'std_' || s, std FROM drift_moments
+"""
 
 
 def _events_rollups_sql() -> str:
@@ -602,6 +720,10 @@ FROM ({_FUNNEL_SQL}) f CROSS JOIN LATERAL (VALUES
     ('n_converted', CAST(n_converted AS DOUBLE)),
     ('conversion_rate', conversion_rate)
 ) AS u(m, v)
+UNION ALL
+SELECT 'drift', CAST(NULL AS TIMESTAMP), metric, CAST(NULL AS BIGINT),
+       value, CAST(NULL AS DOUBLE), CAST(NULL AS INTEGER)
+FROM ({_EVENTS_DRIFT_SQL}) d
 ORDER BY kind, window_start, event_type
 """
 

@@ -1,0 +1,155 @@
+"""Drift metrics: PSI / categorical PSI / binned KS / drift_report —
+hand-replayed values, edge cases, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import drift
+
+_EPS = 1e-6
+
+
+def _vals(spark, xs):
+    return spark.createDataFrame([(float(x),) for x in xs], "value double")
+
+
+def _py_shares(ref, cur, n_bins):
+    lo, hi = min(ref), max(ref)
+    width = (hi - lo) / n_bins if hi > lo else None
+    shares = {}
+    for side, xs in (("ref", ref), ("cur", cur)):
+        counts = [0] * n_bins
+        for x in xs:
+            b = 0 if width is None else min(n_bins - 1, max(0, math.floor((x - lo) / width)))
+            counts[b] += 1
+        shares[side] = [c / len(xs) for c in counts]
+    return shares
+
+
+def _py_psi(ref, cur, n_bins):
+    s = _py_shares(ref, cur, n_bins)
+    return round(
+        sum(
+            (max(q, _EPS) - max(p, _EPS)) * math.log(max(q, _EPS) / max(p, _EPS))
+            for p, q in zip(s["ref"], s["cur"])
+        ),
+        6,
+    )
+
+
+def _py_ks(ref, cur, n_bins):
+    s = _py_shares(ref, cur, n_bins)
+    d, ca, cb = 0.0, 0.0, 0.0
+    for p, q in zip(s["ref"], s["cur"]):
+        ca += p
+        cb += q
+        d = max(d, abs(ca - cb))
+    return round(d, 6)
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    xs = list(range(100))
+    assert drift.psi(_vals(spark, xs), _vals(spark, xs), "value").first()["psi"] == 0.0
+
+
+def test_psi_matches_python_replay(spark):
+    ref = list(range(10))  # uniform over 10 bins
+    cur = [9.0] * 10  # everything in the last bin
+    got = drift.psi(_vals(spark, ref), _vals(spark, cur), "value", n_bins=10).first()["psi"]
+    assert got == _py_psi(ref, cur, 10)
+    assert got > 0.25  # a full collapse is an action-level shift
+
+
+def test_psi_out_of_range_current_clamps_to_edge_bins(spark):
+    ref = list(range(10))
+    cur = [-50.0, -50.0, 100.0]  # outside the reference range entirely
+    got = drift.psi(_vals(spark, ref), _vals(spark, cur), "value", n_bins=5).first()["psi"]
+    assert got == _py_psi(ref, [0.0, 0.0, 9.0], 5)  # clamped == edge values
+
+
+def test_ks_matches_python_replay_and_shift_direction(spark):
+    ref = list(range(10))
+    cur = [x + 5 for x in range(10)]
+    got = drift.ks_statistic(
+        _vals(spark, ref), _vals(spark, cur), "value", n_bins=10
+    ).first()["ks"]
+    assert got == _py_ks(ref, cur, 10)
+    assert 0.0 < got <= 1.0
+
+
+def test_ks_identical_is_zero(spark):
+    xs = [1.0, 2.0, 2.0, 5.0]
+    assert (
+        drift.ks_statistic(_vals(spark, xs), _vals(spark, xs), "value").first()["ks"]
+        == 0.0
+    )
+
+
+def test_categorical_psi(spark):
+    ref = spark.createDataFrame([("a",)] * 8 + [("b",)] * 2, "c string")
+    cur = spark.createDataFrame([("a",)] * 2 + [("b",)] * 8, "c string")
+    got = drift.categorical_psi(ref, cur, "c").first()["psi"]
+    expected = round(
+        (0.2 - 0.8) * math.log(0.2 / 0.8) + (0.8 - 0.2) * math.log(0.8 / 0.2), 6
+    )
+    assert got == expected
+
+
+def test_categorical_psi_unseen_category_smoothed(spark):
+    ref = spark.createDataFrame([("a",)] * 10, "c string")
+    cur = spark.createDataFrame([("a",)] * 5 + [("z",)] * 5, "c string")
+    got = drift.categorical_psi(ref, cur, "c").first()["psi"]
+    expected = round(
+        (0.5 - 1.0) * math.log(0.5 / 1.0) + (0.5 - _EPS) * math.log(0.5 / _EPS), 6
+    )
+    assert got == expected
+
+
+def test_constant_reference_degenerates_to_single_bin(spark):
+    ref = [3.0] * 10
+    cur = [3.0] * 7
+    assert drift.psi(_vals(spark, ref), _vals(spark, cur), "value").first()["psi"] == 0.0
+
+
+def test_drift_report_coarsening_matches_standalone_psi(spark):
+    ref = [float(x % 17) for x in range(200)]
+    cur = [float((x * 7) % 23) for x in range(150)]
+    rep = {
+        r["metric"]: r["value"]
+        for r in drift.drift_report(
+            _vals(spark, ref), _vals(spark, cur), "value", n_bins=10, ks_bins=100
+        ).collect()
+    }
+    assert rep["psi"] == drift.psi(
+        _vals(spark, ref), _vals(spark, cur), "value", n_bins=10
+    ).first()["psi"]
+    assert rep["ks"] == drift.ks_statistic(
+        _vals(spark, ref), _vals(spark, cur), "value", n_bins=100
+    ).first()["ks"]
+    assert rep["n_ref"] == 200.0 and rep["n_cur"] == 150.0
+    assert rep["mean_ref"] == round(sum(ref) / len(ref), 6)
+    import statistics
+
+    assert rep["std_cur"] == round(statistics.stdev(cur), 6)
+
+
+def test_drift_report_rejects_non_multiple_grids(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        drift.drift_report(
+            _vals(spark, [1.0]), _vals(spark, [1.0]), "value", n_bins=7, ks_bins=100
+        )
+
+
+def test_drift_plan_no_cartesian_no_corpus_window(spark):
+    ref, cur = _vals(spark, range(50)), _vals(spark, range(50))
+    plan = drift.drift_report(ref, cur, "value")._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    # the only non-equi join is the broadcast 1-row bounds scalar
+    assert "BroadcastNestedLoopJoin" in plan

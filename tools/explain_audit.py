@@ -101,6 +101,11 @@ AUDIT = {
     "cdc_changes_feed": ["Scan parquet", "Window", "!CartesianProduct"],
     # packing = one per-shard window over a projection; never a join
     "curation_pack_sequences": ["Window", "!Join"],
+    # round 10: the drift arm's only non-equi joins are broadcast 1-row
+    # scalars (mid-ts split + reference bounds); bin/category counts are
+    # map-side-combinable aggregates and the cumulative-KS window runs
+    # over the bounded bin frame, never the corpus
+    "events_rollups": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
     # round 6 (cont.): Q7 broadcasts every dimension hop; Q13's outer
     # join may broadcast at test SF; Q22's scalar avg is a broadcast
     # 1-row cross join + a left-anti join. Round 10 adds the supplier
