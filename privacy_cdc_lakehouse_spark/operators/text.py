@@ -928,3 +928,173 @@ def nb_classify(
         ).alias("label_pred"),
         F.max("score").alias("score"),
     )
+
+
+# ---------------------------------------------------------------- BLEU
+
+
+def _ngram_arrays(ws: Column, max_n: int) -> Column:
+    """All 1..max_n-grams of a token array as (n, gram) structs in ONE
+    column — grams joined on U+001F so multi-word grams are unambiguous.
+    ``sequence(a, b)`` DESCENDS when a > b, so short arrays get an
+    explicit empty slice per n."""
+    def gram_fn(nn: int):
+        # single-arg lambda on purpose: a two-arg lambda makes
+        # ``transform`` pass (element, INDEX) and the index would
+        # silently shadow the captured n
+        return lambda i: F.struct(
+            F.lit(nn).alias("n"),
+            F.concat_ws("\x1f", F.slice(ws, i, nn)).alias("gram"),
+        )
+
+    per_n = [
+        F.when(
+            F.size(ws) >= n,
+            F.transform(F.sequence(F.lit(1), F.size(ws) - n + 1), gram_fn(n)),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+        for n in range(1, max_n + 1)
+    ]
+    return F.flatten(F.array(*per_n))
+
+
+def bleu_pair_stats(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair BLEU ingredients (Papineni et al. 2002): for each
+    n ≤ ``max_n`` the CLIPPED n-gram matches (``sum over candidate
+    grams of min(count_cand, count_ref)`` — the modified precision
+    numerator) and the candidate n-gram total, pivoted wide
+    (``clipped_1``..``total_4``), plus whitespace-token lengths of both
+    sides. Output: one row per pair.
+
+    Scale shape: tokens + grams are built per row (codegen'd
+    ``transform``/``slice`` — no self-join); both sides ride ONE
+    tagged union so clipping is a single ``groupBy(id, n, gram)``
+    with map-side combine (shuffle keyed on pair+gram, never
+    corpus-crossing); the pivot is a second |pairs|-keyed aggregate."""
+    cw = words(F.col(cand_col))
+    rw = words(F.col(ref_col))
+    cand = pairs.select(
+        F.col(id_col),
+        F.explode(_ngram_arrays(cw, max_n)).alias("g"),
+    ).select(id_col, "g.n", "g.gram", F.lit(1).alias("_c"), F.lit(0).alias("_r"))
+    ref = pairs.select(
+        F.col(id_col),
+        F.explode(_ngram_arrays(rw, max_n)).alias("g"),
+    ).select(id_col, "g.n", "g.gram", F.lit(0).alias("_c"), F.lit(1).alias("_r"))
+    per_gram = (
+        cand.unionByName(ref)
+        .groupBy(id_col, "n", "gram")
+        .agg(F.sum("_c").alias("c"), F.sum("_r").alias("r"))
+    )
+    stats = per_gram.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("n") == n, F.least(F.col("c"), F.col("r"))).otherwise(0)
+            ).alias(f"clipped_{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("n") == n, F.col("c")).otherwise(0)).alias(
+                f"total_{n}"
+            )
+            for n in range(1, max_n + 1)
+        ],
+    )
+    lengths = pairs.select(
+        F.col(id_col),
+        F.size(cw).cast("long").alias("cand_len"),
+        F.size(rw).cast("long").alias("ref_len"),
+    )
+    # empty candidates produce no gram rows — restore them with zeros
+    return lengths.join(stats, id_col, "left").na.fill(
+        0, [f"clipped_{n}" for n in range(1, max_n + 1)]
+        + [f"total_{n}" for n in range(1, max_n + 1)]
+    )
+
+
+def bleu_scores(stats: DataFrame, max_n: int = 4) -> DataFrame:
+    """(clipped_n, total_n, cand_len, ref_len) → bp, p1..p4, bleu
+    (6dp — the standing cross-engine contract for log/exp math).
+    Unsmoothed: any zero precision (or empty candidate) → bleu 0."""
+    # try_divide: an empty candidate has total 0 → p_n NULL (and bleu 0
+    # via the all_pos guard), instead of an ANSI divide-by-zero error
+    ps = [
+        F.try_divide(F.col(f"clipped_{n}"), F.col(f"total_{n}")).alias(f"p{n}")
+        for n in range(1, max_n + 1)
+    ]
+    bp = F.when(F.col("cand_len") <= F.lit(0), F.lit(0.0)).otherwise(
+        F.exp(
+            F.least(
+                F.lit(0.0),
+                F.lit(1.0) - F.col("ref_len") / F.col("cand_len"),
+            )
+        )
+    )
+    with_p = stats.select("*", *ps, bp.alias("bp"))
+    all_pos = None
+    for n in range(1, max_n + 1):
+        cond = (F.col(f"total_{n}") > 0) & (F.col(f"clipped_{n}") > 0)
+        all_pos = cond if all_pos is None else (all_pos & cond)
+    geo = F.exp(
+        sum(
+            (F.log(F.col(f"p{n}")) / F.lit(float(max_n)))
+            for n in range(1, max_n + 1)
+        )
+    )
+    bleu = F.when(all_pos, F.round(F.col("bp") * geo, 6)).otherwise(F.lit(0.0))
+    return with_p.select(
+        *[c for c in stats.columns],
+        *[F.round(F.col(f"p{n}"), 6).alias(f"p{n}") for n in range(1, max_n + 1)],
+        F.round(F.col("bp"), 6).alias("bp"),
+        bleu.alias("bleu"),
+    )
+
+
+def sentence_bleu(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Per-pair unsmoothed BLEU-4 (+ brevity penalty and per-n modified
+    precisions) — the generation-eval metric over (candidate,
+    reference) text pairs."""
+    return bleu_scores(
+        bleu_pair_stats(pairs, cand_col, ref_col, id_col, max_n), max_n
+    )
+
+
+def corpus_bleu(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_n: int = 4,
+) -> DataFrame:
+    """Corpus-level BLEU (the paper's definition: clip/total sums and
+    length sums pooled over ALL pairs before the ratios) — 1 row:
+    cand_len, ref_len, clipped_n/total_n, p1..p4, bp, bleu."""
+    return bleu_scores(
+        pool_bleu_stats(bleu_pair_stats(pairs, cand_col, ref_col, id_col, max_n), max_n),
+        max_n,
+    )
+
+
+def pool_bleu_stats(per_pair: DataFrame, max_n: int = 4) -> DataFrame:
+    """Pool per-pair BLEU ingredients corpus-wide (the paper's
+    corpus-level definition: sums before ratios); 1 row."""
+    return per_pair.agg(
+        F.sum("cand_len").alias("cand_len"),
+        F.sum("ref_len").alias("ref_len"),
+        *[
+            F.sum(f"clipped_{n}").alias(f"clipped_{n}")
+            for n in range(1, max_n + 1)
+        ],
+        *[F.sum(f"total_{n}").alias(f"total_{n}") for n in range(1, max_n + 1)],
+    )

@@ -2623,6 +2623,45 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k"),
         F.col("doc_id").cast("double").alias("v"),
     )
+    # round 10: BLEU arm — the generation-eval metric
+    # (operators/text.py::bleu_pair_stats / bleu_scores), Papineni et
+    # al. 2002. Candidate = the doc lowercased with punctuation
+    # stripped vs reference = the original text: realistic
+    # non-identical pairs whose divergence is deterministic. ONE
+    # slot-persisted gram pass feeds BOTH the per-doc sentence-BLEU
+    # deci-bucket histogram (floor of the 6dp-rounded score — the lm
+    # arm's engine-stability contract) and the pooled corpus-level
+    # bp/p1..p4/bleu row.
+    from privacy_cdc_lakehouse_spark.operators.util import slot_persist
+
+    bpairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.lower(
+            F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+        ).alias("cand"),
+        F.col("text").alias("ref"),
+    )
+    bstats = slot_persist(tx.bleu_pair_stats(bpairs), "bleu_stats")
+    bleu_buckets = (
+        tx.bleu_scores(bstats)
+        .select(F.floor(F.col("bleu") * 10).cast("long").alias("b"))
+        .groupBy("b")
+        .count()
+        .select(
+            F.lit("bleu").alias("kind"),
+            F.concat(F.lit("bucket_"), F.col("b")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
+    bleu_corpus = (
+        tx.bleu_scores(tx.pool_bleu_stats(bstats))
+        .selectExpr(
+            "stack(6, 'corpus_bp', bp, 'corpus_p1', p1, 'corpus_p2', p2, "
+            "'corpus_p3', p3, 'corpus_p4', p4, 'corpus_bleu', bleu)"
+            " AS (k, v)"
+        )
+        .select(F.lit("bleu").alias("kind"), "k", "v")
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
@@ -2634,6 +2673,8 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(nbc_rows)
         .unionByName(dsir_buckets)
         .unionByName(dsir_top)
+        .unionByName(bleu_buckets)
+        .unionByName(bleu_corpus)
         .orderBy("kind", "k")
     )
 
@@ -2829,6 +2870,121 @@ SELECT 'dsir', k, v FROM (
         SELECT doc_id, row_number() OVER (ORDER BY lw DESC, doc_id) AS rn
         FROM dwgt
     ) WHERE rn <= 10
+)
+UNION ALL
+SELECT 'bleu', k, v FROM (
+    -- BLEU replay (Papineni et al. 2002, unsmoothed): candidate =
+    -- lowercased punctuation-stripped doc vs reference = original;
+    -- clipped modified precisions over chr(31)-joined 1..4-grams,
+    -- brevity penalty, geometric mean summed ln(p_n)/4 in n order
+    -- (matching the Spark expression term for term), 6dp
+    WITH blp AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')),
+                   '\\s+'), x -> x <> '') AS cw,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS rw
+        FROM documents
+    ),
+    blg AS (
+        SELECT doc_id, n, gram, sum(c) AS c, sum(r) AS r FROM (
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN len(cw) >= ns.n THEN
+                       list_transform(range(1, len(cw) - ns.n + 2),
+                           i -> array_to_string(
+                               list_slice(cw, i, i + ns.n - 1), chr(31)))
+                       ELSE [] END) AS gram,
+                   1 AS c, 0 AS r
+            FROM blp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) ns
+            UNION ALL
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN len(rw) >= ns.n THEN
+                       list_transform(range(1, len(rw) - ns.n + 2),
+                           i -> array_to_string(
+                               list_slice(rw, i, i + ns.n - 1), chr(31)))
+                       ELSE [] END),
+                   0, 1
+            FROM blp CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS n) ns
+        ) GROUP BY 1, 2, 3
+    ),
+    bls AS (
+        SELECT doc_id,
+               sum(CASE WHEN n = 1 THEN least(c, r) ELSE 0 END) AS clipped_1,
+               sum(CASE WHEN n = 2 THEN least(c, r) ELSE 0 END) AS clipped_2,
+               sum(CASE WHEN n = 3 THEN least(c, r) ELSE 0 END) AS clipped_3,
+               sum(CASE WHEN n = 4 THEN least(c, r) ELSE 0 END) AS clipped_4,
+               sum(CASE WHEN n = 1 THEN c ELSE 0 END) AS total_1,
+               sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS total_2,
+               sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS total_3,
+               sum(CASE WHEN n = 4 THEN c ELSE 0 END) AS total_4
+        FROM blg GROUP BY 1
+    ),
+    blx AS (
+        SELECT l.doc_id, len(l.cw) AS cand_len, len(l.rw) AS ref_len,
+               coalesce(s.clipped_1, 0) AS clipped_1,
+               coalesce(s.clipped_2, 0) AS clipped_2,
+               coalesce(s.clipped_3, 0) AS clipped_3,
+               coalesce(s.clipped_4, 0) AS clipped_4,
+               coalesce(s.total_1, 0) AS total_1,
+               coalesce(s.total_2, 0) AS total_2,
+               coalesce(s.total_3, 0) AS total_3,
+               coalesce(s.total_4, 0) AS total_4
+        FROM blp l LEFT JOIN bls s USING (doc_id)
+    ),
+    blb AS (
+        SELECT doc_id,
+               CASE WHEN clipped_1 > 0 AND total_1 > 0
+                     AND clipped_2 > 0 AND total_2 > 0
+                     AND clipped_3 > 0 AND total_3 > 0
+                     AND clipped_4 > 0 AND total_4 > 0
+               THEN round(
+                   (CASE WHEN cand_len <= 0 THEN 0.0
+                         ELSE exp(least(0.0,
+                             1.0 - CAST(ref_len AS DOUBLE) / cand_len)) END)
+                   * exp(ln(CAST(clipped_1 AS DOUBLE) / total_1) / 4.0
+                       + ln(CAST(clipped_2 AS DOUBLE) / total_2) / 4.0
+                       + ln(CAST(clipped_3 AS DOUBLE) / total_3) / 4.0
+                       + ln(CAST(clipped_4 AS DOUBLE) / total_4) / 4.0), 6)
+               ELSE 0.0 END AS bleu
+        FROM blx
+    ),
+    blc AS (
+        SELECT sum(cand_len) AS cand_len, sum(ref_len) AS ref_len,
+               sum(clipped_1) AS clipped_1, sum(clipped_2) AS clipped_2,
+               sum(clipped_3) AS clipped_3, sum(clipped_4) AS clipped_4,
+               sum(total_1) AS total_1, sum(total_2) AS total_2,
+               sum(total_3) AS total_3, sum(total_4) AS total_4
+        FROM blx
+    ),
+    blm AS (
+        SELECT CASE WHEN cand_len <= 0 THEN 0.0
+                    ELSE exp(least(0.0,
+                        1.0 - CAST(ref_len AS DOUBLE) / cand_len)) END AS bp_raw,
+               CAST(clipped_1 AS DOUBLE) / total_1 AS p1,
+               CAST(clipped_2 AS DOUBLE) / total_2 AS p2,
+               CAST(clipped_3 AS DOUBLE) / total_3 AS p3,
+               CAST(clipped_4 AS DOUBLE) / total_4 AS p4,
+               CASE WHEN clipped_1 > 0 AND clipped_2 > 0
+                     AND clipped_3 > 0 AND clipped_4 > 0
+               THEN 1 ELSE 0 END AS all_pos
+        FROM blc
+    )
+    SELECT 'bucket_' || CAST(CAST(floor(bleu * 10) AS BIGINT) AS VARCHAR) AS k,
+           CAST(count(*) AS DOUBLE) AS v
+    FROM blb GROUP BY 1
+    UNION ALL
+    SELECT 'corpus_' || m, v FROM (
+        SELECT unnest(ARRAY['bp', 'p1', 'p2', 'p3', 'p4', 'bleu']) AS m,
+               unnest(ARRAY[
+                   round(bp_raw, 6), round(p1, 6), round(p2, 6),
+                   round(p3, 6), round(p4, 6),
+                   CASE WHEN all_pos = 1 THEN round(bp_raw
+                       * exp(ln(p1) / 4.0 + ln(p2) / 4.0
+                           + ln(p3) / 4.0 + ln(p4) / 4.0), 6)
+                        ELSE 0.0 END]) AS v
+        FROM blm
+    )
 )
 ORDER BY kind, k
 """

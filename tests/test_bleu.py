@@ -1,0 +1,103 @@
+"""BLEU (sentence + corpus): clipping, brevity penalty, unsmoothed
+zero-precision handling, pooled-vs-per-pair math, plan shape."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import text as tx
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "pair_id long, cand string, ref string")
+
+
+def _py_bleu(cand: str, ref: str, max_n: int = 4):
+    cw, rw = cand.split(), ref.split()
+    clipped, total = {}, {}
+    for n in range(1, max_n + 1):
+        cg = Counter(tuple(cw[i : i + n]) for i in range(len(cw) - n + 1))
+        rg = Counter(tuple(rw[i : i + n]) for i in range(len(rw) - n + 1))
+        clipped[n] = sum(min(c, rg[g]) for g, c in cg.items())
+        total[n] = sum(cg.values())
+    if any(total[n] == 0 or clipped[n] == 0 for n in range(1, max_n + 1)):
+        return 0.0
+    bp = 0.0 if not cw else math.exp(min(0.0, 1.0 - len(rw) / len(cw)))
+    geo = math.exp(sum(math.log(clipped[n] / total[n]) / max_n for n in range(1, max_n + 1)))
+    return round(bp * geo, 6)
+
+
+def test_identical_pair_scores_one(spark):
+    out = tx.sentence_bleu(
+        _pairs(spark, [(1, "the quick brown fox jumps", "the quick brown fox jumps")])
+    ).first()
+    assert out["bleu"] == 1.0 and out["bp"] == 1.0
+    assert out["p1"] == 1.0 and out["p4"] == 1.0
+
+
+def test_clipping_caps_repeated_candidate_grams(spark):
+    # Papineni et al.'s canonical degenerate candidate: p1 must clip to
+    # 2/7, not 7/7
+    out = tx.bleu_pair_stats(
+        _pairs(spark, [(1, "the the the the the the the", "the cat is on the mat")])
+    ).first()
+    assert out["clipped_1"] == 2 and out["total_1"] == 7
+    assert out["clipped_2"] == 0  # 'the the' never appears in the ref
+
+
+def test_zero_precision_gives_zero_unsmoothed(spark):
+    got = tx.sentence_bleu(
+        _pairs(spark, [(1, "the the the the the the the", "the cat is on the mat")])
+    ).first()
+    assert got["bleu"] == 0.0
+
+
+def test_matches_python_replay_incl_brevity(spark):
+    cases = [
+        (1, "the quick brown fox jumps over the lazy dog", "a quick brown fox leaps over the lazy dog"),
+        (2, "it is a truth universally acknowledged", "it is a truth universally acknowledged that a single man"),
+        (3, "colorless green ideas sleep furiously", "ideas sleep furiously in colorless green rooms again"),
+        (4, "", "nonempty reference"),
+        (5, "short one", "short one"),
+    ]
+    got = {r["pair_id"]: r["bleu"] for r in tx.sentence_bleu(_pairs(spark, cases)).collect()}
+    for pid, cand, ref in cases:
+        assert got[pid] == _py_bleu(cand, ref), (pid, got[pid], _py_bleu(cand, ref))
+
+
+def test_brevity_penalty_fires_only_when_short(spark):
+    long_c = tx.sentence_bleu(
+        _pairs(spark, [(1, "a b c d e f g h", "a b c d e")])
+    ).first()
+    short_c = tx.sentence_bleu(
+        _pairs(spark, [(1, "a b c d e", "a b c d e f g h")])
+    ).first()
+    assert long_c["bp"] == 1.0  # candidate longer than reference: no BP
+    assert short_c["bp"] == round(math.exp(1 - 8 / 5), 6)
+
+
+def test_corpus_bleu_pools_before_ratios(spark):
+    rows = [
+        (1, "the quick brown fox", "the quick brown fox"),
+        (2, "a b c d", "x y z w"),
+    ]
+    out = tx.corpus_bleu(_pairs(spark, rows)).first()
+    # pooled p1 = (4 + 0) / (4 + 4), NOT mean(1.0, 0.0)
+    assert out["p1"] == 0.5
+    assert out["cand_len"] == 8 and out["ref_len"] == 8
+    # pair 2 contributes zero clipped everywhere but corpus BLEU is
+    # still positive because pair 1's grams carry the pooled ratios
+    assert out["bleu"] > 0.0
+
+
+def test_bleu_plan_no_self_join(spark):
+    plan = tx.sentence_bleu(
+        _pairs(spark, [(1, "a b", "a b")])
+    )._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # grams explode per row, never a self-join
