@@ -123,3 +123,116 @@ def generalize_numeric(col: Column, width: int) -> Column:
             F.lit(")"),
         ),
     )
+
+
+# ------------------------- differential privacy -------------------------
+
+
+def seeded_uniform(key: Column, salt: str) -> Column:
+    """Deterministic uniform in (0, 1] from ``md5(salt|key)`` — the
+    repo's standing no-RNG-state randomness contract
+    (``curation.weighted_sample``): 13 hex nibbles → (int + 1) / 2^52,
+    reproducible across runs, engines and partitionings."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key))
+    return (
+        F.conv(F.substring(h, 1, 13), 16, 10).cast("double") + 1.0
+    ) / 2.0**52
+
+
+def laplace_noise(key: Column, scale: float, salt: str = "dp") -> Column:
+    """Laplace(0, ``scale``) noise via the inverse CDF over the seeded
+    uniform: ``-scale * sgn(u - 1/2) * ln(1 - 2|u - 1/2|)``, rounded to
+    6dp (cross-engine ``ln`` may drift a ulp; the value-over-rounded
+    contract keeps releases engine-identical). The ``u = 1`` edge
+    (probability 2^-52) clamps the log argument at 2^-53 instead of
+    producing ±inf."""
+    if scale <= 0:
+        raise ValueError(f"scale must be positive, got {scale}")
+    u = seeded_uniform(key, salt)
+    mag = F.greatest(F.lit(2.0**-53), 1.0 - 2.0 * F.abs(u - 0.5))
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    return F.round(F.lit(-float(scale)) * sign * F.log(mag), 6)
+
+
+def _group_key(group_cols: list[str]) -> Column:
+    # NULL group values coalesce to a sentinel so the per-class noise
+    # seed stays total (concat_ws silently DROPS nulls, which would
+    # alias different classes onto one seed)
+    return F.concat_ws(
+        "\x1f",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in group_cols],
+    )
+
+
+def dp_count(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float,
+    salt: str = "dp-count",
+) -> DataFrame:
+    """ε-differentially-private noisy counts per group (Dwork et al.
+    2006): exact count + Laplace(1/ε) — sensitivity 1 under
+    add/remove-one-row. Output: (group cols, n, dp_n).
+
+    Determinism vs privacy: the noise is SEEDED from the class key so
+    the release is testable/engine-replayable; a production release
+    must use a secret per-release salt (a predictable seed lets an
+    adversary subtract the noise — the ε accounting holds only while
+    the salt is secret and used once).
+
+    Scale: one map-side-combinable groupBy (|classes| rows out) + a
+    pure projection. No joins, no windows."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *group_cols,
+            "n",
+            (
+                F.col("n") + laplace_noise(_group_key(group_cols), 1.0 / epsilon, salt)
+            ).alias("dp_n"),
+        )
+    )
+
+
+def dp_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    epsilon: float,
+    salt: str = "dp-sum",
+) -> DataFrame:
+    """ε-DP noisy sums per group with per-row clipping to [``lo``,
+    ``hi``] — the clip bounds the per-row sensitivity at
+    ``max(|lo|, |hi|)``, so noise is Laplace(sensitivity/ε). Output:
+    (group cols, clipped_sum, dp_sum). Same seeded-noise determinism
+    contract (and caveat) as :func:`dp_count`. Feed integer-valued
+    doubles (e.g. cents) when the release must be bit-exact across
+    engines: integer sums are order-independent, float sums are not."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    sens = max(abs(lo), abs(hi))
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(float(lo))),
+        F.lit(float(hi)),
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.sum(clipped).alias("clipped_sum"))
+        .select(
+            *group_cols,
+            "clipped_sum",
+            (
+                F.col("clipped_sum")
+                + laplace_noise(_group_key(group_cols), sens / epsilon, salt)
+            ).alias("dp_sum"),
+        )
+    )

@@ -921,7 +921,15 @@ def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     - `kaud`: per-class audit (n, is_suppressed) at k=12 over the
       (nation, segment) classes;
     - `ldiv`: distinct l-diversity audit — per segment, how many
-      distinct nations (the homogeneity-attack check) at l=10."""
+      distinct nations (the homogeneity-attack check) at l=10;
+    - `dp` (round 10 cont.): ε-differential-privacy noisy release —
+      `dp_count` per segment at ε=0.5 and `dp_sum` of the clipped
+      balance in CENTS (clip [0, 1e6]¢ → $10k sensitivity) at ε=0.5.
+      Cents make the clipped sum an order-independent exact integer;
+      the released noisy values ride as micro-scaled BIGINT strings
+      (float→string formatting is engine-divergent, micro ints are
+      not), so every release value is hash-checked against the
+      oracle's seeded-Laplace replay."""
     pin_utc(spark)
     from privacy_cdc_lakehouse_spark.cdc.silver import silver_from_bronze
     from privacy_cdc_lakehouse_spark.functions.scalars import DEFAULT_TEST_SALT
@@ -992,10 +1000,36 @@ def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("is_l_diverse").cast("int").cast("string"),
         ).alias("v"),
     )
+    def _micro(c):
+        return F.round(c * 1_000_000).cast("long").cast("string")
+
+    dpc = pv.dp_count(cust, ["c_mktsegment"], epsilon=0.5).select(
+        F.lit("dp").alias("kind"),
+        F.concat(F.lit("count:"), F.col("c_mktsegment")).alias("k"),
+        F.concat_ws(
+            ":", F.col("n").cast("string"), _micro(F.col("dp_n"))
+        ).alias("v"),
+    )
+    cents = cust.withColumn(
+        "bal_cents", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    dps = pv.dp_sum(
+        cents, ["c_mktsegment"], "bal_cents", 0.0, 1_000_000.0, epsilon=0.5
+    ).select(
+        F.lit("dp").alias("kind"),
+        F.concat(F.lit("sum:"), F.col("c_mktsegment")).alias("k"),
+        F.concat_ws(
+            ":",
+            F.col("clipped_sum").cast("long").cast("string"),
+            _micro(F.col("dp_sum")),
+        ).alias("v"),
+    )
     return (
         view.unionByName(kanon)
         .unionByName(kaud)
         .unionByName(ldiv)
+        .unionByName(dpc)
+        .unionByName(dps)
         .orderBy("kind", "k")
     )
 
@@ -2458,14 +2492,56 @@ SELECT 'ldiv', c_mktsegment,
        CAST(count(DISTINCT c_nationkey) AS VARCHAR) || ':' ||
        CAST(CAST(count(DISTINCT c_nationkey) >= 10 AS INT) AS VARCHAR)
 FROM customer GROUP BY c_mktsegment
-ORDER BY kind, k
 """
 
 
 def _priv_view_oracle() -> str:
     from privacy_cdc_lakehouse_spark.queries.cdc import _LATEST_CTE
+    from privacy_cdc_lakehouse_spark.queries.llmops import _duck_hexn
 
-    return _LATEST_CTE + _PRIV_VIEW_SQL_TEMPLATE
+    # seeded-Laplace replay: u = (md5-hex[1:13] int + 1) / 2^52 over
+    # md5(salt|segment); noise = -scale * sgn(u-1/2) * ln(1-2|u-1/2|)
+    # 6dp (ln-arg clamped at 2^-53); scale = sensitivity/ε = 2 for the
+    # count (ε=0.5) and 2e6 cents for the clipped sum (ε=0.5, $10k clip)
+    def noise(scale: str) -> str:
+        return f"""round(-{scale} * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+                 * ln(greatest(1.1102230246251565e-16,
+                               1.0 - 2.0 * abs(u - 0.5))), 6)"""
+
+    dp_sql = f"""
+UNION ALL
+SELECT 'dp', 'count:' || c_mktsegment,
+       CAST(n AS VARCHAR) || ':' ||
+       CAST(CAST(round((n + {noise('2.0')}) * 1000000) AS BIGINT) AS VARCHAR)
+FROM (
+    SELECT c_mktsegment, n,
+           (CAST({_duck_hexn(1, 13)} AS BIGINT) + 1) / 4503599627370496.0 AS u
+    FROM (
+        SELECT c_mktsegment, count(*) AS n,
+               md5('dp-count' || '|' || c_mktsegment) AS h
+        FROM customer GROUP BY 1
+    )
+)
+UNION ALL
+SELECT 'dp', 'sum:' || c_mktsegment,
+       CAST(CAST(cs AS BIGINT) AS VARCHAR) || ':' ||
+       CAST(CAST(round((cs + {noise('2000000.0')}) * 1000000) AS BIGINT)
+            AS VARCHAR)
+FROM (
+    SELECT c_mktsegment, cs,
+           (CAST({_duck_hexn(1, 13)} AS BIGINT) + 1) / 4503599627370496.0 AS u
+    FROM (
+        SELECT c_mktsegment,
+               sum(least(greatest(CAST(round(c_acctbal * 100) AS DOUBLE),
+                                  0.0), 1000000.0)) AS cs,
+               md5('dp-sum' || '|' || c_mktsegment) AS h
+        FROM customer GROUP BY 1
+    )
+)
+"""
+    return (
+        _LATEST_CTE + _PRIV_VIEW_SQL_TEMPLATE + dp_sql + "\nORDER BY kind, k"
+    )
 
 
 ORACLES = {

@@ -109,3 +109,77 @@ def test_k_anonymize_plan_no_corpus_window(spark):
     out.collect()
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------- differential privacy -------------------------
+
+
+def _py_laplace(key: str, scale: float, salt: str) -> float:
+    import hashlib
+    import math
+
+    h = hashlib.md5(f"{salt}|{key}".encode()).hexdigest()
+    u = (int(h[:13], 16) + 1) / 2.0**52
+    mag = max(2.0**-53, 1.0 - 2.0 * abs(u - 0.5))
+    sign = 1.0 if u >= 0.5 else -1.0
+    return round(-scale * sign * math.log(mag), 6)
+
+
+def test_laplace_noise_matches_python_replay(spark):
+    from pyspark.sql import functions as F
+
+    keys = [("a",), ("b",), ("longer-key-17",), ("0",)]
+    df = spark.createDataFrame(keys, "k string")
+    got = {
+        r["k"]: r["noise"]
+        for r in df.select(
+            "k", pv.laplace_noise(F.col("k"), 2.5, salt="t").alias("noise")
+        ).collect()
+    }
+    for (k,) in keys:
+        assert got[k] == _py_laplace(k, 2.5, "t")
+
+
+def test_dp_count_adds_seeded_noise(spark):
+    rows = [("a",)] * 7 + [("b",)] * 3
+    df = spark.createDataFrame(rows, "g string")
+    got = {r["g"]: r for r in pv.dp_count(df, ["g"], epsilon=0.5).collect()}
+    assert got["a"]["n"] == 7 and got["b"]["n"] == 3
+    assert got["a"]["dp_n"] == 7 + _py_laplace("a", 2.0, "dp-count")
+    assert got["b"]["dp_n"] == 3 + _py_laplace("b", 2.0, "dp-count")
+    # deterministic: a second run releases the identical values
+    again = {r["g"]: r["dp_n"] for r in pv.dp_count(df, ["g"], epsilon=0.5).collect()}
+    assert again == {g: r["dp_n"] for g, r in got.items()}
+
+
+def test_dp_sum_clips_before_summing(spark):
+    rows = [("a", 5.0), ("a", 500.0), ("a", -50.0)]  # clip to [0, 100]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = pv.dp_sum(df, ["g"], "v", lo=0.0, hi=100.0, epsilon=1.0).first()
+    assert got["clipped_sum"] == 105.0  # 5 + 100 + 0
+    assert got["dp_sum"] == 105.0 + _py_laplace("a", 100.0, "dp-sum")
+
+
+def test_dp_validation_errors(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        pv.dp_count(df, ["g"], epsilon=0.0)
+    with pytest.raises(ValueError):
+        pv.dp_count(df, [], epsilon=1.0)
+    with pytest.raises(ValueError):
+        pv.dp_sum(df, ["g"], "v", lo=5.0, hi=5.0, epsilon=1.0)
+
+
+def test_dp_null_group_gets_sentinel_seed(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(None, 1), ("x", 1)], "g string, v int"
+    )
+    got = {
+        r["g"]: r["dp_n"] for r in pv.dp_count(df, ["g"], epsilon=1.0).collect()
+    }
+    assert got[None] == 1 + _py_laplace("\x00", 1.0, "dp-count")
+    assert got["x"] == 1 + _py_laplace("x", 1.0, "dp-count")
