@@ -132,6 +132,24 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # legitimate shape if AQE prices it so — so no join flavor is
     # asserted, only that nothing goes all-pairs or row-Python.
     "text_chunk_stats": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-10 (cont. 2): SCD2 — the feed row now carries the
+    # incremental history apply (seed from half the log, scd2_apply the
+    # rest): the lead+row_number windows share one key exchange and the
+    # closing/version-base joins are batch-key-sized equi-joins; at 10x
+    # the batch side is corpus-scale, so join flavor is AQE's call —
+    # assert the window shape and forbid all-pairs.
+    "cdc_changes_feed": ["Window", "Scan parquet", "!CartesianProduct"],
+    # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
+    # are map-side-combinable groupBys whose shuffles carry <= |bins|
+    # rows; the only non-equi joins are broadcast 1-row scalars
+    # (mid-split + reference bounds), which must STAY broadcast at any
+    # scale because they are literally one row.
+    "events_rollups": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
+    # round-10 (cont. 4): privacy release — k-anonymity's class join is
+    # |classes|-sized (AQE broadcasts; degrade-not-die un-hinted), the
+    # dp arms are pure groupBy+projection; nothing may window over the
+    # corpus or go all-pairs.
+    "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
 }
 
 
