@@ -1,0 +1,177 @@
+"""Record linkage / entity resolution between two structured datasets.
+
+The structured-record counterpart of the text near-dup surface
+(``operators/dedup.py``): match records of dataset A (clean/master)
+against dataset B (dirty/incoming) when no shared key exists — the
+classic customer/supplier MDM problem, and for training-data work the
+step that links scraped metadata records to canonical entities. The
+standard three-stage recipe (Fellegi & Sunter 1969 framing; Christen
+2012 survey):
+
+1. **Blocking** (:func:`blocked_candidates`): only records sharing a
+   blocking key are compared — the union of one equi-join per blocking
+   key set, so cost is Σ per-block |A_b|·|B_b| instead of |A|·|B|.
+   Multiple passes (cheap, different keys) recover matches a single
+   perturbed key would miss.
+2. **Field scoring** (:func:`score_candidates`): per-field similarity
+   (exact / edit / scaled-numeric), combined as a weight-normalized
+   score in [0, 1]. A Fellegi-Sunter log-odds weighting plugs in as
+   the weight vector.
+3. **Resolution** (:func:`resolve_best_matches`): best match per
+   incoming record (rank over the 6dp-rounded score with id tie-break
+   — the repo's rank-over-rounded determinism contract).
+
+Scale shape (100 TB): blocking is a plain un-hinted equi-join per key
+set (AQE broadcasts a small master side, degrades to shuffle
+otherwise); candidate pairs join features back by id (candidate-sized,
+never corpus×corpus); similarity expressions are pure codegen'd
+built-ins; resolution's window partitions by the incoming-record id —
+per-record candidate lists, no global window. Hot blocks are the skew
+risk exactly as in ``dedup.bucket_pairs`` — pick blocking keys whose
+per-key cardinality is bounded, or pre-split hot keys.
+
+Cross-engine note: edit similarity uses ``levenshtein``, which counts
+CODEPOINTS in Spark and BYTES in DuckDB — identical on ASCII fields
+(the ``edit_similarity_pairs`` precedent); non-ASCII fields need the
+same printable-ASCII projection when oracle-checked.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Feature:
+    """One field comparison: ``kind`` in {'exact', 'edit', 'numeric'};
+    ``scale`` is the numeric kind's full-credit-to-zero distance."""
+
+    name: str
+    left_col: str
+    right_col: str
+    kind: str
+    weight: float
+    scale: float = 1.0
+
+
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    block_keys: list[tuple[str, str]] | list[list[tuple[str, str]]],
+    left_id: str,
+    right_id: str,
+) -> DataFrame:
+    """Candidate id pairs sharing a blocking key: distinct
+    (``left_id``, ``right_id``) over the union of one equi-join per
+    blocking pass. ``block_keys`` is a list of (left_col, right_col)
+    pairs for a single pass, or a list of such lists for multi-pass
+    blocking. NULL block values never match (SQL join semantics —
+    a NULL key means 'unblockable', not 'matches everything')."""
+    passes = (
+        block_keys
+        if block_keys and isinstance(block_keys[0], list)
+        else [block_keys]
+    )
+    out = None
+    for keys in passes:
+        if not keys:
+            raise ValueError("each blocking pass needs at least one key pair")
+        l = left.select(
+            F.col(left_id).alias("id_l"),
+            *[F.col(lc).alias(f"_bk{i}") for i, (lc, _) in enumerate(keys)],
+        )
+        r = right.select(
+            F.col(right_id).alias("id_r"),
+            *[F.col(rc).alias(f"_bk{i}") for i, (_, rc) in enumerate(keys)],
+        )
+        cand = l.join(r, [f"_bk{i}" for i in range(len(keys))]).select(
+            "id_l", "id_r"
+        )
+        out = cand if out is None else out.unionByName(cand)
+    return out.distinct()
+
+
+def _feature_sim(f: Feature) -> F.Column:
+    a, b = F.col(f"_l_{f.name}"), F.col(f"_r_{f.name}")
+    if f.kind == "exact":
+        return a.eqNullSafe(b).cast("double")
+    if f.kind == "edit":
+        return F.lit(1.0) - F.levenshtein(a, b) / F.greatest(
+            F.length(a), F.length(b), F.lit(1)
+        )
+    if f.kind == "numeric":
+        return F.greatest(
+            F.lit(0.0),
+            F.lit(1.0)
+            - F.abs(a.cast("double") - b.cast("double")) / F.lit(float(f.scale)),
+        )
+    raise ValueError(f"unknown feature kind: {f.kind!r}")
+
+
+def score_candidates(
+    candidates: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    features: list[Feature],
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Score candidate pairs: per-feature similarities, the
+    weight-normalized combined ``score`` (6dp), ``is_match`` at
+    ``threshold``. Output: (id_l, id_r, sim_<name>..., score,
+    is_match). Two candidate-sized equi-joins fetch only the compared
+    fields; everything downstream is a pure projection."""
+    if not features:
+        raise ValueError("features must be non-empty")
+    total_w = sum(f.weight for f in features)
+    if total_w <= 0:
+        raise ValueError("feature weights must sum to a positive value")
+    lf = left.select(
+        F.col(left_id).alias("id_l"),
+        *[F.col(f.left_col).alias(f"_l_{f.name}") for f in features],
+    )
+    rf = right.select(
+        F.col(right_id).alias("id_r"),
+        *[F.col(f.right_col).alias(f"_r_{f.name}") for f in features],
+    )
+    joined = candidates.join(lf, "id_l").join(rf, "id_r")
+    sims = [ _feature_sim(f).alias(f"sim_{f.name}") for f in features ]
+    with_sims = joined.select("id_l", "id_r", *sims)
+    score = F.round(
+        sum(
+            (F.col(f"sim_{f.name}") * F.lit(f.weight) for f in features),
+            start=F.lit(0.0),
+        )
+        / F.lit(float(total_w)),
+        6,
+    )
+    return with_sims.select(
+        "*",
+        score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("is_match"),
+    )
+
+
+def resolve_best_matches(
+    scored: DataFrame,
+    right_id: str = "id_r",
+    left_id: str = "id_l",
+    score_col: str = "score",
+) -> DataFrame:
+    """One winning candidate per incoming (right) record: rank by the
+    6dp-rounded score descending with the left id as total tie-break
+    (rank-over-rounded — engine-independent), keep rank 1. The window
+    partitions by the incoming id: per-record candidate lists only,
+    never a global window."""
+    w = Window.partitionBy(right_id).orderBy(
+        F.col(score_col).desc(), F.col(left_id).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )

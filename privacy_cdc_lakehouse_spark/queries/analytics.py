@@ -1401,8 +1401,60 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q21_suppliers_kept_waiting(spark, sf_dir), "q21",
         F.col("s_name"), None, None, None, F.col("numwait"),
     )
+    # round 10 (cont.): record-linkage arm (operators/linkage.py) — the
+    # structured-record ER recipe: master = customer; dirty = customer
+    # re-keyed +10M with deterministic perturbations (every 3rd name's
+    # last char X'd → edit distance 1, every 3rd+1 uppercased, every
+    # 2nd balance +5); blocking on (nation, segment); edit/numeric/exact
+    # field scoring (weights .6/.3/.1, threshold .9); best match per
+    # dirty record. Every resolved pair's winner, 6dp score, truth key
+    # and match flag are hash-checked against the oracle's full replay.
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    master = cust.select(
+        ck.alias("lid"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    dirty = cust.select(
+        (ck + 10_000_000).alias("rid"),
+        F.when(ck % 3 == 0, F.regexp_replace("c_name", r".$", "X"))
+        .when(ck % 3 == 1, F.upper(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("seg"),
+        (
+            F.col("c_acctbal").cast("double")
+            + F.when(ck % 2 == 0, F.lit(5.0)).otherwise(F.lit(0.0))
+        ).alias("bal"),
+    )
+    cands = lk.blocked_candidates(
+        master, dirty, [("nationkey", "nationkey"), ("seg", "seg")], "lid", "rid"
+    )
+    feats = [
+        lk.Feature("name", "name", "name", "edit", 0.6),
+        lk.Feature("bal", "bal", "bal", "numeric", 0.3, scale=1000.0),
+        lk.Feature("seg", "seg", "seg", "exact", 0.1),
+    ]
+    scored = lk.score_candidates(
+        cands, master, dirty, feats, "lid", "rid", threshold=0.9
+    )
+    link = lk.resolve_best_matches(scored).select(
+        F.lit("link").alias("query"),
+        F.col("id_l").cast("string").alias("d1"),
+        F.col("id_r").cast("string").alias("d2"),
+        (F.col("id_r") - 10_000_000).cast("long").alias("k"),
+        F.col("score").alias("measure"),
+        F.col("is_match").cast("long").alias("n"),
+    )
+
     out = q7
-    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21):
+    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link):
         out = out.unionByName(arm)
     return out.orderBy(
         "query",
@@ -1573,6 +1625,42 @@ UNION ALL
 SELECT 'q20', s_name, NULL, NULL, NULL, NULL FROM q20
 UNION ALL
 SELECT 'q21', s_name, NULL, NULL, NULL, numwait FROM q21
+UNION ALL
+-- record-linkage replay: blocked (nation, segment) candidates over the
+-- deterministically perturbed dirty copy, edit/numeric/exact weighted
+-- score (6dp, term order matching the Spark fold), best match per
+-- dirty record by (score DESC, master id)
+SELECT 'link', CAST(id_l AS VARCHAR), CAST(id_r AS VARCHAR),
+       CAST(id_r - 10000000 AS BIGINT), score,
+       CAST(CAST(score >= 0.9 AS INT) AS BIGINT)
+FROM (
+    SELECT id_l, id_r, score,
+           row_number() OVER (
+               PARTITION BY id_r ORDER BY score DESC, id_l) AS rn
+    FROM (
+        SELECT m.c_custkey AS id_l, d.rid AS id_r,
+               round(0.0
+                   + (1.0 - CAST(levenshtein(m.c_name, d.name) AS DOUBLE)
+                          / greatest(length(m.c_name), length(d.name), 1))
+                     * 0.6
+                   + greatest(0.0, 1.0 - abs(CAST(m.c_acctbal AS DOUBLE)
+                                             - d.bal) / 1000.0) * 0.3
+                   + (CASE WHEN m.c_mktsegment = d.seg
+                           THEN 1.0 ELSE 0.0 END) * 0.1, 6) AS score
+        FROM customer m
+        JOIN (
+            SELECT c_custkey + 10000000 AS rid,
+                   CASE WHEN c_custkey % 3 = 0
+                        THEN regexp_replace(c_name, '.$', 'X')
+                        WHEN c_custkey % 3 = 1 THEN upper(c_name)
+                        ELSE c_name END AS name,
+                   c_nationkey, c_mktsegment AS seg,
+                   CAST(c_acctbal AS DOUBLE)
+                     + CASE WHEN c_custkey % 2 = 0 THEN 5.0 ELSE 0.0 END AS bal
+            FROM customer
+        ) d ON m.c_nationkey = d.c_nationkey AND m.c_mktsegment = d.seg
+    )
+) WHERE rn = 1
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

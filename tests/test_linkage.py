@@ -1,0 +1,115 @@
+"""Record linkage: blocking passes, field scoring, best-match
+resolution, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alice smith", "A", 100.0),
+            (2, "bob jones", "A", 50.0),
+            (3, "carol doe", "B", 70.0),
+        ],
+        "lid long, name string, seg string, bal double",
+    )
+
+
+def _right(spark):
+    return spark.createDataFrame(
+        [
+            (10, "alice smitX", "A", 102.0),  # near-dup of 1
+            (11, "bob jones", "A", 50.0),  # exact dup of 2
+            (12, "zelda none", "B", 999.0),  # matches nobody well
+            (13, "carol doe", None, 70.0),  # NULL block key
+        ],
+        "rid long, name string, seg string, bal double",
+    )
+
+
+_FEATURES = [
+    lk.Feature("name", "name", "name", "edit", 0.6),
+    lk.Feature("seg", "seg", "seg", "exact", 0.1),
+    lk.Feature("bal", "bal", "bal", "numeric", 0.3, scale=100.0),
+]
+
+
+def test_blocking_single_pass_and_null_keys(spark):
+    cands = lk.blocked_candidates(
+        _left(spark), _right(spark), [("seg", "seg")], "lid", "rid"
+    )
+    got = {(r["id_l"], r["id_r"]) for r in cands.collect()}
+    # within-segment cross products; the NULL-seg record blocks nowhere
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11), (3, 12)}
+
+
+def test_blocking_multi_pass_unions_and_dedups(spark):
+    cands = lk.blocked_candidates(
+        _left(spark),
+        _right(spark),
+        [[("seg", "seg")], [("name", "name")]],
+        "lid",
+        "rid",
+    )
+    got = {(r["id_l"], r["id_r"]) for r in cands.collect()}
+    # the name pass recovers the NULL-seg exact-name match (3, 13) and
+    # re-finds (2, 11) without duplicating it
+    assert got == {(1, 10), (1, 11), (2, 10), (2, 11), (3, 12), (3, 13)}
+
+
+def test_scoring_feature_math(spark):
+    cands = lk.blocked_candidates(
+        _left(spark), _right(spark), [("seg", "seg")], "lid", "rid"
+    )
+    scored = lk.score_candidates(
+        cands, _left(spark), _right(spark), _FEATURES, "lid", "rid",
+        threshold=0.9,
+    )
+    got = {(r["id_l"], r["id_r"]): r for r in scored.collect()}
+    exact = got[(2, 11)]
+    assert exact["sim_name"] == 1.0 and exact["sim_seg"] == 1.0
+    assert exact["score"] == 1.0 and exact["is_match"]
+    near = got[(1, 10)]
+    # 'alice smith' vs 'alice smitX': lev 1 over max-len 11
+    assert abs(near["sim_name"] - (1 - 1 / 11)) < 1e-9
+    assert near["sim_bal"] == 1.0 - 2.0 / 100.0
+    expected = round((0.6 * (1 - 1 / 11) + 0.1 * 1.0 + 0.3 * 0.98), 6)
+    assert near["score"] == expected and near["is_match"]
+    assert not got[(3, 12)]["is_match"]  # zelda matches nobody
+
+
+def test_resolution_keeps_best_per_right_record(spark):
+    cands = lk.blocked_candidates(
+        _left(spark), _right(spark), [("seg", "seg")], "lid", "rid"
+    )
+    scored = lk.score_candidates(
+        cands, _left(spark), _right(spark), _FEATURES, "lid", "rid"
+    )
+    best = {r["id_r"]: r["id_l"] for r in lk.resolve_best_matches(scored).collect()}
+    assert best == {10: 1, 11: 2, 12: 3}
+
+
+def test_resolution_tie_breaks_on_left_id(spark):
+    scored = spark.createDataFrame(
+        [(5, 100, 0.9), (3, 100, 0.9)], "id_l long, id_r long, score double"
+    )
+    got = lk.resolve_best_matches(scored).collect()
+    assert len(got) == 1 and got[0]["id_l"] == 3
+
+
+def test_linkage_plan_no_cartesian(spark):
+    cands = lk.blocked_candidates(
+        _left(spark), _right(spark), [("seg", "seg")], "lid", "rid"
+    )
+    scored = lk.score_candidates(
+        cands, _left(spark), _right(spark), _FEATURES, "lid", "rid"
+    )
+    plan = lk.resolve_best_matches(scored)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # per-right-record resolution
