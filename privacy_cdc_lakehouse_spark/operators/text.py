@@ -1098,3 +1098,69 @@ def pool_bleu_stats(per_pair: DataFrame, max_n: int = 4) -> DataFrame:
         ],
         *[F.sum(f"total_{n}").alias(f"total_{n}") for n in range(1, max_n + 1)],
     )
+
+
+def rouge_l(
+    pairs: DataFrame,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+    max_tokens: int = 200,
+) -> DataFrame:
+    """ROUGE-L (Lin 2004): LCS-based precision/recall/F over whitespace
+    tokens — the subsequence half of generation eval next to
+    :func:`corpus_bleu`'s n-gram half. The LCS length is an inherently
+    sequential O(|a|·|b|) dynamic program no relational composition
+    expresses, so this is a deliberately SANCTIONED Arrow-batched
+    ``pandas_udf`` (the ``normalize_text`` precedent): eval-set sized
+    inputs, never a corpus hot path — and both sides are truncated to
+    ``max_tokens`` (the standard eval truncation), which bounds the
+    per-pair DP at max_tokens². Output: (id, cand_tokens, ref_tokens,
+    lcs, rouge_p, rouge_r, rouge_f), ratios 6dp, empty sides scoring
+    0 via the all-null→0 F fallback."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    rouge_l.__globals__.setdefault("pd", pd)
+
+    @pandas_udf("int")
+    def _lcs(c: pd.Series, r: pd.Series) -> pd.Series:
+        def lcs_len(a, b) -> int:
+            a = list(a) if a is not None else []
+            b = list(b) if b is not None else []
+            if not a or not b:
+                return 0
+            prev = [0] * (len(b) + 1)
+            for x in a:
+                cur = [0] * (len(b) + 1)
+                for j, y in enumerate(b, 1):
+                    cur[j] = (
+                        prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+                    )
+                prev = cur
+            return prev[-1]
+
+        return pd.Series([lcs_len(a, b) for a, b in zip(c, r)])
+
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    base = pairs.select(
+        F.col(id_col),
+        F.slice(words(F.col(cand_col)), 1, max_tokens).alias("_cw"),
+        F.slice(words(F.col(ref_col)), 1, max_tokens).alias("_rw"),
+    )
+    counted = base.select(
+        id_col,
+        F.size("_cw").cast("long").alias("cand_tokens"),
+        F.size("_rw").cast("long").alias("ref_tokens"),
+        _lcs("_cw", "_rw").cast("long").alias("lcs"),
+    )
+    p = F.try_divide(F.col("lcs"), F.col("cand_tokens"))
+    r = F.try_divide(F.col("lcs"), F.col("ref_tokens"))
+    f = F.try_divide(2 * p * r, p + r)
+    return counted.select(
+        "*",
+        F.round(p, 6).alias("rouge_p"),
+        F.round(r, 6).alias("rouge_r"),
+        F.coalesce(F.round(f, 6), F.lit(0.0)).alias("rouge_f"),
+    )

@@ -2662,6 +2662,27 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("bleu").alias("kind"), "k", "v")
     )
+    # round 10 (cont.): ROUGE-L arm — the LCS (subsequence) half of
+    # generation eval. The LCS DP has no relational form (sanctioned
+    # Arrow path, normalize_text's standing), so the driver contract
+    # uses DELETION-ONLY planted candidates: drop every 3rd token of
+    # the first-90-token reference — the candidate is then a
+    # subsequence, making the TRUE LCS exactly the candidate length, so
+    # the oracle derives every pair's F-score from lengths alone. A DP
+    # that miscounts even one known-LCS pair breaks the hash;
+    # general-case LCS values are pytest-pinned.
+    ref90 = F.slice(tx.words(F.col("text")), 1, 90)
+    cand_arr = F.filter(ref90, lambda x, i: (i + 1) % 3 != 0)
+    rpairs = docs.select(
+        F.col("doc_id").alias("pair_id"),
+        F.array_join(cand_arr, " ").alias("cand"),
+        F.array_join(ref90, " ").alias("ref"),
+    )
+    rouge_rows = tx.rouge_l(rpairs).select(
+        F.lit("rouge").alias("kind"),
+        F.col("pair_id").cast("string").alias("k"),
+        F.col("rouge_f").alias("v"),
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
@@ -2675,6 +2696,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(dsir_top)
         .unionByName(bleu_buckets)
         .unionByName(bleu_corpus)
+        .unionByName(rouge_rows)
         .orderBy("kind", "k")
     )
 
@@ -2984,6 +3006,25 @@ SELECT 'bleu', k, v FROM (
                            + ln(p3) / 4.0 + ln(p4) / 4.0), 6)
                         ELSE 0.0 END]) AS v
         FROM blm
+    )
+)
+UNION ALL
+SELECT 'rouge', CAST(doc_id AS VARCHAR), v FROM (
+    -- ROUGE-L on deletion-only plants: candidate = first-90-token ref
+    -- with every 3rd token dropped, a SUBSEQUENCE, so the true LCS is
+    -- the candidate length: p = kept/kept, r = kept/n, f = 2pr/(p+r)
+    SELECT doc_id,
+           CASE WHEN kept = 0 THEN 0.0
+                ELSE round(2.0 * (CAST(kept AS DOUBLE) / kept)
+                               * (CAST(kept AS DOUBLE) / n)
+                           / ((CAST(kept AS DOUBLE) / kept)
+                              + (CAST(kept AS DOUBLE) / n)), 6)
+           END AS v
+    FROM (
+        SELECT doc_id, n, n - n // 3 AS kept FROM (
+            SELECT doc_id, least(90, len({_DUCK_WORDS})) AS n
+            FROM documents
+        )
     )
 )
 ORDER BY kind, k

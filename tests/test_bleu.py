@@ -101,3 +101,54 @@ def test_bleu_plan_no_self_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # grams explode per row, never a self-join
+
+
+# ------------------------------ ROUGE-L ---------------------------------
+
+
+def _py_lcs(a, b):
+    import itertools
+
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def test_rouge_l_hand_cases(spark):
+    cases = [
+        (1, "the cat sat", "the cat sat"),  # identical
+        (2, "the cat sat on the mat", "the dog sat on a mat"),
+        (3, "", "nonempty ref"),  # empty candidate
+        (4, "xyz", "abc def"),  # zero overlap
+    ]
+    got = {r["pair_id"]: r for r in tx.rouge_l(_pairs(spark, cases)).collect()}
+    assert got[1]["rouge_f"] == 1.0 and got[1]["lcs"] == 3
+    c, r = "the cat sat on the mat".split(), "the dog sat on a mat".split()
+    lcs = _py_lcs(c, r)
+    assert got[2]["lcs"] == lcs
+    p, rr = lcs / len(c), lcs / len(r)
+    assert got[2]["rouge_f"] == round(2 * p * rr / (p + rr), 6)
+    assert got[3]["rouge_f"] == 0.0 and got[3]["lcs"] == 0
+    assert got[4]["rouge_f"] == 0.0
+
+
+def test_rouge_l_deletion_only_is_subsequence(spark):
+    # a candidate formed by deleting tokens is a subsequence: LCS must
+    # equal the candidate length and precision must be exactly 1
+    ref = "a b c d e f g h i j"
+    cand = "a c d f g i j"  # deleted b, e, h
+    got = tx.rouge_l(_pairs(spark, [(1, cand, ref)])).first()
+    assert got["lcs"] == 7 and got["rouge_p"] == 1.0
+    assert got["rouge_r"] == 0.7
+
+
+def test_rouge_l_truncation(spark):
+    ref = " ".join(str(i) for i in range(50))
+    cand = ref
+    got = tx.rouge_l(_pairs(spark, [(1, cand, ref)]), max_tokens=10).first()
+    assert got["lcs"] == 10 and got["cand_tokens"] == 10
+    assert got["rouge_f"] == 1.0

@@ -13,7 +13,9 @@ from privacy_cdc_lakehouse_spark.queries import all_queries
 # driver-visibility row for normalize_text, which is itself the
 # documented sanctioned-Arrow ingest-path operator (Spark has no
 # built-in ICU normalizer) — the arm exists to verify it, not to put
-# Python in an analytic hot path.
+# Python in an analytic hot path. Round 10 adds the rouge arm on the
+# same row: the LCS dynamic program has no relational form, so rouge_l
+# is the second sanctioned pandas operator riding this panel.
 PANDAS_SANCTIONED = {
     "pandas_zscore_outliers",
     "multimodal_panel",
