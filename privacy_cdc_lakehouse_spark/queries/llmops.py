@@ -3329,13 +3329,56 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "lang", F.col("doc_id").cast("string")).alias("k"),
         F.col("sample_rank").cast("double").alias("v"),
     )
+    # round 10 (cont.): count-min sketch arm (operators/sketch.py) —
+    # the 4×256 sketch over ALL corpus tokens (real collisions at this
+    # vocabulary, so estimates genuinely overcount) probed for a fixed
+    # multilingual stopword set, with exact counts alongside: the
+    # never-undercount property is itself hash-checked data. Merge
+    # associativity and the overcount bound are pytest-pinned.
+    from privacy_cdc_lakehouse_spark.operators import sketch as sk
+
+    toks = docs.select(
+        F.explode(tx.words(F.lower(F.col("text")))).alias("tok")
+    )
+    probes = spark.createDataFrame(
+        [(t,) for t in _CMS_PROBES], "tok string"
+    )
+    cms_est = sk.cms_lookup(
+        sk.cms_build(toks, "tok", depth=4, width=256),
+        probes,
+        "tok",
+        depth=4,
+        width=256,
+    ).select(
+        F.lit("cms").alias("kind"),
+        F.concat(F.lit("est:"), F.col("tok")).alias("k"),
+        F.col("estimate").cast("double").alias("v"),
+    )
+    cms_exact = (
+        toks.join(probes, "tok")
+        .groupBy("tok")
+        .count()
+        .select(
+            F.lit("cms").alias("kind"),
+            F.concat(F.lit("exact:"), F.col("tok")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
     return (
         rep.unionByName(col_long)
         .unionByName(dif_long)
         .unionByName(dif_sum)
         .unionByName(samp_long)
+        .unionByName(cms_est)
+        .unionByName(cms_exact)
         .orderBy("kind", "k")
     )
+
+
+# probes mix genuinely frequent corpus tokens with absent ones so the
+# arm checks real counts AND the absent-item zero/collision path
+_CMS_PROBES = ["join", "hash", "row", "batch", "scan", "customer",
+               "filter", "merge", "zzz_absent", "the"]
 
 
 _WORD_RE_SQL = "[a-z]{2,}"  # tx._WORD_RE, brace-free for the f-string
@@ -3447,6 +3490,40 @@ samp AS (
             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
         FROM documents
     ) WHERE r <= 10
+),
+-- count-min replay: 4x256 sketch over all lowercased tokens, bucket =
+-- 13-nibble md5(row|token) int mod 256; estimate = min over rows of
+-- the bucket counter (0 when absent)
+cms_tok AS (
+    SELECT lower(unnest({_DUCK_WORDS})) AS tok FROM documents
+),
+cms_probe AS (
+    SELECT unnest(['join', 'hash', 'row', 'batch', 'scan', 'customer',
+                   'filter', 'merge', 'zzz_absent', 'the']) AS tok
+),
+cms_cells AS (
+    SELECT r AS row_i, ({_duck_hexn(1, 13)}) % 256 AS bucket,
+           CAST(count(*) AS BIGINT) AS c
+    FROM (
+        SELECT r, md5(CAST(r AS VARCHAR) || '|' || tok) AS h
+        FROM cms_tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+    ) GROUP BY 1, 2
+),
+cms_est AS (
+    SELECT tok, min(coalesce(c, 0)) AS est
+    FROM (
+        SELECT tok, r, ({_duck_hexn(1, 13)}) % 256 AS bucket
+        FROM (
+            SELECT tok, r, md5(CAST(r AS VARCHAR) || '|' || tok) AS h
+            FROM cms_probe CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r)
+        )
+    ) p
+    LEFT JOIN cms_cells s ON s.row_i = p.r AND s.bucket = p.bucket
+    GROUP BY tok
+),
+cms_exact AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM cms_tok JOIN cms_probe USING (tok) GROUP BY tok
 )
 SELECT kind, k, v FROM (
     SELECT 'docs' AS kind, s AS k, CAST(n_docs AS DOUBLE) AS v FROM ps
@@ -3469,6 +3546,8 @@ SELECT kind, k, v FROM (
               FROM ddiff GROUP BY status
     UNION ALL SELECT 'sample', lang || ':' || CAST(doc_id AS VARCHAR),
                      CAST(r AS DOUBLE) FROM samp
+    UNION ALL SELECT 'cms', 'est:' || tok, CAST(est AS DOUBLE) FROM cms_est
+    UNION ALL SELECT 'cms', 'exact:' || tok, CAST(n AS DOUBLE) FROM cms_exact
 )
 ORDER BY kind, k
 """

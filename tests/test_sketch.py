@@ -1,0 +1,96 @@
+"""Count-min sketch: never-undercount + bounded-overcount guarantees,
+exact merge associativity, weights, collisions, plan shape."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import sketch as sk
+
+
+def _items(spark, xs):
+    return spark.createDataFrame([(x,) for x in xs], "item string")
+
+
+def test_estimate_never_undercounts_and_is_exact_when_wide(spark):
+    xs = ["a"] * 5 + ["b"] * 3 + ["c"]
+    s = sk.cms_build(_items(spark, xs), "item", depth=4, width=4096)
+    probes = _items(spark, ["a", "b", "c", "zzz"])
+    got = {r["item"]: r["estimate"] for r in sk.cms_lookup(s, probes, "item", 4, 4096).collect()}
+    # 3 distinct items in 4096 buckets across 4 rows: collisions are
+    # vanishingly unlikely AND deterministic — exact equality holds
+    assert got == {"a": 5, "b": 3, "c": 1, "zzz": 0}
+
+
+def test_overcount_bounded_by_total_over_width(spark):
+    import random
+
+    rng = random.Random(7)
+    xs = [f"item{rng.randrange(200)}" for _ in range(2000)]
+    truth = {}
+    for x in xs:
+        truth[x] = truth.get(x, 0) + 1
+    depth, width = 4, 16  # tiny width forces collisions
+    s = sk.cms_build(_items(spark, xs), "item", depth, width)
+    got = {
+        r["item"]: r["estimate"]
+        for r in sk.cms_lookup(
+            s, _items(spark, sorted(truth)), "item", depth, width
+        ).collect()
+    }
+    overs = 0
+    for item, n in truth.items():
+        assert got[item] >= n  # NEVER undercounts
+        assert got[item] <= n + len(xs)  # trivial sanity ceiling
+        overs += got[item] > n
+    assert overs > 0  # width 16 with 200 items must collide somewhere
+    # the classic bound eps = e/width holds in expectation; with the
+    # min over 4 independent rows the mean overcount must be well
+    # under one row's expected collision mass
+    mean_over = sum(got[i] - truth[i] for i in truth) / len(truth)
+    assert mean_over <= len(xs) / width
+
+
+def test_merge_equals_build_of_union(spark):
+    a = ["x"] * 3 + ["y"]
+    b = ["x", "z", "z"]
+    sa = sk.cms_build(_items(spark, a), "item", 3, 64)
+    sb = sk.cms_build(_items(spark, b), "item", 3, 64)
+    merged = sk.cms_merge(sa, sb)
+    full = sk.cms_build(_items(spark, a + b), "item", 3, 64)
+    m = {(r["row"], r["bucket"]): r["c"] for r in merged.collect()}
+    f = {(r["row"], r["bucket"]): r["c"] for r in full.collect()}
+    assert m == f
+
+
+def test_weighted_build(spark):
+    df = spark.createDataFrame([("a", 10), ("a", 5), ("b", 2)], "item string, w int")
+    s = sk.cms_build(df, "item", 2, 256, weight_col="w")
+    got = {
+        r["item"]: r["estimate"]
+        for r in sk.cms_lookup(s, _items(spark, ["a", "b"]), "item", 2, 256).collect()
+    }
+    assert got == {"a": 15, "b": 2}
+
+
+def test_null_items_skipped_and_validation(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a",), (None,)], "item string")
+    s = sk.cms_build(df, "item", 2, 64)
+    assert s.agg(F.sum("c")).first()[0] == 2  # only 'a', in 2 rows
+    with pytest.raises(ValueError):
+        sk.cms_build(df, "item", 0, 64)
+    with pytest.raises(ValueError):
+        sk.cms_merge()
+
+
+def test_sketch_plan_is_one_aggregate_no_join(spark):
+    s = sk.cms_build(_items(spark, ["a"]), "item", 4, 1024)
+    plan = s._jdf.queryExecution().explainString(
+        s.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Join" not in plan and "Window" not in plan
+    assert "HashAggregate" in plan and "Generate" in plan
