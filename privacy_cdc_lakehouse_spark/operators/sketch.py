@@ -116,3 +116,50 @@ def cms_lookup(
         .groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("estimate"))
     )
+
+
+# ---------------------- HLL distinct-count sketch store -----------------
+
+
+def hll_store_build(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog sketches (Spark's Apache DataSketches
+    binding): the mergeable distinct-count table a lakehouse maintains
+    incrementally — build per ingest batch, store as a table, union on
+    read. Output: (group cols, hll binary). One map-side-combinable
+    aggregate; sketch size is 2^lg_k registers per group, independent
+    of the data."""
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(F.col(item_col), F.lit(lg_k)).alias("hll")
+    )
+
+
+def hll_store_merge(*stores: DataFrame) -> DataFrame:
+    """Merge per-batch sketch stores (same group cols + lg_k):
+    register-wise union — ``merge(build(A), build(B))`` estimates
+    exactly what ``build(A ∪ B)`` estimates (HLL union is register
+    max; pinned by test). This is the O(churn) maintenance story for
+    distinct counts: never rescan history, just union sketches."""
+    if not stores:
+        raise ValueError("need at least one store")
+    out = stores[0]
+    group_cols = [c for c in out.columns if c != "hll"]
+    for s in stores[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols).agg(
+        F.hll_union_agg(F.col("hll")).alias("hll")
+    )
+
+
+def hll_store_estimate(store: DataFrame) -> DataFrame:
+    """Read the store: per-group distinct-count estimates (long)."""
+    group_cols = [c for c in store.columns if c != "hll"]
+    return store.select(
+        *group_cols, F.hll_sketch_estimate(F.col("hll")).alias("n_distinct_est")
+    )

@@ -403,7 +403,58 @@ def q_setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'distinct:approx_orders_ok', CAST(approx_orders_ok AS BIGINT)) "
         "as (cohort, n_customers)"
     )
-    return cohorts.unionByName(distinct_rows).orderBy("cohort")
+    # round 10: HLL sketch-store arm (operators/sketch.py) — the
+    # mergeable distinct-count maintenance story: per-priority sketch
+    # stores built on the two orderkey halves (two ingest batches),
+    # union-merged, estimates checked against the exact distinct
+    # custkey counts. The oracle pins the 5%-tolerance bit at literally
+    # 1 — an estimator drifting past it fails the driver row; the
+    # merge == full-build register equality is pytest-pinned.
+    from privacy_cdc_lakehouse_spark.operators import sketch as sk
+
+    mid2 = orders.agg(
+        ((F.min("o_orderkey") + F.max("o_orderkey")) / 2).alias("m")
+    )
+    o2 = orders.crossJoin(F.broadcast(mid2))
+    store = sk.hll_store_merge(
+        sk.hll_store_build(
+            o2.filter(F.col("o_orderkey") <= F.col("m")),
+            ["o_orderpriority"],
+            "o_custkey",
+        ),
+        sk.hll_store_build(
+            o2.filter(F.col("o_orderkey") > F.col("m")),
+            ["o_orderpriority"],
+            "o_custkey",
+        ),
+    )
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n")
+    )
+    hll = exact.join(sk.hll_store_estimate(store), "o_orderpriority")
+    hll_rows = hll.select(
+        F.concat(F.lit("hll_exact:"), F.col("o_orderpriority")).alias("cohort"),
+        F.col("n").cast("long").alias("n_customers"),
+    ).unionByName(
+        hll.select(
+            F.concat(F.lit("hll_ok:"), F.col("o_orderpriority")).alias(
+                "cohort"
+            ),
+            (
+                F.abs(
+                    F.col("n_distinct_est").cast("double") / F.col("n") - 1.0
+                )
+                <= 0.05
+            )
+            .cast("long")
+            .alias("n_customers"),
+        )
+    )
+    return (
+        cohorts.unionByName(distinct_rows)
+        .unionByName(hll_rows)
+        .orderBy("cohort")
+    )
 
 
 _SETOPS_SQL = """
@@ -432,6 +483,15 @@ FROM (
     ('distinct:approx_parts_ok', CAST(1 AS BIGINT)),
     ('distinct:approx_orders_ok', CAST(1 AS BIGINT))
 ) AS u(cohort, n_customers)
+UNION ALL
+SELECT 'hll_exact:' || o_orderpriority,
+       CAST(count(DISTINCT o_custkey) AS BIGINT)
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+-- the tolerance bit is pinned at 1: Spark's merged-HLL estimate must
+-- land within 5% of exact or the row hash-fails
+SELECT 'hll_ok:' || o_orderpriority, CAST(1 AS BIGINT)
+FROM (SELECT DISTINCT o_orderpriority FROM orders)
 ORDER BY cohort
 """
 

@@ -94,3 +94,44 @@ def test_sketch_plan_is_one_aggregate_no_join(spark):
     )
     assert "Join" not in plan and "Window" not in plan
     assert "HashAggregate" in plan and "Generate" in plan
+
+
+# ---------------------- HLL distinct-count store ------------------------
+
+
+def test_hll_store_merge_equals_full_build(spark):
+    df = spark.range(5000).selectExpr("id % 700 AS x", "id % 4 AS g")
+    a, b = df.filter("id < 2500"), df.filter("id >= 2500")
+    merged = sk.hll_store_merge(
+        sk.hll_store_build(a, ["g"], "x"), sk.hll_store_build(b, ["g"], "x")
+    )
+    full = sk.hll_store_build(df, ["g"], "x")
+    m = {r["g"]: r["n_distinct_est"] for r in sk.hll_store_estimate(merged).collect()}
+    f = {r["g"]: r["n_distinct_est"] for r in sk.hll_store_estimate(full).collect()}
+    assert m == f  # register-wise union == build of the union
+
+
+def test_hll_estimate_within_tolerance_of_exact(spark):
+    df = spark.range(20000).selectExpr("id % 3123 AS x", "id % 2 AS g")
+    est = {
+        r["g"]: r["n_distinct_est"]
+        for r in sk.hll_store_estimate(sk.hll_store_build(df, ["g"], "x")).collect()
+    }
+    exact = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(
+            F.countDistinct("x").alias("n")
+        ).collect()
+    }
+    for g in exact:
+        assert abs(est[g] / exact[g] - 1.0) < 0.05  # lg_k=12 → ~1.6% rse
+
+
+def test_hll_store_validation(spark):
+    import pytest
+
+    df = spark.range(5).selectExpr("id AS x", "id % 2 AS g")
+    with pytest.raises(ValueError):
+        sk.hll_store_build(df, [], "x")
+    with pytest.raises(ValueError):
+        sk.hll_store_merge()
