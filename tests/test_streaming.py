@@ -539,3 +539,86 @@ def test_streaming_mixture_upsample_matches_batch(spark, tmp_path):
         for r in spark.sql("SELECT doc_id, copy FROM up_out").collect()
     )
     assert streamed == batch and len(streamed) > 300
+
+
+def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
+    """Per-micro-batch drift metrics == the batch drift_report over the
+    same (reference, batch) frames — stream/batch parity for the
+    monitoring surface; plus per-batch idempotent append (one row set
+    per batch_id)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from privacy_cdc_lakehouse_spark.operators.drift import drift_report
+    from privacy_cdc_lakehouse_spark.streaming.monitor import (
+        read_drift_metrics,
+        run_drift_monitor,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("value", T.DoubleType()),
+            T.StructField("cat", T.StringType()),
+        ]
+    )
+    ref = spark.createDataFrame(
+        [(float(i % 20), "a" if i % 3 else "b") for i in range(200)], schema
+    )
+    b0 = spark.createDataFrame(
+        [(float(i % 20), "a") for i in range(100)], schema
+    )
+    b1 = spark.createDataFrame(
+        [(float(i % 7) + 30.0, "b") for i in range(80)], schema
+    )
+    src = str(tmp_path / "drift_src")
+    os.makedirs(src)
+    b0.coalesce(1).write.parquet(str(tmp_path / "raw0"))
+    b1.coalesce(1).write.parquet(str(tmp_path / "raw1"))
+    import glob
+    import shutil
+    import time
+
+    t0 = time.time()
+    for i, raw in enumerate(["raw0", "raw1"]):
+        f = glob.glob(str(tmp_path / raw / "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    metrics = str(tmp_path / "metrics")
+    run_drift_monitor(
+        spark,
+        src,
+        schema,
+        ref,
+        "value",
+        metrics,
+        str(tmp_path / "ckpt"),
+        n_bins=10,
+        ks_bins=100,
+        categorical_col="cat",
+        max_files_per_trigger=1,
+    )
+    got = read_drift_metrics(spark, metrics)
+    per_batch = {
+        r["batch_id"]: {}
+        for r in got.select("batch_id").distinct().collect()
+    }
+    assert set(per_batch) == {0, 1}
+    for r in got.collect():
+        per_batch[r["batch_id"]][r["metric"]] = r["value"]
+    for bid, frame in ((0, b0), (1, b1)):
+        expected = {
+            r["metric"]: r["value"]
+            for r in drift_report(
+                ref, frame, "value", n_bins=10, ks_bins=100,
+                categorical_col="cat",
+            ).collect()
+        }
+        assert per_batch[bid] == expected
+    # batch 1 moved the distribution out of range: drift must register
+    assert per_batch[1]["psi"] > per_batch[0]["psi"]
+    # out-of-range values clamp into the edge bin, which also holds the
+    # reference's top-of-range mass — KS is near-1, not exactly 1
+    assert per_batch[1]["ks"] >= 0.9
