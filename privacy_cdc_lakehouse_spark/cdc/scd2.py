@@ -56,11 +56,19 @@ from privacy_cdc_lakehouse_spark.functions.scalars import (
 def scd2_history(changes: DataFrame) -> DataFrame:
     """Parsed change rows (``parse_cdc_envelope`` output) → full SCD2
     history: (order_id, version, user_id, amount_eur, status,
-    valid_from, valid_to, is_current)."""
+    valid_from, valid_to, is_current, ts_ms, offset, end_ms,
+    end_offset) — the raw event coordinates of the version's OPENING
+    event and (when closed) of the CLOSING event. The closing coords
+    matter because a delete leaves no history row of its own: without
+    them, ``scd2_apply`` could not see that a key's newest event was a
+    delete and would mis-classify a between-events late arrival as
+    in-order."""
     w = Window.partitionBy("order_id").orderBy("ts_ms", "offset")
     # lead() must see ALL events (a delete closes its predecessor);
     # version numbering counts only the non-delete (row-image) events.
-    h = changes.withColumn("_next_ms", F.lead("ts_ms").over(w))
+    h = changes.withColumn("_next_ms", F.lead("ts_ms").over(w)).withColumn(
+        "_next_off", F.lead("offset").over(w)
+    )
     return (
         h.filter(F.col("op") != "d")
         .withColumn("version", F.row_number().over(w))
@@ -73,33 +81,145 @@ def scd2_history(changes: DataFrame) -> DataFrame:
             epoch_millis_to_ts(F.col("ts_ms")).alias("valid_from"),
             epoch_millis_to_ts(F.col("_next_ms")).alias("valid_to"),
             F.col("_next_ms").isNull().alias("is_current"),
+            F.col("ts_ms").cast("long").alias("ts_ms"),
+            F.col("offset").cast("long").alias("offset"),
+            F.col("_next_ms").cast("long").alias("end_ms"),
+            F.col("_next_off").cast("long").alias("end_offset"),
         )
     )
 
 
-def scd2_apply(existing: DataFrame, batch: DataFrame) -> DataFrame:
+class LateEventsError(ValueError):
+    """A batch carried events at or before a key's newest history row
+    — the fast incremental path would corrupt that key's intervals."""
+
+
+def scd2_apply(
+    existing: DataFrame,
+    batch: DataFrame,
+    on_late: str = "error",
+    late_source: DataFrame | None = None,
+) -> DataFrame:
     """Incrementally fold a parsed change batch into an existing SCD2
     history; returns the updated history (==
-    ``scd2_history(all events)`` when the batch is the log's suffix).
+    ``scd2_history(all events)``).
+
+    The fast path assumes the CDC log-ordering contract: per key, the
+    batch's events come AFTER everything already in the history. A
+    batch violating it (late/out-of-order delivery) is detected with
+    one batch-key-sized aggregate comparing event coordinates
+    ``(ts_ms, offset)``, then handled per ``on_late``:
+
+    - ``"error"`` (default): raise :class:`LateEventsError` — fail
+      fast instead of silently corrupting intervals;
+    - ``"rebuild"``: rebuild ONLY the late keys from ``late_source``
+      (the complete parsed change log, e.g. the bronze table — a CDC
+      lakehouse retains it), keep the O(churn) fast path for every
+      other key. ``apply == rebuild`` then holds under ANY delivery
+      order (pytest sweeps random interleavings).
 
     O(churn): the window runs at batch size; the existing history is
-    touched by two key-equi joins whose build sides are batch-key-sized
+    touched by key-equi joins whose build sides are batch-key-sized
     aggregates (un-hinted — AQE broadcasts them when small, degrades to
-    shuffle on a huge batch instead of OOMing the driver)."""
+    shuffle on a huge batch instead of OOMing the driver); the rebuild
+    path adds one semi-join of the log against the late keys."""
+    if on_late not in ("error", "rebuild"):
+        raise ValueError(f"on_late must be 'error' or 'rebuild', got {on_late!r}")
+    if on_late == "rebuild" and late_source is None:
+        raise ValueError("on_late='rebuild' requires late_source")
+    coord = F.struct(F.col("ts_ms"), F.col("offset"))
+    batch_first = batch.groupBy("order_id").agg(F.min(coord).alias("_bmin"))
+    # a row's newest known event is its CLOSING event when closed (the
+    # closer may be a delete with no row of its own) else its opener
+    end_coord = F.when(
+        F.col("end_ms").isNotNull(),
+        F.struct(
+            F.col("end_ms").alias("ts_ms"), F.col("end_offset").alias("offset")
+        ),
+    )
+    hist_last = existing.groupBy("order_id").agg(
+        F.max(F.greatest(coord, F.coalesce(end_coord, coord))).alias("_hmax")
+    )
+    late_keys = (
+        batch_first.join(hist_last, "order_id")
+        .filter(F.col("_bmin") <= F.col("_hmax"))
+        .select("order_id")
+    )
+    if on_late == "rebuild":
+        # DANGLING deletes (a delete that closed no version — its key's
+        # only/newest known events were deletes) leave NO trace in the
+        # history, so the hist_max check alone cannot see them. Under
+        # error-mode's inductive invariant (every prior batch validated
+        # in-order) they cannot exist; rebuild mode expects disorder and
+        # has the log to consult. The sound rule, uniform for new and
+        # known keys: a batch key rides the fast path ONLY if every
+        # logged NON-batch event for it is already reflected in the
+        # history (coord <= hist_max); any newer unexplained event —
+        # including a dangling delete, or any event of a history-less
+        # key — marks it late. Costs one batch-key-scoped pass over the
+        # log, the price of the any-order guarantee.
+        nonbatch = late_source.join(
+            batch.select("order_id", "offset"),
+            ["order_id", "offset"],
+            "left_anti",
+        )
+        hidden = (
+            nonbatch.select("order_id", coord.alias("_c"))
+            .join(batch_first.select("order_id"), "order_id", "left_semi")
+            .join(hist_last, "order_id", "left")
+            .filter(F.col("_hmax").isNull() | (F.col("_c") > F.col("_hmax")))
+            .select("order_id")
+        )
+        late_keys = late_keys.unionByName(hidden).distinct()
+    if late_keys.limit(1).count():
+        if on_late == "error":
+            raise LateEventsError(
+                "batch contains events at or before existing history rows; "
+                "pass on_late='rebuild' with late_source=<full change log> "
+                "to rebuild the affected keys"
+            )
+        fast = _scd2_apply_ordered(
+            existing.join(late_keys, "order_id", "left_anti"),
+            batch.join(late_keys, "order_id", "left_anti"),
+        )
+        rebuilt = scd2_history(
+            late_source.join(late_keys, "order_id", "left_semi")
+        )
+        return fast.unionByName(rebuilt)
+    return _scd2_apply_ordered(existing, batch)
+
+
+def _scd2_apply_ordered(existing: DataFrame, batch: DataFrame) -> DataFrame:
+    """The fast path: batch strictly after existing, per key."""
     # The batch's first event per key closes that key's open version —
     # in the full rebuild, lead() would see this event as the next one.
-    firsts = batch.groupBy("order_id").agg(F.min("ts_ms").alias("_close_ms"))
-    closing = F.col("is_current") & F.col("_close_ms").isNotNull()
+    # Both coordinates of the closer are recorded (end_ms/end_offset):
+    # a closing DELETE leaves no version row of its own, so these are
+    # the only trace late-detection has of it on later applies.
+    firsts = batch.groupBy("order_id").agg(
+        F.min(F.struct(F.col("ts_ms"), F.col("offset"))).alias("_close")
+    )
+    closing = F.col("is_current") & F.col("_close").isNotNull()
     closed = (
         existing.join(firsts, "order_id", "left")
         .withColumn(
             "valid_to",
-            F.when(closing, epoch_millis_to_ts(F.col("_close_ms"))).otherwise(
-                F.col("valid_to")
+            F.when(
+                closing, epoch_millis_to_ts(F.col("_close.ts_ms"))
+            ).otherwise(F.col("valid_to")),
+        )
+        .withColumn(
+            "end_ms",
+            F.when(closing, F.col("_close.ts_ms")).otherwise(F.col("end_ms")),
+        )
+        .withColumn(
+            "end_offset",
+            F.when(closing, F.col("_close.offset")).otherwise(
+                F.col("end_offset")
             ),
         )
-        .withColumn("is_current", F.col("is_current") & F.col("_close_ms").isNull())
-        .drop("_close_ms")
+        .withColumn("is_current", F.col("is_current") & F.col("_close").isNull())
+        .drop("_close")
     )
     base = existing.groupBy("order_id").agg(F.max("version").alias("_base_v"))
     appended = (

@@ -125,3 +125,98 @@ def test_scd2_history_plan_single_exchange_no_join(spark):
     # formatted mode prints each node once in the tree ("Exchange (2)")
     # and once in the detail section ("(2) Exchange") — count tree nodes
     assert plan.count("Exchange (") == 1
+
+
+def test_scd2_apply_detects_late_events_and_errors(spark):
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import LateEventsError
+
+    seed = scd2_history(
+        _changes(spark, [(1, 10, "5.0", "created", "c", 2_000_000, 5)])
+    )
+    late = _changes(spark, [(1, 10, "4.0", "created", "c", 1_000_000, 1)])
+    with pytest.raises(LateEventsError):
+        scd2_apply(seed, late)
+    with pytest.raises(ValueError):
+        scd2_apply(seed, late, on_late="rebuild")  # needs late_source
+
+
+def test_scd2_apply_rebuild_handles_any_interleaving(spark, sf_dir):
+    """apply == rebuild under ARBITRARY delivery order: batches split
+    pseudo-randomly per event (not by offset suffix), so many keys see
+    genuinely late events; the rebuild path must restore exact
+    equality while untouched keys ride the fast path."""
+    parsed = parse_cdc_envelope(cdc_events(spark, sf_dir)).filter(
+        F.col("order_id") <= 400  # keep the rebuild test quick
+    )
+    # pseudo-random 70/30 event split INDEPENDENT of per-key order
+    first = parsed.filter(F.crc32(F.col("offset").cast("string")) % 10 < 7)
+    second = parsed.subtract(first)
+    full = scd2_history(parsed)
+    inc = scd2_apply(
+        scd2_history(first), second, on_late="rebuild", late_source=parsed
+    )
+    key = ["order_id", "version"]
+    assert full.count() == inc.count()
+    mismatches = (
+        full.alias("f")
+        .join(inc.alias("i"), key)
+        .filter(
+            ~(
+                (F.col("f.status") == F.col("i.status"))
+                & (F.col("f.amount_eur") == F.col("i.amount_eur"))
+                & (F.col("f.valid_from") == F.col("i.valid_from"))
+                & F.col("f.valid_to").eqNullSafe(F.col("i.valid_to"))
+                & (F.col("f.is_current") == F.col("i.is_current"))
+                & (F.col("f.offset") == F.col("i.offset"))
+            )
+        )
+        .count()
+    )
+    assert mismatches == 0
+
+
+def test_scd2_apply_equal_ts_lower_offset_is_late(spark):
+    """An equal-timestamp event with a LOWER offset than the newest
+    history row is out of order (the offset tie-break would have
+    sorted it earlier) — must be flagged."""
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import LateEventsError
+
+    seed = scd2_history(
+        _changes(spark, [(1, 10, "5.0", "paid", "u", 1_000_000, 8)])
+    )
+    tie_lower = _changes(spark, [(1, 10, "6.0", "shipped", "u", 1_000_000, 3)])
+    with pytest.raises(LateEventsError):
+        scd2_apply(seed, tie_lower)
+
+
+def test_scd2_rebuild_catches_consecutive_dangling_deletes(spark):
+    """A key whose newest logged event is a SECOND dangling delete
+    (closes nothing) leaves no trace in the history; a batch landing
+    between the closed tail and that delete must still be rebuilt."""
+    log = _changes(
+        spark,
+        [
+            (1, 10, "1.0", "created", "c", 1_000_000, 1),
+            (1, 10, None, None, "d", 3_000_000, 3),
+            (1, 10, None, None, "d", 4_000_000, 4),  # dangling
+            (1, 10, "2.0", "paid", "u", 3_500_000, 9),  # late mid event
+        ],
+    )
+    seed_slice = log.filter(F.col("offset").isin(1, 3, 4))
+    batch = log.filter(F.col("offset") == 9)
+    got = _by_key_version(
+        scd2_apply(
+            scd2_history(seed_slice), batch, on_late="rebuild", late_source=log
+        )
+    )
+    full = _by_key_version(scd2_history(log))
+    assert set(got) == set(full)
+    for k in full:
+        assert got[k]["valid_to"] == full[k]["valid_to"]
+        assert got[k]["is_current"] == full[k]["is_current"]
+    # the late mid event's version is CLOSED by the dangling delete
+    assert not got[(1, 2)]["is_current"]
