@@ -82,10 +82,12 @@ def binned_histogram(
     # totals via an unpartitioned window — bounded: the frame is the
     # ≤ n_bins count rows, never the corpus
     w = Window.partitionBy(F.lit(1))
+    # try_divide: an EMPTY side (total 0) yields NULL shares instead of
+    # an ANSI divide-by-zero — downstream smoothing floors handle it
     return counts.select(
         "bin",
-        (F.col("_n_ref") / F.sum("_n_ref").over(w)).alias("p_ref"),
-        (F.col("_n_cur") / F.sum("_n_cur").over(w)).alias("p_cur"),
+        F.try_divide(F.col("_n_ref"), F.sum("_n_ref").over(w)).alias("p_ref"),
+        F.try_divide(F.col("_n_cur"), F.sum("_n_cur").over(w)).alias("p_cur"),
     )
 
 
@@ -104,8 +106,8 @@ def categorical_shares(
     w = Window.partitionBy(F.lit(1))
     return counts.select(
         "category",
-        (F.col("_n_ref") / F.sum("_n_ref").over(w)).alias("p_ref"),
-        (F.col("_n_cur") / F.sum("_n_cur").over(w)).alias("p_cur"),
+        F.try_divide(F.col("_n_ref"), F.sum("_n_ref").over(w)).alias("p_ref"),
+        F.try_divide(F.col("_n_cur"), F.sum("_n_cur").over(w)).alias("p_cur"),
     )
 
 

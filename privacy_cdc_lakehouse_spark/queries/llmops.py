@@ -2634,7 +2634,12 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bp/p1..p4/bleu row.
     from privacy_cdc_lakehouse_spark.operators.util import slot_persist
 
-    bpairs = docs.select(
+    # both eval arms run on the deterministic doc_id % 5 == 0 subset:
+    # full verification power at sf0.01 (100 hash-checked pairs), 5x
+    # less gate cost at sf1 (the corpus-wide pass belongs to the
+    # operators' own scale rows, not this panel)
+    eval_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    bpairs = eval_docs.select(
         F.col("doc_id").alias("pair_id"),
         F.lower(
             F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
@@ -2673,7 +2678,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # general-case LCS values are pytest-pinned.
     ref90 = F.slice(tx.words(F.col("text")), 1, 90)
     cand_arr = F.filter(ref90, lambda x, i: (i + 1) % 3 != 0)
-    rpairs = docs.select(
+    rpairs = eval_docs.select(
         F.col("doc_id").alias("pair_id"),
         F.array_join(cand_arr, " ").alias("cand"),
         F.array_join(ref90, " ").alias("ref"),
@@ -2907,7 +2912,7 @@ SELECT 'bleu', k, v FROM (
                    '\\s+'), x -> x <> '') AS cw,
                list_filter(string_split_regex(text, '\\s+'),
                            x -> x <> '') AS rw
-        FROM documents
+        FROM documents WHERE doc_id % 5 = 0
     ),
     blg AS (
         SELECT doc_id, n, gram, sum(c) AS c, sum(r) AS r FROM (
@@ -3023,7 +3028,7 @@ SELECT 'rouge', CAST(doc_id AS VARCHAR), v FROM (
     FROM (
         SELECT doc_id, n, n - n // 3 AS kept FROM (
             SELECT doc_id, least(90, len({_DUCK_WORDS})) AS n
-            FROM documents
+            FROM documents WHERE doc_id % 5 = 0
         )
     )
 )

@@ -153,3 +153,14 @@ def test_drift_plan_no_cartesian_no_corpus_window(spark):
     assert "CartesianProduct" not in plan
     # the only non-equi join is the broadcast 1-row bounds scalar
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_empty_current_side_does_not_raise(spark):
+    """An empty comparison side must degrade (NULL-share smoothing /
+    NULL KS), never trip an ANSI divide-by-zero."""
+    ref = _vals(spark, range(10))
+    cur = _vals(spark, []).filter("value IS NOT NULL")  # empty frame
+    got = drift.psi(ref, cur, "value").first()["psi"]
+    assert got is not None  # smoothing floors the empty side at eps
+    ks = drift.ks_statistic(ref, cur, "value").first()["ks"]
+    assert ks is None  # no current distribution to compare
