@@ -120,7 +120,47 @@ def q_bronze_dq_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("op").alias("k"),
         F.col("n").cast("string").alias("v"),
     )
-    return dq.unionByName(ops).orderBy("kind", "k")
+    # round 10: expectations arm (operators/expectations.py) — the
+    # generalized DQ layer the reference's roadmap names, run over the
+    # REAL silver table: schema/key/domain/range/FK rules (all exact
+    # counts; the range rule genuinely fails on high-value orders so a
+    # nonzero count is verified too) plus the quarantine split sizes.
+    from privacy_cdc_lakehouse_spark.operators import expectations as ex
+    from privacy_cdc_lakehouse_spark.sources.fixtures import load_table
+
+    silver = silver_from_bronze(cdc_events(spark, sf_dir))
+    cust = load_table(spark, sf_dir, "customer")
+    rules = [
+        ex.expect_not_null("order_id"),
+        ex.expect_not_null("status"),
+        ex.expect_in_set("status", ["created", "paid", "shipped"]),
+        ex.expect_in_range("amount_eur", 0.0, 300000.0),
+        ex.expect_unique("order_id"),
+        ex.expect_referential("user_id", cust, "c_custkey"),
+    ]
+    expect_rows = ex.validate(silver, rules).select(
+        F.lit("expect").alias("kind"),
+        F.col("rule").alias("k"),
+        F.col("n_violations").cast("string").alias("v"),
+    )
+    valid, invalid = ex.quarantine(
+        silver, [r for r in rules if r.kind == "row"]
+    )
+    quarantine_rows = (
+        valid.agg(F.count(F.lit(1)).alias("nv"))
+        .crossJoin(invalid.agg(F.count(F.lit(1)).alias("ni")))
+        .selectExpr(
+            "stack(2, 'quarantine_valid', CAST(nv AS STRING), "
+            "'quarantine_invalid', CAST(ni AS STRING)) AS (k, v)"
+        )
+        .select(F.lit("expect").alias("kind"), "k", "v")
+    )
+    return (
+        dq.unionByName(ops)
+        .unionByName(expect_rows)
+        .unionByName(quarantine_rows)
+        .orderBy("kind", "k")
+    )
 
 
 def q_decimal_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -866,6 +906,48 @@ ORACLES = {
         )
         UNION ALL
         SELECT 'op', op, CAST(count(*) AS VARCHAR) FROM cdc_ev GROUP BY op
+        UNION ALL
+        -- expectations replay over the same latest state: FALSE-or-NULL
+        -- row predicates, sum(n-1) duplicate mass, NOT EXISTS FK
+        SELECT 'expect', k, CAST(v AS VARCHAR) FROM (
+            SELECT unnest(ARRAY['not_null_order_id', 'not_null_status',
+                                'in_set_status', 'in_range_amount_eur',
+                                'quarantine_valid', 'quarantine_invalid']) AS k,
+                   unnest(ARRAY[
+                       sum(CASE WHEN order_id IS NULL THEN 1 ELSE 0 END),
+                       sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END),
+                       sum(CASE WHEN NOT coalesce(
+                           status IN ('created', 'paid', 'shipped'), false)
+                           THEN 1 ELSE 0 END),
+                       sum(CASE WHEN NOT coalesce(
+                           amount_eur >= 0 AND amount_eur <= 300000, false)
+                           THEN 1 ELSE 0 END),
+                       sum(CASE WHEN order_id IS NOT NULL
+                                 AND status IS NOT NULL
+                                 AND coalesce(status IN
+                                     ('created', 'paid', 'shipped'), false)
+                                 AND coalesce(amount_eur >= 0
+                                     AND amount_eur <= 300000, false)
+                           THEN 1 ELSE 0 END),
+                       sum(CASE WHEN order_id IS NULL OR status IS NULL
+                                 OR NOT coalesce(status IN
+                                     ('created', 'paid', 'shipped'), false)
+                                 OR NOT coalesce(amount_eur >= 0
+                                     AND amount_eur <= 300000, false)
+                           THEN 1 ELSE 0 END)]) AS v
+            FROM current_state
+        )
+        UNION ALL
+        SELECT 'expect', 'unique_order_id',
+               CAST((SELECT coalesce(sum(n - 1), 0) FROM (
+                   SELECT count(*) AS n FROM current_state GROUP BY order_id
+               ) WHERE n > 1) AS VARCHAR)
+        UNION ALL
+        SELECT 'expect', 'fk_user_id',
+               CAST((SELECT count(*) FROM current_state s
+                     WHERE s.user_id IS NOT NULL AND NOT EXISTS (
+                         SELECT 1 FROM customer c
+                         WHERE c.c_custkey = s.user_id)) AS VARCHAR)
     )
     ORDER BY kind, k
     """,
