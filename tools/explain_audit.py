@@ -99,6 +99,15 @@ AUDIT = {
     # stacked windows (lead + row_number share ONE exchange) plus the
     # batch-key-sized closing/version-base equi-joins — never cartesian.
     "cdc_changes_feed": ["Scan parquet", "Window", "!CartesianProduct"],
+    # round 10 (cont.): the expect arm's row rules share ONE aggregate
+    # pass; unique is a key groupBy and the FK check an anti-join —
+    # never a window over the corpus, never cartesian (the dq arm's
+    # 1x1x1 scalar cross joins are the sanctioned broadcast form).
+    "cdc_bronze_dq": ["HashAggregate|SortAggregate", "LeftAnti", "!Window", "!CartesianProduct"],
+    # round 10 (cont.): hll arms — sketch build/merge are plain
+    # aggregates; the estimate-vs-exact check is a |priorities|-sized
+    # equi-join; the set-op arms keep their shapes
+    "setops_customer_cohorts": ["HashAggregate", "ObjectHashAggregate|SortAggregate|HashAggregate", "!CartesianProduct"],
     # packing = one per-shard window over a projection; never a join
     "curation_pack_sequences": ["Window", "!Join"],
     # round 10: the drift arm's only non-equi joins are broadcast 1-row
