@@ -622,3 +622,66 @@ def test_streaming_drift_monitor_matches_batch(spark, tmp_path):
     # out-of-range values clamp into the edge bin, which also holds the
     # reference's top-of-range mass — KS is near-1, not exactly 1
     assert per_batch[1]["ks"] >= 0.9
+
+
+def test_streaming_quarantine_matches_batch(spark, tmp_path):
+    """Expectations quarantine inside foreachBatch: per micro-batch the
+    valid rows append to the clean table and the invalid rows (with
+    failed-rule reasons) to the quarantine table — totals must equal
+    the batch operator over the union of all batches."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from pyspark.sql import types as T
+
+    from privacy_cdc_lakehouse_spark.operators import expectations as ex
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("amount", T.DoubleType()),
+        ]
+    )
+    b0 = spark.createDataFrame([(i, float(i)) for i in range(50)], schema)
+    b1 = spark.createDataFrame(
+        [(i, float(i - 200)) for i in range(50, 80)], schema  # negatives
+    )
+    src = str(tmp_path / "q_src")
+    os.makedirs(src)
+    t0 = time.time()
+    for i, frame in enumerate((b0, b1)):
+        frame.coalesce(1).write.parquet(str(tmp_path / f"qraw{i}"))
+        f = glob.glob(str(tmp_path / f"qraw{i}" / "part-*.parquet"))[0]
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    rules = [ex.expect_in_range("amount", 0.0, 1e6)]
+    clean_dir = str(tmp_path / "clean")
+    quar_dir = str(tmp_path / "quar")
+
+    def process(batch_df, batch_id):
+        valid, invalid = ex.quarantine(batch_df, rules)
+        valid.write.mode("append").parquet(clean_dir)
+        invalid.write.mode("append").parquet(quar_dir)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", str(tmp_path / "qckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch_valid, batch_invalid = ex.quarantine(b0.unionByName(b1), rules)
+    assert spark.read.parquet(clean_dir).count() == batch_valid.count() == 50
+    got_q = spark.read.parquet(quar_dir)
+    assert got_q.count() == batch_invalid.count() == 30
+    assert all(
+        r["failed_rules"] == ["in_range_amount"] for r in got_q.collect()
+    )
