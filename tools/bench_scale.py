@@ -150,6 +150,11 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # dp arms are pure groupBy+projection; nothing may window over the
     # corpus or go all-pairs.
     "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
+    # round-10 (cont. 5): the expectations arm — all row rules in ONE
+    # aggregate pass, uniqueness one groupBy, FK one anti-join; never a
+    # corpus window (the dq arm's 1-row scalar cross joins are the
+    # sanctioned broadcast form).
+    "cdc_bronze_dq": ["HashAggregate|SortAggregate", "LeftAnti", "!Window", "!CartesianProduct"],
 }
 
 
