@@ -1053,3 +1053,106 @@ def stratified_sample(
         .filter(F.col("sample_rank") <= n_per_stratum)
         .select(strata_col, id_col, "sample_rank")
     )
+
+
+def sample_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    positives: DataFrame | None = None,
+    oversample: int = 8,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive / retrieval
+    training (DPR-style): for each query, ``k`` pseudo-random corpus
+    docs, reproducible across runs/engines/partitionings and excluding
+    the query's ``positives`` (a (query_id, doc_id) frame — they must
+    not leak in as negatives).
+
+    Mechanics — the consistent-hashing ring: every doc gets a uniform
+    position ``u = md5('<salt>-d'|id)`` in [0, 1); every query an
+    anchor ``a = md5('<salt>-q'|id)``; the query's negatives are the
+    first ``k`` docs CLOCKWISE from its anchor (ring distance
+    ``(u - a) mod 1``, doc-id tie-break). Per-query selections look
+    independent, yet adding corpus docs only inserts new ring points —
+    existing selections shift minimally (the consistent-hashing
+    property), unlike an RNG whose whole draw reshuffles.
+
+    Scale shape: NO query×corpus expansion — the ring is bucketized at
+    ``B ≈ N/(oversample·k)`` so each query's candidate window spans
+    ~2-3 buckets: docs carry (bucket, u) from one projection, queries
+    explode to their few window buckets, and ONE equi-join on the
+    bucket + a ring-distance filter yields ~oversample·k candidates
+    per query before the per-query top-k window (query-sized
+    partitions). ``N = corpus.count()`` is the one driver scalar (the
+    ``temperature_rates`` contract). With ``oversample`` at the
+    default 8 the window underfills with negligible probability; a
+    short window returns fewer than k rather than scanning wider
+    (two-phase == naive at any outcome — both engines replay the same
+    window).
+
+    Output: (query_id, doc_id, neg_rank, ring_dist)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if oversample < 1:
+        raise ValueError(f"oversample must be >= 1, got {oversample}")
+    from pyspark.sql import Window
+
+    n = corpus.count()
+    if n == 0:
+        raise ValueError("corpus is empty")
+    w = min(1.0, oversample * k / n)
+    n_buckets = max(1, int(n // max(1, oversample * k)))
+
+    def ring(col: Column, tag: str) -> Column:
+        h = F.md5(F.concat_ws("|", F.lit(f"{salt}-{tag}"), col.cast("string")))
+        return (
+            F.conv(F.substring(h, 1, 13), 16, 10).cast("double") / 2.0**52
+        )
+
+    docs_r = corpus.select(
+        F.col(doc_id),
+        ring(F.col(doc_id), "d").alias("_u"),
+    ).withColumn("_b", F.floor(F.col("_u") * n_buckets).cast("long"))
+    q_r = queries.select(
+        F.col(query_id), ring(F.col(query_id), "q").alias("_a")
+    )
+    q_buckets = q_r.select(
+        query_id,
+        "_a",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_a") * n_buckets).cast("long"),
+                F.floor((F.col("_a") + F.lit(w)) * n_buckets).cast("long"),
+            )
+        ).alias("_rawb"),
+    ).select(
+        query_id, "_a", F.pmod(F.col("_rawb"), F.lit(n_buckets)).alias("_b")
+    )
+    dist = F.col("_u") - F.col("_a") + F.when(
+        F.col("_u") < F.col("_a"), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    cand = (
+        q_buckets.join(docs_r, "_b")
+        .withColumn("_dist", dist)
+        .filter(F.col("_dist") < F.lit(w))
+    )
+    if positives is not None:
+        cand = cand.join(
+            positives.select(query_id, doc_id), [query_id, doc_id], "left_anti"
+        )
+    win = Window.partitionBy(query_id).orderBy(
+        F.col("_dist").asc(), F.col(doc_id).asc()
+    )
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(win))
+        .filter(F.col("neg_rank") <= k)
+        .select(
+            query_id,
+            doc_id,
+            F.col("neg_rank").cast("int").alias("neg_rank"),
+            F.col("_dist").alias("ring_dist"),
+        )
+    )

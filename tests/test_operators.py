@@ -2881,3 +2881,78 @@ def test_retrieval_metrics_hand_computed(spark):
     assert (row["recall_at_k"], row["mrr"], row["ndcg_at_k"]) == (1.0, 1.0, 1.0)
     with pytest.raises(ValueError):
         sim.retrieval_metrics(res2, qr2, k=0)
+
+
+def test_sample_negatives_ring_semantics(spark):
+    """Negatives are the k clockwise ring successors; deterministic,
+    positives excluded, bucketed two-phase == naive replay."""
+    import hashlib
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    corpus = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    queries = spark.createDataFrame([(i,) for i in (1, 7, 42)], "query_id long")
+    positives = spark.createDataFrame(
+        [(1, 1), (7, 7), (42, 42)], "query_id long, doc_id long"
+    )
+    out = cur.sample_negatives(
+        queries, corpus, k=5, positives=positives, oversample=8
+    )
+    got = {
+        (r["query_id"], r["neg_rank"]): r["doc_id"] for r in out.collect()
+    }
+
+    def u(tag, x):
+        h = hashlib.md5(f"neg-{tag}|{x}".encode()).hexdigest()
+        return int(h[:13], 16) / 2.0**52
+
+    w = min(1.0, 8 * 5 / 200)
+    for q in (1, 7, 42):
+        a = u("q", q)
+        cands = sorted(
+            ((u("d", d) - a) % 1.0, d)
+            for d in range(200)
+            if ((u("d", d) - a) % 1.0) < w and d != q
+        )
+        expected = [d for _, d in cands[:5]]
+        assert [got[(q, r)] for r in range(1, len(expected) + 1)] == expected
+    # exclusion: no query received itself
+    assert all(got[(q, r)] != q for (q, r) in got)
+    # determinism: a second run is identical
+    again = {
+        (r["query_id"], r["neg_rank"]): r["doc_id"]
+        for r in cur.sample_negatives(
+            queries, corpus, k=5, positives=positives, oversample=8
+        ).collect()
+    }
+    assert again == got
+
+
+def test_sample_negatives_consistent_under_corpus_growth(spark):
+    """Consistent-hashing property: adding docs only inserts ring
+    points — surviving negatives keep their relative order."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    small = spark.createDataFrame([(i,) for i in range(150)], "doc_id long")
+    grown = spark.createDataFrame([(i,) for i in range(300)], "doc_id long")
+    queries = spark.createDataFrame([(3,)], "query_id long")
+    # fix the window parameters so growth does not change the ring math
+    a = cur.sample_negatives(queries, small, k=8, oversample=4)
+    b = cur.sample_negatives(queries, grown, k=8, oversample=8)  # same w
+    keep_a = [r["doc_id"] for r in a.orderBy("neg_rank").collect()]
+    keep_b = [r["doc_id"] for r in b.orderBy("neg_rank").collect()]
+    shared = [d for d in keep_b if d in set(keep_a)]
+    assert shared == [d for d in keep_a if d in set(keep_b)]  # order kept
+
+
+def test_sample_negatives_validation(spark):
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    docs = spark.createDataFrame([(1,)], "doc_id long")
+    qs = spark.createDataFrame([(1,)], "query_id long")
+    with pytest.raises(ValueError):
+        cur.sample_negatives(qs, docs, k=0)
+    with pytest.raises(ValueError):
+        cur.sample_negatives(qs, docs.filter("doc_id < 0"), k=1)
