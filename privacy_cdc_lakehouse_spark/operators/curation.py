@@ -1130,7 +1130,14 @@ def sample_negatives(
         ).alias("_rawb"),
     ).select(
         query_id, "_a", F.pmod(F.col("_rawb"), F.lit(n_buckets)).alias("_b")
-    )
+    ).distinct()
+    # ^ the exploded window spans n_buckets+1 raw bucket values; when
+    # the window wraps the whole ring (tiny corpus: n_buckets <= 2)
+    # pmod aliases two of them to the SAME bucket, and without the
+    # distinct each doc in that bucket would join twice and claim two
+    # neg_rank slots (round-10 advice finding: n=50, k=5, oversample=8
+    # yielded 36 duplicated pairs, breaking two-phase == naive).
+    # |buckets per query| is ~3, so the distinct is query-sized.
     dist = F.col("_u") - F.col("_a") + F.when(
         F.col("_u") < F.col("_a"), F.lit(1.0)
     ).otherwise(F.lit(0.0))

@@ -116,19 +116,40 @@ def validate(df: DataFrame, expectations: list[Expectation]) -> DataFrame:
     its own aggregate/anti-join. Deterministic, exact counts."""
     if not expectations:
         raise ValueError("expectations must be non-empty")
+    names = [e.name for e in expectations]
+    if len(set(names)) != len(names):
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate expectation names: {dupes}")
     parts: list[DataFrame] = []
     row_rules = [e for e in expectations if e.kind == "row"]
     if row_rules:
+        # positional aliases + a struct-array unpivot, NOT a selectExpr
+        # stack with interpolated names: a rule name is caller data and
+        # must never be parsed as SQL (round-10 advice finding — a
+        # quote/backtick in the name broke or injected into the query)
         agg = df.agg(
-            *[F.sum(_row_violation(e)).alias(e.name) for e in row_rules]
+            *[
+                F.sum(_row_violation(e)).alias(f"_r{i}")
+                for i, e in enumerate(row_rules)
+            ]
         )
-        stacked = ", ".join(
-            f"'{e.name}', coalesce(`{e.name}`, 0)" for e in row_rules
+        stacked = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(e.name).alias("rule"),
+                        F.coalesce(F.col(f"_r{i}"), F.lit(0)).alias(
+                            "n_violations"
+                        ),
+                    )
+                    for i, e in enumerate(row_rules)
+                ]
+            )
         )
         parts.append(
-            agg.selectExpr(
-                f"stack({len(row_rules)}, {stacked}) AS (rule, n_violations)"
-            ).select("rule", F.lit("row").alias("kind"), "n_violations")
+            agg.select(stacked.alias("p")).select(
+                "p.rule", F.lit("row").alias("kind"), "p.n_violations"
+            )
         )
     for e in expectations:
         if e.kind == "unique":

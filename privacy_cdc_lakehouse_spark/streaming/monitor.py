@@ -18,8 +18,6 @@ at-least-once discipline of ``streaming/pipeline.py``).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -74,7 +72,16 @@ def run_drift_monitor(
 
 
 def read_drift_metrics(spark: SparkSession, metrics_dir: str) -> DataFrame:
-    """The monitoring table: (batch_id, metric, value)."""
-    if not os.path.exists(metrics_dir):
+    """The monitoring table: (batch_id, metric, value).
+
+    Existence is checked through the Hadoop FileSystem API so the
+    check is true for ANY supported scheme (HDFS/S3/local) — a local
+    ``os.path`` check would false-negative on every remote filesystem
+    this module's deployment story targets (round-10 advice finding).
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(metrics_dir)
+    if not path.getFileSystem(hconf).exists(path):
         raise FileNotFoundError(metrics_dir)
     return spark.read.parquet(metrics_dir)

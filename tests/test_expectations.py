@@ -87,3 +87,32 @@ def test_row_rules_share_one_pass_no_join(spark):
     # one aggregate pass evaluates every row rule (count tree nodes —
     # formatted mode prints each node again in the detail section)
     assert plan.count("Scan ExistingRDD (") == 1
+
+
+def test_rule_names_never_parsed_as_sql(spark):
+    """Round-10 advice regression: rule names are caller data — names
+    carrying quotes/backticks/commas must flow through verbatim, never
+    into a SQL parser."""
+    hostile = "o'brien's `rule`, stack(1, 'x')"
+    rep = ex.validate(
+        _df(spark),
+        [
+            ex.expect_not_null("status", name=hostile),
+            ex.expect_in_range("amount", 0.0, 1000.0, name="plain"),
+        ],
+    ).collect()
+    by_name = {r["rule"]: r["n_violations"] for r in rep}
+    assert by_name == {hostile: 1, "plain": 2}
+
+
+def test_duplicate_rule_names_rejected(spark):
+    import pytest
+
+    with pytest.raises(ValueError, match="duplicate expectation names"):
+        ex.validate(
+            _df(spark),
+            [
+                ex.expect_not_null("status", name="r"),
+                ex.expect_in_range("amount", 0.0, 1.0, name="r"),
+            ],
+        )

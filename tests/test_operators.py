@@ -2956,3 +2956,38 @@ def test_sample_negatives_validation(spark):
         cur.sample_negatives(qs, docs, k=0)
     with pytest.raises(ValueError):
         cur.sample_negatives(qs, docs.filter("doc_id < 0"), k=1)
+
+
+def test_sample_negatives_no_duplicates_on_tiny_corpus(spark):
+    """Round-10 advice regression: when the candidate window wraps the
+    whole ring (corpus smaller than ~3*oversample*k -> n_buckets <= 2),
+    pmod aliases two exploded bucket values to the same bucket; without
+    the bucket dedup each doc in that bucket joined twice and claimed
+    two neg_rank slots. Two-phase == naive must hold even here."""
+    import hashlib
+
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    corpus = spark.createDataFrame([(i,) for i in range(50)], "doc_id long")
+    queries = spark.createDataFrame([(i,) for i in range(10)], "query_id long")
+    out = cur.sample_negatives(queries, corpus, k=5, oversample=8).collect()
+    pairs = [(r["query_id"], r["doc_id"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "duplicate (query, doc) negatives"
+    # each query still gets exactly k DISTINCT docs (w == 1.0 here)
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in pairs)
+    assert all(n == 5 for n in per_q.values())
+
+    def u(tag, x):
+        h = hashlib.md5(f"neg-{tag}|{x}".encode()).hexdigest()
+        return int(h[:13], 16) / 2.0**52
+
+    got = {
+        (r["query_id"], r["neg_rank"]): r["doc_id"] for r in out
+    }
+    for q in range(10):
+        a = u("q", q)
+        cands = sorted(((u("d", d) - a) % 1.0, d) for d in range(50))
+        expected = [d for _, d in cands[:5]]
+        assert [got[(q, r)] for r in range(1, 6)] == expected
