@@ -99,6 +99,7 @@ def scd2_apply(
     batch: DataFrame,
     on_late: str = "error",
     late_source: DataFrame | None = None,
+    assume_ordered: bool = False,
 ) -> DataFrame:
     """Incrementally fold a parsed change batch into an existing SCD2
     history; returns the updated history (==
@@ -122,7 +123,24 @@ def scd2_apply(
     touched by key-equi joins whose build sides are batch-key-sized
     aggregates (un-hinted — AQE broadcasts them when small, degrades to
     shuffle on a huge batch instead of OOMing the driver); the rebuild
-    path adds one semi-join of the log against the late keys."""
+    path adds one semi-join of the log against the late keys.
+
+    ``assume_ordered=True`` skips late detection entirely — no
+    ``late_keys`` existence job per call. ONLY for callers whose
+    transport already guarantees per-key ordering end-to-end (the
+    streaming pipeline's checkpointed file/Kafka source replays
+    batches in committed order — ``streaming/pipeline.py``); a caller
+    that lies gets silently corrupted intervals, which is exactly what
+    the default detection exists to prevent. The round-10 verdict
+    sized the saved job: one aggregate + limit(1).count() per
+    micro-batch even in the common in-order case."""
+    if assume_ordered:
+        if on_late != "error" or late_source is not None:
+            raise ValueError(
+                "assume_ordered=True bypasses late detection; it cannot be "
+                "combined with on_late='rebuild' or late_source"
+            )
+        return _scd2_apply_ordered(existing, batch)
     if on_late not in ("error", "rebuild"):
         raise ValueError(f"on_late must be 'error' or 'rebuild', got {on_late!r}")
     if on_late == "rebuild" and late_source is None:

@@ -84,6 +84,66 @@ def run_stream_to_silver(
     q.awaitTermination()
 
 
+def run_scd2_stream(
+    spark: SparkSession,
+    source_dir: str,
+    history,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Maintain an SCD2 history table from the bronze envelope stream:
+    per micro-batch, parse the envelope and fold it into ``history``
+    (a ``LakeTable``) via the O(churn) incremental path.
+
+    ``scd2_apply(assume_ordered=True)`` is sound HERE and only here
+    because this runner supplies the ordering end-to-end: the
+    checkpointed availableNow file source replays batches in committed
+    order, and the offset high-watermark filter below strips
+    at-least-once redeliveries before they reach the apply — so the
+    per-batch late-detection job the default path pays is provably
+    redundant (the round-10 verdict's ``scd2_apply`` trim). Replay
+    safety is the same discipline as ``ingest_bronze_idempotent``: a
+    re-delivered batch's offsets are at or below the history's high
+    watermark (max over opening AND closing coordinates — a trailing
+    delete's only trace is a closing coordinate) and fold in as zero
+    rows; the ``LakeTable`` overwrite is an atomic snapshot swap, so a
+    crash mid-write leaves the previous version readable.
+    """
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import scd2_apply, scd2_history
+    from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope
+
+    reader = spark.readStream.schema(BRONZE_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(source_dir)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        batch = parse_cdc_envelope(batch_df)
+        if not history.exists():
+            history.overwrite(scd2_history(batch))
+            return
+        existing = history.read()
+        hwm = existing.agg(
+            F.max(
+                F.greatest(
+                    F.col("offset"),
+                    F.coalesce(F.col("end_offset"), F.col("offset")),
+                )
+            )
+        ).collect()[0][0]
+        if hwm is not None:
+            batch = batch.filter(F.col("offset") > F.lit(hwm))
+        history.overwrite(scd2_apply(existing, batch, assume_ordered=True))
+
+    q = (
+        stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def watermarked_dedup(
     stream: DataFrame,
     event_time: str = "kafka_ts",

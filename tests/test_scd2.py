@@ -220,3 +220,58 @@ def test_scd2_rebuild_catches_consecutive_dangling_deletes(spark):
         assert got[k]["is_current"] == full[k]["is_current"]
     # the late mid event's version is CLOSED by the dangling delete
     assert not got[(1, 2)]["is_current"]
+
+
+def test_scd2_apply_assume_ordered_matches_default(spark):
+    """assume_ordered skips the late-detection job but must produce
+    the identical history for an in-order batch; for a LATE batch it
+    documents the bypass (no error — the caller owns the contract)."""
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import (
+        LateEventsError,
+        scd2_apply,
+        scd2_history,
+    )
+
+    first = _changes(
+        spark,
+        [
+            (1, 10, "5.0", "created", "c", 1000, 1),
+            (1, 10, "6.0", "paid", "u", 2000, 2),
+            (2, 20, "9.0", "created", "c", 1500, 3),
+        ],
+    )
+    second = _changes(
+        spark,
+        [
+            (1, 10, "7.0", "shipped", "u", 3000, 4),
+            (2, 20, None, None, "d", 3500, 5),
+            (3, 30, "1.0", "created", "c", 4000, 6),
+        ],
+    )
+    seed = scd2_history(first)
+    default = _by_key_version(scd2_apply(seed, second))
+    fast = _by_key_version(scd2_apply(seed, second, assume_ordered=True))
+    assert fast == default == _by_key_version(
+        scd2_history(first.unionByName(second))
+    )
+    # a late batch: default detects, assume_ordered silently proceeds
+    late = _changes(spark, [(1, 10, "9.9", "late", "u", 1500, 99)])
+    import pytest
+
+    with pytest.raises(LateEventsError):
+        scd2_apply(seed, late)
+    scd2_apply(seed, late, assume_ordered=True).collect()  # no error
+
+
+def test_scd2_apply_assume_ordered_rejects_conflicting_args(spark):
+    import pytest
+
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import scd2_apply, scd2_history
+
+    seed = scd2_history(
+        _changes(spark, [(1, 10, "5.0", "created", "c", 1000, 1)])
+    )
+    batch = _changes(spark, [(1, 10, "6.0", "paid", "u", 2000, 2)])
+    with pytest.raises(ValueError, match="assume_ordered"):
+        scd2_apply(seed, batch, on_late="rebuild", late_source=batch,
+                   assume_ordered=True)

@@ -685,3 +685,58 @@ def test_streaming_quarantine_matches_batch(spark, tmp_path):
     assert all(
         r["failed_rules"] == ["in_range_amount"] for r in got_q.collect()
     )
+
+
+def test_scd2_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
+    """run_scd2_stream (foreachBatch incremental apply with
+    assume_ordered=True — the checkpointed source supplies the
+    ordering) must equal the batch full rebuild, including under a
+    REPLAYED batch (offset high-watermark strips redeliveries)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from privacy_cdc_lakehouse_spark.cdc.scd2 import scd2_history
+    from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import run_scd2_stream
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    events = cdc_events(spark, sf_dir)
+    src = str(tmp_path / "scd2_src")
+    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
+    events.filter(F.col("offset") <= mid).coalesce(1).write.parquet(f"{src}/p0")
+    events.filter(F.col("offset") > mid).coalesce(1).write.parquet(f"{src}/p1")
+    flat = str(tmp_path / "scd2_flat")
+    os.makedirs(flat)
+    t0 = time.time()
+    files = sorted(glob.glob(f"{src}/p*/part-*.parquet"))
+    for i, f in enumerate(files):
+        dst = f"{flat}/{i:04d}.parquet"
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    hist = LakeTable(spark, str(tmp_path / "scd2_hist"))
+    run_scd2_stream(
+        spark, flat, hist, str(tmp_path / "scd2_ckpt"), max_files_per_trigger=1
+    )
+    expected = scd2_history(parse_cdc_envelope(events))
+    cols = [
+        "order_id", "version", "user_id", "amount_eur", "status",
+        "valid_from", "valid_to", "is_current",
+    ]
+    a = sorted(tuple(r) for r in hist.read().select(cols).collect())
+    b = sorted(tuple(r) for r in expected.select(cols).collect())
+    assert a == b and len(a) > 0
+
+    # replay the LAST file through a fresh stream checkpoint (same
+    # history table): the high-watermark filter folds it in as zero
+    # rows — history unchanged, no duplicate versions
+    v_before = hist.current_version()
+    replay = str(tmp_path / "scd2_replay")
+    os.makedirs(replay)
+    shutil.copy(files[-1], f"{replay}/0000.parquet")
+    run_scd2_stream(spark, replay, hist, str(tmp_path / "scd2_ckpt2"))
+    a2 = sorted(tuple(r) for r in hist.read().select(cols).collect())
+    assert a2 == a
+    assert hist.current_version() > v_before  # it DID commit (idempotently)
