@@ -249,6 +249,34 @@ def _bucket_pair_rows(
 
 # ----------------------------- jaccard ---------------------------------
 
+# "auto" candidate-hint ceiling: above this many candidate PAIRS the
+# verify stage stops forcing broadcasts and lets AQE price the joins.
+# 5M pairs ≈ a few hundred MB of ids/shingle pointers per executor —
+# comfortably broadcastable; an adversarially duplicate-heavy corpus
+# whose candidate set approaches corpus scale lands on the degrading
+# shuffle plan instead of OOMing the driver (round-10 verdict item).
+AUTO_BROADCAST_MAX_CANDIDATES = 5_000_000
+
+
+def _candidate_hint(candidates: DataFrame, broadcast_candidates):
+    """Resolve the candidate-frame join hint. ``True``/``False`` are
+    explicit overrides (round-10 measured: hinted 3.16x faster than
+    un-hinted at the sf1 gate, because AQE's late BHJ still pays
+    map-side shuffle writes). ``"auto"`` (the default) stamps the
+    candidate set with ONE count — an aggregate over the
+    candidate-sized frame, cheap next to the verify joins it guards —
+    and hints only while the count is provably broadcastable."""
+    if broadcast_candidates == "auto":
+        broadcast_candidates = (
+            candidates.count() <= AUTO_BROADCAST_MAX_CANDIDATES
+        )
+    elif not isinstance(broadcast_candidates, bool):
+        raise ValueError(
+            "broadcast_candidates must be True, False or 'auto', got "
+            f"{broadcast_candidates!r}"
+        )
+    return F.broadcast if broadcast_candidates else (lambda d: d)
+
 
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -256,7 +284,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs (id_a, id_b).
 
@@ -268,21 +296,19 @@ def ngram_jaccard_pairs(
     round-3 bench showed the previous unrestricted joins shuffling
     full-corpus shingle arrays twice).
 
-    ``broadcast_candidates`` (default True) keeps explicit broadcast
-    hints on the candidate-sized frames. This is a MEASURED choice,
-    not a guess: the round-10 sf1 gate ran this operator un-hinted and
-    AQE still chose BHJ everywhere (bhj=32, smj=0) — but only after
-    planning shuffle exchanges, so the corpus semi-join and both
-    shingle fetches paid map-side shuffle WRITES the hinted plan never
-    plans, and the row regressed 3.16x (55 s → 174 s, reproduced on
-    two samples on a faster-canary box). The hint is the right default
-    under the operator's contract (candidates are LSH output, bounded
-    by the near-dup rate); pass False for an adversarially
-    duplicate-heavy corpus where the candidate set approaches corpus
-    scale and a forced broadcast would OOM the driver — the un-hinted
-    plan degrades to shuffle joins instead.
+    ``broadcast_candidates`` (default ``"auto"``) resolves the
+    candidate-frame hint via :func:`_candidate_hint`: one count stamps
+    the candidate set, the hint stays ON while the count is under
+    ``AUTO_BROADCAST_MAX_CANDIDATES`` and flips OFF past it — keeping
+    the measured round-10 win (hinted 3.16x faster at the sf1 gate:
+    un-hinted, AQE still chose BHJ but only after planning shuffle
+    exchanges whose map-side writes the hinted plan never pays) while
+    closing the documented OOM path for an adversarially
+    duplicate-heavy corpus whose candidate set approaches corpus
+    scale: auto degrades that case to the un-hinted shuffle plan.
+    ``True``/``False`` force either behavior without the count job.
     """
-    maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
+    maybe_bc = _candidate_hint(candidates, broadcast_candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -319,7 +345,7 @@ def edit_similarity_pairs(
     id_col: str = "doc_id",
     min_similarity: float = 0.0,
     prefix_chars: int | None = None,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
 ) -> DataFrame:
     """Levenshtein edit-similarity verification for candidate pairs —
     the edit-distance near-dup verify used alongside MinHash in code /
@@ -345,11 +371,11 @@ def edit_similarity_pairs(
     Join discipline is ``ngram_jaccard_pairs``'s, measured there at
     the sf1 gate: texts are semi-joined to the candidate-id set before
     either pair-side fetch, the corpus is scanned once, and
-    ``broadcast_candidates`` keeps the candidate-sized frames hinted
-    by default with the same adversarial-corpus opt-out."""
+    ``broadcast_candidates`` defaults to the same count-guarded
+    ``"auto"`` hint (:func:`_candidate_hint`)."""
     if not 0.0 <= min_similarity <= 1.0:
         raise ValueError(f"min_similarity must be in [0,1], got {min_similarity}")
-    maybe_bc = F.broadcast if broadcast_candidates else (lambda d: d)
+    maybe_bc = _candidate_hint(candidates, broadcast_candidates)
     txt = F.col(text_col)
     if prefix_chars is not None:
         txt = F.substring(F.col(text_col), 1, prefix_chars)
