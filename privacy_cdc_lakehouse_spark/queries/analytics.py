@@ -619,6 +619,125 @@ def q_events_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_record_linkage_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage at gate sizing with a DELIBERATELY hot blocking
+    key (round-11 verdict task: the registry link arm's (nation,
+    segment) blocks are uniform, so nothing priced the skew path).
+    Master = customer; dirty = every 100th customer, name-perturbed.
+    Blocking deliberately models the zipfian reality: the block key is
+    the nation for 70% of records but a single shared "HOT" value for
+    30% of BOTH sides — one block holding 30% of the corpus, the
+    classic straggler. ``hot_block_threshold`` pre-splits it onto the
+    salted path (``operators/linkage.py::blocked_candidates``); cold
+    blocks join plain. Scoring/resolution run the full recipe; the
+    return is the match summary (bounded). NOT a registry row (the
+    registry arm already hash-checks the algebra at uniform blocks;
+    this row exists to price the skew machinery) — consumed by
+    tools/bench_scale.py with plan assertions."""
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    pin_utc(spark)
+    cust = _t(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    block = F.when(
+        ck % 10 < 3, F.lit("HOT")
+    ).otherwise(F.col("c_nationkey").cast("string"))
+    master = cust.select(
+        ck.alias("lid"),
+        F.col("c_name").alias("name"),
+        block.alias("blk"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    dirty = cust.filter(ck % 100 == 0).select(
+        (ck + 10_000_000).alias("rid"),
+        F.when(ck % 3 == 0, F.regexp_replace("c_name", r".$", "X"))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+        block.alias("blk"),
+        (F.col("c_acctbal").cast("double") + 1.0).alias("bal"),
+    )
+    cands = lk.blocked_candidates(
+        master, dirty, [("blk", "blk")], "lid", "rid",
+        hot_block_threshold=10_000, salt=16,
+    )
+    feats = [
+        lk.Feature("name", "name", "name", "edit", 0.7),
+        lk.Feature("bal", "bal", "bal", "numeric", 0.3, scale=1000.0),
+    ]
+    scored = lk.score_candidates(
+        cands, master, dirty, feats, "lid", "rid", threshold=0.9
+    )
+    return (
+        lk.resolve_best_matches(scored)
+        .agg(
+            F.count(F.lit(1)).alias("resolved"),
+            F.sum(F.col("is_match").cast("long")).alias("matches"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.sum(
+                ((F.col("id_r") - 10_000_000) == F.col("id_l")).cast("long")
+            ).alias("true_key_wins"),
+        )
+    )
+
+
+def q_drift_monitor_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING face of ``q_events_drift`` at gate sizing
+    (round-11 verdict task): the event log's first half is the fixed
+    reference window; the second half is written as an 8-file parquet
+    source and driven through ``streaming/monitor.py::
+    run_drift_monitor`` in 4 micro-batches (maxFilesPerTrigger=2),
+    each scored with the full PSI/KS/moments panel and landed
+    idempotently in the metrics table. Returns the metrics table read
+    back — the captured plan is the monitoring-table scan (the
+    foreachBatch jobs already ran), same contract shape as
+    ``cdc_stream_silver``; the gate prices end-to-end monitor
+    wall-clock next to it. NOT a registry row (foreachBatch output is
+    not DuckDB-expressible; batch parity is pytest-pinned)."""
+    import os
+    import shutil
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.streaming.monitor import (
+        read_drift_metrics,
+        run_drift_monitor,
+    )
+
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    ts_d = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.agg(((F.min(ts_d) + F.max(ts_d)) / 2).alias("_mid"))
+    tagged = ev.crossJoin(F.broadcast(mid))
+    reference = tagged.filter(ts_d <= F.col("_mid")).select(
+        "event_type", "value"
+    )
+    current = tagged.filter(ts_d > F.col("_mid")).select(
+        "event_type", "value"
+    )
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"pcl_driftmon_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    src = f"{scratch}/src"
+    current.repartition(8).write.parquet(src)
+    run_drift_monitor(
+        spark,
+        src,
+        current.schema,
+        reference,
+        "value",
+        f"{scratch}/metrics",
+        f"{scratch}/ckpt",
+        n_bins=10,
+        ks_bins=100,
+        categorical_col="event_type",
+        max_files_per_trigger=2,
+    )
+    return read_drift_metrics(spark, f"{scratch}/metrics").orderBy(
+        "batch_id", "metric"
+    )
+
+
 def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of BOTH grouped event aggregates (round-4 registry
     consolidation): ``window`` rows are the tumbling 5-minute

@@ -113,3 +113,43 @@ def test_linkage_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "Window" in plan  # per-right-record resolution
+
+
+def test_blocked_candidates_hot_block_presplit_matches_plain(spark):
+    """One blocking key holding 30% of records rides the salted path;
+    the candidate SET must be identical to the plain join and the plan
+    must stay non-quadratic (no cartesian; the split + salt visible)."""
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    n = 300
+    left = spark.createDataFrame(
+        [(i, "HOT" if i < 90 else f"b{i % 20}") for i in range(n)],
+        "lid long, blk string",
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, "HOT" if i < 30 else f"b{i % 20}") for i in range(100)],
+        "rid long, blk string",
+    )
+    plain = lk.blocked_candidates(left, right, [("blk", "blk")], "lid", "rid")
+    split = lk.blocked_candidates(
+        left, right, [("blk", "blk")], "lid", "rid",
+        hot_block_threshold=50, salt=4,
+    )
+    a = sorted((r["id_l"], r["id_r"]) for r in plain.collect())
+    b = sorted((r["id_l"], r["id_r"]) for r in split.collect())
+    assert a == b and len(a) > 90 * 30  # the hot block genuinely expanded
+
+    plan = split._jdf.queryExecution().explainString(
+        split.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "CartesianProduct" not in plan
+    assert "_salt" in plan  # the hot path is in-plan
+    assert "LeftAnti" in plan  # and the cold path excluded the hot set
+
+    import pytest
+
+    with pytest.raises(ValueError, match="hot_block_threshold"):
+        lk.blocked_candidates(
+            left, right, [("blk", "blk")], "lid", "rid",
+            hot_block_threshold=0,
+        )

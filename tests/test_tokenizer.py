@@ -139,3 +139,26 @@ def test_bpe_train_plan_is_vocab_sized_no_join(spark):
     )
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "Python" not in plan
+
+
+def test_bpe_train_checkpointing_is_invisible(spark):
+    """Periodic localCheckpoint of the dict (the production lineage
+    bound) must not change a single merge or segmentation."""
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+
+    docs = spark.createDataFrame(
+        [(i, f"low lower lowest newer newest wide widest {i % 7}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    wf = tk.word_frequencies(docs)
+    m0, v0 = tk.bpe_train(wf, num_merges=12, checkpoint_every=0)
+    m1, v1 = tk.bpe_train(wf, num_merges=12, checkpoint_every=4)
+    assert m0 == m1
+    key = lambda df: sorted((r["word"], tuple(r["tokens"])) for r in df.collect())
+    assert key(v0) == key(v1)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="checkpoint_every"):
+        tk.bpe_train(wf, num_merges=1, checkpoint_every=-1)

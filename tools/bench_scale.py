@@ -132,6 +132,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # legitimate shape if AQE prices it so — so no join flavor is
     # asserted, only that nothing goes all-pairs or row-Python.
     "text_chunk_stats": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-11: BPE at production merge sizing (256 merges, periodic
+    # localCheckpoint bounding lineage/analysis per round) + the full
+    # corpus encode. The captured plan is the encode+agg (training's
+    # per-round jobs already ran): posexplode words (Generate), ONE
+    # un-hinted vocab join (flavor is AQE's call — the sf1 vocab grows
+    # with per-replica suffix words), reassembly agg; never all-pairs,
+    # never row-Python.
+    "bpe_train_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round-10 (cont. 2): SCD2 — the feed row now carries the
     # incremental history apply (seed from half the log, scd2_apply the
     # rest): the lead+row_number windows share one key exchange and the
@@ -139,6 +147,18 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # the batch side is corpus-scale, so join flavor is AQE's call —
     # assert the window shape and forbid all-pairs.
     "cdc_changes_feed": ["Window", "Scan parquet", "!CartesianProduct"],
+    # round-11 (cont. 2): record linkage with a deliberately hot
+    # blocking key (30% of both sides in ONE block): the hot-block
+    # pre-split (LeftAnti/LeftSemi against the broadcast hot set) must
+    # be in-plan and nothing may go all-pairs; the candidate-feature
+    # joins' flavor is AQE's call at 25M-pair scale, so none asserted.
+    "record_linkage_hotblock": ["LeftAnti", "BroadcastHashJoin", "!CartesianProduct"],
+    # round-11 (cont.): the STREAMING drift monitor at sf1 — second
+    # half of the event log in 4 micro-batches vs the first-half
+    # reference, full panel per batch into the idempotent metrics
+    # table. Captured plan is the metrics read-back (cdc_stream_silver
+    # contract shape); the row prices monitor wall-clock.
+    "drift_monitor_stream": ["Scan parquet"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
@@ -156,6 +176,13 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # sanctioned broadcast form).
     "cdc_bronze_dq": ["HashAggregate|SortAggregate", "LeftAnti", "!Window", "!CartesianProduct"],
 }
+
+
+# Rows sampled TWICE unconditionally (faster sample kept, both
+# recorded): the mover-rerun logic below only fires past 1.5x, which
+# left cdc_orders_current's r10 1.18x-on-0.81x-canary residual
+# single-shot and unadjudicable (round-10 verdict task #3).
+ALWAYS_RESAMPLE = {"cdc_orders_current"}
 
 
 def ensure_fixture(src: str, dst: str, factor: int) -> None:
@@ -229,12 +256,21 @@ def main() -> None:
 
         queries["sim_lsh_topk"] = q_sim_lsh_topk
     from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_bpe_train_production,
         q_dedup_semantic_pruned_production,
         q_sim_pq_pruned_production,
     )
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
     queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
+    queries["bpe_train_production"] = q_bpe_train_production
+    from privacy_cdc_lakehouse_spark.queries.analytics import (
+        q_drift_monitor_production,
+        q_record_linkage_production,
+    )
+
+    queries["drift_monitor_stream"] = q_drift_monitor_production
+    queries["record_linkage_hotblock"] = q_record_linkage_production
     def run_query(name: str, checks: list[str]) -> dict:
         # time construction + collect: write-path queries (sql_merge_*)
         # do their MERGE work eagerly while building the returned frame
@@ -274,6 +310,11 @@ def main() -> None:
         if only and name not in only:
             continue
         rec = run_query(name, checks)
+        if name in ALWAYS_RESAMPLE:
+            rec2 = run_query(name, checks)
+            samples = [rec["sec"], rec2["sec"]]
+            rec = rec if rec["sec"] <= rec2["sec"] else rec2
+            rec["sec_samples"] = samples
         gate_ok = gate_ok and rec["plan_ok"]
         out[name] = rec
         print(f"# {name}: {rec['sec']}s ({rec['rows']} rows) "
