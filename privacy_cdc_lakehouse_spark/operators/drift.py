@@ -133,6 +133,59 @@ def categorical_psi(ref: DataFrame, cur: DataFrame, value_col: str) -> DataFrame
     return _psi_of_shares(categorical_shares(ref, cur, value_col))
 
 
+def _divergences_of_shares(shares: DataFrame) -> DataFrame:
+    """Jensen-Shannon divergence (nats), chi-square on shares, total
+    variation distance — all from one shares frame (≤ |bins| rows),
+    long-format (metric, value). JS and chi2 use the PSI epsilon floor
+    (log/division need it); TV is absolute-difference arithmetic, so
+    it uses the RAW shares with nulls as 0 (an empty side is simply
+    'all mass moved')."""
+    p = F.greatest(F.col("p_ref"), F.lit(_EPS))
+    q = F.greatest(F.col("p_cur"), F.lit(_EPS))
+    m = (p + q) / F.lit(2.0)
+    p0 = F.coalesce(F.col("p_ref"), F.lit(0.0))
+    q0 = F.coalesce(F.col("p_cur"), F.lit(0.0))
+    return shares.agg(
+        F.round(
+            F.lit(0.5) * F.sum(p * F.log(p / m))
+            + F.lit(0.5) * F.sum(q * F.log(q / m)),
+            6,
+        ).alias("js"),
+        F.round(F.sum(F.pow(q - p, F.lit(2.0)) / p), 6).alias("chi2"),
+        F.round(F.lit(0.5) * F.sum(F.abs(q0 - p0)), 6).alias("tv"),
+    ).selectExpr(
+        "stack(3, 'js', js, 'chi2', chi2, 'tv', tv) AS (metric, value)"
+    )
+
+
+def js_divergence(
+    ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Jensen-Shannon divergence (nats) over reference-anchored bins;
+    1-row (js double). Symmetric and bounded by ln 2 — the standard
+    'how different are these corpora' number next to PSI's
+    'how far did production move' framing."""
+    return (
+        _divergences_of_shares(binned_histogram(ref, cur, value_col, n_bins))
+        .filter(F.col("metric") == "js")
+        .select(F.col("value").alias("js"))
+    )
+
+
+def chi_square_drift(
+    ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Chi-square statistic ON SHARES (``sum((q-p)^2 / p)``, epsilon-
+    floored) over reference-anchored bins; 1-row (chi2 double). The
+    share form is sample-size-invariant — the count-weighted test
+    statistic is just N_cur times it if a p-value is wanted."""
+    return (
+        _divergences_of_shares(binned_histogram(ref, cur, value_col, n_bins))
+        .filter(F.col("metric") == "chi2")
+        .select(F.col("value").alias("chi2"))
+    )
+
+
 def ks_statistic(
     ref: DataFrame, cur: DataFrame, value_col: str, n_bins: int = 1000
 ) -> DataFrame:
@@ -159,8 +212,8 @@ def drift_report(
     categorical_col: str | None = None,
 ) -> DataFrame:
     """The monitoring panel as long-format (metric, value) rows: psi,
-    ks, per-side counts / means / sample-stddevs, plus categorical PSI
-    over ``categorical_col`` when given.
+    js, chi2, tv, ks, per-side counts / means / sample-stddevs, plus
+    categorical PSI over ``categorical_col`` when given.
 
     Cost discipline: ONE binning pass at the fine (``ks_bins``) grid
     feeds both KS and PSI — the coarse PSI histogram is the fine one
@@ -181,6 +234,9 @@ def drift_report(
     psi_row = _psi_of_shares(coarse).select(
         F.lit("psi").alias("metric"), F.col("psi").alias("value")
     )
+    # round-11: JS / chi-square / total-variation ride the SAME coarse
+    # histogram — three more ≤|bins|-row aggregates, zero extra scans
+    div_rows = _divergences_of_shares(coarse)
     w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: ≤ ks_bins rows
     ks_row = (
         fine.select(
@@ -204,7 +260,7 @@ def drift_report(
             " AS (metric, value)"
         )
     )
-    out = psi_row.unionByName(ks_row).unionByName(moments)
+    out = psi_row.unionByName(div_rows).unionByName(ks_row).unionByName(moments)
     if categorical_col is not None:
         out = out.unionByName(
             categorical_psi(ref, cur, categorical_col).select(

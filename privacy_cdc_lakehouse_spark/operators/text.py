@@ -531,6 +531,92 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+) -> DataFrame:
+    """Okapi BM25 top-``k`` retrieval (Robertson & Spärck Jones
+    weighting; the Lucene-standard always-positive idf form
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``): score every document
+    against each query's term set, keep the ``k`` best per query.
+    ``queries`` is (query_id, terms array<string>); repeated query
+    terms count once (the standard short-query treatment).
+
+    Scale shape: ONE explode pass builds (doc, term, tf); document
+    length and the corpus stats (N, avgdl) are aggregates of that same
+    frame (1-row stats broadcast); df is the vocabulary-sized term
+    aggregate. The query term table is tiny by definition — its join
+    onto tf broadcasts and FILTERS the corpus to matching postings
+    before any other join (classic term-at-a-time retrieval: cost is
+    Σ posting-list lengths of the query terms, never |corpus|·|Q|).
+    The final window partitions by query — per-query candidate lists.
+
+    Determinism: the summed score is rounded to 6dp (ln/division ulps
+    and FP-sum order differ across engines; per-(query, doc) sums span
+    ≤ |query terms| values, so 1e-15-scale error never reaches the 6th
+    decimal) and ranking orders by the ROUNDED score with the doc id
+    as total tie-break — rank-over-rounded, engine-independent.
+
+    Returns (query_id, doc_id, n_hit_terms, score6, rank).
+    """
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = tf.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("n_docs"),
+        (F.sum("tf") / F.count_distinct(F.col(id_col))).alias("avgdl"),
+    )
+    q = queries.select(
+        F.col(query_id_col), F.explode(F.col(terms_col)).alias("term")
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf")
+        + F.lit(k1)
+        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score6"), F.asc(id_col)
+    )
+    return (
+        tf.join(F.broadcast(q), "term")
+        .join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(query_id_col, id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_terms"),
+            F.round(F.sum(idf * norm), 6).alias("score6"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col, id_col, "n_hit_terms", "score6",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 # ----------------------- unigram LM / perplexity filter ---------------------
 
 
@@ -1097,6 +1183,70 @@ def pool_bleu_stats(per_pair: DataFrame, max_n: int = 4) -> DataFrame:
             for n in range(1, max_n + 1)
         ],
         *[F.sum(f"total_{n}").alias(f"total_{n}") for n in range(1, max_n + 1)],
+    )
+
+
+def rouge_n(
+    pairs: DataFrame,
+    n: int = 2,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """ROUGE-N (Lin 2004): clipped n-gram co-occurrence
+    recall/precision/F over whitespace tokens — the n-gram half of the
+    ROUGE family next to :func:`rouge_l`'s LCS half, and unlike the
+    LCS it is FULLY relational (no Arrow path): one tagged-union
+    explode builds per-(pair, gram) counts for both sides in a single
+    map-side-combinable aggregate (the ``bleu_pair_stats`` shape),
+    clipping is ``least(c_cand, c_ref)`` per gram, and the final
+    aggregate is pair-sized. Every pair keeps a row (gramless sides
+    score 0). Ratios 6dp (value-over-rounded). Output: (id, match,
+    cand_grams, ref_grams, rouge_p, rouge_r, rouge_f)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+
+    def grams(col: str):
+        ws = words(F.col(col))
+        return F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(ws) - n),
+                lambda i: F.concat_ws(" ", F.slice(ws, i + 1, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    cg = pairs.select(
+        F.col(id_col), F.explode(grams(cand_col)).alias("g")
+    ).select(id_col, "g", F.lit(1).alias("c"), F.lit(0).alias("r"))
+    rg = pairs.select(
+        F.col(id_col), F.explode(grams(ref_col)).alias("g")
+    ).select(id_col, "g", F.lit(0).alias("c"), F.lit(1).alias("r"))
+    per_gram = (
+        cg.unionByName(rg)
+        .groupBy(id_col, "g")
+        .agg(F.sum("c").alias("c"), F.sum("r").alias("r"))
+    )
+    s = per_gram.groupBy(id_col).agg(
+        F.sum(F.least("c", "r")).alias("match"),
+        F.sum("c").alias("cand_grams"),
+        F.sum("r").alias("ref_grams"),
+    )
+    out = pairs.select(id_col).join(s, id_col, "left")
+    m = F.coalesce(F.col("match"), F.lit(0)).cast("double")
+    p = F.try_divide(m, F.col("cand_grams"))
+    r = F.try_divide(m, F.col("ref_grams"))
+    f = F.try_divide(2 * p * r, p + r)
+    return out.select(
+        id_col,
+        F.coalesce(F.col("match"), F.lit(0)).alias("match"),
+        F.coalesce(F.col("cand_grams"), F.lit(0)).alias("cand_grams"),
+        F.coalesce(F.col("ref_grams"), F.lit(0)).alias("ref_grams"),
+        F.coalesce(F.round(p, 6), F.lit(0.0)).alias("rouge_p"),
+        F.coalesce(F.round(r, 6), F.lit(0.0)).alias("rouge_r"),
+        F.when(m == 0, F.lit(0.0))
+        .otherwise(F.round(f, 6))
+        .alias("rouge_f"),
     )
 
 

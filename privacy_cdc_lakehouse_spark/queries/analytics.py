@@ -862,6 +862,21 @@ SELECT 'psi' AS metric,
          AS value
 FROM drift_coarse
 UNION ALL
+-- round-11 divergences, same coarse histogram + epsilon floor as PSI
+SELECT 'js', round(
+       0.5 * sum(greatest(p_ref, 1e-6) * ln(greatest(p_ref, 1e-6)
+             / ((greatest(p_ref, 1e-6) + greatest(p_cur, 1e-6)) / 2)))
+     + 0.5 * sum(greatest(p_cur, 1e-6) * ln(greatest(p_cur, 1e-6)
+             / ((greatest(p_ref, 1e-6) + greatest(p_cur, 1e-6)) / 2))), 6)
+FROM drift_coarse
+UNION ALL
+SELECT 'chi2', round(sum(pow(greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6), 2)
+                         / greatest(p_ref, 1e-6)), 6)
+FROM drift_coarse
+UNION ALL
+SELECT 'tv', round(0.5 * sum(abs(coalesce(p_cur, 0) - coalesce(p_ref, 0))), 6)
+FROM drift_coarse
+UNION ALL
 SELECT 'ks', round(max(abs(d)), 6) FROM (
     SELECT sum(p_ref) OVER (ORDER BY bin)
          - sum(p_cur) OVER (ORDER BY bin) AS d

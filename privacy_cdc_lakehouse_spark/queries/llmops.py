@@ -1202,6 +1202,34 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("predicted_label") == F.col("_true")).alias("recall_ok"),
         )
     )
+    # round 11: deterministic negative-sampling arm
+    # (operators/curation.py::sample_negatives — previously
+    # pytest-only): k=8 negatives per query from the embedding-id
+    # universe on the md5 consistent-hashing ring, positives = the
+    # exact top-10 (true neighbors must never leak in as negatives).
+    # The long slot packs (neg_rank, doc_id) so ranks AND picks are
+    # hash-checked against the oracle's full naive ring replay;
+    # recall_ok re-verifies the anti-join (negative not in top-10).
+    pos = bf.select("query_id", F.col("neighbor_id").alias("doc_id"))
+    negs = cur.sample_negatives(
+        queries.select("query_id"),
+        emb.select(F.col("vec_id").alias("doc_id")),
+        k=8,
+        positives=pos,
+    )
+    neg_rows = negs.join(
+        pos.select("query_id", "doc_id", F.lit(1).alias("_p")),
+        ["query_id", "doc_id"],
+        "left",
+    ).select(
+        F.lit("neg").alias("method"),
+        "query_id",
+        (
+            F.col("neg_rank").cast("long") * F.lit(1_000_000_000)
+            + F.col("doc_id")
+        ).alias("n_hits"),
+        F.col("_p").isNull().alias("recall_ok"),
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
@@ -1210,7 +1238,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(knn)
         .unionByName(mrr_rows)
         .unionByName(ndcg_rows)
-        .orderBy("method", "query_id")
+        .unionByName(neg_rows)
+        .orderBy("method", "query_id", "n_hits")
     )
 
 
@@ -1294,6 +1323,51 @@ UNION ALL
 SELECT 'pca16', query_id, CAST(NULL AS BIGINT), recall_ok
 FROM (VALUES (0, true), (1, true), (2, true), (3, true), (4, true))
 AS t(query_id, recall_ok)
+UNION ALL
+-- negative-sampling replay (round 11): the NAIVE consistent-hashing
+-- ring — doc u / query anchor a from md5('neg-d|id')/('neg-q|id')
+-- first-13-nibble uniforms (exact /2^52, no rounding needed: the
+-- ring arithmetic is exact double math in both engines), clockwise
+-- distance, window w = min(1, oversample*k/n), positives (exact
+-- top-10) excluded BEFORE the top-k rank — two-phase == naive is the
+-- operator's contract, so the oracle replays the naive form
+SELECT 'neg', query_id,
+       CAST(neg_rank AS BIGINT) * 1000000000 + doc_id, true
+FROM (
+    SELECT query_id, doc_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist, doc_id) AS neg_rank
+    FROM (
+        SELECT qq.query_id, d.doc_id,
+               d.u - qq.a
+               + CASE WHEN d.u < qq.a THEN 1.0 ELSE 0.0 END AS dist
+        FROM (
+            SELECT doc_id,
+                   CAST({_duck_hexn(1, 13)} AS DOUBLE)
+                   / 4503599627370496.0 AS u
+            FROM (
+                SELECT vec_id AS doc_id,
+                       md5('neg-d' || '|' || CAST(vec_id AS VARCHAR)) AS h
+                FROM embeddings
+            )
+        ) d
+        CROSS JOIN (
+            SELECT query_id,
+                   CAST({_duck_hexn(1, 13)} AS DOUBLE)
+                   / 4503599627370496.0 AS a
+            FROM (
+                SELECT DISTINCT query_id,
+                       md5('neg-q' || '|' || CAST(query_id AS VARCHAR)) AS h
+                FROM q
+            )
+        ) qq
+        LEFT JOIN (
+            SELECT query_id, neighbor_id
+            FROM bf_ranked WHERE rank <= 10
+        ) p ON p.query_id = qq.query_id AND p.neighbor_id = d.doc_id
+        WHERE p.neighbor_id IS NULL
+    )
+    WHERE dist < least(1.0, 64.0 / (SELECT count(*) FROM embeddings))
+) WHERE neg_rank <= 8
 UNION ALL
 -- knn majority-vote label propagation: n_hits carries the PREDICTED
 -- label; exact replay of top-10 membership (the same engine-stable
@@ -2068,12 +2142,40 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tfidf_top_terms``) — distinctive-term extraction with corpus-wide
     document frequencies. tf/df/rank are exact integers; tfidf is
     rounded to 6dp (ln ulps differ across engines) and the ranking
-    orders by the ROUNDED score + term, so it is engine-independent."""
+    orders by the ROUNDED score + term, so it is engine-independent.
+
+    Round-11 widening — ``bm25`` arm: Okapi BM25 top-5 retrieval
+    (``operators/text.py::bm25_topk``, Lucene positive-idf form,
+    k1=1.2 b=0.75) for five fixed term queries over the same corpus,
+    riding the tagged schema (query id in ``term``, hit-term count in
+    ``tf``, 6dp score in ``tfidf6``). Every ranked hit's score and
+    rank are hash-checked against the oracle's full replay."""
     pin_utc(spark)
-    return (
-        tx.tfidf_top_terms(_docs(spark, sf_dir), k=3)
-        .orderBy("doc_id", "rank")
+    docs = _docs(spark, sf_dir)
+    base = tx.tfidf_top_terms(docs, k=3).select(
+        F.lit("tfidf").alias("kind"),
+        "doc_id", "term", "tf", "df", "tfidf6", "rank",
     )
+    queries = spark.createDataFrame(
+        [
+            (0, ["spark", "join", "fast"]),
+            (1, ["window", "agg", "stream"]),
+            (2, ["customer", "query", "table"]),
+            (3, ["hash", "merge"]),
+            (4, ["vector", "filter", "big"]),
+        ],
+        "query_id int, terms array<string>",
+    )
+    bm = tx.bm25_topk(docs, queries, k=5).select(
+        F.lit("bm25").alias("kind"),
+        "doc_id",
+        F.col("query_id").cast("string").alias("term"),
+        F.col("n_hit_terms").cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("score6").alias("tfidf6"),
+        "rank",
+    )
+    return base.unionByName(bm).orderBy("kind", "term", "doc_id", "rank")
 
 
 _TFIDF_SQL = """
@@ -2101,9 +2203,51 @@ ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY doc_id ORDER BY tfidf6 DESC, term ASC) AS rank
     FROM scored
+),
+-- round-11 bm25 arm: same tf/dfreq postings, Lucene positive idf,
+-- k1=1.2 b=0.75, stats over docs WITH >=1 term (the posting universe)
+bmq(query_id, term) AS (VALUES
+    (0, 'spark'), (0, 'join'), (0, 'fast'),
+    (1, 'window'), (1, 'agg'), (1, 'stream'),
+    (2, 'customer'), (2, 'query'), (2, 'table'),
+    (3, 'hash'), (3, 'merge'),
+    (4, 'vector'), (4, 'filter'), (4, 'big')
+),
+bm_dl AS (
+    SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+),
+bm_stats AS (
+    SELECT CAST(count(*) AS DOUBLE) AS bm_n,
+           CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+    FROM bm_dl
+),
+bm_scored AS (
+    SELECT q.query_id, tf.doc_id,
+           CAST(count(*) AS BIGINT) AS n_hit_terms,
+           round(sum(ln(1 + (bm_n - df + 0.5) / (df + 0.5))
+                     * tf * (1.2 + 1)
+                     / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 6)
+             AS score6
+    FROM tf
+    JOIN bmq q USING (term)
+    JOIN dfreq USING (term)
+    JOIN bm_dl USING (doc_id)
+    CROSS JOIN bm_stats
+    GROUP BY 1, 2
+),
+bm_ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score6 DESC, doc_id ASC) AS rank
+    FROM bm_scored
 )
-SELECT doc_id, term, tf, df, tfidf6, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+SELECT 'tfidf' AS kind, doc_id, term, tf, df, tfidf6,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 3
+UNION ALL
+SELECT 'bm25', doc_id, CAST(query_id AS VARCHAR), n_hit_terms,
+       CAST(NULL AS BIGINT), score6, CAST(rank AS BIGINT)
+FROM bm_ranked WHERE rank <= 5
+ORDER BY kind, term, doc_id, rank
 """
 
 
@@ -2717,6 +2861,21 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pair_id").cast("string").alias("k"),
         F.col("rouge_f").alias("v"),
     )
+    # round 11: ROUGE-N arm (operators/text.py::rouge_n) — the n-gram
+    # ROUGE half, fully relational, on the SAME bleu pairs (punct-
+    # stripped candidate vs original reference): per-pair ROUGE-1 and
+    # ROUGE-2 F-scores, every one hash-checked against the oracle's
+    # clipped-gram replay (which shares the bleu CTE construction).
+    rougen_rows = None
+    for rn in (1, 2):
+        rows = tx.rouge_n(bpairs, n=rn).select(
+            F.lit("rougen").alias("kind"),
+            F.concat(
+                F.lit(f"f{rn}_"), F.col("pair_id").cast("string")
+            ).alias("k"),
+            F.col("rouge_f").alias("v"),
+        )
+        rougen_rows = rows if rougen_rows is None else rougen_rows.unionByName(rows)
     return (
         lang.unionByName(qual)
         .unionByName(rep)
@@ -2731,6 +2890,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bleu_buckets)
         .unionByName(bleu_corpus)
         .unionByName(rouge_rows)
+        .unionByName(rougen_rows)
         .orderBy("kind", "k")
     )
 
@@ -3060,6 +3220,59 @@ SELECT 'rouge', CAST(doc_id AS VARCHAR), v FROM (
             FROM documents WHERE doc_id % 5 = 0
         )
     )
+)
+UNION ALL
+SELECT 'rougen', k, v FROM (
+    -- ROUGE-1/2 replay on the bleu pairs: clipped n-gram counts per
+    -- (doc, n, gram) exactly like the bleu CTEs, F from unrounded
+    -- p/r, space-joined grams (tokens are whitespace-free)
+    WITH rnp AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(
+                   lower(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')),
+                   '\\s+'), x -> x <> '') AS cw,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS rw
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    rng AS (
+        SELECT doc_id, n, gram, sum(c) AS c, sum(r) AS r FROM (
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN len(cw) >= ns.n THEN
+                       list_transform(range(1, len(cw) - ns.n + 2),
+                           i -> array_to_string(
+                               list_slice(cw, i, i + ns.n - 1), ' '))
+                       ELSE [] END) AS gram,
+                   1 AS c, 0 AS r
+            FROM rnp CROSS JOIN (SELECT unnest([1, 2]) AS n) ns
+            UNION ALL
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN len(rw) >= ns.n THEN
+                       list_transform(range(1, len(rw) - ns.n + 2),
+                           i -> array_to_string(
+                               list_slice(rw, i, i + ns.n - 1), ' '))
+                       ELSE [] END),
+                   0, 1
+            FROM rnp CROSS JOIN (SELECT unnest([1, 2]) AS n) ns
+        ) GROUP BY 1, 2, 3
+    ),
+    rns AS (
+        SELECT doc_id, n, sum(least(c, r)) AS m,
+               sum(c) AS cand_n, sum(r) AS ref_n
+        FROM rng GROUP BY 1, 2
+    )
+    SELECT 'f' || CAST(ns.n AS VARCHAR) || '_'
+               || CAST(p.doc_id AS VARCHAR) AS k,
+           CASE WHEN coalesce(m, 0) = 0 THEN 0.0
+                ELSE round(
+                    2.0 * (CAST(m AS DOUBLE) / cand_n)
+                        * (CAST(m AS DOUBLE) / ref_n)
+                    / ((CAST(m AS DOUBLE) / cand_n)
+                       + (CAST(m AS DOUBLE) / ref_n)), 6)
+           END AS v
+    FROM rnp p
+    CROSS JOIN (SELECT unnest([1, 2]) AS n) ns
+    LEFT JOIN rns s ON s.doc_id = p.doc_id AND s.n = ns.n
 )
 ORDER BY kind, k
 """

@@ -152,3 +152,45 @@ def test_rouge_l_truncation(spark):
     got = tx.rouge_l(_pairs(spark, [(1, cand, ref)]), max_tokens=10).first()
     assert got["lcs"] == 10 and got["cand_tokens"] == 10
     assert got["rouge_f"] == 1.0
+
+
+def test_rouge_n_known_values(spark):
+    """Hand-computed clipped n-gram overlap, empty/gramless pairs get
+    0-rows, clipping caps repeated candidate grams."""
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    pairs = spark.createDataFrame(
+        [
+            # cand bigrams: {a b, b c}; ref bigrams: {a b, b d} -> match 1
+            (1, "a b c", "a b d"),
+            # repeated cand gram clipped at ref count: cand {x y}x2+{y x},
+            # ref {x y}x1 -> match 1, cand_grams 3, ref_grams 1
+            (2, "x y x y", "x y"),
+            # gramless candidate (1 token < n)
+            (3, "solo", "a b c"),
+            (4, "", ""),
+        ],
+        "pair_id long, cand string, ref string",
+    )
+    got = {r["pair_id"]: r for r in tx.rouge_n(pairs, n=2).collect()}
+    assert got[1]["match"] == 1 and got[1]["cand_grams"] == 2
+    assert got[1]["rouge_p"] == 0.5 and got[1]["rouge_r"] == 0.5
+    assert got[1]["rouge_f"] == 0.5
+    assert got[2]["match"] == 1 and got[2]["cand_grams"] == 3
+    assert got[2]["ref_grams"] == 1
+    assert got[2]["rouge_f"] == round(2 * (1/3) * 1.0 / ((1/3) + 1.0), 6)
+    assert got[3]["match"] == 0 and got[3]["rouge_f"] == 0.0
+    assert got[4]["rouge_f"] == 0.0 and len(got) == 4
+    # rouge-1 on identical texts is a perfect score
+    same = tx.rouge_n(
+        spark.createDataFrame(
+            [(1, "p q r", "p q r")], "pair_id long, cand string, ref string"
+        ),
+        n=1,
+    ).collect()[0]
+    assert same["rouge_f"] == 1.0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n must be"):
+        tx.rouge_n(pairs, n=0)

@@ -164,3 +164,42 @@ def test_empty_current_side_does_not_raise(spark):
     assert got is not None  # smoothing floors the empty side at eps
     ks = drift.ks_statistic(ref, cur, "value").first()["ks"]
     assert ks is None  # no current distribution to compare
+
+
+def test_divergence_metrics_properties(spark):
+    """JS is symmetric, 0 for identical samples, bounded by ln 2;
+    TV in [0,1]; chi2 = 0 iff identical; all ride the report."""
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import drift as dr
+
+    a = spark.createDataFrame([(float(i % 10),) for i in range(200)], "v double")
+    b = spark.createDataFrame([(float(i % 10) + 5.0,) for i in range(200)], "v double")
+    same = {
+        r["metric"]: r["value"]
+        for r in dr.drift_report(a, a, "v", n_bins=10, ks_bins=100).collect()
+    }
+    assert same["js"] == 0.0 and same["chi2"] == 0.0 and same["tv"] == 0.0
+    moved = {
+        r["metric"]: r["value"]
+        for r in dr.drift_report(a, b, "v", n_bins=10, ks_bins=100).collect()
+    }
+    assert 0.0 < moved["js"] <= math.log(2) + 1e-9
+    assert 0.0 < moved["tv"] <= 1.0
+    assert moved["chi2"] > 0.0
+    # symmetry of JS and TV
+    rev = {
+        r["metric"]: r["value"]
+        for r in dr.drift_report(b, a, "v", n_bins=10, ks_bins=100).collect()
+    }
+    # note: bins anchor on the REFERENCE side, so reverse runs use a
+    # different grid — symmetry holds only on a shared grid; check via
+    # the standalone helpers on identical-range samples instead
+    b2 = spark.createDataFrame(
+        [(float(9 - (i % 10)),) for i in range(200)], "v double"
+    )
+    js_ab = dr.js_divergence(a, b2, "v").collect()[0]["js"]
+    js_ba = dr.js_divergence(b2, a, "v").collect()[0]["js"]
+    assert js_ab == js_ba
+    chi = dr.chi_square_drift(a, b2, "v").collect()[0]["chi2"]
+    assert chi >= 0.0

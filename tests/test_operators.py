@@ -3041,3 +3041,40 @@ def test_candidate_hint_auto_flips_off_past_threshold(spark, monkeypatch):
 
     with pytest.raises(ValueError, match="broadcast_candidates"):
         dd._candidate_hint(cands, "always")
+
+
+def test_bm25_topk_semantics(spark):
+    """BM25: rarer matched terms score higher; matching more query
+    terms beats fewer at equal tf; determinism via rounded-score rank
+    with id tie-break; k validated."""
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple apple"),
+            (3, "banana banana durian"),
+            (4, "cherry durian apple banana"),
+            (5, "elderberry fig grape"),
+        ],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [(0, ["apple", "durian"])], "query_id int, terms array<string>"
+    )
+    out = tx.bm25_topk(docs, qs, k=10).orderBy("rank").collect()
+    got = {r["doc_id"]: r for r in out}
+    assert 5 not in got  # no query term -> no row
+    assert got[4]["n_hit_terms"] == 2  # both terms hit
+    # doc 4 matches both query terms; docs 1/2 only 'apple' (df=3),
+    # doc 3 only 'durian' (df=2, rarer -> higher idf)
+    assert out[0]["doc_id"] == 4
+    assert all(r["score6"] > 0 for r in out)
+    # deterministic re-run
+    again = tx.bm25_topk(docs, qs, k=10).orderBy("rank").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        tx.bm25_topk(docs, qs, k=0)
