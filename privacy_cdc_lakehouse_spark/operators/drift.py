@@ -238,12 +238,40 @@ def drift_report(
     # histogram — three more ≤|bins|-row aggregates, zero extra scans
     div_rows = _divergences_of_shares(coarse)
     w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: ≤ ks_bins rows
-    ks_row = (
-        fine.select(
-            (F.sum("p_ref").over(w) - F.sum("p_cur").over(w)).alias("_d")
+    ks_stat = fine.select(
+        (F.sum("p_ref").over(w) - F.sum("p_cur").over(w)).alias("_d")
+    ).agg(F.round(F.max(F.abs(F.col("_d"))), 6).alias("ks"))
+    ks_row = ks_stat.select(
+        F.lit("ks").alias("metric"), F.col("ks").alias("value")
+    )
+    # round-11: asymptotic two-sample KS p-value
+    # exp(-2 D^2 n m / (n+m)) — pure arithmetic over the 1-row KS stat
+    # and the per-side counts (both broadcast scalars), clamped to 1
+    sizes = (
+        _tagged_union(ref, cur, lambda d: F.col(value_col).cast("double"))
+        .filter(F.col("_v").isNotNull())
+        .agg(
+            F.sum("_ref").cast("double").alias("_nr"),
+            F.sum("_cur").cast("double").alias("_nc"),
         )
-        .agg(F.round(F.max(F.abs(F.col("_d"))), 6).alias("value"))
-        .select(F.lit("ks").alias("metric"), "value")
+    )
+    pval_row = ks_stat.crossJoin(F.broadcast(sizes)).select(
+        F.lit("ks_pvalue").alias("metric"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.exp(
+                    F.lit(-2.0)
+                    * F.col("ks")
+                    * F.col("ks")
+                    * F.try_divide(
+                        F.col("_nr") * F.col("_nc"),
+                        F.col("_nr") + F.col("_nc"),
+                    )
+                ),
+            ),
+            6,
+        ).alias("value"),
     )
     moments = (
         _tagged_union(ref, cur, lambda d: F.col(value_col).cast("double"))
@@ -260,7 +288,12 @@ def drift_report(
             " AS (metric, value)"
         )
     )
-    out = psi_row.unionByName(div_rows).unionByName(ks_row).unionByName(moments)
+    out = (
+        psi_row.unionByName(div_rows)
+        .unionByName(ks_row)
+        .unionByName(pval_row)
+        .unionByName(moments)
+    )
     if categorical_col is not None:
         out = out.unionByName(
             categorical_psi(ref, cur, categorical_col).select(

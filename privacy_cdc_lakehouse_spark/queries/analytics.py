@@ -883,6 +883,21 @@ SELECT 'ks', round(max(abs(d)), 6) FROM (
     FROM drift_shares
 )
 UNION ALL
+-- asymptotic two-sample KS p-value from the ROUNDED D (matching the
+-- Spark expression term for term), clamped to 1
+SELECT 'ks_pvalue',
+       round(least(1.0, exp(-2.0 * d * d * (nr * nc / (nr + nc)))), 6)
+FROM (
+    SELECT (SELECT round(max(abs(d)), 6) FROM (
+                SELECT sum(p_ref) OVER (ORDER BY bin)
+                     - sum(p_cur) OVER (ORDER BY bin) AS d
+                FROM drift_shares)) AS d,
+           (SELECT CAST(sum(is_ref) AS DOUBLE) FROM drift_ev
+             WHERE value IS NOT NULL) AS nr,
+           (SELECT CAST(sum(1 - is_ref) AS DOUBLE) FROM drift_ev
+             WHERE value IS NOT NULL) AS nc
+)
+UNION ALL
 SELECT 'psi_categorical',
        round(sum((greatest(p_cur, 1e-6) - greatest(p_ref, 1e-6))
                  * ln(greatest(p_cur, 1e-6) / greatest(p_ref, 1e-6))), 6)
