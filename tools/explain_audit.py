@@ -131,7 +131,10 @@ AUDIT = {
     # boundary-bucket window — never SMJ or cartesian here
     "curation_mixture_sample": ["Project", "Scan parquet", "BroadcastHashJoin", "Window", "!SortMergeJoin", "!CartesianProduct"],
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
-    "text_tfidf_topterms": ["Generate", "HashAggregate", "Window"],
+    # round 11: the bm25 arm's query-term table must broadcast (it is
+    # a handful of literal terms — term-at-a-time retrieval's posting
+    # filter) and nothing may go all-pairs
+    "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "BroadcastHashJoin", "!CartesianProduct"],
     # round 10: + BPE arms. Train never appears in this plan (it is k
     # driver-collected vocab-sized aggregates, each pinned join-free by
     # test_bpe_train_plan_is_vocab_sized_no_join); what the final plan
