@@ -1661,9 +1661,30 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("measure"),
         F.col("is_match").cast("long").alias("n"),
     )
+    # round 11: Fellegi-Sunter weight-estimation arm
+    # (operators/linkage.py::fellegi_sunter_weights) — m/u agreement
+    # probabilities and log-odds weights learned from the SAME scored
+    # candidates labeled by the construction truth (dirty id = master
+    # id + 10M). measure = w_agree (6dp), n = w_disagree scaled 1e6;
+    # every estimated weight hash-checked against the oracle's replay.
+    fsw = lk.fellegi_sunter_weights(
+        scored.withColumn(
+            "_truth", (F.col("id_r") - 10_000_000) == F.col("id_l")
+        ),
+        ["name", "bal", "seg"],
+        "_truth",
+    )
+    fs = fsw.select(
+        F.lit("fs").alias("query"),
+        F.col("feature").alias("d1"),
+        F.lit(None).cast("string").alias("d2"),
+        F.col("n_match").cast("long").alias("k"),
+        F.col("w_agree6").alias("measure"),
+        F.round(F.col("w_disagree6") * 1e6, 0).cast("long").alias("n"),
+    )
 
     out = q7
-    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link):
+    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs):
         out = out.unionByName(arm)
     return out.orderBy(
         "query",
@@ -1870,6 +1891,59 @@ FROM (
         ) d ON m.c_nationkey = d.c_nationkey AND m.c_mktsegment = d.seg
     )
 ) WHERE rn = 1
+UNION ALL
+-- Fellegi-Sunter replay (round 11): per-feature sims over the SAME
+-- blocked candidates, agreement at >= 0.9, truth = construction key,
+-- m/u as exact-count IEEE divisions clamped to [1e-6, 1-1e-6],
+-- log-odds weights 6dp (w_disagree scaled 1e6 into the long slot)
+SELECT 'fs', feature, CAST(NULL AS VARCHAR), n_match,
+       round(ln(m_c / u_c), 6),
+       CAST(round(round(ln((1.0 - m_c) / (1.0 - u_c)), 6) * 1e6) AS BIGINT)
+FROM (
+    SELECT feature, n_match,
+           greatest(1e-6, least(1.0 - 1e-6, am / CAST(nm AS DOUBLE))) AS m_c,
+           greatest(1e-6, least(1.0 - 1e-6, au / CAST(nu AS DOUBLE))) AS u_c
+    FROM (
+        SELECT unnest(ARRAY['bal', 'name', 'seg']) AS feature,
+               unnest(ARRAY[am_bal, am_name, am_seg]) AS am,
+               unnest(ARRAY[au_bal, au_name, au_seg]) AS au,
+               nm AS n_match, nm, nu
+        FROM (
+            SELECT sum(CASE WHEN truth THEN 1 ELSE 0 END) AS nm,
+                   sum(CASE WHEN truth THEN 0 ELSE 1 END) AS nu,
+                   sum(CASE WHEN s_name >= 0.9 AND truth THEN 1 ELSE 0 END) AS am_name,
+                   sum(CASE WHEN s_name >= 0.9 AND NOT truth THEN 1 ELSE 0 END) AS au_name,
+                   sum(CASE WHEN s_bal >= 0.9 AND truth THEN 1 ELSE 0 END) AS am_bal,
+                   sum(CASE WHEN s_bal >= 0.9 AND NOT truth THEN 1 ELSE 0 END) AS au_bal,
+                   sum(CASE WHEN s_seg >= 0.9 AND truth THEN 1 ELSE 0 END) AS am_seg,
+                   sum(CASE WHEN s_seg >= 0.9 AND NOT truth THEN 1 ELSE 0 END) AS au_seg
+            FROM (
+                SELECT (d.rid - 10000000) = m.c_custkey AS truth,
+                       1.0 - CAST(levenshtein(m.c_name, d.name) AS DOUBLE)
+                           / greatest(length(m.c_name), length(d.name), 1)
+                         AS s_name,
+                       greatest(0.0, 1.0 - abs(CAST(m.c_acctbal AS DOUBLE)
+                                               - d.bal) / 1000.0) AS s_bal,
+                       CASE WHEN m.c_mktsegment = d.seg
+                            THEN 1.0 ELSE 0.0 END AS s_seg
+                FROM customer m
+                JOIN (
+                    SELECT c_custkey + 10000000 AS rid,
+                           CASE WHEN c_custkey % 3 = 0
+                                THEN regexp_replace(c_name, '.$', 'X')
+                                WHEN c_custkey % 3 = 1 THEN upper(c_name)
+                                ELSE c_name END AS name,
+                           c_nationkey, c_mktsegment AS seg,
+                           CAST(c_acctbal AS DOUBLE)
+                             + CASE WHEN c_custkey % 2 = 0
+                                    THEN 5.0 ELSE 0.0 END AS bal
+                    FROM customer
+                ) d ON m.c_nationkey = d.c_nationkey
+                   AND m.c_mktsegment = d.seg
+            )
+        )
+    )
+)
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

@@ -2666,6 +2666,23 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 11: Kneser-Ney arm — the principled-smoothing twin of lm2
+    # (operators/text.py::kneser_ney_bigram_lm / doc_kn_logprob): same
+    # even-half training / whole-corpus scoring split so unseen-bigram
+    # (λ·P_cont), unseen-context (P_cont) and unseen-word (floor)
+    # paths all genuinely fire; same deci-bucket histogram contract.
+    kn_b, kn_c, kn_q = tx.kneser_ney_bigram_lm(even)
+    kn_rows = (
+        tx.doc_kn_logprob(docs, kn_b, kn_c, kn_q)
+        .select(F.floor(F.col("mean_logp") * 10).cast("long").alias("b"))
+        .groupBy("b")
+        .count()
+        .select(
+            F.lit("kn").alias("kind"),
+            F.concat(F.lit("bucket_"), F.col("b")).alias("k"),
+            F.col("count").cast("double").alias("v"),
+        )
+    )
     # round 9: normalize_text arm — driver visibility for the
     # (sanctioned, ingest-path) Unicode normalizer, previously
     # pytest-only. The fixture corpus is pure ASCII (verified per sf),
@@ -2882,6 +2899,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stats)
         .unionByName(lm_rows)
         .unionByName(lm2_rows)
+        .unionByName(kn_rows)
         .unionByName(norm_rows)
         .unionByName(markup_rows)
         .unionByName(nbc_rows)
@@ -3048,6 +3066,49 @@ SELECT 'lm2', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
     ),
     bmd AS (SELECT doc_id, round(avg(lp), 6) AS mlp FROM bsc GROUP BY 1)
     SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM bmd
+) GROUP BY b
+UNION ALL
+SELECT 'kn', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
+    -- interpolated Kneser-Ney replay: even-half model, whole-corpus
+    -- scoring; max(c-D,0)/c1 + lam*pcont, continuation over bigram
+    -- types, 1e-10 OOV floor — exact-count divisions, 6dp mean
+    WITH kw AS (
+        SELECT doc_id,
+               list_transform({_DUCK_WORDS}, x -> lower(x)) AS ws
+        FROM documents
+    ),
+    kp AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (
+            SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+            FROM kw WHERE len(ws) >= 2
+        )
+    ),
+    ktr AS (SELECT w1, w2 FROM kp WHERE doc_id % 2 = 0),
+    k12 AS (SELECT w1, w2, count(*) AS n12 FROM ktr GROUP BY 1, 2),
+    kctx AS (
+        SELECT w1, sum(n12) AS n1,
+               0.75 * count(*) / sum(n12) AS lam
+        FROM k12 GROUP BY 1
+    ),
+    ktyp AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM k12),
+    kcont AS (
+        SELECT w2, count(*) / (SELECT t FROM ktyp) AS pcont
+        FROM k12 GROUP BY 1
+    ),
+    ksc AS (
+        SELECT p.doc_id,
+               ln(CASE WHEN c.n1 IS NOT NULL
+                       THEN greatest(coalesce(b.n12, 0) - 0.75, 0.0) / c.n1
+                            + c.lam * coalesce(q.pcont, 1e-10)
+                       ELSE coalesce(q.pcont, 1e-10) END) AS lp
+        FROM kp p
+        LEFT JOIN k12 b ON b.w1 = p.w1 AND b.w2 = p.w2
+        LEFT JOIN kctx c ON c.w1 = p.w1
+        LEFT JOIN kcont q ON q.w2 = p.w2
+    ),
+    kmd AS (SELECT doc_id, round(avg(lp), 6) AS mlp FROM ksc GROUP BY 1)
+    SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM kmd
 ) GROUP BY b
 UNION ALL
 SELECT 'dsir', k, v FROM (

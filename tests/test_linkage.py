@@ -153,3 +153,43 @@ def test_blocked_candidates_hot_block_presplit_matches_plain(spark):
             left, right, [("blk", "blk")], "lid", "rid",
             hot_block_threshold=0,
         )
+
+
+def test_fellegi_sunter_weights_known_values(spark):
+    """Hand-computed m/u and log-odds; clamping keeps an
+    always-agreeing feature finite; validation."""
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    # 4 matches (3 agree on name), 6 non-matches (1 agrees on name);
+    # 'const' agrees everywhere -> m=u=1 -> clamped, w_agree = 0
+    rows = []
+    for i in range(4):
+        rows.append((1.0 if i < 3 else 0.0, 1.0, True))
+    for i in range(6):
+        rows.append((1.0 if i < 1 else 0.0, 1.0, False))
+    scored = spark.createDataFrame(
+        rows, "sim_name double, sim_const double, truth boolean"
+    )
+    got = {
+        r["feature"]: r
+        for r in lk.fellegi_sunter_weights(
+            scored, ["name", "const"], "truth"
+        ).collect()
+    }
+    assert got["name"]["n_match"] == 4 and got["name"]["n_nonmatch"] == 6
+    assert got["name"]["m6"] == 0.75
+    assert got["name"]["u6"] == round(1 / 6, 6)
+    assert got["name"]["w_agree6"] == round(math.log(0.75 / (1 / 6)), 6)
+    assert got["name"]["w_disagree6"] == round(
+        math.log(0.25 / (5 / 6)), 6
+    )
+    # clamped: ln((1-eps)/(1-eps)) = 0, disagree weight finite
+    assert got["const"]["w_agree6"] == 0.0
+    assert abs(got["const"]["w_disagree6"]) < 1e-5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="feature_names"):
+        lk.fellegi_sunter_weights(scored, [], "truth")

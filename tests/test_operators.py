@@ -3078,3 +3078,60 @@ def test_bm25_topk_semantics(spark):
 
     with pytest.raises(ValueError, match="k must be positive"):
         tx.bm25_topk(docs, qs, k=0)
+
+
+def test_kneser_ney_is_a_proper_distribution(spark):
+    """For every seen context w1, P_KN(.|w1) sums to 1 over the
+    continuation vocabulary — the property that distinguishes real KN
+    from ad-hoc backoff; plus known-value and OOV-path checks."""
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (0, "san francisco is big"),
+            (2, "new york is big"),
+            (4, "san diego is new"),
+        ],
+        "doc_id long, text string",
+    )
+    D = 0.75
+    big, ctx, cont = tx.kneser_ney_bigram_lm(docs, discount=D)
+    b = {(r["w1"], r["w2"]): r["n12"] for r in big.collect()}
+    c = {r["w1"]: (r["n1"], r["lam"]) for r in ctx.collect()}
+    q = {r["w2"]: r["pcont"] for r in cont.collect()}
+    assert abs(sum(q.values()) - 1.0) < 1e-12  # pcont is a distribution
+    for w1, (n1, lam) in c.items():
+        total = sum(
+            max(b.get((w1, w2), 0) - D, 0.0) / n1 + lam * pc
+            for w2, pc in q.items()
+        )
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+    # 'san' has n1=2, two distinct continuations -> lam = .75*2/2
+    assert c["san"][0] == 2 and abs(c["san"][1] - 0.75) < 1e-12
+    # scoring: seen bigram, unseen bigram w/ seen context, unseen w1, OOV w2
+    scored = {
+        r["doc_id"]: r
+        for r in tx.doc_kn_logprob(
+            spark.createDataFrame(
+                [(0, "san francisco"), (1, "san york"), (2, "zzz is"),
+                 (3, "is qqq")],
+                "doc_id long, text string",
+            ),
+            big, ctx, cont, discount=D,
+        ).collect()
+    }
+    p_sf = max(b[("san", "francisco")] - D, 0) / 2 + 0.75 * q["francisco"]
+    assert scored[0]["mean_logp"] == round(math.log(p_sf), 6)
+    p_sy = 0 / 2 + 0.75 * q["york"]
+    assert scored[1]["mean_logp"] == round(math.log(p_sy), 6)
+    assert scored[2]["mean_logp"] == round(math.log(q["is"]), 6)
+    assert scored[3]["mean_logp"] == round(
+        math.log(c["is"][1] * 1e-10), 6
+    )
+
+    import pytest
+
+    with pytest.raises(ValueError, match="discount"):
+        tx.kneser_ney_bigram_lm(docs, discount=1.5)
