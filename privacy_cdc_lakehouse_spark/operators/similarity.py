@@ -123,6 +123,87 @@ def brute_force_topk(
     )
 
 
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    lambda_: float = 0.75,
+    query_id: str = "query_id",
+    id_col: str = "neighbor_id",
+    rel_col: str = "cos_sim",
+    vec_id: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    1998) — the standard retrieval diversification pass over an ANN
+    top-N list: greedily pick ``k`` results where round ``r`` selects
+    ``argmax λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s)`` — relevance
+    traded against redundancy with what is already picked.
+
+    Spark shape: ``k`` bounded driver ITERATIONS (k is the rerank
+    depth, ≤ tens — the kmeans/bpe sanctioned-loop precedent) with NO
+    driver data movement: each round is one per-query window over the
+    candidate-sized frame (never the corpus) plus one join against
+    the 1-pick-per-query frame (broadcast-hinted: |queries| rows by
+    construction). The running ``max-sim-to-selected`` column is
+    updated with ``greatest``, so state never grows.
+
+    Determinism: the pick ranks over the 6dp-ROUNDED score with the
+    doc id as tie-break (rank-over-rounded); cosines are left-fold
+    aggregates (deterministic term order, the ``brute_force_topk``
+    contract) — fully oracle-replayable as staged CTEs.
+
+    Output: (query_id, id, mmr_rank 1..k, mmr_score 6dp). Queries with
+    fewer than ``k`` candidates return what they have."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    v = vectors.select(
+        F.col(vec_id).alias(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    state = (
+        candidates.select(query_id, id_col, F.col(rel_col).alias("_rel"))
+        .join(v, id_col)
+        .withColumn("_maxsim", F.lit(0.0))
+    )
+    score = F.round(
+        F.lit(lambda_) * F.col("_rel")
+        - F.lit(1.0 - lambda_) * F.col("_maxsim"),
+        6,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.desc("_score"), F.asc(id_col))
+    picks = None
+    for r in range(1, k + 1):
+        scored = state.withColumn("_score", score).withColumn(
+            "_rn", F.row_number().over(w)
+        )
+        pick = scored.filter(F.col("_rn") == 1)
+        out_r = pick.select(
+            query_id,
+            id_col,
+            F.lit(r).alias("mmr_rank"),
+            F.col("_score").alias("mmr_score"),
+        )
+        picks = out_r if picks is None else picks.unionByName(out_r)
+        if r == k:
+            break
+        sel = pick.select(query_id, F.col("_v").alias("_pv"))
+        state = (
+            scored.filter(F.col("_rn") > 1)
+            .select(query_id, id_col, "_rel", "_v", "_maxsim")
+            .join(F.broadcast(sel), query_id)
+            .withColumn(
+                "_maxsim",
+                F.greatest(
+                    F.col("_maxsim"), cosine(F.col("_v"), F.col("_pv"))
+                ),
+            )
+            .drop("_pv")
+        )
+    return picks
+
+
 def retrieval_metrics(
     results: DataFrame,
     qrels: DataFrame,

@@ -1082,7 +1082,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    bf = sim.brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id")
+    bf_full = sim.brute_force_topk(emb, queries, k=10)
+    bf = bf_full.select("query_id", "neighbor_id")
 
     def hits_of(approx: DataFrame, baseline: DataFrame | None = None) -> DataFrame:
         h = (
@@ -1230,6 +1231,30 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hits"),
         F.col("_p").isNull().alias("recall_ok"),
     )
+    # round 11 (cont.): MMR diversification arm
+    # (operators/similarity.py::mmr_rerank): greedy λ=0.75 re-rank of
+    # the exact top-10 down to 4 diverse picks — the long slot packs
+    # (mmr_rank, doc) so the greedy ORDER is hash-checked against the
+    # oracle's staged-CTE replay (the bpe staged-replay precedent);
+    # recall_ok re-verifies every pick came from the top-10 pool.
+    mm = sim.mmr_rerank(bf_full, emb, k=4, lambda_=0.75)
+    mmr_div_rows = mm.join(
+        pos.select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.lit(1).alias("_inbf"),
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select(
+        F.lit("mmr_div").alias("method"),
+        "query_id",
+        (
+            F.col("mmr_rank").cast("long") * F.lit(1_000_000_000)
+            + F.col("neighbor_id")
+        ).alias("n_hits"),
+        F.col("_inbf").isNotNull().alias("recall_ok"),
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
@@ -1239,7 +1264,65 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mrr_rows)
         .unionByName(ndcg_rows)
         .unionByName(neg_rows)
+        .unionByName(mmr_div_rows)
         .orderBy("method", "query_id", "n_hits")
+    )
+
+
+def _mmr_oracle_ctes(k: int, lam: float) -> str:
+    """Staged-CTE replay of ``similarity.mmr_rerank`` (the bpe staged
+    precedent): stage r ranks the 6dp-rounded λ·rel − (1−λ)·maxsim
+    score (doc-id tie-break), picks rn=1, and folds the pick's cosine
+    into the survivors' running maxsim with the SAME left-fold dot /
+    guarded-division shape the hash-checked bf arm uses. ``repr``
+    literals keep the λ constants bit-equal to Spark's ``F.lit``."""
+    lam_s, one_minus = repr(float(lam)), repr(1.0 - float(lam))
+    parts = [
+        """mmr_st0 AS (
+    SELECT b.query_id, b.neighbor_id AS doc_id, b.cos_sim AS rel,
+           e.embedding AS v, 0.0 AS maxsim
+    FROM bf_ranked b JOIN embeddings e ON e.vec_id = b.neighbor_id
+    WHERE b.rank <= 10
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""mmr_rk{r} AS (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+        ORDER BY score DESC, doc_id) AS rn
+    FROM (
+        SELECT query_id, doc_id, rel, v, maxsim,
+               round({lam_s} * rel - {one_minus} * maxsim, 6) AS score
+        FROM mmr_st{r - 1}
+    )
+)"""
+        )
+        if r < k:
+            dot = _DOT.format(a="s.v", b="p.v")
+            nv = _DOT.format(a="s.v", b="s.v")
+            np_ = _DOT.format(a="p.v", b="p.v")
+            parts.append(
+                f"""mmr_st{r} AS (
+    SELECT query_id, doc_id, rel, v,
+           greatest(maxsim, CASE WHEN nv * np > 0
+               THEN dot / (nv * np) ELSE 0.0 END) AS maxsim
+    FROM (
+        SELECT s.query_id, s.doc_id, s.rel, s.v, s.maxsim,
+               {dot} AS dot, sqrt({nv}) AS nv, sqrt({np_}) AS np
+        FROM mmr_rk{r} s
+        JOIN (SELECT query_id, v FROM mmr_rk{r} WHERE rn = 1) p
+          ON p.query_id = s.query_id
+        WHERE s.rn > 1
+    )
+)"""
+            )
+    return ",\n".join(parts)
+
+
+def _mmr_pick_selects(k: int) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT query_id, doc_id, {r} AS mmr_rank FROM mmr_rk{r} WHERE rn = 1"
+        for r in range(1, k + 1)
     )
 
 
@@ -1287,7 +1370,8 @@ irmet AS (
 iridcg AS (
     SELECT list_sum(list_transform(range(1, 11),
                     i -> 1.0 / log2(i + 1.0))) AS v
-)
+),
+{_mmr_oracle_ctes(4, 0.75)}
 SELECT 'lsh' AS method, q.query_id,
        CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,
        coalesce(h.n, 0) / 10.0 >= {LSH_RECALL_FLOOR} AS recall_ok
@@ -1368,6 +1452,13 @@ FROM (
     )
     WHERE dist < least(1.0, 64.0 / (SELECT count(*) FROM embeddings))
 ) WHERE neg_rank <= 8
+UNION ALL
+-- MMR diversification replay (round 11): the staged greedy picks —
+-- rank AND doc packed into the long slot; membership in the top-10
+-- pool is true by construction
+SELECT 'mmr_div', query_id,
+       CAST(mmr_rank AS BIGINT) * 1000000000 + doc_id, true
+FROM ({_mmr_pick_selects(4)})
 UNION ALL
 -- knn majority-vote label propagation: n_hits carries the PREDICTED
 -- label; exact replay of top-10 membership (the same engine-stable

@@ -3135,3 +3135,46 @@ def test_kneser_ney_is_a_proper_distribution(spark):
 
     with pytest.raises(ValueError, match="discount"):
         tx.kneser_ney_bigram_lm(docs, discount=1.5)
+
+
+def test_mmr_rerank_diversifies(spark):
+    """MMR: first pick = max relevance; a near-duplicate of the first
+    pick is demoted below a less-relevant-but-diverse doc; short
+    candidate lists return what they have; validation."""
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    # doc 1 and 2 nearly identical vectors (cos ~ 1); doc 3 orthogonal
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cands = spark.createDataFrame(
+        [(0, 1, 0.95), (0, 2, 0.94), (0, 3, 0.70)],
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    out = {
+        r["mmr_rank"]: r["neighbor_id"]
+        for r in sim.mmr_rerank(cands, vecs, k=3, lambda_=0.5).collect()
+    }
+    # pure relevance would give 1, 2, 3; MMR at lambda=.5 demotes the
+    # near-dup 2 below the orthogonal 3
+    assert out == {1: 1, 2: 3, 3: 2}
+    # lambda=1.0 is pure relevance
+    rel_only = {
+        r["mmr_rank"]: r["neighbor_id"]
+        for r in sim.mmr_rerank(cands, vecs, k=3, lambda_=1.0).collect()
+    }
+    assert rel_only == {1: 1, 2: 2, 3: 3}
+    # k beyond the list: 3 rows, not 5
+    assert sim.mmr_rerank(cands, vecs, k=5).count() == 3
+
+    import pytest
+
+    with pytest.raises(ValueError, match="lambda_"):
+        sim.mmr_rerank(cands, vecs, k=2, lambda_=1.5)
+    with pytest.raises(ValueError, match="k must be"):
+        sim.mmr_rerank(cands, vecs, k=0)
