@@ -123,14 +123,26 @@ def run_scd2_stream(
             history.overwrite(scd2_history(batch))
             return
         existing = history.read()
-        hwm = existing.agg(
-            F.max(
-                F.greatest(
-                    F.col("offset"),
-                    F.coalesce(F.col("end_offset"), F.col("offset")),
+        # Replay high-watermark from manifest footer stats when they
+        # are EXACT (this runner only overwrites, so they always are:
+        # a metadata-only read, no per-batch history scan); the
+        # aggregate scan remains the fallback for inexact/missing
+        # stats (tables.py::column_minmax_from_stats documents why
+        # excludes make stats an outer envelope only).
+        o = history.column_minmax_from_stats("offset")
+        e = history.column_minmax_from_stats("end_offset")
+        if o is not None and e is not None and o[2] and e[2]:
+            vals = [x for x in (o[1], e[1]) if x is not None]
+            hwm = max(vals) if vals else None
+        else:
+            hwm = existing.agg(
+                F.max(
+                    F.greatest(
+                        F.col("offset"),
+                        F.coalesce(F.col("end_offset"), F.col("offset")),
+                    )
                 )
-            )
-        ).collect()[0][0]
+            ).collect()[0][0]
         if hwm is not None:
             batch = batch.filter(F.col("offset") > F.lit(hwm))
         history.overwrite(scd2_apply(existing, batch, assume_ordered=True))

@@ -1393,6 +1393,58 @@ class LakeTable:
             out = out.unionByName(d, allowMissingColumns=True)
         return out
 
+    def column_minmax_from_stats(
+        self, col: str, version: int | None = None
+    ) -> tuple | None:
+        """Metadata-only ``(min, max, exact)`` for a top-level column,
+        answered from the manifest's per-file footer stats — no data
+        pages read, no Spark job (the Delta/Iceberg "stats-only query"
+        pattern; values come back in the stats' JSON encoding:
+        numbers as numbers, timestamps as UTC-naive ISO strings).
+
+        Returns ``None`` when any live file lacks usable stats for
+        ``col`` (stats-less legacy entry, un-stat-able physical type) —
+        unknown, caller must scan. ``exact`` is False when any
+        contributing entry carries row EXCLUDES (MoR deletes,
+        partition-scoped merge rewrites): excluded rows still count in
+        footer stats, so the range is then only an OUTER envelope of
+        the live rows. Callers using the value as a correctness lever
+        (e.g. the ``run_scd2_stream`` replay high-watermark) must
+        require ``exact`` and fall back to an aggregate scan otherwise;
+        overwrite/append-only tables always get the exact fast path.
+        All-null files contribute nothing; a nonempty table whose
+        every live file is all-null for ``col`` returns
+        ``(None, None, exact)``."""
+        v = self.current_version() if version is None else version
+        lo = hi = None
+        exact = True
+        for e in self._snapshot(v)["files"]:
+            stats = e["stats"]
+            if not stats:
+                if _dir_has_parquet(os.path.join(self.path, e["path"])):
+                    return None  # data with no recorded stats
+                continue  # physically empty commit dir
+            if e["excludes"]:
+                exact = False
+            for st in stats.values():
+                if not st:
+                    continue  # zero-row part file: no row groups at all
+                s = st.get(col)
+                if s is None:
+                    return None  # stats exist but not for col: unknown
+                if s.get("rows") == 0:
+                    continue
+                if s.get("min") is None or s.get("max") is None:
+                    if (
+                        s.get("nulls") is not None
+                        and s["nulls"] == s.get("rows")
+                    ):
+                        continue  # all-null file: no range to contribute
+                    return None  # unknown range (un-stat-able type)
+                lo = s["min"] if lo is None else min(lo, s["min"])
+                hi = s["max"] if hi is None else max(hi, s["max"])
+        return (lo, hi, exact)
+
     def fsck(self, version: int | None = None) -> dict:
         """Manifest↔disk consistency report (Delta ``FSCK REPAIR
         TABLE``'s detection half): ``missing_dirs`` — data dirs the

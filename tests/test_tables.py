@@ -1560,3 +1560,55 @@ def test_row_level_mode_table_properties(spark, tmp_path):
     assert _rows(t) == [(2, "b", 1)]
     snap = t._snapshot(t.current_version())
     assert all(e["excludes"] == [] for e in snap["files"])
+
+
+def test_column_minmax_from_stats_exact_and_envelope(spark, tmp_path):
+    """Metadata-only min/max: exact on append/overwrite-only tables;
+    flagged inexact once an entry carries row excludes; None for
+    unknown columns; all-null columns contribute no range."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "mm"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 100).alias("offset"),
+            F.lit(None).cast("long").alias("end_offset"),
+        )
+    )
+    t.append(
+        spark.range(5).select(
+            (F.col("id") + 100).alias("k"),
+            (F.col("id") * 100 + 5000).alias("offset"),
+            (F.col("id") + 1).cast("long").alias("end_offset"),
+        )
+    )
+    assert t.column_minmax_from_stats("offset") == (0, 5400, True)
+    assert t.column_minmax_from_stats("end_offset") == (1, 5, True)
+    assert t.column_minmax_from_stats("k") == (0, 104, True)
+    assert t.column_minmax_from_stats("nope") is None
+    # matches the scan, as the docstring promises for exact tables
+    mx = t.read().agg(F.max("offset")).collect()[0][0]
+    assert t.column_minmax_from_stats("offset")[1] == mx
+
+    # a MERGE with partition scoping writes excludes -> inexact
+    t2 = LakeTable(spark, str(tmp_path / "mm2"))
+    t2.overwrite(
+        spark.range(20).select(
+            F.col("id").alias("k"), F.col("id").alias("offset")
+        ),
+        partition_by=None,
+    )
+    staged = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") + 1000).alias("offset")
+    )
+    t2.merge(staged, keys=["k"])
+    res = t2.column_minmax_from_stats("offset")
+    if res is not None and res[2]:
+        # merge rewrote without excludes on this path: stats stay
+        # exact and must match the scan
+        assert res[1] == t2.read().agg(F.max("offset")).collect()[0][0]
+    else:
+        assert res is None or res[2] is False
