@@ -3178,3 +3178,100 @@ def test_mmr_rerank_diversifies(spark):
         sim.mmr_rerank(cands, vecs, k=2, lambda_=1.5)
     with pytest.raises(ValueError, match="k must be"):
         sim.mmr_rerank(cands, vecs, k=0)
+
+
+def test_mmr_rerank_matches_python_reference_randomized(spark):
+    """Randomized parity: the distributed greedy == a pure-Python MMR
+    over md5-derived vectors/relevances (deterministic fixtures — the
+    repo's seeded-randomness contract)."""
+    import hashlib
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    def u(tag, i, j=0):
+        h = hashlib.md5(f"mmrtest-{tag}|{i}|{j}".encode()).hexdigest()
+        return int(h[:13], 16) / 2.0**52
+
+    n_docs, dim, lam, k = 25, 6, 0.75, 6
+    vecs = {d: [u("v", d, j) - 0.5 for j in range(dim)] for d in range(n_docs)}
+    cands = {q: [(d, round(u("r", q, d), 4)) for d in range(n_docs)]
+             for q in range(3)}
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na, nb = math.sqrt(sum(x * x for x in a)), math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb) if na * nb > 0 else 0.0
+
+    def py_mmr(q):
+        remaining = dict(cands[q])
+        maxsim = {d: 0.0 for d in remaining}
+        picks = []
+        for _ in range(k):
+            if not remaining:
+                break
+            best = min(
+                remaining,
+                key=lambda d: (-round(lam * remaining[d]
+                                      - (1 - lam) * maxsim[d], 6), d),
+            )
+            picks.append(best)
+            bv = vecs[best]
+            del remaining[best]
+            for d in remaining:
+                maxsim[d] = max(maxsim[d], cos(vecs[d], bv))
+        return picks
+
+    vdf = spark.createDataFrame(
+        [(d, vecs[d]) for d in range(n_docs)],
+        "vec_id long, embedding array<double>",
+    )
+    cdf = spark.createDataFrame(
+        [(q, d, r) for q, lst in cands.items() for d, r in lst],
+        "query_id long, neighbor_id long, cos_sim double",
+    )
+    got = {}
+    for r in sim.mmr_rerank(cdf, vdf, k=k, lambda_=lam).collect():
+        got.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["neighbor_id"]
+    for q in range(3):
+        expected = py_mmr(q)
+        assert [got[q][i] for i in range(1, len(expected) + 1)] == expected
+
+
+def test_rouge_n_matches_python_reference_randomized(spark):
+    """Randomized parity: clipped n-gram F == a pure-Python Counter
+    implementation over deterministic word soups."""
+    import hashlib
+    from collections import Counter
+
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    words_pool = ["aa", "bb", "cc", "dd", "ee"]
+
+    def soup(tag, i, n_words):
+        out = []
+        for j in range(n_words):
+            h = hashlib.md5(f"rn-{tag}|{i}|{j}".encode()).hexdigest()
+            out.append(words_pool[int(h[:4], 16) % len(words_pool)])
+        return out
+
+    pairs = [(i, " ".join(soup("c", i, 8 + i % 5)),
+              " ".join(soup("r", i, 10 + i % 3))) for i in range(20)]
+
+    def py_rouge(c, r, n):
+        cw, rw = c.split(), r.split()
+        cg = Counter(tuple(cw[i:i + n]) for i in range(len(cw) - n + 1))
+        rg = Counter(tuple(rw[i:i + n]) for i in range(len(rw) - n + 1))
+        m = sum(min(cg[g], rg[g]) for g in cg)
+        cn, rn = sum(cg.values()), sum(rg.values())
+        if m == 0:
+            return 0.0
+        p, rr = m / cn, m / rn
+        return round(2 * p * rr / (p + rr), 6)
+
+    df = spark.createDataFrame(pairs, "pair_id long, cand string, ref string")
+    for n in (1, 2, 3):
+        got = {r["pair_id"]: r["rouge_f"]
+               for r in tx.rouge_n(df, n=n).collect()}
+        for pid, c, r in pairs:
+            assert got[pid] == py_rouge(c, r, n), (n, pid)
