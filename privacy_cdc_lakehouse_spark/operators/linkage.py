@@ -240,7 +240,22 @@ def fellegi_sunter_weights(
     one = scored.agg(*aggs)
 
     def clamp(c):
-        return F.greatest(F.lit(eps), F.least(F.lit(1.0 - eps), c))
+        # assert_true inside the expression: a labeled set with ZERO
+        # matches (or zero non-matches) has no m (or u) to estimate —
+        # without this, Spark's null-skipping least/greatest would
+        # silently clamp the undefined ratio to 1-eps and hand back
+        # confident-looking garbage weights. Fail loudly instead.
+        guarded = F.when(
+            F.assert_true(
+                (F.col("_nm") > 0) & (F.col("_nu") > 0),
+                F.lit(
+                    "fellegi_sunter_weights needs at least one labeled "
+                    "match AND one labeled non-match"
+                ),
+            ).isNull(),
+            c,
+        )
+        return F.greatest(F.lit(eps), F.least(F.lit(1.0 - eps), guarded))
 
     rows = []
     for name in feature_names:

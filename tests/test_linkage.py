@@ -193,3 +193,18 @@ def test_fellegi_sunter_weights_known_values(spark):
 
     with pytest.raises(ValueError, match="feature_names"):
         lk.fellegi_sunter_weights(scored, [], "truth")
+
+
+def test_fellegi_sunter_rejects_degenerate_labels(spark):
+    """Zero labeled matches (or non-matches) must raise, not clamp the
+    undefined ratio into confident-looking weights."""
+    import pytest
+    from pyspark.sql.utils import AnalysisException  # noqa: F401
+
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    all_false = spark.createDataFrame(
+        [(1.0, False), (0.0, False)], "sim_name double, truth boolean"
+    )
+    with pytest.raises(Exception, match="at least one labeled"):
+        lk.fellegi_sunter_weights(all_false, ["name"], "truth").collect()
