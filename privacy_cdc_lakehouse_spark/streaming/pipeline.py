@@ -96,18 +96,35 @@ def run_scd2_stream(
     (a ``LakeTable``) via the O(churn) incremental path.
 
     ``scd2_apply(assume_ordered=True)`` is sound HERE and only here
-    because this runner supplies the ordering end-to-end: the
-    checkpointed availableNow file source replays batches in committed
-    order, and the offset high-watermark filter below strips
-    at-least-once redeliveries before they reach the apply — so the
-    per-batch late-detection job the default path pays is provably
-    redundant (the round-10 verdict's ``scd2_apply`` trim). Replay
-    safety is the same discipline as ``ingest_bronze_idempotent``: a
-    re-delivered batch's offsets are at or below the history's high
-    watermark (max over opening AND closing coordinates — a trailing
-    delete's only trace is a closing coordinate) and fold in as zero
-    rows; the ``LakeTable`` overwrite is an atomic snapshot swap, so a
-    crash mid-write leaves the previous version readable.
+    because this runner supplies the PER-KEY ordering end-to-end — the
+    only ordering ``_scd2_apply_ordered`` needs: the checkpointed
+    availableNow file source replays batches in committed order, and
+    upstream CDC offsets are monotone per key (Debezium per-key
+    ordering; this repo's generator stamps ``offset = key*4 + seq``),
+    so each batch's events for a key come after that key's history —
+    the per-batch late-detection job the default path pays is provably
+    redundant (the round-10 verdict's ``scd2_apply`` trim).
+
+    Replay safety is EXACT-MEMBERSHIP dedup, the same discipline as
+    ``ingest_bronze_idempotent`` (``cdc/jobs.py``) and for the same
+    reason: offsets are per-key monotone, NOT globally time-ordered, so
+    a batch whose offsets dip below the history's global max coordinate
+    is not necessarily a replay — key interleaving puts a low key's
+    genuinely-new events below a high key's recorded ones, and a
+    global max-offset filter would silently DROP them (data loss, not
+    dedup). Instead: when the batch's offset range overlaps the
+    history at all, anti-join it against the exact offset set of the
+    overlapping history slice — a replayed event's trace is an opening
+    coordinate (``offset``) or, for a delete, a closing coordinate
+    (``end_offset``) — which footer-stats data skipping prunes to the
+    few files that can hold it. The no-overlap common case (strictly
+    new data) stays METADATA-ONLY: one manifest-stats high-watermark
+    read, no history scan, no anti-join. A replayed dangling delete
+    (no trace either way) folds in as zero rows by construction —
+    ``scd2_apply`` closes nothing for an already-closed key and
+    appends nothing for a delete. The ``LakeTable`` overwrite is an
+    atomic snapshot swap, so a crash mid-write leaves the previous
+    version readable.
     """
     from privacy_cdc_lakehouse_spark.cdc.scd2 import scd2_apply, scd2_history
     from privacy_cdc_lakehouse_spark.cdc.silver import parse_cdc_envelope
@@ -123,12 +140,20 @@ def run_scd2_stream(
             history.overwrite(scd2_history(batch))
             return
         existing = history.read()
-        # Replay high-watermark from manifest footer stats when they
-        # are EXACT (this runner only overwrites, so they always are:
-        # a metadata-only read, no per-batch history scan); the
-        # aggregate scan remains the fallback for inexact/missing
-        # stats (tables.py::column_minmax_from_stats documents why
-        # excludes make stats an outer envelope only).
+        bounds = batch.agg(
+            F.min("offset").alias("lo"), F.max("offset").alias("hi")
+        ).collect()[0]
+        if bounds["lo"] is None:
+            return  # empty batch: nothing to fold, nothing to commit
+        lo, hi = int(bounds["lo"]), int(bounds["hi"])
+        # No-overlap fast path: global high watermark (max over opening
+        # AND closing coordinates — a trailing delete's only trace is a
+        # closing coordinate) from manifest footer stats when EXACT
+        # (this runner only overwrites, so they always are: a
+        # metadata-only read, no per-batch history scan); aggregate
+        # scan fallback for inexact/missing stats
+        # (tables.py::column_minmax_from_stats documents why excludes
+        # make stats an outer envelope only).
         o = history.column_minmax_from_stats("offset")
         e = history.column_minmax_from_stats("end_offset")
         if o is not None and e is not None and o[2] and e[2]:
@@ -143,8 +168,21 @@ def run_scd2_stream(
                     )
                 )
             ).collect()[0][0]
-        if hwm is not None:
-            batch = batch.filter(F.col("offset") > F.lit(hwm))
+        if hwm is not None and lo <= int(hwm):
+            # Straddling batch: NOT necessarily a replay (offsets are
+            # per-key monotone only — see docstring). Dedup on exact
+            # offset membership against just the overlapping history
+            # slice; data skipping prunes the probe to the files whose
+            # stats admit [lo, hi].
+            seen_open = history.read(
+                where=[("offset", ">=", lo), ("offset", "<=", hi)]
+            ).select("offset")
+            seen_close = history.read(
+                where=[("end_offset", ">=", lo), ("end_offset", "<=", hi)]
+            ).select(F.col("end_offset").alias("offset"))
+            batch = batch.join(
+                seen_open.unionByName(seen_close), "offset", "left_anti"
+            )
         history.overwrite(scd2_apply(existing, batch, assume_ordered=True))
 
     q = (

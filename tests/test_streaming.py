@@ -689,9 +689,18 @@ def test_streaming_quarantine_matches_batch(spark, tmp_path):
 
 def test_scd2_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
     """run_scd2_stream (foreachBatch incremental apply with
-    assume_ordered=True — the checkpointed source supplies the
+    assume_ordered=True — the checkpointed source supplies the PER-KEY
     ordering) must equal the batch full rebuild, including under a
-    REPLAYED batch (offset high-watermark strips redeliveries)."""
+    REPLAYED batch (exact-offset-membership dedup strips
+    redeliveries).
+
+    The batch split is deliberately KEY-INTERLEAVED: batch 0 carries
+    every key's first events (seq 0-1), batch 1 its later events
+    (seq 2-3), so batch 1's offsets (key*4+2) dip far below batch 0's
+    global max (maxkey*4+1) while per-key ordering holds — the
+    realistic CDC delivery shape. A global max-offset replay filter
+    would silently drop almost all of batch 1 (per-key-monotone
+    offsets are not globally ordered); this pins that it doesn't."""
     import glob
     import os
     import shutil
@@ -704,9 +713,8 @@ def test_scd2_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
 
     events = cdc_events(spark, sf_dir)
     src = str(tmp_path / "scd2_src")
-    mid = events.approxQuantile("offset", [0.5], 0.0)[0]
-    events.filter(F.col("offset") <= mid).coalesce(1).write.parquet(f"{src}/p0")
-    events.filter(F.col("offset") > mid).coalesce(1).write.parquet(f"{src}/p1")
+    events.filter(F.col("offset") % 4 <= 1).coalesce(1).write.parquet(f"{src}/p0")
+    events.filter(F.col("offset") % 4 >= 2).coalesce(1).write.parquet(f"{src}/p1")
     flat = str(tmp_path / "scd2_flat")
     os.makedirs(flat)
     t0 = time.time()
@@ -730,7 +738,7 @@ def test_scd2_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
     assert a == b and len(a) > 0
 
     # replay the LAST file through a fresh stream checkpoint (same
-    # history table): the high-watermark filter folds it in as zero
+    # history table): exact-membership dedup folds it in as zero
     # rows — history unchanged, no duplicate versions
     v_before = hist.current_version()
     replay = str(tmp_path / "scd2_replay")
