@@ -244,23 +244,38 @@ def drift_report(
     ks_row = ks_stat.select(
         F.lit("ks").alias("metric"), F.col("ks").alias("value")
     )
-    # round-11: asymptotic two-sample KS p-value
-    # exp(-2 D^2 n m / (n+m)) — pure arithmetic over the 1-row KS stat
-    # and the per-side counts (both broadcast scalars), clamped to 1
-    sizes = (
+    # per-side count/mean/std from ONE tagged two-side scan; the SAME
+    # aggregate subtree also supplies the KS p-value's sample sizes
+    # below (identical exchange → Spark's exchange reuse dedups it —
+    # the round-11 separate `sizes` scan per panel/micro-batch is gone,
+    # a round-11 advice finding)
+    side_stats = (
         _tagged_union(ref, cur, lambda d: F.col(value_col).cast("double"))
         .filter(F.col("_v").isNotNull())
+        .groupBy(F.col("_ref").alias("_side"))
         .agg(
-            F.sum("_ref").cast("double").alias("_nr"),
-            F.sum("_cur").cast("double").alias("_nc"),
+            F.count("_v").cast("double").alias("n"),
+            F.round(F.avg("_v"), 6).alias("mean"),
+            F.round(F.stddev_samp("_v"), 6).alias("std"),
         )
+    )
+    # asymptotic TWO-SIDED two-sample KS p-value: the leading term of
+    # the Kolmogorov series, 2*exp(-2 D^2 nm/(n+m)), clamped to 1 —
+    # pure arithmetic over the 1-row KS stat and the per-side counts
+    # (both broadcast scalars). The round-11 form lacked the factor 2
+    # (the one-sided/DKW bound), understating p by ~2x — round-11
+    # advice finding.
+    sizes = side_stats.agg(
+        F.sum(F.when(F.col("_side") == 1, F.col("n"))).alias("_nr"),
+        F.sum(F.when(F.col("_side") == 0, F.col("n"))).alias("_nc"),
     )
     pval_row = ks_stat.crossJoin(F.broadcast(sizes)).select(
         F.lit("ks_pvalue").alias("metric"),
         F.round(
             F.least(
                 F.lit(1.0),
-                F.exp(
+                F.lit(2.0)
+                * F.exp(
                     F.lit(-2.0)
                     * F.col("ks")
                     * F.col("ks")
@@ -273,20 +288,11 @@ def drift_report(
             6,
         ).alias("value"),
     )
-    moments = (
-        _tagged_union(ref, cur, lambda d: F.col(value_col).cast("double"))
-        .filter(F.col("_v").isNotNull())
-        .groupBy(F.col("_ref").alias("_side"))
-        .agg(
-            F.count("_v").cast("double").alias("n"),
-            F.round(F.avg("_v"), 6).alias("mean"),
-            F.round(F.stddev_samp("_v"), 6).alias("std"),
-        )
-        .selectExpr("CASE WHEN _side = 1 THEN 'ref' ELSE 'cur' END AS s", "n", "mean", "std")
-        .selectExpr(
-            "stack(3, 'n_' || s, n, 'mean_' || s, mean, 'std_' || s, std)"
-            " AS (metric, value)"
-        )
+    moments = side_stats.selectExpr(
+        "CASE WHEN _side = 1 THEN 'ref' ELSE 'cur' END AS s", "n", "mean", "std"
+    ).selectExpr(
+        "stack(3, 'n_' || s, n, 'mean_' || s, mean, 'std_' || s, std)"
+        " AS (metric, value)"
     )
     out = (
         psi_row.unionByName(div_rows)

@@ -623,7 +623,11 @@ def q_record_linkage_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record linkage at gate sizing with a DELIBERATELY hot blocking
     key (round-11 verdict task: the registry link arm's (nation,
     segment) blocks are uniform, so nothing priced the skew path).
-    Master = customer; dirty = every 100th customer, name-perturbed.
+    Master = customer; dirty = every 37th customer, name-perturbed —
+    37 is coprime with 10 so the dirty sample's ``ck % 10`` residues
+    are uniform and ~30% of DIRTY rows land in the hot block too (a
+    ``% 100`` sample would nest entirely inside ``% 10 < 3``, leaving
+    the cold path zero candidate pairs — the round-11 advice finding).
     Blocking deliberately models the zipfian reality: the block key is
     the nation for 70% of records but a single shared "HOT" value for
     30% of BOTH sides — one block holding 30% of the corpus, the
@@ -648,7 +652,7 @@ def q_record_linkage_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         block.alias("blk"),
         F.col("c_acctbal").cast("double").alias("bal"),
     )
-    dirty = cust.filter(ck % 100 == 0).select(
+    dirty = cust.filter(ck % 37 == 0).select(
         (ck + 10_000_000).alias("rid"),
         F.when(ck % 3 == 0, F.regexp_replace("c_name", r".$", "X"))
         .otherwise(F.col("c_name"))
@@ -667,15 +671,20 @@ def q_record_linkage_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = lk.score_candidates(
         cands, master, dirty, feats, "lid", "rid", threshold=0.9
     )
+    rk = F.col("id_r") - 10_000_000
     return (
         lk.resolve_best_matches(scored)
         .agg(
             F.count(F.lit(1)).alias("resolved"),
             F.sum(F.col("is_match").cast("long")).alias("matches"),
             F.round(F.avg("score"), 6).alias("avg_score"),
-            F.sum(
-                ((F.col("id_r") - 10_000_000) == F.col("id_l")).cast("long")
-            ).alias("true_key_wins"),
+            F.sum((rk == F.col("id_l")).cast("long")).alias("true_key_wins"),
+            # per-path resolution counts: the dirty row's block residue
+            # (hot ⇔ ck%10<3) tells which join path carried its pairs —
+            # the gate asserts BOTH are nonzero, so a silently-empty
+            # hot or cold candidate set can't pass on plan shape alone
+            F.sum(((rk % 10) < 3).cast("long")).alias("hot_resolved"),
+            F.sum(((rk % 10) >= 3).cast("long")).alias("cold_resolved"),
         )
     )
 
@@ -883,10 +892,11 @@ SELECT 'ks', round(max(abs(d)), 6) FROM (
     FROM drift_shares
 )
 UNION ALL
--- asymptotic two-sample KS p-value from the ROUNDED D (matching the
--- Spark expression term for term), clamped to 1
+-- asymptotic TWO-SIDED two-sample KS p-value from the ROUNDED D
+-- (matching the Spark expression term for term): leading Kolmogorov
+-- term 2*exp(-2 lambda^2), clamped to 1
 SELECT 'ks_pvalue',
-       round(least(1.0, exp(-2.0 * d * d * (nr * nc / (nr + nc)))), 6)
+       round(least(1.0, 2.0 * exp(-2.0 * d * d * (nr * nc / (nr + nc)))), 6)
 FROM (
     SELECT (SELECT round(max(abs(d)), 6) FROM (
                 SELECT sum(p_ref) OVER (ORDER BY bin)

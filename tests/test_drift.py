@@ -203,3 +203,30 @@ def test_divergence_metrics_properties(spark):
     assert js_ab == js_ba
     chi = dr.chi_square_drift(a, b2, "v").collect()[0]["chi2"]
     assert chi >= 0.0
+
+
+def test_ks_pvalue_two_sided_matches_python_and_clamps(spark):
+    """ks_pvalue is the asymptotic TWO-SIDED two-sample p-value —
+    leading Kolmogorov term 2*exp(-2 D^2 nm/(n+m)) clamped to 1 (the
+    round-11 form lacked the factor 2: the one-sided/DKW bound)."""
+    import math
+
+    ref = [float(x % 17) for x in range(200)]
+    cur = [float((x * 7) % 23) for x in range(150)]
+    rep = {
+        r["metric"]: r["value"]
+        for r in drift.drift_report(
+            _vals(spark, ref), _vals(spark, cur), "value", n_bins=10, ks_bins=100
+        ).collect()
+    }
+    d, n, m = rep["ks"], 200.0, 150.0
+    expect = round(min(1.0, 2.0 * math.exp(-2.0 * d * d * n * m / (n + m))), 6)
+    assert rep["ks_pvalue"] == expect and 0.0 < rep["ks_pvalue"] <= 1.0
+    # identical samples: D = 0 -> 2*exp(0) = 2, clamped to exactly 1
+    same = {
+        r["metric"]: r["value"]
+        for r in drift.drift_report(
+            _vals(spark, ref), _vals(spark, ref), "value", n_bins=10, ks_bins=100
+        ).collect()
+    }
+    assert same["ks"] == 0.0 and same["ks_pvalue"] == 1.0

@@ -178,6 +178,25 @@ SCALE_AUDIT: dict[str, list[str]] = {
 }
 
 
+# Rows-out / value expectations (round-12 verdict task: a 1-row
+# summary gate row can pass on plan shape even when a candidate set is
+# silently empty). name -> callable(rows) returning failure strings
+# (empty = ok); failures count against the plan gate. Every gate row
+# additionally must return >= 1 row (enforced in run_query).
+def _expect_linkage_hotblock(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    return [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("resolved", "matches", "hot_resolved", "cold_resolved")
+        if not r[col]
+    ]
+
+
+VALUE_EXPECT = {"record_linkage_hotblock": _expect_linkage_hotblock}
+
+
 # Rows sampled TWICE unconditionally (faster sample kept, both
 # recorded): the mover-rerun logic below only fires past 1.5x, which
 # left cdc_orders_current's r10 1.18x-on-0.81x-canary residual
@@ -288,6 +307,10 @@ def main() -> None:
             )
             if not ok:
                 failed.append(c)
+        if not rows:
+            failed.append("expect: >=1 row out")
+        for msg in VALUE_EXPECT.get(name, lambda _r: [])(rows):
+            failed.append(f"expect: {msg}")
         return {
             "sec": sec,
             "rows": len(rows),
