@@ -262,20 +262,39 @@ def _candidate_hint(candidates: DataFrame, broadcast_candidates):
     """Resolve the candidate-frame join hint. ``True``/``False`` are
     explicit overrides (round-10 measured: hinted 3.16x faster than
     un-hinted at the sf1 gate, because AQE's late BHJ still pays
-    map-side shuffle writes). ``"auto"`` (the default) stamps the
-    candidate set with ONE count — an aggregate over the
-    candidate-sized frame, cheap next to the verify joins it guards —
-    and hints only while the count is provably broadcastable."""
+    map-side shuffle writes). ``"auto"`` (the default) PERSISTS the
+    candidate frame (MEMORY_AND_DISK) and counts it — ONE
+    materialization of the candidate-generation lineage that the
+    verify joins then REUSE through the cache (Spark's cache manager
+    keys on the logical plan, so the caller's own ``candidates``
+    references hit it too; the round-11 un-persisted count
+    re-evaluated the whole LSH banding pipeline once more, a round-11
+    advice finding). The cache is kept only on the broadcastable
+    (bounded-by-threshold) outcome; a corpus-scale candidate set is
+    unpersisted immediately and degrades to the un-hinted AQE shuffle
+    plan with its original lineage. An ``int`` is a caller-known
+    candidate count: the hint resolves against the same threshold with
+    no count job and no cache."""
     if broadcast_candidates == "auto":
-        broadcast_candidates = (
-            candidates.count() <= AUTO_BROADCAST_MAX_CANDIDATES
+        from pyspark.storagelevel import StorageLevel
+
+        candidates.persist(StorageLevel.MEMORY_AND_DISK)
+        if candidates.count() <= AUTO_BROADCAST_MAX_CANDIDATES:
+            return F.broadcast
+        candidates.unpersist()
+        return lambda d: d
+    if isinstance(broadcast_candidates, bool):
+        return F.broadcast if broadcast_candidates else (lambda d: d)
+    if isinstance(broadcast_candidates, int):
+        return (
+            F.broadcast
+            if broadcast_candidates <= AUTO_BROADCAST_MAX_CANDIDATES
+            else (lambda d: d)
         )
-    elif not isinstance(broadcast_candidates, bool):
-        raise ValueError(
-            "broadcast_candidates must be True, False or 'auto', got "
-            f"{broadcast_candidates!r}"
-        )
-    return F.broadcast if broadcast_candidates else (lambda d: d)
+    raise ValueError(
+        "broadcast_candidates must be True, False, 'auto' or a known "
+        f"candidate count, got {broadcast_candidates!r}"
+    )
 
 
 def ngram_jaccard_pairs(

@@ -356,7 +356,14 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
                 continue
             # Truncated string stats are still valid bounds: the parquet
             # spec requires truncated max to round UP (min down), so
-            # pruning stays sound.
+            # pruning stays sound. But they are then an OUTER envelope,
+            # not exact extrema — writers may truncate BYTE_ARRAY stats
+            # (and pyarrow exposes no exactness flag), so flag the
+            # possibility for stats-only readers that need exactness
+            # (column_minmax_from_stats): pruning keeps using the
+            # bounds, exactness claims must not.
+            if col.physical_type == "BYTE_ARRAY":
+                agg["trunc"] = True
             lo, hi = _json_stat(st.min), _json_stat(st.max)
             if lo is None or hi is None or agg.get("dead"):
                 agg["dead"] = True
@@ -1404,14 +1411,19 @@ class LakeTable:
 
         Returns ``None`` when any live file lacks usable stats for
         ``col`` (stats-less legacy entry, un-stat-able physical type) —
-        unknown, caller must scan. ``exact`` is False when any
+        unknown, caller must scan. ``exact`` is False when (a) any
         contributing entry carries row EXCLUDES (MoR deletes,
         partition-scoped merge rewrites): excluded rows still count in
         footer stats, so the range is then only an OUTER envelope of
-        the live rows. Callers using the value as a correctness lever
-        (e.g. the ``run_scd2_stream`` replay high-watermark) must
-        require ``exact`` and fall back to an aggregate scan otherwise;
-        overwrite/append-only tables always get the exact fast path.
+        the live rows; or (b) the column is string/binary
+        (BYTE_ARRAY): parquet writers may TRUNCATE such stats (min
+        rounded down, max up — a sound outer envelope, not exact
+        extrema) and expose no exactness flag, so a string column never
+        earns ``exact`` even on overwrite-only tables. Callers using
+        the value as a correctness lever (e.g. the ``run_scd2_stream``
+        replay high-watermark) must require ``exact`` and fall back to
+        an aggregate scan otherwise; overwrite/append-only tables get
+        the exact fast path for numeric/temporal columns.
         All-null files contribute nothing; a nonempty table whose
         every live file is all-null for ``col`` returns
         ``(None, None, exact)``."""
@@ -1432,6 +1444,8 @@ class LakeTable:
                 s = st.get(col)
                 if s is None:
                     return None  # stats exist but not for col: unknown
+                if s.get("trunc"):
+                    exact = False  # BYTE_ARRAY stats: possibly truncated
                 if s.get("rows") == 0:
                     continue
                 if s.get("min") is None or s.get("max") is None:

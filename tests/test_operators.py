@@ -3275,3 +3275,29 @@ def test_rouge_n_matches_python_reference_randomized(spark):
                for r in tx.rouge_n(df, n=n).collect()}
         for pid, c, r in pairs:
             assert got[pid] == py_rouge(c, r, n), (n, pid)
+
+
+def test_candidate_hint_auto_persists_for_reuse_and_accepts_known_count(
+    spark, monkeypatch
+):
+    """'auto' must not re-evaluate the candidate lineage for its count
+    (round-11 advice): the frame is persisted before counting and the
+    cache KEPT on the broadcastable outcome (bounded by the threshold,
+    the verify joins reuse it), dropped on the corpus-scale outcome.
+    A caller-known int count resolves with no job at all."""
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    cands = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    try:
+        hint = dd._candidate_hint(cands, "auto")
+        assert hint is dd.F.broadcast
+        assert cands.storageLevel.useMemory  # cache kept for the joins
+    finally:
+        cands.unpersist()
+    monkeypatch.setattr(dd, "AUTO_BROADCAST_MAX_CANDIDATES", 1)
+    hint2 = dd._candidate_hint(cands, "auto")
+    assert hint2 is not dd.F.broadcast
+    assert not cands.storageLevel.useMemory  # degrade path: no cache kept
+    # caller-known candidate count: same threshold, no count job
+    assert dd._candidate_hint(cands, 1) is dd.F.broadcast
+    assert dd._candidate_hint(cands, 10**9) is not dd.F.broadcast

@@ -1612,3 +1612,31 @@ def test_column_minmax_from_stats_exact_and_envelope(spark, tmp_path):
         assert res[1] == t2.read().agg(F.max("offset")).collect()[0][0]
     else:
         assert res is None or res[2] is False
+
+
+def test_column_minmax_from_stats_string_never_exact(spark, tmp_path):
+    """String/binary (BYTE_ARRAY) stats may be writer-truncated (min
+    rounded down, max up) with no exactness flag in the footer, so
+    stats-only min/max on a string column must report exact=False even
+    on an overwrite-only table — the bounds are still a sound OUTER
+    envelope for pruning (round-11 advice finding)."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "mmstr"))
+    t.overwrite(
+        spark.range(10).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("name_"), F.col("id")).alias("name"),
+        )
+    )
+    lo, hi, exact = t.column_minmax_from_stats("name")
+    assert exact is False
+    # the envelope still brackets the true extrema
+    row = t.read().agg(
+        F.min("name").alias("lo"), F.max("name").alias("hi")
+    ).collect()[0]
+    assert lo <= row["lo"] and hi >= row["hi"]
+    # numeric columns on the same table keep the exact fast path
+    assert t.column_minmax_from_stats("k") == (0, 9, True)
