@@ -72,11 +72,33 @@ def _symbols(repr_col: Column) -> Column:
     return F.filter(F.split(repr_col, SEP), lambda x: x != "")
 
 
+def _select_disjoint_batch(
+    head: list, limit: int
+) -> list[tuple[str, str]]:
+    """Greedy scan of count-ranked pair rows, keeping a pair iff its
+    symbol footprint ``{a, b, a+b}`` (operands AND the produced merged
+    symbol) is disjoint from every pair already kept — the condition
+    under which the batch's replaces commute and none of them can
+    change another's pair count mid-batch."""
+    used: set[str] = set()
+    batch: list[tuple[str, str]] = []
+    for r in head:
+        a, b = r["a"], r["b"]
+        if a in used or b in used or (a + b) in used:
+            continue
+        batch.append((a, b))
+        used.update((a, b, a + b))
+        if len(batch) == limit:
+            break
+    return batch
+
+
 def bpe_train(
     word_freq: DataFrame,
     num_merges: int,
     word_col: str = "word",
     checkpoint_every: int = 32,
+    batch_size: int = 1,
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` merges; returns (merge list in rank order,
     vocab DataFrame (word, tokens array) with every training word's
@@ -88,18 +110,42 @@ def bpe_train(
     rank-over-rounded-score determinism contract applied to counts,
     which are exact longs). Stops early if no pair remains.
 
+    ``batch_size`` (default 1 = the paper-exact sequential path, the
+    oracle-replayable reference) applies up to ``batch_size``
+    SYMBOL-DISJOINT merges per driver round — the standard fast-BPE
+    trainer batching, here because one aggregate + 1-row collect per
+    merge means a production 32k-merge vocab costs ~32k driver round
+    trips (~2 h extrapolated from the round-11 sf1 gate); batching
+    cuts that ~batch_size x. Per round: ONE ranked pair-count
+    aggregate, a bounded head collect (4x batch_size rows), then a
+    greedy scan keeping each pair only if its operands AND its merged
+    symbol are disjoint from every pair already kept this round
+    (:func:`_select_disjoint_batch`). Disjointness makes the batch's
+    replaces commute and keeps every kept pair's count valid for the
+    whole round, so within a round the picks are exactly the counts
+    sequential training would have seen. Across rounds batched
+    training is the documented fast-trainer APPROXIMATION: a merge
+    can create a brand-new pair (x, ab) whose count would have
+    out-ranked a later same-round pick under strict per-merge
+    recounting. ``batch_size=1`` is bit-identical to sequential by
+    construction (pytest pins it), and batched == sequential whenever
+    no round's freshly-created pairs crack that round's picks (pytest
+    pins a constructed corpus; the driver arm keeps the sequential
+    path under oracle hash).
+
     ``checkpoint_every`` (default 32, 0 = off) eagerly
-    ``localCheckpoint``s the dict every k merges. Without it the
-    ``repr`` column accumulates one chained ``replace`` per round — at
-    a production 32k-merge vocab that is a 32k-deep expression tree
-    whose Catalyst analysis time and codegen blow up long before data
-    size does (the round-10 verdict's production-sizing gap). The
-    checkpoint materializes the vocab-sized dict (bounded: |vocab|
-    rows) and truncates the lineage, so analysis cost per round stays
-    O(checkpoint_every), not O(rounds so far); training results are
-    bit-identical either way (pytest pins checkpointed ==
-    un-checkpointed). The sf1 gate row (``bpe_train_production``)
-    prices 256 merges under this setting.
+    ``localCheckpoint``s the dict every k ROUNDS. Without it the
+    ``repr`` column accumulates chained ``replace``s — at a production
+    32k-merge vocab that is a 32k-deep expression tree whose Catalyst
+    analysis time and codegen blow up long before data size does (the
+    round-10 verdict's production-sizing gap). The checkpoint
+    materializes the vocab-sized dict (bounded: |vocab| rows) and
+    truncates the lineage, so analysis cost per round stays
+    O(checkpoint_every x batch_size), not O(merges so far); training
+    results are bit-identical either way (pytest pins checkpointed ==
+    un-checkpointed). The sf1 gate rows price 256 sequential merges
+    (``bpe_train_production``) and 1024 batched merges
+    (``bpe_train_batched_production``) under these settings.
     """
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
@@ -107,15 +153,20 @@ def bpe_train(
         raise ValueError(
             f"checkpoint_every must be >= 0, got {checkpoint_every}"
         )
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}")
     wf = word_freq.select(
         F.col(word_col).alias("word"),
         F.col("freq").cast("long").alias("freq"),
         initial_repr(F.col(word_col)).alias("repr"),
     )
     merges: list[tuple[str, str]] = []
-    for round_i in range(num_merges):
+    round_i = 0
+    while len(merges) < num_merges:
         if checkpoint_every and round_i and round_i % checkpoint_every == 0:
             wf = wf.localCheckpoint(eager=True)
+        round_i += 1
+        want = min(batch_size, num_merges - len(merges))
         syms = _symbols(F.col("repr"))
         pairs = F.when(
             F.size(syms) >= 2,
@@ -127,26 +178,28 @@ def bpe_train(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        best = (
+        head = (
             wf.select(F.explode(pairs).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1)
+            .limit(1 if want == 1 else 4 * want)
             .collect()
         )
-        if not best:
+        if not head:
             break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        wf = wf.withColumn(
-            "repr",
-            F.replace(
-                F.col("repr"),
-                F.lit(SEP + a + SEP + b + SEP),
-                F.lit(SEP + a + b + SEP),
-            ),
-        )
+        # a conflict-heavy head (every top pair sharing one symbol) can
+        # fill fewer than `want` picks — fine: the next round recounts
+        for a, b in _select_disjoint_batch(head, want):
+            merges.append((a, b))
+            wf = wf.withColumn(
+                "repr",
+                F.replace(
+                    F.col("repr"),
+                    F.lit(SEP + a + SEP + b + SEP),
+                    F.lit(SEP + a + b + SEP),
+                ),
+            )
     vocab = wf.select("word", _symbols(F.col("repr")).alias("tokens"))
     return merges, vocab
 

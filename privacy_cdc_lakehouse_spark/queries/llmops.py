@@ -920,6 +920,27 @@ def q_dedup_semantic_pruned_production(
     )
 
 
+def _bpe_production_dict(spark, sf_dir: str, corpus, tk):
+    """Word-frequency dict for the BPE production gate rows: the
+    documents word dict unioned with the distinct customer names
+    (lowercased; one dict entry per name with its row count). The
+    documents vocabulary alone is ~40 words and fully merges after
+    ~125 rounds; the 15k digit-rich names make 256/1024-merge budgets
+    meaningful while keeping the dict vocabulary-sized (~15k rows)."""
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.lower(F.col("c_name")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    return (
+        tk.word_frequencies(corpus)
+        .unionByName(names)
+        .groupBy("word")
+        .agg(F.sum("freq").alias("freq"))
+    )
+
+
 def q_bpe_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE at PRODUCTION merge sizing — the scale-rehearsal twin of
     the hash-checked registry arm (which pins 16 merges so the DuckDB
@@ -933,13 +954,53 @@ def q_bpe_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     production-sizing gap), and the corpus is touched exactly twice
     (dict build + ONE encode join). NOT a registry row (the driver
     oracle cannot replay 256 staged merges); consumed by
-    tools/bench_scale.py with plan assertions on the encode plan."""
+    tools/bench_scale.py with plan assertions on the encode plan.
+
+    The training dict is the documents word dict WIDENED with the 15k
+    distinct customer names (round-12 finding: the synthetic documents
+    vocabulary is ~40 words and EXHAUSTS after ~125 merges — the
+    round-11 row silently trained 125, not 256; production
+    vocabularies are zipf-long-tailed, and the digit-rich names give
+    the merge budget real work). The gate now value-asserts
+    n_merges == 256."""
     from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
 
     pin_utc(spark)
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    wf = tk.word_frequencies(corpus)
+    wf = _bpe_production_dict(spark, sf_dir, corpus, tk)
     merges, vocab = tk.bpe_train(wf, num_merges=256, checkpoint_every=32)
+    enc = tk.bpe_encode(corpus, vocab)
+    return enc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
+
+
+def q_bpe_train_batched_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE at 4x the sequential production row's vocab (1024
+    merges, ``batch_size=64`` symbol-disjoint merges per driver round,
+    checkpoint every 4 rounds) — pricing the round-11 verdict's
+    remaining tail: sequential training is one aggregate + 1-row
+    collect PER MERGE, so a real 32k-merge vocab extrapolates to ~2 h
+    of driver round trips; batching cuts rounds ~64x (1024 merges in
+    ~16-20 rounds). The gate's sub-linearity claim: this row must land
+    well under 4x the 256-merge sequential row's wall-clock despite
+    learning 4x the merges. Same corpus-touched-twice shape (dict
+    build + ONE encode join). NOT a registry row (the sequential
+    16-merge registry arm stays the oracle-replayable reference;
+    batched==list-replay and disjoint-corpus parity are pytest-pinned);
+    consumed by tools/bench_scale.py with plan assertions on the
+    encode plan."""
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+
+    pin_utc(spark)
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = _bpe_production_dict(spark, sf_dir, corpus, tk)
+    merges, vocab = tk.bpe_train(
+        wf, num_merges=1024, checkpoint_every=4, batch_size=64
+    )
     enc = tk.bpe_encode(corpus, vocab)
     return enc.agg(
         F.count("*").alias("docs"),

@@ -208,3 +208,75 @@ def test_fellegi_sunter_rejects_degenerate_labels(spark):
     )
     with pytest.raises(Exception, match="at least one labeled"):
         lk.fellegi_sunter_weights(all_false, ["name"], "truth").collect()
+
+
+def test_fs_learned_weights_resolution_beats_hand_set(spark):
+    """End-to-end: fellegi_sunter_weights output plugs into
+    score_candidates(fs_weights=) and through resolve_best_matches.
+    On a fixture whose hand-set weights trust an ANTI-correlated
+    feature (tag always disagrees with the true partner), learned
+    weights must resolve strictly more records to their construction
+    partner (round-11 verdict task: wire learned weights into
+    resolution)."""
+    from privacy_cdc_lakehouse_spark.operators import linkage as lk
+
+    n = 20
+    master = spark.createDataFrame(
+        [(i, f"customer_name_{i:04d}", i % 2) for i in range(n)],
+        "lid long, name string, tag int",
+    )
+    # dirty: true partner's name with the FIRST char X'd (edit sim
+    # .944 >= .9 vs the partner, <= .889 vs everyone else — the
+    # distinguishing digits survive); tag FLIPPED vs the partner
+    # (agrees with half the non-partners instead)
+    dirty = spark.createDataFrame(
+        [(1000 + i, "X" + f"customer_name_{i:04d}"[1:], (i + 1) % 2)
+         for i in range(n)],
+        "rid long, name string, tag int",
+    )
+    cands = spark.createDataFrame(
+        [(l, 1000 + r) for l in range(n) for r in range(n)],
+        "id_l long, id_r long",
+    )
+    feats = [
+        lk.Feature("name", "name", "name", "edit", 0.1),
+        lk.Feature("tag", "tag", "tag", "exact", 0.9),
+    ]
+    hand = lk.score_candidates(cands, master, dirty, feats, "lid", "rid")
+
+    def accuracy(resolved):
+        rows = resolved.collect()
+        return sum(r["id_r"] - 1000 == r["id_l"] for r in rows) / len(rows)
+
+    acc_hand = accuracy(lk.resolve_best_matches(hand))
+    assert acc_hand < 0.5  # the anti-correlated tag dominates
+
+    labeled = hand.withColumn(
+        "_truth", (F.col("id_r") - 1000) == F.col("id_l")
+    )
+    fsw = lk.fellegi_sunter_weights(labeled, ["name", "tag"], "_truth")
+    learned = lk.score_candidates(
+        cands, master, dirty, feats, "lid", "rid",
+        threshold=0.0, fs_weights=fsw,
+    )
+    acc_learned = accuracy(lk.resolve_best_matches(learned))
+    assert acc_learned == 1.0 > acc_hand
+    # dict form gives the identical scores as the frame form
+    wd = {
+        r["feature"]: (r["w_agree6"], r["w_disagree6"])
+        for r in fsw.collect()
+    }
+    learned2 = lk.score_candidates(
+        cands, master, dirty, feats, "lid", "rid",
+        threshold=0.0, fs_weights=wd,
+    )
+    assert sorted(map(tuple, learned.collect())) == sorted(
+        map(tuple, learned2.collect())
+    )
+    import pytest
+
+    with pytest.raises(ValueError, match="missing features"):
+        lk.score_candidates(
+            cands, master, dirty, feats, "lid", "rid",
+            fs_weights={"name": (1.0, -1.0)},
+        )

@@ -162,3 +162,75 @@ def test_bpe_train_checkpointing_is_invisible(spark):
 
     with pytest.raises(ValueError, match="checkpoint_every"):
         tk.bpe_train(wf, num_merges=1, checkpoint_every=-1)
+
+
+def _python_apply_merges(words, merges):
+    """Reference replay: apply the merge list in rank order to each
+    word's initial SEP-padded repr with Python's leftmost
+    non-overlapping str.replace (the same semantics as Spark/Java)."""
+    out = {}
+    for w in words:
+        r = tk.SEP + tk.SEP.join(list(w)) + tk.SEP + tk.EOW + tk.SEP
+        for a, b in merges:
+            r = r.replace(
+                tk.SEP + a + tk.SEP + b + tk.SEP, tk.SEP + a + b + tk.SEP
+            )
+        out[w] = [s for s in r.split(tk.SEP) if s]
+    return out
+
+
+def test_bpe_train_batched_vocab_consistent_with_merge_list(spark):
+    """For ANY batch_size, the returned vocab must equal the result of
+    applying the returned merge list sequentially (rank order) — the
+    merge table is the tokenizer artifact; a vocab inconsistent with
+    it would encode differently at inference."""
+    words = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3),
+             ("lowest", 4), ("newer", 3)]
+    wf = _wf(spark, words)
+    for bs in (2, 4, 16):
+        merges, vocab = tk.bpe_train(wf, 10, batch_size=bs)
+        assert len(merges) == len(set(merges)) <= 10
+        segs = {r["word"]: r["tokens"] for r in vocab.collect()}
+        assert segs == _python_apply_merges([w for w, _ in words], merges)
+
+
+def test_bpe_train_batched_matches_sequential_on_disjoint_corpus(spark):
+    """batch_size=1 is the sequential path by construction; on a
+    corpus of disjoint-alphabet words, batched training must reach the
+    SAME merge set and the SAME final segmentation (order may differ:
+    a batch defers the freshly-created (ab,</w>) pairs to later
+    rounds, which is the documented approximation)."""
+    words = [("ab", 100), ("cd", 90), ("ef", 80), ("gh", 70)]
+    wf = _wf(spark, words)
+    seq_merges, seq_vocab = tk.bpe_train(wf, 8, batch_size=1)
+    bat_merges, bat_vocab = tk.bpe_train(wf, 8, batch_size=8)
+    assert sorted(seq_merges) == sorted(bat_merges)
+    seq = {r["word"]: r["tokens"] for r in seq_vocab.collect()}
+    bat = {r["word"]: r["tokens"] for r in bat_vocab.collect()}
+    assert seq == bat
+    # and when each round's head is conflict-free (every round admits
+    # exactly one pick), batched order matches sequential exactly
+    wf1 = _wf(spark, [("ab", 7)])
+    m1, _ = tk.bpe_train(wf1, 2, batch_size=1)
+    m4, _ = tk.bpe_train(wf1, 2, batch_size=4)
+    assert m1 == m4 == [("a", "b"), ("ab", "</w>")]
+
+
+def test_bpe_train_batched_disjoint_selection_and_validation(spark):
+    """The in-round selection must reject pairs sharing an operand OR
+    the produced symbol with an earlier pick (they would invalidate
+    each other's counts mid-batch)."""
+    head = [
+        {"a": "a", "b": "b"},   # kept: footprint {a, b, ab}
+        {"a": "b", "b": "c"},   # rejected: b used
+        {"a": "c", "b": "ab"},  # rejected: 'ab' is a produced symbol
+        {"a": "c", "b": "d"},   # kept
+        {"a": "cd", "b": "x"},  # rejected: 'cd' produced by pick 2
+        {"a": "e", "b": "e"},   # kept (a == b is fine)
+    ]
+    assert tk._select_disjoint_batch(head, 10) == [
+        ("a", "b"), ("c", "d"), ("e", "e")
+    ]
+    assert tk._select_disjoint_batch(head, 2) == [("a", "b"), ("c", "d")]
+    with pytest.raises(ValueError):
+        tk.bpe_train(_wf(spark, [("a", 1)]), 1, batch_size=0)

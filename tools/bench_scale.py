@@ -140,6 +140,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # with per-replica suffix words), reassembly agg; never all-pairs,
     # never row-Python.
     "bpe_train_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-12: batched BPE at 1024 merges (64 symbol-disjoint merges
+    # per driver round) — 4x the vocab of the sequential row in ~1/16
+    # the driver rounds; must be priced sub-linear vs that row. Same
+    # encode-plan contract: posexplode + ONE un-hinted vocab join +
+    # reassembly agg, never all-pairs, never row-Python. The
+    # >=1-row-out expectation plus the n_merges value check below
+    # guard against silently-short training.
+    "bpe_train_batched_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round-10 (cont. 2): SCD2 — the feed row now carries the
     # incremental history apply (seed from half the log, scd2_apply the
     # rest): the lead+row_number windows share one key exchange and the
@@ -194,7 +202,29 @@ def _expect_linkage_hotblock(rows) -> list[str]:
     ]
 
 
-VALUE_EXPECT = {"record_linkage_hotblock": _expect_linkage_hotblock}
+def _expect_bpe(n: int):
+    # round-12 finding: the r11 "256-merge" row silently trained 125
+    # (documents vocabulary exhausted) — merge budgets are now
+    # value-asserted, not assumed
+    def check(rows) -> list[str]:
+        if len(rows) != 1:
+            return [f"expected 1 summary row, got {len(rows)}"]
+        r = rows[0]
+        fails = []
+        if r["n_merges"] != n:
+            fails.append(f"n_merges={r['n_merges']} (expected {n})")
+        if not r["total_tokens"]:
+            fails.append(f"total_tokens={r['total_tokens']} (expected > 0)")
+        return fails
+
+    return check
+
+
+VALUE_EXPECT = {
+    "record_linkage_hotblock": _expect_linkage_hotblock,
+    "bpe_train_production": _expect_bpe(256),
+    "bpe_train_batched_production": _expect_bpe(1024),
+}
 
 
 # Rows sampled TWICE unconditionally (faster sample kept, both
@@ -275,6 +305,7 @@ def main() -> None:
 
         queries["sim_lsh_topk"] = q_sim_lsh_topk
     from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_bpe_train_batched_production,
         q_bpe_train_production,
         q_dedup_semantic_pruned_production,
         q_sim_pq_pruned_production,
@@ -283,6 +314,7 @@ def main() -> None:
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
     queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
     queries["bpe_train_production"] = q_bpe_train_production
+    queries["bpe_train_batched_production"] = q_bpe_train_batched_production
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_drift_monitor_production,
         q_record_linkage_production,
