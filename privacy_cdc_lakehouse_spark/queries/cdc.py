@@ -564,6 +564,66 @@ def q_cdc_stream_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_stream_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 snapshot-overwrite streaming runner
+    (``streaming/pipeline.py::run_scd2_stream``) at gate sizing
+    (round-11 verdict task: ``cdc_stream_silver`` prices the
+    merge-based streaming path and ``cdc_changes_feed`` the batch
+    SCD2, but the overwrite-per-batch runner had no at-scale price).
+    The CDC feed is range-split by offset into 4 files with strictly
+    increasing mtimes — globally offset-ordered delivery, the Kafka
+    single-partition shape — so every batch after the first takes the
+    runner's NO-OVERLAP fast path: ONE metadata-only manifest-stats
+    high-watermark read, no history scan, no membership anti-join.
+    Returns a 1-row summary of the final history PLUS
+    ``wm_stats_exact``: whether both watermark columns' footer stats
+    are present and exact on the final table — the runner's
+    metadata-path precondition, which on this overwrite-only table
+    holds for every intermediate version too (each overwrite records
+    fresh stats), so True == the fast path was available to (and
+    taken by) every batch. The gate value-asserts it alongside
+    versions/current counts. NOT a registry row (foreachBatch output
+    is not DuckDB-expressible; stream == full-rebuild parity is
+    pytest-pinned under a key-interleaved split, the adversarial
+    shape)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import run_scd2_stream
+    from privacy_cdc_lakehouse_spark.tables import LakeTable
+
+    pin_utc(spark)
+    scratch = _process_scratch("pcl_scd2stream", sf_dir)
+    raw = os.path.join(scratch, "raw")
+    cdc_events(spark, sf_dir).repartitionByRange(4, "offset").write.parquet(raw)
+    src = os.path.join(scratch, "source")
+    os.makedirs(src)
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(raw, "part-*.parquet")))):
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+
+    hist = LakeTable(spark, os.path.join(scratch, "hist"))
+    run_scd2_stream(
+        spark, src, hist, os.path.join(scratch, "ckpt"),
+        max_files_per_trigger=1,
+    )
+    o = hist.column_minmax_from_stats("offset")
+    e = hist.column_minmax_from_stats("end_offset")
+    wm_exact = (
+        o is not None and e is not None and bool(o[2]) and bool(e[2])
+    )
+    return hist.read().agg(
+        F.count(F.lit(1)).alias("versions"),
+        F.sum(F.col("is_current").cast("long")).alias("current_rows"),
+        F.countDistinct("order_id").alias("keys"),
+        F.lit(wm_exact).alias("wm_stats_exact"),
+    )
+
+
 def q_sql_dml_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL-text DML front (``sql_merge.py::sql_dml``) end-to-end on
     a LakeTable: seed from `customer`, ``INSERT INTO ... SELECT``

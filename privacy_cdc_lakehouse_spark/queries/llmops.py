@@ -920,6 +920,30 @@ def q_dedup_semantic_pruned_production(
     )
 
 
+def q_mmr_rerank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversification at PRODUCTION sizing — the scale-rehearsal
+    twin of the ``sim_ann_recall`` mmr_div arm (which pins k=4 over a
+    tiny candidate list for staged-CTE oracle-ability). k=10 greedy
+    picks over an exact top-100 list for 20 queries against the FULL
+    sf embeddings corpus (round-11 verdict task: MMR had no at-scale
+    price and its plan chains one window+join per pick — now bounded
+    by ``mmr_rerank``'s ``checkpoint_every``). The heavy stage is the
+    sanctioned exact-ANN baseline producing the candidates; the MMR
+    rounds themselves are |queries|x100-sized windows + broadcast
+    1-pick joins, which is the claim the gate plan-asserts. Returns
+    the picked (query, rank, doc) list plus per-query diversity —
+    bounded output, rows-out asserted by the gate. NOT a registry row
+    (the registry arm already hash-checks the greedy order)."""
+    pin_utc(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    cands = sim.brute_force_topk(emb, queries, k=100)
+    mm = sim.mmr_rerank(cands, emb, k=10, lambda_=0.75, checkpoint_every=4)
+    return mm.orderBy("query_id", "mmr_rank")
+
+
 def _bpe_production_dict(spark, sf_dir: str, corpus, tk):
     """Word-frequency dict for the BPE production gate rows: the
     documents word dict unioned with the distinct customer names

@@ -3236,6 +3236,16 @@ def test_mmr_rerank_matches_python_reference_randomized(spark):
     for q in range(3):
         expected = py_mmr(q)
         assert [got[q][i] for i in range(1, len(expected) + 1)] == expected
+    # the lineage-bounding localCheckpoint is invisible: a
+    # boundary-crossing cadence (k=6 > 2) and off both reproduce the
+    # default-cadence picks bit-identically
+    for ce in (0, 2):
+        got2 = {}
+        for r in sim.mmr_rerank(
+            cdf, vdf, k=k, lambda_=lam, checkpoint_every=ce
+        ).collect():
+            got2.setdefault(r["query_id"], {})[r["mmr_rank"]] = r["neighbor_id"]
+        assert got2 == got
 
 
 def test_rouge_n_matches_python_reference_randomized(spark):

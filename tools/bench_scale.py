@@ -140,6 +140,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # with per-replica suffix words), reassembly agg; never all-pairs,
     # never row-Python.
     "bpe_train_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-12: MMR diversification at scale — k=10 greedy picks over
+    # an exact top-100 for 20 queries vs the full corpus. The Window is
+    # the per-query candidate ranking; the 1-pick-per-round joins must
+    # stay broadcast (|queries| rows by construction); the only
+    # cartesian is the sanctioned exact-ANN candidate baseline, so no
+    # cartesian contract here — instead no SMJ may appear (nothing in
+    # this plan legitimately shuffles both sides).
+    "mmr_rerank_production": ["Window", "BroadcastHashJoin", "!SortMergeJoin"],
     # round-12: batched BPE at 1024 merges (64 symbol-disjoint merges
     # per driver round) — 4x the vocab of the sequential row in ~1/16
     # the driver rounds; must be priced sub-linear vs that row. Same
@@ -167,6 +175,13 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # table. Captured plan is the metrics read-back (cdc_stream_silver
     # contract shape); the row prices monitor wall-clock.
     "drift_monitor_stream": ["Scan parquet"],
+    # round-12: the SCD2 snapshot-overwrite streaming runner — 4
+    # offset-ordered micro-batches of the sf1 CDC feed folded into the
+    # history table. Captured plan is the final-history summary agg
+    # (the foreachBatch jobs already ran — the cdc_stream_silver
+    # contract shape); the metadata-only watermark claim is
+    # VALUE-asserted (wm_stats_exact below), not plan-asserted.
+    "scd2_stream_production": ["HashAggregate", "Scan parquet"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
@@ -220,10 +235,40 @@ def _expect_bpe(n: int):
     return check
 
 
+def _expect_mmr(rows) -> list[str]:
+    # 20 queries x 10 picks; ranks 1..10 per query, none repeated
+    if len(rows) != 200:
+        return [f"expected 200 pick rows, got {len(rows)}"]
+    per_q: dict = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["mmr_rank"])
+    bad = [q for q, ranks in per_q.items() if sorted(ranks) != list(range(1, 11))]
+    return [f"queries with broken rank sequences: {bad}"] if bad else []
+
+
+def _expect_scd2_stream(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("versions", "current_rows", "keys")
+        if not r[col]
+    ]
+    if not r["wm_stats_exact"]:
+        fails.append(
+            "wm_stats_exact=False (replay watermark would need a "
+            "full history scan)"
+        )
+    return fails
+
+
 VALUE_EXPECT = {
     "record_linkage_hotblock": _expect_linkage_hotblock,
     "bpe_train_production": _expect_bpe(256),
     "bpe_train_batched_production": _expect_bpe(1024),
+    "mmr_rerank_production": _expect_mmr,
+    "scd2_stream_production": _expect_scd2_stream,
 }
 
 
@@ -308,10 +353,12 @@ def main() -> None:
         q_bpe_train_batched_production,
         q_bpe_train_production,
         q_dedup_semantic_pruned_production,
+        q_mmr_rerank_production,
         q_sim_pq_pruned_production,
     )
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
+    queries["mmr_rerank_production"] = q_mmr_rerank_production
     queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
     queries["bpe_train_production"] = q_bpe_train_production
     queries["bpe_train_batched_production"] = q_bpe_train_batched_production
@@ -322,6 +369,11 @@ def main() -> None:
 
     queries["drift_monitor_stream"] = q_drift_monitor_production
     queries["record_linkage_hotblock"] = q_record_linkage_production
+    from privacy_cdc_lakehouse_spark.queries.cdc import (
+        q_scd2_stream_production,
+    )
+
+    queries["scd2_stream_production"] = q_scd2_stream_production
     def run_query(name: str, checks: list[str]) -> dict:
         # time construction + collect: write-path queries (sql_merge_*)
         # do their MERGE work eagerly while building the returned frame
