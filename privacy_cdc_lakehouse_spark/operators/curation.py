@@ -1163,3 +1163,55 @@ def sample_negatives(
             F.col("_dist").alias("ring_dist"),
         )
     )
+
+
+def hard_negatives(
+    candidates: DataFrame,
+    positives: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    ANCE / DPR-hard-negatives recipe): from a SCORED candidate list —
+    any retrieval output, exact top-N or ANN — drop each query's
+    ``positives`` (a (query_id, doc_id) frame), then keep the ``k``
+    HIGHEST-scoring remaining docs per query: the negatives the
+    current ranker finds most confusable, which is exactly what the
+    next training round should see.
+
+    The random-negative companion is :func:`sample_negatives` (easy
+    negatives off the consistent-hashing ring); production recipes mix
+    both.
+
+    Scale shape: one anti-join + one per-query window, BOTH over the
+    candidate-sized frame (top-N-bounded by construction — this never
+    touches the corpus; the retrieval stage that produced the
+    candidates already priced that). Determinism: rank over the
+    6dp-ROUNDED score with doc-id tie-break (the standing
+    rank-over-rounded contract). Output: (query_id, doc_id, hn_rank
+    1..k, score6)."""
+    from pyspark.sql import Window
+
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    c = candidates.select(
+        F.col(query_id).alias("query_id"),
+        F.col(doc_id).alias("doc_id"),
+        F.round(F.col(score_col), 6).alias("score6"),
+    ).join(
+        positives.select(
+            F.col(query_id).alias("query_id"), F.col(doc_id).alias("doc_id")
+        ),
+        ["query_id", "doc_id"],
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score6"), F.asc("doc_id")
+    )
+    return (
+        c.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= k)
+        .select("query_id", "doc_id", F.col("hn_rank").cast("int"), "score6")
+    )

@@ -789,6 +789,92 @@ def doc_logprob(
     )
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "mean_logp",
+    n_bins: int = 1000,
+    shares: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split a
+    scored corpus into head / middle / tail by perplexity — head =
+    most reference-like (LOWEST perplexity = HIGHEST mean log-prob),
+    the slice CCNet keeps outright; tail = the candidate-discard
+    slice. Input is :func:`doc_logprob` output (or anything with a
+    per-doc score where higher = better).
+
+    Scale shape — deliberately NOT a global ``ntile`` (that is one
+    all-corpus sort task): thresholds come from a FIXED-WIDTH
+    histogram of the 6dp-rounded score (the PSI/KS binning
+    discipline) — one map-side-combinable ``groupBy(bin)`` whose
+    shuffle carries ≤ ``n_bins`` rows, a cumulative share over that
+    bounded frame, and the requested ``shares`` cut at bin upper
+    edges. Buckets are therefore BIN-QUANTIZED quantiles (boundary
+    error ≤ range/n_bins, CCNet's own cutoffs are similarly
+    approximate); every doc then buckets with one broadcast-scalar
+    comparison — a pure projection over the corpus. Deterministic /
+    engine-replayable: identical IEEE arithmetic over the rounded
+    scores on both sides, no summation-order exposure. Output:
+    (id, score6, ppl_bucket) with bucket in {'head','middle','tail'}
+    (higher score → better bucket); a degenerate constant-score corpus
+    lands everything in 'head'."""
+    from pyspark.sql import Window
+
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    if len(shares) != 2 or not 0.0 < shares[0] < shares[1] < 1.0:
+        raise ValueError(f"shares must be two increasing values in (0,1), got {shares}")
+    s6 = F.round(F.col(score_col), 6)
+    base = scored.select(F.col(id_col), s6.alias("score6"))
+    bounds = base.agg(
+        F.min("score6").alias("_lo"), F.max("score6").alias("_hi")
+    )
+    width = F.when(
+        F.col("_hi") > F.col("_lo"),
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)),
+    )
+    raw_bin = F.floor((F.col("score6") - F.col("_lo")) / width)
+    bin_ = F.coalesce(
+        F.greatest(F.lit(0), F.least(F.lit(n_bins - 1), raw_bin)), F.lit(0)
+    ).cast("int")
+    counts = (
+        base.crossJoin(F.broadcast(bounds))
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: <= n_bins
+    cum = counts.select(
+        "bin",
+        (
+            F.sum("_n").over(w)
+            / F.sum("_n").over(Window.partitionBy(F.lit(1)))
+        ).alias("_cum"),
+    )
+    # threshold_i = upper edge of the first bin whose cumulative share
+    # reaches shares[i]; scores are ordered ASCENDING, so the LOW cut
+    # bounds the tail and the HIGH cut starts the head
+    cuts = cum.agg(
+        F.min(F.when(F.col("_cum") >= F.lit(float(shares[0])), F.col("bin"))).alias("_b1"),
+        F.min(F.when(F.col("_cum") >= F.lit(float(shares[1])), F.col("bin"))).alias("_b2"),
+    ).crossJoin(F.broadcast(bounds)).select(
+        (F.col("_lo") + (F.col("_b1") + 1) * width).alias("_t1"),
+        (F.col("_lo") + (F.col("_b2") + 1) * width).alias("_t2"),
+    )
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select(
+            id_col,
+            "score6",
+            F.when(F.col("_t1").isNull(), F.lit("head"))
+            .when(F.col("score6") > F.col("_t2"), F.lit("head"))
+            .when(F.col("score6") > F.col("_t1"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("ppl_bucket"),
+        )
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target_lm: DataFrame,
@@ -1422,4 +1508,128 @@ def rouge_l(
         F.round(p, 6).alias("rouge_p"),
         F.round(r, 6).alias("rouge_r"),
         F.coalesce(F.round(f, 6), F.lit(0.0)).alias("rouge_f"),
+    )
+
+
+def chrf(
+    pairs: DataFrame,
+    max_order: int = 6,
+    beta: float = 2.0,
+    cand_col: str = "cand",
+    ref_col: str = "ref",
+    id_col: str = "pair_id",
+) -> DataFrame:
+    """chrF (Popović 2015): character n-gram F-score — the
+    tokenization-free MT/generation metric next to BLEU's and ROUGE's
+    word n-grams (sacrebleu's chrF2 defaults: orders 1..6, β=2 so
+    recall counts double, whitespace removed before gram extraction).
+
+    Per order n: P_n = Σ_g min(c_cand, c_ref) / Σ_g c_cand and R_n
+    likewise over reference counts (clipped-gram overlap, the
+    ``rouge_n`` shape); chrP/chrR average P_n/R_n over EFFECTIVE
+    orders (those where either side has grams — the sacrebleu
+    convention; an order with grams on one side only contributes its
+    zero); chrF = (1+β²)·P·R / (β²·P + R), 0 when P+R = 0.
+
+    Fully relational and engine-replayable: ONE tagged-union explode
+    of (order, gram) structs per side → a single map-side-combinable
+    (pair, n, gram) aggregate → per-(pair, n) clipped sums → the
+    per-pair reduction runs as a LEFT FOLD over the n-sorted order
+    array (``F.aggregate`` — deterministic term order, the
+    ``brute_force_topk``/idcg contract), never a float groupBy-sum.
+    6dp ratios. Output: (id, eff_orders, chrf_p, chrf_r, chrf); pairs
+    with no grams on either side score 0."""
+    if max_order < 1:
+        raise ValueError(f"max_order must be >= 1, got {max_order}")
+    if beta <= 0:
+        raise ValueError(f"beta must be positive, got {beta}")
+
+    def _gram_fn(s, n):
+        # a ONE-parameter lambda via factory closure: a `lambda i, n=n`
+        # default-arg would make PySpark pass (element, INDEX) and the
+        # index silently shadows the captured order (the standing
+        # F.transform arity pitfall)
+        return lambda i: F.struct(
+            F.lit(n).alias("n"), F.substring(s, i, F.lit(n)).alias("g")
+        )
+
+    def tagged(col: str):
+        s = F.regexp_replace(F.col(col), r"\s+", "")
+        per_n = [
+            F.when(
+                F.length(s) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s) - n + 1),
+                    _gram_fn(s, n),
+                ),
+            ).otherwise(F.array().cast("array<struct<n:int,g:string>>"))
+            for n in range(1, max_order + 1)
+        ]
+        return F.flatten(F.array(*per_n))
+
+    cg = pairs.select(
+        F.col(id_col), F.explode(tagged(cand_col)).alias("t")
+    ).select(id_col, "t.n", "t.g", F.lit(1).alias("c"), F.lit(0).alias("r"))
+    rg = pairs.select(
+        F.col(id_col), F.explode(tagged(ref_col)).alias("t")
+    ).select(id_col, "t.n", "t.g", F.lit(0).alias("c"), F.lit(1).alias("r"))
+    per_gram = (
+        cg.unionByName(rg)
+        .groupBy(id_col, "n", "g")
+        .agg(F.sum("c").alias("c"), F.sum("r").alias("r"))
+    )
+    per_order = per_gram.groupBy(id_col, "n").agg(
+        F.sum(F.least("c", "r")).cast("double").alias("m"),
+        F.sum("c").cast("double").alias("cn"),
+        F.sum("r").cast("double").alias("rn"),
+    )
+    folded = per_order.groupBy(id_col).agg(
+        F.array_sort(
+            F.collect_list(F.struct("n", "m", "cn", "rn"))
+        ).alias("_os")
+    )
+    eff = F.aggregate(
+        F.col("_os"),
+        F.lit(0),
+        lambda acc, o: acc
+        + F.when((o["cn"] + o["rn"]) > 0, F.lit(1)).otherwise(F.lit(0)),
+    )
+    sum_p = F.aggregate(
+        F.col("_os"),
+        F.lit(0.0),
+        lambda acc, o: acc
+        + F.coalesce(F.try_divide(o["m"], o["cn"]), F.lit(0.0)),
+    )
+    sum_r = F.aggregate(
+        F.col("_os"),
+        F.lit(0.0),
+        lambda acc, o: acc
+        + F.coalesce(F.try_divide(o["m"], o["rn"]), F.lit(0.0)),
+    )
+    b2 = float(beta) * float(beta)
+    out = pairs.select(id_col).join(
+        folded.select(
+            id_col,
+            eff.alias("eff_orders"),
+            F.try_divide(sum_p, eff.cast("double")).alias("_p"),
+            F.try_divide(sum_r, eff.cast("double")).alias("_r"),
+        ),
+        id_col,
+        "left",
+    )
+    p = F.coalesce(F.col("_p"), F.lit(0.0))
+    r = F.coalesce(F.col("_r"), F.lit(0.0))
+    score = F.when(
+        (p + r) == 0, F.lit(0.0)
+    ).otherwise(
+        F.round(
+            F.lit(1.0 + b2) * p * r / (F.lit(b2) * p + r), 6
+        )
+    )
+    return out.select(
+        id_col,
+        F.coalesce(F.col("eff_orders"), F.lit(0)).alias("eff_orders"),
+        F.round(p, 6).alias("chrf_p"),
+        F.round(r, 6).alias("chrf_r"),
+        score.alias("chrf"),
     )

@@ -1161,13 +1161,23 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``recall_ok`` = prediction == the query's own label. The bf
       top-10 membership is the same engine-stable ranking the lsh
       arm's hit counts already rely on.
+    - ``hn`` rows (round 12): hard-negative mining
+      (``operators/curation.py::hard_negatives`` — ANCE/DPR hard
+      negatives, the confusable complement of the ``neg`` arm's easy
+      ring negatives): exact top-30 pool minus the top-10 positives,
+      8 hardest kept by (6dp-rounded sim, doc id); the long slot
+      packs (hn_rank, doc) — ranks AND picks hash-checked;
+      ``recall_ok`` re-verifies the positive anti-join.
     """
     pin_utc(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    bf_full = sim.brute_force_topk(emb, queries, k=10)
+    # one exact scan serves the top-10 ground truth AND the round-12
+    # hard-negative arm's top-30 candidate pool
+    bf30 = sim.brute_force_topk(emb, queries, k=30)
+    bf_full = bf30.filter(F.col("rank") <= 10)
     bf = bf_full.select("query_id", "neighbor_id")
 
     def hits_of(approx: DataFrame, baseline: DataFrame | None = None) -> DataFrame:
@@ -1340,6 +1350,35 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hits"),
         F.col("_inbf").isNotNull().alias("recall_ok"),
     )
+    # round 12: hard-negative mining arm (operators/curation.py::
+    # hard_negatives — the ANCE/DPR hard-negatives recipe, the
+    # confusable complement of the neg arm's easy ring negatives):
+    # from the exact top-30 candidate pool, anti-join the top-10
+    # positives, keep the 8 hardest remaining by (6dp-rounded sim
+    # DESC, doc id). The long slot packs (hn_rank, doc) so ranks AND
+    # picks are hash-checked against the oracle's ranked replay;
+    # recall_ok re-verifies no positive leaked through the anti-join.
+    hn = cur.hard_negatives(
+        bf30.select(
+            "query_id", F.col("neighbor_id").alias("doc_id"), "cos_sim"
+        ),
+        pos,
+        k=8,
+        score_col="cos_sim",
+    )
+    hn_rows = hn.join(
+        pos.select("query_id", "doc_id", F.lit(1).alias("_p")),
+        ["query_id", "doc_id"],
+        "left",
+    ).select(
+        F.lit("hn").alias("method"),
+        "query_id",
+        (
+            F.col("hn_rank").cast("long") * F.lit(1_000_000_000)
+            + F.col("doc_id")
+        ).alias("n_hits"),
+        F.col("_p").isNull().alias("recall_ok"),
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
@@ -1350,6 +1389,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ndcg_rows)
         .unionByName(neg_rows)
         .unionByName(mmr_div_rows)
+        .unionByName(hn_rows)
         .orderBy("method", "query_id", "n_hits")
     )
 
@@ -1544,6 +1584,19 @@ UNION ALL
 SELECT 'mmr_div', query_id,
        CAST(mmr_rank AS BIGINT) * 1000000000 + doc_id, true
 FROM ({_mmr_pick_selects(4)})
+UNION ALL
+-- hard-negative replay (round 12): the exact top-30 pool minus the
+-- top-10 positives, re-ranked by (6dp-rounded sim DESC, doc id),
+-- keep 8 — rank AND pick packed into the long slot; no positive can
+-- leak by construction (the anti-join is the rank>10 filter)
+SELECT 'hn', query_id,
+       CAST(hn_rank AS BIGINT) * 1000000000 + neighbor_id, true
+FROM (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY round(cos_sim, 6) DESC, neighbor_id) AS hn_rank
+    FROM bf_ranked WHERE rank > 10 AND rank <= 30
+) WHERE hn_rank <= 8
 UNION ALL
 -- knn majority-vote label propagation: n_hits carries the PREDICTED
 -- label; exact replay of top-10 membership (the same engine-stable
@@ -2820,6 +2873,20 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 12: CCNet perplexity-bucket arm (operators/text.py::
+    # perplexity_buckets — Wenzek et al. 2020 head/middle/tail): the
+    # SAME per-doc unigram scores cut into terciles via the fixed-grid
+    # histogram thresholds (n_bins=1000, the PSI binning discipline —
+    # deliberately not a global ntile sort). EVERY doc's bucket is
+    # hash-checked: k = doc id, v encodes head=2 / middle=1 / tail=0.
+    ppl_rows = tx.perplexity_buckets(lp).select(
+        F.lit("ppl").alias("kind"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.when(F.col("ppl_bucket") == "head", F.lit(2.0))
+        .when(F.col("ppl_bucket") == "middle", F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
     # round 9 (cont.): bigram-LM arm — stupid-backoff scoring
     # (operators/text.py::bigram_lm / doc_bigram_logprob). Models train
     # on the EVEN-id half and score the whole corpus so the backoff
@@ -3069,6 +3136,17 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rouge_f").alias("v"),
         )
         rougen_rows = rows if rougen_rows is None else rougen_rows.unionByName(rows)
+    # round 12 (cont.): chrF arm (operators/text.py::chrf — Popović
+    # 2015 at sacrebleu chrF2 defaults: character 1..6-grams, β=2,
+    # whitespace stripped, effective-order averaging) on the SAME
+    # bleu pairs; every pair's 6dp score hash-checked against the
+    # oracle's per-order clipped-gram replay (ordered-aggregate folds
+    # on both sides keep the float summation order pinned).
+    chrf_rows = tx.chrf(bpairs).select(
+        F.lit("chrf").alias("kind"),
+        F.col("pair_id").cast("string").alias("k"),
+        F.col("chrf").alias("v"),
+    )
     return (
         lang.unionByName(qual)
         .unionByName(rep)
@@ -3085,6 +3163,8 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(bleu_corpus)
         .unionByName(rouge_rows)
         .unionByName(rougen_rows)
+        .unionByName(ppl_rows)
+        .unionByName(chrf_rows)
         .orderBy("kind", "k")
     )
 
@@ -3150,6 +3230,49 @@ SELECT 'lm', 'bucket_' || CAST(b AS VARCHAR), CAST(count(*) AS DOUBLE) FROM (
     )
     SELECT CAST(floor(mlp * 10) AS BIGINT) AS b FROM lmd
 ) GROUP BY b
+UNION ALL
+-- CCNet perplexity-bucket replay (round 12): the same per-doc unigram
+-- scores, tercile thresholds from a 1000-bin fixed-width histogram
+-- over the 6dp-rounded score (bin upper edges at cumulative 1/3 and
+-- 2/3), per-doc bucket encoded head=2 / middle=1 / tail=0 — identical
+-- IEEE arithmetic to operators/text.py::perplexity_buckets
+SELECT 'ppl', CAST(doc_id AS VARCHAR),
+       CASE WHEN t1 IS NULL THEN 2.0
+            WHEN score6 > t2 THEN 2.0
+            WHEN score6 > t1 THEN 1.0 ELSE 0.0 END
+FROM (
+    WITH pw AS (
+        SELECT doc_id, lower(unnest({_DUCK_WORDS})) AS w FROM documents
+    ),
+    pc AS (SELECT w, count(*) AS n FROM pw GROUP BY w),
+    pt AS (SELECT sum(n) AS total FROM pc),
+    pd AS (
+        SELECT l.doc_id, round(avg(ln(c.n / t.total)), 6) AS score6
+        FROM pw l JOIN pc c USING (w) CROSS JOIN pt t
+        GROUP BY l.doc_id
+    ),
+    pbounds AS (SELECT min(score6) AS lo, max(score6) AS hi FROM pd),
+    pcnt AS (
+        SELECT CAST(greatest(0, least(999,
+                   floor((score6 - lo) / ((hi - lo) / 1000.0)))) AS INT)
+                 AS bin,
+               count(*) AS n
+        FROM pd, pbounds GROUP BY 1
+    ),
+    pcum AS (
+        SELECT bin, sum(n) OVER (ORDER BY bin) / sum(n) OVER () AS cum
+        FROM pcnt
+    ),
+    pcuts AS (
+        SELECT lo + (min(CASE WHEN cum >= 1.0 / 3.0 THEN bin END) + 1)
+                    * ((hi - lo) / 1000.0) AS t1,
+               lo + (min(CASE WHEN cum >= 2.0 / 3.0 THEN bin END) + 1)
+                    * ((hi - lo) / 1000.0) AS t2
+        FROM pcum, pbounds GROUP BY lo, hi
+    )
+    SELECT pd.doc_id, pd.score6, pcuts.t1, pcuts.t2
+    FROM pd CROSS JOIN pcuts
+)
 UNION ALL
 SELECT 'nbc', k, v FROM (
     -- multinomial NB replay: 6dp-rounded Laplace model trained on the
@@ -3510,6 +3633,61 @@ SELECT 'rougen', k, v FROM (
     FROM rnp p
     CROSS JOIN (SELECT unnest([1, 2]) AS n) ns
     LEFT JOIN rns s ON s.doc_id = p.doc_id AND s.n = ns.n
+)
+UNION ALL
+SELECT 'chrf', CAST(doc_id AS VARCHAR), v FROM (
+    -- chrF replay (round 12): character 1..6-gram clipped overlap on
+    -- the bleu pairs with whitespace stripped; per-order P/R summed
+    -- as ORDERED aggregates (sum ... ORDER BY n — the same
+    -- deterministic fold order as Spark's array_sort + F.aggregate),
+    -- effective-order average, F_beta with beta=2
+    WITH cfp AS (
+        SELECT doc_id,
+               regexp_replace(lower(regexp_replace(
+                   text, '[^A-Za-z0-9\\s]', '', 'g')), '\\s+', '', 'g') AS cs,
+               regexp_replace(text, '\\s+', '', 'g') AS rs
+        FROM documents WHERE doc_id % 5 = 0
+    ),
+    cfg AS (
+        SELECT doc_id, n, g, sum(c) AS c, sum(r) AS r FROM (
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN length(cs) >= ns.n THEN
+                       list_transform(range(1, length(cs) - ns.n + 2),
+                           i -> substring(cs, CAST(i AS INT), ns.n))
+                       ELSE [] END) AS g,
+                   1 AS c, 0 AS r
+            FROM cfp CROSS JOIN (SELECT unnest(range(1, 7)) AS n) ns
+            UNION ALL
+            SELECT doc_id, ns.n,
+                   unnest(CASE WHEN length(rs) >= ns.n THEN
+                       list_transform(range(1, length(rs) - ns.n + 2),
+                           i -> substring(rs, CAST(i AS INT), ns.n))
+                       ELSE [] END),
+                   0, 1
+            FROM cfp CROSS JOIN (SELECT unnest(range(1, 7)) AS n) ns
+        ) GROUP BY 1, 2, 3
+    ),
+    cfo AS (
+        SELECT doc_id, n, sum(least(c, r)) AS m,
+               sum(c) AS cn, sum(r) AS rn
+        FROM cfg GROUP BY 1, 2
+    ),
+    cff AS (
+        SELECT doc_id,
+               sum(CASE WHEN cn + rn > 0 THEN 1 ELSE 0 END) AS eff,
+               sum(CASE WHEN cn > 0 THEN CAST(m AS DOUBLE) / cn
+                        ELSE 0.0 END ORDER BY n) AS sp,
+               sum(CASE WHEN rn > 0 THEN CAST(m AS DOUBLE) / rn
+                        ELSE 0.0 END ORDER BY n) AS sr
+        FROM cfo GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CASE WHEN coalesce(f.eff, 0) = 0 THEN 0.0
+                WHEN (f.sp / f.eff + f.sr / f.eff) = 0 THEN 0.0
+                ELSE round(5.0 * (f.sp / f.eff) * (f.sr / f.eff)
+                           / (4.0 * (f.sp / f.eff) + (f.sr / f.eff)), 6)
+           END AS v
+    FROM cfp p LEFT JOIN cff f USING (doc_id)
 )
 ORDER BY kind, k
 """

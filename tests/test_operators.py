@@ -3311,3 +3311,145 @@ def test_candidate_hint_auto_persists_for_reuse_and_accepts_known_count(
     # caller-known candidate count: same threshold, no count job
     assert dd._candidate_hint(cands, 1) is dd.F.broadcast
     assert dd._candidate_hint(cands, 10**9) is not dd.F.broadcast
+
+
+def test_perplexity_buckets_matches_python_and_degenerate(spark):
+    """CCNet head/middle/tail bucketing: the fixed-grid histogram
+    thresholds must match a pure-Python replay of the same arithmetic;
+    bucket shares approximate the requested terciles; a constant-score
+    corpus degenerates to all-head."""
+    import math
+
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    n = 300
+    scores = [(i, round(math.sin(i) * 5.0 - 7.0, 6)) for i in range(n)]
+    df = spark.createDataFrame(scores, "doc_id long, mean_logp double")
+    got = {
+        r["doc_id"]: r["ppl_bucket"]
+        for r in tx.perplexity_buckets(df, n_bins=100).collect()
+    }
+
+    lo, hi = min(s for _, s in scores), max(s for _, s in scores)
+    width = (hi - lo) / 100.0
+    def bin_of(s):
+        return max(0, min(99, int(math.floor((s - lo) / width))))
+    counts = {}
+    for _, s in scores:
+        counts[bin_of(s)] = counts.get(bin_of(s), 0) + 1
+    cum, acc, t = {}, 0, {}
+    for b in sorted(counts):
+        acc += counts[b]
+        cum[b] = acc / n
+    b1 = min(b for b in cum if cum[b] >= 1.0 / 3.0)
+    b2 = min(b for b in cum if cum[b] >= 2.0 / 3.0)
+    t1, t2 = lo + (b1 + 1) * width, lo + (b2 + 1) * width
+    expect = {
+        i: ("head" if s > t2 else "middle" if s > t1 else "tail")
+        for i, s in scores
+    }
+    assert got == expect
+    shares = {b: sum(1 for v in got.values() if v == b) / n
+              for b in ("head", "middle", "tail")}
+    assert all(0.2 < shares[b] < 0.47 for b in shares)
+
+    const = spark.createDataFrame(
+        [(i, -3.5) for i in range(10)], "doc_id long, mean_logp double"
+    )
+    cg = tx.perplexity_buckets(const).collect()
+    assert all(r["ppl_bucket"] == "head" for r in cg) and len(cg) == 10
+
+    import pytest
+
+    with pytest.raises(ValueError, match="n_bins"):
+        tx.perplexity_buckets(df, n_bins=1)
+    with pytest.raises(ValueError, match="shares"):
+        tx.perplexity_buckets(df, shares=(0.5,))
+
+
+def test_hard_negatives_ranks_and_antijoin(spark):
+    """hard_negatives: positives never appear, picks are the k
+    highest-scoring remaining docs per query in (rounded score desc,
+    doc id) order."""
+    from privacy_cdc_lakehouse_spark.operators import curation as cur
+
+    cands = spark.createDataFrame(
+        [(1, d, 1.0 - d * 0.01) for d in range(10)]
+        + [(2, d, 0.5 + (d % 3) * 0.1) for d in range(6)],
+        "query_id long, doc_id long, score double",
+    )
+    pos = spark.createDataFrame(
+        [(1, 0), (1, 1), (2, 2)], "query_id long, doc_id long"
+    )
+    got = {}
+    for r in cur.hard_negatives(cands, pos, k=3).collect():
+        got.setdefault(r["query_id"], []).append((r["hn_rank"], r["doc_id"]))
+    assert sorted(got[1]) == [(1, 2), (2, 3), (3, 4)]  # 0,1 excluded
+    # q2 scores: d0 .5, d1 .6, d2 .7(pos), d3 .5, d4 .6, d5 .7 ->
+    # remaining ranked: d5(.7), d1(.6), d4(.6) with id tie-break
+    assert sorted(got[2]) == [(1, 5), (2, 1), (3, 4)]
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        cur.hard_negatives(cands, pos, k=0)
+
+
+def test_chrf_matches_python_reference_randomized(spark):
+    """Randomized parity: distributed chrF (orders 1..6, beta=2,
+    whitespace stripped, effective-order averaging) == a pure-Python
+    Counter reference; plus the classic edges (identical -> 1.0,
+    disjoint -> 0.0, empty sides -> 0.0)."""
+    import hashlib
+    from collections import Counter
+
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    pool = "abcdef gh"
+
+    def soup(tag, i, ln):
+        out = []
+        for j in range(ln):
+            h = hashlib.md5(f"chrf-{tag}|{i}|{j}".encode()).hexdigest()
+            out.append(pool[int(h[:4], 16) % len(pool)])
+        return "".join(out)
+
+    pairs = [(i, soup("c", i, 15 + i % 7), soup("r", i, 18 + i % 5))
+             for i in range(20)]
+    pairs += [(100, "the cat", "the cat"), (101, "aaaa", "bbbb"),
+              (102, "", "xy"), (103, " ", " ")]
+
+    def py_chrf(cand, ref, max_order=6, beta=2.0):
+        c, r = cand.replace(" ", ""), ref.replace(" ", "")
+        sp = sr = eff = 0
+        for n in range(1, max_order + 1):
+            cg = Counter(c[i:i + n] for i in range(len(c) - n + 1))
+            rg = Counter(r[i:i + n] for i in range(len(r) - n + 1))
+            cn, rn = sum(cg.values()), sum(rg.values())
+            if cn + rn == 0:
+                continue
+            eff += 1
+            m = sum(min(cg[g], rg[g]) for g in cg)
+            sp += m / cn if cn else 0.0
+            sr += m / rn if rn else 0.0
+        if eff == 0:
+            return 0.0
+        p, r_ = sp / eff, sr / eff
+        if p + r_ == 0:
+            return 0.0
+        b2 = beta * beta
+        return round((1 + b2) * p * r_ / (b2 * p + r_), 6)
+
+    df = spark.createDataFrame(pairs, "pair_id long, cand string, ref string")
+    got = {r["pair_id"]: r for r in tx.chrf(df).collect()}
+    for pid, cand, ref in pairs:
+        assert got[pid]["chrf"] == py_chrf(cand, ref), (pid, cand, ref)
+    assert got[100]["chrf"] == 1.0
+    assert got[101]["chrf"] == 0.0  # disjoint alphabets: zero overlap
+    assert got[102]["chrf"] == 0.0 and got[102]["eff_orders"] > 0
+    assert got[103]["chrf"] == 0.0 and got[103]["eff_orders"] == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="max_order"):
+        tx.chrf(df, max_order=0)
+    with pytest.raises(ValueError, match="beta"):
+        tx.chrf(df, beta=0.0)
