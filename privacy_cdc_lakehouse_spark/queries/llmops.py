@@ -4313,6 +4313,30 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_curation_pipeline_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pipeline at gate sizing with SELECTIVE
+    decontamination (round-12 finding, caught by the new gate
+    rows-out assertion): the scaled fixture's ~31-word vocabulary
+    saturates the word-3-gram space — the ~500-doc benchmark covers
+    nearly every possible 3-gram, so the registry row's n=3 pipeline
+    CORRECTLY decontaminates 100% of the sf1 corpus and the r10/r11
+    gate rows silently priced the split stage on zero rows. This twin
+    runs n=8 (31^8 gram space — the benchmark covers a negligible
+    fraction), so every stage moves real data at sf1: quality filter
+    -> exact-dedup keepers -> selective decontam (~19% drop) ->
+    split. The registry row (hash-checked at sf0.01, where n=3 IS
+    selective) is unchanged; the gate value-asserts survivors > 0."""
+    pin_utc(spark)
+    docs = _docs(spark, sf_dir)
+    corpus = _augmented(docs)
+    bench = docs.filter(F.col("doc_id") % CURATION_BENCH_MOD == 0).select(
+        "doc_id", "text"
+    )
+    return cur.curate_corpus(
+        corpus, bench, n=8, persist_intermediate=True
+    ).orderBy("doc_id")
+
+
 _CURATION_PIPELINE_SQL = f"""
 WITH {_AUG_CTE},
 w AS (SELECT doc_id, text, {_DUCK_WORDS} AS ws FROM aug),

@@ -64,6 +64,13 @@ SCALE_AUDIT: dict[str, list[str]] = {
     "dedup_duplicate_spans": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
     "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "!CartesianProduct"],
     "curation_pack_sequences": ["Window", "!Join"],
+    # round-12: the gate runs the n=8 PRODUCTION twin
+    # (q_curation_pipeline_production) — the scaled fixture's tiny
+    # vocabulary saturates 3-gram space, so the registry row's n=3
+    # correctly decontaminates 100% of sf1 and the r10/r11 gate rows
+    # silently priced the split stage on zero rows (caught by the new
+    # rows-out assertion). n=8 keeps every stage moving real data;
+    # survivors > 0 value-asserted below.
     "curation_pipeline": ["BroadcastHashJoin", "!CartesianProduct"],
     # round-7 additions:
     "text_line_dedup": ["Generate", "HashAggregate", "LeftAnti", "!CartesianProduct"],
@@ -359,6 +366,11 @@ def main() -> None:
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
     queries["mmr_rerank_production"] = q_mmr_rerank_production
+    from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_curation_pipeline_production,
+    )
+
+    queries["curation_pipeline"] = q_curation_pipeline_production
     queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
     queries["bpe_train_production"] = q_bpe_train_production
     queries["bpe_train_batched_production"] = q_bpe_train_batched_production

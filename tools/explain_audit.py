@@ -30,11 +30,17 @@ AUDIT = {
     # stats the static planner can't see, so SMJ appears pre-AQE and is
     # converted at runtime — assert no cartesian and no Python instead
     # (pca_project must stay a pure codegen'd projection).
-    "sim_ann_recall": ["BroadcastNestedLoopJoin", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round 12 adds the hn (hard-negative) arm: a candidate-sized
+    # anti-join + per-query rank window — Window asserted.
+    "sim_ann_recall": ["BroadcastNestedLoopJoin", "Window", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round 9: the norm arm's normalize_text is the SANCTIONED Arrow
     # ingest-path operator (driver-visibility arm) — Arrow-batched is
-    # expected; row-at-a-time Python never is.
-    "text_quality_panel": ["Generate", "HashAggregate", "ArrowEvalPython", "!BatchEvalPython", "!CartesianProduct"],
+    # expected; row-at-a-time Python never is. Round 12 adds the ppl
+    # (perplexity-bucket) arm whose tercile cuts ride broadcast 1-row
+    # scalars (BroadcastNestedLoopJoin asserted — the sanctioned
+    # scalar cross-join form, never a real cartesian) and the chrf
+    # arm (more Generate/HashAggregate, covered).
+    "text_quality_panel": ["Generate", "HashAggregate", "ArrowEvalPython", "BroadcastNestedLoopJoin", "!BatchEvalPython", "!CartesianProduct"],
     # line-level boilerplate removal: explode + count-distinct agg +
     # anti-join + per-doc rebuild; never a corpus self-join. The
     # boilerplate anti-join is deliberately NOT broadcast-hinted (the
@@ -122,7 +128,10 @@ AUDIT = {
     # broadcast, the Q11/Q15 global scalars are sanctioned
     # broadcast-1-row cross joins, Q21's EXISTS/NOT-EXISTS are
     # semi/anti joins on the orderkey — never a cartesian.
-    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate", "LeftAnti|left_anti", "!CartesianProduct"],
+    # Round 12 adds the fslink arm (resolution under LEARNED FS
+    # weights): per-dirty-record rank windows — Window asserted (the
+    # link arm has had them since round 10).
+    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate", "Window", "LeftAnti|left_anti", "!CartesianProduct"],
     # the mix arm is a pure projection + filter (that purity is pinned
     # at the operator level by test_mixture_sample_plan_is_pure_projection);
     # the round-9 budget arm legitimately adds ONE score-bucket
