@@ -1632,3 +1632,77 @@ def pca_project(
             proj = proj / float((r["eigenvalue"] + 1e-12) ** 0.5)
         outs.append(proj)
     return df.withColumn(out_col, F.array(*outs))
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_id: str = "query_id",
+    doc_id: str = "neighbor_id",
+    rank_col: str = "rank",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) — the
+    standard hybrid-retrieval combiner (BM25 + dense ANN in every RAG
+    stack): per (query, doc), ``score = Σ_r 1/(k + rank_r(doc))`` over
+    the rankers that retrieved it; re-rank by the fused score. Rank-
+    based, so it needs no score calibration between rankers — the
+    reason it beats score interpolation in practice.
+
+    Scale shape: ONE tagged union of the ranked lists (each top-N
+    bounded by its retriever) → one map-side-combinable
+    (query, doc) aggregate → a per-query window over the fused
+    candidate set. Never touches a corpus. Determinism: each
+    ``1/(k+rank)`` term is exact IEEE math; per-(query, doc) terms are
+    summed as a ranker-index-sorted LEFT FOLD (``F.aggregate`` over
+    ``array_sort(collect_list(...))`` — the standing fold contract),
+    and the final ordering is rank-over-rounded (6dp) with doc-id
+    tie-break. Output: (query_id, doc_id, n_rankers, rrf_score 6dp,
+    rrf_rank), optionally truncated to ``top_k`` per query."""
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    tagged = None
+    for idx, r in enumerate(rankings):
+        t = r.select(
+            F.col(query_id).alias("query_id"),
+            F.col(doc_id).alias("doc_id"),
+            F.lit(idx).alias("_src"),
+            (
+                F.lit(1.0)
+                / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias("_term"),
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    fused = (
+        tagged.groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_rankers"),
+            F.array_sort(
+                F.collect_list(F.struct("_src", "_term"))
+            ).alias("_ts"),
+        )
+        .select(
+            "query_id",
+            "doc_id",
+            "n_rankers",
+            F.round(
+                F.aggregate(
+                    F.col("_ts"),
+                    F.lit(0.0),
+                    lambda acc, t: acc + t["_term"],
+                ),
+                6,
+            ).alias("rrf_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    out = fused.withColumn("rrf_rank", F.row_number().over(w))
+    if top_k is not None:
+        out = out.filter(F.col("rrf_rank") <= top_k)
+    return out

@@ -163,3 +163,105 @@ def hll_store_estimate(store: DataFrame) -> DataFrame:
     return store.select(
         *group_cols, F.hll_sketch_estimate(F.col("hll")).alias("n_distinct_est")
     )
+
+
+def hist_sketch_build(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Build a MERGEABLE fixed-grid histogram sketch over a numeric
+    column — the quantile companion of :func:`cms_build` (frequencies)
+    and the HLL store (distincts): at most ``n_bins + 2`` rows of
+    (bin, n), where bin -1 / ``n_bins`` are the underflow / overflow
+    bins for values outside [lo, hi). The grid is FIXED at build time
+    — that is what makes two sketches mergeable by plain counter
+    addition (a t-digest's adaptive centroids are float-summation-
+    order dependent and not engine-replayable; the fixed grid is this
+    repo's standing PSI/KS discipline). Quantile answers are
+    BIN-QUANTIZED: error ≤ (hi-lo)/n_bins, chosen at build time.
+
+    Scale: one projection + ONE map-side-combinable groupBy whose
+    shuffle carries ≤ n_bins+2 rows per input partition — sketch
+    size, never corpus size. NULLs are skipped."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    v = F.col(value_col).cast("double")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(width))
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(-1))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins))
+        .otherwise(F.least(F.lit(n_bins - 1), raw))
+        .cast("int")
+    )
+    return (
+        df.filter(v.isNotNull())
+        .select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_sketch_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the SAME (lo, hi, n_bins) grid: pure
+    counter addition (union + one ≤ n_bins+2-row groupBy)."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+
+
+def hist_sketch_quantile(
+    sketch: DataFrame,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each requested
+    ``q`` the UPPER EDGE of the first bin whose cumulative share
+    reaches ``q`` (the :func:`text.perplexity_buckets` cut rule) —
+    within (hi-lo)/n_bins of the true quantile for in-range data; an
+    underflow hit answers ``lo``, an overflow hit ``hi``. Pass the
+    SAME (lo, hi, n_bins) the sketch was built with. Pure arithmetic
+    over the ≤ n_bins+2-row sketch (windows bounded by the sketch,
+    engine-replayable exactly). Output: (q, value 6dp)."""
+    from pyspark.sql import Window
+
+    if not qs or not all(0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"qs must be in (0, 1], got {qs}")
+    width = (float(hi) - float(lo)) / float(n_bins)
+    w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: sketch rows
+    cum = sketch.select(
+        "bin",
+        (
+            F.sum("n").over(w) / F.sum("n").over(Window.partitionBy(F.lit(1)))
+        ).alias("_cum"),
+    )
+    rows = []
+    for q in qs:
+        first = F.min(
+            F.when(F.col("_cum") >= F.lit(float(q)), F.col("bin"))
+        )
+        edge = (
+            F.when(first < 0, F.lit(float(lo)))
+            .when(first >= n_bins, F.lit(float(hi)))
+            .otherwise(F.lit(float(lo)) + (first + 1) * F.lit(width))
+        )
+        rows.append(
+            F.struct(
+                F.lit(float(q)).alias("q"), F.round(edge, 6).alias("value")
+            )
+        )
+    return (
+        cum.agg(F.array(*rows).alias("_r"))
+        .select(F.explode("_r").alias("r"))
+        .select("r.q", "r.value")
+    )

@@ -1246,9 +1246,8 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # PCA arms: one full-rank fit serves both (k=64 rotation; the k=16
     # projection is the eigenvalue-ordered slice of the projected
     # array). L2 baseline, not cosine — see docstring.
-    bf_l2 = sim.brute_force_topk(emb, queries, k=10, metric="l2").select(
-        "query_id", "neighbor_id"
-    )
+    bf_l2_full = sim.brute_force_topk(emb, queries, k=10, metric="l2")
+    bf_l2 = bf_l2_full.select("query_id", "neighbor_id")
     mdl = sim.pca_model(emb, n_components=64, dim=64)
     proj_c = sim.pca_project(emb, mdl, n_components=64).select(
         "vec_id", F.col("pca").alias("embedding")
@@ -1379,6 +1378,29 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hits"),
         F.col("_p").isNull().alias("recall_ok"),
     )
+    # round 12 (cont.): Reciprocal Rank Fusion arm
+    # (operators/similarity.py::rrf_fuse — Cormack et al. 2009, the
+    # hybrid-retrieval combiner): fuse the exact COSINE top-10 and the
+    # exact L2 top-10 (two genuinely different rankers over the same
+    # corpus — the same engine-stable rankings the lsh/pca arms
+    # already rely on) at k=60. The long slot packs (rrf_rank, doc) so
+    # the fused ORDER is hash-checked against the oracle's replay;
+    # recall_ok re-verifies a positive fused score.
+    rrf_rows = sim.rrf_fuse(
+        [
+            bf_full.select("query_id", "neighbor_id", "rank"),
+            bf_l2_full.select("query_id", "neighbor_id", "rank"),
+        ],
+        k=60,
+    ).select(
+        F.lit("rrf").alias("method"),
+        "query_id",
+        (
+            F.col("rrf_rank").cast("long") * F.lit(1_000_000_000)
+            + F.col("doc_id")
+        ).alias("n_hits"),
+        (F.col("rrf_score") > 0).alias("recall_ok"),
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
@@ -1390,6 +1412,7 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(neg_rows)
         .unionByName(mmr_div_rows)
         .unionByName(hn_rows)
+        .unionByName(rrf_rows)
         .orderBy("method", "query_id", "n_hits")
     )
 
@@ -1467,6 +1490,40 @@ bf_ranked AS (
     SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
     FROM bf_scored
+),
+-- round 12: exact L2 ranking (same left-fold term order as Spark's
+-- zip_with/aggregate — the pca_full arm already relies on cross-engine
+-- L2 top-10 equality) + the RRF fusion of the two exact rankers
+bf_l2_ranked AS (
+    SELECT query_id, neighbor_id, row_number() OVER (
+        PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+    FROM (
+        SELECT query_id, neighbor_id,
+               list_sum(list_transform(range(1, 65),
+                   i -> (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))
+                      * (CAST(qv[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))))
+                 AS dist
+        FROM c CROSS JOIN q
+    )
+),
+rrf_fused AS (
+    SELECT query_id, doc_id,
+           row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id
+           ) AS rrf_rank,
+           rrf_score
+    FROM (
+        SELECT query_id, neighbor_id AS doc_id,
+               round(sum(term ORDER BY src), 6) AS rrf_score
+        FROM (
+            SELECT query_id, neighbor_id, 0 AS src,
+                   1.0 / (60.0 + rank) AS term
+            FROM bf_ranked WHERE rank <= 10
+            UNION ALL
+            SELECT query_id, neighbor_id, 1, 1.0 / (60.0 + rank)
+            FROM bf_l2_ranked WHERE rank <= 10
+        ) GROUP BY 1, 2
+    )
 ),
 hits AS (
     SELECT b.query_id, count(*) AS n
@@ -1597,6 +1654,12 @@ FROM (
         ORDER BY round(cos_sim, 6) DESC, neighbor_id) AS hn_rank
     FROM bf_ranked WHERE rank > 10 AND rank <= 30
 ) WHERE hn_rank <= 8
+UNION ALL
+-- RRF replay (round 12): fused (rank, doc) order of the two exact
+-- rankers; a fused score is positive by construction
+SELECT 'rrf', query_id,
+       CAST(rrf_rank AS BIGINT) * 1000000000 + doc_id, rrf_score > 0
+FROM rrf_fused
 UNION ALL
 -- knn majority-vote label propagation: n_hits carries the PREDICTED
 -- label; exact replay of top-10 membership (the same engine-stable
@@ -4026,6 +4089,34 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("count").cast("double").alias("v"),
         )
     )
+    # round 12: mergeable histogram-quantile sketch arm
+    # (operators/sketch.py::hist_sketch_*) — the quantile companion of
+    # the cms/hll sketches: two half-corpus sketches over doc length
+    # on a FIXED [0, 2048)x256 grid (fixed grid = mergeable by counter
+    # addition, the PSI discipline; t-digest centroids would be
+    # float-order dependent), merged, then p50/p90/p99 answered from
+    # the <=258-row sketch — each bin-quantized quantile hash-checked.
+    # merge == single-build is an exact integer-counter identity
+    # (pytest-pinned), so the oracle replays the single-pass build.
+    halves = docs.select(F.length("text").alias("nc"), "doc_id")
+    qsk_sketch = sk.hist_sketch_merge(
+        sk.hist_sketch_build(
+            halves.filter(F.col("doc_id") % 2 == 0), "nc", 0.0, 2048.0, 256
+        ),
+        sk.hist_sketch_build(
+            halves.filter(F.col("doc_id") % 2 == 1), "nc", 0.0, 2048.0, 256
+        ),
+    )
+    qsk = sk.hist_sketch_quantile(
+        qsk_sketch, [0.5, 0.9, 0.99], 0.0, 2048.0, 256
+    ).select(
+        F.lit("qsk").alias("kind"),
+        F.concat(
+            F.lit("p"),
+            F.round(F.col("q") * 100).cast("int").cast("string"),
+        ).alias("k"),
+        F.col("value").alias("v"),
+    )
     return (
         rep.unionByName(col_long)
         .unionByName(dif_long)
@@ -4033,6 +4124,7 @@ def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(samp_long)
         .unionByName(cms_est)
         .unionByName(cms_exact)
+        .unionByName(qsk)
         .orderBy("kind", "k")
     )
 
@@ -4210,6 +4302,31 @@ SELECT kind, k, v FROM (
                      CAST(r AS DOUBLE) FROM samp
     UNION ALL SELECT 'cms', 'est:' || tok, CAST(est AS DOUBLE) FROM cms_est
     UNION ALL SELECT 'cms', 'exact:' || tok, CAST(n AS DOUBLE) FROM cms_exact
+    -- histogram-quantile sketch replay (round 12): fixed [0,2048)x256
+    -- grid over doc length; merge == single build is an exact integer
+    -- identity, so ONE whole-corpus build replays the merged halves;
+    -- quantile = upper edge of the first bin at cumulative >= q
+    UNION ALL SELECT 'qsk', k, v FROM (
+        WITH qsb AS (
+            SELECT CAST(CASE WHEN length(text) >= 2048 THEN 256
+                             ELSE least(255, floor((length(text) - 0.0)
+                                                   / 8.0)) END AS INT)
+                     AS bin,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        ),
+        qsc AS (
+            SELECT bin, sum(n) OVER (ORDER BY bin) / sum(n) OVER () AS cum
+            FROM qsb
+        )
+        SELECT 'p' || CAST(CAST(qq * 100 AS INT) AS VARCHAR) AS k,
+               (SELECT round(CASE WHEN b < 0 THEN 0.0
+                                  WHEN b >= 256 THEN 2048.0
+                                  ELSE 0.0 + (b + 1) * 8.0 END, 6)
+                FROM (SELECT min(CASE WHEN cum >= qq THEN bin END) AS b
+                      FROM qsc)) AS v
+        FROM (SELECT unnest([0.5, 0.9, 0.99]) AS qq)
+    )
 )
 ORDER BY kind, k
 """

@@ -3453,3 +3453,35 @@ def test_chrf_matches_python_reference_randomized(spark):
         tx.chrf(df, max_order=0)
     with pytest.raises(ValueError, match="beta"):
         tx.chrf(df, beta=0.0)
+
+
+def test_rrf_fuse_known_values_and_topk(spark):
+    """RRF: score = sum over rankers of 1/(k+rank); docs in both lists
+    outrank docs in one; rank-over-rounded with doc-id tie-break;
+    top_k truncates per query."""
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2), (1, 10, 3)],
+        "query_id long, neighbor_id long, rank long",
+    )
+    got = {r["doc_id"]: r for r in sim.rrf_fuse([a, b], k=60).collect()}
+    assert got[11]["rrf_score"] == round(1 / 62 + 1 / 61, 6)
+    assert got[10]["rrf_score"] == round(1 / 61 + 1 / 63, 6)
+    assert got[12]["rrf_score"] == round(1 / 63, 6)
+    assert got[13]["rrf_score"] == round(1 / 62, 6)
+    assert got[11]["n_rankers"] == 2 and got[12]["n_rankers"] == 1
+    # fused order: 11 (both, best ranks) > 10 (both) > 13 > 12
+    assert [got[d]["rrf_rank"] for d in (11, 10, 13, 12)] == [1, 2, 3, 4]
+    top2 = sim.rrf_fuse([a, b], k=60, top_k=2).collect()
+    assert sorted(r["doc_id"] for r in top2) == [10, 11]
+    import pytest
+
+    with pytest.raises(ValueError, match="rankings"):
+        sim.rrf_fuse([])
+    with pytest.raises(ValueError, match="k must be"):
+        sim.rrf_fuse([a], k=0)

@@ -135,3 +135,61 @@ def test_hll_store_validation(spark):
         sk.hll_store_build(df, [], "x")
     with pytest.raises(ValueError):
         sk.hll_store_merge()
+
+
+def test_hist_sketch_quantiles_and_merge(spark):
+    """Fixed-grid histogram sketch: quantiles within one bin width of
+    the truth; merge == single build over the union; out-of-range
+    values land in the under/overflow bins and clamp quantile answers
+    to [lo, hi]; validation errors."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators import sketch as sk
+
+    vals = [float(x) for x in range(1000)]  # uniform 0..999
+    a = spark.createDataFrame([(v,) for v in vals[:500]], "v double")
+    b = spark.createDataFrame([(v,) for v in vals[500:]], "v double")
+    both = spark.createDataFrame([(v,) for v in vals], "v double")
+    lo, hi, nb = 0.0, 1000.0, 100
+
+    merged = sk.hist_sketch_merge(
+        sk.hist_sketch_build(a, "v", lo, hi, nb),
+        sk.hist_sketch_build(b, "v", lo, hi, nb),
+    )
+    single = sk.hist_sketch_build(both, "v", lo, hi, nb)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, single.collect())
+    )
+    qs = [0.5, 0.9, 0.99]
+    got = {
+        r["q"]: r["value"]
+        for r in sk.hist_sketch_quantile(merged, qs, lo, hi, nb).collect()
+    }
+    for q in qs:
+        truth = q * 1000.0
+        assert abs(got[q] - truth) <= 1000.0 / nb + 1e-6, (q, got[q])
+
+    # out-of-range values: underflow/overflow bins, clamped answers
+    wild = spark.createDataFrame(
+        [(-50.0,), (2000.0,), (500.0,)], "v double"
+    )
+    swild = sk.hist_sketch_build(wild, "v", lo, hi, nb)
+    bins = {r["bin"]: r["n"] for r in swild.collect()}
+    assert bins[-1] == 1 and bins[nb] == 1
+    qw = {
+        r["q"]: r["value"]
+        for r in sk.hist_sketch_quantile(
+            swild, [0.2, 1.0], lo, hi, nb
+        ).collect()
+    }
+    assert qw[0.2] == lo and qw[1.0] == hi
+
+    with pytest.raises(ValueError, match="n_bins"):
+        sk.hist_sketch_build(a, "v", lo, hi, 0)
+    with pytest.raises(ValueError, match="hi > lo"):
+        sk.hist_sketch_build(a, "v", 5.0, 5.0)
+    with pytest.raises(ValueError, match="qs"):
+        sk.hist_sketch_quantile(single, [0.0], lo, hi, nb)
+    with pytest.raises(ValueError, match="sketch"):
+        sk.hist_sketch_merge()
