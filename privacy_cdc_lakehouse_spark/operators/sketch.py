@@ -265,3 +265,106 @@ def hist_sketch_quantile(
         .select(F.explode("_r").alias("r"))
         .select("r.q", "r.value")
     )
+
+
+def bloom_build(
+    df: DataFrame,
+    item_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) over ``item_col`` as a
+    DataFrame — the membership companion of :func:`cms_build`
+    (frequencies) / the HLL store (distincts) / :func:`hist_sketch_build`
+    (quantiles): the filter IS the distinct set of set bit positions,
+    one (pos) row each, at most ``m_bits`` rows. Mergeable by plain
+    union+distinct (:func:`bloom_merge`) — the standard use is a
+    bounded seen-list screen (URLs already crawled, ids already
+    ingested) probed BEFORE an expensive exact lookup: no false
+    negatives ever; false positives at the classic
+    ``(1 - e^(-kn/m))^k`` rate.
+
+    Bit positions are portable md5 arithmetic (the repo's seeded-
+    randomness contract): ``pos_i = int(md5('bloom<i>|' || item)
+    hex[:13], 16) % m_bits`` — exactly replayable in DuckDB. NULL
+    items are skipped. Scale: each row expands to ``k`` positions via
+    a per-row array (no join); the ONE distinct's shuffle carries at
+    most ``m_bits`` combined rows per partition — sketch size, never
+    corpus size."""
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
+    item = F.col(item_col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}|"), item)), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+    return (
+        df.filter(item.isNotNull())
+        .select(F.explode(positions).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Merge Bloom filters built with the SAME (m_bits, k, hash):
+    union of set bits (one ≤ m_bits-row distinct)."""
+    if not filters:
+        raise ValueError("need at least one filter")
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    probes: DataFrame,
+    item_col: str,
+    m_bits: int = 8192,
+    k: int = 4,
+) -> DataFrame:
+    """Probe a Bloom filter: an item is maybe-present iff ALL ``k`` of
+    its bit positions are set. Pass the SAME (m_bits, k) the filter
+    was built with. Output: probes + ``might_contain`` boolean (true
+    may be a false positive; false is definitive — the Bloom
+    contract). Scale: the probe explodes to k positions and joins the
+    ≤ m_bits-row filter (AQE broadcasts it); per-probe recombine is a
+    k-bounded groupBy."""
+    if m_bits < 2 or k < 1:
+        raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
+    item = F.col(item_col).cast("string")
+    positions = F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"bloom{i}|"), item)), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % m_bits
+            ).cast("int")
+            for i in range(k)
+        ]
+    )
+    probed = probes.select(item_col, F.explode(positions).alias("pos"))
+    hits = (
+        probed.join(bloom.withColumn("_set", F.lit(1)), "pos", "left")
+        .groupBy(item_col)
+        .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0)))).alias(
+            "might_contain"
+        ))
+    )
+    return probes.join(hits, item_col, "left")

@@ -450,14 +450,58 @@ def q_setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_customers"),
         )
     )
+    # round 12: Bloom-filter arm (operators/sketch.py::bloom_*) — the
+    # membership screen beside the hll distinct store: a filter over
+    # the big-spender cohort built as two half-filters (custkey
+    # parity) and union-merged, probed with the urgent cohort. No
+    # false negative is possible, so maybe >= |big ∩ urgent| and the
+    # FALSE-POSITIVE count (maybe − true) is an exact deterministic
+    # number — all four values hash-checked (bit positions are
+    # portable md5 arithmetic replayed in the oracle).
+    bl = sk.bloom_merge(
+        sk.bloom_build(
+            big.filter(F.col("o_custkey") % 2 == 0), "o_custkey", 4096, 4
+        ),
+        sk.bloom_build(
+            big.filter(F.col("o_custkey") % 2 == 1), "o_custkey", 4096, 4
+        ),
+    )
+    probed = sk.bloom_might_contain(bl, urgent, "o_custkey", 4096, 4)
+    bloom_rows = (
+        probed.agg(F.sum(F.col("might_contain").cast("long")).alias("maybe"))
+        .crossJoin(
+            F.broadcast(big.intersect(urgent).agg(F.count(F.lit(1)).alias("tr")))
+        )
+        .crossJoin(F.broadcast(bl.agg(F.count(F.lit(1)).alias("bits"))))
+        .selectExpr(
+            "stack(4, "
+            "'bloom:maybe', CAST(maybe AS BIGINT), "
+            "'bloom:true', CAST(tr AS BIGINT), "
+            "'bloom:fp', CAST(maybe - tr AS BIGINT), "
+            "'bloom:bits', CAST(bits AS BIGINT)) AS (cohort, n_customers)"
+        )
+    )
     return (
         cohorts.unionByName(distinct_rows)
         .unionByName(hll_rows)
+        .unionByName(bloom_rows)
         .orderBy("cohort")
     )
 
 
-_SETOPS_SQL = """
+def _hex13_mod(m: int) -> str:
+    """SQL for int(md5-hex[:13], 16) % m over a column ``h`` — the
+    portable md5 nibble arithmetic (same contract as llmops'
+    ``_duck_hexn``, local to avoid a module cycle)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {1 + j}, 1)) - 1)"
+        f" * {16 ** (12 - j)}"
+        for j in range(13)
+    )
+    return f"(({terms}) % {m})"
+
+
+_SETOPS_SQL = f"""
 WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000),
      urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
      tagged AS (
@@ -492,6 +536,47 @@ UNION ALL
 -- land within 5% of exact or the row hash-fails
 SELECT 'hll_ok:' || o_orderpriority, CAST(1 AS BIGINT)
 FROM (SELECT DISTINCT o_orderpriority FROM orders)
+UNION ALL
+-- Bloom-filter replay (round 12): same md5 bit positions (13-nibble
+-- arithmetic, 4 hashes mod 4096), filter = distinct set bits over
+-- big, probe = urgent needs ALL 4 positions set; maybe/true/fp/bits
+SELECT b.cohort, b.n_customers FROM (
+    WITH bl_bits AS (
+        SELECT DISTINCT CAST({_hex13_mod(4096)} AS INT) AS pos
+        FROM (
+            SELECT md5('bloom' || CAST(i AS VARCHAR) || '|'
+                       || CAST(o_custkey AS VARCHAR)) AS h
+            FROM big CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+        )
+    ),
+    bl_probe AS (
+        SELECT o_custkey,
+               count(*) = sum(CASE WHEN b2.pos IS NOT NULL
+                                   THEN 1 ELSE 0 END) AS mc
+        FROM (
+            SELECT o_custkey, CAST({_hex13_mod(4096)} AS INT) AS pos
+            FROM (
+                SELECT o_custkey,
+                       md5('bloom' || CAST(i AS VARCHAR) || '|'
+                           || CAST(o_custkey AS VARCHAR)) AS h
+                FROM urgent CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+            )
+        ) p LEFT JOIN bl_bits b2 USING (pos)
+        GROUP BY o_custkey
+    ),
+    bl_sum AS (
+        SELECT (SELECT sum(CASE WHEN mc THEN 1 ELSE 0 END)
+                FROM bl_probe) AS maybe,
+               (SELECT count(*) FROM (SELECT o_custkey FROM big
+                    INTERSECT SELECT o_custkey FROM urgent)) AS tr,
+               (SELECT count(*) FROM bl_bits) AS bits
+    )
+    SELECT 'bloom:maybe' AS cohort, CAST(maybe AS BIGINT) AS n_customers
+    FROM bl_sum
+    UNION ALL SELECT 'bloom:true', CAST(tr AS BIGINT) FROM bl_sum
+    UNION ALL SELECT 'bloom:fp', CAST(maybe - tr AS BIGINT) FROM bl_sum
+    UNION ALL SELECT 'bloom:bits', CAST(bits AS BIGINT) FROM bl_sum
+) b
 ORDER BY cohort
 """
 

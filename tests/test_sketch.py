@@ -193,3 +193,45 @@ def test_hist_sketch_quantiles_and_merge(spark):
         sk.hist_sketch_quantile(single, [0.0], lo, hi, nb)
     with pytest.raises(ValueError, match="sketch"):
         sk.hist_sketch_merge()
+
+
+def test_bloom_no_false_negatives_merge_and_fp_rate(spark):
+    """Bloom filter: every inserted item tests positive (no false
+    negatives — the Bloom contract); merge == single build; the FP
+    rate on disjoint probes sits near the classic (1-e^(-kn/m))^k;
+    validation errors."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators import sketch as sk
+
+    n, m_bits, k = 300, 4096, 4
+    items = spark.range(n).select(F.col("id").alias("item"))
+    a = items.filter(F.col("item") % 2 == 0)
+    b = items.filter(F.col("item") % 2 == 1)
+    merged = sk.bloom_merge(
+        sk.bloom_build(a, "item", m_bits, k),
+        sk.bloom_build(b, "item", m_bits, k),
+    )
+    single = sk.bloom_build(items, "item", m_bits, k)
+    assert sorted(r["pos"] for r in merged.collect()) == sorted(
+        r["pos"] for r in single.collect()
+    )
+    # no false negatives
+    got = sk.bloom_might_contain(single, items, "item", m_bits, k)
+    assert got.filter(~F.col("might_contain")).count() == 0
+    # FP rate on 2000 disjoint probes near theory (generous bound)
+    probes = spark.range(10_000, 12_000).select(F.col("id").alias("item"))
+    fp = (
+        sk.bloom_might_contain(single, probes, "item", m_bits, k)
+        .filter(F.col("might_contain"))
+        .count()
+    )
+    theory = (1.0 - math.exp(-k * n / m_bits)) ** k
+    assert fp / 2000.0 <= 4 * theory + 0.01, (fp, theory)
+    with pytest.raises(ValueError, match="m_bits"):
+        sk.bloom_build(items, "item", 1, 4)
+    with pytest.raises(ValueError, match="filter"):
+        sk.bloom_merge()
