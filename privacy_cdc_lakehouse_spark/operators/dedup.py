@@ -257,6 +257,14 @@ def _bucket_pair_rows(
 # shuffle plan instead of OOMing the driver (round-10 verdict item).
 AUTO_BROADCAST_MAX_CANDIDATES = 5_000_000
 
+# FIFO of frames the "auto" hint has persisted (each threshold-bounded
+# by construction): a long-running pipeline looping dedup over many
+# datasets must not accumulate cached entries unboundedly, and a slot
+# of 1 would evict mid-chain when one query chains two auto-hinted
+# stages (jaccard verify feeding edit verify) before its action.
+_AUTO_CACHE: list = []
+_AUTO_CACHE_MAX = 8
+
 
 def _candidate_hint(candidates: DataFrame, broadcast_candidates):
     """Resolve the candidate-frame join hint. ``True``/``False`` are
@@ -280,6 +288,12 @@ def _candidate_hint(candidates: DataFrame, broadcast_candidates):
 
         candidates.persist(StorageLevel.MEMORY_AND_DISK)
         if candidates.count() <= AUTO_BROADCAST_MAX_CANDIDATES:
+            _AUTO_CACHE.append(candidates)
+            while len(_AUTO_CACHE) > _AUTO_CACHE_MAX:
+                try:
+                    _AUTO_CACHE.pop(0).unpersist()
+                except Exception:
+                    pass  # session gone: nothing to release
             return F.broadcast
         candidates.unpersist()
         return lambda d: d

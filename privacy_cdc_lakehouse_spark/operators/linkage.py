@@ -163,7 +163,7 @@ def score_candidates(
     features: list[Feature],
     left_id: str,
     right_id: str,
-    threshold: float = 0.9,
+    threshold: float | None = None,
     fs_weights: DataFrame | dict | None = None,
     agree_threshold: float = 0.9,
 ) -> DataFrame:
@@ -184,8 +184,10 @@ def score_candidates(
       similarity clears ``agree_threshold`` (use the SAME threshold
       the weights were estimated with) else ``w_disagree``.
       ``Feature.weight`` is ignored; ``threshold`` is then on the
-      log-odds scale (0.0 = more likely match than not under the
-      estimated m/u). A weights DataFrame is collected — |features|
+      LOG-ODDS scale (default 0.0 = more likely match than not under
+      the estimated m/u — the similarity-scale default 0.9 would be a
+      silent unit error, so each mode defaults its own scale and a
+      None threshold resolves per mode). A weights DataFrame is collected — |features|
       rows, the sanctioned bounded driver-scalar pattern (kmeans
       models / BPE vocab pulls) — using the 6dp-rounded ``w_agree6``/
       ``w_disagree6`` so the score stays engine-replayable. This
@@ -194,6 +196,8 @@ def score_candidates(
       :func:`resolve_best_matches`."""
     if not features:
         raise ValueError("features must be non-empty")
+    if threshold is None:
+        threshold = 0.9 if fs_weights is None else 0.0
     if fs_weights is None:
         total_w = sum(f.weight for f in features)
         if total_w <= 0:

@@ -294,7 +294,18 @@ def bloom_build(
     if m_bits < 2 or k < 1:
         raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
     item = F.col(item_col).cast("string")
-    positions = F.array(
+    return (
+        df.filter(item.isNotNull())
+        .select(F.explode(_bloom_positions(item, m_bits, k)).alias("pos"))
+        .distinct()
+    )
+
+
+def _bloom_positions(item: Column, m_bits: int, k: int) -> Column:
+    """The k md5 bit positions of one item — ONE shared definition so
+    build and probe cannot drift apart (a divergent copy would make
+    every lookup silently degrade toward false)."""
+    return F.array(
         *[
             (
                 F.conv(
@@ -308,11 +319,6 @@ def bloom_build(
             ).cast("int")
             for i in range(k)
         ]
-    )
-    return (
-        df.filter(item.isNotNull())
-        .select(F.explode(positions).alias("pos"))
-        .distinct()
     )
 
 
@@ -338,33 +344,26 @@ def bloom_might_contain(
     its bit positions are set. Pass the SAME (m_bits, k) the filter
     was built with. Output: probes + ``might_contain`` boolean (true
     may be a false positive; false is definitive — the Bloom
-    contract). Scale: the probe explodes to k positions and joins the
+    contract). A NULL probe item answers explicit FALSE: the build
+    skips NULLs, so it is definitively absent (a NULL here would make
+    ``NOT might_contain`` filters silently drop the row from both
+    branches). Scale: the probe explodes to k positions and joins the
     ≤ m_bits-row filter (AQE broadcasts it); per-probe recombine is a
     k-bounded groupBy."""
     if m_bits < 2 or k < 1:
         raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
     item = F.col(item_col).cast("string")
-    positions = F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bloom{i}|"), item)), 1, 13
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % m_bits
-            ).cast("int")
-            for i in range(k)
-        ]
+    probed = probes.select(
+        item_col, F.explode(_bloom_positions(item, m_bits, k)).alias("pos")
     )
-    probed = probes.select(item_col, F.explode(positions).alias("pos"))
     hits = (
         probed.join(bloom.withColumn("_set", F.lit(1)), "pos", "left")
         .groupBy(item_col)
         .agg((F.count(F.lit(1)) == F.sum(F.coalesce("_set", F.lit(0)))).alias(
-            "might_contain"
+            "_mc"
         ))
     )
-    return probes.join(hits, item_col, "left")
+    return probes.join(hits, item_col, "left").select(
+        *[F.col(c) for c in probes.columns],
+        F.coalesce(F.col("_mc"), F.lit(False)).alias("might_contain"),
+    )

@@ -122,16 +122,19 @@ def bpe_train(
     symbol are disjoint from every pair already kept this round
     (:func:`_select_disjoint_batch`). Disjointness makes the batch's
     replaces commute and keeps every kept pair's count valid for the
-    whole round, so within a round the picks are exactly the counts
-    sequential training would have seen. Across rounds batched
-    training is the documented fast-trainer APPROXIMATION: a merge
-    can create a brand-new pair (x, ab) whose count would have
-    out-ranked a later same-round pick under strict per-merge
-    recounting. ``batch_size=1`` is bit-identical to sequential by
-    construction (pytest pins it), and batched == sequential whenever
-    no round's freshly-created pairs crack that round's picks (pytest
-    pins a constructed corpus; the driver arm keeps the sequential
-    path under oracle hash).
+    whole round, so every KEPT pick's count is exactly what
+    sequential training would have seen for it. Batched training is
+    still the documented fast-trainer APPROXIMATION of the merge
+    ORDER: under strict per-merge recounting, a freshly-created pair
+    (x, ab) — or a pair this round SKIPPED for conflicting with an
+    earlier pick — can out-rank a later same-round pick, so merge
+    lists may interleave differently. ``batch_size=1`` is
+    bit-identical to sequential by construction (pytest pins it);
+    batched == sequential exactly when each round's kept picks
+    coincide with the next |batch| sequential argmaxes (pytest pins a
+    constructed conflict-free corpus, plus merge-SET/segmentation
+    parity on a disjoint-alphabet one; the driver arm keeps the
+    sequential path under oracle hash).
 
     ``checkpoint_every`` (default 32, 0 = off) eagerly
     ``localCheckpoint``s the dict every k ROUNDS. Without it the

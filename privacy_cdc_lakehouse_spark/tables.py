@@ -365,6 +365,15 @@ def _footer_column_stats(full_path: str) -> dict[str, dict]:
             if col.physical_type == "BYTE_ARRAY":
                 agg["trunc"] = True
             lo, hi = _json_stat(st.min), _json_stat(st.max)
+            # Non-BYTE_ARRAY values that still encode as JSON strings
+            # (timestamps/dates as ISO text) get an explicit
+            # trunc=False so stats-only readers can tell a new-format
+            # exact entry from a LEGACY manifest written before the
+            # flag existed (where a string value might be a truncated
+            # BYTE_ARRAY stat) — the reader treats flag-less string
+            # stats as possibly truncated.
+            if "trunc" not in agg and isinstance(lo, str):
+                agg["trunc"] = False
             if lo is None or hi is None or agg.get("dead"):
                 agg["dead"] = True
                 agg["min"] = agg["max"] = None
@@ -1446,6 +1455,12 @@ class LakeTable:
                     return None  # stats exist but not for col: unknown
                 if s.get("trunc"):
                     exact = False  # BYTE_ARRAY stats: possibly truncated
+                elif "trunc" not in s and isinstance(s.get("min"), str):
+                    # legacy manifest (pre-flag): a string-encoded stat
+                    # might be a truncated BYTE_ARRAY value — the
+                    # unsound exact=True this flag exists to prevent
+                    # must not survive for old tables
+                    exact = False
                 if s.get("rows") == 0:
                     continue
                 if s.get("min") is None or s.get("max") is None:

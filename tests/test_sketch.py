@@ -231,6 +231,14 @@ def test_bloom_no_false_negatives_merge_and_fp_rate(spark):
     )
     theory = (1.0 - math.exp(-k * n / m_bits)) ** k
     assert fp / 2000.0 <= 4 * theory + 0.01, (fp, theory)
+    # NULL probe item: explicit false (build skips NULLs, so a NULL
+    # is definitively absent — never a NULL boolean)
+    nullp = spark.createDataFrame(
+        [(None,), (5,)], "item long"
+    )
+    gotn = {r["item"]: r["might_contain"]
+            for r in sk.bloom_might_contain(single, nullp, "item", m_bits, k).collect()}
+    assert gotn[None] is False and gotn[5] is True
     with pytest.raises(ValueError, match="m_bits"):
         sk.bloom_build(items, "item", 1, 4)
     with pytest.raises(ValueError, match="filter"):
