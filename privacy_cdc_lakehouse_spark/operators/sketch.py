@@ -204,18 +204,37 @@ def hist_sketch_build(
         .select(bin_.alias("bin"))
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
+        # grid params STAMPED on every row (constant columns — parquet
+        # RLE makes a persisted sketch's stamp free): a different-grid
+        # artifact yields same-shaped (bin, n) rows, undetectable from
+        # the data itself — the lsh_index stamp discipline
+        .select(
+            "bin",
+            "n",
+            F.lit(float(lo)).alias("_lo"),
+            F.lit(float(hi)).alias("_hi"),
+            F.lit(n_bins).alias("_bins"),
+        )
     )
 
 
 def hist_sketch_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the SAME (lo, hi, n_bins) grid: pure
-    counter addition (union + one ≤ n_bins+2-row groupBy)."""
+    counter addition (union + one ≤ n_bins+2-row groupBy). The grid
+    stamps ride the group key, so a mixed-grid merge produces rows
+    whose stamps disagree — :func:`hist_sketch_quantile`'s stamp
+    assertion then fails loudly instead of summing apples and
+    oranges."""
     if not sketches:
         raise ValueError("need at least one sketch")
     out = sketches[0]
     for s in sketches[1:]:
         out = out.unionByName(s)
-    return out.groupBy("bin").agg(F.sum("n").alias("n"))
+    return (
+        out.groupBy("bin", "_lo", "_hi", "_bins")
+        .agg(F.sum("n").alias("n"))
+        .select("bin", "n", "_lo", "_hi", "_bins")  # the build's order
+    )
 
 
 def hist_sketch_quantile(
@@ -230,13 +249,38 @@ def hist_sketch_quantile(
     reaches ``q`` (the :func:`text.perplexity_buckets` cut rule) —
     within (hi-lo)/n_bins of the true quantile for in-range data; an
     underflow hit answers ``lo``, an overflow hit ``hi``. Pass the
-    SAME (lo, hi, n_bins) the sketch was built with. Pure arithmetic
-    over the ≤ n_bins+2-row sketch (windows bounded by the sketch,
-    engine-replayable exactly). Output: (q, value 6dp)."""
+    SAME (lo, hi, n_bins) the sketch was built with — enforced
+    against the build-time grid STAMP via the ``assert_true`` filter
+    idiom (``lsh_index``'s runtime guard: a wrong-grid read would
+    yield confidently wrong quantiles, undetectable from the data).
+    Pure arithmetic over the ≤ n_bins+2-row sketch (windows bounded
+    by the sketch, engine-replayable exactly). Output: (q, value
+    6dp)."""
     from pyspark.sql import Window
 
     if not qs or not all(0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"qs must be in (0, 1], got {qs}")
+    missing = {"_lo", "_hi", "_bins"} - set(sketch.columns)
+    if missing:
+        raise ValueError(
+            f"hist sketch lacks its grid stamp columns {sorted(missing)} "
+            "— rebuild it with hist_sketch_build()"
+        )
+    ok = (
+        (F.col("_lo") == float(lo))
+        & (F.col("_hi") == float(hi))
+        & (F.col("_bins") == n_bins)
+    )
+    sketch = sketch.filter(
+        F.assert_true(
+            ok,
+            F.lit(
+                f"hist sketch grid stamp does not match lo={lo} hi={hi} "
+                f"n_bins={n_bins} (or a mixed-grid merge) — rebuild or "
+                "query with the build params"
+            ),
+        ).isNull()
+    )
     width = (float(hi) - float(lo)) / float(n_bins)
     w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: sketch rows
     cum = sketch.select(
@@ -298,6 +342,11 @@ def bloom_build(
         df.filter(item.isNotNull())
         .select(F.explode(_bloom_positions(item, m_bits, k)).alias("pos"))
         .distinct()
+        # (m_bits, k) STAMPED on every row (the lsh_index discipline;
+        # parquet RLE makes a persisted filter's stamp free): probing
+        # with the wrong params yields confidently wrong membership,
+        # undetectable from the bit set itself
+        .select("pos", F.lit(m_bits).alias("_m"), F.lit(k).alias("_k"))
     )
 
 
@@ -324,7 +373,10 @@ def _bloom_positions(item: Column, m_bits: int, k: int) -> Column:
 
 def bloom_merge(*filters: DataFrame) -> DataFrame:
     """Merge Bloom filters built with the SAME (m_bits, k, hash):
-    union of set bits (one ≤ m_bits-row distinct)."""
+    union of set bits (one ≤ m_bits-row distinct). The param stamps
+    ride the distinct key, so a mixed-param merge produces rows whose
+    stamps disagree — :func:`bloom_might_contain`'s stamp assertion
+    then fails loudly."""
     if not filters:
         raise ValueError("need at least one filter")
     out = filters[0]
@@ -342,7 +394,9 @@ def bloom_might_contain(
 ) -> DataFrame:
     """Probe a Bloom filter: an item is maybe-present iff ALL ``k`` of
     its bit positions are set. Pass the SAME (m_bits, k) the filter
-    was built with. Output: probes + ``might_contain`` boolean (true
+    was built with — enforced against the build-time param STAMP via
+    the ``assert_true`` filter idiom (``lsh_index``'s runtime guard).
+    Output: probes + ``might_contain`` boolean (true
     may be a false positive; false is definitive — the Bloom
     contract). A NULL probe item answers explicit FALSE: the build
     skips NULLs, so it is definitively absent (a NULL here would make
@@ -352,6 +406,22 @@ def bloom_might_contain(
     k-bounded groupBy."""
     if m_bits < 2 or k < 1:
         raise ValueError(f"need m_bits >= 2 and k >= 1, got {m_bits}, {k}")
+    missing = {"_m", "_k"} - set(bloom.columns)
+    if missing:
+        raise ValueError(
+            f"bloom filter lacks its param stamp columns {sorted(missing)} "
+            "— rebuild it with bloom_build()"
+        )
+    bloom = bloom.filter(
+        F.assert_true(
+            (F.col("_m") == m_bits) & (F.col("_k") == k),
+            F.lit(
+                f"bloom filter param stamp does not match m_bits={m_bits} "
+                f"k={k} (or a mixed-param merge) — rebuild or probe with "
+                "the build params"
+            ),
+        ).isNull()
+    ).select("pos")
     item = F.col(item_col).cast("string")
     probed = probes.select(
         item_col, F.explode(_bloom_positions(item, m_bits, k)).alias("pos")

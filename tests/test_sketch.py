@@ -185,6 +185,11 @@ def test_hist_sketch_quantiles_and_merge(spark):
     }
     assert qw[0.2] == lo and qw[1.0] == hi
 
+    # wrong-grid reads fail loudly on the stamp (lsh_index discipline)
+    with pytest.raises(Exception, match="grid stamp"):
+        sk.hist_sketch_quantile(single, [0.5], lo, 500.0, nb).collect()
+    with pytest.raises(ValueError, match="stamp columns"):
+        sk.hist_sketch_quantile(single.select("bin", "n"), [0.5], lo, hi, nb)
     with pytest.raises(ValueError, match="n_bins"):
         sk.hist_sketch_build(a, "v", lo, hi, 0)
     with pytest.raises(ValueError, match="hi > lo"):
@@ -239,6 +244,11 @@ def test_bloom_no_false_negatives_merge_and_fp_rate(spark):
     gotn = {r["item"]: r["might_contain"]
             for r in sk.bloom_might_contain(single, nullp, "item", m_bits, k).collect()}
     assert gotn[None] is False and gotn[5] is True
+    # wrong-param probes fail loudly on the stamp
+    with pytest.raises(Exception, match="param stamp"):
+        sk.bloom_might_contain(single, items, "item", 2048, k).collect()
+    with pytest.raises(ValueError, match="stamp columns"):
+        sk.bloom_might_contain(single.select("pos"), items, "item", m_bits, k)
     with pytest.raises(ValueError, match="m_bits"):
         sk.bloom_build(items, "item", 1, 4)
     with pytest.raises(ValueError, match="filter"):
