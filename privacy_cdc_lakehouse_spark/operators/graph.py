@@ -1,0 +1,156 @@
+"""Graph analytics over edge-list DataFrames.
+
+The reference repo has no graph surface (its scope ends at CDC +
+privacy views, README.md:1-40); this module is part of the
+LLM-data-pipeline extension: link-graph centrality is a standard
+web-corpus quality signal (Page et al. 1999; Common Crawl's harmonic
+centrality ranking plays the same role), and the dedup layer already
+builds the other half of the graph story (connected components over
+near-duplicate pairs, ``operators/dedup.py::connected_components``).
+
+Scale design: one PageRank iteration is ONE shuffle — the edge list
+joins the (|V|-sized) rank frame on ``src`` and aggregates
+contributions by ``dst``. Nothing is ever collected to the driver;
+the teleport constant and the dangling-mass redistribution ride
+broadcast 1-row scalar frames (the repo's sanctioned scalar idiom).
+Lineage grows one join+agg per iteration, so ``checkpoint_every``
+truncates it with ``localCheckpoint`` exactly as ``bpe_train`` and
+``mmr_rerank`` do for their driver-round loops.
+
+Determinism/replayability contract: every iteration's rank is rounded
+to ``round_dp`` decimals. Per-node contribution sums are
+order-dependent at ~1e-13 (thousands of ulp-sized float adds), which
+is far below the 0.5e-9 rounding grain at the default ``round_dp=9``
+— so the rounded ranks are bit-identical across engines and the whole
+power iteration replays exactly in DuckDB as chained CTEs (see the
+``pr`` arm of ``tpch_join_panel``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_dp: int = 9,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list.
+
+    Semantics (pinned so the DuckDB oracle can replay them):
+
+    - nodes = distinct(src) ∪ distinct(dst); N = |nodes|
+    - out_deg(v) = number of edge ROWS leaving v (parallel edges count
+      — pre-``distinct()`` the edge list for simple-graph semantics)
+    - rank_0(v) = round(1/N, round_dp)
+    - rank_{i+1}(v) = round((1-d)/N
+        + d * (Σ_{(u,v)∈E} rank_i(u)/out_deg(u)  +  D_i/N), round_dp)
+      where D_i = Σ_{out_deg(u)=0} rank_i(u) is the dangling mass,
+      redistributed uniformly (the standard correction; without it
+      rank mass leaks and Σ rank → 0).
+
+    Returns (node, rank, out_deg) — one row per node.
+
+    Scale: per iteration, ONE |E|-sized shuffle (join on src +
+    aggregate by dst) and one |V|-sized left join; the dangling mass
+    is a broadcast 1-row scalar. Ranks stay in [0, 1], so no overflow
+    concerns at any graph size.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+    base = (
+        nodes.join(outdeg, "node", "left")
+        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+    )
+    # N rides a broadcast 1-row scalar — never collected.
+    n_nodes = base.agg(F.count(F.lit(1)).alias("_n"))
+    base = ensure_parallelism(base.crossJoin(F.broadcast(n_nodes)))
+    # One persist: `base` (with N) is the spine of every iteration.
+    base = base.localCheckpoint(eager=False)
+
+    rank = base.select(
+        "node",
+        "out_deg",
+        "_n",
+        F.round(F.lit(1.0) / F.col("_n"), round_dp).alias("rank"),
+    )
+    teleport = F.lit(1.0 - damping) / F.col("_n")
+    for i in range(iterations):
+        contrib = (
+            e.join(
+                rank.filter(F.col("out_deg") > 0)
+                .select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("out_deg")).alias("_share"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_share").alias("_c"))
+        )
+        dangling = rank.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dang")
+        )
+        rank = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_deg",
+                "_n",
+                F.round(
+                    teleport
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    ),
+                    round_dp,
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            rank = rank.localCheckpoint(eager=False)
+    return rank.select("node", "rank", "out_deg")
+
+
+def top_ranked(
+    ranks: DataFrame, k: int, node_col: str = "node", rank_col: str = "rank"
+) -> DataFrame:
+    """Top-k nodes by rank with the repo's rank-over-rounded tie-break
+    (rank desc, node asc) — a TakeOrdered, never a global sort."""
+    return (
+        ranks.orderBy(F.col(rank_col).desc(), F.col(node_col))
+        .limit(k)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.col(rank_col).desc(), F.col(node_col))
+            ),
+        )
+    )

@@ -1798,8 +1798,54 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_match").cast("long").alias("n"),
     )
 
+    # round 12 (cont.): PageRank arm (operators/graph.py::pagerank) —
+    # power iteration over the TPC-H relation graph: customer --buys-->
+    # supplier (distinct orders⋈lineitem pairs; suppliers offset +10M),
+    # supplier --located-in--> nation (+20M), nation --home-of-->
+    # customer, so the graph cycles and 5 iterations move real mass
+    # (including through the suppliers' dangling-free path). The top-20
+    # nodes' 6dp ranks AND positions are hash-checked against the
+    # oracle's chained-CTE replay of the SAME pinned semantics —
+    # per-iteration 9dp rounding makes cross-engine contribution sums
+    # bit-identical (see graph.py's determinism contract).
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    ordk = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lik = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    suppk = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e1 = (
+        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = suppk.select(
+        (F.col("s_suppkey") + 10_000_000).cast("long").alias("src"),
+        (F.col("s_nationkey") + 20_000_000).cast("long").alias("dst"),
+    ).distinct()
+    e3 = cust.select(
+        (F.col("c_nationkey") + 20_000_000).cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"),
+    ).distinct()
+    ranks = gr.pagerank(
+        e1.unionByName(e2).unionByName(e3), iterations=5
+    )
+    pr = gr.top_ranked(ranks, 20).select(
+        F.lit("pr").alias("query"),
+        F.when(F.col("node") >= 20_000_000, F.lit("nation"))
+        .when(F.col("node") >= 10_000_000, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+        .alias("d1"),
+        F.lit(None).cast("string").alias("d2"),
+        F.col("node").cast("long").alias("k"),
+        F.round("rank", 6).alias("measure"),
+        F.col("pos").cast("long").alias("n"),
+    )
+
     out = q7
-    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink):
+    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr):
         out = out.unionByName(arm)
     return out.orderBy(
         "query",
@@ -1809,7 +1855,65 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TPCH_JOIN_PANEL_SQL = """
+def _pagerank_ctes(iterations: int = 5, damping: str = "0.85", dp: int = 9) -> str:
+    """Chained-CTE DuckDB replay of graph.pagerank's pinned semantics
+    over the TPC-H relation graph (customer→supplier→nation→customer).
+    `(1.0 - {damping})` is written as arithmetic, not a folded decimal,
+    so both engines produce the identical IEEE double for the teleport
+    constant; per-iteration round({dp}) pins every intermediate rank."""
+    nn = "(SELECT nn FROM pr_n)"
+    ctes = [
+        f"""pr_e AS (
+    SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    UNION
+    SELECT s_suppkey + 10000000, s_nationkey + 20000000 FROM supplier
+    UNION
+    SELECT c_nationkey + 20000000, c_custkey FROM customer
+),
+pr_base AS (
+    SELECT n.node, coalesce(o.out_deg, 0.0) AS out_deg
+    FROM (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e) n
+    LEFT JOIN (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
+               FROM pr_e GROUP BY 1) o USING (node)
+),
+pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM pr_base),
+pr_r0 AS (
+    SELECT node, out_deg, round(1.0 / {nn}, {dp}) AS rank FROM pr_base
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"pr_r{i - 1}"
+        ctes.append(
+            f"""pr_r{i} AS (
+    SELECT b.node, b.out_deg,
+           round((1.0 - {damping}) / {nn}
+                 + {damping} * (coalesce(c.s, 0.0)
+                     + (SELECT coalesce(sum(rank), 0.0) FROM {prev}
+                        WHERE out_deg = 0) / {nn}),
+                 {dp}) AS rank
+    FROM pr_base b
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / r.out_deg) AS s
+        FROM {prev} r JOIN pr_e e ON e.src = r.node
+        WHERE r.out_deg > 0
+        GROUP BY e.dst
+    ) c USING (node)
+)"""
+        )
+    ctes.append(
+        f"""pr_top AS (
+    SELECT node, rank,
+           row_number() OVER (ORDER BY rank DESC, node) AS pos
+    FROM pr_r{iterations} ORDER BY rank DESC, node LIMIT 20
+)"""
+    )
+    return ",\n".join(ctes)
+
+
+_PR_CTES = _pagerank_ctes()
+
+_TPCH_JOIN_PANEL_SQL = f"""
 WITH q7 AS (
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            EXTRACT(year FROM l_shipdate) AS l_year,
@@ -2016,7 +2120,8 @@ lk_fslink AS (
                  6) AS score
         FROM lk_sims CROSS JOIN lk_w
     )
-)
+),
+{_PR_CTES}
 SELECT 'q7' AS query, supp_nation AS d1, cust_nation AS d2,
        CAST(l_year AS BIGINT) AS k, round(revenue, 4) AS measure, n
 FROM q7
@@ -2139,6 +2244,15 @@ SELECT 'fslink', CAST(id_l AS VARCHAR), CAST(id_r AS VARCHAR),
        CAST(id_r - 10000000 AS BIGINT), score,
        CAST(CAST(score >= 0.0 AS INT) AS BIGINT)
 FROM lk_fslink WHERE rn = 1
+UNION ALL
+-- PageRank arm (round 12): top-20 nodes of the relation graph under
+-- the pinned power iteration (per-iteration 9dp rounding)
+SELECT 'pr',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       NULL, CAST(node AS BIGINT), round(rank, 6), CAST(pos AS BIGINT)
+FROM pr_top
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

@@ -1,0 +1,113 @@
+"""PageRank: pinned-semantics parity vs a pure-Python reference,
+mass conservation, structural sanity, checkpoint parity."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from privacy_cdc_lakehouse_spark.operators import graph as G
+
+
+def _py_pagerank(edges, iterations=5, damping=0.85, dp=9):
+    """Pure-Python replay of the pinned semantics in graph.pagerank."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {v: 0 for v in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    rank = {v: round(1.0 / n, dp) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            contrib[d] += rank[s] / outdeg[s]
+        dang = sum(rank[v] for v in nodes if outdeg[v] == 0)
+        rank = {
+            v: round(
+                (1 - damping) / n + damping * (contrib[v] + dang / n), dp
+            )
+            for v in nodes
+        }
+    return rank, outdeg
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_pagerank_matches_python_reference(spark):
+    rnd = random.Random(42)
+    nodes = list(range(40))
+    edges = sorted(
+        {
+            (rnd.choice(nodes), rnd.choice(nodes))
+            for _ in range(160)
+        }
+    )
+    edges = [e for e in edges if e[0] != e[1]]
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(_edges_df(spark, edges), iterations=6).collect()
+    }
+    want, _ = _py_pagerank(edges, iterations=6)
+    assert set(got) == set(want)
+    for v in want:
+        # round-half mode may differ at exact .5 boundaries (measure
+        # zero on real sums); allow one ulp of the 9dp grain
+        assert abs(got[v] - want[v]) <= 2e-9, (v, got[v], want[v])
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # star: 0 -> {1..5}; leaves are all dangling
+    edges = [(0, i) for i in range(1, 6)]
+    out = G.pagerank(_edges_df(spark, edges), iterations=8).collect()
+    total = sum(r["rank"] for r in out)
+    assert abs(total - 1.0) < 1e-6
+    leaves = {r["rank"] for r in out if r["node"] != 0}
+    assert len(leaves) == 1  # symmetry: all leaves identical
+    hub = [r["rank"] for r in out if r["node"] == 0][0]
+    assert hub < leaves.pop() * 5  # hub only gets teleport + dangling
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    n = 7
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    out = G.pagerank(_edges_df(spark, edges), iterations=5).collect()
+    for r in out:
+        assert abs(r["rank"] - 1.0 / n) < 1e-8
+
+
+def test_pagerank_checkpoint_parity(spark):
+    rnd = random.Random(7)
+    edges = sorted({(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)})
+    df = _edges_df(spark, edges)
+    plain = {r["node"]: r["rank"] for r in G.pagerank(df, iterations=6).collect()}
+    ck = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, iterations=6, checkpoint_every=2).collect()
+    }
+    assert plain == ck
+
+
+def test_pagerank_in_degree_orders_rank(spark):
+    # node 1 has 3 in-edges, node 2 has 1: rank(1) > rank(2)
+    edges = [(10, 1), (11, 1), (12, 1), (13, 2)]
+    got = {r["node"]: r["rank"] for r in G.pagerank(_edges_df(spark, edges)).collect()}
+    assert got[1] > got[2]
+
+
+def test_pagerank_validates_args(spark):
+    df = _edges_df(spark, [(1, 2)])
+    with pytest.raises(ValueError):
+        G.pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        G.pagerank(df, iterations=-1)
+
+
+def test_top_ranked_deterministic_tiebreak(spark):
+    edges = [(i, (i + 1) % 6) for i in range(6)]  # uniform ranks
+    top = G.top_ranked(G.pagerank(_edges_df(spark, edges)), 3).collect()
+    assert [r["node"] for r in top] == [0, 1, 2]
+    assert [r["pos"] for r in top] == [1, 2, 3]
