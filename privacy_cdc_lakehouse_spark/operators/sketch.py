@@ -437,3 +437,139 @@ def bloom_might_contain(
         *[F.col(c) for c in probes.columns],
         F.coalesce(F.col("_mc"), F.lit(False)).alias("might_contain"),
     )
+
+
+# --- KMV / theta sketch ------------------------------------------------------
+
+# 16^13: the value space of the 13-nibble md5 prefix. Fits a BIGINT
+# (4.5e15 < 2^63) so θ arithmetic stays in exact integers until the
+# final double division.
+KMV_SPACE = 16 ** 13
+
+
+def _kmv_hash(item: Column) -> Column:
+    """Portable 52-bit item hash: int(md5('kmv|' || item) hex[:13], 16)
+    — the repo's md5 nibble idiom (same contract as the Bloom bit
+    positions), exactly replayable in DuckDB."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit("kmv|"), item.cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_build(df: DataFrame, item_col: str, k: int = 64) -> DataFrame:
+    """Build a KMV (k-minimum-values) distinct sketch (Bar-Yossef et
+    al. 2002; the theta-sketch family): the ``k`` SMALLEST distinct
+    item hashes. Unlike the HLL store this supports set INTERSECTION
+    estimation (:func:`kmv_intersect_estimate`) — the one operation
+    HLL registers cannot answer without inclusion-exclusion blow-up.
+
+    Rows: (hv, _k stamp), at most ``k`` of them. NULL items skipped.
+    Scale: one distinct on the hash column, then a TakeOrdered top-k
+    (per-partition heads merged on the driver-side take — never a
+    global sort). Deterministic by construction: the sketch IS a pure
+    function of the input SET, so build == merge-of-partial-builds
+    (pytest-pinned) and the DuckDB oracle replays it exactly."""
+    if k < 2:
+        raise ValueError(f"need k >= 2, got {k}")
+    item = F.col(item_col)
+    return (
+        df.filter(item.isNotNull())
+        .select(_kmv_hash(item).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+        .select("hv", F.lit(k).alias("_k"))
+    )
+
+
+def _kmv_assert_stamp(sketch: DataFrame, k: int) -> DataFrame:
+    """Fail loudly if the sketch was built with a different k (the
+    Bloom param-stamp discipline): estimates under a wrong k are
+    confidently wrong, undetectable from the hash set itself."""
+    if "_k" not in sketch.columns:
+        raise ValueError("not a KMV sketch (missing _k stamp) — build with kmv_build()")
+    return sketch.filter(
+        F.assert_true(
+            F.col("_k") == k,
+            F.lit(f"KMV sketch param stamp does not match k={k}"),
+        ).isNull()
+    ).select("hv")
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge KMV sketches built with the SAME ``k``: distinct union of
+    hashes, keep the k smallest — identical to building over the
+    unioned inputs (the mergeability law the pytest pins). Cost: a
+    ≤ len(sketches)·k row union."""
+    if not sketches:
+        raise ValueError("need at least one sketch")
+    out = _kmv_assert_stamp(sketches[0], k)
+    for s in sketches[1:]:
+        out = out.unionByName(_kmv_assert_stamp(s, k))
+    return (
+        out.distinct().orderBy("hv").limit(k).select("hv", F.lit(k).alias("_k"))
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """1-row estimate of the distinct count. Saturated sketch
+    (|sketch| == k): the classic KMV estimator (k-1)/θ_k with
+    θ_k = kth-min-hash / KMV_SPACE (relative error ~1/sqrt(k-2)).
+    Unsaturated: the sketch IS the distinct hash set — exact count.
+    Output: (n_est double 4dp, exact boolean)."""
+    s = _kmv_assert_stamp(sketch, k)
+    return s.agg(
+        F.count(F.lit(1)).alias("_c"), F.max("hv").alias("_kth")
+    ).select(
+        F.round(
+            F.when(F.col("_c") < k, F.col("_c").cast("double")).otherwise(
+                F.lit(float(k - 1)) * F.lit(float(KMV_SPACE)) / F.col("_kth")
+            ),
+            4,
+        ).alias("n_est"),
+        (F.col("_c") < k).alias("exact"),
+    )
+
+
+def kmv_intersect_estimate(
+    a: DataFrame, b: DataFrame, k: int = 64
+) -> DataFrame:
+    """Theta-style intersection estimate: θ = min(θ_a, θ_b) where
+    θ_x = kth-min of x when saturated else KMV_SPACE (exact regime);
+    count common hashes below θ; estimate = common · KMV_SPACE / θ.
+    When BOTH sketches are unsaturated θ = KMV_SPACE and the estimate
+    is the EXACT hash-set intersection size. Output 1 row:
+    (n_common long, n_est double 4dp). Scale: the join is
+    sketch-sized (≤ k vs ≤ k, AQE-broadcast), the θ scalars ride
+    broadcast 1-row aggregates."""
+
+    def theta(s: DataFrame, name: str) -> DataFrame:
+        return _kmv_assert_stamp(s, k).agg(
+            F.when(F.count(F.lit(1)) >= k, F.max("hv"))
+            .otherwise(F.lit(KMV_SPACE))
+            .alias(name)
+        )
+
+    common = _kmv_assert_stamp(a, k).join(_kmv_assert_stamp(b, k), "hv")
+    return (
+        common.crossJoin(F.broadcast(theta(a, "_ta")))
+        .crossJoin(F.broadcast(theta(b, "_tb")))
+        .select("hv", F.least("_ta", "_tb").alias("_t"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("hv") < F.col("_t"), 1)), F.lit(0)
+            ).alias("n_common"),
+            F.coalesce(F.min("_t"), F.lit(KMV_SPACE)).alias("_t"),
+        )
+        .select(
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(
+                F.col("n_common")
+                * F.lit(float(KMV_SPACE))
+                / F.col("_t").cast("double"),
+                4,
+            ).alias("n_est"),
+        )
+    )

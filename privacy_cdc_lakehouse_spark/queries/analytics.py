@@ -481,10 +481,60 @@ def q_setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'bloom:bits', CAST(bits AS BIGINT)) AS (cohort, n_customers)"
         )
     )
+    # round 12 (cont.): KMV/theta-sketch arm (operators/sketch.py::
+    # kmv_*) — the distinct sketch that can INTERSECT (the one set
+    # operation the HLL store can't answer without inclusion-exclusion
+    # error blow-up): big-spender sketch built as two parity
+    # half-sketches and union-merged (mergeability in the driver row),
+    # urgent built whole; union + intersection estimates reported
+    # beside the exact intersection. Every value is deterministic md5
+    # arithmetic, replayed exactly in the oracle (4dp estimates scaled
+    # 1e4 into the long column).
+    kb = sk.kmv_merge(
+        sk.kmv_build(big.filter(F.col("o_custkey") % 2 == 0), "o_custkey", 64),
+        sk.kmv_build(big.filter(F.col("o_custkey") % 2 == 1), "o_custkey", 64),
+        k=64,
+    )
+    ku = sk.kmv_build(urgent, "o_custkey", 64)
+    kun = sk.kmv_merge(kb, ku, k=64)
+    kmv_rows = (
+        sk.kmv_distinct_estimate(kb, 64)
+        .select(F.col("n_est").alias("big_est"))
+        .crossJoin(
+            F.broadcast(
+                sk.kmv_distinct_estimate(ku, 64).select(
+                    F.col("n_est").alias("urg_est")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                sk.kmv_distinct_estimate(kun, 64).select(
+                    F.col("n_est").alias("uni_est")
+                )
+            )
+        )
+        .crossJoin(F.broadcast(sk.kmv_intersect_estimate(kb, ku, 64)))
+        .crossJoin(
+            F.broadcast(
+                big.intersect(urgent).agg(F.count(F.lit(1)).alias("int_exact"))
+            )
+        )
+        .selectExpr(
+            "stack(5, "
+            "'kmv:big_est', CAST(round(big_est * 10000, 0) AS BIGINT), "
+            "'kmv:urgent_est', CAST(round(urg_est * 10000, 0) AS BIGINT), "
+            "'kmv:union_est', CAST(round(uni_est * 10000, 0) AS BIGINT), "
+            "'kmv:inter_est', CAST(round(n_est * 10000, 0) AS BIGINT), "
+            "'kmv:inter_exact', CAST(int_exact AS BIGINT)) "
+            "AS (cohort, n_customers)"
+        )
+    )
     return (
         cohorts.unionByName(distinct_rows)
         .unionByName(hll_rows)
         .unionByName(bloom_rows)
+        .unionByName(kmv_rows)
         .orderBy("cohort")
     )
 
@@ -577,6 +627,64 @@ SELECT b.cohort, b.n_customers FROM (
     UNION ALL SELECT 'bloom:fp', CAST(maybe - tr AS BIGINT) FROM bl_sum
     UNION ALL SELECT 'bloom:bits', CAST(bits AS BIGINT) FROM bl_sum
 ) b
+UNION ALL
+-- KMV/theta replay (round 12): hv = full 13-nibble md5 value (mod
+-- 16^13 is the identity — reuses the shared nibble arithmetic);
+-- sketches = 64 smallest distinct hv; saturated estimator
+-- (k-1)*SPACE/kth, exact count when unsaturated; theta intersection
+SELECT m.cohort, m.n_customers FROM (
+    WITH kmv_big AS (
+        SELECT CAST({_hex13_mod(16 ** 13)} AS BIGINT) AS hv
+        FROM (SELECT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h FROM big)
+        ORDER BY hv LIMIT 64
+    ),
+    kmv_urg AS (
+        SELECT DISTINCT CAST({_hex13_mod(16 ** 13)} AS BIGINT) AS hv
+        FROM (SELECT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h FROM urgent)
+        ORDER BY hv LIMIT 64
+    ),
+    kmv_uni AS (
+        SELECT hv FROM (SELECT hv FROM kmv_big UNION SELECT hv FROM kmv_urg)
+        ORDER BY hv LIMIT 64
+    ),
+    kmv_theta AS (
+        SELECT CASE WHEN (SELECT count(*) FROM kmv_big) >= 64
+                    THEN (SELECT max(hv) FROM kmv_big)
+                    ELSE 4503599627370496 END AS ta,
+               CASE WHEN (SELECT count(*) FROM kmv_urg) >= 64
+                    THEN (SELECT max(hv) FROM kmv_urg)
+                    ELSE 4503599627370496 END AS tb
+    ),
+    kmv_est AS (
+        SELECT
+          (SELECT round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / max(hv) END, 4)
+           FROM kmv_big) AS big_est,
+          (SELECT round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / max(hv) END, 4)
+           FROM kmv_urg) AS urg_est,
+          (SELECT round(CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE)
+                 ELSE CAST(63 AS DOUBLE) * CAST(4503599627370496 AS DOUBLE) / max(hv) END, 4)
+           FROM kmv_uni) AS uni_est,
+          (SELECT count(*) FROM kmv_big JOIN kmv_urg USING (hv)
+           CROSS JOIN kmv_theta WHERE hv < least(ta, tb)) AS n_common,
+          (SELECT least(ta, tb) FROM kmv_theta) AS theta,
+          (SELECT count(*) FROM (SELECT o_custkey FROM big
+               INTERSECT SELECT o_custkey FROM urgent)) AS int_exact
+    )
+    SELECT 'kmv:big_est' AS cohort,
+           CAST(round(big_est * 10000, 0) AS BIGINT) AS n_customers
+    FROM kmv_est
+    UNION ALL SELECT 'kmv:urgent_est', CAST(round(urg_est * 10000, 0) AS BIGINT)
+    FROM kmv_est
+    UNION ALL SELECT 'kmv:union_est', CAST(round(uni_est * 10000, 0) AS BIGINT)
+    FROM kmv_est
+    UNION ALL SELECT 'kmv:inter_est',
+        CAST(round(round(CAST(n_common AS DOUBLE) * CAST(4503599627370496 AS DOUBLE)
+                         / CAST(theta AS DOUBLE), 4) * 10000, 0) AS BIGINT)
+    FROM kmv_est
+    UNION ALL SELECT 'kmv:inter_exact', CAST(int_exact AS BIGINT) FROM kmv_est
+) m
 ORDER BY cohort
 """
 

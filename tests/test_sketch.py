@@ -253,3 +253,107 @@ def test_bloom_no_false_negatives_merge_and_fp_rate(spark):
         sk.bloom_build(items, "item", 1, 4)
     with pytest.raises(ValueError, match="filter"):
         sk.bloom_merge()
+
+
+# --- KMV / theta sketch ------------------------------------------------------
+
+import hashlib as _hashlib
+
+from privacy_cdc_lakehouse_spark.operators.sketch import (
+    KMV_SPACE,
+    kmv_build,
+    kmv_distinct_estimate,
+    kmv_intersect_estimate,
+    kmv_merge,
+)
+
+
+def _py_kmv_hash(item) -> int:
+    return int(_hashlib.md5(f"kmv|{item}".encode()).hexdigest()[:13], 16)
+
+
+def _items_df(spark, items):
+    return spark.createDataFrame([(i,) for i in items], "item string")
+
+
+def test_kmv_hash_matches_python_reference(spark):
+    items = [f"doc{i}" for i in range(20)]
+    got = sorted(
+        r["hv"] for r in kmv_build(_items_df(spark, items), "item", k=64).collect()
+    )
+    want = sorted(_py_kmv_hash(i) for i in items)
+    assert got == want  # unsaturated: sketch IS the hash set
+
+
+def test_kmv_merge_equals_full_build(spark):
+    items = [f"x{i}" for i in range(500)]
+    full = kmv_build(_items_df(spark, items), "item", k=32)
+    halves = kmv_merge(
+        kmv_build(_items_df(spark, items[:300]), "item", k=32),
+        kmv_build(_items_df(spark, items[250:]), "item", k=32),
+        k=32,
+    )
+    assert sorted(r["hv"] for r in full.collect()) == sorted(
+        r["hv"] for r in halves.collect()
+    )
+
+
+def test_kmv_estimate_exact_when_unsaturated(spark):
+    items = [f"y{i}" for i in range(40)] * 3  # dups collapse
+    est = kmv_distinct_estimate(
+        kmv_build(_items_df(spark, items), "item", k=64), k=64
+    ).collect()[0]
+    assert est["exact"] is True
+    assert est["n_est"] == 40.0
+
+
+def test_kmv_estimate_tolerance_when_saturated(spark):
+    n = 5000
+    est = kmv_distinct_estimate(
+        kmv_build(_items_df(spark, [f"z{i}" for i in range(n)]), "item", k=256),
+        k=256,
+    ).collect()[0]
+    assert est["exact"] is False
+    assert abs(est["n_est"] / n - 1.0) < 0.25  # ~1/sqrt(254) expected
+
+
+def test_kmv_intersection_exact_regime(spark):
+    a = [f"k{i}" for i in range(30)]
+    b = [f"k{i}" for i in range(20, 50)]  # overlap = 10
+    out = kmv_intersect_estimate(
+        kmv_build(_items_df(spark, a), "item", k=64),
+        kmv_build(_items_df(spark, b), "item", k=64),
+        k=64,
+    ).collect()[0]
+    assert out["n_common"] == 10
+    assert out["n_est"] == 10.0
+
+
+def test_kmv_intersection_estimate_saturated(spark):
+    a = [f"m{i}" for i in range(4000)]
+    b = [f"m{i}" for i in range(2000, 6000)]  # true overlap = 2000
+    out = kmv_intersect_estimate(
+        kmv_build(_items_df(spark, a), "item", k=256),
+        kmv_build(_items_df(spark, b), "item", k=256),
+        k=256,
+    ).collect()[0]
+    assert abs(out["n_est"] / 2000 - 1.0) < 0.35
+
+
+def test_kmv_stamp_mismatch_fails_loudly(spark):
+    import pytest as _pytest
+
+    sk = kmv_build(_items_df(spark, ["a", "b", "c"]), "item", k=16)
+    with _pytest.raises(Exception, match="param stamp"):
+        kmv_distinct_estimate(sk, k=32).collect()
+
+
+def test_kmv_disjoint_intersection_is_zero(spark):
+    out = kmv_intersect_estimate(
+        kmv_build(_items_df(spark, [f"p{i}" for i in range(2000)]), "item", k=64),
+        kmv_build(_items_df(spark, [f"q{i}" for i in range(2000)]), "item", k=64),
+        k=64,
+    ).collect()[0]
+    # saturated sketches of disjoint sets: common-below-theta is 0 with
+    # overwhelming probability at 52-bit hashes
+    assert out["n_est"] == 0.0
