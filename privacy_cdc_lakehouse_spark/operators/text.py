@@ -1633,3 +1633,110 @@ def chrf(
         F.round(r, 6).alias("chrf_r"),
         score.alias("chrf"),
     )
+
+
+# --- RAKE keyword extraction -------------------------------------------------
+
+# RAKE's own stopword list (Rose et al. 2010 use a larger SMART list;
+# this is a compact public English core — the operator takes any list).
+RAKE_STOPWORDS = [
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for",
+    "from", "has", "have", "in", "is", "it", "its", "of", "on", "or",
+    "that", "the", "this", "to", "was", "were", "will", "with", "not",
+    "they", "them", "their", "he", "she", "we", "you", "i", "all",
+    "can", "do", "if", "so", "no", "up", "out",
+]
+
+
+def rake_phrases(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Candidate keyword phrases per RAKE (Rose et al. 2010): maximal
+    runs of content words between stopwords / punctuation / digits.
+
+    Pinned pipeline (each step one regexp, replayable in DuckDB with
+    the 'g' flag): lowercase → non-letter runs become a ``|`` phrase
+    break → whitespace collapsed to single spaces → whole-word
+    stopwords become ``|`` → split on ``|``, trim, drop empties.
+    Output: (id, pidx, phrase, words array, n_words) — one row per
+    phrase OCCURRENCE (pidx = position, so duplicate phrases within a
+    doc stay distinct for the degree statistics)."""
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    bad = [w for w in stops if not w.isalpha()]
+    if bad:
+        raise ValueError(f"stopwords must be alphabetic words, got {bad}")
+    alt = "|".join(sorted(stops))
+    s = F.lower(F.col(text_col))
+    s = F.regexp_replace(s, r"[^a-z\s]+", " | ")
+    s = F.regexp_replace(s, r"\s+", " ")
+    s = F.regexp_replace(s, rf"\b({alt})\b", "|")
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(F.split(s, r"\|")).alias("pidx", "_raw"),
+        )
+        .select("id", "pidx", F.trim("_raw").alias("phrase"))
+        .filter(F.col("phrase") != "")
+        .withColumn(
+            "words", F.filter(F.split("phrase", " "), lambda w: w != "")
+        )
+        .withColumn("n_words", F.size("words"))
+    )
+
+
+def rake_keywords(
+    df: DataFrame,
+    k: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+    min_freq: int = 1,
+) -> DataFrame:
+    """Corpus-level RAKE keywords: word score = deg/freq where freq
+    counts word occurrences across phrases and deg sums the length of
+    every phrase the occurrence sits in (co-occurrence degree incl.
+    self); phrase score = Σ word scores (with multiplicity); top-k
+    distinct phrases by (score6 DESC, phrase). Scores are rounded to
+    6dp before ranking (phrase sums are ≤ tens of float adds — error
+    orders below the grain), so the ranking replays exactly in DuckDB.
+
+    Scale: phrases explode to words once (corpus-token-sized), word
+    stats are ONE aggregate, the score join is vocabulary-sized
+    against phrase words (AQE-broadcast when small), and the top-k is
+    a TakeOrdered — no global sort, no UDFs, no driver loops.
+    Output: (phrase, score6, n_words, freq, pos)."""
+    ph = rake_phrases(df, text_col, id_col, stopwords)
+    w = ph.select(
+        "id", "pidx", "phrase", "n_words", F.explode("words").alias("word")
+    )
+    wstats = w.groupBy("word").agg(
+        F.count(F.lit(1)).alias("_wfreq"),
+        F.sum("n_words").alias("_wdeg"),
+    )
+    wscore = wstats.select(
+        "word", (F.col("_wdeg") / F.col("_wfreq")).alias("_wscore")
+    )
+    pscore = (
+        w.join(wscore, "word")
+        .groupBy("id", "pidx", "phrase", "n_words")
+        .agg(F.round(F.sum("_wscore"), 6).alias("_pscore6"))
+    )
+    corpus = (
+        pscore.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.max("_pscore6").alias("score6"),
+            F.max("n_words").alias("n_words"),
+        )
+        .filter(F.col("freq") >= min_freq)
+    )
+    from pyspark.sql import Window
+
+    top = corpus.orderBy(F.desc("score6"), "phrase").limit(k)
+    return top.withColumn(
+        "pos",
+        F.row_number().over(Window.orderBy(F.desc("score6"), F.col("phrase"))),
+    ).select("phrase", "score6", "n_words", "freq", "pos")

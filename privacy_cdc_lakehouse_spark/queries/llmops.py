@@ -2467,7 +2467,26 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score6").alias("tfidf6"),
         "rank",
     )
-    return base.unionByName(bm).orderBy("kind", "term", "doc_id", "rank")
+    # round 12 (cont.): RAKE arm (operators/text.py::rake_keywords) —
+    # corpus-level keyword extraction (Rose et al. 2010): top-15
+    # phrases by the degree/frequency score. Every phrase's 6dp score,
+    # word count, corpus frequency and rank position are hash-checked
+    # against the oracle's full relational replay of the pinned
+    # regex pipeline (phrase freq rides ``tf``, n_words rides ``df``).
+    rk = tx.rake_keywords(docs, k=15).select(
+        F.lit("rake").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("phrase").alias("term"),
+        F.col("freq").cast("long").alias("tf"),
+        F.col("n_words").cast("long").alias("df"),
+        F.col("score6").alias("tfidf6"),
+        F.col("pos").cast("long").alias("rank"),
+    )
+    return (
+        base.unionByName(bm)
+        .unionByName(rk)
+        .orderBy("kind", "term", "doc_id", "rank")
+    )
 
 
 _TFIDF_SQL = """
@@ -2539,8 +2558,64 @@ UNION ALL
 SELECT 'bm25', doc_id, CAST(query_id AS VARCHAR), n_hit_terms,
        CAST(NULL AS BIGINT), score6, CAST(rank AS BIGINT)
 FROM bm_ranked WHERE rank <= 5
+UNION ALL
+-- round-12 rake arm: top-15 corpus keywords (replay of the pinned
+-- regex pipeline; word score = deg/freq, phrase score = sum)
+SELECT 'rake', CAST(NULL AS BIGINT), phrase, freq, n_words, score6,
+       CAST(pos AS BIGINT)
+FROM rake_top
 ORDER BY kind, term, doc_id, rank
 """
+
+_RAKE_ALT = "|".join(sorted(tx.RAKE_STOPWORDS))
+
+_RAKE_CTES = f""",
+rake_occ AS (
+    SELECT doc_id, k AS pidx, trim(parts[k]) AS phrase
+    FROM (
+        SELECT doc_id,
+               string_split(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(lower(text), '[^a-z\\s]+', ' | ', 'g'),
+                           '\\s+', ' ', 'g'),
+                       '\\b({_RAKE_ALT})\\b', '|', 'g'),
+                   '|') AS parts
+        FROM documents
+    ), LATERAL (SELECT unnest(generate_series(1, len(parts))) AS k)
+    WHERE trim(parts[k]) <> ''
+),
+rake_w AS (
+    SELECT doc_id, pidx, phrase, len(ws) AS n_words, unnest(ws) AS word
+    FROM (
+        SELECT doc_id, pidx, phrase,
+               list_filter(string_split(phrase, ' '), x -> x <> '') AS ws
+        FROM rake_occ
+    )
+),
+rake_ws AS (
+    SELECT word, CAST(sum(n_words) AS DOUBLE) / count(*) AS wscore
+    FROM rake_w GROUP BY word
+),
+rake_ps AS (
+    SELECT doc_id, pidx, phrase, CAST(max(n_words) AS BIGINT) AS n_words,
+           round(sum(wscore), 6) AS pscore6
+    FROM rake_w JOIN rake_ws USING (word)
+    GROUP BY doc_id, pidx, phrase
+),
+rake_top AS (
+    SELECT phrase, CAST(count(*) AS BIGINT) AS freq,
+           max(pscore6) AS score6, max(n_words) AS n_words,
+           row_number() OVER (ORDER BY max(pscore6) DESC, phrase) AS pos
+    FROM rake_ps GROUP BY phrase
+    ORDER BY score6 DESC, phrase LIMIT 15
+)
+"""
+
+_TFIDF_SQL = _TFIDF_SQL.replace(
+    "\n)\nSELECT 'tfidf' AS kind,",
+    "\n)" + _RAKE_CTES + "\nSELECT 'tfidf' AS kind,",
+)
 
 
 def q_dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
