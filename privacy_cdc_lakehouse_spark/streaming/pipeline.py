@@ -252,3 +252,56 @@ def streaming_window_counts(
         .agg(F.count("*").alias("n"), F.sum(value_col).alias("total_value"))
         .select(F.col("w.start").alias("window_start"), group_col, "n", "total_value")
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_delay: str = "10 minutes",
+    right_delay: str = "10 minutes",
+    within: str = "15 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream join — the §2.9 surface the
+    stream-static enrich can't cover: BOTH sides arrive continuously
+    (the canonical ad-impression ⋈ click shape; here CDC order events
+    ⋈ their follow-up events). The equality key plus the time-range
+    condition ``left_time <= right_time <= left_time + within`` is
+    what BOUNDS THE STATE STORE: each side buffers only rows newer
+    than its watermark minus the interval — without the range
+    condition Spark must keep every row forever (unbounded state, the
+    classic production OOM). Outer flavors emit the unmatched row only
+    once the watermark passes its join window (late-arriving matches
+    can no longer change the answer) — the test advances the watermark
+    with a later batch to flush them, which is exactly how production
+    streams behave.
+
+    Column hygiene: the right side's key and time columns are
+    join-condition inputs; all OTHER right columns must not collide
+    with left's (enforced here, loudly, instead of Spark's silent
+    ambiguous-reference failure at action time)."""
+    overlap = (set(left.columns) & set(right.columns)) - {key}
+    if overlap:
+        raise ValueError(
+            f"left/right column collision {sorted(overlap)} — rename "
+            "before joining (only the key may be shared)"
+        )
+    lw = left.withWatermark(left_time, left_delay).alias("l")
+    rw = right.withWatermark(right_time, right_delay).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_time}") >= F.col(f"l.{left_time}"))
+        & (
+            F.col(f"r.{right_time}")
+            <= F.col(f"l.{left_time}") + F.expr(f"INTERVAL {within}")
+        )
+    )
+    joined = lw.join(rw, cond, how)
+    # surface ONE key column (outer joins null the inner side's copy)
+    keep = [F.coalesce(F.col(f"l.{key}"), F.col(f"r.{key}")).alias(key)]
+    keep += [F.col(f"l.{c}") for c in left.columns if c != key]
+    keep += [F.col(f"r.{c}") for c in right.columns if c != key]
+    return joined.select(*keep)

@@ -748,3 +748,126 @@ def test_scd2_stream_matches_full_rebuild(spark, sf_dir, tmp_path):
     a2 = sorted(tuple(r) for r in hist.read().select(cols).collect())
     assert a2 == a
     assert hist.current_version() > v_before  # it DID commit (idempotently)
+
+
+def test_stream_stream_join_inner_matches_batch(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import stream_stream_join
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    base = "2024-01-01 00:{:02d}:00"
+    left = spark.createDataFrame(
+        [(k, base.format(m), f"o{k}") for k, m in
+         [(1, 0), (2, 5), (3, 10), (4, 20)]],
+        "k int, lts string, l_payload string",
+    ).withColumn("lts", F.col("lts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, base.format(3), "pay"),   # within 15m of k=1 -> match
+         (2, base.format(25), "pay"),  # 20m after k=2 -> no match
+         (3, base.format(9), "pay"),   # BEFORE left ts -> no match
+         (5, base.format(1), "pay")],  # no left key
+        "k int, rts string, r_payload string",
+    ).withColumn("rts", F.col("rts").cast("timestamp"))
+    left.write.parquet(ldir)
+    right.write.parquet(rdir)
+
+    ls = spark.readStream.schema(left.schema).parquet(ldir)
+    rs = spark.readStream.schema(right.schema).parquet(rdir)
+    joined = stream_stream_join(ls, rs, "k", "lts", "rts", within="15 minutes")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_inner")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["l_payload"], r["r_payload"])
+        for r in spark.sql("SELECT * FROM ssj_inner").collect()
+    }
+    batch = {
+        (r["k"], r["l_payload"], r["r_payload"])
+        for r in left.join(right, "k")
+        .filter(
+            (F.col("rts") >= F.col("lts"))
+            & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 15 minutes"))
+        )
+        .collect()
+    }
+    assert got == batch == {(1, "o1", "pay")}
+
+
+def test_stream_stream_join_left_outer_flushes_on_watermark(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import stream_stream_join
+
+    ldir, rdir, ck = str(tmp_path / "l"), str(tmp_path / "r"), str(tmp_path / "ck")
+    outdir = str(tmp_path / "out")
+    schema_l = "k int, lts timestamp, l_payload string"
+    schema_r = "k int, rts timestamp, r_payload string"
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "o1"), (2, "2024-01-01 00:01:00", "o2")],
+        "k int, lts string, l_payload string",
+    ).withColumn("lts", F.col("lts").cast("timestamp")).write.parquet(ldir)
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:02:00", "pay")],
+        "k int, rts string, r_payload string",
+    ).withColumn("rts", F.col("rts").cast("timestamp")).write.parquet(rdir)
+
+    def run_once():
+        ls = spark.readStream.schema(schema_l).parquet(ldir)
+        rs = spark.readStream.schema(schema_r).parquet(rdir)
+        j = stream_stream_join(
+            ls, rs, "k", "lts", "rts",
+            left_delay="1 minutes", right_delay="1 minutes",
+            within="5 minutes", how="left_outer",
+        )
+        q = (
+            j.writeStream.format("parquet")
+            .option("path", outdir)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    # second batch far in the future advances BOTH watermarks past
+    # k=2's join window, flushing its unmatched left row with nulls
+    spark.createDataFrame(
+        [(99, "2024-01-01 02:00:00", "late-l")],
+        "k int, lts string, l_payload string",
+    ).withColumn("lts", F.col("lts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(ldir)
+    spark.createDataFrame(
+        [(99, "2024-01-01 02:00:00", "late-r")],
+        "k int, rts string, r_payload string",
+    ).withColumn("rts", F.col("rts").cast("timestamp")).write.mode(
+        "append"
+    ).parquet(rdir)
+    run_once()
+
+    rows = {
+        (r["k"], r["l_payload"], r["r_payload"])
+        for r in spark.read.parquet(outdir).collect()
+    }
+    assert (1, "o1", "pay") in rows          # matched pair
+    assert (2, "o2", None) in rows           # flushed unmatched left
+
+
+def test_stream_stream_join_rejects_column_collision(spark):
+    import pytest as _pytest
+
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import stream_stream_join
+
+    a = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("ts"),
+        F.lit("x").alias("v"),
+    )
+    b = spark.range(1).select(
+        F.col("id").alias("k"), F.current_timestamp().alias("ts"),
+        F.lit("y").alias("v"),
+    )
+    with _pytest.raises(ValueError, match="collision"):
+        stream_stream_join(a, b, "k", "ts", "ts")
