@@ -1743,6 +1743,64 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _relation_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H relation graph for PageRank: customer --buys-->
+    supplier (distinct orders⋈lineitem pairs; suppliers offset +10M),
+    supplier --located-in--> nation (+20M), nation --home-of-->
+    customer. Offsets keep the three node layers id-disjoint, and the
+    3-layer cycle means the power iteration moves real mass."""
+    ordk = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lik = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    suppk = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e1 = (
+        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).cast("long").alias("dst"),
+        )
+        .distinct()
+    )
+    e2 = suppk.select(
+        (F.col("s_suppkey") + 10_000_000).cast("long").alias("src"),
+        (F.col("s_nationkey") + 20_000_000).cast("long").alias("dst"),
+    ).distinct()
+    e3 = cust.select(
+        (F.col("c_nationkey") + 20_000_000).cast("long").alias("src"),
+        F.col("c_custkey").cast("long").alias("dst"),
+    ).distinct()
+    return e1.unionByName(e2).unionByName(e3)
+
+
+def q_pagerank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only PageRank at production sizing (the registry's ``pr``
+    arm rides tpch_join_panel; this row prices the graph operator
+    alone at the gate fixture's scale): 5 power iterations with
+    checkpoint_every=2 (lineage bounded mid-loop — the bpe_train
+    discipline, exercised at scale here) over the full relation graph
+    (~|distinct cust-supp pairs| edges at sf1). Returns the top-20
+    nodes plus a summary row (node = |V|, rank = Σ rank, pos = 0) so
+    the gate can VALUE-assert mass conservation — a wrong dangling
+    redistribution or a dropped contribution join shows up as
+    Σ rank != 1 long before it shows in plan shape."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    ranks = gr.pagerank(
+        _relation_graph_edges(spark, sf_dir), iterations=5, checkpoint_every=2
+    )
+    top = gr.top_ranked(ranks, 20).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("rank").cast("double").alias("rank"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    total = ranks.agg(
+        F.count(F.lit(1)).cast("long").alias("node"),
+        F.sum("rank").alias("rank"),
+    ).select("node", "rank", F.lit(0).cast("long").alias("pos"))
+    return top.unionByName(total)
+
+
 def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 + Q13 + Q22 + Q8 + (round 10) Q9 + Q11 + Q15 + Q16 + Q20 +
     Q21 in one tagged union — each ORIGINAL plan above runs unchanged,
@@ -1918,28 +1976,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-identical (see graph.py's determinism contract).
     from privacy_cdc_lakehouse_spark.operators import graph as gr
 
-    ordk = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    lik = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    suppk = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    e1 = (
-        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
-        .select(
-            F.col("o_custkey").cast("long").alias("src"),
-            (F.col("l_suppkey") + 10_000_000).cast("long").alias("dst"),
-        )
-        .distinct()
-    )
-    e2 = suppk.select(
-        (F.col("s_suppkey") + 10_000_000).cast("long").alias("src"),
-        (F.col("s_nationkey") + 20_000_000).cast("long").alias("dst"),
-    ).distinct()
-    e3 = cust.select(
-        (F.col("c_nationkey") + 20_000_000).cast("long").alias("src"),
-        F.col("c_custkey").cast("long").alias("dst"),
-    ).distinct()
-    ranks = gr.pagerank(
-        e1.unionByName(e2).unionByName(e3), iterations=5
-    )
+    ranks = gr.pagerank(_relation_graph_edges(spark, sf_dir), iterations=5)
     pr = gr.top_ranked(ranks, 20).select(
         F.lit("pr").alias("query"),
         F.when(F.col("node") >= 20_000_000, F.lit("nation"))

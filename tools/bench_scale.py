@@ -189,6 +189,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # contract shape); the metadata-only watermark claim is
     # VALUE-asserted (wm_stats_exact below), not plan-asserted.
     "scd2_stream_production": ["HashAggregate", "Scan parquet"],
+    # round-12 (cont.): PageRank at the gate fixture's graph size —
+    # per-iteration contribution joins' flavor is AQE's call (edge
+    # list vs |V|-sized rank frame), but the dangling-mass / N
+    # scalars must stay broadcast 1-row cross joins (BNLJ) and the
+    # top-20 must plan as TakeOrdered, never a global sort; mass
+    # conservation is VALUE-asserted below (sum rank == 1), which no
+    # plan shape can fake.
+    "pagerank_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
@@ -253,6 +261,25 @@ def _expect_mmr(rows) -> list[str]:
     return [f"queries with broken rank sequences: {bad}"] if bad else []
 
 
+def _expect_pagerank(rows) -> list[str]:
+    if len(rows) != 21:
+        return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
+    tops = [r for r in rows if r["pos"] > 0]
+    summary = [r for r in rows if r["pos"] == 0]
+    fails = []
+    if sorted(r["pos"] for r in tops) != list(range(1, 21)):
+        fails.append("top-20 positions not 1..20")
+    if any(r["rank"] <= 0 for r in tops):
+        fails.append("non-positive rank in top-20")
+    n_nodes, total = summary[0]["node"], summary[0]["rank"]
+    if n_nodes < 100:
+        fails.append(f"|V|={n_nodes} (expected >= 100 at sf1)")
+    # per-node 9dp rounding bounds the drift at 5e-10 * |V|
+    if abs(total - 1.0) > 5e-10 * max(n_nodes, 1) + 1e-6:
+        fails.append(f"sum(rank)={total} (mass not conserved)")
+    return fails
+
+
 def _expect_scd2_stream(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -276,6 +303,7 @@ VALUE_EXPECT = {
     "bpe_train_batched_production": _expect_bpe(1024),
     "mmr_rerank_production": _expect_mmr,
     "scd2_stream_production": _expect_scd2_stream,
+    "pagerank_production": _expect_pagerank,
 }
 
 
@@ -376,11 +404,13 @@ def main() -> None:
     queries["bpe_train_batched_production"] = q_bpe_train_batched_production
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_drift_monitor_production,
+        q_pagerank_production,
         q_record_linkage_production,
     )
 
     queries["drift_monitor_stream"] = q_drift_monitor_production
     queries["record_linkage_hotblock"] = q_record_linkage_production
+    queries["pagerank_production"] = q_pagerank_production
     from privacy_cdc_lakehouse_spark.queries.cdc import (
         q_scd2_stream_production,
     )

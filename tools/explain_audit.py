@@ -112,8 +112,11 @@ AUDIT = {
     "cdc_bronze_dq": ["HashAggregate|SortAggregate", "LeftAnti", "!Window", "!CartesianProduct"],
     # round 10 (cont.): hll arms — sketch build/merge are plain
     # aggregates; the estimate-vs-exact check is a |priorities|-sized
-    # equi-join; the set-op arms keep their shapes
-    "setops_customer_cohorts": ["HashAggregate", "ObjectHashAggregate|SortAggregate|HashAggregate", "!CartesianProduct"],
+    # equi-join; the set-op arms keep their shapes. Round 12 adds the
+    # kmv arms: the k-smallest-hash sketches must plan as TakeOrdered
+    # (never a global sort) and every theta/estimate scalar rides a
+    # broadcast 1-row cross join (BNLJ — the sanctioned scalar form)
+    "setops_customer_cohorts": ["HashAggregate", "ObjectHashAggregate|SortAggregate|HashAggregate", "TakeOrderedAndProject", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # packing = one per-shard window over a projection; never a join
     "curation_pack_sequences": ["Window", "!Join"],
     # round 10: the drift arm's only non-equi joins are broadcast 1-row
@@ -130,8 +133,11 @@ AUDIT = {
     # semi/anti joins on the orderkey — never a cartesian.
     # Round 12 adds the fslink arm (resolution under LEARNED FS
     # weights): per-dirty-record rank windows — Window asserted (the
-    # link arm has had them since round 10).
-    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate", "Window", "LeftAnti|left_anti", "!CartesianProduct"],
+    # link arm has had them since round 10) — and the pr (PageRank)
+    # arm: per-iteration contribution aggregates, the dangling-mass /
+    # N scalars ride broadcast 1-row cross joins (BNLJ asserted), and
+    # the top-20 is a TakeOrdered, never a global sort.
+    "tpch_join_panel": ["BroadcastHashJoin", "HashAggregate", "Window", "LeftAnti|left_anti", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
     # the mix arm is a pure projection + filter (that purity is pinned
     # at the operator level by test_mixture_sample_plan_is_pure_projection);
     # the round-9 budget arm legitimately adds ONE score-bucket
@@ -142,8 +148,10 @@ AUDIT = {
     # tfidf: one explode, two aggregates, vocabulary join, per-doc window
     # round 11: the bm25 arm's query-term table must broadcast (it is
     # a handful of literal terms — term-at-a-time retrieval's posting
-    # filter) and nothing may go all-pairs
-    "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "BroadcastHashJoin", "!CartesianProduct"],
+    # filter) and nothing may go all-pairs. Round 12 adds the rake
+    # arm: ONE phrase-word explode, a vocabulary-sized word-score
+    # aggregate + join, and a TakeOrdered top-k (asserted).
+    "text_tfidf_topterms": ["Generate", "HashAggregate", "Window", "BroadcastHashJoin", "TakeOrderedAndProject", "!CartesianProduct"],
     # round 10: + BPE arms. Train never appears in this plan (it is k
     # driver-collected vocab-sized aggregates, each pinned join-free by
     # test_bpe_train_plan_is_vocab_sized_no_join); what the final plan
