@@ -154,3 +154,59 @@ def top_ranked(
             ),
         )
     )
+
+
+def pagerank_oracle_ctes(
+    edges_cte: str,
+    prefix: str = "pr",
+    iterations: int = 5,
+    damping: str = "0.85",
+    dp: int = 9,
+) -> str:
+    """DuckDB chained-CTE replay of :func:`pagerank`'s pinned
+    semantics over an already-defined edges CTE (columns src, dst).
+    Lives beside the operator so the replay and the implementation
+    cannot drift apart — every query arm that oracles a PageRank
+    (tpch_join_panel's relation graph, the textrank keyword arm)
+    generates its SQL from THIS one definition.
+
+    ``(1.0 - {damping})`` is written as arithmetic, not a folded
+    decimal, so both engines produce the identical IEEE double for the
+    teleport constant; per-iteration round({dp}) pins every
+    intermediate rank. Emits CTEs {prefix}_base / {prefix}_n /
+    {prefix}_r0..r{iterations}; the caller selects from the last."""
+    p = prefix
+    nn = f"(SELECT nn FROM {p}_n)"
+    ctes = [
+        f"""{p}_base AS (
+    SELECT n.node, coalesce(o.out_deg, 0.0) AS out_deg
+    FROM (SELECT src AS node FROM {edges_cte}
+          UNION SELECT dst FROM {edges_cte}) n
+    LEFT JOIN (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
+               FROM {edges_cte} GROUP BY 1) o USING (node)
+),
+{p}_n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {p}_base),
+{p}_r0 AS (
+    SELECT node, out_deg, round(1.0 / {nn}, {dp}) AS rank FROM {p}_base
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"{p}_r{i - 1}"
+        ctes.append(
+            f"""{p}_r{i} AS (
+    SELECT b.node, b.out_deg,
+           round((1.0 - {damping}) / {nn}
+                 + {damping} * (coalesce(c.s, 0.0)
+                     + (SELECT coalesce(sum(rank), 0.0) FROM {prev}
+                        WHERE out_deg = 0) / {nn}),
+                 {dp}) AS rank
+    FROM {p}_base b
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / r.out_deg) AS s
+        FROM {prev} r JOIN {edges_cte} e ON e.src = r.node
+        WHERE r.out_deg > 0
+        GROUP BY e.dst
+    ) c USING (node)
+)"""
+        )
+    return ",\n".join(ctes)

@@ -1740,3 +1740,87 @@ def rake_keywords(
         "pos",
         F.row_number().over(Window.orderBy(F.desc("score6"), F.col("phrase"))),
     ).select("phrase", "score6", "n_words", "freq", "pos")
+
+
+# --- TextRank keyword extraction ---------------------------------------------
+
+
+def textrank_keywords(
+    df: DataFrame,
+    k: int = 15,
+    text_col: str = "text",
+    window: int = 2,
+    iterations: int = 10,
+    damping: float = 0.85,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    word co-occurrence graph — the graph-centrality counterpart of
+    :func:`rake_keywords`'s frequency heuristic, built by COMPOSING
+    ``operators/graph.py::pagerank`` with the text layer.
+
+    Pinned semantics (replayable in DuckDB via the shared
+    ``pagerank_oracle_ctes``): tokens = ``[a-z]{2,}`` runs of
+    lower(text) with stopwords removed; undirected unweighted edges
+    between tokens at distance 1..window in the FILTERED sequence,
+    self-loops dropped, deduplicated corpus-wide; words become 52-bit
+    md5 node ids ('tr|' seed — the repo's portable-hash idiom), ranked
+    by the pinned power iteration, joined back to their words, top-k
+    by (rank6 DESC, word).
+
+    Scale: edge construction is MAP-SIDE ONLY — per-doc array
+    slice+zip (no positional self-join, no shuffle until the edge
+    distinct); the graph is vocabulary²-bounded but co-occurrence-
+    sparse (|E| ≤ corpus tokens × window); each PageRank iteration
+    shuffles |E| rows. Output: (word, rank6, pos)."""
+    from privacy_cdc_lakehouse_spark.operators.graph import pagerank
+
+    stops = stopwords if stopwords is not None else RAKE_STOPWORDS
+    toks_col = F.filter(
+        F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]{2,}"), 0),
+        lambda w: ~w.isin(*stops),
+    )
+    tok_docs = df.select(toks_col.alias("toks"))
+    pairs = None
+    for d in range(1, window + 1):
+        n_pairs = F.greatest(F.size("toks") - d, F.lit(0))
+        zipped = F.zip_with(
+            F.slice(F.col("toks"), 1, n_pairs),
+            # slice() errors on length 0 starts — guard start at 1
+            F.slice(F.col("toks"), d + 1, n_pairs),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        )
+        p = (
+            tok_docs.select(F.explode(zipped).alias("pr"))
+            .select("pr.w1", "pr.w2")
+            .filter(F.col("w1") != F.col("w2"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    und = pairs.unionByName(
+        pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
+    ).distinct()
+
+    def _word_hash(c: Column) -> Column:
+        return F.conv(
+            F.substring(F.md5(F.concat(F.lit("tr|"), c)), 1, 13), 16, 10
+        ).cast("long")
+
+    edges = und.select(
+        _word_hash(F.col("w1")).alias("src"), _word_hash(F.col("w2")).alias("dst")
+    )
+    words_map = (
+        und.select(F.col("w1").alias("word"))
+        .distinct()
+        .select("word", _word_hash(F.col("word")).alias("node"))
+    )
+    ranks = pagerank(edges, iterations=iterations, damping=damping)
+    scored = ranks.join(words_map, "node").select(
+        "word", F.round("rank", 6).alias("rank6")
+    )
+    from pyspark.sql import Window
+
+    top = scored.orderBy(F.desc("rank6"), "word").limit(k)
+    return top.withColumn(
+        "pos",
+        F.row_number().over(Window.orderBy(F.desc("rank6"), F.col("word"))),
+    ).select("word", "rank6", "pos")

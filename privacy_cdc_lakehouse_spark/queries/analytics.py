@@ -2000,60 +2000,28 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pagerank_ctes(iterations: int = 5, damping: str = "0.85", dp: int = 9) -> str:
-    """Chained-CTE DuckDB replay of graph.pagerank's pinned semantics
-    over the TPC-H relation graph (customer→supplier→nation→customer).
-    `(1.0 - {damping})` is written as arithmetic, not a folded decimal,
-    so both engines produce the identical IEEE double for the teleport
-    constant; per-iteration round({dp}) pins every intermediate rank."""
-    nn = "(SELECT nn FROM pr_n)"
-    ctes = [
-        f"""pr_e AS (
+def _pagerank_ctes(iterations: int = 5) -> str:
+    """Relation-graph edges CTE + the SHARED pinned-semantics replay
+    (operators/graph.py::pagerank_oracle_ctes — one definition for
+    every PageRank oracle in the repo) + the top-20 select."""
+    from privacy_cdc_lakehouse_spark.operators.graph import pagerank_oracle_ctes
+
+    edges = """pr_e AS (
     SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     UNION
     SELECT s_suppkey + 10000000, s_nationkey + 20000000 FROM supplier
     UNION
     SELECT c_nationkey + 20000000, c_custkey FROM customer
-),
-pr_base AS (
-    SELECT n.node, coalesce(o.out_deg, 0.0) AS out_deg
-    FROM (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e) n
-    LEFT JOIN (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
-               FROM pr_e GROUP BY 1) o USING (node)
-),
-pr_n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM pr_base),
-pr_r0 AS (
-    SELECT node, out_deg, round(1.0 / {nn}, {dp}) AS rank FROM pr_base
 )"""
-    ]
-    for i in range(1, iterations + 1):
-        prev = f"pr_r{i - 1}"
-        ctes.append(
-            f"""pr_r{i} AS (
-    SELECT b.node, b.out_deg,
-           round((1.0 - {damping}) / {nn}
-                 + {damping} * (coalesce(c.s, 0.0)
-                     + (SELECT coalesce(sum(rank), 0.0) FROM {prev}
-                        WHERE out_deg = 0) / {nn}),
-                 {dp}) AS rank
-    FROM pr_base b
-    LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / r.out_deg) AS s
-        FROM {prev} r JOIN pr_e e ON e.src = r.node
-        WHERE r.out_deg > 0
-        GROUP BY e.dst
-    ) c USING (node)
-)"""
-        )
-    ctes.append(
-        f"""pr_top AS (
+    top = f"""pr_top AS (
     SELECT node, rank,
            row_number() OVER (ORDER BY rank DESC, node) AS pos
     FROM pr_r{iterations} ORDER BY rank DESC, node LIMIT 20
 )"""
+    return ",\n".join(
+        [edges, pagerank_oracle_ctes("pr_e", "pr", iterations), top]
     )
-    return ",\n".join(ctes)
 
 
 _PR_CTES = _pagerank_ctes()

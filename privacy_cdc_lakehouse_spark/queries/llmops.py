@@ -2482,9 +2482,28 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score6").alias("tfidf6"),
         F.col("pos").cast("long").alias("rank"),
     )
+    # round 12 (cont. 2): TextRank arm (operators/text.py::
+    # textrank_keywords) — graph-centrality keywords beside rake's
+    # frequency heuristic, COMPOSING operators/graph.py::pagerank with
+    # the text layer: PageRank over the word co-occurrence graph
+    # (window 2, undirected, dedup'd), words as portable md5 node ids.
+    # Every keyword's 6dp rank and position hash-checked against the
+    # oracle's replay built from the SHARED pagerank_oracle_ctes
+    # generator — one pinned-semantics definition for every PageRank
+    # oracle in the repo.
+    tr = tx.textrank_keywords(docs, k=15, iterations=5).select(
+        F.lit("textrank").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("word").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("rank6").alias("tfidf6"),
+        F.col("pos").cast("long").alias("rank"),
+    )
     return (
         base.unionByName(bm)
         .unionByName(rk)
+        .unionByName(tr)
         .orderBy("kind", "term", "doc_id", "rank")
     )
 
@@ -2564,6 +2583,12 @@ UNION ALL
 SELECT 'rake', CAST(NULL AS BIGINT), phrase, freq, n_words, score6,
        CAST(pos AS BIGINT)
 FROM rake_top
+UNION ALL
+-- round-12 textrank arm: PageRank over the word co-occurrence graph
+-- (the iteration CTEs come from the shared pagerank_oracle_ctes)
+SELECT 'textrank', CAST(NULL AS BIGINT), word, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), rank6, CAST(pos AS BIGINT)
+FROM tr_top
 ORDER BY kind, term, doc_id, rank
 """
 
@@ -2612,9 +2637,64 @@ rake_top AS (
 )
 """
 
+def _textrank_ctes(iterations: int = 5, k: int = 15) -> str:
+    from privacy_cdc_lakehouse_spark.operators.graph import pagerank_oracle_ctes
+
+    wh = _duck_hexn(1, 13)
+    head = f""",
+tr_toks AS (
+    SELECT list_filter(regexp_extract_all(lower(text), '[a-z]{{2,}}'),
+                       x -> x NOT IN ('{"', '".join(sorted(tx.RAKE_STOPWORDS))}'))
+           AS toks
+    FROM documents
+),
+tr_pairs AS (
+    SELECT toks[i] AS w1, toks[i+1] AS w2
+    FROM tr_toks,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i)
+    UNION ALL
+    SELECT toks[i], toks[i+2]
+    FROM tr_toks,
+         LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
+),
+tr_und AS (
+    SELECT DISTINCT w1, w2 FROM (
+        SELECT w1, w2 FROM tr_pairs WHERE w1 <> w2
+        UNION ALL SELECT w2, w1 FROM tr_pairs WHERE w1 <> w2
+    )
+),
+tr_e AS (
+    SELECT src, CAST({wh} AS BIGINT) AS dst FROM (
+        SELECT src, md5('tr|' || w2) AS h FROM (
+            SELECT CAST({wh} AS BIGINT) AS src, w2 FROM (
+                SELECT md5('tr|' || w1) AS h, w2 FROM tr_und
+            )
+        )
+    )
+),
+tr_words AS (
+    SELECT word, CAST({wh} AS BIGINT) AS node FROM (
+        SELECT word, md5('tr|' || word) AS h FROM (
+            SELECT DISTINCT w1 AS word FROM tr_und
+        )
+    )
+),
+{pagerank_oracle_ctes("tr_e", "tr", iterations)},
+tr_top AS (
+    SELECT word, rank6,
+           row_number() OVER (ORDER BY rank6 DESC, word) AS pos
+    FROM (
+        SELECT w.word, round(r.rank, 6) AS rank6
+        FROM tr_r{iterations} r JOIN tr_words w USING (node)
+    )
+    ORDER BY rank6 DESC, word LIMIT {k}
+)"""
+    return head
+
+
 _TFIDF_SQL = _TFIDF_SQL.replace(
     "\n)\nSELECT 'tfidf' AS kind,",
-    "\n)" + _RAKE_CTES + "\nSELECT 'tfidf' AS kind,",
+    "\n)" + _RAKE_CTES + _textrank_ctes() + "\nSELECT 'tfidf' AS kind,",
 )
 
 

@@ -113,3 +113,64 @@ def test_rake_empty_and_all_stopword_docs(spark):
     df = _docs(spark, ["", "the and of", "42 17", "  ", "ok words here"])
     out = rake_keywords(df).collect()
     assert {r["phrase"] for r in out} == {"ok words here"}
+
+
+# --- TextRank ----------------------------------------------------------------
+
+import hashlib as _hashlib
+
+from privacy_cdc_lakehouse_spark.operators.text import textrank_keywords
+from tests.test_graph import _py_pagerank
+
+
+def _py_textrank(texts, k=15, window=2, iterations=10, stops=None):
+    stops = set(stops if stops is not None else RAKE_STOPWORDS)
+    edges = set()
+    for t in texts:
+        toks = [w for w in re.findall(r"[a-z]{2,}", t.lower()) if w not in stops]
+        for d in range(1, window + 1):
+            for i in range(len(toks) - d):
+                a, b = toks[i], toks[i + d]
+                if a != b:
+                    edges.add((a, b))
+                    edges.add((b, a))
+    h = lambda w: int(_hashlib.md5(f"tr|{w}".encode()).hexdigest()[:13], 16)
+    id_edges = [(h(a), h(b)) for a, b in edges]
+    rank, _ = _py_pagerank(id_edges, iterations=iterations)
+    words = {h(w): w for e in edges for w in e}
+    scored = sorted(
+        ((words[n], round(r, 6)) for n, r in rank.items()),
+        key=lambda wr: (-wr[1], wr[0]),
+    )[:k]
+    return [(w, r, i + 1) for i, (w, r) in enumerate(scored)]
+
+
+def test_textrank_matches_python_reference(spark):
+    texts = [
+        "graph ranking algorithms compute vertex importance from graph "
+        "structure. the ranking converges after several iterations.",
+        "keyword extraction with graph ranking selects central words; "
+        "central words co-occur with many other words.",
+    ]
+    got = [
+        (r["word"], r["rank6"], r["pos"])
+        for r in textrank_keywords(_docs(spark, texts), k=10, iterations=4).collect()
+    ]
+    want = _py_textrank(texts, k=10, iterations=4)
+    assert got == want
+
+
+def test_textrank_hub_word_ranks_first(spark):
+    # 'core' co-occurs with everything; fillers are distinct per use
+    texts = ["core alpha. core beta. core gamma. core delta. core epsilon."]
+    top = textrank_keywords(_docs(spark, texts), k=3, iterations=3).collect()
+    assert top[0]["word"] == "core"
+    assert top[0]["pos"] == 1
+
+
+def test_textrank_ignores_stopwords_and_short_tokens(spark):
+    texts = ["the of a x y z quick brown fox quick brown"]
+    words = {r["word"] for r in textrank_keywords(_docs(spark, texts), k=20, iterations=2).collect()}
+    assert "the" not in words and "of" not in words
+    assert not any(len(w) < 2 for w in words)
+    assert {"quick", "brown", "fox"} <= words
