@@ -99,6 +99,7 @@ def bpe_train(
     word_col: str = "word",
     checkpoint_every: int = 32,
     batch_size: int = 1,
+    scoring: str = "freq",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` merges; returns (merge list in rank order,
     vocab DataFrame (word, tokens array) with every training word's
@@ -149,7 +150,22 @@ def bpe_train(
     un-checkpointed). The sf1 gate rows price 256 sequential merges
     (``bpe_train_production``) and 1024 batched merges
     (``bpe_train_batched_production``) under these settings.
+
+    ``scoring`` selects the merge objective: ``"freq"`` (default) is
+    paper BPE (argmax summed pair frequency, Sennrich et al. 2016);
+    ``"wordpiece"`` is the WordPiece likelihood score
+    ``count(ab) / (count(a) * count(b))`` (Wu et al. 2016 / the
+    HuggingFace trainer), which prefers pairs whose parts rarely occur
+    apart — it adds ONE symbol-count aggregate per round (still
+    vocab-bounded, never corpus-bounded). Ties break on (score, a, b)
+    with the counts exact longs and the wordpiece ratio a double —
+    deterministic either way. Encoding reuses the same trained
+    segmentation dict (:func:`bpe_encode`); HF's longest-match-first
+    INFERENCE encoder is a different algorithm and out of scope here.
+
     """
+    if scoring not in ("freq", "wordpiece"):
+        raise ValueError(f"scoring must be 'freq' or 'wordpiece', got {scoring!r}")
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if checkpoint_every < 0:
@@ -181,14 +197,40 @@ def bpe_train(
                 ),
             ),
         ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-        head = (
+        pair_counts = (
             wf.select(F.explode(pairs).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
-            .orderBy(F.desc("cnt"), "a", "b")
-            .limit(1 if want == 1 else 4 * want)
-            .collect()
         )
+        if scoring == "wordpiece":
+            sym_counts = (
+                wf.select(F.explode(syms).alias("s"), "freq")
+                .groupBy("s")
+                .agg(F.sum("freq").alias("scnt"))
+            )
+            ranked = (
+                pair_counts.join(
+                    sym_counts.select(
+                        F.col("s").alias("a"), F.col("scnt").alias("_ca")
+                    ),
+                    "a",
+                )
+                .join(
+                    sym_counts.select(
+                        F.col("s").alias("b"), F.col("scnt").alias("_cb")
+                    ),
+                    "b",
+                )
+                .withColumn(
+                    "_score",
+                    F.col("cnt")
+                    / (F.col("_ca").cast("double") * F.col("_cb").cast("double")),
+                )
+                .orderBy(F.desc("_score"), "a", "b")
+            )
+        else:
+            ranked = pair_counts.orderBy(F.desc("cnt"), "a", "b")
+        head = ranked.limit(1 if want == 1 else 4 * want).collect()
         if not head:
             break
         # a conflict-heavy head (every top pair sharing one symbol) can

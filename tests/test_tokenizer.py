@@ -234,3 +234,84 @@ def test_bpe_train_batched_disjoint_selection_and_validation(spark):
     assert tk._select_disjoint_batch(head, 2) == [("a", "b"), ("c", "d")]
     with pytest.raises(ValueError):
         tk.bpe_train(_wf(spark, [("a", 1)]), 1, batch_size=0)
+
+
+# --- WordPiece scoring --------------------------------------------------------
+
+
+def _py_train(word_freqs, num_merges, scoring="freq"):
+    """Pure-Python replay of the pinned training semantics."""
+    reprs = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for _ in range(num_merges):
+        pc, sc = {}, {}
+        for w, f in word_freqs.items():
+            syms = reprs[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + f
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        if scoring == "wordpiece":
+            best = min(
+                pc, key=lambda p: (-(pc[p] / (sc[p[0]] * sc[p[1]])), p[0], p[1])
+            )
+        else:
+            best = min(pc, key=lambda p: (-pc[p], p[0], p[1]))
+        merges.append(best)
+        a, b = best
+        for w in reprs:
+            syms, out, i = reprs[w], [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            reprs[w] = out
+    return merges, reprs
+
+
+def _wf_df(spark, word_freqs):
+    return spark.createDataFrame(
+        [(w, f) for w, f in word_freqs.items()], "word string, freq long"
+    )
+
+
+bpe_train = tk.bpe_train
+
+
+def test_wordpiece_prefers_rare_symbol_pairs(spark):
+    # ('a','b') has the highest raw count but both symbols are common;
+    # ('x','y') is rarer but its parts occur ONLY together
+    wf = {"ab": 5, "ac": 20, "cb": 20, "xy": 3}
+    m_freq, _ = bpe_train(_wf_df(spark, wf), 1)
+    m_wp, _ = bpe_train(_wf_df(spark, wf), 1, scoring="wordpiece")
+    # raw count: 'b</w>' (25) / 'c</w>' (20) territory — never (x, y)
+    assert m_freq[0] != ("x", "y")
+    assert m_freq[0] == _py_train(wf, 1, scoring="freq")[0][0]
+    # wordpiece: x and y occur ONLY together -> score 3/(3*3) wins
+    assert m_wp[0] == ("x", "y")
+
+
+def test_wordpiece_matches_python_reference(spark):
+    import random
+
+    rnd = random.Random(11)
+    words = {"".join(rnd.choices("abcde", k=rnd.randint(2, 6))): rnd.randint(1, 9)
+             for _ in range(30)}
+    got_m, got_vocab = bpe_train(_wf_df(spark, words), 8, scoring="wordpiece")
+    want_m, want_reprs = _py_train(words, 8, scoring="wordpiece")
+    assert got_m == want_m
+    got_segs = {r["word"]: list(r["tokens"]) for r in got_vocab.collect()}
+    assert got_segs == want_reprs
+
+
+def test_wordpiece_rejects_bad_scoring(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="scoring"):
+        bpe_train(_wf_df(spark, {"ab": 1}), 1, scoring="unigram")
