@@ -178,22 +178,22 @@ def pagerank_oracle_ctes(
     p = prefix
     nn = f"(SELECT nn FROM {p}_n)"
     ctes = [
-        f"""{p}_base AS (
+        f"""{p}_base AS MATERIALIZED (
     SELECT n.node, coalesce(o.out_deg, 0.0) AS out_deg
     FROM (SELECT src AS node FROM {edges_cte}
           UNION SELECT dst FROM {edges_cte}) n
     LEFT JOIN (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
                FROM {edges_cte} GROUP BY 1) o USING (node)
 ),
-{p}_n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {p}_base),
-{p}_r0 AS (
+{p}_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {p}_base),
+{p}_r0 AS MATERIALIZED (
     SELECT node, out_deg, round(1.0 / {nn}, {dp}) AS rank FROM {p}_base
 )"""
     ]
     for i in range(1, iterations + 1):
         prev = f"{p}_r{i - 1}"
         ctes.append(
-            f"""{p}_r{i} AS (
+            f"""{p}_r{i} AS MATERIALIZED (
     SELECT b.node, b.out_deg,
            round((1.0 - {damping}) / {nn}
                  + {damping} * (coalesce(c.s, 0.0)
@@ -207,6 +207,145 @@ def pagerank_oracle_ctes(
         WHERE r.out_deg > 0
         GROUP BY e.dst
     ) c USING (node)
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    round_dp: int = 9,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the second classic
+    iterative ranking, sharing :func:`pagerank`'s machinery and
+    determinism contract.
+
+    Pinned semantics (replayable in DuckDB via
+    :func:`hits_oracle_ctes`): nodes = distinct endpoints, N = |nodes|;
+    h_0 = a_0 = round(1/sqrt(N), dp). Per iteration: raw authority
+    a'(v) = Σ_{(u,v)∈E} h(u) rounded to dp, then L2-normalized and
+    rounded again (norm from the ROUNDED raws, so both engines
+    normalize identical vectors); then raw hub h'(v) = Σ_{(v,u)∈E}
+    a(u) of the NEW authorities, same normalize+round. sqrt is IEEE
+    correctly-rounded in both engines.
+
+    Returns (node, authority, hub). Scale: two |E|-shuffles per
+    iteration (one per direction); the L2 norms ride broadcast 1-row
+    scalars; never collected."""
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    base = ensure_parallelism(
+        nodes.crossJoin(F.broadcast(n_nodes))
+    ).localCheckpoint(eager=False)
+    init = F.round(F.lit(1.0) / F.sqrt(F.col("_n")), round_dp)
+    state = base.select("node", init.alias("authority"), init.alias("hub"))
+
+    def _propagate(
+        state_df: DataFrame, from_col: str, edge_from: str, edge_to: str, out: str
+    ) -> DataFrame:
+        raw = (
+            e.join(
+                state_df.select(
+                    F.col("node").alias(edge_from), F.col(from_col).alias("_s")
+                ),
+                edge_from,
+            )
+            .groupBy(F.col(edge_to).alias("node"))
+            .agg(F.round(F.sum("_s"), round_dp).alias("_raw"))
+        )
+        scored = base.join(raw, "node", "left").select(
+            "node", F.coalesce("_raw", F.lit(0.0)).alias("_raw")
+        )
+        norm = scored.agg(
+            F.sqrt(F.sum(F.col("_raw") * F.col("_raw"))).alias("_norm")
+        )
+        return scored.crossJoin(F.broadcast(norm)).select(
+            "node",
+            F.round(
+                F.when(F.col("_norm") > 0, F.col("_raw") / F.col("_norm"))
+                .otherwise(F.lit(0.0)),
+                round_dp,
+            ).alias(out),
+        )
+    for _ in range(iterations):
+        auth = _propagate(state, "hub", "src", "dst", "authority")
+        hub = _propagate(auth, "authority", "dst", "src", "hub")
+        state = auth.join(hub, "node")
+    return state.select("node", "authority", "hub")
+
+
+def hits_oracle_ctes(
+    edges_cte: str, prefix: str = "ht", iterations: int = 5, dp: int = 9
+) -> str:
+    """DuckDB chained-CTE replay of :func:`hits` — same
+    one-definition-per-oracle rule as :func:`pagerank_oracle_ctes`.
+    Emits {prefix}_nodes and {prefix}_s0..s{iterations} (node,
+    authority, hub); the caller selects from the last."""
+    p = prefix
+    ctes = [
+        f"""{p}_nodes AS MATERIALIZED (
+    SELECT src AS node FROM {edges_cte}
+    UNION SELECT dst FROM {edges_cte}
+),
+{p}_s0 AS MATERIALIZED (
+    SELECT node,
+           round(1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE)
+                             FROM {p}_nodes)), {dp}) AS authority,
+           round(1.0 / sqrt((SELECT CAST(count(*) AS DOUBLE)
+                             FROM {p}_nodes)), {dp}) AS hub
+    FROM {p}_nodes
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"{p}_s{i - 1}"
+        ctes.append(
+            f"""{p}_a{i}raw AS MATERIALIZED (
+    SELECT n.node,
+           coalesce(round(c.s, {dp}), 0.0) AS raw
+    FROM {p}_nodes n
+    LEFT JOIN (
+        SELECT e.dst AS node, sum(s.hub) AS s
+        FROM {prev} s JOIN {edges_cte} e ON e.src = s.node
+        GROUP BY e.dst
+    ) c USING (node)
+),
+{p}_a{i} AS MATERIALIZED (
+    SELECT node,
+           round(CASE WHEN (SELECT sqrt(sum(raw * raw)) FROM {p}_a{i}raw) > 0
+                      THEN raw / (SELECT sqrt(sum(raw * raw))
+                                  FROM {p}_a{i}raw)
+                      ELSE 0.0 END, {dp}) AS authority
+    FROM {p}_a{i}raw
+),
+{p}_h{i}raw AS MATERIALIZED (
+    SELECT n.node,
+           coalesce(round(c.s, {dp}), 0.0) AS raw
+    FROM {p}_nodes n
+    LEFT JOIN (
+        SELECT e.src AS node, sum(a.authority) AS s
+        FROM {p}_a{i} a JOIN {edges_cte} e ON e.dst = a.node
+        GROUP BY e.src
+    ) c USING (node)
+),
+{p}_s{i} AS MATERIALIZED (
+    SELECT a.node, a.authority,
+           round(CASE WHEN (SELECT sqrt(sum(raw * raw)) FROM {p}_h{i}raw) > 0
+                      THEN h.raw / (SELECT sqrt(sum(raw * raw))
+                                    FROM {p}_h{i}raw)
+                      ELSE 0.0 END, {dp}) AS hub
+    FROM {p}_a{i} a JOIN {p}_h{i}raw h USING (node)
 )"""
         )
     return ",\n".join(ctes)

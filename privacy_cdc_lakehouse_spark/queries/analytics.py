@@ -1989,8 +1989,31 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").cast("long").alias("n"),
     )
 
+    # round 12 (cont. 2): HITS arm (operators/graph.py::hits) — hubs &
+    # authorities on the SAME relation graph, 3 iterations (HITS
+    # converges fast and each iteration is two |E|-shuffles): top-10
+    # authorities (who is bought-from/located-in) and top-10 hubs.
+    # Scores AND positions hash-checked against the replay generated
+    # by hits_oracle_ctes over the shared pr_e edge CTE.
+    ht = gr.hits(_relation_graph_edges(spark, sf_dir), iterations=3)
+
+    def hits_rows(score_col: str, tag: str) -> DataFrame:
+        return gr.top_ranked(ht, 10, rank_col=score_col).select(
+            F.lit("hits").alias("query"),
+            F.lit(tag).alias("d1"),
+            F.lit(None).cast("string").alias("d2"),
+            F.col("node").cast("long").alias("k"),
+            F.round(score_col, 6).alias("measure"),
+            F.col("pos").cast("long").alias("n"),
+        )
+
+    hits_arm = hits_rows("authority", "auth").unionByName(hits_rows("hub", "hub"))
+
     out = q7
-    for arm in (q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr):
+    for arm in (
+        q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
+        hits_arm,
+    ):
         out = out.unionByName(arm)
     return out.orderBy(
         "query",
@@ -2006,7 +2029,7 @@ def _pagerank_ctes(iterations: int = 5) -> str:
     every PageRank oracle in the repo) + the top-20 select."""
     from privacy_cdc_lakehouse_spark.operators.graph import pagerank_oracle_ctes
 
-    edges = """pr_e AS (
+    edges = """pr_e AS MATERIALIZED (
     SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     UNION
@@ -2019,8 +2042,26 @@ def _pagerank_ctes(iterations: int = 5) -> str:
            row_number() OVER (ORDER BY rank DESC, node) AS pos
     FROM pr_r{iterations} ORDER BY rank DESC, node LIMIT 20
 )"""
+    from privacy_cdc_lakehouse_spark.operators.graph import hits_oracle_ctes
+
+    hits_tops = """ht_atop AS (
+    SELECT node, authority,
+           row_number() OVER (ORDER BY authority DESC, node) AS pos
+    FROM ht_s3 ORDER BY authority DESC, node LIMIT 10
+),
+ht_htop AS (
+    SELECT node, hub,
+           row_number() OVER (ORDER BY hub DESC, node) AS pos
+    FROM ht_s3 ORDER BY hub DESC, node LIMIT 10
+)"""
     return ",\n".join(
-        [edges, pagerank_oracle_ctes("pr_e", "pr", iterations), top]
+        [
+            edges,
+            pagerank_oracle_ctes("pr_e", "pr", iterations),
+            top,
+            hits_oracle_ctes("pr_e", "ht", 3),
+            hits_tops,
+        ]
     )
 
 
@@ -2366,6 +2407,15 @@ SELECT 'pr',
             ELSE 'customer' END,
        NULL, CAST(node AS BIGINT), round(rank, 6), CAST(pos AS BIGINT)
 FROM pr_top
+UNION ALL
+-- HITS arm (round 12): top-10 authorities and hubs of the same graph
+SELECT 'hits', 'auth', NULL, CAST(node AS BIGINT),
+       round(authority, 6), CAST(pos AS BIGINT)
+FROM ht_atop
+UNION ALL
+SELECT 'hits', 'hub', NULL, CAST(node AS BIGINT),
+       round(hub, 6), CAST(pos AS BIGINT)
+FROM ht_htop
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

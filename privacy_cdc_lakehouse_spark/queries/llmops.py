@@ -2642,7 +2642,7 @@ def _textrank_ctes(iterations: int = 5, k: int = 15) -> str:
 
     wh = _duck_hexn(1, 13)
     head = f""",
-tr_toks AS (
+tr_toks AS MATERIALIZED (
     SELECT list_filter(regexp_extract_all(lower(text), '[a-z]{{2,}}'),
                        x -> x NOT IN ('{"', '".join(sorted(tx.RAKE_STOPWORDS))}'))
            AS toks
@@ -2657,13 +2657,13 @@ tr_pairs AS (
     FROM tr_toks,
          LATERAL (SELECT unnest(generate_series(1, len(toks) - 2)) AS i)
 ),
-tr_und AS (
+tr_und AS MATERIALIZED (
     SELECT DISTINCT w1, w2 FROM (
         SELECT w1, w2 FROM tr_pairs WHERE w1 <> w2
         UNION ALL SELECT w2, w1 FROM tr_pairs WHERE w1 <> w2
     )
 ),
-tr_e AS (
+tr_e AS MATERIALIZED (
     SELECT src, CAST({wh} AS BIGINT) AS dst FROM (
         SELECT src, md5('tr|' || w2) AS h FROM (
             SELECT CAST({wh} AS BIGINT) AS src, w2 FROM (
@@ -2672,7 +2672,7 @@ tr_e AS (
         )
     )
 ),
-tr_words AS (
+tr_words AS MATERIALIZED (
     SELECT word, CAST({wh} AS BIGINT) AS node FROM (
         SELECT word, md5('tr|' || word) AS h FROM (
             SELECT DISTINCT w1 AS word FROM tr_und

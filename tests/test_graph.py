@@ -111,3 +111,63 @@ def test_top_ranked_deterministic_tiebreak(spark):
     top = G.top_ranked(G.pagerank(_edges_df(spark, edges)), 3).collect()
     assert [r["node"] for r in top] == [0, 1, 2]
     assert [r["pos"] for r in top] == [1, 2, 3]
+
+
+# --- HITS --------------------------------------------------------------------
+
+
+def _py_hits(edges, iterations=5, dp=9):
+    import math
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    init = round(1.0 / math.sqrt(n), dp)
+    auth = {v: init for v in nodes}
+    hub = {v: init for v in nodes}
+
+    def prop(state, flip):
+        raw = {v: 0.0 for v in nodes}
+        for s, d in edges:
+            if flip:
+                raw[s] += state[d]
+            else:
+                raw[d] += state[s]
+        raw = {v: round(x, dp) for v, x in raw.items()}
+        norm = math.sqrt(sum(x * x for x in raw.values()))
+        return {
+            v: round(x / norm, dp) if norm > 0 else 0.0
+            for v, x in raw.items()
+        }
+
+    for _ in range(iterations):
+        auth = prop(hub, flip=False)
+        hub = prop(auth, flip=True)
+    return auth, hub
+
+
+def test_hits_matches_python_reference(spark):
+    rnd = random.Random(5)
+    edges = sorted({(rnd.randrange(30), rnd.randrange(30)) for _ in range(90)})
+    edges = [e for e in edges if e[0] != e[1]]
+    out = G.hits(_edges_df(spark, edges), iterations=4).collect()
+    want_a, want_h = _py_hits(edges, iterations=4)
+    assert len(out) == len(want_a)
+    for r in out:
+        assert abs(r["authority"] - want_a[r["node"]]) <= 2e-9
+        assert abs(r["hub"] - want_h[r["node"]]) <= 2e-9
+
+
+def test_hits_star_hub_vs_authorities(spark):
+    edges = [(0, i) for i in range(1, 5)]
+    out = {r["node"]: r for r in G.hits(_edges_df(spark, edges), iterations=3).collect()}
+    assert out[0]["hub"] > 0.99 and out[0]["authority"] == 0.0
+    for i in range(1, 5):
+        assert out[i]["authority"] == 0.5 and out[i]["hub"] == 0.0
+
+
+def test_hits_l2_normalized(spark):
+    rnd = random.Random(9)
+    edges = sorted({(rnd.randrange(12), rnd.randrange(12)) for _ in range(30)})
+    out = G.hits(_edges_df(spark, edges), iterations=3).collect()
+    assert abs(sum(r["authority"] ** 2 for r in out) - 1.0) < 1e-6
+    assert abs(sum(r["hub"] ** 2 for r in out) - 1.0) < 1e-6
