@@ -236,3 +236,96 @@ def dp_sum(
             ).alias("dp_sum"),
         )
     )
+
+
+def dp_quantile(
+    df: DataFrame,
+    value_col: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 100,
+    epsilon: float = 1.0,
+    salt: str = "dp-quantile",
+) -> DataFrame:
+    """ε-DP quantiles via the noisy-histogram mechanism (Dwork &
+    Roth 2014 §3.4, the standard baseline): values clip to the
+    CALLER-FIXED grid [``lo``, ``hi``) (data-independent bounds —
+    required; data-derived bounds would leak), per-bin exact counts
+    get Laplace(1/ε) each (one row lands in ONE bin, so parallel
+    composition makes the whole histogram ε-DP, not ε·bins), noisy
+    counts clamp at 0, and each quantile reports the upper edge of
+    the first bin where the noisy cumulative reaches q · noisy-total.
+
+    Same seeded-noise determinism contract (and production caveat) as
+    :func:`dp_count`: noise is seeded per BIN INDEX from ``salt``, so
+    the release replays bit-identically in DuckDB — the cumulative
+    is an ordered ≤ n_bins-row window over 6dp-rounded addends.
+
+    Scale: ONE map-side-combinable groupBy (≤ n_bins rows out); the
+    grid completion is a generated n_bins-row frame (empty bins MUST
+    be released too — their noise is part of the mechanism); the
+    cumsum window runs over the bounded bin frame, never the data.
+    Output: (q, value, dp_total)."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    if n_bins < 1:
+        raise ValueError(f"need n_bins >= 1, got {n_bins}")
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    clipped = F.least(F.greatest(v, F.lit(float(lo))), F.lit(float(hi)))
+    bin_i = F.least(
+        F.floor((clipped - F.lit(float(lo))) / F.lit(width)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .select(bin_i.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spark = df.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    noisy = (
+        grid.join(counts, "bin", "left")
+        .select(
+            "bin",
+            F.greatest(
+                F.lit(0.0),
+                F.coalesce(F.col("n"), F.lit(0))
+                + laplace_noise(
+                    F.col("bin").cast("string"), 1.0 / epsilon, salt
+                ),
+            ).alias("dp_n"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = noisy.select(
+        "bin",
+        F.round(F.sum("dp_n").over(w), 6).alias("cum"),
+    )
+    total = cum.orderBy(F.desc("bin")).limit(1).select(
+        F.col("cum").alias("dp_total")
+    )
+    edge = F.lit(float(lo)) + (F.col("bin") + 1) * F.lit(width)
+    picks = None
+    for q in qs:
+        p = (
+            cum.crossJoin(F.broadcast(total))
+            .filter(F.col("cum") >= F.lit(float(q)) * F.col("dp_total"))
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(float(q)).alias("q"),
+                F.round(edge, 6).alias("value"),
+                F.round("dp_total", 6).alias("dp_total"),
+            )
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    return picks

@@ -1436,12 +1436,30 @@ def q_privacy_view_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             _micro(F.col("dp_sum")),
         ).alias("v"),
     )
+    # round 12 (cont.): dpq arm — ε-DP QUANTILES via the noisy-
+    # histogram mechanism (operators/privacy.py::dp_quantile): p25/50/
+    # 90 of the account balance on the caller-fixed [-1000, 10000)
+    # 110-bin grid at ε=0.5, per-BIN seeded Laplace (parallel
+    # composition), empty bins released too. Every released edge and
+    # the noisy total are hash-checked against the oracle's full
+    # replay (micro-scaled ints, the dp arm's formatting contract).
+    dpq = pv.dp_quantile(
+        cust, "c_acctbal", [0.25, 0.5, 0.9], -1000.0, 10000.0,
+        n_bins=110, epsilon=0.5,
+    ).select(
+        F.lit("dpq").alias("kind"),
+        F.col("q").cast("string").alias("k"),
+        F.concat_ws(
+            ":", _micro(F.col("value")), _micro(F.col("dp_total"))
+        ).alias("v"),
+    )
     return (
         view.unionByName(kanon)
         .unionByName(kaud)
         .unionByName(ldiv)
         .unionByName(dpc)
         .unionByName(dps)
+        .unionByName(dpq)
         .orderBy("kind", "k")
     )
 
@@ -3381,6 +3399,49 @@ FROM (
         FROM customer GROUP BY 1
     )
 )
+UNION ALL
+-- dpq replay (round 12): noisy-histogram quantiles — fixed grid
+-- [-1000, 10000) x 110 bins, per-bin seeded Laplace(1/0.5), clamp 0,
+-- ordered 6dp cumulative, first bin reaching q*total
+SELECT 'dpq', m.qq,
+       CAST(CAST(round(m.val * 1000000) AS BIGINT) AS VARCHAR)
+       || ':' || CAST(CAST(round(m.tot * 1000000) AS BIGINT) AS VARCHAR)
+FROM (
+    WITH dpq_counts AS MATERIALIZED (
+        SELECT CAST(least(floor((least(greatest(CAST(c_acctbal AS DOUBLE),
+                                                -1000.0), 10000.0)
+                                 - (-1000.0)) / 100.0), 109) AS INT) AS bin,
+               count(*) AS n
+        FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1
+    ),
+    dpq_noisy AS MATERIALIZED (
+        SELECT bin, greatest(0.0, n0 + {noise('2.0')}) AS dp_n
+        FROM (
+            SELECT bin, n0,
+                   (CAST({_duck_hexn(1, 13)} AS BIGINT) + 1)
+                     / 4503599627370496.0 AS u
+            FROM (
+                SELECT g.bin AS bin, CAST(coalesce(c.n, 0) AS DOUBLE) AS n0,
+                       md5('dp-quantile' || '|'
+                           || CAST(g.bin AS VARCHAR)) AS h
+                FROM (SELECT unnest(generate_series(0, 109)) AS bin) g
+                LEFT JOIN dpq_counts c USING (bin)
+            )
+        )
+    ),
+    dpq_cum AS MATERIALIZED (
+        SELECT bin,
+               round(sum(dp_n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW), 6) AS cum
+        FROM dpq_noisy
+    ),
+    dpq_tot AS MATERIALIZED (SELECT cum AS tot FROM dpq_cum WHERE bin = 109)
+    SELECT q.qq, round(-1000.0 + (pk.bin + 1) * 100.0, 6) AS val,
+           (SELECT tot FROM dpq_tot) AS tot
+    FROM (VALUES ('0.25', 0.25), ('0.5', 0.5), ('0.9', 0.9)) q(qq, qv),
+         LATERAL (SELECT min(bin) AS bin FROM dpq_cum, dpq_tot
+                  WHERE cum >= q.qv * tot) pk
+) m
 """
     return (
         _LATEST_CTE + _PRIV_VIEW_SQL_TEMPLATE + dp_sql + "\nORDER BY kind, k"

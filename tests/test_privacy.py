@@ -183,3 +183,83 @@ def test_dp_null_group_gets_sentinel_seed(spark):
     }
     assert got[None] == 1 + _py_laplace("\x00", 1.0, "dp-count")
     assert got["x"] == 1 + _py_laplace("x", 1.0, "dp-count")
+
+
+# --- dp_quantile --------------------------------------------------------------
+
+
+def _py_laplace(key: str, scale: float, salt: str) -> float:
+    import hashlib
+    import math
+
+    u = (int(hashlib.md5(f"{salt}|{key}".encode()).hexdigest()[:13], 16) + 1) / 2**52
+    mag = max(2.0**-53, 1.0 - 2.0 * abs(u - 0.5))
+    sign = 1.0 if u >= 0.5 else -1.0
+    return round(-scale * sign * math.log(mag), 6)
+
+
+def test_dp_quantile_matches_python_replay(spark):
+    import math
+
+    vals = [float(v) for v in range(0, 1000, 7)]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    lo, hi, nb, eps = 0.0, 1000.0, 50, 0.5
+    out = {
+        r["q"]: (r["value"], r["dp_total"])
+        for r in pv.dp_quantile(
+            df, "x", [0.25, 0.5, 0.9], lo, hi, n_bins=nb, epsilon=eps
+        ).collect()
+    }
+    # python replay of the pinned mechanism
+    width = (hi - lo) / nb
+    counts = [0] * nb
+    for v in vals:
+        counts[min(int((min(max(v, lo), hi) - lo) // width), nb - 1)] += 1
+    noisy = [
+        max(0.0, c + _py_laplace(str(i), 1.0 / eps, "dp-quantile"))
+        for i, c in enumerate(counts)
+    ]
+    cum, acc = [], 0.0
+    for x in noisy:
+        acc += x
+        cum.append(round(acc, 6))
+    tot = cum[-1]
+    for q in (0.25, 0.5, 0.9):
+        b = next(i for i, c in enumerate(cum) if c >= q * tot)
+        want = round(lo + (b + 1) * width, 6)
+        assert out[q][0] == want
+        assert math.isclose(out[q][1], round(tot, 6), abs_tol=1e-9)
+
+
+def test_dp_quantile_accuracy_at_high_epsilon(spark):
+    # eps=1000 -> noise ~ 0.001: quantiles land within one bin of truth
+    df = spark.range(10_000).selectExpr("CAST(id AS DOUBLE) AS x")
+    out = {
+        r["q"]: r["value"]
+        for r in pv.dp_quantile(
+            df, "x", [0.5, 0.9], 0.0, 10_000.0, n_bins=100, epsilon=1000.0
+        ).collect()
+    }
+    assert abs(out[0.5] - 5000.0) <= 100.0
+    assert abs(out[0.9] - 9000.0) <= 100.0
+
+
+def test_dp_quantile_releases_empty_bins_and_validates(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(5.0,)] * 10, "x double")
+    # all mass in one bin; total = 10 + sum of ALL 10 bins' noise
+    out = pv.dp_quantile(df, "x", [1.0], 0.0, 100.0, n_bins=10, epsilon=2.0)
+    row = out.collect()[0]
+    exp_tot = 0.0
+    for i in range(10):
+        exp_tot += max(
+            0.0, (10 if i == 0 else 0) + _py_laplace(str(i), 0.5, "dp-quantile")
+        )
+    assert abs(row["dp_total"] - round(exp_tot, 6)) < 1e-4
+    with _pytest.raises(ValueError, match="epsilon"):
+        pv.dp_quantile(df, "x", [0.5], 0.0, 1.0, epsilon=0.0)
+    with _pytest.raises(ValueError, match="quantiles"):
+        pv.dp_quantile(df, "x", [1.5], 0.0, 1.0)
+    with _pytest.raises(ValueError, match="hi > lo"):
+        pv.dp_quantile(df, "x", [0.5], 1.0, 1.0)
