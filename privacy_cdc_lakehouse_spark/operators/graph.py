@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     round_dp: int = 9,
     checkpoint_every: int | None = None,
+    weight: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -58,7 +59,17 @@ def pagerank(
       redistributed uniformly (the standard correction; without it
       rank mass leaks and Σ rank → 0).
 
-    Returns (node, rank, out_deg) — one row per node.
+    ``weight`` (optional column name) makes it weighted PageRank
+    (Mihalcea & Tarau 2004 eq. 2): a neighbor's rank divides
+    proportionally to edge weight, share(u→v) = rank(u) · w(u,v) /
+    Σ_out w(u). Weights must be POSITIVE (a zero/negative total makes
+    the share undefined; zero-total nodes are treated as dangling).
+    Unweighted is exactly weight≡1.0 (the shares reduce to
+    rank/out_deg bit-identically, so the hash-checked unweighted
+    oracles are unaffected by this unification).
+
+    Returns (node, rank, out_deg) — one row per node (out_deg is the
+    out-edge COUNT unweighted, the out-weight SUM weighted).
 
     Scale: per iteration, ONE |E|-sized shuffle (join on src +
     aggregate by dst) and one |V|-sized left join; the dangling mass
@@ -70,8 +81,13 @@ def pagerank(
     if not (0.0 < damping < 1.0):
         raise ValueError(f"damping must be in (0, 1), got {damping}")
 
+    w_expr = (
+        F.col(weight).cast("double") if weight is not None else F.lit(1.0)
+    )
     e = edges.select(
-        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        w_expr.alias("_w"),
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -79,11 +95,11 @@ def pagerank(
         .distinct()
     )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("out_deg")
+        F.sum("_w").alias("out_deg")
     )
     base = (
         nodes.join(outdeg, "node", "left")
-        .select("node", F.coalesce("out_deg", F.lit(0)).alias("out_deg"))
+        .select("node", F.coalesce("out_deg", F.lit(0.0)).alias("out_deg"))
     )
     # N rides a broadcast 1-row scalar — never collected.
     n_nodes = base.agg(F.count(F.lit(1)).alias("_n"))
@@ -104,12 +120,14 @@ def pagerank(
                 rank.filter(F.col("out_deg") > 0)
                 .select(
                     F.col("node").alias("src"),
-                    (F.col("rank") / F.col("out_deg")).alias("_share"),
+                    (F.col("rank") / F.col("out_deg")).alias("_unit"),
                 ),
                 "src",
             )
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum("_share").alias("_c"))
+            # _w == 1.0 unweighted: rank/out_deg * 1.0 is bit-identical
+            # to rank/out_deg, so the unweighted oracle replay holds
+            .agg(F.sum(F.col("_unit") * F.col("_w")).alias("_c"))
         )
         dangling = rank.agg(
             F.coalesce(

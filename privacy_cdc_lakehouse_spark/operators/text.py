@@ -1753,6 +1753,7 @@ def textrank_keywords(
     iterations: int = 10,
     damping: float = 0.85,
     stopwords: list[str] | None = None,
+    weighted: bool = False,
 ) -> DataFrame:
     """TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
     word co-occurrence graph — the graph-centrality counterpart of
@@ -1796,9 +1797,16 @@ def textrank_keywords(
             .filter(F.col("w1") != F.col("w2"))
         )
         pairs = p if pairs is None else pairs.unionByName(p)
-    und = pairs.unionByName(
+    both = pairs.unionByName(
         pairs.select(F.col("w2").alias("w1"), F.col("w1").alias("w2"))
-    ).distinct()
+    )
+    # weighted = the paper's actual formulation (co-occurrence counts
+    # as edge weights, Mihalcea & Tarau §4.1); unweighted (default,
+    # the hash-checked arm's pinned form) collapses multiplicities
+    if weighted:
+        und = both.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_cw"))
+    else:
+        und = both.distinct()
 
     def _word_hash(c: Column) -> Column:
         return F.conv(
@@ -1806,14 +1814,21 @@ def textrank_keywords(
         ).cast("long")
 
     edges = und.select(
-        _word_hash(F.col("w1")).alias("src"), _word_hash(F.col("w2")).alias("dst")
+        _word_hash(F.col("w1")).alias("src"),
+        _word_hash(F.col("w2")).alias("dst"),
+        *([F.col("_cw")] if weighted else []),
     )
     words_map = (
         und.select(F.col("w1").alias("word"))
         .distinct()
         .select("word", _word_hash(F.col("word")).alias("node"))
     )
-    ranks = pagerank(edges, iterations=iterations, damping=damping)
+    ranks = pagerank(
+        edges,
+        iterations=iterations,
+        damping=damping,
+        weight="_cw" if weighted else None,
+    )
     scored = ranks.join(words_map, "node").select(
         "word", F.round("rank", 6).alias("rank6")
     )

@@ -171,3 +171,67 @@ def test_hits_l2_normalized(spark):
     out = G.hits(_edges_df(spark, edges), iterations=3).collect()
     assert abs(sum(r["authority"] ** 2 for r in out) - 1.0) < 1e-6
     assert abs(sum(r["hub"] ** 2 for r in out) - 1.0) < 1e-6
+
+
+# --- weighted PageRank ---------------------------------------------------------
+
+
+def _py_weighted_pagerank(wedges, iterations=5, damping=0.85, dp=9):
+    nodes = sorted({s for s, d, _ in wedges} | {d for s, d, _ in wedges})
+    n = len(nodes)
+    outw = {v: 0.0 for v in nodes}
+    for s, _, w in wedges:
+        outw[s] += w
+    rank = {v: round(1.0 / n, dp) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for s, d, w in wedges:
+            if outw[s] > 0:
+                contrib[d] += rank[s] / outw[s] * w
+        dang = sum(rank[v] for v in nodes if outw[v] == 0)
+        rank = {
+            v: round((1 - damping) / n + damping * (contrib[v] + dang / n), dp)
+            for v in nodes
+        }
+    return rank
+
+
+def test_weighted_pagerank_matches_python_reference(spark):
+    rnd = random.Random(13)
+    wedges = sorted(
+        {(rnd.randrange(20), rnd.randrange(20)) for _ in range(70)}
+    )
+    wedges = [(s, d, float(rnd.randint(1, 5))) for s, d in wedges if s != d]
+    df = spark.createDataFrame(wedges, "src long, dst long, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, iterations=5, weight="w").collect()
+    }
+    want = _py_weighted_pagerank(wedges, iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 2e-9
+
+
+def test_weighted_unit_weights_equal_unweighted(spark):
+    rnd = random.Random(21)
+    edges = sorted({(rnd.randrange(15), rnd.randrange(15)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long").withColumn(
+        "w", F.lit(1.0)
+    )
+    plain = {r["node"]: r["rank"] for r in G.pagerank(df, iterations=4).collect()}
+    weighted = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(df, iterations=4, weight="w").collect()
+    }
+    assert plain == weighted
+
+
+def test_weighted_edge_pulls_rank(spark):
+    # 0 splits rank between 1 (weight 9) and 2 (weight 1)
+    df = spark.createDataFrame(
+        [(0, 1, 9.0), (0, 2, 1.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {r["node"]: r["rank"] for r in G.pagerank(df, weight="w").collect()}
+    assert got[1] > got[2]

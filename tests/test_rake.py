@@ -174,3 +174,19 @@ def test_textrank_ignores_stopwords_and_short_tokens(spark):
     assert "the" not in words and "of" not in words
     assert not any(len(w) < 2 for w in words)
     assert {"quick", "brown", "fox"} <= words
+
+
+def test_textrank_weighted_option(spark):
+    # all co-occurrence counts are 1 -> weighted == unweighted exactly
+    texts = ["alpha beta gamma delta"]
+    uw = textrank_keywords(_docs(spark, texts), k=10, iterations=3).collect()
+    w = textrank_keywords(
+        _docs(spark, texts), k=10, iterations=3, weighted=True
+    ).collect()
+    assert [tuple(r) for r in uw] == [tuple(r) for r in w]
+    # a repeated bigram boosts its words under weights
+    texts2 = ["hot spot hot spot hot spot cold zone"]
+    top_w = textrank_keywords(
+        _docs(spark, texts2), k=2, iterations=4, weighted=True
+    ).collect()
+    assert {r["word"] for r in top_w} == {"hot", "spot"}
