@@ -367,3 +367,120 @@ def hits_oracle_ctes(
 )"""
         )
     return ",\n".join(ctes)
+
+
+def label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+    iterations: int = 3,
+) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002, the
+    hard-label variant): seed nodes carry immutable integer labels;
+    each synchronous round, every non-seed node adopts the MAJORITY
+    label among its in-neighbors' current labels (count DESC, label
+    ASC tie-break — all-integer, so cross-engine parity is exact with
+    no rounding contract needed). Unreached nodes keep NULL. For
+    undirected semantics pass both edge directions.
+
+    The training-data use is propagating sparse quality/domain labels
+    across a similarity graph (e.g. the near-dup pair graph the dedup
+    layer builds) — label the few docs a human graded, propagate to
+    their neighborhoods.
+
+    Returns (node, label) for ALL nodes (NULL = never reached).
+    Scale: per iteration ONE |E|-shuffle (join on src), one
+    (dst, label)-aggregate and one per-node argmax window whose
+    partitions are in-degree-bounded; seeds re-assert by map-side
+    coalesce over the |seeds|-sized frame."""
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    )
+    sd = seeds.select(
+        F.col(node_col).cast("long").alias("node"),
+        F.col(label_col).cast("long").alias("_seed"),
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base = ensure_parallelism(
+        nodes.join(sd, "node", "left")
+    ).localCheckpoint(eager=False)
+    lab = base.select("node", F.col("_seed").alias("label"))
+    for _ in range(iterations):
+        msgs = (
+            e.join(
+                lab.filter(F.col("label").isNotNull()).select(
+                    F.col("node").alias("src"), "label"
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        win = Window.partitionBy("node").orderBy(
+            F.desc("_n"), F.asc("label")
+        )
+        adopted = (
+            msgs.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        lab = (
+            base.join(lab.select("node", "label"), "node")
+            .join(adopted, "node", "left")
+            # seeds are immutable; non-seeds adopt the majority or keep
+            .select(
+                "node",
+                F.coalesce("_seed", "_new", "label").alias("label"),
+            )
+        )
+    return lab.select("node", "label")
+
+
+def label_propagation_oracle_ctes(
+    edges_cte: str, seeds_cte: str, prefix: str = "lp", iterations: int = 3
+) -> str:
+    """DuckDB replay of :func:`label_propagation` (all-integer — no
+    rounding contract needed). ``seeds_cte`` must have (node, label).
+    Emits {prefix}_l0..l{iterations} (node, label)."""
+    p = prefix
+    ctes = [
+        f"""{p}_nodes AS MATERIALIZED (
+    SELECT src AS node FROM {edges_cte}
+    UNION SELECT dst FROM {edges_cte}
+),
+{p}_l0 AS MATERIALIZED (
+    SELECT n.node, s.label
+    FROM {p}_nodes n LEFT JOIN {seeds_cte} s USING (node)
+)"""
+    ]
+    for i in range(1, iterations + 1):
+        prev = f"{p}_l{i - 1}"
+        ctes.append(
+            f"""{p}_l{i} AS MATERIALIZED (
+    SELECT b.node,
+           coalesce(s.label, a.label, b.label) AS label
+    FROM {prev} b
+    LEFT JOIN {seeds_cte} s USING (node)
+    LEFT JOIN (
+        SELECT node, label FROM (
+            SELECT e.dst AS node, l.label,
+                   row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.label ASC) AS rn
+            FROM {prev} l JOIN {edges_cte} e ON e.src = l.node
+            WHERE l.label IS NOT NULL
+            GROUP BY e.dst, l.label
+        ) WHERE rn = 1
+    ) a USING (node)
+)"""
+        )
+    return ",\n".join(ctes)

@@ -2027,10 +2027,43 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hits_arm = hits_rows("authority", "auth").unionByName(hits_rows("hub", "hub"))
 
+    # round 12 (cont. 3): label-propagation arm (operators/graph.py::
+    # label_propagation) — semi-supervised hard-label LP: nations seed
+    # their own nationkey, labels flow nation→customer→supplier along
+    # the relation edges in 3 synchronous rounds (majority vote,
+    # count-desc/label-asc tie-break — all-integer, exact parity). The
+    # per-(layer, label) assignment counts are hash-checked against
+    # the generator-built replay.
+    seeds = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 20_000_000).cast("long").alias("node"),
+        F.col("n_nationkey").cast("long").alias("label"),
+    )
+    lp_labels = gr.label_propagation(
+        _relation_graph_edges(spark, sf_dir), seeds, iterations=3
+    )
+    lp_arm = (
+        lp_labels.groupBy(
+            F.when(F.col("node") >= 20_000_000, F.lit("nation"))
+            .when(F.col("node") >= 10_000_000, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+            .alias("d1"),
+            "label",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("lp").alias("query"),
+            "d1",
+            F.lit(None).cast("string").alias("d2"),
+            F.col("label").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
-        hits_arm,
+        hits_arm, lp_arm,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2060,7 +2093,23 @@ def _pagerank_ctes(iterations: int = 5) -> str:
            row_number() OVER (ORDER BY rank DESC, node) AS pos
     FROM pr_r{iterations} ORDER BY rank DESC, node LIMIT 20
 )"""
-    from privacy_cdc_lakehouse_spark.operators.graph import hits_oracle_ctes
+    from privacy_cdc_lakehouse_spark.operators.graph import (
+        hits_oracle_ctes,
+        label_propagation_oracle_ctes,
+    )
+
+    lp = """lp_seeds AS MATERIALIZED (
+    SELECT n_nationkey + 20000000 AS node,
+           CAST(n_nationkey AS BIGINT) AS label
+    FROM nation
+)"""
+    lp_sum = """lp_sum AS (
+    SELECT CASE WHEN node >= 20000000 THEN 'nation'
+                WHEN node >= 10000000 THEN 'supplier'
+                ELSE 'customer' END AS layer,
+           label, CAST(count(*) AS BIGINT) AS n
+    FROM lp_l3 GROUP BY 1, 2
+)"""
 
     hits_tops = """ht_atop AS (
     SELECT node, authority,
@@ -2079,6 +2128,9 @@ ht_htop AS (
             top,
             hits_oracle_ctes("pr_e", "ht", 3),
             hits_tops,
+            lp,
+            label_propagation_oracle_ctes("pr_e", "lp_seeds", "lp", 3),
+            lp_sum,
         ]
     )
 
@@ -2434,6 +2486,10 @@ UNION ALL
 SELECT 'hits', 'hub', NULL, CAST(node AS BIGINT),
        round(hub, 6), CAST(pos AS BIGINT)
 FROM ht_htop
+UNION ALL
+-- label-propagation arm (round 12): per-(layer, label) counts after
+-- 3 rounds of nation-seeded majority propagation
+SELECT 'lp', layer, NULL, label, CAST(NULL AS DOUBLE), n FROM lp_sum
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

@@ -235,3 +235,63 @@ def test_weighted_edge_pulls_rank(spark):
     )
     got = {r["node"]: r["rank"] for r in G.pagerank(df, weight="w").collect()}
     assert got[1] > got[2]
+
+
+# --- label propagation ---------------------------------------------------------
+
+
+def _py_lp(edges, seeds, iterations=3):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    lab = {v: seeds.get(v) for v in nodes}
+    for _ in range(iterations):
+        msgs = {}
+        for s, d in edges:
+            if lab[s] is not None:
+                msgs.setdefault(d, {}).setdefault(lab[s], 0)
+                msgs[d][lab[s]] += 1
+        new = {}
+        for v in nodes:
+            if v in seeds:
+                new[v] = seeds[v]
+            elif v in msgs:
+                new[v] = min(msgs[v], key=lambda l: (-msgs[v][l], l))
+            else:
+                new[v] = lab[v]
+        lab = new
+    return lab
+
+
+def _lp(spark, edges, seeds, iterations=3):
+    e = _edges_df(spark, edges)
+    s = spark.createDataFrame(list(seeds.items()), "node long, label long")
+    return {
+        r["node"]: r["label"]
+        for r in G.label_propagation(e, s, iterations=iterations).collect()
+    }
+
+
+def test_label_propagation_matches_python_reference(spark):
+    rnd = random.Random(31)
+    edges = sorted({(rnd.randrange(25), rnd.randrange(25)) for _ in range(80)})
+    edges = [e for e in edges if e[0] != e[1]]
+    seeds = {0: 100, 7: 200, 13: 300}
+    assert _lp(spark, edges, seeds) == _py_lp(edges, seeds)
+
+
+def test_label_propagation_seeds_immutable_and_majority(spark):
+    # node 3 hears label 1 twice and label 2 once -> adopts 1;
+    # seed node 1 keeps its label despite incoming 2s
+    edges = [(1, 3), (2, 3), (4, 3), (5, 1), (6, 1)]
+    seeds = {1: 10, 2: 20, 4: 10, 5: 99, 6: 99}
+    out = _lp(spark, edges, seeds, iterations=2)
+    assert out[3] == 10
+    assert out[1] == 10
+
+
+def test_label_propagation_tiebreak_and_unreached(spark):
+    edges = [(1, 3), (2, 3), (8, 9)]
+    seeds = {1: 7, 2: 5}
+    out = _lp(spark, edges, seeds, iterations=1)
+    assert out[3] == 5  # tie 1v1 -> min label
+    assert out[9] is None  # only unlabeled upstream
+    assert out[8] is None
