@@ -305,3 +305,33 @@ def stream_stream_join(
     keep += [F.col(f"l.{c}") for c in left.columns if c != key]
     keep += [F.col(f"r.{c}") for c in right.columns if c != key]
     return joined.select(*keep)
+
+
+def streaming_session_counts(
+    stream: DataFrame,
+    event_time: str = "ts",
+    gap: str = "30 minutes",
+    delay: str = "10 minutes",
+    group_col: str = "user_id",
+) -> DataFrame:
+    """Native session-window aggregation (``F.session_window`` — the
+    streaming twin of the batch lag-based sessionization in
+    queries/analytics.py::q_events_sessionize): per key, events closer
+    than ``gap`` merge into one session whose window GROWS with each
+    event; the watermark closes a session once no in-gap event can
+    still arrive, so state per key is one open session, not an event
+    buffer. Works identically on batch frames (the pytest pins
+    stream == batch on the same input)."""
+    return (
+        stream.withWatermark(event_time, delay)
+        .groupBy(
+            F.session_window(F.col(event_time), gap).alias("w"), group_col
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            group_col,
+            "n_events",
+        )
+    )

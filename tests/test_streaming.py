@@ -871,3 +871,43 @@ def test_stream_stream_join_rejects_column_collision(spark):
     )
     with _pytest.raises(ValueError, match="collision"):
         stream_stream_join(a, b, "k", "ts", "ts")
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import (
+        streaming_session_counts,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00"), (1, "2024-01-01 00:10:00"),  # one session
+        (1, "2024-01-01 01:30:00"),                               # new session
+        (2, "2024-01-01 00:05:00"), (2, "2024-01-01 00:50:00"),  # 45m > gap
+    ]
+    batch = spark.createDataFrame(
+        rows, "user_id int, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess")
+    batch.write.parquet(src)
+
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = (
+        streaming_session_counts(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    want = {
+        (r["user_id"], str(r["session_start"]), r["n_events"])
+        for r in streaming_session_counts(batch, gap="30 minutes").collect()
+    }
+    assert got == want
+    assert (1, "2024-01-01 00:00:00", 2) in got  # merged session
+    assert (1, "2024-01-01 01:30:00", 1) in got
+    assert len([g for g in got if g[0] == 2]) == 2  # gap split user 2
