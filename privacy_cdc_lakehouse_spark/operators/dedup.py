@@ -318,8 +318,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     broadcast_candidates: bool | str = "auto",
+    with_containment: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs (id_a, id_b).
+
+    ``with_containment=True`` adds the ASYMMETRIC measures from the
+    same intersection (zero extra joins): ``cont_a`` = |∩|/|A| and
+    ``cont_b`` = |∩|/|B| (Broder 1997's containment — a 100-word doc
+    fully embedded in a 10k-word doc scores Jaccard ~0.01 but
+    containment 1.0, the quote/excerpt case symmetric dedup misses)
+    plus ``overlap`` = |∩|/min(|A|,|B|) (the overlap coefficient).
+    The ``threshold`` then keeps a pair if EITHER jaccard or the max
+    containment reaches it.
 
     At scale the candidate list is LSH output (tiny vs n²) — so the
     verify stage must never shuffle the corpus: docs are first
@@ -353,7 +363,7 @@ def ngram_jaccard_pairs(
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    scored = (
         candidates.join(maybe_bc(a), "id_a")
         .join(maybe_bc(b), "id_b")
         .withColumn(
@@ -366,8 +376,25 @@ def ngram_jaccard_pairs(
             "jaccard",
             F.when(F.col("uni") > 0, F.col("inter") / F.col("uni")).otherwise(0.0),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+    )
+    if not with_containment:
+        return scored.filter(F.col("jaccard") >= threshold).select(
+            "id_a", "id_b", "jaccard"
+        )
+
+    def _ratio(denom: Column) -> Column:
+        return F.when(denom > 0, F.col("inter") / denom).otherwise(0.0)
+
+    na, nb = F.size("sh_a").cast("double"), F.size("sh_b").cast("double")
+    return (
+        scored.withColumn("cont_a", _ratio(na))
+        .withColumn("cont_b", _ratio(nb))
+        .withColumn("overlap", _ratio(F.least(na, nb)))
+        .filter(
+            (F.col("jaccard") >= threshold)
+            | (F.greatest("cont_a", "cont_b") >= threshold)
+        )
+        .select("id_a", "id_b", "jaccard", "cont_a", "cont_b", "overlap")
     )
 
 

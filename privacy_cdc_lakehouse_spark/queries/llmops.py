@@ -596,28 +596,45 @@ cand AS (
 
 def q_dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard >= 0.5 over the LSH candidates (the verify
-    stage of the near-dup pipeline; integer-ratio doubles are exact)."""
+    stage of the near-dup pipeline; integer-ratio doubles are exact).
+    Round 12 (cont.): ``with_containment=True`` adds the asymmetric
+    Broder containments + overlap coefficient from the SAME
+    intersection (zero extra joins) and widens the keep rule to
+    either-measure >= 0.5 — every pair's five ratios hash-checked."""
     pin_utc(spark)
     corpus = _augmented(_docs(spark, sf_dir))
     cands = dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS)
-    return dd.ngram_jaccard_pairs(corpus, cands, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return dd.ngram_jaccard_pairs(
+        corpus, cands, threshold=0.5, with_containment=True
+    ).orderBy("id_a", "id_b")
 
 
 _JACCARD_SQL = _MINHASH_CTE + f"""
 , jac AS (
     SELECT c.id_a, c.id_b,
            len(list_intersect(a.shs, b.shs)) AS inter,
-           len(list_distinct(list_concat(a.shs, b.shs))) AS uni
+           len(list_distinct(list_concat(a.shs, b.shs))) AS uni,
+           len(a.shs) AS na, len(b.shs) AS nb
     FROM cand c
     JOIN sh a ON a.doc_id = c.id_a
     JOIN sh b ON b.doc_id = c.id_b
+),
+jacr AS (
+    SELECT id_a, id_b,
+           CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni
+                ELSE 0.0 END AS jaccard,
+           CASE WHEN na > 0 THEN CAST(inter AS DOUBLE) / na
+                ELSE 0.0 END AS cont_a,
+           CASE WHEN nb > 0 THEN CAST(inter AS DOUBLE) / nb
+                ELSE 0.0 END AS cont_b,
+           CASE WHEN least(na, nb) > 0
+                THEN CAST(inter AS DOUBLE) / least(na, nb)
+                ELSE 0.0 END AS overlap
+    FROM jac
 )
-SELECT id_a, id_b,
-       CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END AS jaccard
-FROM jac
-WHERE CASE WHEN uni > 0 THEN CAST(inter AS DOUBLE) / uni ELSE 0.0 END >= 0.5
+SELECT id_a, id_b, jaccard, cont_a, cont_b, overlap
+FROM jacr
+WHERE jaccard >= 0.5 OR greatest(cont_a, cont_b) >= 0.5
 ORDER BY id_a, id_b
 """
 

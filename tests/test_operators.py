@@ -3485,3 +3485,31 @@ def test_rrf_fuse_known_values_and_topk(spark):
         sim.rrf_fuse([])
     with pytest.raises(ValueError, match="k must be"):
         sim.rrf_fuse([a], k=0)
+
+
+def test_containment_catches_subset_duplication(spark):
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    small = "alpha beta gamma delta epsilon zeta"
+    big = small + " " + " ".join(f"filler{i} pad{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, big), (3, "totally different text here entirely")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "id_a long, id_b long"
+    )
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in dd.ngram_jaccard_pairs(
+            docs, cands, threshold=0.8, with_containment=True
+        ).collect()
+    }
+    # the embedded doc: full containment, low jaccard
+    r = out[(1, 2)]
+    assert r["cont_a"] == 1.0 and r["overlap"] == 1.0
+    assert r["jaccard"] < 0.2
+    assert (1, 3) not in out  # unrelated pair filtered
+    # plain mode unchanged: jaccard-only filter drops the subset pair
+    plain = dd.ngram_jaccard_pairs(docs, cands, threshold=0.8).collect()
+    assert plain == []
