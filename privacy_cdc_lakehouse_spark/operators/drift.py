@@ -238,11 +238,29 @@ def drift_report(
     # histogram — three more ≤|bins|-row aggregates, zero extra scans
     div_rows = _divergences_of_shares(coarse)
     w = Window.partitionBy(F.lit(1)).orderBy("bin")  # bounded: ≤ ks_bins rows
-    ks_stat = fine.select(
-        (F.sum("p_ref").over(w) - F.sum("p_cur").over(w)).alias("_d")
-    ).agg(F.round(F.max(F.abs(F.col("_d"))), 6).alias("ks"))
-    ks_row = ks_stat.select(
-        F.lit("ks").alias("metric"), F.col("ks").alias("value")
+    # round 12: Wasserstein-1 (earth mover's) rides the SAME cumulative
+    # diffs as KS — W1 on the quantized grid is Σ|cumF_ref − cumF_cur|
+    # per GRID step, reported DOMAIN-NORMALIZED (÷ ks_bins, grid span
+    # = 1): 0 = identical, →1 = all mass moved across the whole range.
+    # The histogram frame is SPARSE (absent bins carry no row), so each
+    # present bin's cum diff is gap-weighted by the distance to the
+    # next present bin — the cum is constant across empty bins, making
+    # this the EXACT grid EMD, not an approximation.
+    cums = fine.select(
+        "bin", (F.sum("p_ref").over(w) - F.sum("p_cur").over(w)).alias("_d")
+    ).withColumn(
+        "_gap",
+        F.coalesce(F.lead("bin").over(w), F.lit(ks_bins)) - F.col("bin"),
+    )
+    ks_stat = cums.agg(
+        F.round(F.max(F.abs(F.col("_d"))), 6).alias("ks"),
+        F.round(
+            F.sum(F.abs(F.col("_d")) * F.col("_gap")) / F.lit(float(ks_bins)),
+            6,
+        ).alias("w1"),
+    )
+    ks_row = ks_stat.selectExpr(
+        "stack(2, 'ks', ks, 'w1', w1) AS (metric, value)"
     )
     # per-side count/mean/std from ONE tagged two-side scan; the SAME
     # aggregate subtree also supplies the KS p-value's sample sizes

@@ -1085,6 +1085,18 @@ SELECT 'ks', round(max(abs(d)), 6) FROM (
     FROM drift_shares
 )
 UNION ALL
+-- round-12: Wasserstein-1 from the SAME cumulative diffs as KS,
+-- domain-normalized; sparse bins gap-weighted (exact grid EMD)
+SELECT 'w1', round(sum(abs(d) * gap) / 100.0, 6) FROM (
+    SELECT d, coalesce(lead(bin) OVER (ORDER BY bin), 100) - bin AS gap
+    FROM (
+        SELECT bin,
+               sum(p_ref) OVER (ORDER BY bin)
+             - sum(p_cur) OVER (ORDER BY bin) AS d
+        FROM drift_shares
+    )
+)
+UNION ALL
 -- asymptotic TWO-SIDED two-sample KS p-value from the ROUNDED D
 -- (matching the Spark expression term for term): leading Kolmogorov
 -- term 2*exp(-2 lambda^2), clamped to 1
