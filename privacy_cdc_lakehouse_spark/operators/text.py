@@ -1839,3 +1839,45 @@ def textrank_keywords(
         "pos",
         F.row_number().over(Window.orderBy(F.desc("rank6"), F.col("word"))),
     ).select("word", "rank6", "pos")
+
+
+# --- readability ---------------------------------------------------------------
+
+
+def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid grade level (Kincaid et al. 1975) — the classic
+    readability quality signal: 0.39·(words/sentences) +
+    11.8·(syllables/word) − 15.59, with the standard heuristics
+    pinned for cross-engine replay: sentences = runs of ``[.!?]``
+    (floor 1), syllables per word = vowel-group count
+    (``[aeiouy]+`` on the lowercased word, floor 1). All array/regexp
+    arithmetic — no UDF, no extra scan. Appends (n_sentences,
+    n_syllables, fk_grade 6dp)."""
+    c = F.col(text_col)
+    ws = words(c)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    syll = F.aggregate(
+        ws,
+        F.lit(0),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(F.regexp_extract_all(F.lower(w), F.lit("[aeiouy]+"), 0)),
+            F.lit(1),
+        ),
+    )
+    n_words = F.greatest(F.size(ws), F.lit(1))
+    return (
+        df.withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("n_syllables", syll.cast("long"))
+        .withColumn(
+            "fk_grade",
+            F.round(
+                F.lit(0.39) * (n_words / n_sent)
+                + F.lit(11.8) * (F.col("n_syllables") / n_words)
+                - F.lit(15.59),
+                6,
+            ),
+        )
+    )

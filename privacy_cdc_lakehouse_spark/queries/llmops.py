@@ -72,9 +72,12 @@ _DUCK_SHINGLES = (
 
 
 def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-feature aggregates per labeled language."""
+    """Quality-feature aggregates per labeled language. Round 12
+    (cont.): + Flesch-Kincaid readability (``tx.with_readability`` —
+    pinned sentence/syllable heuristics, per-doc 6dp grades) as total
+    sentence/syllable counts and the mean grade, all hash-checked."""
     pin_utc(spark)
-    stats = tx.with_text_stats(_docs(spark, sf_dir))
+    stats = tx.with_readability(tx.with_text_stats(_docs(spark, sf_dir)))
     return (
         stats.groupBy("lang")
         .agg(
@@ -83,6 +86,9 @@ def q_text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
             F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+            F.sum("n_sentences").alias("total_sentences"),
+            F.sum("n_syllables").alias("total_syllables"),
+            F.round(F.avg("fk_grade"), 6).alias("avg_fk_grade"),
         )
         .orderBy("lang")
     )
@@ -103,15 +109,30 @@ feat AS (
            len(list_filter(ws, x -> lower(x) IN ({_STOP_LIST}))) /
              greatest(len(ws), 1) AS stopword_ratio,
            length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) /
-             greatest(length(text), 1) AS punct_ratio
+             greatest(length(text), 1) AS punct_ratio,
+           greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent,
+           coalesce(list_sum(list_transform(ws, x ->
+               greatest(len(regexp_extract_all(lower(x), '[aeiouy]+')), 1))),
+             0) AS n_syll
     FROM w
+),
+fk AS (
+    SELECT lang, n_words, n_tokens, stopword_ratio, punct_ratio,
+           n_sent, n_syll,
+           round(0.39 * (greatest(n_words, 1) / n_sent)
+                 + 11.8 * (n_syll / greatest(n_words, 1))
+                 - 15.59, 6) AS fk_grade
+    FROM feat
 )
 SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_words) AS BIGINT) AS total_words,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
-       round(avg(punct_ratio), 6) AS avg_punct_ratio
-FROM feat GROUP BY lang ORDER BY lang
+       round(avg(punct_ratio), 6) AS avg_punct_ratio,
+       CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+       CAST(sum(n_syll) AS BIGINT) AS total_syllables,
+       round(avg(fk_grade), 6) AS avg_fk_grade
+FROM fk GROUP BY lang ORDER BY lang
 """
 
 
@@ -3077,12 +3098,15 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_text_stats_by_lang(spark, sf_dir)
         .selectExpr(
             "lang",
-            "stack(5, "
+            "stack(8, "
             "'n_docs', CAST(n_docs AS DOUBLE), "
             "'total_words', CAST(total_words AS DOUBLE), "
             "'total_tokens', CAST(total_tokens AS DOUBLE), "
             "'avg_stopword_ratio', avg_stopword_ratio, "
-            "'avg_punct_ratio', avg_punct_ratio) AS (m, v)",
+            "'avg_punct_ratio', avg_punct_ratio, "
+            "'total_sentences', CAST(total_sentences AS DOUBLE), "
+            "'total_syllables', CAST(total_syllables AS DOUBLE), "
+            "'avg_fk_grade', avg_fk_grade) AS (m, v)",
         )
         .select(
             F.lit("stats").alias("kind"),
@@ -3417,10 +3441,13 @@ UNION ALL
 SELECT 'stats', lang || ':' || m, v FROM (
     SELECT lang,
            unnest(ARRAY['n_docs', 'total_words', 'total_tokens',
-                        'avg_stopword_ratio', 'avg_punct_ratio']) AS m,
+                        'avg_stopword_ratio', 'avg_punct_ratio',
+                        'total_sentences', 'total_syllables',
+                        'avg_fk_grade']) AS m,
            unnest(ARRAY[CAST(n_docs AS DOUBLE), CAST(total_words AS DOUBLE),
                         CAST(total_tokens AS DOUBLE), avg_stopword_ratio,
-                        avg_punct_ratio]) AS v
+                        avg_punct_ratio, CAST(total_sentences AS DOUBLE),
+                        CAST(total_syllables AS DOUBLE), avg_fk_grade]) AS v
     FROM ({_TEXT_STATS_SQL})
 )
 UNION ALL

@@ -3513,3 +3513,28 @@ def test_containment_catches_subset_duplication(spark):
     # plain mode unchanged: jaccard-only filter drops the subset pair
     plain = dd.ngram_jaccard_pairs(docs, cands, threshold=0.8).collect()
     assert plain == []
+
+
+def test_readability_fk_grade(spark):
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),
+            (2, "Incomprehensible multisyllabic verbalizations dominate."),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.with_readability(docs).collect()}
+    # doc 1: 6 words, 2 sentences; syllables: the(1) cat(1) sat(1) x2
+    # + dog(1) ran(1) = 6
+    r1 = out[1]
+    assert r1["n_sentences"] == 2 and r1["n_syllables"] == 6
+    assert r1["fk_grade"] == round(0.39 * 3 + 11.8 * 1.0 - 15.59, 6)
+    # long words push the grade up
+    assert out[2]["fk_grade"] > out[1]["fk_grade"]
+    # empty doc: floors keep it finite
+    r3 = out[3]
+    assert r3["n_sentences"] == 1 and r3["n_syllables"] == 0
+    assert r3["fk_grade"] == round(0.39 * 1 + 11.8 * 0.0 - 15.59, 6)
