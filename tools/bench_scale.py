@@ -205,9 +205,12 @@ SCALE_AUDIT: dict[str, list[str]] = {
     "events_rollups": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct", "!SortMergeJoin"],
     # round-10 (cont. 4): privacy release — k-anonymity's class join is
     # |classes|-sized (AQE broadcasts; degrade-not-die un-hinted), the
-    # dp arms are pure groupBy+projection; nothing may window over the
-    # corpus or go all-pairs.
-    "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
+    # dp arms are pure groupBy+projection. The round-12 dpq arm adds
+    # ONE window — the noisy-histogram cumulative, bounded at the
+    # 110-row bin grid BY CONSTRUCTION (the frame is generated from
+    # spark.range(n_bins), not the data), so the blanket !Window is
+    # retired; all-pairs stays forbidden.
+    "sql_privacy_view": ["HashAggregate", "Window", "!CartesianProduct"],
     # round-10 (cont. 5): the expectations arm — all row rules in ONE
     # aggregate pass, uniqueness one groupBy, FK one anti-join; never a
     # corpus window (the dq arm's 1-row scalar cross joins are the

@@ -96,8 +96,11 @@ AUDIT = {
     # round 10: privacy release surface — the kanon arm's class table
     # is ONE aggregate joined back (AQE broadcasts it; a
     # high-cardinality quasi set may legitimately shuffle, so no join
-    # flavor asserted); never a corpus window, never a cartesian.
-    "sql_privacy_view": ["HashAggregate", "!Window", "!CartesianProduct"],
+    # flavor asserted); never a cartesian. Round 12: the dpq arm's
+    # noisy-histogram cumulative adds ONE window, bounded at the
+    # generated 110-row bin grid by construction — the blanket
+    # !Window is retired (positive Window asserted instead).
+    "sql_privacy_view": ["HashAggregate", "Window", "!CartesianProduct"],
     "dedup_jaccard_verified": ["HashAggregate", "Generate"],
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them). The
