@@ -1040,6 +1040,32 @@ def q_bpe_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece scoring at production merge sizing — the gate twin of
+    the BPE production row with ``scoring="wordpiece"`` (Wu et al.
+    likelihood objective): 256 merges over the same widened dict, then
+    the full corpus encode. Prices the objective's extra cost — one
+    vocab-bounded symbol-count aggregate per round on top of the pair
+    aggregate — against ``bpe_train_production``'s baseline. NOT a
+    registry row; consumed by tools/bench_scale.py (n_merges == 256
+    value-asserted, same encode plan contract)."""
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+
+    pin_utc(spark)
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    wf = _bpe_production_dict(spark, sf_dir, corpus, tk)
+    merges, vocab = tk.bpe_train(
+        wf, num_merges=256, checkpoint_every=32, scoring="wordpiece"
+    )
+    enc = tk.bpe_encode(corpus, vocab)
+    return enc.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 3).alias("avg_tokens"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
+
+
 def q_bpe_train_batched_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE at 4x the sequential production row's vocab (1024
     merges, ``batch_size=64`` symbol-disjoint merges per driver round,

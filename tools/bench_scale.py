@@ -163,6 +163,10 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # >=1-row-out expectation plus the n_merges value check below
     # guard against silently-short training.
     "bpe_train_batched_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-12 (cont.): WordPiece objective at the same 256-merge
+    # budget — prices the per-round symbol-count aggregate the
+    # likelihood score adds; same encode plan contract.
+    "wordpiece_train_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round-10 (cont. 2): SCD2 — the feed row now carries the
     # incremental history apply (seed from half the log, scd2_apply the
     # rest): the lead+row_number windows share one key exchange and the
@@ -304,6 +308,7 @@ VALUE_EXPECT = {
     "record_linkage_hotblock": _expect_linkage_hotblock,
     "bpe_train_production": _expect_bpe(256),
     "bpe_train_batched_production": _expect_bpe(1024),
+    "wordpiece_train_production": _expect_bpe(256),
     "mmr_rerank_production": _expect_mmr,
     "scd2_stream_production": _expect_scd2_stream,
     "pagerank_production": _expect_pagerank,
@@ -393,6 +398,7 @@ def main() -> None:
         q_dedup_semantic_pruned_production,
         q_mmr_rerank_production,
         q_sim_pq_pruned_production,
+        q_wordpiece_train_production,
     )
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
@@ -405,6 +411,7 @@ def main() -> None:
     queries["dedup_semantic_pruned"] = q_dedup_semantic_pruned_production
     queries["bpe_train_production"] = q_bpe_train_production
     queries["bpe_train_batched_production"] = q_bpe_train_batched_production
+    queries["wordpiece_train_production"] = q_wordpiece_train_production
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_drift_monitor_production,
         q_pagerank_production,
