@@ -305,3 +305,187 @@ def bpe_encode(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
     )
+
+
+# --- unigram-LM Viterbi segmentation ------------------------------------------
+
+
+def viterbi_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+    piece_col: str = "piece",
+    logp_col: str = "logp",
+    max_piece_len: int = 12,
+    unk_logp: float = -20.0,
+) -> DataFrame:
+    """Max-likelihood segmentation under a unigram piece LM (the
+    SentencePiece/Kudo 2018 INFERENCE step): each word splits into the
+    piece sequence maximizing Σ logp(piece), unknown single characters
+    falling back to ``unk_logp``. Completes the tokenizer triad next
+    to BPE training (merge ranks) and WordPiece training (likelihood
+    merges) — any (piece, logp) table works: a trained unigram vocab,
+    or log-frequencies of a BPE/WordPiece vocab.
+
+    100 TB shape: the segmentation lattice is built relationally —
+    every (word, start, end) substring of length ≤ ``max_piece_len``
+    explodes map-side (≤ |word|·L rows per DISTINCT word) and scores
+    against the piece table in ONE vocabulary join (un-hinted; AQE
+    broadcasts a small vocab). The Viterbi DP then runs per word as a
+    single JVM fold (``F.aggregate`` over positions, array
+    accumulator of (score, backpointer) structs) over the collected
+    edge list — no UDF, no per-row Python, no driver loop; the fold
+    is |word|·L bounded arithmetic. Duplicate words should be
+    pre-distincted by the caller (segment once, join back).
+
+    Output: (word, tokens array<string>, n_tokens, logp 6dp)."""
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
+    w = words.select(F.col(word_col).alias("word")).filter(
+        F.col("word").isNotNull() & (F.length("word") > 0)
+    )
+    # lattice edges: substring (j, i] of length l in [1, L]
+    n = F.length("word")
+    starts = F.sequence(F.lit(0), n - 1)
+    edges = (
+        w.select(
+            "word",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        starts,
+                        lambda j: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(F.lit(max_piece_len), n - j),
+                            ),
+                            lambda l: F.struct(
+                                j.cast("bigint").alias("j"),
+                                (j + l).cast("bigint").alias("i"),
+                                F.substring(
+                                    F.col("word"), (j + 1).cast("int"), l.cast("int")
+                                ).alias("piece"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e"),
+        )
+        .select("word", "e.j", "e.i", "e.piece")
+    )
+    p = pieces.select(
+        F.col(piece_col).alias("piece"),
+        F.col(logp_col).cast("double").alias("logp"),
+    )
+    scored = edges.join(p, "piece")
+    # per word: collect the scored edges, then ONE fold over positions
+    per_word = scored.groupBy("word").agg(
+        F.collect_list(F.struct("j", "i", "piece", "logp")).alias("es")
+    )
+    # re-attach words whose every substring is OOV (empty edge list)
+    per_word = w.join(per_word, "word", "left").select(
+        "word",
+        F.coalesce(
+            "es",
+            F.array().cast(
+                "array<struct<j:bigint,i:bigint,piece:string,logp:double>>"
+            ),
+        ).alias("es"),
+    )
+
+    NEG = float("-inf")
+    unk = F.lit(float(unk_logp))
+
+    # acc: array of (score, back_j, piece) — entry i is best path to
+    # position i; entry 0 is the (0.0, -1, '') base
+    def step(acc, i):
+        cands = F.filter(F.col("es"), lambda e: e["i"] == i)
+        scored_c = F.transform(
+            cands,
+            lambda e: F.struct(
+                (F.element_at(acc, e["j"].cast("int") + 1)["score"] + e["logp"]).alias(
+                    "score"
+                ),
+                e["j"].alias("back"),
+                e["piece"].alias("piece"),
+            ),
+        )
+        # deterministic argmax: max score, then LONGEST piece, then
+        # lexicographic piece (ties are vanishing but pinned anyway)
+        best = F.array_max(
+            F.transform(
+                scored_c,
+                lambda s: F.struct(
+                    s["score"].alias("score"),
+                    F.length(s["piece"]).alias("plen"),
+                    s["piece"].alias("piece"),
+                    s["back"].alias("back"),
+                ),
+            )
+        )
+        # UNK fallback: single char from i-1
+        unk_piece = F.substring(F.col("word"), i.cast("int"), 1)
+        unk_struct = F.struct(
+            (F.element_at(acc, i.cast("int"))["score"] + unk).alias("score"),
+            (i - 1).alias("back"),
+            unk_piece.alias("piece"),
+        )
+        chosen = F.when(
+            best.isNull() | (best["score"] == F.lit(NEG)), unk_struct
+        ).otherwise(
+            F.when(
+                best["score"]
+                >= F.element_at(acc, i.cast("int"))["score"] + unk,
+                F.struct(
+                    best["score"].alias("score"),
+                    best["back"].alias("back"),
+                    best["piece"].alias("piece"),
+                ),
+            ).otherwise(unk_struct)
+        )
+        return F.concat(acc, F.array(chosen))
+
+    base = F.array(
+        F.struct(
+            F.lit(0.0).alias("score"),
+            F.lit(-1).cast("bigint").alias("back"),
+            F.lit("").alias("piece"),
+        )
+    )
+    dp = per_word.select(
+        "word",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word").cast("bigint")), base, step
+        ).alias("dp"),
+    )
+    # backtrack: fold from the end collecting pieces (≤ |word| steps)
+    def back_step(acc, _):
+        # lazy CASE branches: element_at is only reached while pos > 0,
+        # so the exhausted-path iterations never index dp[0]
+        pos = acc["pos"]
+        entry = F.element_at(F.col("dp"), pos.cast("int") + 1)
+        return F.when(pos <= 0, acc).otherwise(
+            F.struct(
+                entry["back"].alias("pos"),
+                F.concat(F.array(entry["piece"]), acc["toks"]).alias("toks"),
+            )
+        )
+
+    back_base = F.struct(
+        (F.size("dp") - 1).cast("bigint").alias("pos"),
+        F.array().cast("array<string>").alias("toks"),
+    )
+    out = dp.select(
+        "word",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word").cast("bigint")),
+            back_base,
+            back_step,
+        )["toks"].alias("tokens"),
+        F.round(F.element_at(F.col("dp"), F.size("dp"))["score"], 6).alias(
+            "logp"
+        ),
+    )
+    return out.select(
+        "word", "tokens", F.size("tokens").cast("long").alias("n_tokens"), "logp"
+    )

@@ -315,3 +315,84 @@ def test_wordpiece_rejects_bad_scoring(spark):
 
     with _pytest.raises(ValueError, match="scoring"):
         bpe_train(_wf_df(spark, {"ab": 1}), 1, scoring="unigram")
+
+
+# --- unigram-LM Viterbi segmentation -------------------------------------------
+
+
+def _py_viterbi(word, scores, L=12, unk=-20.0):
+    n = len(word)
+    best = [(0.0, -1, "")] + [(float("-inf"), -1, "")] * n
+    for i in range(1, n + 1):
+        cands = []
+        for j in range(max(0, i - L), i):
+            piece = word[j:i]
+            if piece in scores:
+                cands.append(
+                    (best[j][0] + scores[piece], len(piece), piece, j)
+                )
+        unk_cand = (best[i - 1][0] + unk, 1, word[i - 1], i - 1)
+        if cands:
+            s, plen, piece, j = max(cands)
+            if s >= unk_cand[0]:
+                best[i] = (s, j, piece)
+                continue
+        best[i] = (unk_cand[0], unk_cand[3], unk_cand[2])
+    toks = []
+    pos = n
+    while pos > 0:
+        s, j, piece = best[pos]
+        toks.append(piece)
+        pos = j
+    return list(reversed(toks)), round(best[n][0], 6)
+
+
+def _seg(spark, words, scores, **kw):
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    pdf = spark.createDataFrame(
+        list(scores.items()), "piece string, logp double"
+    )
+    return {
+        r["word"]: (list(r["tokens"]), r["logp"])
+        for r in tk.viterbi_segment(wdf, pdf, **kw).collect()
+    }
+
+
+def test_viterbi_matches_python_reference(spark):
+    import math
+    import random
+
+    rnd = random.Random(3)
+    pieces = {"a", "b", "c", "ab", "bc", "abc", "cab", "ba", "cc", "abcb"}
+    scores = {p: round(-rnd.uniform(0.5, 8.0), 3) for p in pieces}
+    words = ["".join(rnd.choices("abc", k=rnd.randint(1, 10))) for _ in range(40)]
+    got = _seg(spark, list(set(words)), scores)
+    for w in set(words):
+        toks, lp = _py_viterbi(w, scores)
+        assert got[w][0] == toks, (w, got[w][0], toks)
+        assert math.isclose(got[w][1], lp, abs_tol=1e-6)
+
+
+def test_viterbi_prefers_likely_segmentation(spark):
+    # 'abc' as one piece beats 'a'+'bc' when its logp is higher
+    got = _seg(spark, ["abc"], {"abc": -1.0, "a": -0.4, "bc": -0.4})
+    assert got["abc"][0] == ["a", "bc"]
+    got2 = _seg(spark, ["abc"], {"abc": -0.5, "a": -0.4, "bc": -0.4})
+    assert got2["abc"][0] == ["abc"]
+
+
+def test_viterbi_unk_fallback(spark):
+    got = _seg(spark, ["axb"], {"a": -1.0, "b": -1.0}, unk_logp=-5.0)
+    assert got["axb"][0] == ["a", "x", "b"]
+    assert got["axb"][1] == round(-1.0 - 5.0 - 1.0, 6)
+    # fully OOV word: every char is an UNK
+    got2 = _seg(spark, ["zz"], {"a": -1.0}, unk_logp=-7.0)
+    assert got2["zz"][0] == ["z", "z"] and got2["zz"][1] == -14.0
+
+
+def test_viterbi_respects_max_piece_len(spark):
+    scores = {"abcd": -0.1, "ab": -1.0, "cd": -1.0}
+    full = _seg(spark, ["abcd"], scores)
+    assert full["abcd"][0] == ["abcd"]
+    capped = _seg(spark, ["abcd"], scores, max_piece_len=2)
+    assert capped["abcd"][0] == ["ab", "cd"]
