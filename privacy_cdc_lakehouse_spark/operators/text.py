@@ -1881,3 +1881,64 @@ def with_readability(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+# --- feature hashing -----------------------------------------------------------
+
+
+def hashed_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = 4096,
+    signed: bool = True,
+) -> DataFrame:
+    """Hashing-trick bag-of-words (Weinberger et al. 2009): each token
+    maps to bucket ``md5('fh|'||w) % dim`` — NO vocabulary table, so
+    featurization is one map-side pass + one (id, bucket) aggregate at
+    any corpus size (the vocabulary join the NB path needs simply
+    doesn't exist here). ``signed=True`` applies the collision-
+    debiasing sign hash (±1 from an independent md5 bit), the variant
+    with unbiased inner products. Output: (id, idx array<int>
+    ascending, val array<double>) — a sparse vector per doc; dot
+    products via ``F.zip_with`` over matched indices or a dense
+    scatter. Portable md5 arithmetic — deterministic across engines,
+    partitionings and runs."""
+    if dim < 2:
+        raise ValueError(f"dim must be >= 2, got {dim}")
+    ws = words(F.lower(F.col(text_col)))
+    tok = df.select(F.col(id_col).alias("id"), F.explode(ws).alias("w"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("fh|"), F.col("w"))), 1, 13), 16, 10
+    ).cast("long")
+    if signed:
+        bit = (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("fhs|"), F.col("w"))), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        )
+        sign = F.when(bit == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    else:
+        sign = F.lit(1.0)
+    feat = (
+        tok.select("id", (h % dim).cast("int").alias("idx"), sign.alias("s"))
+        .groupBy("id", "idx")
+        .agg(F.sum("s").alias("val"))
+        .filter(F.col("val") != 0.0)  # signed collisions may cancel
+    )
+    return (
+        feat.groupBy("id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("idx", "val"))
+            ).alias("_iv")
+        )
+        .select(
+            F.col("id").alias(id_col),
+            F.transform("_iv", lambda s: s["idx"]).alias("idx"),
+            F.transform("_iv", lambda s: s["val"]).alias("val"),
+        )
+    )

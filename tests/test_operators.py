@@ -3538,3 +3538,42 @@ def test_readability_fk_grade(spark):
     r3 = out[3]
     assert r3["n_sentences"] == 1 and r3["n_syllables"] == 0
     assert r3["fk_grade"] == round(0.39 * 1 + 11.8 * 0.0 - 15.59, 6)
+
+
+def test_hashed_features_python_parity_and_shape(spark):
+    import hashlib
+
+    from privacy_cdc_lakehouse_spark.operators import text as tx
+
+    def h(w, salt):
+        return int(hashlib.md5(f"{salt}|{w}".encode()).hexdigest()[:13], 16)
+
+    def h1(w):
+        return int(hashlib.md5(f"fhs|{w}".encode()).hexdigest()[0], 16)
+
+    texts = {1: "the quick brown fox the fox", 2: "", 3: "solo"}
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    dim = 64
+    out = {
+        r["doc_id"]: dict(zip(r["idx"], r["val"]))
+        for r in tx.hashed_features(docs, dim=dim).collect()
+    }
+    for did, t in texts.items():
+        want = {}
+        for w in t.lower().split():
+            idx = h(w, "fh") % dim
+            s = 1.0 if h1(w) % 2 == 0 else -1.0
+            want[idx] = want.get(idx, 0.0) + s
+        want = {k: v for k, v in want.items() if v != 0.0}
+        assert out.get(did, {}) == want, (did, out.get(did), want)
+    # indices sorted ascending
+    row = [r for r in tx.hashed_features(docs, dim=dim).collect() if r["doc_id"] == 1][0]
+    assert list(row["idx"]) == sorted(row["idx"])
+    # unsigned mode: plain counts
+    u = {
+        r["doc_id"]: dict(zip(r["idx"], r["val"]))
+        for r in tx.hashed_features(docs, dim=dim, signed=False).collect()
+    }
+    assert sum(u[1].values()) == 6.0  # six tokens, all +1
