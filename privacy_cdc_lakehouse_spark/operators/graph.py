@@ -44,6 +44,7 @@ def pagerank(
     round_dp: int = 9,
     checkpoint_every: int | None = None,
     weight: str | None = None,
+    personalize: DataFrame | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list.
 
@@ -67,6 +68,16 @@ def pagerank(
     Unweighted is exactly weight≡1.0 (the shares reduce to
     rank/out_deg bit-identically, so the hash-checked unweighted
     oracles are unaffected by this unification).
+
+    ``personalize`` (optional DataFrame with a ``node`` column) makes
+    it personalized PageRank (Page et al. §6 "personalized"; Haveliwala
+    2002): BOTH the teleport and the dangling redistribution target
+    the seed set uniformly (1/|seeds| on seeds, 0 elsewhere) instead
+    of all nodes — ranks then measure proximity TO THE SEEDS, the
+    similarity-expansion / recommendation form. rank_0 is also the
+    seed distribution. Seeds not present in the graph are ignored
+    (they can receive no mass); an empty effective seed set raises at
+    plan build where detectable, else yields all-zero ranks.
 
     Returns (node, rank, out_deg) — one row per node (out_deg is the
     out-edge COUNT unweighted, the out-weight SUM weighted).
@@ -103,17 +114,48 @@ def pagerank(
     )
     # N rides a broadcast 1-row scalar — never collected.
     n_nodes = base.agg(F.count(F.lit(1)).alias("_n"))
-    base = ensure_parallelism(base.crossJoin(F.broadcast(n_nodes)))
-    # One persist: `base` (with N) is the spine of every iteration.
+    base = base.crossJoin(F.broadcast(n_nodes))
+    if personalize is not None:
+        seeds = personalize.select(
+            F.col("node").cast("long").alias("node"), F.lit(True).alias("_is_seed")
+        ).distinct()
+        n_seeds = (
+            base.join(F.broadcast(seeds), "node", "left_semi")
+            .agg(F.count(F.lit(1)).alias("_ns"))
+        )
+        base = (
+            base.join(F.broadcast(seeds), "node", "left")
+            .crossJoin(F.broadcast(n_seeds))
+            # seed share s(v): 1/|effective seeds| on seeds, 0 elsewhere
+            .select(
+                "node",
+                "out_deg",
+                "_n",
+                F.when(
+                    F.col("_is_seed").isNotNull(),
+                    F.lit(1.0) / F.col("_ns"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("_s"),
+            )
+        )
+    else:
+        base = base.select(
+            "node", "out_deg", "_n", (F.lit(1.0) / F.col("_n")).alias("_s")
+        )
+    base = ensure_parallelism(base)
+    # One persist: `base` (with N and the teleport share) is the spine
+    # of every iteration.
     base = base.localCheckpoint(eager=False)
 
     rank = base.select(
         "node",
         "out_deg",
         "_n",
-        F.round(F.lit(1.0) / F.col("_n"), round_dp).alias("rank"),
+        "_s",
+        F.round(F.col("_s"), round_dp).alias("rank"),
     )
-    teleport = F.lit(1.0 - damping) / F.col("_n")
+    teleport = F.lit(1.0 - damping) * F.col("_s")
     for i in range(iterations):
         contrib = (
             e.join(
@@ -141,12 +183,13 @@ def pagerank(
                 "node",
                 "out_deg",
                 "_n",
+                "_s",
                 F.round(
                     teleport
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("_c"), F.lit(0.0))
-                        + F.col("_dang") / F.col("_n")
+                        + F.col("_dang") * F.col("_s")
                     ),
                     round_dp,
                 ).alias("rank"),

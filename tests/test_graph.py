@@ -295,3 +295,73 @@ def test_label_propagation_tiebreak_and_unreached(spark):
     assert out[3] == 5  # tie 1v1 -> min label
     assert out[9] is None  # only unlabeled upstream
     assert out[8] is None
+
+
+# --- personalized PageRank -------------------------------------------------------
+
+
+def _py_ppr(edges, seeds, iterations=5, damping=0.85, dp=9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    eff = [v for v in nodes if v in seeds]
+    s = {v: (1.0 / len(eff) if v in eff else 0.0) for v in nodes}
+    outdeg = {v: 0 for v in nodes}
+    for a, _ in edges:
+        outdeg[a] += 1
+    rank = {v: round(s[v], dp) for v in nodes}
+    for _ in range(iterations):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / outdeg[a]
+        dang = sum(rank[v] for v in nodes if outdeg[v] == 0)
+        rank = {
+            v: round(
+                (1 - damping) * s[v] + damping * (contrib[v] + dang * s[v]), dp
+            )
+            for v in nodes
+        }
+    return rank
+
+
+def test_personalized_pagerank_matches_python_reference(spark):
+    rnd = random.Random(17)
+    edges = sorted({(rnd.randrange(20), rnd.randrange(20)) for _ in range(60)})
+    edges = [e for e in edges if e[0] != e[1]]
+    seeds = {0, 3, 7}
+    sdf = spark.createDataFrame([(v,) for v in seeds], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(
+            _edges_df(spark, edges), iterations=5, personalize=sdf
+        ).collect()
+    }
+    want = _py_ppr(edges, seeds, iterations=5)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) <= 2e-9
+
+
+def test_personalized_pagerank_concentrates_near_seeds(spark):
+    # two disconnected cycles; seeding one leaves the other at ~0
+    c1 = [(i, (i + 1) % 4) for i in range(4)]
+    c2 = [(10 + i, 10 + (i + 1) % 4) for i in range(4)]
+    sdf = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(
+            _edges_df(spark, c1 + c2), iterations=6, personalize=sdf
+        ).collect()
+    }
+    assert all(got[v] == 0.0 for v in range(10, 14))
+    assert got[0] > 0.2
+    assert abs(sum(got.values()) - 1.0) < 1e-6  # mass conserved on seeds side
+
+
+def test_personalized_seeds_absent_from_graph_ignored(spark):
+    edges = [(1, 2), (2, 1)]
+    sdf = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(_edges_df(spark, edges), personalize=sdf).collect()
+    }
+    assert set(got) == {1, 2}
+    assert abs(sum(got.values()) - 1.0) < 1e-6
