@@ -1706,3 +1706,41 @@ def rrf_fuse(
     if top_k is not None:
         out = out.filter(F.col("rrf_rank") <= top_k)
     return out
+
+
+def random_projection(
+    df: DataFrame,
+    dim_out: int,
+    vec_col: str = "embedding",
+    seed: int = 0,
+    normalize: bool = True,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with the ±1
+    (Achlioptas 2003) matrix: ``y_k = <x, plane_k> / sqrt(dim_out)``
+    over ``dim_out`` deterministic ±1 planes (:func:`plane_vector` —
+    the SAME seeded-plane contract the LSH layer uses, so the planes
+    are plan literals with zero per-row hashing). The cheap
+    alternative to :func:`pca_model` at 100 TB: NO training pass, no
+    moments aggregation — projection is a single codegen'd map over
+    the corpus, distances preserved within the JL 1±ε bound instead
+    of optimally. ``normalize=False`` skips the 1/sqrt(k) scaling
+    (irrelevant for cosine). Replaces ``vec_col`` with the projected
+    ``array<double>``."""
+    if dim_out < 1:
+        raise ValueError(f"dim_out must be >= 1, got {dim_out}")
+    first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    dim_in = first[0]["d"] if first else 0
+    v = as_double(F.col(vec_col))
+    comps = [
+        _dot(
+            v,
+            F.array(
+                *[F.lit(x) for x in plane_vector(seed * 100_003 + k, dim_in)]
+            ),
+        )
+        for k in range(dim_out)
+    ]
+    scale = 1.0 / (dim_out ** 0.5) if normalize else 1.0
+    return df.withColumn(
+        vec_col, F.array(*[(c * F.lit(scale)) for c in comps])
+    )

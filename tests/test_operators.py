@@ -3577,3 +3577,56 @@ def test_hashed_features_python_parity_and_shape(spark):
         for r in tx.hashed_features(docs, dim=dim, signed=False).collect()
     }
     assert sum(u[1].values()) == 6.0  # six tokens, all +1
+
+
+def test_random_projection_jl_distance_preservation(spark):
+    import math
+    import random
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    rnd = random.Random(23)
+    dim, k, n = 64, 32, 30
+    vecs = [
+        (i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    proj = {
+        r["vec_id"]: list(r["embedding"])
+        for r in sim.random_projection(df, k, seed=1).collect()
+    }
+    assert all(len(v) == k for v in proj.values())
+    # deterministic: same seed -> identical output
+    proj2 = {
+        r["vec_id"]: list(r["embedding"])
+        for r in sim.random_projection(df, k, seed=1).collect()
+    }
+    assert proj == proj2
+    # JL bound (loose, statistical): median pairwise distance ratio near 1
+    def dist(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for i in range(0, n, 3):
+        for j in range(i + 1, n, 7):
+            d0 = dist(vecs[i][1], vecs[j][1])
+            d1 = dist(proj[i], proj[j])
+            if d0 > 0:
+                ratios.append(d1 / d0)
+    ratios.sort()
+    med = ratios[len(ratios) // 2]
+    assert 0.7 < med < 1.3, med
+    # python parity of one component: y_0 = <x, plane> / sqrt(k)
+    import hashlib
+
+    def plane(seedk, d):
+        return [
+            1.0
+            if int(hashlib.md5(f"p{seedk}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(d)
+        ]
+
+    p0 = plane(1 * 100_003 + 0, dim)
+    want = sum(a * b for a, b in zip(vecs[0][1], p0)) / math.sqrt(k)
+    assert abs(proj[0][0] - want) < 1e-9
