@@ -527,3 +527,59 @@ def label_propagation_oracle_ctes(
 )"""
         )
     return ",\n".join(ctes)
+
+
+def triangles(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triangle counting (the node-iterator join, Suri & Vassilvitskii
+    2011's MapReduce classic): edges canonicalize to undirected
+    distinct (a < b, self-loops dropped), then each triangle a<b<c is
+    found exactly once by joining (a,b)⋈(b,c) and closing with (a,c).
+    Per-node counts credit all three corners. The standard uses are
+    clustering-coefficient quality signals and link-spam detection on
+    web graphs.
+
+    Scale: TWO equi-joins on single node keys — the open-wedge
+    intermediate is Σ_b deg(b)² in the worst case, which is why
+    production runs pre-filter to a degree cap or orient edges by
+    degree; the canonical a<b<c orientation here already avoids the
+    3× duplication. All-integer → deterministic everywhere.
+
+    Returns (node, n_triangles) for every node in the graph (0 for
+    triangle-free nodes)."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ab = und
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    return nodes.join(corners, "node", "left").select(
+        "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
+    )

@@ -365,3 +365,46 @@ def test_personalized_seeds_absent_from_graph_ignored(spark):
     }
     assert set(got) == {1, 2}
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+# --- triangle counting -----------------------------------------------------------
+
+
+def _py_triangles(edges):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            if c > b:  # a < b < c counted once, credit all corners
+                counts[a] += 1
+                counts[b] += 1
+                counts[c] += 1
+    return counts
+
+
+def test_triangles_matches_python_reference(spark):
+    rnd = random.Random(41)
+    edges = sorted({(rnd.randrange(20), rnd.randrange(20)) for _ in range(80)})
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in G.triangles(_edges_df(spark, edges)).collect()
+    }
+    assert got == _py_triangles(edges)
+
+
+def test_triangles_known_shapes(spark):
+    # K4 has 4 triangles; each node sits on 3 of them
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    out = {r["node"]: r["n_triangles"] for r in G.triangles(_edges_df(spark, k4)).collect()}
+    assert out == {0: 3, 1: 3, 2: 3, 3: 3}
+    # a path has none; direction/duplicates/self-loops don't matter
+    path = [(0, 1), (1, 0), (1, 2), (2, 2)]
+    out2 = {r["node"]: r["n_triangles"] for r in G.triangles(_edges_df(spark, path)).collect()}
+    assert out2 == {0: 0, 1: 0, 2: 0}
