@@ -143,7 +143,15 @@ def main() -> None:
         fn = queries[name]
         samples = []
         rows = []
-        n = flagship_reps if name.startswith("cdc_orders_current") else reps
+        # sql_merge_orders joins the flagship pair at 5 reps (round-12
+        # watch item: its medians-of-3 swung 1.22x with NO code change
+        # on its path — [8.08, 5.82, 5.19] raw samples — so it gets the
+        # same noise immunity the r11 cdc_orders_current settlement got)
+        n = (
+            flagship_reps
+            if name.startswith("cdc_orders_current") or name == "sql_merge_orders"
+            else reps
+        )
         for _ in range(n):
             t0 = time.time()
             rows = fn(spark, sf_dir).collect()

@@ -76,8 +76,9 @@ def pagerank(
     of all nodes — ranks then measure proximity TO THE SEEDS, the
     similarity-expansion / recommendation form. rank_0 is also the
     seed distribution. Seeds not present in the graph are ignored
-    (they can receive no mass); an empty effective seed set raises at
-    plan build where detectable, else yields all-zero ranks.
+    (they can receive no mass); an empty EFFECTIVE seed set (every
+    seed absent from the graph) fails loudly at first action via the
+    in-plan ``assert_true`` guard.
 
     Returns (node, rank, out_deg) — one row per node (out_deg is the
     out-edge COUNT unweighted, the out-weight SUM weighted).
@@ -123,6 +124,19 @@ def pagerank(
             base.join(F.broadcast(seeds), "node", "left_semi")
             .agg(F.count(F.lit(1)).alias("_ns"))
         )
+        # assert_true → NULL on success (the repo's loud-failure
+        # idiom): a personalize frame whose seeds are ALL absent from
+        # the graph has no distribution to teleport to — without the
+        # guard 1.0/_ns with _ns=0 yields NULL ranks everywhere
+        # (round-12 advice: the docstring promised a raise; now it
+        # actually raises at first action).
+        ns_ok = F.assert_true(
+            F.col("_ns") > 0,
+            F.lit(
+                "pagerank(personalize=...): no seed node is present in "
+                "the graph — the personalization distribution is empty"
+            ),
+        )
         base = (
             base.join(F.broadcast(seeds), "node", "left")
             .crossJoin(F.broadcast(n_seeds))
@@ -132,7 +146,7 @@ def pagerank(
                 "out_deg",
                 "_n",
                 F.when(
-                    F.col("_is_seed").isNotNull(),
+                    ns_ok.isNull() & F.col("_is_seed").isNotNull(),
                     F.lit(1.0) / F.col("_ns"),
                 )
                 .otherwise(F.lit(0.0))

@@ -1711,6 +1711,7 @@ def rrf_fuse(
 def random_projection(
     df: DataFrame,
     dim_out: int,
+    dim_in: int,
     vec_col: str = "embedding",
     seed: int = 0,
     normalize: bool = True,
@@ -1725,11 +1726,17 @@ def random_projection(
     the corpus, distances preserved within the JL 1±ε bound instead
     of optimally. ``normalize=False`` skips the 1/sqrt(k) scaling
     (irrelevant for cosine). Replaces ``vec_col`` with the projected
-    ``array<double>``."""
+    ``array<double>``.
+
+    ``dim_in`` is EXPLICIT (the LSH layer's contract: plane length is
+    caller-declared, like ``lsh_index(dim=)``) — the earlier
+    sniff-one-row fallback was an eager driver job at plan-build time
+    with undefined semantics on mixed-dim or streaming frames, so it
+    violated the never-collect design contract (round-12 advice)."""
     if dim_out < 1:
         raise ValueError(f"dim_out must be >= 1, got {dim_out}")
-    first = df.select(F.size(vec_col).alias("d")).limit(1).collect()
-    dim_in = first[0]["d"] if first else 0
+    if dim_in < 1:
+        raise ValueError(f"dim_in must be >= 1, got {dim_in}")
     v = as_double(F.col(vec_col))
     comps = [
         _dot(

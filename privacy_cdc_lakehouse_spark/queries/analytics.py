@@ -634,7 +634,10 @@ UNION ALL
 -- (k-1)*SPACE/kth, exact count when unsaturated; theta intersection
 SELECT m.cohort, m.n_customers FROM (
     WITH kmv_big AS (
-        SELECT CAST({_hex13_mod(16 ** 13)} AS BIGINT) AS hv
+        -- DISTINCT mirrors kmv_urg and the Spark kmv_build().distinct()
+        -- contract (round-12 advice: parity held only because big is
+        -- pre-distincted on o_custkey — don't rely on that upstream)
+        SELECT DISTINCT CAST({_hex13_mod(16 ** 13)} AS BIGINT) AS hv
         FROM (SELECT md5('kmv|' || CAST(o_custkey AS VARCHAR)) AS h FROM big)
         ORDER BY hv LIMIT 64
     ),

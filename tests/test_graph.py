@@ -367,6 +367,18 @@ def test_personalized_seeds_absent_from_graph_ignored(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_personalized_all_seeds_absent_fails_loudly(spark):
+    # round-12 advice: an empty EFFECTIVE seed set used to yield NULL
+    # ranks silently (1.0/_ns with _ns=0); now the in-plan assert_true
+    # fires at first action
+    import pytest as _pytest
+
+    edges = [(1, 2), (2, 1)]
+    sdf = spark.createDataFrame([(98,), (99,)], "node long")
+    with _pytest.raises(Exception, match="no seed node is present"):
+        G.pagerank(_edges_df(spark, edges), personalize=sdf).collect()
+
+
 # --- triangle counting -----------------------------------------------------------
 
 

@@ -3593,13 +3593,13 @@ def test_random_projection_jl_distance_preservation(spark):
     df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
     proj = {
         r["vec_id"]: list(r["embedding"])
-        for r in sim.random_projection(df, k, seed=1).collect()
+        for r in sim.random_projection(df, k, dim, seed=1).collect()
     }
     assert all(len(v) == k for v in proj.values())
     # deterministic: same seed -> identical output
     proj2 = {
         r["vec_id"]: list(r["embedding"])
-        for r in sim.random_projection(df, k, seed=1).collect()
+        for r in sim.random_projection(df, k, dim, seed=1).collect()
     }
     assert proj == proj2
     # JL bound (loose, statistical): median pairwise distance ratio near 1

@@ -310,6 +310,28 @@ def test_wordpiece_matches_python_reference(spark):
     assert got_segs == want_reprs
 
 
+def test_wordpiece_batched_matches_sequential_set_on_disjoint_corpus(spark):
+    """The disjoint-batch machinery is scoring-agnostic (round-12
+    verdict task #1): under the WordPiece likelihood objective, batched
+    training on a disjoint-alphabet corpus must reach the SAME merge
+    set and the SAME final segmentation as sequential (order may
+    differ — the documented fast-trainer approximation, same standing
+    as the BPE parity test)."""
+    wf = _wf_df(spark, {"ab": 100, "cd": 90, "ef": 80, "gh": 70})
+    seq_m, seq_v = bpe_train(wf, 8, scoring="wordpiece", batch_size=1)
+    bat_m, bat_v = bpe_train(wf, 8, scoring="wordpiece", batch_size=8)
+    assert sorted(seq_m) == sorted(bat_m)
+    seq = {r["word"]: list(r["tokens"]) for r in seq_v.collect()}
+    bat = {r["word"]: list(r["tokens"]) for r in bat_v.collect()}
+    assert seq == bat
+    # conflict-free head (one admissible pick per round): exact order
+    m1, _ = bpe_train(_wf_df(spark, {"ab": 7}), 2, scoring="wordpiece",
+                      batch_size=1)
+    m4, _ = bpe_train(_wf_df(spark, {"ab": 7}), 2, scoring="wordpiece",
+                      batch_size=4)
+    assert m1 == m4 == [("a", "b"), ("ab", "</w>")]
+
+
 def test_wordpiece_rejects_bad_scoring(spark):
     import pytest as _pytest
 

@@ -163,10 +163,18 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # >=1-row-out expectation plus the n_merges value check below
     # guard against silently-short training.
     "bpe_train_batched_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
-    # round-12 (cont.): WordPiece objective at the same 256-merge
-    # budget — prices the per-round symbol-count aggregate the
-    # likelihood score adds; same encode plan contract.
+    # round-13: WordPiece resized to a SMALL sequential reference row
+    # (64 merges — the per-merge $ figure); the production-sized
+    # WordPiece claim moved to the batched row below (round-12 verdict
+    # task #1: the 256-merge sequential row was the gate's most
+    # expensive purely from driver round trips the batched path
+    # eliminates). Same encode plan contract.
     "wordpiece_train_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-13 (cont.): batched WordPiece HEADLINE — 1024 merges at 64
+    # symbol-disjoint picks per round; must scale sub-linearly vs the
+    # sequential reference (the BPE-batched precedent); n_merges==1024
+    # value-asserted below.
+    "wordpiece_train_batched_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round-10 (cont. 2): SCD2 — the feed row now carries the
     # incremental history apply (seed from half the log, scd2_apply the
     # rest): the lead+row_number windows share one key exchange and the
@@ -273,6 +281,10 @@ def _expect_pagerank(rows) -> list[str]:
         return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
     tops = [r for r in rows if r["pos"] > 0]
     summary = [r for r in rows if r["pos"] == 0]
+    # round-12 advice: report a clean failure instead of IndexError if
+    # the 21 rows carry no pos==0 summary row
+    if not summary:
+        return ["missing pos==0 summary row"]
     fails = []
     if sorted(r["pos"] for r in tops) != list(range(1, 21)):
         fails.append("top-20 positions not 1..20")
@@ -308,7 +320,8 @@ VALUE_EXPECT = {
     "record_linkage_hotblock": _expect_linkage_hotblock,
     "bpe_train_production": _expect_bpe(256),
     "bpe_train_batched_production": _expect_bpe(1024),
-    "wordpiece_train_production": _expect_bpe(256),
+    "wordpiece_train_production": _expect_bpe(64),
+    "wordpiece_train_batched_production": _expect_bpe(1024),
     "mmr_rerank_production": _expect_mmr,
     "scd2_stream_production": _expect_scd2_stream,
     "pagerank_production": _expect_pagerank,
@@ -398,6 +411,7 @@ def main() -> None:
         q_dedup_semantic_pruned_production,
         q_mmr_rerank_production,
         q_sim_pq_pruned_production,
+        q_wordpiece_train_batched_production,
         q_wordpiece_train_production,
     )
 
@@ -412,6 +426,9 @@ def main() -> None:
     queries["bpe_train_production"] = q_bpe_train_production
     queries["bpe_train_batched_production"] = q_bpe_train_batched_production
     queries["wordpiece_train_production"] = q_wordpiece_train_production
+    queries["wordpiece_train_batched_production"] = (
+        q_wordpiece_train_batched_production
+    )
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_drift_monitor_production,
         q_pagerank_production,
