@@ -237,6 +237,8 @@ def pagerank_oracle_ctes(
     iterations: int = 5,
     damping: str = "0.85",
     dp: int = 9,
+    weight: str | None = None,
+    personalize_cte: str | None = None,
 ) -> str:
     """DuckDB chained-CTE replay of :func:`pagerank`'s pinned
     semantics over an already-defined edges CTE (columns src, dst).
@@ -245,6 +247,23 @@ def pagerank_oracle_ctes(
     (tpch_join_panel's relation graph, the textrank keyword arm)
     generates its SQL from THIS one definition.
 
+    ``weight`` (round 13): name of an edge-weight column on the edges
+    CTE — replays the weighted form (out_deg = Σ w, contribution
+    rank·w/out_w). For cross-engine hash parity the weights must be
+    INTEGRAL (or dyadic): integer-valued doubles sum exactly in any
+    order in both engines, so the out-weight aggregate is
+    bit-identical; arbitrary floats would make out_deg
+    summation-order dependent BEFORE the per-iteration rounding can
+    absorb it.
+
+    ``personalize_cte`` (round 13): name of a CTE with a ``node``
+    column — replays personalized PageRank: the per-node teleport
+    share s(v) (1/|effective seeds| on seeds, 0 elsewhere) seeds
+    rank_0 and receives both the teleport and the dangling mass.
+    Emits an extra {prefix}_ns scalar CTE. The unpersonalized branch
+    keeps the original s ≡ 1/N algebraic form byte-for-byte so
+    existing hash-checked arms are untouched.
+
     ``(1.0 - {damping})`` is written as arithmetic, not a folded
     decimal, so both engines produce the identical IEEE double for the
     teleport constant; per-iteration round({dp}) pins every
@@ -252,19 +271,69 @@ def pagerank_oracle_ctes(
     {prefix}_r0..r{iterations}; the caller selects from the last."""
     p = prefix
     nn = f"(SELECT nn FROM {p}_n)"
+    out_deg_sql = (
+        f"SELECT src AS node, CAST(sum({weight}) AS DOUBLE) AS out_deg"
+        if weight is not None
+        else "SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg"
+    )
+    contrib_term = (
+        f"sum(r.rank / r.out_deg * e.{weight})"
+        if weight is not None
+        else "sum(r.rank / r.out_deg)"
+    )
     ctes = [
         f"""{p}_base AS MATERIALIZED (
     SELECT n.node, coalesce(o.out_deg, 0.0) AS out_deg
     FROM (SELECT src AS node FROM {edges_cte}
           UNION SELECT dst FROM {edges_cte}) n
-    LEFT JOIN (SELECT src AS node, CAST(count(*) AS DOUBLE) AS out_deg
+    LEFT JOIN ({out_deg_sql}
                FROM {edges_cte} GROUP BY 1) o USING (node)
 ),
-{p}_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {p}_base),
+{p}_n AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS nn FROM {p}_base)"""
+    ]
+    if personalize_cte is not None:
+        # seed share s(v): 1/|seeds present in the graph| on seeds, 0
+        # elsewhere — both the teleport and the dangling mass target it
+        ctes.append(
+            f"""{p}_ns AS MATERIALIZED (
+    SELECT CAST(count(*) AS DOUBLE) AS ns FROM {p}_base b
+    WHERE b.node IN (SELECT node FROM {personalize_cte})
+),
+{p}_s AS MATERIALIZED (
+    SELECT b.node, b.out_deg,
+           CASE WHEN b.node IN (SELECT node FROM {personalize_cte})
+                THEN 1.0 / (SELECT ns FROM {p}_ns) ELSE 0.0 END AS s
+    FROM {p}_base b
+),
 {p}_r0 AS MATERIALIZED (
+    SELECT node, out_deg, s, round(s, {dp}) AS rank FROM {p}_s
+)"""
+        )
+        for i in range(1, iterations + 1):
+            prev = f"{p}_r{i - 1}"
+            ctes.append(
+                f"""{p}_r{i} AS MATERIALIZED (
+    SELECT b.node, b.out_deg, b.s,
+           round((1.0 - {damping}) * b.s
+                 + {damping} * (coalesce(c.s, 0.0)
+                     + (SELECT coalesce(sum(rank), 0.0) FROM {prev}
+                        WHERE out_deg = 0) * b.s),
+                 {dp}) AS rank
+    FROM {p}_s b
+    LEFT JOIN (
+        SELECT e.dst AS node, {contrib_term} AS s
+        FROM {prev} r JOIN {edges_cte} e ON e.src = r.node
+        WHERE r.out_deg > 0
+        GROUP BY e.dst
+    ) c USING (node)
+)"""
+            )
+        return ",\n".join(ctes)
+    ctes.append(
+        f"""{p}_r0 AS MATERIALIZED (
     SELECT node, out_deg, round(1.0 / {nn}, {dp}) AS rank FROM {p}_base
 )"""
-    ]
+    )
     for i in range(1, iterations + 1):
         prev = f"{p}_r{i - 1}"
         ctes.append(
@@ -277,7 +346,7 @@ def pagerank_oracle_ctes(
                  {dp}) AS rank
     FROM {p}_base b
     LEFT JOIN (
-        SELECT e.dst AS node, sum(r.rank / r.out_deg) AS s
+        SELECT e.dst AS node, {contrib_term} AS s
         FROM {prev} r JOIN {edges_cte} e ON e.src = r.node
         WHERE r.out_deg > 0
         GROUP BY e.dst
@@ -544,24 +613,43 @@ def label_propagation_oracle_ctes(
 
 
 def triangles(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
 ) -> DataFrame:
-    """Triangle counting (the node-iterator join, Suri & Vassilvitskii
-    2011's MapReduce classic): edges canonicalize to undirected
-    distinct (a < b, self-loops dropped), then each triangle a<b<c is
-    found exactly once by joining (a,b)⋈(b,c) and closing with (a,c).
-    Per-node counts credit all three corners. The standard uses are
+    """Triangle counting over the simple undirected graph (edges
+    canonicalize to distinct a < b, self-loops dropped). Per-node
+    counts credit all three corners. The standard uses are
     clustering-coefficient quality signals and link-spam detection on
-    web graphs.
+    web graphs. All-integer → deterministic everywhere; both
+    orientations return identical counts (pytest-pinned).
 
-    Scale: TWO equi-joins on single node keys — the open-wedge
-    intermediate is Σ_b deg(b)² in the worst case, which is why
-    production runs pre-filter to a degree cap or orient edges by
-    degree; the canonical a<b<c orientation here already avoids the
-    3× duplication. All-integer → deterministic everywhere.
+    ``orient`` picks the wedge-join strategy:
+
+    - ``"degree"`` (default, the Suri & Vassilvitskii 2011 /
+      degree-oriented production form): every undirected edge orients
+      from the LOWER (degree, id) endpoint to the higher, and wedges
+      open only at each triangle's unique order-minimal corner. The
+      open-wedge intermediate drops from Σ deg(v)² to
+      Σ outdeg(v)² ≤ O(|E|^1.5) — out-degrees under degree
+      orientation are O(√|E|)-bounded even on power-law graphs, which
+      is exactly the property that makes this safe on a 100 TB web
+      graph where the unoriented join explodes on hub nodes (the
+      round-12 verdict's scale tail).
+    - ``"canonical"``: the plain node-iterator a<b<c join — each
+      triangle found once by (a,b)⋈(b,c) closed with (a,c). Simpler
+      plan (no degree pass), fine when degrees are bounded; kept as
+      the parity reference.
+
+    Scale (degree path): one |V|-sized degree aggregate, TWO
+    equi-joins on single node keys, and a semi-join close — shuffles
+    carry |E|, then Σ outdeg² ≤ |E|^1.5 wedge rows.
 
     Returns (node, n_triangles) for every node in the graph (0 for
     triangle-free nodes)."""
+    if orient not in ("degree", "canonical"):
+        raise ValueError(f"orient must be 'degree' or 'canonical', got {orient!r}")
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -570,18 +658,55 @@ def triangles(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    ab = und
-    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-    tri = (
-        ab.join(bc, "b")
-        .join(
-            ac,
-            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-            "left_semi",
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
         )
-        .select("a", "b", "c")
-    )
+        ed = und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")), "b"
+        )
+        # total order (deg, id): lo = the order-minimal endpoint
+        a_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        e_or = ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_hd"),
+        )
+        w1 = e_or.select("lo", F.col("hi").alias("y"), F.col("_hd").alias("_yd"))
+        w2 = e_or.select("lo", F.col("hi").alias("z"), F.col("_hd").alias("_zd"))
+        # wedges at the order-minimal corner, out-neighbors ordered so
+        # each triangle opens exactly once
+        wedge = w1.join(w2, "lo").filter(
+            (F.col("_yd") < F.col("_zd"))
+            | ((F.col("_yd") == F.col("_zd")) & (F.col("y") < F.col("z")))
+        )
+        # the y→z closing edge is oriented (y,z) by construction:
+        # y precedes z in the same total order
+        tri = wedge.join(
+            e_or.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        ).select(F.col("lo").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
+    else:
+        ab = und
+        bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+        tri = (
+            ab.join(bc, "b")
+            .join(
+                ac,
+                (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+                "left_semi",
+            )
+            .select("a", "b", "c")
+        )
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))

@@ -1805,6 +1805,45 @@ def _relation_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e1.unionByName(e2).unionByName(e3)
 
 
+def _relation_graph_edges_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted variant of the relation graph: cust→supp carries the
+    LINEITEM MULTIPLICITY between the pair (purchase volume — the
+    natural edge strength), the structural supp→nation / nation→cust
+    edges weight 1. Weights are INTEGRAL by construction — the
+    cross-engine exactness contract of the weighted PageRank oracle
+    replay (integer-valued doubles sum exactly in any order, so the
+    out-weight totals are bit-identical in Spark and DuckDB)."""
+    ordk = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    lik = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    suppk = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    e1 = (
+        ordk.join(lik, ordk.o_orderkey == lik.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey") + 10_000_000).cast("long").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    e2 = (
+        suppk.select(
+            (F.col("s_suppkey") + 10_000_000).cast("long").alias("src"),
+            (F.col("s_nationkey") + 20_000_000).cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    e3 = (
+        cust.select(
+            (F.col("c_nationkey") + 20_000_000).cast("long").alias("src"),
+            F.col("c_custkey").cast("long").alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+    )
+    return e1.unionByName(e2).unionByName(e3)
+
+
 def q_pagerank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-only PageRank at production sizing (the registry's ``pr``
     arm rides tpch_join_panel; this row prices the graph operator
@@ -1831,6 +1870,34 @@ def q_pagerank_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("node"),
         F.sum("rank").alias("rank"),
     ).select("node", "rank", F.lit(0).cast("long").alias("pos"))
+    return top.unionByName(total)
+
+
+def q_triangles_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only triangle counting at production sizing (the
+    registry's ``tri`` arm rides tpch_join_panel; this row prices the
+    DEGREE-ORIENTED wedge join alone at the gate fixture's graph —
+    round-12 verdict task #4: the unoriented node-iterator's Σ deg²
+    intermediate is a scale-killer on power-law graphs, and this row
+    is the standing evidence the oriented path holds at 10x). Returns
+    the top-20 nodes (pos 1..20) plus a summary row (node = |V|,
+    n_triangles = total corner credits, pos = 0); corner credits are
+    3x the triangle count by construction, so the gate value-asserts
+    total % 3 == 0 AND > 0 — a wrong orientation (missed or
+    double-counted triangles) breaks one or the other."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    tr = gr.triangles(_relation_graph_edges(spark, sf_dir))
+    top = gr.top_ranked(tr, 20, rank_col="n_triangles").select(
+        F.col("node").cast("long").alias("node"),
+        F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("pos").cast("long").alias("pos"),
+    )
+    total = tr.agg(
+        F.count(F.lit(1)).cast("long").alias("node"),
+        F.sum("n_triangles").cast("long").alias("n_triangles"),
+    ).select("node", "n_triangles", F.lit(0).cast("long").alias("pos"))
     return top.unionByName(total)
 
 
@@ -2075,10 +2142,82 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 13: weighted-PageRank arm — same graph, cust→supp edges
+    # weighted by lineitem multiplicity (Mihalcea & Tarau eq. 2 via
+    # pagerank(weight=)); top-10 nodes' 6dp ranks AND positions
+    # hash-checked against the SHARED generator's weighted replay
+    # (integral weights ⇒ bit-identical out-weight totals — see
+    # _relation_graph_edges_weighted).
+    _layer = (
+        F.when(F.col("node") >= 20_000_000, F.lit("nation"))
+        .when(F.col("node") >= 10_000_000, F.lit("supplier"))
+        .otherwise(F.lit("customer"))
+    )
+    ranks_w = gr.pagerank(
+        _relation_graph_edges_weighted(spark, sf_dir), iterations=5, weight="w"
+    )
+    prw = gr.top_ranked(ranks_w, 10).select(
+        F.lit("prw").alias("query"),
+        _layer.alias("d1"),
+        F.lit(None).cast("string").alias("d2"),
+        F.col("node").cast("long").alias("k"),
+        F.round("rank", 6).alias("measure"),
+        F.col("pos").cast("long").alias("n"),
+    )
+    # round 13 (cont.): personalized-PageRank arm — teleport AND
+    # dangling mass target the 25 nation seeds uniformly (proximity TO
+    # the nations); top-10 hash-checked against the shared generator's
+    # personalize_cte replay. 1/25 is exactly representable, and the
+    # in-plan assert_true seed guard is live on this path.
+    ranks_p = gr.pagerank(
+        _relation_graph_edges(spark, sf_dir),
+        iterations=5,
+        personalize=seeds.select("node"),
+    )
+    prp = gr.top_ranked(ranks_p, 10).select(
+        F.lit("prp").alias("query"),
+        _layer.alias("d1"),
+        F.lit(None).cast("string").alias("d2"),
+        F.col("node").cast("long").alias("k"),
+        F.round("rank", 6).alias("measure"),
+        F.col("pos").cast("long").alias("n"),
+    )
+    # round 13 (cont. 2): triangle-counting arm — degree-oriented
+    # wedge join (operators/graph.py::triangles, the Σ outdeg² ≤
+    # |E|^1.5 production path); all-integer so the hash needs no
+    # rounding contract. Top-20 nodes by (count, node) with positions
+    # in d2, plus per-layer totals (nodes-in-triangles in k, corner
+    # count in n) — the oracle replays the canonical a<b<c join,
+    # which must produce the identical triangle set.
+    tr_counts = gr.triangles(_relation_graph_edges(spark, sf_dir))
+    tri_top = gr.top_ranked(tr_counts, 20, rank_col="n_triangles").select(
+        F.lit("tri").alias("query"),
+        _layer.alias("d1"),
+        F.col("pos").cast("string").alias("d2"),
+        F.col("node").cast("long").alias("k"),
+        F.lit(None).cast("double").alias("measure"),
+        F.col("n_triangles").cast("long").alias("n"),
+    )
+    tri_tot = (
+        tr_counts.groupBy(_layer.alias("layer"))
+        .agg(
+            F.sum((F.col("n_triangles") > 0).cast("long")).alias("nz"),
+            F.sum("n_triangles").alias("tot"),
+        )
+        .select(
+            F.lit("tri").alias("query"),
+            F.concat(F.lit("total:"), F.col("layer")).alias("d1"),
+            F.lit(None).cast("string").alias("d2"),
+            F.col("nz").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("tot").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
-        hits_arm, lp_arm,
+        hits_arm, lp_arm, prw, prp, tri_top, tri_tot,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2136,6 +2275,63 @@ ht_htop AS (
            row_number() OVER (ORDER BY hub DESC, node) AS pos
     FROM ht_s3 ORDER BY hub DESC, node LIMIT 10
 )"""
+    # round 13: weighted edges (cust→supp = lineitem multiplicity,
+    # integral by construction) + weighted/personalized replays from
+    # the SAME shared generator, + the canonical triangle replay
+    prw_edges = """prw_e AS MATERIALIZED (
+    SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM (
+        SELECT o_custkey AS src, l_suppkey + 10000000 AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ) GROUP BY 1, 2
+    UNION ALL
+    SELECT s_suppkey + 10000000, s_nationkey + 20000000, 1 FROM supplier
+    UNION ALL
+    SELECT c_nationkey + 20000000, c_custkey, 1 FROM customer
+)"""
+    prw_top = f"""prw_top AS (
+    SELECT node, rank,
+           row_number() OVER (ORDER BY rank DESC, node) AS pos
+    FROM prw_r{iterations} ORDER BY rank DESC, node LIMIT 10
+)"""
+    prp_top = f"""prp_top AS (
+    SELECT node, rank,
+           row_number() OVER (ORDER BY rank DESC, node) AS pos
+    FROM prp_r{iterations} ORDER BY rank DESC, node LIMIT 10
+)"""
+    tri = """tri_und AS MATERIALIZED (
+    SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+    FROM pr_e WHERE src <> dst
+),
+tri_t AS MATERIALIZED (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM tri_und e1
+    JOIN tri_und e2 ON e2.a = e1.b
+    JOIN tri_und e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+tri_all AS MATERIALIZED (
+    SELECT n.node, coalesce(c.n_tri, 0) AS n_tri
+    FROM (SELECT a AS node FROM tri_und UNION SELECT b FROM tri_und) n
+    LEFT JOIN (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+            SELECT a AS node FROM tri_t
+            UNION ALL SELECT b FROM tri_t
+            UNION ALL SELECT c FROM tri_t
+        ) GROUP BY node
+    ) c USING (node)
+),
+tri_top AS (
+    SELECT node, n_tri,
+           row_number() OVER (ORDER BY n_tri DESC, node) AS pos
+    FROM tri_all ORDER BY n_tri DESC, node LIMIT 20
+),
+tri_tot AS (
+    SELECT CASE WHEN node >= 20000000 THEN 'nation'
+                WHEN node >= 10000000 THEN 'supplier'
+                ELSE 'customer' END AS layer,
+           CAST(sum(CASE WHEN n_tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
+           CAST(sum(n_tri) AS BIGINT) AS tot
+    FROM tri_all GROUP BY 1
+)"""
     return ",\n".join(
         [
             edges,
@@ -2146,6 +2342,14 @@ ht_htop AS (
             lp,
             label_propagation_oracle_ctes("pr_e", "lp_seeds", "lp", 3),
             lp_sum,
+            prw_edges,
+            pagerank_oracle_ctes("prw_e", "prw", iterations, weight="w"),
+            prw_top,
+            pagerank_oracle_ctes(
+                "pr_e", "prp", iterations, personalize_cte="lp_seeds"
+            ),
+            prp_top,
+            tri,
         ]
     )
 
@@ -2505,6 +2709,39 @@ UNION ALL
 -- label-propagation arm (round 12): per-(layer, label) counts after
 -- 3 rounds of nation-seeded majority propagation
 SELECT 'lp', layer, NULL, label, CAST(NULL AS DOUBLE), n FROM lp_sum
+UNION ALL
+-- weighted-PageRank arm (round 13): lineitem-multiplicity edge
+-- weights, replayed by the shared generator's weighted form
+SELECT 'prw',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       NULL, CAST(node AS BIGINT), round(rank, 6), CAST(pos AS BIGINT)
+FROM prw_top
+UNION ALL
+-- personalized-PageRank arm (round 13): nation-seeded teleport +
+-- dangling redistribution, shared generator's personalize_cte form
+SELECT 'prp',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       NULL, CAST(node AS BIGINT), round(rank, 6), CAST(pos AS BIGINT)
+FROM prp_top
+UNION ALL
+-- triangle arm (round 13): top-20 nodes by (count, node) with pos in
+-- d2, replayed by the canonical a<b<c join (same triangle set the
+-- degree-oriented Spark path must produce)
+SELECT 'tri',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       CAST(pos AS VARCHAR), CAST(node AS BIGINT), CAST(NULL AS DOUBLE),
+       n_tri
+FROM tri_top
+UNION ALL
+-- triangle per-layer totals: nodes-on-a-triangle in k, corner count in n
+SELECT 'tri', 'total:' || layer, NULL, nz, CAST(NULL AS DOUBLE), tot
+FROM tri_tot
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

@@ -209,6 +209,14 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # conservation is VALUE-asserted below (sum rank == 1), which no
     # plan shape can fake.
     "pagerank_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # round-13: degree-oriented triangle counting at the gate graph —
+    # the wedge join must plan as equi-joins and the top-20 as a
+    # TakeOrdered, never all-pairs. Join flavor is AQE's call (the
+    # oriented edge list self-joins at corpus scale — SMJ is a
+    # legitimate shape for |E|⋈|E|); total corner credits
+    # VALUE-asserted divisible by 3 below, which a broken orientation
+    # (missed/duplicated wedges) cannot fake.
+    "triangles_production": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
@@ -299,6 +307,29 @@ def _expect_pagerank(rows) -> list[str]:
     return fails
 
 
+def _expect_triangles(rows) -> list[str]:
+    if len(rows) != 21:
+        return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
+    tops = [r for r in rows if r["pos"] > 0]
+    summary = [r for r in rows if r["pos"] == 0]
+    if not summary:
+        return ["missing pos==0 summary row"]
+    fails = []
+    if sorted(r["pos"] for r in tops) != list(range(1, 21)):
+        fails.append("top-20 positions not 1..20")
+    n_nodes, total = summary[0]["node"], summary[0]["n_triangles"]
+    if n_nodes < 100:
+        fails.append(f"|V|={n_nodes} (expected >= 100 at sf1)")
+    if not total:
+        fails.append("total corner credits = 0 (no triangles found)")
+    elif total % 3 != 0:
+        fails.append(
+            f"corner credits {total} not divisible by 3 "
+            "(orientation missed or duplicated wedges)"
+        )
+    return fails
+
+
 def _expect_scd2_stream(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -325,6 +356,7 @@ VALUE_EXPECT = {
     "mmr_rerank_production": _expect_mmr,
     "scd2_stream_production": _expect_scd2_stream,
     "pagerank_production": _expect_pagerank,
+    "triangles_production": _expect_triangles,
 }
 
 
@@ -433,11 +465,13 @@ def main() -> None:
         q_drift_monitor_production,
         q_pagerank_production,
         q_record_linkage_production,
+        q_triangles_production,
     )
 
     queries["drift_monitor_stream"] = q_drift_monitor_production
     queries["record_linkage_hotblock"] = q_record_linkage_production
     queries["pagerank_production"] = q_pagerank_production
+    queries["triangles_production"] = q_triangles_production
     from privacy_cdc_lakehouse_spark.queries.cdc import (
         q_scd2_stream_production,
     )
