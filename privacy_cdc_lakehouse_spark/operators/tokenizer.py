@@ -489,3 +489,119 @@ def viterbi_segment(
     return out.select(
         "word", "tokens", F.size("tokens").cast("long").alias("n_tokens"), "logp"
     )
+
+
+def viterbi_oracle_ctes(
+    words_cte: str,
+    pieces_cte: str,
+    prefix: str = "vt",
+    max_len: int = 12,
+    max_piece_len: int = 3,
+    unk_logp: float = -20.0,
+) -> str:
+    """DuckDB chained-CTE replay of :func:`viterbi_segment`'s pinned
+    semantics — the same one-definition-per-oracle rule as
+    ``graph.pagerank_oracle_ctes``: the DP unrolls as ``max_len``
+    position CTEs (exactly the ``F.aggregate`` fold, one CTE per fold
+    step) and the backtrack as ``max_len`` more, so the whole lattice
+    replays relationally with NO recursive SQL.
+
+    Exactness contract: the caller's piece table must carry DYADIC
+    logp values (multiples of 2^-k — e.g. ``-1.0 - 0.0625 * n``);
+    path scores are then sums of exactly-representable doubles, which
+    are EXACT in both engines regardless of addition order, so DP
+    ties compare identically with no rounding slack. The candidate
+    ordering replicates the operator's ``array_max`` struct
+    comparison (score, plen, piece, back) with the vocab-beats-UNK
+    ``>=`` preference expressed as ``is_unk ASC``.
+
+    ``words_cte`` needs a ``word`` column (lengths must be
+    ``<= max_len``); ``pieces_cte`` needs (piece, logp). Emits
+    {prefix}_edges, {prefix}_dp0..dp{max_len}, {prefix}_dp,
+    {prefix}_bt0..bt{max_len} and {prefix}_out
+    (word, toks space-joined, n_tokens, logp 6dp)."""
+    p = prefix
+    unk = repr(float(unk_logp))
+    ctes = [
+        f"""{p}_edges AS MATERIALIZED (
+    SELECT e.word, e.j, e.i, e.piece, pc.logp FROM (
+        SELECT word, j, j + l AS i, substr(word, j + 1, l) AS piece
+        FROM (
+            SELECT w.word, j, l
+            FROM {words_cte} w,
+                 LATERAL (SELECT unnest(generate_series(0, length(w.word) - 1)) AS j),
+                 LATERAL (SELECT unnest(generate_series(1, {max_piece_len})) AS l)
+            WHERE j + l <= length(w.word)
+        )
+    ) e JOIN {pieces_cte} pc USING (piece)
+),
+{p}_dp0 AS (
+    SELECT word, CAST(0.0 AS DOUBLE) AS score,
+           CAST(-1 AS BIGINT) AS back, '' AS piece
+    FROM {words_cte}
+)"""
+    ]
+    for i in range(1, max_len + 1):
+        branches = [
+            f"""            SELECT d.word, d.score + e.logp AS score,
+                   CAST({j} AS BIGINT) AS back, e.piece,
+                   length(e.piece) AS plen, 0 AS is_unk
+            FROM {p}_dp{j} d JOIN {p}_edges e
+              ON e.word = d.word AND e.j = {j} AND e.i = {i}"""
+            for j in range(max(0, i - max_piece_len), i)
+        ]
+        branches.append(
+            f"""            SELECT d.word, d.score + ({unk}) AS score,
+                   CAST({i - 1} AS BIGINT) AS back, substr(d.word, {i}, 1),
+                   1 AS plen, 1 AS is_unk
+            FROM {p}_dp{i - 1} d WHERE length(d.word) >= {i}"""
+        )
+        ctes.append(
+            f"""{p}_dp{i} AS MATERIALIZED (
+    SELECT word, score, back, piece FROM (
+        SELECT word, score, back, piece,
+               row_number() OVER (PARTITION BY word
+                   ORDER BY score DESC, is_unk ASC, plen DESC,
+                            piece DESC, back DESC) AS rn
+        FROM (
+{chr(10).join(b + (" UNION ALL" if k < len(branches) - 1 else "") for k, b in enumerate(branches))}
+        )
+    ) WHERE rn = 1
+)"""
+        )
+    dp_union = "\n    UNION ALL ".join(
+        f"SELECT word, CAST({i} AS BIGINT) AS pos, score, back, piece FROM {p}_dp{i}"
+        for i in range(0, max_len + 1)
+    )
+    ctes.append(f"""{p}_dp AS MATERIALIZED (
+    {dp_union}
+),
+{p}_bt0 AS (
+    SELECT word, CAST(length(word) AS BIGINT) AS pos, '' AS toks
+    FROM {words_cte}
+)""")
+    for k in range(1, max_len + 1):
+        ctes.append(
+            f"""{p}_bt{k} AS (
+    SELECT b.word,
+           CASE WHEN b.pos <= 0 THEN b.pos ELSE d.back END AS pos,
+           CASE WHEN b.pos <= 0 THEN b.toks
+                ELSE d.piece ||
+                     CASE WHEN b.toks = '' THEN '' ELSE ' ' END || b.toks
+           END AS toks
+    FROM {p}_bt{k - 1} b
+    LEFT JOIN {p}_dp d ON d.word = b.word AND d.pos = b.pos
+)"""
+        )
+    ctes.append(
+        f"""{p}_out AS MATERIALIZED (
+    SELECT b.word, b.toks,
+           CAST(length(b.toks) - length(replace(b.toks, ' ', '')) + 1
+                AS BIGINT) AS n_tokens,
+           round(f.score, 6) AS logp
+    FROM {p}_bt{max_len} b
+    JOIN (SELECT word, score FROM {p}_dp WHERE pos = length(word)) f
+      USING (word)
+)"""
+    )
+    return ",\n".join(ctes)

@@ -943,6 +943,201 @@ def q_drift_monitor_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ordered_stream_source(df: DataFrame, scratch: str, name: str, ts_col: str) -> str:
+    """Write ``df`` as 4 range-partitioned parquet files with strictly
+    increasing mtimes — the scd2_stream_production delivery shape: the
+    file source (maxFilesPerTrigger=1) then replays them oldest-first,
+    so event time advances across micro-batches and watermarks move."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    raw = os.path.join(scratch, f"{name}_raw")
+    df.repartitionByRange(4, ts_col).write.parquet(raw)
+    src = os.path.join(scratch, name)
+    os.makedirs(src)
+    t0 = time.time()
+    for i, f in enumerate(sorted(glob.glob(os.path.join(raw, "part-*.parquet")))):
+        dst = os.path.join(src, f"{i:04d}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (t0 + i * 10, t0 + i * 10))
+    return src
+
+
+def _max_state_rows(query) -> int:
+    """Largest stateOperators.numRowsTotal across a finished streaming
+    query's progress events — the state-store footprint the round-12
+    verdict asked the gate to assert on. Progress entries are plain
+    dicts in some PySpark versions and StreamingQueryProgress objects
+    (with a .json payload) in others — normalize both."""
+    import json
+
+    vals = [0]
+    for p in query.recentProgress or []:
+        if not isinstance(p, dict):
+            j = getattr(p, "json", None)
+            p = json.loads(j if isinstance(j, str) else p.json())
+        for so in p.get("stateOperators") or []:
+            vals.append(int(so.get("numRowsTotal", 0)))
+    return max(vals)
+
+
+def q_stream_stream_join_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked STREAM-STREAM JOIN (``streaming/pipeline.py::
+    stream_stream_join``) at gate sizing — round-12 verdict task #7:
+    the operator had stream==batch pytests but no at-scale price or
+    state-store evidence. Left = the full event log as views
+    (k=user_id); right = every 3rd event shifted +7 minutes as
+    follow-ups — inside the 15-minute join window by construction, so
+    the join moves real data. Both sides stream as 4 time-ordered
+    files (maxFilesPerTrigger=1 ⇒ 4 micro-batches), so watermarks
+    advance between batches and the range condition EVICTS buffered
+    state — the unbounded-state failure mode this operator exists to
+    prevent. Returns a 1-row summary of the sink read-back (the
+    cdc_stream_silver plan-contract shape) carrying
+    ``state_rows_max`` (peak stateOperators.numRowsTotal) and
+    ``input_rows``; the gate value-asserts joined>0 AND
+    state_rows_max in (0, input_rows) — retained-everything (no
+    eviction) or stateless (not actually stream-stream) both fail.
+    NOT a registry row (foreachBatch/sink output is not
+    DuckDB-expressible; inner==batch parity is pytest-pinned)."""
+    import os
+    import shutil
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import stream_stream_join
+
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").cast("timestamp").alias("lts"),
+        F.col("event_id").alias("l_eid"),
+    )
+    right = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("user_id").alias("k"),
+        (F.col("ts").cast("timestamp") + F.expr("INTERVAL 7 MINUTES")).alias(
+            "rts"
+        ),
+        (F.col("event_id") + 1_000_000_000).alias("r_eid"),
+    )
+    input_rows = left.count() + right.count()
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"pcl_ssjoin_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    lsrc = _ordered_stream_source(left, scratch, "left", "lts")
+    rsrc = _ordered_stream_source(right, scratch, "right", "rts")
+    ls = (
+        spark.readStream.schema(left.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(lsrc)
+    )
+    rs = (
+        spark.readStream.schema(right.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(rsrc)
+    )
+    joined = stream_stream_join(ls, rs, "k", "lts", "rts", within="15 minutes")
+    out, ck = os.path.join(scratch, "out"), os.path.join(scratch, "ck")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_max = _max_state_rows(q)
+    return (
+        spark.read.parquet(out)
+        .agg(
+            F.count(F.lit(1)).alias("joined_rows"),
+            F.countDistinct("k").alias("keys"),
+        )
+        .select(
+            "joined_rows",
+            "keys",
+            F.lit(state_max).cast("long").alias("state_rows_max"),
+            F.lit(input_rows).cast("long").alias("input_rows"),
+        )
+    )
+
+
+def q_streaming_session_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` aggregation (``streaming/pipeline.py::
+    streaming_session_counts``) at gate sizing — the second round-12
+    verdict task-#7 surface: per-user sessions with a 30-minute gap
+    over the full event log, streamed as 4 time-ordered files so the
+    watermark CLOSES sessions between micro-batches (append mode
+    emits only closed sessions — exactly the production shape; the
+    state per key is one open session, which is what the
+    state_rows_max summary evidences vs the event count). Returns a
+    1-row summary of the sink read-back; the gate value-asserts
+    sessions>0, flushed events>0 and 0 < state_rows_max <
+    input_rows. NOT a registry row (sink output is not
+    DuckDB-expressible; stream==batch parity is pytest-pinned)."""
+    import os
+    import shutil
+    import tempfile
+
+    from privacy_cdc_lakehouse_spark.streaming.pipeline import (
+        streaming_session_counts,
+    )
+
+    pin_utc(spark)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    input_rows = ev.count()
+    scratch = os.path.join(
+        tempfile.gettempdir(),
+        f"pcl_sessprod_{os.path.basename(os.path.normpath(sf_dir))}",
+    )
+    shutil.rmtree(scratch, ignore_errors=True)
+    src = _ordered_stream_source(ev, scratch, "events", "ts")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_session_counts(
+        stream, event_time="ts", gap="30 minutes", delay="10 minutes",
+        group_col="user_id",
+    )
+    out, ck = os.path.join(scratch, "out"), os.path.join(scratch, "ck")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state_max = _max_state_rows(q)
+    return (
+        spark.read.parquet(out)
+        .agg(
+            F.count(F.lit(1)).alias("sessions"),
+            F.countDistinct("user_id").alias("users"),
+            F.sum("n_events").alias("events_flushed"),
+            F.max("n_events").alias("max_session_len"),
+        )
+        .select(
+            "sessions",
+            "users",
+            "events_flushed",
+            "max_session_len",
+            F.lit(state_max).cast("long").alias("state_rows_max"),
+            F.lit(input_rows).cast("long").alias("input_rows"),
+        )
+    )
+
+
 def q_events_rollups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of BOTH grouped event aggregates (round-4 registry
     consolidation): ``window`` rows are the tumbling 5-minute

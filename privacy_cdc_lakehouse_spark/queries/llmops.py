@@ -1500,6 +1500,28 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_hits"),
         (F.col("rrf_score") > 0).alias("recall_ok"),
     )
+    # round 13: JL random-projection arm (operators/similarity.py::
+    # random_projection — previously pytest-only): the 5 query vectors
+    # project to 16 components against the seeded ±1 plane literals
+    # (seed 7 → plane seeds 7·100003+k, the LSH plane contract); each
+    # component is an identical-fold-order dot times the EXACT 0.25
+    # scale (dim_out=16 ⇒ 1/√16), so the doubles are bit-equal across
+    # engines and the long slot packs (component index,
+    # round(comp·1e6)+1e8 offset for sign) — fully hash-checked.
+    rp_rows = (
+        sim.random_projection(queries, dim_out=16, dim_in=64, seed=7)
+        .select("query_id", F.posexplode("embedding").alias("ci", "comp"))
+        .select(
+            F.lit("rp").alias("method"),
+            "query_id",
+            (
+                F.col("ci").cast("long") * F.lit(1_000_000_000)
+                + F.round(F.col("comp") * 1e6, 0).cast("long")
+                + F.lit(100_000_000)
+            ).alias("n_hits"),
+            (F.abs(F.col("comp")) < F.lit(1000.0)).alias("recall_ok"),
+        )
+    )
     return (
         ls.unionByName(iv)
         .unionByName(pq)
@@ -1512,8 +1534,25 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mmr_div_rows)
         .unionByName(hn_rows)
         .unionByName(rrf_rows)
+        .unionByName(rp_rows)
         .orderBy("method", "query_id", "n_hits")
     )
+
+
+def _duck_rp_selects(seed: int = 7, dim_out: int = 16) -> str:
+    """DuckDB replay of ``random_projection`` over the q CTE: the SAME
+    plane literals (seed·100003+k) and left-fold order as the Spark
+    plan; ·0.25 is the exact 1/√16 scale, so comps are bit-equal."""
+    comps = []
+    for k in range(dim_out):
+        plane = _duck_plane_list(seed * 100_003 + k)
+        comps.append(
+            f"SELECT query_id, {k} AS ci,\n"
+            f"       list_sum(list_transform(range(1, 65),\n"
+            f"           i -> CAST(qv[i] AS DOUBLE) * ({plane})[i])) * 0.25 AS comp\n"
+            f"FROM q"
+        )
+    return "\nUNION ALL\n".join(comps)
 
 
 def _mmr_oracle_ctes(k: int, lam: float) -> str:
@@ -1780,6 +1819,15 @@ FROM (
     ) WHERE rn = 1
 ) k
 JOIN embeddings e ON e.vec_id = k.query_id
+UNION ALL
+-- JL random-projection replay (round 13): identical plane literals +
+-- fold order; the exact 0.25 scale keeps the doubles bit-equal, so
+-- the packed (component, round(comp*1e6)) longs hash exactly
+SELECT 'rp', query_id,
+       CAST(ci AS BIGINT) * 1000000000
+       + CAST(round(comp * 1e6, 0) AS BIGINT) + 100000000,
+       abs(comp) < 1000.0
+FROM ({_duck_rp_selects()})
 ORDER BY method, query_id
 """
 
@@ -2599,10 +2647,114 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank6").alias("tfidf6"),
         F.col("pos").cast("long").alias("rank"),
     )
+    # round 13: unigram-LM Viterbi segmentation arm (operators/
+    # tokenizer.py::viterbi_segment — previously pytest-only): the 50
+    # most frequent 4-12 char corpus words segment against a
+    # corpus-derived piece table (top-40 2/3-gram substrings of those
+    # words ranked by occurrence count + all their single chars). The
+    # piece logps are DYADIC rationals (-1 - 0.0625·(rank%16) multi,
+    # -3.5 single), so every DP path score is an EXACT double in both
+    # engines — the segmentation string (term carries word=tok tok…),
+    # token count and total logp are all hash-checked against the
+    # unrolled-DP replay (tokenizer.viterbi_oracle_ctes, the shared
+    # one-definition-per-oracle generator).
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+    from pyspark.sql import Window as _W
+
+    occ = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z]{2,}"), 0)
+        ).alias("w")
+    )
+    wsel = (
+        occ.filter((F.length("w") >= 4) & (F.length("w") <= 12))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w")
+        .limit(50)
+        .select(F.col("w").alias("word"))
+    )
+    _jl = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.length("word") - 1),
+            lambda j: F.transform(
+                F.sequence(F.lit(2), F.lit(3)),
+                lambda l: F.struct(j.alias("j"), l.alias("l")),
+            ),
+        )
+    )
+    subs = wsel.select(
+        F.explode(
+            F.transform(
+                F.filter(_jl, lambda p: p["j"] + p["l"] <= F.length("word")),
+                lambda p: F.substring(
+                    F.col("word"), (p["j"] + 1).cast("int"), p["l"].cast("int")
+                ),
+            )
+        ).alias("piece")
+    )
+    multi = (
+        subs.groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "piece")
+        .limit(40)
+        .withColumn(
+            "rn", F.row_number().over(_W.orderBy(F.desc("cnt"), F.asc("piece")))
+        )
+        .select(
+            "piece",
+            (
+                F.lit(-1.0)
+                - F.lit(0.0625) * ((F.col("rn") - 1) % 16).cast("double")
+            ).alias("logp"),
+        )
+    )
+    singles = (
+        wsel.select(F.explode(F.split("word", "")).alias("piece"))
+        .filter(F.length("piece") == 1)
+        .distinct()
+        .select("piece", F.lit(-3.5).alias("logp"))
+    )
+    vt = tk.viterbi_segment(
+        wsel, multi.unionByName(singles), max_piece_len=3
+    ).select(
+        F.lit("viterbi").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.concat(
+            F.col("word"), F.lit("="), F.array_join("tokens", " ")
+        ).alias("term"),
+        F.col("n_tokens").cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("logp").alias("tfidf6"),
+        F.lit(None).cast("long").alias("rank"),
+    )
+    # round 13 (cont.): hashing-trick featurization arm (operators/
+    # text.py::hashed_features — previously pytest-only): signed
+    # hashed bag-of-words at dim=256 for every ~89th doc; values are
+    # ±1 sums (integer-valued doubles — exact), buckets/signs portable
+    # md5 arithmetic, so every (doc, bucket, value) row hash-checks
+    # against the full DuckDB replay. Bucket index rides df, value
+    # rides tfidf6.
+    fh = tx.hashed_features(
+        docs.filter(F.col("doc_id") % 89 == 1), dim=256
+    ).select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("idx", "val")).alias("_p", "_iv"),
+    ).select(
+        F.lit("fh").alias("kind"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("_iv.idx").cast("string").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.col("_iv.idx").cast("long").alias("df"),
+        F.col("_iv.val").cast("double").alias("tfidf6"),
+        F.lit(None).cast("long").alias("rank"),
+    )
     return (
         base.unionByName(bm)
         .unionByName(rk)
         .unionByName(tr)
+        .unionByName(vt)
+        .unionByName(fh)
         .orderBy("kind", "term", "doc_id", "rank")
     )
 
@@ -2791,9 +2943,98 @@ tr_top AS (
     return head
 
 
+def _viterbi_ctes() -> str:
+    """Words + dyadic-logp piece table (mirrors the Spark arm's
+    construction exactly) + the shared unrolled-DP replay."""
+    from privacy_cdc_lakehouse_spark.operators.tokenizer import (
+        viterbi_oracle_ctes,
+    )
+
+    head = """,
+vw_words AS MATERIALIZED (
+    SELECT term AS word FROM (
+        SELECT term, count(*) AS cnt FROM terms
+        WHERE length(term) BETWEEN 4 AND 12
+        GROUP BY term ORDER BY cnt DESC, term LIMIT 50
+    )
+),
+vw_multi AS MATERIALIZED (
+    SELECT piece, row_number() OVER (ORDER BY cnt DESC, piece) AS rn FROM (
+        SELECT piece, CAST(count(*) AS BIGINT) AS cnt FROM (
+            SELECT substr(word, j + 1, l) AS piece FROM (
+                SELECT w.word, j, l
+                FROM vw_words w,
+                     LATERAL (SELECT unnest(generate_series(0, length(w.word) - 1)) AS j),
+                     LATERAL (SELECT unnest(generate_series(2, 3)) AS l)
+                WHERE j + l <= length(w.word)
+            )
+        ) GROUP BY piece ORDER BY cnt DESC, piece LIMIT 40
+    )
+),
+vw_pieces AS MATERIALIZED (
+    SELECT piece, -1.0 - 0.0625 * ((rn - 1) % 16) AS logp FROM vw_multi
+    UNION ALL
+    SELECT piece, -3.5 AS logp FROM (
+        SELECT DISTINCT substr(word, i, 1) AS piece
+        FROM vw_words,
+             LATERAL (SELECT unnest(generate_series(1, length(word))) AS i)
+    )
+),
+"""
+    return head + viterbi_oracle_ctes("vw_words", "vw_pieces", "vt", 12, 3, -20.0)
+
+
+def _fh_ctes() -> str:
+    """hashed_features replay: whitespace tokens, md5 bucket/sign
+    nibble arithmetic, signed-collision cancellation filter."""
+    b13 = _duck_hexn(1, 13)
+    return f""",
+fh_tok AS MATERIALIZED (
+    SELECT doc_id, w FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE doc_id % 89 = 1
+    )
+),
+fh_feat AS MATERIALIZED (
+    SELECT doc_id, idx, sum(s) AS val FROM (
+        SELECT doc_id, CAST({b13} % 256 AS BIGINT) AS idx, s FROM (
+            SELECT doc_id, md5('fh|' || w) AS h,
+                   CASE WHEN (strpos('0123456789abcdef',
+                                     substr(md5('fhs|' || w), 1, 1)) - 1)
+                            % 2 = 0
+                        THEN 1.0 ELSE -1.0 END AS s
+            FROM fh_tok
+        )
+    ) GROUP BY doc_id, idx
+    HAVING sum(s) <> 0.0
+)"""
+
+
 _TFIDF_SQL = _TFIDF_SQL.replace(
     "\n)\nSELECT 'tfidf' AS kind,",
-    "\n)" + _RAKE_CTES + _textrank_ctes() + "\nSELECT 'tfidf' AS kind,",
+    "\n)"
+    + _RAKE_CTES
+    + _textrank_ctes()
+    + _viterbi_ctes()
+    + _fh_ctes()
+    + "\nSELECT 'tfidf' AS kind,",
+)
+_TFIDF_SQL = _TFIDF_SQL.replace(
+    "ORDER BY kind, term, doc_id, rank",
+    """UNION ALL
+-- round-13 viterbi arm: segmentation string, token count and total
+-- logp from the unrolled-DP replay (dyadic logps => exact doubles)
+SELECT 'viterbi', CAST(NULL AS BIGINT), word || '=' || toks, n_tokens,
+       CAST(NULL AS BIGINT), logp, CAST(NULL AS BIGINT)
+FROM vt_out
+UNION ALL
+-- round-13 hashing-trick arm: every (doc, bucket, signed value)
+SELECT 'fh', doc_id, CAST(idx AS VARCHAR), CAST(NULL AS BIGINT), idx,
+       val, CAST(NULL AS BIGINT)
+FROM fh_feat
+ORDER BY kind, term, doc_id, rank""",
 )
 
 

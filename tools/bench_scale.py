@@ -201,6 +201,17 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # contract shape); the metadata-only watermark claim is
     # VALUE-asserted (wm_stats_exact below), not plan-asserted.
     "scd2_stream_production": ["HashAggregate", "Scan parquet"],
+    # round-13: the watermarked stream-stream join at sf1 — 4
+    # time-ordered micro-batches per side; captured plan is the sink
+    # read-back (cdc_stream_silver contract shape); the STATE-STORE
+    # boundedness claim is VALUE-asserted below from the query's own
+    # stateOperators metrics (0 < peak < input), which no plan shape
+    # can fake.
+    "stream_stream_join_production": ["HashAggregate", "Scan parquet"],
+    # round-13 (cont.): native session_window aggregation at sf1 —
+    # same contract shape; sessions flushed by watermark + peak state
+    # VALUE-asserted below.
+    "streaming_session_production": ["HashAggregate", "Scan parquet"],
     # round-12 (cont.): PageRank at the gate fixture's graph size —
     # per-iteration contribution joins' flavor is AQE's call (edge
     # list vs |V|-sized rank frame), but the dangling-mass / N
@@ -307,6 +318,45 @@ def _expect_pagerank(rows) -> list[str]:
     return fails
 
 
+def _expect_stream_stream_join(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("joined_rows", "keys", "state_rows_max", "input_rows")
+        if not r[col]
+    ]
+    if r["state_rows_max"] and r["input_rows"] and (
+        r["state_rows_max"] >= r["input_rows"]
+    ):
+        fails.append(
+            f"state_rows_max={r['state_rows_max']} >= input_rows="
+            f"{r['input_rows']} (range condition evicted nothing — "
+            "unbounded state)"
+        )
+    return fails
+
+
+def _expect_streaming_sessions(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("sessions", "users", "events_flushed", "state_rows_max")
+        if not r[col]
+    ]
+    if r["state_rows_max"] and r["input_rows"] and (
+        r["state_rows_max"] >= r["input_rows"]
+    ):
+        fails.append(
+            f"state_rows_max={r['state_rows_max']} >= input_rows="
+            f"{r['input_rows']} (watermark closed no sessions)"
+        )
+    return fails
+
+
 def _expect_triangles(rows) -> list[str]:
     if len(rows) != 21:
         return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
@@ -357,6 +407,8 @@ VALUE_EXPECT = {
     "scd2_stream_production": _expect_scd2_stream,
     "pagerank_production": _expect_pagerank,
     "triangles_production": _expect_triangles,
+    "stream_stream_join_production": _expect_stream_stream_join,
+    "streaming_session_production": _expect_streaming_sessions,
 }
 
 
@@ -472,6 +524,13 @@ def main() -> None:
     queries["record_linkage_hotblock"] = q_record_linkage_production
     queries["pagerank_production"] = q_pagerank_production
     queries["triangles_production"] = q_triangles_production
+    from privacy_cdc_lakehouse_spark.queries.analytics import (
+        q_stream_stream_join_production,
+        q_streaming_session_production,
+    )
+
+    queries["stream_stream_join_production"] = q_stream_stream_join_production
+    queries["streaming_session_production"] = q_streaming_session_production
     from privacy_cdc_lakehouse_spark.queries.cdc import (
         q_scd2_stream_production,
     )
