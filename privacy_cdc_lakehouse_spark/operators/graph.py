@@ -722,3 +722,72 @@ def triangles(
     return nodes.join(corners, "node", "left").select(
         "node", F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    exclude_existing: bool = False,
+) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) over the
+    simple undirected graph: for every node pair sharing ≥1 common
+    neighbor, ``aa6 = round(Σ_{z ∈ N(x)∩N(y)} 1/ln(deg(z)), 6)`` plus
+    the raw ``common_neighbors`` count — the classic
+    common-neighbor-weighted similarity (rare shared neighbors count
+    more than hubs). The training-data uses are the same as the
+    dedup pair graph's: near-dup link densification and
+    related-record suggestion.
+
+    Scale: the wedge expansion at middle z is inherently Σ deg(z)² —
+    ``max_degree`` is the standard production mitigation: middles
+    with deg > cap are EXCLUDED from wedge generation (a hub middle
+    both generates the quadratic blowup AND contributes the SMALLEST
+    per-pair weight 1/ln(deg), so capping is the accepted
+    approximation — degrees are still counted on the FULL graph, so
+    surviving weights are exact). ``exclude_existing`` anti-joins
+    already-connected pairs (the link-PREDICTION form; default keeps
+    all pairs, the similarity form).
+
+    Determinism: degrees are exact integers; each 1/ln(deg) term is
+    one libm call of an integer-valued double, and per-pair sums are
+    rounded 6dp — the standing rank-over-rounded contract (ln ulps
+    across engines sit ~1e-16 below the grain; the tfidf/bm25/FS
+    arms already rely on this). A wedge middle always has deg ≥ 2,
+    so ln > 0.
+
+    Returns (x, y, common_neighbors, aa6) with x < y."""
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbrs = und.select(F.col("a").alias("z"), F.col("b").alias("n")).unionByName(
+        und.select(F.col("b").alias("z"), F.col("a").alias("n"))
+    )
+    deg = nbrs.groupBy("z").agg(F.count(F.lit(1)).alias("deg"))
+    mid = nbrs.join(deg, "z")
+    if max_degree is not None:
+        mid = mid.filter(F.col("deg") <= max_degree)
+    w1 = mid.select("z", F.col("n").alias("x"), "deg")
+    w2 = mid.select("z", F.col("n").alias("y"))
+    pairs = (
+        w1.join(w2, "z")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa6"),
+        )
+    )
+    if exclude_existing:
+        pairs = pairs.join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("y")),
+            ["x", "y"],
+            "left_anti",
+        )
+    return pairs

@@ -2409,10 +2409,40 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 13 (cont. 3): Adamic-Adar link-prediction arm
+    # (operators/graph.py::adamic_adar) — common-neighbor-weighted
+    # pair similarity with the production degree cap (max_degree=64
+    # excludes hub middles, which generate the quadratic wedge blowup
+    # while contributing the smallest 1/ln(deg) weights). Top-20
+    # pairs' 6dp scores, positions AND common-neighbor counts
+    # hash-checked against the oracle's replay over the same
+    # canonical undirected edge set the tri arm defines.
+    aa_pairs = gr.adamic_adar(
+        _relation_graph_edges(spark, sf_dir), max_degree=64
+    )
+    aa_top = (
+        aa_pairs.orderBy(F.desc("aa6"), "x", "y")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("aa6"), F.asc("x"), F.asc("y"))
+            ),
+        )
+        .select(
+            F.lit("aa").alias("query"),
+            F.col("x").cast("string").alias("d1"),
+            F.col("y").cast("string").alias("d2"),
+            F.col("pos").cast("long").alias("k"),
+            F.col("aa6").alias("measure"),
+            F.col("common_neighbors").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
-        hits_arm, lp_arm, prw, prp, tri_top, tri_tot,
+        hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2526,6 +2556,27 @@ tri_tot AS (
            CAST(sum(CASE WHEN n_tri > 0 THEN 1 ELSE 0 END) AS BIGINT) AS nz,
            CAST(sum(n_tri) AS BIGINT) AS tot
     FROM tri_all GROUP BY 1
+),
+aa_nbrs AS MATERIALIZED (
+    SELECT a AS z, b AS n FROM tri_und UNION ALL SELECT b, a FROM tri_und
+),
+aa_deg AS MATERIALIZED (
+    SELECT z, CAST(count(*) AS BIGINT) AS deg FROM aa_nbrs GROUP BY z
+),
+aa_mid AS MATERIALIZED (
+    SELECT nb.z, nb.n, d.deg FROM aa_nbrs nb JOIN aa_deg d USING (z)
+    WHERE d.deg <= 64
+),
+aa_top AS (
+    SELECT x, y, cn, aa6,
+           row_number() OVER (ORDER BY aa6 DESC, x, y) AS pos
+    FROM (
+        SELECT w1.n AS x, w2.n AS y, CAST(count(*) AS BIGINT) AS cn,
+               round(sum(1.0 / ln(w1.deg)), 6) AS aa6
+        FROM aa_mid w1 JOIN aa_mid w2 ON w1.z = w2.z AND w1.n < w2.n
+        GROUP BY 1, 2
+    )
+    ORDER BY aa6 DESC, x, y LIMIT 20
 )"""
     return ",\n".join(
         [
@@ -2937,6 +2988,12 @@ UNION ALL
 -- triangle per-layer totals: nodes-on-a-triangle in k, corner count in n
 SELECT 'tri', 'total:' || layer, NULL, nz, CAST(NULL AS DOUBLE), tot
 FROM tri_tot
+UNION ALL
+-- Adamic-Adar arm (round 13): top-20 degree-capped common-neighbor
+-- pairs — 6dp score, position and raw common-neighbor count
+SELECT 'aa', CAST(x AS VARCHAR), CAST(y AS VARCHAR), CAST(pos AS BIGINT),
+       aa6, cn
+FROM aa_top
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

@@ -2647,6 +2647,20 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank6").alias("tfidf6"),
         F.col("pos").cast("long").alias("rank"),
     )
+    # round 13: WEIGHTED TextRank arm — the paper's actual §4.1 form
+    # (co-occurrence multiplicities as integral edge weights), now
+    # hash-checkable because pagerank_oracle_ctes grew the weight=
+    # branch this round; rides the tagged schema next to the
+    # unweighted arm.
+    trw = tx.textrank_keywords(docs, k=15, iterations=5, weighted=True).select(
+        F.lit("textrankw").alias("kind"),
+        F.lit(None).cast("long").alias("doc_id"),
+        F.col("word").alias("term"),
+        F.lit(None).cast("long").alias("tf"),
+        F.lit(None).cast("long").alias("df"),
+        F.col("rank6").alias("tfidf6"),
+        F.col("pos").cast("long").alias("rank"),
+    )
     # round 13: unigram-LM Viterbi segmentation arm (operators/
     # tokenizer.py::viterbi_segment — previously pytest-only): the 50
     # most frequent 4-12 char corpus words segment against a
@@ -2753,6 +2767,7 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(bm)
         .unionByName(rk)
         .unionByName(tr)
+        .unionByName(trw)
         .unionByName(vt)
         .unionByName(fh)
         .orderBy("kind", "term", "doc_id", "rank")
@@ -2939,6 +2954,35 @@ tr_top AS (
         FROM tr_r{iterations} r JOIN tr_words w USING (node)
     )
     ORDER BY rank6 DESC, word LIMIT {k}
+),
+-- round-13 weighted TextRank (Mihalcea & Tarau's actual §4.1 form):
+-- co-occurrence MULTIPLICITIES as integral edge weights (exact
+-- cross-engine out-weight totals), replayed via the shared
+-- generator's weight= branch over the same word-node hash
+trw_cnt AS MATERIALIZED (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS cw FROM (
+        SELECT w1, w2 FROM tr_pairs WHERE w1 <> w2
+        UNION ALL SELECT w2, w1 FROM tr_pairs WHERE w1 <> w2
+    ) GROUP BY 1, 2
+),
+trw_e AS MATERIALIZED (
+    SELECT src, CAST({wh} AS BIGINT) AS dst, cw FROM (
+        SELECT src, md5('tr|' || w2) AS h, cw FROM (
+            SELECT CAST({wh} AS BIGINT) AS src, w2, cw FROM (
+                SELECT md5('tr|' || w1) AS h, w2, cw FROM trw_cnt
+            )
+        )
+    )
+),
+{pagerank_oracle_ctes("trw_e", "trw", iterations, weight="cw")},
+trw_top AS (
+    SELECT word, rank6,
+           row_number() OVER (ORDER BY rank6 DESC, word) AS pos
+    FROM (
+        SELECT w.word, round(r.rank, 6) AS rank6
+        FROM trw_r{iterations} r JOIN tr_words w USING (node)
+    )
+    ORDER BY rank6 DESC, word LIMIT {k}
 )"""
     return head
 
@@ -3024,6 +3068,12 @@ _TFIDF_SQL = _TFIDF_SQL.replace(
 _TFIDF_SQL = _TFIDF_SQL.replace(
     "ORDER BY kind, term, doc_id, rank",
     """UNION ALL
+-- round-13 weighted-textrank arm: co-occurrence-multiplicity weights
+-- via the shared generator's weight= branch
+SELECT 'textrankw', CAST(NULL AS BIGINT), word, CAST(NULL AS BIGINT),
+       CAST(NULL AS BIGINT), rank6, CAST(pos AS BIGINT)
+FROM trw_top
+UNION ALL
 -- round-13 viterbi arm: segmentation string, token count and total
 -- logp from the unrolled-DP replay (dyadic logps => exact doubles)
 SELECT 'viterbi', CAST(NULL AS BIGINT), word || '=' || toks, n_tokens,

@@ -422,6 +422,77 @@ def test_triangles_known_shapes(spark):
     assert out2 == {0: 0, 1: 0, 2: 0}
 
 
+def _py_adamic_adar(edges, max_degree=None, exclude_existing=False):
+    import math
+
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for z, ns in adj.items():
+        if max_degree is not None and len(ns) > max_degree:
+            continue
+        ns = sorted(ns)
+        for i, x in enumerate(ns):
+            for y in ns[i + 1:]:
+                cn, aa = out.get((x, y), (0, 0.0))
+                out[(x, y)] = (cn + 1, aa + 1.0 / math.log(len(adj[z])))
+    if exclude_existing:
+        out = {p: v for p, v in out.items() if p not in und}
+    return {p: (cn, round(aa, 6)) for p, (cn, aa) in out.items()}
+
+
+def test_adamic_adar_matches_python_reference(spark):
+    rnd = random.Random(47)
+    edges = sorted({(rnd.randrange(18), rnd.randrange(18)) for _ in range(70)})
+    got = {
+        (r["x"], r["y"]): (r["common_neighbors"], r["aa6"])
+        for r in G.adamic_adar(_edges_df(spark, edges)).collect()
+    }
+    want = _py_adamic_adar(edges)
+    assert set(got) == set(want)
+    for p in want:
+        assert got[p][0] == want[p][0]
+        assert abs(got[p][1] - want[p][1]) <= 2e-6, (p, got[p], want[p])
+
+
+def test_adamic_adar_degree_cap_and_exclusion(spark):
+    # star center 0 (degree 6) + a shared rare neighbor for (1, 2)
+    edges = [(0, v) for v in range(1, 7)] + [(1, 7), (2, 7), (1, 2)]
+    full = {
+        (r["x"], r["y"]): r["common_neighbors"]
+        for r in G.adamic_adar(_edges_df(spark, edges)).collect()
+    }
+    assert full[(1, 2)] == 2  # via hub 0 AND via rare 7
+    capped = {
+        (r["x"], r["y"]): (r["common_neighbors"], r["aa6"])
+        for r in G.adamic_adar(_edges_df(spark, edges), max_degree=3).collect()
+    }
+    # hub middle 0 excluded: only the rare-neighbor wedge survives,
+    # and its weight uses 7's FULL-graph degree (2)
+    import math
+
+    assert capped[(1, 2)] == (1, round(1.0 / math.log(2), 6))
+    assert (3, 4) in full and (3, 4) not in capped
+    # link-prediction form drops the existing (1, 2) edge
+    pred = {
+        (r["x"], r["y"])
+        for r in G.adamic_adar(
+            _edges_df(spark, edges), exclude_existing=True
+        ).collect()
+    }
+    assert (1, 2) not in pred and (3, 4) in pred
+    assert _py_adamic_adar(edges, max_degree=3) == {
+        (r["x"], r["y"]): (r["common_neighbors"], r["aa6"])
+        for r in G.adamic_adar(_edges_df(spark, edges), max_degree=3).collect()
+    }
+
+
 def test_triangles_degree_orientation_matches_canonical(spark):
     """Round-12 verdict task #4: the degree-oriented wedge join (the
     production path — Σ outdeg² ≤ |E|^1.5 intermediate) must count
