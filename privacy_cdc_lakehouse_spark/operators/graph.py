@@ -791,3 +791,128 @@ def adamic_adar(
             "left_anti",
         )
     return pairs
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983; Batagelj &
+    Zaveršnik's peeling): repeatedly delete nodes of degree < k from
+    the simple undirected graph until none remain; survivors form the
+    k-core — the standard density filter for web/link-graph curation
+    (a page outside every 2-core is a leaf chain; spam farms light up
+    as unusually deep cores).
+
+    ``rounds=None`` (default) peels to the FIXPOINT: each round is
+    one |E|-shuffle (degree aggregate over surviving edges + a
+    broadcast semi-join shrink), and the driver reads ONE 1-row
+    convergence scalar per round (the kmeans_fit / bpe_train
+    sanctioned bounded-collect loop; peel count ≤ graph degeneracy
+    depth, typically tens even on web graphs). A PINNED ``rounds=R``
+    runs R synchronous peels with NO driver reads and NO convergence
+    check — the oracle-replayable form (:func:`k_core_oracle_ctes`
+    unrolls the same R rounds as chained CTEs); all-integer, so
+    parity is exact with no rounding contract.
+
+    Plan-size discipline (load-bearing, found the hard way): one
+    peel's logical tree references the previous round's frame ~5×
+    (the degree union twice, the keep set twice, the join probe), so
+    an un-truncated R-round chain grows the Catalyst tree as 5^R and
+    ANALYSIS — not execution — becomes the bottleneck by R≈6. Every
+    round therefore ends in a LAZY ``localCheckpoint`` (plan truncates
+    to an RDD scan node immediately; materialization rides the next
+    action — the convergence count in the fixpoint path, the caller's
+    single action in the pinned path), keeping analysis O(1) per
+    round in BOTH paths.
+
+    Returns (node, core_deg): survivors after peeling, with their
+    degree within the surviving subgraph (≥ k at the fixpoint; a
+    pinned-rounds run may still carry < k rows if not yet
+    converged)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds is not None and rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = ensure_parallelism(und).localCheckpoint(eager=False)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionByName(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    def peel(ed: DataFrame) -> DataFrame:
+        keep = degrees(ed).filter(F.col("core_deg") >= k).select("node")
+        return ed.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+
+    cur = und
+    if rounds is not None:
+        for _ in range(rounds):
+            cur = peel(cur).localCheckpoint(eager=False)
+        return degrees(cur)
+    # ONE 1-row edge-count scalar per round (the sanctioned
+    # driver-loop read): a peel that drops no node leaves the edge
+    # count unchanged, so last round's count doubles as this round's
+    # "before" — no second action. The count also materializes the
+    # round's lazy checkpoint, so each round executes exactly one
+    # peel, never the chain.
+    prev_n = None
+    while True:
+        cur = peel(cur).localCheckpoint(eager=False)
+        n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        if n == prev_n or n == 0:
+            return degrees(cur)
+        prev_n = n
+
+
+def k_core_oracle_ctes(
+    edges_cte: str, k: int, prefix: str = "kc", rounds: int = 4
+) -> str:
+    """DuckDB replay of :func:`k_core` with PINNED rounds — the same
+    one-definition-per-oracle rule as the other generators. The
+    edges CTE must already be canonical undirected distinct (a, b).
+    Emits {prefix}_e0..e{rounds} (surviving edges) and {prefix}_out
+    (node, core_deg over e{rounds}). All-integer."""
+    p = prefix
+    ctes = [f"{p}_e0 AS (SELECT a, b FROM {edges_cte})"]
+    for i in range(1, rounds + 1):
+        prev = f"{p}_e{i - 1}"
+        ctes.append(
+            f"""{p}_k{i} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+        ) GROUP BY node
+    ) WHERE d >= {k}
+),
+{p}_e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    WHERE e.a IN (SELECT node FROM {p}_k{i})
+      AND e.b IN (SELECT node FROM {p}_k{i})
+)"""
+        )
+    ctes.append(
+        f"""{p}_out AS (
+    SELECT node, CAST(count(*) AS BIGINT) AS core_deg FROM (
+        SELECT a AS node FROM {p}_e{rounds}
+        UNION ALL SELECT b FROM {p}_e{rounds}
+    ) GROUP BY node
+)"""
+    )
+    return ",\n".join(ctes)

@@ -2439,10 +2439,41 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 13 (cont. 4): k-core arm (operators/graph.py::k_core) —
+    # 4 PINNED synchronous peels at k=8 (the oracle-replayable form;
+    # the fixpoint driver loop is pytest-pinned against it): top-10
+    # survivors by in-core degree plus per-layer survivor/degree
+    # totals, all-integer so parity is exact.
+    kc = gr.k_core(_relation_graph_edges(spark, sf_dir), k=8, rounds=4)
+    kc_top = gr.top_ranked(kc, 10, rank_col="core_deg").select(
+        F.lit("kcore").alias("query"),
+        _layer.alias("d1"),
+        F.col("pos").cast("string").alias("d2"),
+        F.col("node").cast("long").alias("k"),
+        F.lit(None).cast("double").alias("measure"),
+        F.col("core_deg").cast("long").alias("n"),
+    )
+    kc_tot = (
+        kc.groupBy(_layer.alias("layer"))
+        .agg(
+            F.count(F.lit(1)).alias("nn"),
+            F.sum("core_deg").alias("sd"),
+        )
+        .select(
+            F.lit("kcore").alias("query"),
+            F.concat(F.lit("total:"), F.col("layer")).alias("d1"),
+            F.lit(None).cast("string").alias("d2"),
+            F.col("nn").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("sd").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
-        hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top,
+        hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top, kc_top,
+        kc_tot,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2578,6 +2609,25 @@ aa_top AS (
     )
     ORDER BY aa6 DESC, x, y LIMIT 20
 )"""
+    from privacy_cdc_lakehouse_spark.operators.graph import k_core_oracle_ctes
+
+    kcore = (
+        k_core_oracle_ctes("tri_und", 8, "kc", 4)
+        + """,
+kc_topc AS (
+    SELECT node, core_deg,
+           row_number() OVER (ORDER BY core_deg DESC, node) AS pos
+    FROM kc_out ORDER BY core_deg DESC, node LIMIT 10
+),
+kc_tot AS (
+    SELECT CASE WHEN node >= 20000000 THEN 'nation'
+                WHEN node >= 10000000 THEN 'supplier'
+                ELSE 'customer' END AS layer,
+           CAST(count(*) AS BIGINT) AS nn,
+           CAST(sum(core_deg) AS BIGINT) AS sd
+    FROM kc_out GROUP BY 1
+)"""
+    )
     return ",\n".join(
         [
             edges,
@@ -2596,6 +2646,7 @@ aa_top AS (
             ),
             prp_top,
             tri,
+            kcore,
         ]
     )
 
@@ -2994,6 +3045,19 @@ UNION ALL
 SELECT 'aa', CAST(x AS VARCHAR), CAST(y AS VARCHAR), CAST(pos AS BIGINT),
        aa6, cn
 FROM aa_top
+UNION ALL
+-- k-core arm (round 13): 4 pinned peels at k=8 — top-10 survivors by
+-- in-core degree (pos in d2) + per-layer survivor/degree totals
+SELECT 'kcore',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       CAST(pos AS VARCHAR), CAST(node AS BIGINT), CAST(NULL AS DOUBLE),
+       core_deg
+FROM kc_topc
+UNION ALL
+SELECT 'kcore', 'total:' || layer, NULL, nn, CAST(NULL AS DOUBLE), sd
+FROM kc_tot
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

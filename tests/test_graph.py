@@ -493,6 +493,59 @@ def test_adamic_adar_degree_cap_and_exclusion(spark):
     }
 
 
+def _py_k_core(edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in und:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        und = {(a, b) for a, b in und if a not in drop and b not in drop}
+
+
+def test_k_core_fixpoint_matches_python_reference(spark):
+    rnd = random.Random(53)
+    edges = sorted({(rnd.randrange(22), rnd.randrange(22)) for _ in range(90)})
+    for k in (2, 3, 4):
+        got = {
+            r["node"]: r["core_deg"]
+            for r in G.k_core(_edges_df(spark, edges), k=k).collect()
+        }
+        assert got == _py_k_core(edges, k), k
+
+
+def test_k_core_pinned_rounds_and_cascade(spark):
+    import pytest as _pytest
+
+    # chain 0-1-2-3 hanging off a K4 {10,11,12,13}: 2-core peeling
+    # cascades down the chain one round at a time
+    k4 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    chain = [(3, 10), (2, 3), (1, 2), (0, 1)]
+    edges = k4 + chain
+    fix = {
+        r["node"]: r["core_deg"]
+        for r in G.k_core(_edges_df(spark, edges), k=2).collect()
+    }
+    assert set(fix) == {10, 11, 12, 13}
+    # one pinned round only peels the chain's current leaf
+    r1 = {
+        r["node"]
+        for r in G.k_core(_edges_df(spark, edges), k=2, rounds=1).collect()
+    }
+    assert 0 not in r1 and 1 in r1
+    # enough pinned rounds == fixpoint (the oracle-replayable form)
+    r6 = {
+        r["node"]: r["core_deg"]
+        for r in G.k_core(_edges_df(spark, edges), k=2, rounds=6).collect()
+    }
+    assert r6 == fix
+    with _pytest.raises(ValueError, match="k must"):
+        G.k_core(_edges_df(spark, edges), k=0)
+
+
 def test_triangles_degree_orientation_matches_canonical(spark):
     """Round-12 verdict task #4: the degree-oriented wedge join (the
     production path — Σ outdeg² ≤ |E|^1.5 intermediate) must count
