@@ -398,6 +398,85 @@ def ngram_jaccard_pairs(
     )
 
 
+def allpairs_candidates(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Prefix-filtering candidate generation for an EXACT Jaccard
+    similarity join (Bayardo, Ma & Srikant 2007's AllPairs / the
+    SSJoin family): every unordered doc pair with shingle-set Jaccard
+    >= ``threshold`` is GUARANTEED to share at least one shingle in
+    either doc's rare-first prefix, so the candidate set has RECALL
+    1.0 by construction — the exact-recall complement of
+    :func:`minhash_lsh_pairs` (LSH trades recall for fewer
+    candidates; this trades more candidates for a guarantee).
+    Compose with the standing verify for the exact join:
+    ``ngram_jaccard_pairs(df, allpairs_candidates(df, t),
+    threshold=t)`` equals the naive all-pairs join (pytest-pinned).
+
+    Why the bound holds: order each doc's shingles by GLOBAL rarity
+    (document frequency asc, shingle asc) and keep the first
+    ``p = s - ceil(t*s) + 1``. If two docs share NO prefix shingle,
+    their whole intersection fits in one suffix:
+    ``|A∩B| <= s_A - p_A = ceil(t*s_A) - 1 < t*s_A <= t*|A∪B|`` —
+    strictly below threshold. Rare-first ordering is the actual
+    trick: the frequent shingles that would blow up the in-bucket
+    expansion are pushed into suffixes, so candidate volume is
+    Σ_rare-shingle C(bucket, 2), not n².
+
+    Conservative float slack: the prefix length and the size filter
+    use ``t - 1e-9``, so IEEE jitter in ``t*s`` can only ADD
+    candidates, never drop a qualifying pair; the verify stage
+    applies the exact ``>= threshold`` cut.
+
+    Scale: one shingle explode, one vocabulary-sized df aggregate,
+    a per-doc rank window (doc-sized partitions), the shared grouped
+    in-bucket expansion (:func:`bucket_pairs` — never a self-join),
+    then a size-ratio prune (``t·max(s_a, s_b) <= min`` — a
+    necessary condition of J >= t). Returns distinct (id_a < id_b)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    t = float(threshold) - 1e-9
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"), shingles(F.col(text_col)).alias("sh")
+        )
+        .withColumn("s", F.size("sh"))
+        .filter(F.col("s") > 0)
+    )
+    post = sh.select("_id", "s", F.explode("sh").alias("tok"))
+    dfreq = post.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("_id").orderBy("_df", "tok")
+    prefix = (
+        post.join(dfreq, "tok")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(
+            F.col("_rn") <= F.col("s") - F.ceil(F.lit(t) * F.col("s")) + 1
+        )
+    )
+    cand = bucket_pairs(prefix.select("tok", "_id"), ["tok"], "_id")
+    sizes = sh.select("_id", "s")
+    return (
+        cand.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("s").alias("_sa")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("_id").alias("id_b"), F.col("s").alias("_sb")),
+            "id_b",
+        )
+        .filter(
+            F.least("_sa", "_sb").cast("double")
+            >= F.lit(t) * F.greatest("_sa", "_sb").cast("double")
+        )
+        .select("id_a", "id_b")
+    )
+
+
 def edit_similarity_pairs(
     candidates: DataFrame,
     df: DataFrame,

@@ -758,9 +758,28 @@ def q_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(":", "id_a", "id_b").alias("k"),
         F.col("edit_distance").alias("v"),
     )
+    # round 13: EXACT similarity join arm (operators/dedup.py::
+    # allpairs_candidates — Bayardo et al. 2007 prefix filtering,
+    # recall 1.0 by construction, composed with the standing
+    # ngram_jaccard_pairs verify): every J >= 0.5 pair over the same
+    # augmented corpus, hash-checked against the oracle's NAIVE
+    # all-pairs replay — the strongest possible check for this
+    # operator, because the prefix-filter optimization must produce
+    # EXACTLY the brute-force answer. v = round(jaccard·1e6): the
+    # ratio is an exact integer division, identical IEEE in both
+    # engines.
+    ap = dd.ngram_jaccard_pairs(
+        corpus, dd.allpairs_candidates(corpus, threshold=0.5), threshold=0.5
+    )
+    ap_rows = ap.select(
+        F.lit("ap").alias("kind"),
+        F.concat_ws(":", "id_a", "id_b").alias("k"),
+        F.round(F.col("jaccard") * 1e6, 0).cast("long").alias("v"),
+    )
     return (
         sig_rows.unionByName(pair_rows)
         .unionByName(edit_rows)
+        .unionByName(ap_rows)
         .orderBy("kind", "k")
     )
 
@@ -816,6 +835,27 @@ ed AS (
     FROM nd p
     JOIN aug ta ON ta.doc_id = p.id_a
     JOIN aug tb ON tb.doc_id = p.id_b
+),
+-- round-13 ap arm: NAIVE all-pairs exact Jaccard >= 0.5 — the
+-- brute-force answer the prefix-filtered operator must equal
+apw AS (SELECT doc_id, {_DUCK_WORDS} AS ws FROM aug),
+apsh AS (
+    SELECT doc_id, unnest(shs) AS tok FROM (
+        SELECT doc_id, {_DUCK_SHINGLES} AS shs FROM apw
+    )
+),
+apsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s FROM apsh GROUP BY doc_id),
+apj AS (
+    SELECT i.id_a, i.id_b,
+           CAST(i.inter AS DOUBLE) / (sa.s + sb.s - i.inter) AS jac
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS inter
+        FROM apsh a JOIN apsh b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ) i
+    JOIN apsz sa ON sa.doc_id = i.id_a
+    JOIN apsz sb ON sb.doc_id = i.id_b
 )
 SELECT 'sig' AS kind, CAST(doc_id AS VARCHAR) AS k, simhash AS v FROM sigs
 UNION ALL
@@ -826,6 +866,10 @@ UNION ALL
 SELECT 'edit', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
        CAST(dist AS BIGINT)
 FROM ed
+UNION ALL
+SELECT 'ap', CAST(id_a AS VARCHAR) || ':' || CAST(id_b AS VARCHAR),
+       CAST(round(jac * 1e6, 0) AS BIGINT)
+FROM apj WHERE jac >= 0.5
 ORDER BY kind, k
 """
 

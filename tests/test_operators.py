@@ -3630,3 +3630,52 @@ def test_random_projection_jl_distance_preservation(spark):
     p0 = plane(1 * 100_003 + 0, dim)
     want = sum(a * b for a, b in zip(vecs[0][1], p0)) / math.sqrt(k)
     assert abs(proj[0][0] - want) < 1e-9
+
+
+def test_allpairs_exact_join_matches_naive(spark):
+    """The prefix-filtered similarity join (allpairs_candidates +
+    ngram_jaccard_pairs verify) must equal the NAIVE all-pairs Jaccard
+    join exactly — recall 1.0 is the operator's whole contract."""
+    import random
+
+    import pytest as _pytest
+
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    rnd = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(5, 25))))
+        for i in range(40)
+    ]
+    docs += [(100 + i, docs[i][1] + " tail extra") for i in range(6)]
+    docs += [(200 + i, docs[i][1]) for i in range(4)]  # exact copies
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.5
+    got = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dd.ngram_jaccard_pairs(
+            df, dd.allpairs_candidates(df, t), threshold=t
+        ).collect()
+    }
+
+    def sh3(text):
+        ws = text.split()
+        return {
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        }
+
+    sets = {i: sh3(tx) for i, tx in docs}
+    ids = sorted(sets)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = ids[i], ids[j]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if uni and inter / uni >= t:
+                want[(a, b)] = round(inter / uni, 6)
+    assert got == want
+    assert len(want) >= 4  # the exact copies at J=1 alone guarantee pairs
+    with _pytest.raises(ValueError, match="threshold"):
+        dd.allpairs_candidates(df, 0.0)
