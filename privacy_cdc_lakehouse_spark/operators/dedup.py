@@ -432,10 +432,21 @@ def allpairs_candidates(
     applies the exact ``>= threshold`` cut.
 
     Scale: one shingle explode, one vocabulary-sized df aggregate,
-    a per-doc rank window (doc-sized partitions), the shared grouped
-    in-bucket expansion (:func:`bucket_pairs` — never a self-join),
-    then a size-ratio prune (``t·max(s_a, s_b) <= min`` — a
-    necessary condition of J >= t). Returns distinct (id_a < id_b)."""
+    a per-doc rank window (doc-sized partitions), a skew-safe
+    in-bucket expansion (below), then a size-ratio prune
+    (``t·max(s_a, s_b) <= min`` — a necessary condition of J >= t).
+    Returns distinct (id_a < id_b).
+
+    Honest scale posture: prefix filtering's pruning power IS the
+    corpus's rare-token tail. On a corpus WITHOUT one (tiny effective
+    vocabulary, heavy boilerplate — every doc's rarest shingles still
+    df-in-the-thousands) the candidate volume provably approaches the
+    join's own answer size, which on a self-similar corpus is
+    quadratic-scale — intrinsic to ANY exact-recall join, not a plan
+    defect (measured: the synthetic sf1 fixture's ~40-word vocabulary
+    defeats pruning entirely). Production recipe: strip boilerplate
+    first (:func:`dedup_lines` / ``max_df`` screens), or accept
+    probabilistic recall and use :func:`minhash_lsh_pairs`."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window
@@ -458,7 +469,32 @@ def allpairs_candidates(
             F.col("_rn") <= F.col("s") - F.ceil(F.lit(t) * F.col("s")) + 1
         )
     )
-    cand = bucket_pairs(prefix.select("tok", "_id"), ["tok"], "_id")
+    # In-bucket expansion, SKEW-SAFE variant of the shared
+    # bucket_pairs idiom: a dup-heavy corpus can put thousands of ids
+    # in one prefix bucket, and the one-row nested-transform expansion
+    # would materialize C(m, 2) structs in a single task (observed: a
+    # lone executor thread grinding for minutes at the sf1 gate).
+    # Here the grouped ids posexplode to one row per (bucket, i) — a
+    # REPARTITION between the two explodes spreads those rows across
+    # tasks — and each row pairs its id only with the array slice
+    # AFTER it, so per-task work is O(m) per row and the full C(m, 2)
+    # stream never sits in one array.
+    grouped = (
+        prefix.groupBy("tok")
+        .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        grouped.select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
+        .repartition("id_a")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .distinct()
+    )
     sizes = sh.select("_id", "s")
     return (
         cand.join(

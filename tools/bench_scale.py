@@ -220,6 +220,17 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # conservation is VALUE-asserted below (sum rank == 1), which no
     # plan shape can fake.
     "pagerank_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # (no allpairs_exact gate row: the scaled synthetic corpus has NO
+    # rare-shingle tail — a ~40-word vocabulary means even each doc's
+    # rarest prefix tokens carry df in the thousands, so EXACT-recall
+    # prefix filtering provably cannot prune it and the join's cost
+    # approaches its own quadratic-scale answer size. That is
+    # intrinsic to exact similarity joins on self-similar corpora,
+    # not a plan defect — the operator docstring documents the
+    # posture (boilerplate removal upstream, or the LSH path when
+    # approximate recall is acceptable); exactness itself is
+    # hash-checked vs the NAIVE oracle in the registry's
+    # simhash_portable ap arm.)
     # round-13: degree-oriented triangle counting at the gate graph —
     # the wedge join must plan as equi-joins and the top-20 as a
     # TakeOrdered, never all-pairs. Join flavor is AQE's call (the
