@@ -474,11 +474,15 @@ def allpairs_candidates(
     # in one prefix bucket, and the one-row nested-transform expansion
     # would materialize C(m, 2) structs in a single task (observed: a
     # lone executor thread grinding for minutes at the sf1 gate).
-    # Here the grouped ids posexplode to one row per (bucket, i) — a
-    # REPARTITION between the two explodes spreads those rows across
-    # tasks — and each row pairs its id only with the array slice
-    # AFTER it, so per-task work is O(m) per row and the full C(m, 2)
-    # stream never sits in one array.
+    # Here the grouped ids posexplode to one row per (bucket, i) and
+    # each row keeps only the array slice AFTER its own position
+    # BEFORE the repartition (round-13 advice: slicing after the
+    # shuffle carried the full m-sized array on every one of the m
+    # rows — O(m^2) shuffle bytes per bucket; slicing first carries
+    # Σ(m-i) = C(m, 2) ids total, half the volume, same pairs). The
+    # REPARTITION between the explodes spreads the per-(bucket, i)
+    # rows across tasks, so per-task work is O(m) per row and the
+    # full C(m, 2) stream never sits in one array.
     grouped = (
         prefix.groupBy("tok")
         .agg(F.sort_array(F.collect_set("_id")).alias("ids"))
@@ -486,13 +490,12 @@ def allpairs_candidates(
     )
     cand = (
         grouped.select(F.posexplode("ids").alias("_i", "id_a"), F.col("ids"))
-        .repartition("id_a")
         .select(
             "id_a",
-            F.explode(
-                F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids"))
-            ).alias("id_b"),
+            F.slice(F.col("ids"), F.col("_i") + 2, F.size("ids")).alias("_rest"),
         )
+        .repartition("id_a")
+        .select("id_a", F.explode("_rest").alias("id_b"))
         .distinct()
     )
     sizes = sh.select("_id", "s")

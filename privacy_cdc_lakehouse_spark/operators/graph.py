@@ -755,7 +755,13 @@ def adamic_adar(
     rounded 6dp — the standing rank-over-rounded contract (ln ulps
     across engines sit ~1e-16 below the grain; the tfidf/bm25/FS
     arms already rely on this). A wedge middle always has deg ≥ 2,
-    so ln > 0.
+    so ln > 0. Residual (round-13 advice, documented not fixed):
+    summation ORDER differs between Spark partial aggregation and
+    DuckDB, so a pair sum landing within ~1e-14 of a 0.5e-6 rounding
+    boundary could round differently across engines — the aa arm
+    inherits the tfidf-style rounding-boundary residual risk rather
+    than exact parity (unlike the all-integer graph arms); risk is
+    negligible but nonzero and accepted.
 
     Returns (x, y, common_neighbors, aa6) with x < y."""
     e = edges.select(

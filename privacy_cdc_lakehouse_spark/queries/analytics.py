@@ -965,22 +965,45 @@ def _ordered_stream_source(df: DataFrame, scratch: str, name: str, ts_col: str) 
     return src
 
 
-def _max_state_rows(query) -> int:
-    """Largest stateOperators.numRowsTotal across a finished streaming
-    query's progress events — the state-store footprint the round-12
-    verdict asked the gate to assert on. Progress entries are plain
+def _stream_metrics(query) -> tuple[int, int]:
+    """(peak stateOperators.numRowsTotal, total numInputRows) across a
+    finished streaming query's progress events — the state-store
+    footprint and input volume the gate value-asserts on. Input rows
+    ride the query's OWN metrics (round-13 verdict task #7: the gate
+    rows previously ran eager ``.count()`` pre-actions — extra
+    full-scan jobs inside a priced row). Progress entries are plain
     dicts in some PySpark versions and StreamingQueryProgress objects
-    (with a .json payload) in others — normalize both."""
+    (with a .json payload) in others — normalize both.
+
+    ``recentProgress`` retains only the last
+    ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
+    100), so a longer run would silently under-report BOTH metrics —
+    fail loudly instead (round-13 advice): the gate rows run 4-5
+    micro-batches by construction, far under the cap."""
     import json
 
-    vals = [0]
-    for p in query.recentProgress or []:
+    progress = list(query.recentProgress or [])
+    active = SparkSession.getActiveSession()
+    cap = int(
+        active.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+        if active is not None
+        else "100"
+    )
+    if len(progress) >= cap:
+        raise RuntimeError(
+            f"{len(progress)} progress events >= retention cap {cap}: "
+            "peak state / input rows would be under-reported — raise "
+            "numRecentProgressUpdates or attach a listener"
+        )
+    state_vals, input_rows = [0], 0
+    for p in progress:
         if not isinstance(p, dict):
             j = getattr(p, "json", None)
             p = json.loads(j if isinstance(j, str) else p.json())
+        input_rows += int(p.get("numInputRows") or 0)
         for so in p.get("stateOperators") or []:
-            vals.append(int(so.get("numRowsTotal", 0)))
-    return max(vals)
+            state_vals.append(int(so.get("numRowsTotal", 0)))
+    return max(state_vals), input_rows
 
 
 def q_stream_stream_join_production(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1022,7 +1045,6 @@ def q_stream_stream_join_production(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         (F.col("event_id") + 1_000_000_000).alias("r_eid"),
     )
-    input_rows = left.count() + right.count()
     scratch = os.path.join(
         tempfile.gettempdir(),
         f"pcl_ssjoin_{os.path.basename(os.path.normpath(sf_dir))}",
@@ -1051,7 +1073,7 @@ def q_stream_stream_join_production(spark: SparkSession, sf_dir: str) -> DataFra
         .start()
     )
     q.awaitTermination()
-    state_max = _max_state_rows(q)
+    state_max, input_rows = _stream_metrics(q)
     return (
         spark.read.parquet(out)
         .agg(
@@ -1092,7 +1114,6 @@ def q_streaming_session_production(spark: SparkSession, sf_dir: str) -> DataFram
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts")
     )
-    input_rows = ev.count()
     scratch = os.path.join(
         tempfile.gettempdir(),
         f"pcl_sessprod_{os.path.basename(os.path.normpath(sf_dir))}",
@@ -1118,7 +1139,7 @@ def q_streaming_session_production(spark: SparkSession, sf_dir: str) -> DataFram
         .start()
     )
     q.awaitTermination()
-    state_max = _max_state_rows(q)
+    state_max, input_rows = _stream_metrics(q)
     return (
         spark.read.parquet(out)
         .agg(

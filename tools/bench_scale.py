@@ -353,9 +353,15 @@ def _expect_streaming_sessions(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
     r = rows[0]
+    # round-13 advice: input_rows included in the positivity list —
+    # a 0/None input would otherwise silently skip the boundedness
+    # comparison below and pass the row
     fails = [
         f"{col}={r[col]} (expected > 0)"
-        for col in ("sessions", "users", "events_flushed", "state_rows_max")
+        for col in (
+            "sessions", "users", "events_flushed", "state_rows_max",
+            "input_rows",
+        )
         if not r[col]
     ]
     if r["state_rows_max"] and r["input_rows"] and (
@@ -427,7 +433,11 @@ VALUE_EXPECT = {
 # recorded): the mover-rerun logic below only fires past 1.5x, which
 # left cdc_orders_current's r10 1.18x-on-0.81x-canary residual
 # single-shot and unadjudicable (round-10 verdict task #3).
-ALWAYS_RESAMPLE = {"cdc_orders_current"}
+# text_quality_panel added round 14 (verdict task #1): its r13
+# in-round 1.42x drift (180.7 -> 256.1 s, same-speed box, no code
+# change, 2 BHJ->SMJ in the captured plan) needs dual samples to
+# adjudicate reproduce-vs-noise.
+ALWAYS_RESAMPLE = {"cdc_orders_current", "text_quality_panel"}
 
 
 def ensure_fixture(src: str, dst: str, factor: int) -> None:
