@@ -922,3 +922,165 @@ def k_core_oracle_ctes(
 )"""
     )
     return ",\n".join(ctes)
+
+
+def core_number(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k_max: int | None = None,
+    rounds_per_k: int | None = None,
+) -> DataFrame:
+    """Core-NUMBER decomposition (Batagelj & Zaveršnik 2003): every
+    node's largest k such that it survives in the k-core — the form a
+    curation pipeline actually STORES (one integer column per node,
+    answering every density filter at once), where :func:`k_core`
+    answers a single k per call. Round-13 verdict task #6.
+
+    Semantics: peel at increasing thresholds k = 2, 3, …; nodes that
+    fall out while peeling at threshold k have core number k-1 (every
+    node on an edge has core ≥ 1 — isolated nodes never appear in an
+    edge list). Default (``k_max=None, rounds_per_k=None``) peels each
+    level to its FIXPOINT and stops when the graph empties — the exact
+    decomposition; reuses :func:`k_core`'s bounded driver loop (ONE
+    1-row convergence scalar per peel, lazy ``localCheckpoint`` per
+    round so the Catalyst tree stays O(1) — the 5^R analysis-blowup
+    lesson documented there). Total peels across all levels ≤
+    degeneracy + #levels — the same O(tens) bound as one fixpoint
+    k_core on real graphs.
+
+    PINNED form (``k_max=K, rounds_per_k=R``): exactly R synchronous
+    peels per level for levels 2..K, survivors after level K reported
+    as core K (meaning ≥ K) — NO driver reads, and
+    :func:`core_number_oracle_ctes` unrolls the identical schedule as
+    chained CTEs, so the decomposition is hash-checkable cross-engine
+    (all-integer, exact parity, no rounding contract). A pinned run
+    that hasn't converged at some level may tag a late-cascading node
+    one level low — both engines compute the SAME pinned value;
+    fixpoint-vs-pinned agreement for sufficient R is pytest-pinned.
+
+    Returns (node, core) for every node in the edge list. Scale: per
+    peel one |E|-shuffle (degree agg + two semi-joins) over the
+    SHRINKING survivor graph; per level one |V|-bounded anti-join
+    assigns the dropped nodes; the result is the union of
+    per-level assignment frames, each rooted at a checkpointed scan."""
+    if k_max is not None and k_max < 2:
+        raise ValueError(f"k_max must be >= 2, got {k_max}")
+    if rounds_per_k is not None:
+        if rounds_per_k < 1:
+            raise ValueError(f"rounds_per_k must be >= 1, got {rounds_per_k}")
+        if k_max is None:
+            raise ValueError("rounds_per_k (pinned mode) requires k_max")
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = ensure_parallelism(und).localCheckpoint(eager=False)
+
+    def degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("node"))
+            .unionByName(ed.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_deg"))
+        )
+
+    def peel(ed: DataFrame, k: int) -> DataFrame:
+        keep = degrees(ed).filter(F.col("core_deg") >= k).select("node")
+        return ed.join(
+            keep.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+
+    cur = und
+    prev_nodes = degrees(cur).select("node").localCheckpoint(eager=False)
+    assigned: list[DataFrame] = []
+    k = 2
+    empty = False
+    while True:
+        if rounds_per_k is not None:
+            for _ in range(rounds_per_k):
+                cur = peel(cur, k).localCheckpoint(eager=False)
+        else:
+            prev_n = None
+            while True:
+                cur = peel(cur, k).localCheckpoint(eager=False)
+                n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+                if n == prev_n or n == 0:
+                    empty = n == 0
+                    break
+                prev_n = n
+        surv = degrees(cur).select("node").localCheckpoint(eager=False)
+        assigned.append(
+            prev_nodes.join(surv, "node", "left_anti").select(
+                "node", F.lit(k - 1).cast("long").alias("core")
+            )
+        )
+        if (k_max is not None and k >= k_max) or empty:
+            if not empty:
+                assigned.append(
+                    surv.select("node", F.lit(k_max).cast("long").alias("core"))
+                )
+            break
+        prev_nodes = surv
+        k += 1
+    out = assigned[0]
+    for frame in assigned[1:]:
+        out = out.unionByName(frame)
+    return out
+
+
+def core_number_oracle_ctes(
+    edges_cte: str, k_max: int, rounds_per_k: int, prefix: str = "cn"
+) -> str:
+    """DuckDB replay of :func:`core_number`'s PINNED schedule — the
+    same one-definition-per-oracle rule as :func:`k_core_oracle_ctes`
+    (whose peel CTE shape this chains per level). ``edges_cte`` must
+    already be canonical undirected distinct (a, b). Emits the peel
+    chain, {prefix}_n1..n{k_max} (per-level surviving node sets) and
+    {prefix}_out (node, core). All-integer."""
+    p = prefix
+    ctes = [f"{p}_e1 AS (SELECT a, b FROM {edges_cte})"]
+    level_edges = {1: f"{p}_e1"}
+    prev = f"{p}_e1"
+    for k in range(2, k_max + 1):
+        for r in range(1, rounds_per_k + 1):
+            keep, nxt = f"{p}_k{k}_{r}", f"{p}_e{k}_{r}"
+            ctes.append(
+                f"""{keep} AS MATERIALIZED (
+    SELECT node FROM (
+        SELECT node, count(*) AS d FROM (
+            SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+        ) GROUP BY node
+    ) WHERE d >= {k}
+),
+{nxt} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    WHERE e.a IN (SELECT node FROM {keep})
+      AND e.b IN (SELECT node FROM {keep})
+)"""
+            )
+            prev = nxt
+        level_edges[k] = prev
+    for k in range(1, k_max + 1):
+        ctes.append(
+            f"""{p}_n{k} AS MATERIALIZED (
+    SELECT a AS node FROM {level_edges[k]}
+    UNION SELECT b FROM {level_edges[k]}
+)"""
+        )
+    drops = [
+        f"""    SELECT node, CAST({k} AS BIGINT) AS core FROM {p}_n{k}
+    WHERE node NOT IN (SELECT node FROM {p}_n{k + 1})"""
+        for k in range(1, k_max)
+    ]
+    drops.append(
+        f"    SELECT node, CAST({k_max} AS BIGINT) AS core FROM {p}_n{k_max}"
+    )
+    ctes.append(
+        f"{p}_out AS (\n" + "\n    UNION ALL\n".join(drops) + "\n)"
+    )
+    return ",\n".join(ctes)

@@ -2490,11 +2490,32 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 14: core-NUMBER arm (operators/graph.py::core_number) —
+    # the Batagelj-Zaveršnik decomposition in its PINNED form (levels
+    # 2..8, 2 synchronous peels per level — zero driver reads; the
+    # fixpoint driver loop is pytest-pinned against it): per-(layer,
+    # core) node counts, all-integer so parity is exact.
+    cn = gr.core_number(
+        _relation_graph_edges(spark, sf_dir), k_max=8, rounds_per_k=2
+    )
+    cn_arm = (
+        cn.groupBy(_layer.alias("d1"), "core")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("cn").alias("query"),
+            "d1",
+            F.lit(None).cast("string").alias("d2"),
+            F.col("core").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
         hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top, kc_top,
-        kc_tot,
+        kc_tot, cn_arm,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2630,8 +2651,24 @@ aa_top AS (
     )
     ORDER BY aa6 DESC, x, y LIMIT 20
 )"""
-    from privacy_cdc_lakehouse_spark.operators.graph import k_core_oracle_ctes
+    from privacy_cdc_lakehouse_spark.operators.graph import (
+        core_number_oracle_ctes,
+        k_core_oracle_ctes,
+    )
 
+    # round 14: core-number replay (pinned levels 2..8, 2 peels each)
+    # + the per-(layer, core) summary the cn arm hashes
+    cn = (
+        core_number_oracle_ctes("tri_und", 8, 2, "cn")
+        + """,
+cn_sum AS (
+    SELECT CASE WHEN node >= 20000000 THEN 'nation'
+                WHEN node >= 10000000 THEN 'supplier'
+                ELSE 'customer' END AS layer,
+           core, CAST(count(*) AS BIGINT) AS n
+    FROM cn_out GROUP BY 1, 2
+)"""
+    )
     kcore = (
         k_core_oracle_ctes("tri_und", 8, "kc", 4)
         + """,
@@ -2668,6 +2705,7 @@ kc_tot AS (
             prp_top,
             tri,
             kcore,
+            cn,
         ]
     )
 
@@ -3079,6 +3117,11 @@ FROM kc_topc
 UNION ALL
 SELECT 'kcore', 'total:' || layer, NULL, nn, CAST(NULL AS DOUBLE), sd
 FROM kc_tot
+UNION ALL
+-- core-number arm (round 14): per-(layer, core) node counts under the
+-- pinned Batagelj-Zaveršnik schedule (levels 2..8, 2 peels per level)
+SELECT 'cn', layer, NULL, core, CAST(NULL AS DOUBLE), n
+FROM cn_sum
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

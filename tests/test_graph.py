@@ -546,6 +546,98 @@ def test_k_core_pinned_rounds_and_cascade(spark):
         G.k_core(_edges_df(spark, edges), k=0)
 
 
+def _py_core_number(edges):
+    """Pure-Python Batagelj-Zaveršnik: peel at increasing k; a node
+    dropped while peeling at threshold k has core number k-1."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    core = {}
+    k = 2
+    while und:
+        while True:
+            deg = {}
+            for a, b in und:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            drop = {v for v, d in deg.items() if d < k}
+            if not drop:
+                break
+            for v in drop:
+                core[v] = k - 1
+            und = {
+                (a, b) for a, b in und if a not in drop and b not in drop
+            }
+        if und:
+            k += 1
+    return core
+
+
+def test_core_number_fixpoint_matches_python_reference(spark):
+    rnd = random.Random(59)
+    edges = sorted({(rnd.randrange(22), rnd.randrange(22)) for _ in range(90)})
+    # plus a hub-heavy star+clique so levels actually stack
+    edges += [(100, v) for v in range(101, 113)]
+    edges += [(i, j) for i in range(108, 113) for j in range(i + 1, 113)]
+    got = {
+        r["node"]: r["core"]
+        for r in G.core_number(_edges_df(spark, edges)).collect()
+    }
+    assert got == _py_core_number(edges)
+
+
+def test_core_number_pinned_vs_fixpoint_and_k_core_consistency(spark):
+    # chain hanging off a K4: pinned with generous rounds == fixpoint,
+    # and {core >= k} == the k_core(k) fixpoint survivor set
+    k4 = [(i, j) for i in range(10, 14) for j in range(i + 1, 14)]
+    chain = [(3, 10), (2, 3), (1, 2), (0, 1)]
+    edges = k4 + chain
+    fix = {
+        r["node"]: r["core"]
+        for r in G.core_number(_edges_df(spark, edges)).collect()
+    }
+    assert fix == _py_core_number(edges)
+    pinned = {
+        r["node"]: r["core"]
+        for r in G.core_number(
+            _edges_df(spark, edges), k_max=4, rounds_per_k=6
+        ).collect()
+    }
+    assert pinned == fix
+    survivors_k2 = set(
+        r["node"] for r in G.k_core(_edges_df(spark, edges), k=2).collect()
+    )
+    assert {v for v, c in fix.items() if c >= 2} == survivors_k2
+    with pytest.raises(ValueError, match="k_max"):
+        G.core_number(_edges_df(spark, edges), k_max=1)
+    with pytest.raises(ValueError, match="requires k_max"):
+        G.core_number(_edges_df(spark, edges), rounds_per_k=2)
+
+
+def test_core_number_oracle_replay_matches(spark):
+    """The pinned Spark schedule and the DuckDB CTE unroll must agree
+    node-for-node (all-integer exact parity)."""
+    import duckdb
+
+    rnd = random.Random(61)
+    edges = sorted({(rnd.randrange(18), rnd.randrange(18)) for _ in range(70)})
+    edges = [e for e in edges if e[0] != e[1]]
+    got = {
+        (r["node"], r["core"])
+        for r in G.core_number(
+            _edges_df(spark, edges), k_max=4, rounds_per_k=2
+        ).collect()
+    }
+    values = ", ".join(
+        f"({min(a, b)}, {max(a, b)})" for a, b in sorted(set(edges))
+    )
+    sql = (
+        "WITH raw_e(a, b) AS (VALUES " + values + "),\n"
+        + G.core_number_oracle_ctes("raw_e", 4, 2, "cn")
+        + "\nSELECT node, core FROM cn_out"
+    )
+    want = {(int(n), int(c)) for n, c in duckdb.sql(sql).fetchall()}
+    assert got == want
+
+
 def test_triangles_degree_orientation_matches_canonical(spark):
     """Round-12 verdict task #4: the degree-oriented wedge join (the
     production path — Σ outdeg² ≤ |E|^1.5 intermediate) must count
