@@ -100,6 +100,7 @@ def bpe_train(
     checkpoint_every: int = 32,
     batch_size: int = 1,
     scoring: str = "freq",
+    sym_mode: str = "incremental",
 ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Learn ``num_merges`` merges; returns (merge list in rank order,
     vocab DataFrame (word, tokens array) with every training word's
@@ -156,16 +157,44 @@ def bpe_train(
     ``"wordpiece"`` is the WordPiece likelihood score
     ``count(ab) / (count(a) * count(b))`` (Wu et al. 2016 / the
     HuggingFace trainer), which prefers pairs whose parts rarely occur
-    apart — it adds ONE symbol-count aggregate per round (still
-    vocab-bounded, never corpus-bounded). Ties break on (score, a, b)
-    with the counts exact longs and the wordpiece ratio a double —
-    deterministic either way. Encoding reuses the same trained
-    segmentation dict (:func:`bpe_encode`); HF's longest-match-first
-    INFERENCE encoder is a different algorithm and out of scope here.
+    apart. Ties break on (score, a, b) with the counts exact longs and
+    the wordpiece ratio a double — deterministic either way. Encoding
+    reuses the same trained segmentation dict (:func:`bpe_encode`);
+    HF's longest-match-first INFERENCE encoder is a different
+    algorithm and out of scope here.
+
+    ``sym_mode`` (wordpiece only) picks how the likelihood
+    denominator's symbol counts are obtained. ``"recount"`` re-derives
+    them from the dict every round (a second explode aggregate + two
+    vocab-sized joins per round — the round-13 shape, kept as the
+    parity reference). ``"incremental"`` (default — round-13 verdict
+    task #2: recounting made each WordPiece round ~7x a BPE round at
+    identical sizing) maintains them exactly across rounds: counted
+    once up front (ONE alphabet-bounded aggregate + collect — the
+    symbol space is |alphabet| + one new symbol per merge, thousands
+    at most, the sanctioned bounded-collect family), then updated from
+    the round's picks alone. The per-pick applied-merge count is NOT
+    the pair count (literal ``replace`` is leftmost non-overlapping:
+    in ``a b a b`` the second site shares a SEP with the first and is
+    skipped until a later round, and self-pairs overlap in runs), so
+    it is measured EXACTLY from the one invariant the replace
+    guarantees — every applied merge shortens the repr by exactly one
+    SEP — via ONE 1-row length-delta aggregate per round over the
+    staged replace chain; footprint-disjoint picks commute, so each
+    pick's delta is its own applied count regardless of in-batch
+    order. Update: cnt[ab] += n, cnt[a] -= n, cnt[b] -= n (a self-pair
+    hits a twice — correct: each merge consumes two a's). Both modes
+    produce bit-identical counts, hence identical merge lists
+    (pytest-pinned); the scoring join reads the maintained counts as a
+    broadcast literal frame instead of joining two derived aggregates.
 
     """
     if scoring not in ("freq", "wordpiece"):
         raise ValueError(f"scoring must be 'freq' or 'wordpiece', got {scoring!r}")
+    if sym_mode not in ("incremental", "recount"):
+        raise ValueError(
+            f"sym_mode must be 'incremental' or 'recount', got {sym_mode!r}"
+        )
     if num_merges < 0:
         raise ValueError(f"num_merges must be >= 0, got {num_merges}")
     if checkpoint_every < 0:
@@ -179,6 +208,19 @@ def bpe_train(
         F.col("freq").cast("long").alias("freq"),
         initial_repr(F.col(word_col)).alias("repr"),
     )
+    maintained: dict[str, int] | None = None
+    if scoring == "wordpiece" and sym_mode == "incremental":
+        maintained = {
+            r["s"]: r["scnt"]
+            for r in (
+                wf.select(
+                    F.explode(_symbols(F.col("repr"))).alias("s"), "freq"
+                )
+                .groupBy("s")
+                .agg(F.sum("freq").alias("scnt"))
+                .collect()
+            )
+        }
     merges: list[tuple[str, str]] = []
     round_i = 0
     while len(merges) < num_merges:
@@ -203,11 +245,19 @@ def bpe_train(
             .agg(F.sum("freq").alias("cnt"))
         )
         if scoring == "wordpiece":
-            sym_counts = (
-                wf.select(F.explode(syms).alias("s"), "freq")
-                .groupBy("s")
-                .agg(F.sum("freq").alias("scnt"))
-            )
+            if maintained is not None:
+                sym_counts = F.broadcast(
+                    wf.sparkSession.createDataFrame(
+                        [(s, int(c)) for s, c in maintained.items()],
+                        "s string, scnt long",
+                    )
+                )
+            else:
+                sym_counts = (
+                    wf.select(F.explode(syms).alias("s"), "freq")
+                    .groupBy("s")
+                    .agg(F.sum("freq").alias("scnt"))
+                )
             ranked = (
                 pair_counts.join(
                     sym_counts.select(
@@ -235,16 +285,38 @@ def bpe_train(
             break
         # a conflict-heavy head (every top pair sharing one symbol) can
         # fill fewer than `want` picks — fine: the next round recounts
-        for a, b in _select_disjoint_batch(head, want):
+        picks = _select_disjoint_batch(head, want)
+        staged = F.col("repr")
+        stage_lens = [F.length(staged)]
+        for a, b in picks:
             merges.append((a, b))
-            wf = wf.withColumn(
-                "repr",
-                F.replace(
-                    F.col("repr"),
-                    F.lit(SEP + a + SEP + b + SEP),
-                    F.lit(SEP + a + b + SEP),
-                ),
+            staged = F.replace(
+                staged,
+                F.lit(SEP + a + SEP + b + SEP),
+                F.lit(SEP + a + b + SEP),
             )
+            stage_lens.append(F.length(staged))
+        if maintained is not None and picks:
+            # ONE 1-row aggregate: every applied merge shortens the
+            # repr by exactly one SEP, and footprint-disjoint picks
+            # commute, so stage-k's length drop IS pick k's exact
+            # freq-weighted applied count (NOT the pair count — see
+            # docstring)
+            deltas = wf.agg(
+                *[
+                    F.sum(
+                        F.col("freq") * (stage_lens[i] - stage_lens[i + 1])
+                    ).alias(f"d{i}")
+                    for i in range(len(picks))
+                ]
+            ).collect()[0]
+            for i, (a, b) in enumerate(picks):
+                n = int(deltas[f"d{i}"] or 0)
+                maintained[a] = maintained.get(a, 0) - n
+                maintained[b] = maintained.get(b, 0) - n
+                maintained[a + b] = maintained.get(a + b, 0) + n
+        if picks:
+            wf = wf.withColumn("repr", staged)
     vocab = wf.select("word", _symbols(F.col("repr")).alias("tokens"))
     return merges, vocab
 

@@ -1118,22 +1118,29 @@ def q_wordpiece_train_batched_production(spark: SparkSession, sf_dir: str) -> Da
     gate row (round-12 verdict task #1: the disjoint-batch machinery
     is scoring-agnostic, so the likelihood objective gets the same
     sub-linear driver-round scaling the BPE batched row proved): 1024
-    merges at ``batch_size=64`` symbol-disjoint picks per round,
-    checkpoint every 4 rounds, over the same widened dict, then the
-    full corpus encode. Must land well under 16x the 64-merge
-    sequential reference row despite learning 16x the merges (the
-    BPE precedent: 1024 batched in 49 s vs 256 sequential in 208 s).
-    NOT a registry row (batched==sequential-set parity is
-    pytest-pinned on a conflict-free corpus, same standing as BPE);
-    consumed by tools/bench_scale.py (n_merges == 1024
-    value-asserted, same encode plan contract)."""
+    merges at ``batch_size=64`` symbol-disjoint picks per round over
+    the same widened dict, then the full corpus encode. Must land well
+    under 16x the 64-merge sequential reference row despite learning
+    16x the merges. Round 14 (verdict task #2): symbol counts are now
+    maintained INCREMENTALLY across rounds (``sym_mode="incremental"``
+    default — the r13 recount made each WordPiece round ~7x a BPE
+    round; measured at sf0.1 the row dropped ~2.6x to ~2.3x the BPE
+    batched row), and the checkpoint cadence tightened to every 2
+    rounds — WordPiece scans the dict twice per round (pair aggregate
+    + the 1-row length-delta aggregate), so replace-chain depth costs
+    double what it does for BPE (measured: ce=2 ~96 s vs ce=4 ~115 s
+    at sf0.1; results bit-identical per the checkpoint-parity
+    contract). NOT a registry row (batched==sequential-set parity and
+    incremental==recount parity are pytest-pinned); consumed by
+    tools/bench_scale.py (n_merges == 1024 value-asserted, same
+    encode plan contract)."""
     from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
 
     pin_utc(spark)
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     wf = _bpe_production_dict(spark, sf_dir, corpus, tk)
     merges, vocab = tk.bpe_train(
-        wf, num_merges=1024, checkpoint_every=4, batch_size=64,
+        wf, num_merges=1024, checkpoint_every=2, batch_size=64,
         scoring="wordpiece",
     )
     enc = tk.bpe_encode(corpus, vocab)
