@@ -1184,6 +1184,73 @@ def q_bpe_train_batched_production(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_allpairs_exact_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT AllPairs similarity join priced on a corpus it can
+    prove itself on (round-13 verdict task #3: prefix filtering's
+    pruning power IS the corpus's rare-token tail, and the plain
+    scaled fixture has none — the r13 gate honestly documented the
+    absence of a row; the conclusion was a better fixture, not no
+    row). Runs on ``documents_rt`` (tools/scale_fixture.py): each base
+    doc family carries a deterministic 16-token salt tail, giving
+    every doc rare (df == replica count) prefix shingles while
+    same-family replicas keep Jaccard >= 0.9.
+
+    One summary row prices and evidences the whole claim:
+    - ``candidates`` and ``cand_pct`` (candidates as % of C(n,2)) —
+      the VALUE-asserted pruning-power measure (must be << C(n,2);
+      a degenerate prefix filter approaches quadratic);
+    - ``ap_pairs`` — verified J >= 0.9 pairs from the exact join
+      (recall 1.0 by the Bayardo bound);
+    - ``lsh_pairs`` / ``lsh_missing`` — the MinHash-LSH+verify path on
+      the SAME corpus: every LSH-verified pair must appear in the
+      exact join's output (lsh_missing == 0 — exactness dominates the
+      probabilistic path), while ap_pairs >= lsh_pairs prices what
+      LSH's recall < 1 trades away.
+
+    The candidate frames are lazily localCheckpointed so generation is
+    priced ONCE (each feeds both its count and the verify stage); the
+    verify joins and the anti-join stay live in the captured plan
+    (broadcast-hinted candidate semi-joins — nothing may cartesian).
+    NOT a registry row (documents_rt exists only in scaled fixtures);
+    consumed by tools/bench_scale.py."""
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    pin_utc(spark)
+    t = 0.9
+    docs = load_table(spark, sf_dir, "documents_rt").select("doc_id", "text")
+    cand = dd.allpairs_candidates(docs, t).localCheckpoint(eager=False)
+    ap = dd.ngram_jaccard_pairs(docs, cand, threshold=t)
+    lsh_cand = dd.minhash_lsh_pairs(docs).localCheckpoint(eager=False)
+    lsh = dd.ngram_jaccard_pairs(docs, lsh_cand, threshold=t)
+    missing = lsh.select("id_a", "id_b").join(
+        ap.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("candidates"))
+    n_ap = ap.agg(F.count(F.lit(1)).alias("ap_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("lsh_pairs"))
+    n_miss = missing.agg(F.count(F.lit(1)).alias("lsh_missing"))
+    return (
+        n_docs.crossJoin(n_cand)
+        .crossJoin(n_ap)
+        .crossJoin(n_lsh)
+        .crossJoin(n_miss)
+        .select(
+            "n_docs",
+            "candidates",
+            F.round(
+                F.col("candidates")
+                / (F.col("n_docs") * (F.col("n_docs") - 1) / 2.0)
+                * 100.0,
+                4,
+            ).alias("cand_pct"),
+            "ap_pairs",
+            "lsh_pairs",
+            "lsh_missing",
+        )
+    )
+
+
 def q_sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets. The oracle
     replicates the bucketing bit-for-bit (literal ±1 planes, identical

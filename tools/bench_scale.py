@@ -220,17 +220,16 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # conservation is VALUE-asserted below (sum rank == 1), which no
     # plan shape can fake.
     "pagerank_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
-    # (no allpairs_exact gate row: the scaled synthetic corpus has NO
-    # rare-shingle tail — a ~40-word vocabulary means even each doc's
-    # rarest prefix tokens carry df in the thousands, so EXACT-recall
-    # prefix filtering provably cannot prune it and the join's cost
-    # approaches its own quadratic-scale answer size. That is
-    # intrinsic to exact similarity joins on self-similar corpora,
-    # not a plan defect — the operator docstring documents the
-    # posture (boilerplate removal upstream, or the LSH path when
-    # approximate recall is acceptable); exactness itself is
-    # hash-checked vs the NAIVE oracle in the registry's
-    # simhash_portable ap arm.)
+    # round-14 (verdict task #3): the exact AllPairs join priced on the
+    # RARE-TAIL documents_rt fixture (the r13 posture — "the plain
+    # scaled corpus provably defeats exact-recall pruning" — was
+    # honest but the conclusion is a better fixture, not no row). The
+    # candidate-generation frames are lazily checkpointed so the
+    # captured plan carries the verify stage: broadcast-hinted
+    # candidate joins, the LSH-vs-exact anti-join, the 1-row summary
+    # scalars (BNLJ); nothing may cartesian. Pruning power, exactness
+    # dominance over LSH and recall pricing are VALUE-asserted below.
+    "allpairs_exact_production": ["BroadcastHashJoin", "HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # round-13: degree-oriented triangle counting at the gate graph —
     # the wedge join must plan as equi-joins and the top-20 as a
     # TakeOrdered, never all-pairs. Join flavor is AQE's call (the
@@ -397,6 +396,41 @@ def _expect_triangles(rows) -> list[str]:
     return fails
 
 
+def _expect_allpairs_exact(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("n_docs", "candidates", "ap_pairs", "lsh_pairs")
+        if not r[col]
+    ]
+    # the pruning-power claim: candidates must be a vanishing fraction
+    # of C(n, 2) — 1% at 50k docs is ~12.5M pairs, far above the
+    # design's family-bucket estimate, so this catches degeneration
+    # without being flaky
+    if r["cand_pct"] is None or r["cand_pct"] >= 1.0:
+        fails.append(
+            f"cand_pct={r['cand_pct']} (expected < 1.0 — prefix "
+            "filtering degenerated toward all-pairs)"
+        )
+    # exactness dominates the probabilistic path
+    if r["lsh_missing"]:
+        fails.append(
+            f"lsh_missing={r['lsh_missing']} (LSH-verified pairs "
+            "absent from the exact join — recall 1.0 broken)"
+        )
+    if (
+        r["ap_pairs"] is not None
+        and r["lsh_pairs"] is not None
+        and r["ap_pairs"] < r["lsh_pairs"]
+    ):
+        fails.append(
+            f"ap_pairs={r['ap_pairs']} < lsh_pairs={r['lsh_pairs']}"
+        )
+    return fails
+
+
 def _expect_scd2_stream(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -415,6 +449,7 @@ def _expect_scd2_stream(rows) -> list[str]:
 
 
 VALUE_EXPECT = {
+    "allpairs_exact_production": _expect_allpairs_exact,
     "record_linkage_hotblock": _expect_linkage_hotblock,
     "bpe_train_production": _expect_bpe(256),
     "bpe_train_batched_production": _expect_bpe(1024),
@@ -441,7 +476,11 @@ ALWAYS_RESAMPLE = {"cdc_orders_current", "text_quality_panel"}
 
 
 def ensure_fixture(src: str, dst: str, factor: int) -> None:
-    stamp = os.path.join(dst, f".scaled_from_{os.path.basename(src)}_x{factor}")
+    # _v2: round 14 added the documents_rt rare-tail table — bumping
+    # the stamp regenerates fixtures scaled before it existed
+    stamp = os.path.join(
+        dst, f".scaled_from_{os.path.basename(src)}_x{factor}_v2"
+    )
     if os.path.exists(stamp):
         return
     here = os.path.dirname(os.path.abspath(__file__))
@@ -511,6 +550,7 @@ def main() -> None:
 
         queries["sim_lsh_topk"] = q_sim_lsh_topk
     from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_allpairs_exact_production,
         q_bpe_train_batched_production,
         q_bpe_train_production,
         q_dedup_semantic_pruned_production,
@@ -519,6 +559,8 @@ def main() -> None:
         q_wordpiece_train_batched_production,
         q_wordpiece_train_production,
     )
+
+    queries["allpairs_exact_production"] = q_allpairs_exact_production
 
     queries["sim_pq_pruned"] = q_sim_pq_pruned_production
     queries["mmr_rerank_production"] = q_mmr_rerank_production

@@ -76,6 +76,42 @@ def main() -> None:
         FROM read_parquet('{src}/embeddings.parquet'), {rep}""",
         "embeddings",
     )
+    # documents_rt (round 14, verdict task #3): the RARE-TAIL documents
+    # variant the exact AllPairs similarity join can prove itself on.
+    # The plain scaled corpus defeats prefix filtering BY CONSTRUCTION
+    # (tiny shared vocabulary — every doc's rarest shingles still carry
+    # family-crossing df, so exact-recall pruning provably degenerates);
+    # real corpora have a Zipf rare tail. Synthesized deterministically
+    # (no RNG): each BASE doc gets a 16-token salt tail ('zd<id>x<j>')
+    # appended BEFORE the per-replica suffix, so (a) the tail's 3-gram
+    # shingles are FAMILY-UNIQUE with df == replica count — the rarest
+    # shingles in every doc, exactly the prefix-filter food — and (b)
+    # replicas of one family still share the tail, keeping same-family
+    # Jaccard >= ~(s-1)/(s+1) (only the ' rN' suffix gram differs), so
+    # J >= 0.9 pairs exist to find. 16 tokens covers the prefix length
+    # p = s - ceil(0.9 s) + 1 <= 12 for every doc length in the fixture.
+    gen(
+        f"""WITH tails AS (
+            SELECT doc_id,
+                   string_agg('zd' || doc_id || 'x' || j, ' ' ORDER BY j)
+                     AS tail
+            FROM read_parquet('{src}/documents.parquet'),
+                 generate_series(1, 16) s(j)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id + i*{SHIFT} AS doc_id,
+               d.text || ' ' || tl.tail ||
+                 CASE WHEN i = 0 THEN ''
+                      ELSE ' r' || CAST(i AS VARCHAR) END AS text,
+               d.lang, d.source,
+               CAST(length(d.text || ' ' || tl.tail ||
+                 CASE WHEN i = 0 THEN ''
+                      ELSE ' r' || CAST(i AS VARCHAR) END) AS BIGINT)
+                 AS n_chars
+        FROM read_parquet('{src}/documents.parquet') d
+        JOIN tails tl USING (doc_id), {rep}""",
+        "documents_rt",
+    )
     for t in DIMS:
         shutil.copy(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"{t}: copied")
