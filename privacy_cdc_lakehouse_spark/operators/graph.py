@@ -378,12 +378,21 @@ def hits(
 
     Returns (node, authority, hub). Scale: two |E|-shuffles per
     iteration (one per direction); the L2 norms ride broadcast 1-row
-    scalars; never collected."""
+    scalars; never collected. The edge frame is checkpointed once and
+    the state frame once per iteration (LAZY ``localCheckpoint``, the
+    k_core plan-size discipline — found by the round-14 sf1 gate row:
+    one iteration references the previous state ~4x (two propagates,
+    each reading its input twice for the norm and the output) and the
+    edge frame twice, so an un-truncated 5-iteration chain re-derives
+    an upstream edge JOIN ~4^5 times — minutes at 10x where the
+    checkpointed form is seconds; results are bit-identical, the
+    checkpoint only pins where evaluation happens)."""
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
+    e = ensure_parallelism(e).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -426,7 +435,7 @@ def hits(
     for _ in range(iterations):
         auth = _propagate(state, "hub", "src", "dst", "authority")
         hub = _propagate(auth, "authority", "dst", "src", "hub")
-        state = auth.join(hub, "node")
+        state = auth.join(hub, "node").localCheckpoint(eager=False)
     return state.select("node", "authority", "hub")
 
 
@@ -521,12 +530,17 @@ def label_propagation(
     Scale: per iteration ONE |E|-shuffle (join on src), one
     (dst, label)-aggregate and one per-node argmax window whose
     partitions are in-degree-bounded; seeds re-assert by map-side
-    coalesce over the |seeds|-sized frame."""
+    coalesce over the |seeds|-sized frame. Edge frame checkpointed
+    once and the label frame once per round (LAZY ``localCheckpoint``
+    — each round references the previous labels twice, so an
+    un-truncated chain re-derives upstream edge joins 2^R times; the
+    round-14 hits lesson applied here, results bit-identical)."""
     if iterations < 0:
         raise ValueError(f"iterations must be >= 0, got {iterations}")
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
+    e = ensure_parallelism(e).localCheckpoint(eager=False)
     sd = seeds.select(
         F.col(node_col).cast("long").alias("node"),
         F.col(label_col).cast("long").alias("_seed"),
@@ -567,6 +581,7 @@ def label_propagation(
                 "node",
                 F.coalesce("_seed", "_new", "label").alias("label"),
             )
+            .localCheckpoint(eager=False)
         )
     return lab.select("node", "label")
 

@@ -2117,6 +2117,162 @@ def q_triangles_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.unionByName(total)
 
 
+def q_kcore_fixpoint_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only k-core FIXPOINT at production sizing (round-13
+    verdict task #4: the registry's kcore arm runs 4 PINNED peels —
+    oracle-replayable but never the convergence driver loop; this row
+    prices the real algorithm: peels × (one |E|-shuffle + ONE 1-row
+    convergence scalar + lazy localCheckpoint) until no node drops).
+    Returns a 1-row summary; the gate VALUE-asserts survivors > 0 AND
+    min_core_deg >= k — the fixpoint property itself, which a pinned
+    (possibly unconverged) run cannot guarantee and a broken peel
+    loop cannot fake."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    kc = gr.k_core(_relation_graph_edges(spark, sf_dir), k=8)
+    return kc.agg(
+        F.count(F.lit(1)).cast("long").alias("survivors"),
+        F.min("core_deg").cast("long").alias("min_core_deg"),
+        F.sum("core_deg").cast("long").alias("sum_core_deg"),
+    )
+
+
+def q_adamic_adar_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only Adamic-Adar at production sizing (round-13 verdict
+    task #4: the aa arm hash-checks sf0.01; this row prices the
+    hub-capped wedge expansion at 10x — max_degree=64 excludes hub
+    middles, the Σ deg² mitigation the 100 TB claim rests on).
+    Returns the top-20 pairs (pos 1..20) plus a summary row (pos 0,
+    x = total pairs, n = total common-neighbor credits); the gate
+    value-asserts pairs > 0, positions 1..20 and a non-increasing
+    top-20 score sequence."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    aa = gr.adamic_adar(_relation_graph_edges(spark, sf_dir), max_degree=64)
+    top = (
+        aa.orderBy(F.desc("aa6"), "x", "y")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("aa6"), F.asc("x"), F.asc("y"))
+            ),
+        )
+        .select(
+            F.col("x").cast("long").alias("x"),
+            F.col("y").cast("long").alias("y"),
+            F.col("aa6").cast("double").alias("aa6"),
+            F.col("common_neighbors").cast("long").alias("n"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+    )
+    total = aa.agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.lit(0).cast("long").alias("y"),
+        F.lit(None).cast("double").alias("aa6"),
+        F.sum("common_neighbors").cast("long").alias("n"),
+        F.lit(0).cast("long").alias("pos"),
+    )
+    return top.unionByName(total)
+
+
+def q_hits_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only HITS at production sizing (round-13 verdict task #5:
+    two |E|-shuffles per iteration — the most expensive graph
+    recurrence without a gate row; the hits arm hash-checks 3
+    iterations at sf0.01). 5 iterations over the relation graph.
+    Returns top-10 authorities + top-10 hubs plus two summary rows
+    carrying |V| and the L2 norm-squared of each score vector; the
+    gate VALUE-asserts both norms == 1 within the 9dp-rounding
+    tolerance — a dropped contribution join or broken normalization
+    cannot fake a unit norm."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    ht = gr.hits(_relation_graph_edges(spark, sf_dir), iterations=5)
+
+    def rows(score_col: str, kind: str) -> DataFrame:
+        return gr.top_ranked(ht, 10, rank_col=score_col).select(
+            F.lit(kind).alias("kind"),
+            F.col("node").cast("long").alias("node"),
+            F.col(score_col).cast("double").alias("score"),
+            F.col("pos").cast("long").alias("pos"),
+        )
+
+    def norm(score_col: str, kind: str) -> DataFrame:
+        return ht.agg(
+            F.count(F.lit(1)).cast("long").alias("node"),
+            F.sum(F.col(score_col) * F.col(score_col)).alias("score"),
+        ).select(
+            F.lit(kind).alias("kind"),
+            "node",
+            "score",
+            F.lit(0).cast("long").alias("pos"),
+        )
+
+    return (
+        rows("authority", "auth")
+        .unionByName(rows("hub", "hub"))
+        .unionByName(norm("authority", "norm:auth"))
+        .unionByName(norm("hub", "norm:hub"))
+    )
+
+
+def q_lp_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only label propagation at production sizing (round-13
+    verdict task #5): 3 synchronous nation-seeded majority rounds over
+    the relation graph. Returns a 1-row summary; the gate
+    VALUE-asserts label conservation — every seed keeps its own label
+    (seeds_intact == seed_count: seeds are immutable by contract),
+    every assigned label IS a seed label (invalid_labels == 0: labels
+    only propagate, never appear), and propagation reached beyond the
+    seeds (labeled > seed_count)."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    seeds = _t(spark, sf_dir, "nation").select(
+        (F.col("n_nationkey") + 20_000_000).cast("long").alias("node"),
+        F.col("n_nationkey").cast("long").alias("label"),
+    )
+    lab = gr.label_propagation(
+        _relation_graph_edges(spark, sf_dir), seeds, iterations=3
+    )
+    stats = lab.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.count("label").cast("long").alias("labeled"),
+        F.countDistinct("label").cast("long").alias("labels_distinct"),
+    )
+    intact = (
+        lab.join(
+            seeds.select("node", F.col("label").alias("_seed")), "node"
+        )
+        .agg(
+            F.sum(
+                (F.col("label") == F.col("_seed")).cast("long")
+            ).alias("seeds_intact")
+        )
+    )
+    seed_n = seeds.agg(F.count(F.lit(1)).cast("long").alias("seed_count"))
+    invalid = (
+        lab.filter(F.col("label").isNotNull())
+        .select("label")
+        .distinct()
+        .join(seeds.select("label").distinct(), "label", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("invalid_labels"))
+    )
+    return (
+        stats.crossJoin(intact)
+        .crossJoin(seed_n)
+        .crossJoin(invalid)
+        .select(
+            "n_nodes", "labeled", "labels_distinct", "seeds_intact",
+            "seed_count", "invalid_labels",
+        )
+    )
+
+
 def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 + Q13 + Q22 + Q8 + (round 10) Q9 + Q11 + Q15 + Q16 + Q20 +
     Q21 in one tagged union — each ORIGINAL plan above runs unchanged,

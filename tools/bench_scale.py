@@ -238,6 +238,26 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # VALUE-asserted divisible by 3 below, which a broken orientation
     # (missed/duplicated wedges) cannot fake.
     "triangles_production": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
+    # round-14 (verdict task #4): the k-core CONVERGENCE driver loop at
+    # 10x — peels ran in their own checkpointed jobs, so the captured
+    # plan is the final degrees aggregate over the checkpointed scan;
+    # the fixpoint property (min_core_deg >= k) is VALUE-asserted
+    # below, which no plan shape can fake.
+    "kcore_fixpoint_production": ["HashAggregate", "!CartesianProduct"],
+    # round-14 (verdict task #4 cont.): hub-capped Adamic-Adar at 10x —
+    # the wedge expansion must plan as equi-joins with the top-20 a
+    # TakeOrdered, never all-pairs; pair positivity and score
+    # monotonicity value-asserted below.
+    "adamic_adar_production": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
+    # round-14 (verdict task #5): HITS at 10x — two |E|-shuffles per
+    # iteration (the most expensive graph recurrence); the L2 norm
+    # scalars must stay broadcast 1-row cross joins (BNLJ) and the
+    # top-10s TakeOrdered; unit norms value-asserted below.
+    "hits_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # round-14 (verdict task #5 cont.): label propagation at 10x — the
+    # per-round majority argmax is a Window over in-degree-bounded
+    # partitions; label conservation value-asserted below.
+    "lp_production": ["Window", "HashAggregate", "!CartesianProduct"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
@@ -396,6 +416,93 @@ def _expect_triangles(rows) -> list[str]:
     return fails
 
 
+def _expect_kcore_fixpoint(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("survivors", "sum_core_deg")
+        if not r[col]
+    ]
+    if r["min_core_deg"] is None or r["min_core_deg"] < 8:
+        fails.append(
+            f"min_core_deg={r['min_core_deg']} (expected >= 8 — the "
+            "fixpoint property; the peel loop stopped early)"
+        )
+    return fails
+
+
+def _expect_adamic_adar(rows) -> list[str]:
+    if len(rows) != 21:
+        return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
+    tops = sorted((r for r in rows if r["pos"] > 0), key=lambda r: r["pos"])
+    summary = [r for r in rows if r["pos"] == 0]
+    if not summary:
+        return ["missing pos==0 summary row"]
+    fails = []
+    if [r["pos"] for r in tops] != list(range(1, 21)):
+        fails.append("top-20 positions not 1..20")
+    scores = [r["aa6"] for r in tops]
+    if any(s is None or s <= 0 for s in scores):
+        fails.append("non-positive aa6 in top-20")
+    elif any(scores[i] < scores[i + 1] for i in range(len(scores) - 1)):
+        fails.append("top-20 aa6 sequence not non-increasing")
+    if not summary[0]["x"]:
+        fails.append(f"total pairs={summary[0]['x']} (expected > 0)")
+    return fails
+
+
+def _expect_hits(rows) -> list[str]:
+    tops = [r for r in rows if r["pos"] > 0]
+    norms = {r["kind"]: r for r in rows if r["pos"] == 0}
+    fails = []
+    for kind in ("auth", "hub"):
+        pos = sorted(r["pos"] for r in tops if r["kind"] == kind)
+        if pos != list(range(1, 11)):
+            fails.append(f"{kind} top-10 positions not 1..10")
+    for kind in ("norm:auth", "norm:hub"):
+        if kind not in norms:
+            fails.append(f"missing {kind} summary row")
+            continue
+        n, sq = norms[kind]["node"], norms[kind]["score"]
+        if n < 100:
+            fails.append(f"{kind}: |V|={n} (expected >= 100 at sf1)")
+        # per-node 9dp rounding after normalization bounds the drift
+        if sq is None or abs(sq - 1.0) > 2e-9 * max(n, 1) + 1e-6:
+            fails.append(f"{kind}: sum(score^2)={sq} (norm not 1)")
+    return fails
+
+
+def _expect_lp(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("n_nodes", "labeled", "labels_distinct", "seed_count")
+        if not r[col]
+    ]
+    if r["seeds_intact"] != r["seed_count"]:
+        fails.append(
+            f"seeds_intact={r['seeds_intact']} != seed_count="
+            f"{r['seed_count']} (a seed changed label)"
+        )
+    if r["invalid_labels"]:
+        fails.append(
+            f"invalid_labels={r['invalid_labels']} (labels appeared "
+            "that no seed carries)"
+        )
+    if r["labeled"] is not None and r["seed_count"] is not None and (
+        r["labeled"] <= r["seed_count"]
+    ):
+        fails.append(
+            f"labeled={r['labeled']} <= seed_count={r['seed_count']} "
+            "(propagation reached nothing)"
+        )
+    return fails
+
+
 def _expect_allpairs_exact(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -450,6 +557,10 @@ def _expect_scd2_stream(rows) -> list[str]:
 
 VALUE_EXPECT = {
     "allpairs_exact_production": _expect_allpairs_exact,
+    "kcore_fixpoint_production": _expect_kcore_fixpoint,
+    "adamic_adar_production": _expect_adamic_adar,
+    "hits_production": _expect_hits,
+    "lp_production": _expect_lp,
     "record_linkage_hotblock": _expect_linkage_hotblock,
     "bpe_train_production": _expect_bpe(256),
     "bpe_train_batched_production": _expect_bpe(1024),
@@ -577,7 +688,11 @@ def main() -> None:
         q_wordpiece_train_batched_production
     )
     from privacy_cdc_lakehouse_spark.queries.analytics import (
+        q_adamic_adar_production,
         q_drift_monitor_production,
+        q_hits_production,
+        q_kcore_fixpoint_production,
+        q_lp_production,
         q_pagerank_production,
         q_record_linkage_production,
         q_triangles_production,
@@ -587,6 +702,10 @@ def main() -> None:
     queries["record_linkage_hotblock"] = q_record_linkage_production
     queries["pagerank_production"] = q_pagerank_production
     queries["triangles_production"] = q_triangles_production
+    queries["kcore_fixpoint_production"] = q_kcore_fixpoint_production
+    queries["adamic_adar_production"] = q_adamic_adar_production
+    queries["hits_production"] = q_hits_production
+    queries["lp_production"] = q_lp_production
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_stream_stream_join_production,
         q_streaming_session_production,
