@@ -119,7 +119,9 @@ def bpe_train(
     merge means a production 32k-merge vocab costs ~32k driver round
     trips (~2 h extrapolated from the round-11 sf1 gate); batching
     cuts that ~batch_size x. Per round: ONE ranked pair-count
-    aggregate, a bounded head collect (4x batch_size rows), then a
+    aggregate, a bounded head collect (64x batch_size rows, max 8192
+    — sized for conflict-heavy likelihood heads, see the in-code
+    note), then a
     greedy scan keeping each pair only if its operands AND its merged
     symbol are disjoint from every pair already kept this round
     (:func:`_select_disjoint_batch`). Disjointness makes the batch's
@@ -179,14 +181,18 @@ def bpe_train(
     skipped until a later round, and self-pairs overlap in runs), so
     it is measured EXACTLY from the one invariant the replace
     guarantees — every applied merge shortens the repr by exactly one
-    SEP — via ONE 1-row length-delta aggregate per round over the
-    staged replace chain; footprint-disjoint picks commute, so each
-    pick's delta is its own applied count regardless of in-batch
-    order. Update: cnt[ab] += n, cnt[a] -= n, cnt[b] -= n (a self-pair
-    hits a twice — correct: each merge consumes two a's). Both modes
-    produce bit-identical counts, hence identical merge lists
-    (pytest-pinned); the scoring join reads the maintained counts as a
-    broadcast literal frame instead of joining two derived aggregates.
+    SEP — via ONE 1-row length-delta aggregate per round, each pick's
+    delta computed INDEPENDENTLY on the pre-round repr (one replace
+    per pick: footprint-disjoint picks commute, so replace_i can
+    neither create nor destroy pick k's sites and the pre-round count
+    IS the in-batch count). Update: cnt[ab] += n, cnt[a] -= n,
+    cnt[b] -= n (a self-pair hits a twice — correct: each merge
+    consumes two a's). Incremental mode also checkpoints the dict
+    every round so the pair aggregate and the delta replaces run
+    against materialized strings. Both modes produce bit-identical
+    counts, hence identical merge lists (pytest-pinned); the scoring
+    join reads the maintained counts as a broadcast literal frame
+    instead of joining two derived aggregates.
 
     """
     if scoring not in ("freq", "wordpiece"):
@@ -280,34 +286,55 @@ def bpe_train(
             )
         else:
             ranked = pair_counts.orderBy(F.desc("cnt"), "a", "b")
-        head = ranked.limit(1 if want == 1 else 4 * want).collect()
+        # Head depth 64x want (round 14; was 4x): the WordPiece
+        # likelihood head is chronically CONFLICT-HEAVY — the score
+        # cnt/(ca*cb) concentrates the top of the ranking on a few
+        # rare symbols' pair families, which all collide in the
+        # disjoint filter (measured at the sf1 gate: a 256-deep head
+        # yielded 2-4 picks/round after round ~20, so 1024 merges took
+        # ~300 driver rounds; 4096-deep yields ~17/round and 58
+        # rounds). A deeper head NEVER changes a conflict-light run:
+        # the greedy scan stops at `want` picks, so extra depth is
+        # only read when conflicts would otherwise exhaust the head —
+        # the same documented fast-trainer approximation, scanned
+        # further. Rows are 4 small columns; 4096 is a trivial
+        # driver collect.
+        head = ranked.limit(
+            1 if want == 1 else min(64 * want, 8192)
+        ).collect()
         if not head:
             break
         # a conflict-heavy head (every top pair sharing one symbol) can
         # fill fewer than `want` picks — fine: the next round recounts
         picks = _select_disjoint_batch(head, want)
-        staged = F.col("repr")
-        stage_lens = [F.length(staged)]
-        for a, b in picks:
-            merges.append((a, b))
-            staged = F.replace(
-                staged,
-                F.lit(SEP + a + SEP + b + SEP),
-                F.lit(SEP + a + b + SEP),
-            )
-            stage_lens.append(F.length(staged))
         if maintained is not None and picks:
             # ONE 1-row aggregate: every applied merge shortens the
-            # repr by exactly one SEP, and footprint-disjoint picks
-            # commute, so stage-k's length drop IS pick k's exact
-            # freq-weighted applied count (NOT the pair count — see
-            # docstring)
+            # repr by exactly one SEP, so per-pick applied counts are
+            # length deltas — and because footprint-disjoint picks
+            # commute (replace_i can neither create nor destroy pick
+            # k's adjacency sites: it consumes only a_i/b_i and emits
+            # a_ib_i, all outside pick k's footprint), each pick's
+            # count is measured INDEPENDENTLY on the pre-round repr
+            # with one replace per pick. (The first cut staged the
+            # deltas through the chained replaces — Σi prefix chains,
+            # ~2000 string rewrites per word per round at batch 64;
+            # this form is 64.)
             deltas = wf.agg(
                 *[
                     F.sum(
-                        F.col("freq") * (stage_lens[i] - stage_lens[i + 1])
+                        F.col("freq")
+                        * (
+                            F.length("repr")
+                            - F.length(
+                                F.replace(
+                                    F.col("repr"),
+                                    F.lit(SEP + a + SEP + b + SEP),
+                                    F.lit(SEP + a + b + SEP),
+                                )
+                            )
+                        )
                     ).alias(f"d{i}")
-                    for i in range(len(picks))
+                    for i, (a, b) in enumerate(picks)
                 ]
             ).collect()[0]
             for i, (a, b) in enumerate(picks):
@@ -316,7 +343,23 @@ def bpe_train(
                 maintained[b] = maintained.get(b, 0) - n
                 maintained[a + b] = maintained.get(a + b, 0) + n
         if picks:
+            staged = F.col("repr")
+            for a, b in picks:
+                merges.append((a, b))
+                staged = F.replace(
+                    staged,
+                    F.lit(SEP + a + SEP + b + SEP),
+                    F.lit(SEP + a + b + SEP),
+                )
             wf = wf.withColumn("repr", staged)
+            if maintained is not None:
+                # incremental mode checkpoints every round: both the
+                # pair aggregate and the per-pick delta replaces then
+                # run against MATERIALIZED strings (chain depth 0) —
+                # the round-14 gate showed un-materialized chains
+                # multiplying through the 64 independent delta
+                # expressions; results are bit-identical
+                wf = wf.localCheckpoint(eager=True)
     vocab = wf.select("word", _symbols(F.col("repr")).alias("tokens"))
     return merges, vocab
 

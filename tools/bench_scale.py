@@ -250,14 +250,19 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # monotonicity value-asserted below.
     "adamic_adar_production": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
     # round-14 (verdict task #5): HITS at 10x — two |E|-shuffles per
-    # iteration (the most expensive graph recurrence); the L2 norm
-    # scalars must stay broadcast 1-row cross joins (BNLJ) and the
-    # top-10s TakeOrdered; unit norms value-asserted below.
-    "hits_production": ["HashAggregate", "BroadcastNestedLoopJoin", "TakeOrderedAndProject", "!CartesianProduct"],
+    # iteration (the most expensive graph recurrence). The iteration
+    # internals (norm BNLJ scalars, contribution joins) run inside
+    # per-iteration checkpointed segments — the round-14 fix for the
+    # ~4^R plan blowup this row caught — so the captured plan is the
+    # top-10s + norm aggregates over the checkpointed state; unit
+    # norms are value-asserted below, which no plan shape can fake.
+    "hits_production": ["HashAggregate", "TakeOrderedAndProject", "!CartesianProduct"],
     # round-14 (verdict task #5 cont.): label propagation at 10x — the
-    # per-round majority argmax is a Window over in-degree-bounded
-    # partitions; label conservation value-asserted below.
-    "lp_production": ["Window", "HashAggregate", "!CartesianProduct"],
+    # per-round majority Window runs inside the per-round checkpointed
+    # segments (same fix); captured plan is the conservation summary
+    # over the checkpointed labels; label conservation value-asserted
+    # below.
+    "lp_production": ["HashAggregate", "!CartesianProduct"],
     # round-10 (cont. 3): drift monitoring — the PSI/KS binning passes
     # are map-side-combinable groupBys whose shuffles carry <= |bins|
     # rows; the only non-equi joins are broadcast 1-row scalars
