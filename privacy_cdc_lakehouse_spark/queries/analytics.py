@@ -2138,6 +2138,30 @@ def q_kcore_fixpoint_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_core_number_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only core-NUMBER decomposition at production sizing (the
+    round-14 operator priced at scale, the kcore_fixpoint precedent):
+    fixpoint peeling per level, levels capped at k_max=16 (survivors
+    report core 16, meaning >= 16) — the multi-level driver loop
+    (levels x peels x 1-row convergence scalars, localCheckpoint per
+    peel) the registry's pinned cn arm deliberately avoids. Returns a
+    1-row summary; the gate value-asserts coverage (every node got a
+    core number in [1, k_max]), multiple populated levels, and
+    max_core >= 8 — consistency with the k=8 kcore row having
+    survivors, which {core >= 8} == k_core(8) is pytest-pinned to."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    cn = gr.core_number(_relation_graph_edges(spark, sf_dir), k_max=16)
+    return cn.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.countDistinct("core").cast("long").alias("levels"),
+        F.min("core").cast("long").alias("min_core"),
+        F.max("core").cast("long").alias("max_core"),
+        F.sum("core").cast("long").alias("sum_core"),
+    )
+
+
 def q_adamic_adar_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-only Adamic-Adar at production sizing (round-13 verdict
     task #4: the aa arm hash-checks sf0.01; this row prices the

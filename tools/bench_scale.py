@@ -244,6 +244,11 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # the fixpoint property (min_core_deg >= k) is VALUE-asserted
     # below, which no plan shape can fake.
     "kcore_fixpoint_production": ["HashAggregate", "!CartesianProduct"],
+    # round-14: core-number fixpoint (levels 2..16, fixpoint peeling
+    # per level) — the multi-level driver loop; captured plan is the
+    # summary over the per-level assignment union (checkpointed
+    # scans); coverage + level asserts below.
+    "core_number_production": ["HashAggregate", "!CartesianProduct"],
     # round-14 (verdict task #4 cont.): hub-capped Adamic-Adar at 10x —
     # the wedge expansion must plan as equi-joins with the top-20 a
     # TakeOrdered, never all-pairs; pair positivity and score
@@ -438,6 +443,27 @@ def _expect_kcore_fixpoint(rows) -> list[str]:
     return fails
 
 
+def _expect_core_number(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("n_nodes", "levels", "sum_core")
+        if not r[col]
+    ]
+    if r["min_core"] is None or r["min_core"] < 1:
+        fails.append(f"min_core={r['min_core']} (expected >= 1)")
+    if r["max_core"] is None or not (8 <= r["max_core"] <= 16):
+        fails.append(
+            f"max_core={r['max_core']} (expected in [8, 16]: the k=8 "
+            "core has survivors and levels are capped at 16)"
+        )
+    if r["levels"] is not None and r["levels"] < 4:
+        fails.append(f"levels={r['levels']} (expected >= 4 populated)")
+    return fails
+
+
 def _expect_adamic_adar(rows) -> list[str]:
     if len(rows) != 21:
         return [f"expected 20 top rows + 1 summary, got {len(rows)}"]
@@ -563,6 +589,7 @@ def _expect_scd2_stream(rows) -> list[str]:
 VALUE_EXPECT = {
     "allpairs_exact_production": _expect_allpairs_exact,
     "kcore_fixpoint_production": _expect_kcore_fixpoint,
+    "core_number_production": _expect_core_number,
     "adamic_adar_production": _expect_adamic_adar,
     "hits_production": _expect_hits,
     "lp_production": _expect_lp,
@@ -694,6 +721,7 @@ def main() -> None:
     )
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_adamic_adar_production,
+        q_core_number_production,
         q_drift_monitor_production,
         q_hits_production,
         q_kcore_fixpoint_production,
@@ -708,6 +736,7 @@ def main() -> None:
     queries["pagerank_production"] = q_pagerank_production
     queries["triangles_production"] = q_triangles_production
     queries["kcore_fixpoint_production"] = q_kcore_fixpoint_production
+    queries["core_number_production"] = q_core_number_production
     queries["adamic_adar_production"] = q_adamic_adar_production
     queries["hits_production"] = q_hits_production
     queries["lp_production"] = q_lp_production
