@@ -739,6 +739,60 @@ def triangles(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    orient: str = "degree",
+) -> DataFrame:
+    """Local clustering coefficient (Watts & Strogatz 1998):
+    ``lcc = 2·T(v) / (deg(v)·(deg(v)−1))`` — the fraction of a node's
+    neighbor pairs that are themselves connected; 0.0 for deg < 2.
+    Composes :func:`triangles` (``orient`` passes through — the
+    degree-oriented path keeps the wedge intermediate |E|^1.5-bounded)
+    with one |V|-sized degree aggregate and one node equi-join. The
+    curation use is the same as triangle counts with a
+    size-normalized scale: spam farms and boilerplate rings sit near
+    1.0 at high degree, organic link neighborhoods much lower.
+
+    Determinism: T and deg are exact integers; the lcc is ONE IEEE
+    division of integer-valued doubles (correctly rounded — both
+    engines compute the identical double) rounded 6dp, so
+    cross-engine parity is exact with no rounding-boundary residual.
+
+    Returns (node, deg, n_triangles, lcc6) for every node."""
+    tri = triangles(edges, src, dst, orient)
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return tri.join(deg, "node").select(
+        "node",
+        "deg",
+        "n_triangles",
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                (2.0 * F.col("n_triangles"))
+                / (F.col("deg").cast("double") * (F.col("deg") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc6"),
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     src: str = "src",
@@ -778,7 +832,12 @@ def adamic_adar(
     than exact parity (unlike the all-integer graph arms); risk is
     negligible but nonzero and accepted.
 
-    Returns (x, y, common_neighbors, aa6) with x < y."""
+    Round 14 also emits ``ra6 = round(Σ 1/deg(z), 6)`` — the resource
+    allocation index (Zhou, Lü & Zhang 2007), the same wedge pass with
+    a harsher hub penalty (1/deg vs 1/ln deg); it shares aa6's
+    rounding-boundary residual posture.
+
+    Returns (x, y, common_neighbors, aa6, ra6) with x < y."""
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -803,6 +862,7 @@ def adamic_adar(
         .agg(
             F.count(F.lit(1)).cast("long").alias("common_neighbors"),
             F.round(F.sum(F.lit(1.0) / F.log(F.col("deg"))), 6).alias("aa6"),
+            F.round(F.sum(F.lit(1.0) / F.col("deg")), 6).alias("ra6"),
         )
     )
     if exclude_existing:

@@ -2640,6 +2640,70 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 14: resource-allocation arm (Zhou-Lü-Zhang index — the
+    # ra6 column of the SAME capped wedge pass): top-20 pairs by
+    # (ra6, x, y), scores/positions/counts hash-checked like aa.
+    ra_top = (
+        aa_pairs.orderBy(F.desc("ra6"), "x", "y")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("ra6"), F.asc("x"), F.asc("y"))
+            ),
+        )
+        .select(
+            F.lit("ra").alias("query"),
+            F.col("x").cast("string").alias("d1"),
+            F.col("y").cast("string").alias("d2"),
+            F.col("pos").cast("long").alias("k"),
+            F.col("ra6").alias("measure"),
+            F.col("common_neighbors").cast("long").alias("n"),
+        )
+    )
+
+    # round 14 (cont.): local clustering coefficient arm
+    # (operators/graph.py::clustering_coefficient — Watts-Strogatz
+    # lcc over the degree-oriented triangle counts): top-20 nodes by
+    # (lcc6, node) with degree in n, plus per-layer closed (lcc==1)
+    # and positive (lcc>0) node counts — lcc is ONE division of exact
+    # integers rounded 6dp, so parity carries no rounding-boundary
+    # residual.
+    lcc = gr.clustering_coefficient(_relation_graph_edges(spark, sf_dir))
+    lcc_top = (
+        lcc.orderBy(F.desc("lcc6"), "node")
+        .limit(20)
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(F.desc("lcc6"), F.asc("node"))
+            ),
+        )
+        .select(
+            F.lit("lcc").alias("query"),
+            _layer.alias("d1"),
+            F.col("pos").cast("string").alias("d2"),
+            F.col("node").cast("long").alias("k"),
+            F.col("lcc6").alias("measure"),
+            F.col("deg").cast("long").alias("n"),
+        )
+    )
+    lcc_tot = (
+        lcc.groupBy(_layer.alias("layer"))
+        .agg(
+            F.sum((F.col("lcc6") == 1.0).cast("long")).alias("closed"),
+            F.sum((F.col("lcc6") > 0.0).cast("long")).alias("pos_n"),
+        )
+        .select(
+            F.lit("lcc").alias("query"),
+            F.concat(F.lit("total:"), F.col("layer")).alias("d1"),
+            F.lit(None).cast("string").alias("d2"),
+            F.col("closed").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("pos_n").cast("long").alias("n"),
+        )
+    )
+
     # round 13 (cont. 4): k-core arm (operators/graph.py::k_core) —
     # 4 PINNED synchronous peels at k=8 (the oracle-replayable form;
     # the fixpoint driver loop is pytest-pinned against it): top-10
@@ -2694,8 +2758,8 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
-        hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top, kc_top,
-        kc_tot, cn_arm,
+        hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top, ra_top,
+        lcc_top, lcc_tot, kc_top, kc_tot, cn_arm,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -2820,16 +2884,44 @@ aa_mid AS MATERIALIZED (
     SELECT nb.z, nb.n, d.deg FROM aa_nbrs nb JOIN aa_deg d USING (z)
     WHERE d.deg <= 64
 ),
+aa_sc AS MATERIALIZED (
+    SELECT w1.n AS x, w2.n AS y, CAST(count(*) AS BIGINT) AS cn,
+           round(sum(1.0 / ln(w1.deg)), 6) AS aa6,
+           round(sum(1.0 / w1.deg), 6) AS ra6
+    FROM aa_mid w1 JOIN aa_mid w2 ON w1.z = w2.z AND w1.n < w2.n
+    GROUP BY 1, 2
+),
 aa_top AS (
     SELECT x, y, cn, aa6,
            row_number() OVER (ORDER BY aa6 DESC, x, y) AS pos
-    FROM (
-        SELECT w1.n AS x, w2.n AS y, CAST(count(*) AS BIGINT) AS cn,
-               round(sum(1.0 / ln(w1.deg)), 6) AS aa6
-        FROM aa_mid w1 JOIN aa_mid w2 ON w1.z = w2.z AND w1.n < w2.n
-        GROUP BY 1, 2
-    )
-    ORDER BY aa6 DESC, x, y LIMIT 20
+    FROM aa_sc ORDER BY aa6 DESC, x, y LIMIT 20
+),
+ra_top AS (
+    SELECT x, y, cn, ra6,
+           row_number() OVER (ORDER BY ra6 DESC, x, y) AS pos
+    FROM aa_sc ORDER BY ra6 DESC, x, y LIMIT 20
+),
+lcc_all AS MATERIALIZED (
+    SELECT t.node, d.deg, t.n_tri,
+           CASE WHEN d.deg >= 2
+                THEN round(2.0 * t.n_tri / (d.deg * (d.deg - 1)), 6)
+                ELSE 0.0 END AS lcc6
+    FROM tri_all t JOIN aa_deg d ON d.z = t.node
+),
+lcc_top AS (
+    SELECT node, deg, lcc6,
+           row_number() OVER (ORDER BY lcc6 DESC, node) AS pos
+    FROM lcc_all ORDER BY lcc6 DESC, node LIMIT 20
+),
+lcc_tot AS (
+    SELECT CASE WHEN node >= 20000000 THEN 'nation'
+                WHEN node >= 10000000 THEN 'supplier'
+                ELSE 'customer' END AS layer,
+           CAST(sum(CASE WHEN lcc6 = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS closed,
+           CAST(sum(CASE WHEN lcc6 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS pos_n
+    FROM lcc_all GROUP BY 1
 )"""
     from privacy_cdc_lakehouse_spark.operators.graph import (
         core_number_oracle_ctes,
@@ -3284,6 +3376,25 @@ UNION ALL
 SELECT 'aa', CAST(x AS VARCHAR), CAST(y AS VARCHAR), CAST(pos AS BIGINT),
        aa6, cn
 FROM aa_top
+UNION ALL
+-- resource-allocation arm (round 14): the same capped wedge pass's
+-- ra6 column (Zhou-Lü-Zhang 1/deg weighting), top-20 by (ra6, x, y)
+SELECT 'ra', CAST(x AS VARCHAR), CAST(y AS VARCHAR), CAST(pos AS BIGINT),
+       ra6, cn
+FROM ra_top
+UNION ALL
+-- local clustering coefficient arm (round 14): Watts-Strogatz lcc
+-- over the triangle counts — top-20 by (lcc6, node) with degree in
+-- n, plus per-layer closed/positive node counts
+SELECT 'lcc',
+       CASE WHEN node >= 20000000 THEN 'nation'
+            WHEN node >= 10000000 THEN 'supplier'
+            ELSE 'customer' END,
+       CAST(pos AS VARCHAR), CAST(node AS BIGINT), lcc6, deg
+FROM lcc_top
+UNION ALL
+SELECT 'lcc', 'total:' || layer, NULL, closed, CAST(NULL AS DOUBLE), pos_n
+FROM lcc_tot
 UNION ALL
 -- k-core arm (round 13): 4 pinned peels at k=8 — top-10 survivors by
 -- in-core degree (pos in d2) + per-layer survivor/degree totals

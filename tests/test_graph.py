@@ -493,6 +493,67 @@ def test_adamic_adar_degree_cap_and_exclusion(spark):
     }
 
 
+def test_adamic_adar_resource_allocation_index(spark):
+    import math
+
+    rnd = random.Random(51)
+    edges = sorted({(rnd.randrange(15), rnd.randrange(15)) for _ in range(60)})
+    # python RA: same wedges as _py_adamic_adar but 1/deg weights
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for z, ns in adj.items():
+        for i, x in enumerate(sorted(ns)):
+            for y in sorted(ns)[i + 1:]:
+                want[(x, y)] = want.get((x, y), 0.0) + 1.0 / len(adj[z])
+    want = {p: round(v, 6) for p, v in want.items()}
+    got = {
+        (r["x"], r["y"]): r["ra6"]
+        for r in G.adamic_adar(_edges_df(spark, edges)).collect()
+    }
+    assert set(got) == set(want)
+    for p in want:
+        assert abs(got[p] - want[p]) <= 2e-6, (p, got[p], want[p])
+    del math
+
+
+def _py_clustering(edges):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    out = {}
+    for v, ns in adj.items():
+        d = len(ns)
+        t = sum(
+            1
+            for i, x in enumerate(sorted(ns))
+            for y in sorted(ns)[i + 1:]
+            if (min(x, y), max(x, y)) in und
+        )
+        out[v] = (d, t, round(2.0 * t / (d * (d - 1)), 6) if d >= 2 else 0.0)
+    return out
+
+
+def test_clustering_coefficient_matches_python_reference(spark):
+    rnd = random.Random(57)
+    edges = sorted({(rnd.randrange(20), rnd.randrange(20)) for _ in range(80)})
+    # K4 (all lcc 1.0) + a pendant (deg 1 -> lcc 0.0)
+    edges += [(i, j) for i in range(30, 34) for j in range(i + 1, 34)]
+    edges += [(34, 30)]
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"], r["lcc6"])
+        for r in G.clustering_coefficient(_edges_df(spark, edges)).collect()
+    }
+    assert got == _py_clustering(edges)
+    assert got[31] == (3, 3, 1.0)  # interior K4 corner
+    assert got[34][2] == 0.0  # pendant
+
+
 def _py_k_core(edges, k):
     und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
     while True:
