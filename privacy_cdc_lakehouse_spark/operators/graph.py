@@ -1022,7 +1022,10 @@ def core_number(
     round so the Catalyst tree stays O(1) — the 5^R analysis-blowup
     lesson documented there). Total peels across all levels ≤
     degeneracy + #levels — the same O(tens) bound as one fixpoint
-    k_core on real graphs.
+    k_core on real graphs; the bound holds because each level's
+    converged edge count seeds the next level's convergence test (one
+    cheap count seeds level 2), so an already-converged level costs
+    one peel, not two.
 
     PINNED form (``k_max=K, rounds_per_k=R``): exactly R synchronous
     peels per level for levels 2..K, survivors after level K reported
@@ -1075,12 +1078,22 @@ def core_number(
     assigned: list[DataFrame] = []
     k = 2
     empty = False
+    # Round-14 advice: a level's fixpoint edge count IS the next
+    # level's starting count, so carrying it across levels lets an
+    # already-converged level break after ONE peel instead of two —
+    # saving one |E|-shuffle per level and making the docstring's
+    # "total peels <= degeneracy + #levels" bound actually hold. Only
+    # the first level pays a seed count (one cheap 1-row scalar vs a
+    # full extra peel).
+    carry_n: int | None = None
+    if rounds_per_k is None:
+        carry_n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
     while True:
         if rounds_per_k is not None:
             for _ in range(rounds_per_k):
                 cur = peel(cur, k).localCheckpoint(eager=False)
         else:
-            prev_n = None
+            prev_n = carry_n
             while True:
                 cur = peel(cur, k).localCheckpoint(eager=False)
                 n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
@@ -1088,6 +1101,7 @@ def core_number(
                     empty = n == 0
                     break
                 prev_n = n
+            carry_n = n
         surv = degrees(cur).select("node").localCheckpoint(eager=False)
         assigned.append(
             prev_nodes.join(surv, "node", "left_anti").select(

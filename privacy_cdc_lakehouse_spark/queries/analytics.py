@@ -979,7 +979,13 @@ def _stream_metrics(query) -> tuple[int, int]:
     ``spark.sql.streaming.numRecentProgressUpdates`` entries (default
     100), so a longer run would silently under-report BOTH metrics —
     fail loudly instead (round-13 advice): the gate rows run 4-5
-    micro-batches by construction, far under the cap."""
+    micro-batches by construction, far under the cap. The raise is
+    DELIBERATELY conservative (round-14 advice): a run that emitted
+    exactly cap batches trips it even though nothing was dropped —
+    len == cap is a possible-truncation signal, not proof. A run that
+    legitimately needs >= cap batches should raise
+    numRecentProgressUpdates or switch to a StreamingQueryListener
+    (retention-independent totals) rather than weaken this guard."""
     import json
 
     progress = list(query.recentProgress or [])

@@ -609,8 +609,14 @@ def test_k_core_pinned_rounds_and_cascade(spark):
 
 def _py_core_number(edges):
     """Pure-Python Batagelj-Zaveršnik: peel at increasing k; a node
-    dropped while peeling at threshold k has core number k-1."""
+    dropped while peeling at threshold k has core number k-1. Dropping
+    iterates over the SURVIVING NODE SET, not the degree dict (round-14
+    advice): a node can lose every incident edge to neighbor drops
+    while its own pre-drop degree was still >= k (a pure star's hub),
+    and it must then peel out at degree 0 with core k-1 — exactly the
+    operator's prev_nodes anti-join rule."""
     und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    nodes = {v for e in und for v in e}
     core = {}
     k = 2
     while und:
@@ -619,17 +625,33 @@ def _py_core_number(edges):
             for a, b in und:
                 deg[a] = deg.get(a, 0) + 1
                 deg[b] = deg.get(b, 0) + 1
-            drop = {v for v, d in deg.items() if d < k}
+            drop = {v for v in nodes if deg.get(v, 0) < k}
             if not drop:
                 break
             for v in drop:
                 core[v] = k - 1
+            nodes -= drop
             und = {
                 (a, b) for a, b in und if a not in drop and b not in drop
             }
         if und:
             k += 1
     return core
+
+
+def test_core_number_pure_star_hub(spark):
+    """A pure star: leaves drop at k=2 (degree 1), which strands the
+    hub at degree 0 while its pre-drop degree was 5 — both engines and
+    the python reference must give EVERY node core 1 (the shape the
+    round-14 advice flagged as latent in the old reference helper)."""
+    edges = [(0, v) for v in range(1, 6)]
+    ref = _py_core_number(edges)
+    assert ref == {v: 1 for v in range(6)}
+    got = {
+        r["node"]: r["core"]
+        for r in G.core_number(_edges_df(spark, edges)).collect()
+    }
+    assert got == ref
 
 
 def test_core_number_fixpoint_matches_python_reference(spark):
