@@ -1218,10 +1218,25 @@ def q_allpairs_exact_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     pin_utc(spark)
     t = 0.9
     docs = load_table(spark, sf_dir, "documents_rt").select("doc_id", "text")
-    cand = dd.allpairs_candidates(docs, t).localCheckpoint(eager=False)
-    ap = dd.ngram_jaccard_pairs(docs, cand, threshold=t)
+    # ONE shingle frame shared by candidate generation and both verify
+    # stages (round-15: the per-word regexp/concat shingle pass was
+    # measured at ~31 s EACH at this corpus, and the row ran it three
+    # times); the verified frames are checkpointed too because each is
+    # consumed twice (its count + the anti-join) — without that the
+    # shingle-intersect verify joins execute twice (~30 s more).
+    sdocs = docs.withColumn("sh", dd.shingles(F.col("text"))).localCheckpoint(
+        eager=False
+    )
+    cand = dd.allpairs_candidates(
+        sdocs, t, shingle_col="sh"
+    ).localCheckpoint(eager=False)
+    ap = dd.ngram_jaccard_pairs(
+        sdocs, cand, threshold=t, shingle_col="sh"
+    ).localCheckpoint(eager=False)
     lsh_cand = dd.minhash_lsh_pairs(docs).localCheckpoint(eager=False)
-    lsh = dd.ngram_jaccard_pairs(docs, lsh_cand, threshold=t)
+    lsh = dd.ngram_jaccard_pairs(
+        sdocs, lsh_cand, threshold=t, shingle_col="sh"
+    ).localCheckpoint(eager=False)
     missing = lsh.select("id_a", "id_b").join(
         ap.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
     )

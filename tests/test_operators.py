@@ -3679,3 +3679,112 @@ def test_allpairs_exact_join_matches_naive(spark):
     assert len(want) >= 4  # the exact copies at J=1 alone guarantee pairs
     with _pytest.raises(ValueError, match="threshold"):
         dd.allpairs_candidates(df, 0.0)
+
+
+def test_allpairs_positional_filter_prunes_prefix_collision(spark):
+    """PPJoin positional filter (round-14 verdict task #1): a pair
+    that COLLIDES in the rare-first prefixes but whose match position
+    caps achievable overlap below α must be pruned from the candidate
+    set. Construction: A and B share exactly one 3-gram shingle
+    ('x y z'), each preceded in rank order by four unique junction
+    shingles (df=1 beats df=2), so the shared shingle sits at rank 5
+    of an 11-shingle doc — inside the p=6 prefix (the pure prefix
+    filter WOULD emit the pair, asserted by an independent python
+    replay below) — but bound = 1 + min(11-5, 11-5) = 7 < α =
+    t/(1+t)·22 ≈ 7.33, so the positional filter drops it. Naive
+    J = 1/21 agrees the pair never qualified."""
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    t = 0.5
+    fa = [f"fa{i}" for i in range(10)]
+    fb = [f"fb{i}" for i in range(10)]
+    doc_a = " ".join(fa[:5] + ["x", "y", "z"] + fa[5:])
+    doc_b = " ".join(fb[:5] + ["x", "y", "z"] + fb[5:])
+    rows = [(1, doc_a), (2, doc_b)]
+    # two filler copies per boilerplate side push every pure-filler
+    # shingle to df >= 3, so only the four df=1 junction shingles can
+    # outrank the df=2 shared shingle
+    rows += [(10 + i, " ".join(fa)) for i in range(2)]
+    rows += [(20 + i, " ".join(fb)) for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # independent python replay of prefix filtering ALONE: the pair
+    # must collide there (otherwise this test proves nothing)
+    def sh3(text):
+        ws = text.split()
+        return {
+            " ".join(ws[i:i + 3]) for i in range(max(len(ws) - 3, 0) + 1)
+        }
+
+    sets = {i: sh3(tx) for i, tx in rows}
+    dfreq: dict = {}
+    for s in sets.values():
+        for tok in s:
+            dfreq[tok] = dfreq.get(tok, 0) + 1
+
+    def prefix(i):
+        ordered = sorted(sets[i], key=lambda tok: (dfreq[tok], tok))
+        p = len(ordered) - math.ceil((t - 1e-9) * len(ordered)) + 1
+        return set(ordered[:p])
+
+    assert prefix(1) & prefix(2), "construction broke: no prefix collision"
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.allpairs_candidates(df, t).collect()
+    }
+    assert (1, 2) not in got
+    # the filler duplicates (J=1 among themselves) must survive — the
+    # filter prunes positions, not duplicates
+    assert (10, 11) in got and (20, 21) in got
+
+
+def test_allpairs_positional_subset_and_shingle_col_parity(spark):
+    """(a) positional=True candidates ⊆ positional=False candidates
+    with identical VERIFIED output (the filter may only drop pairs the
+    verify would reject); (b) passing a precomputed shingle column to
+    allpairs_candidates + ngram_jaccard_pairs is bit-identical to the
+    self-contained text path."""
+    import random
+
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    rnd = random.Random(21)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [
+        (i, " ".join(rnd.choices(vocab, k=rnd.randint(6, 20))))
+        for i in range(30)
+    ]
+    docs += [(100 + i, docs[i][1] + " zz tail") for i in range(5)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    t = 0.5
+    with_pos = {
+        (r["id_a"], r["id_b"])
+        for r in dd.allpairs_candidates(df, t).collect()
+    }
+    without = {
+        (r["id_a"], r["id_b"])
+        for r in dd.allpairs_candidates(df, t, positional=False).collect()
+    }
+    assert with_pos <= without
+    verify = lambda cand: {  # noqa: E731
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dd.ngram_jaccard_pairs(df, cand, threshold=t).collect()
+    }
+    assert verify(dd.allpairs_candidates(df, t)) == verify(
+        dd.allpairs_candidates(df, t, positional=False)
+    )
+
+    sdf = df.withColumn("sh", dd.shingles(F.col("text")))
+    pre = {
+        (r["id_a"], r["id_b"])
+        for r in dd.allpairs_candidates(sdf, t, shingle_col="sh").collect()
+    }
+    assert pre == with_pos
+    cand = dd.allpairs_candidates(df, t)
+    got_pre = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 6)
+        for r in dd.ngram_jaccard_pairs(
+            sdf, cand, threshold=t, shingle_col="sh"
+        ).collect()
+    }
+    assert got_pre == verify(cand)
