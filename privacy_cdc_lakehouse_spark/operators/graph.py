@@ -761,7 +761,6 @@ def clustering_coefficient(
     cross-engine parity is exact with no rounding-boundary residual.
 
     Returns (node, deg, n_triangles, lcc6) for every node."""
-    tri = triangles(edges, src, dst, orient)
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
     )
@@ -770,6 +769,13 @@ def clustering_coefficient(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # canonicalize ONCE: both the triangle count and the degree
+    # aggregate consume the undirected edge list, and the upstream
+    # edge pipeline (often an expensive fact-fact distinct) must not
+    # execute per consumer (round-15: the triangles gate row doubled,
+    # 13.3 -> 28.2 s, when this composition first recomputed it)
+    und = und.localCheckpoint(eager=False)
+    tri = triangles(und, "a", "b", orient)
     deg = (
         und.select(F.col("a").alias("node"))
         .unionByName(und.select(F.col("b").alias("node")))

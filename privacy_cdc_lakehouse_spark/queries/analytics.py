@@ -2106,20 +2106,35 @@ def q_triangles_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_triangles = total corner credits, pos = 0); corner credits are
     3x the triangle count by construction, so the gate value-asserts
     total % 3 == 0 AND > 0 — a wrong orientation (missed or
-    double-counted triangles) breaks one or the other."""
+    double-counted triangles) breaks one or the other.
+
+    Round 15 (verdict task #7): the row runs through
+    ``clustering_coefficient`` — the lcc composes these exact
+    triangle counts with a degree aggregate and ONE IEEE division, so
+    its at-scale evidence rides this row for free: top rows carry
+    (deg, lcc6) and the gate value-asserts lcc6 ∈ (0, 1] plus the
+    division's arithmetic consistency (lcc6 == 2T/(deg·(deg−1)) at
+    the 6dp grain) per top node."""
     pin_utc(spark)
     from privacy_cdc_lakehouse_spark.operators import graph as gr
 
-    tr = gr.triangles(_relation_graph_edges(spark, sf_dir))
-    top = gr.top_ranked(tr, 20, rank_col="n_triangles").select(
+    cc = gr.clustering_coefficient(_relation_graph_edges(spark, sf_dir))
+    top = gr.top_ranked(cc, 20, rank_col="n_triangles").select(
         F.col("node").cast("long").alias("node"),
         F.col("n_triangles").cast("long").alias("n_triangles"),
+        F.col("deg").cast("long").alias("deg"),
+        F.col("lcc6").cast("double").alias("lcc6"),
         F.col("pos").cast("long").alias("pos"),
     )
-    total = tr.agg(
+    total = cc.agg(
         F.count(F.lit(1)).cast("long").alias("node"),
         F.sum("n_triangles").cast("long").alias("n_triangles"),
-    ).select("node", "n_triangles", F.lit(0).cast("long").alias("pos"))
+        F.lit(None).cast("long").alias("deg"),
+        F.lit(None).cast("double").alias("lcc6"),
+    ).select(
+        "node", "n_triangles", "deg", "lcc6",
+        F.lit(0).cast("long").alias("pos"),
+    )
     return top.unionByName(total)
 
 
@@ -2176,7 +2191,15 @@ def q_adamic_adar_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns the top-20 pairs (pos 1..20) plus a summary row (pos 0,
     x = total pairs, n = total common-neighbor credits); the gate
     value-asserts pairs > 0, positions 1..20 and a non-increasing
-    top-20 score sequence."""
+    top-20 score sequence.
+
+    Round 15 (verdict task #7): the resource-allocation index rides
+    the row for free — ``adamic_adar`` already emits ``ra6`` from the
+    SAME capped wedge pass (zero extra shuffles), so top rows carry it
+    and the gate value-asserts 0 < ra6 <= aa6 per top pair (every
+    wedge middle has deg >= 2, where ln(deg) < deg so 1/deg <
+    1/ln(deg) termwise) and a positive corpus-wide ra total in the
+    summary row."""
     pin_utc(spark)
     from privacy_cdc_lakehouse_spark.operators import graph as gr
 
@@ -2194,6 +2217,7 @@ def q_adamic_adar_production(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x").cast("long").alias("x"),
             F.col("y").cast("long").alias("y"),
             F.col("aa6").cast("double").alias("aa6"),
+            F.col("ra6").cast("double").alias("ra6"),
             F.col("common_neighbors").cast("long").alias("n"),
             F.col("pos").cast("long").alias("pos"),
         )
@@ -2202,6 +2226,7 @@ def q_adamic_adar_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("x"),
         F.lit(0).cast("long").alias("y"),
         F.lit(None).cast("double").alias("aa6"),
+        F.round(F.sum("ra6"), 6).cast("double").alias("ra6"),
         F.sum("common_neighbors").cast("long").alias("n"),
         F.lit(0).cast("long").alias("pos"),
     )

@@ -432,6 +432,21 @@ def _expect_triangles(rows) -> list[str]:
             f"corner credits {total} not divisible by 3 "
             "(orientation missed or duplicated wedges)"
         )
+    # round-15 (verdict task #7): the lcc arm's at-scale evidence —
+    # range plus arithmetic consistency with the emitted (deg, T)
+    for r in tops:
+        lcc, deg, tri = r["lcc6"], r["deg"], r["n_triangles"]
+        if lcc is None or not (0.0 < lcc <= 1.0):
+            fails.append(f"node {r['node']}: lcc6={lcc} not in (0, 1]")
+            continue
+        if deg is None or deg < 2:
+            fails.append(f"node {r['node']}: deg={deg} (top node, expected >= 2)")
+            continue
+        want = round(2.0 * tri / (deg * (deg - 1)), 6)
+        if abs(lcc - want) > 1e-9:
+            fails.append(
+                f"node {r['node']}: lcc6={lcc} != 2T/(d(d-1))={want}"
+            )
     return fails
 
 
@@ -490,6 +505,17 @@ def _expect_adamic_adar(rows) -> list[str]:
         fails.append("top-20 aa6 sequence not non-increasing")
     if not summary[0]["x"]:
         fails.append(f"total pairs={summary[0]['x']} (expected > 0)")
+    # round-15 (verdict task #7): the ra arm's at-scale evidence —
+    # same capped wedge pass, termwise 1/deg < 1/ln(deg) for deg >= 2
+    for r in tops:
+        if r["ra6"] is None or r["ra6"] <= 0:
+            fails.append(f"pair ({r['x']},{r['y']}): ra6={r['ra6']} <= 0")
+        elif r["aa6"] is not None and r["ra6"] > r["aa6"] + 1e-5:
+            fails.append(
+                f"pair ({r['x']},{r['y']}): ra6={r['ra6']} > aa6={r['aa6']}"
+            )
+    if summary[0]["ra6"] is None or summary[0]["ra6"] <= 0:
+        fails.append(f"summary ra6 total={summary[0]['ra6']} (expected > 0)")
     return fails
 
 
