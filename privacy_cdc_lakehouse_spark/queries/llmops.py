@@ -1113,6 +1113,63 @@ def q_wordpiece_train_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_wordpiece_encode_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy-WordPiece INFERENCE at production sizing (round-14
+    verdict task #4's scale half; the algorithm itself is hash-checked
+    by the ``text_chunk_stats`` 40M arm and HF-parity pytests): train
+    a small WordPiece vocab (16 likelihood merges over the production
+    dict — the names union makes the piece set digit-rich), bridge it
+    to an HF-style piece table
+    (``wordpiece_vocab_from_segmentations``), then greedy-encode a
+    corpus of the 10x documents PLUS one doc per customer name — the
+    15k-word distinct vocabulary is what actually exercises the
+    longest-match lattice (segmentation cost is DICTIONARY-sized by
+    design; the corpus-sized cost is the explode + vocab join +
+    order-preserving reassembly, which is what this row prices).
+    1-row summary; the gate value-asserts n_merges == 16, docs ==
+    corpus rows, tokens >= words (every word emits >= 1 piece),
+    unk_words < words (the trained vocab actually covers the corpus)
+    and a piece table bigger than a bare alphabet. NOT a registry row;
+    consumed by tools/bench_scale.py."""
+    from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
+
+    pin_utc(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    names = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            (F.col("c_custkey") + 900_000_000).cast("long").alias("doc_id"),
+            F.lower(F.col("c_name")).alias("text"),
+        )
+    )
+    corpus = docs.unionByName(names)
+    wf = _bpe_production_dict(spark, sf_dir, docs, tk)
+    merges, vocab = tk.bpe_train(
+        wf, num_merges=16, checkpoint_every=8, scoring="wordpiece"
+    )
+    pieces = tk.wordpiece_vocab_from_segmentations(vocab).localCheckpoint(
+        eager=False
+    )
+    n_pieces = pieces.agg(F.count(F.lit(1)).cast("long").alias("pieces"))
+    enc = tk.wordpiece_encode(corpus, pieces)
+    words = corpus.select(
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda x: x != ""
+            )
+        ).cast("long").alias("w")
+    ).agg(F.sum("w").cast("long").alias("words"))
+    summary = enc.agg(
+        F.count(F.lit(1)).cast("long").alias("docs"),
+        F.sum("n_tokens").cast("long").alias("tokens"),
+        F.sum("n_unk_words").cast("long").alias("unk_words"),
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+    )
+    return summary.crossJoin(words).crossJoin(n_pieces).select(
+        "docs", "words", "tokens", "unk_words", "pieces", "n_merges"
+    )
+
+
 def q_wordpiece_train_batched_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched WordPiece at production sizing — the HEADLINE WordPiece
     gate row (round-12 verdict task #1: the disjoint-batch machinery
@@ -3350,6 +3407,23 @@ ORDER BY kind, doc_id, v1
 
 _BPE_MERGES = 16
 
+# Pinned piece vocabulary for the greedy-WordPiece arm (round 15):
+# single letters EXCEPT 'q' (so 'query' exercises the whole-word-UNK
+# path deterministically) plus corpus-tuned multi-char pieces; the
+# oracle replays the identical literal list. Both sides derive the
+# lattice bound from the longest BARE match length.
+_WP_PIECES = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1) if chr(c) != "q"]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1) if chr(c) != "q"]
+    + ["the", "table", "##able", "sc", "##an", "win", "##dow", "fast",
+       "##ow", "val", "##ue", "merge", "##ge", "cust", "##omer", "##er",
+       "col", "##umn", "##ast", "##art"]
+)
+_WP_MAX_PIECE = max(
+    len(p[2:]) if p.startswith("##") else len(p) for p in _WP_PIECES
+)
+_WP_MAX_WORD = 24  # bounds the oracle's recursion depth; corpus max is 8
+
 
 def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document chunking (``operators/text.py::chunk_documents``) —
@@ -3372,7 +3446,19 @@ def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the encode join. Arm rows ride the chunk schema under id
     offsets: merge rows at doc_id 20M+rank (chunk_chars_actual = merged
     symbol length), token rows at 30M+doc_id (chunk_chars_actual =
-    n_tokens)."""
+    n_tokens).
+
+    Round 15 adds the greedy-WordPiece INFERENCE arm
+    (``operators/tokenizer.py::wordpiece_encode`` — HF's
+    longest-match-first algorithm, the round-14 verdict's missing
+    tokenizer half): the chunked doc subset re-encodes against the
+    pinned ``_WP_PIECES`` vocabulary and every document's token
+    sequence md5, token count AND per-doc UNK word count are
+    hash-checked at 40M+doc_id (chunk_id carries n_unk_words); the
+    oracle replays the greedy matcher as a recursive CTE whose
+    LATERAL step takes the longest piece at the current position —
+    still one SQL definition per arm, recursion bounded by
+    ``_WP_MAX_WORD``."""
     pin_utc(spark)
     from privacy_cdc_lakehouse_spark.operators import tokenizer as tk
 
@@ -3404,9 +3490,25 @@ def q_text_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").alias("chunk_chars_actual"),
         F.md5(F.array_join("tokens", tk.SEP)).alias("chunk_md5"),
     )
+    wp_pieces = spark.createDataFrame(
+        [(p,) for p in _WP_PIECES], "piece string"
+    )
+    wp_rows = tk.wordpiece_encode(
+        docs,
+        wp_pieces,
+        lowercase=False,
+        max_piece_chars=_WP_MAX_PIECE,
+        max_word_chars=_WP_MAX_WORD,
+    ).select(
+        (F.col("doc_id") + 40_000_000).alias("doc_id"),
+        F.col("n_unk_words").cast("long").alias("chunk_id"),
+        F.col("n_tokens").alias("chunk_chars_actual"),
+        F.md5(F.array_join("tokens", tk.SEP)).alias("chunk_md5"),
+    )
     return (
         chunk_rows.unionByName(merge_rows)
         .unionByName(tok_rows)
+        .unionByName(wp_rows)
         .orderBy("doc_id", "chunk_id")
     )
 
@@ -3450,7 +3552,7 @@ def _bpe_merge_selects(k: int) -> str:
 
 
 _CHUNK_SQL = f"""
-WITH d AS (
+WITH RECURSIVE d AS (
   SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id % 20 = 0
 ),
 e AS (
@@ -3496,6 +3598,64 @@ btok AS (
          coalesce(bdt.tokens, CAST([] AS VARCHAR[])) AS tokens
   FROM (SELECT doc_id FROM documents) d2
   LEFT JOIN bdt ON bdt.doc_id = d2.doc_id
+),
+-- greedy-WordPiece inference arm (round 15): recursive longest-match
+-- replay of operators/tokenizer.py::wordpiece_segment over the same
+-- pinned literal vocabulary; one deterministic successor per word per
+-- step, terminal rows are the ones with pos >= len(word)
+wpw AS (
+  SELECT doc_id, {{_WP_WORDS}} AS ws FROM documents WHERE doc_id % 20 = 0
+),
+wpdist AS (SELECT DISTINCT unnest(ws) AS word FROM wpw),
+wppieces(piece) AS (VALUES {{_WP_VALUES}}),
+wpstep AS (
+  SELECT word,
+         CAST(CASE WHEN len(word) > {{_WP_MAXW}} THEN len(word) ELSE 0 END
+              AS BIGINT) AS pos,
+         CASE WHEN len(word) > {{_WP_MAXW}} THEN ['[UNK]']
+              ELSE CAST([] AS VARCHAR[]) END AS toks
+  FROM wpdist
+  UNION ALL
+  SELECT s.word,
+         CAST(CASE WHEN b.tok IS NULL THEN len(s.word)
+                   ELSE s.pos + b.l END AS BIGINT),
+         CASE WHEN b.tok IS NULL THEN ['[UNK]'] ELSE s.toks || [b.tok] END
+  FROM wpstep s
+  LEFT JOIN LATERAL (
+    SELECT l, tok FROM (
+      SELECT CAST(ln AS BIGINT) AS l,
+             CASE WHEN s.pos = 0
+                  THEN substr(s.word, CAST(s.pos + 1 AS INT), CAST(ln AS INT))
+                  ELSE '##' ||
+                       substr(s.word, CAST(s.pos + 1 AS INT), CAST(ln AS INT))
+             END AS tok
+      FROM range(1, {{_WP_MAXP}} + 1) r(ln)
+      WHERE ln <= len(s.word) - s.pos
+    ) WHERE tok IN (SELECT piece FROM wppieces)
+    ORDER BY l DESC LIMIT 1
+  ) b ON TRUE
+  WHERE s.pos < len(s.word)
+),
+wpfinal AS (
+  SELECT word, toks, toks = ['[UNK]'] AS is_unk
+  FROM wpstep WHERE pos >= len(word)
+),
+wpcw AS (
+  SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS pos
+  FROM wpw
+),
+wpdt AS (
+  SELECT wpcw.doc_id, flatten(list(wpfinal.toks ORDER BY wpcw.pos)) AS tokens,
+         sum(CASE WHEN wpfinal.is_unk THEN 1 ELSE 0 END) AS n_unk
+  FROM wpcw JOIN wpfinal ON wpfinal.word = wpcw.word
+  GROUP BY wpcw.doc_id
+),
+wptok AS (
+  SELECT d4.doc_id,
+         coalesce(wpdt.tokens, CAST([] AS VARCHAR[])) AS tokens,
+         coalesce(wpdt.n_unk, 0) AS n_unk
+  FROM (SELECT doc_id FROM documents WHERE doc_id % 20 = 0) d4
+  LEFT JOIN wpdt ON wpdt.doc_id = d4.doc_id
 )
 SELECT * FROM (
   SELECT doc_id, chunk_id,
@@ -3509,12 +3669,21 @@ SELECT * FROM (
          CAST(len(tokens) AS BIGINT),
          md5(coalesce(array_to_string(tokens, chr(31)), ''))
   FROM btok
+  UNION ALL
+  SELECT CAST(40000000 + doc_id AS BIGINT), CAST(n_unk AS BIGINT),
+         CAST(len(tokens) AS BIGINT),
+         md5(coalesce(array_to_string(tokens, chr(31)), ''))
+  FROM wptok
 ) ORDER BY doc_id, chunk_id
 """
 _CHUNK_SQL = (
     _CHUNK_SQL.replace("{_BPE_STAGES}", _bpe_oracle_ctes(_BPE_MERGES))
     .replace("{_BPE_K}", str(_BPE_MERGES))
     .replace("{_BPE_MERGE_ROWS}", _bpe_merge_selects(_BPE_MERGES))
+    .replace("{_WP_WORDS}", _DUCK_WORDS)
+    .replace("{_WP_VALUES}", ", ".join(f"('{p}')" for p in _WP_PIECES))
+    .replace("{_WP_MAXW}", str(_WP_MAX_WORD))
+    .replace("{_WP_MAXP}", str(_WP_MAX_PIECE))
 )
 
 

@@ -453,3 +453,147 @@ def test_viterbi_respects_max_piece_len(spark):
     assert full["abcd"][0] == ["abcd"]
     capped = _seg(spark, ["abcd"], scores, max_piece_len=2)
     assert capped["abcd"][0] == ["ab", "cd"]
+
+
+# --- greedy WordPiece inference (round 15) ---------------------------------
+
+
+def _hf_wordpiece(word, vocab, marker="##", unk="[UNK]", max_chars=100):
+    """Independent python reference: HF WordPiece.tokenize verbatim."""
+    if len(word) > max_chars:
+        return [unk]
+    toks, start = [], 0
+    while start < len(word):
+        end, cur = len(word), None
+        while start < end:
+            sub = word[start:end]
+            if start > 0:
+                sub = marker + sub
+            if sub in vocab:
+                cur = sub
+                break
+            end -= 1
+        if cur is None:
+            return [unk]
+        toks.append(cur)
+        start = end
+    return toks
+
+
+_WP_VOCAB = (
+    [chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["##" + chr(c) for c in range(ord("a"), ord("z") + 1)]
+    + ["the", "un", "re", "in", "th", "pro",
+       "##ing", "##ed", "##er", "##s", "##ion", "##at", "##he", "##able"]
+)
+
+
+def test_wordpiece_segment_matches_hf_reference(spark):
+    """Greedy longest-match-first parity with the HF algorithm on
+    words covering: multi-piece greedy splits, continuation-marker
+    resolution, UNK via out-of-alphabet chars, UNK via
+    max_word_chars, and single-piece whole-word matches."""
+    words = [
+        "the", "theory", "unable", "reproducing", "thinking",
+        "cat", "cats", "a", "x1y",        # '1' not in vocab -> UNK
+        "naïve",                           # 'ï' not in vocab -> UNK
+        "z" * 101,                         # over max_word_chars -> UNK
+        "zzz", "prothesis", "unrelated",
+    ]
+    vocab = set(_WP_VOCAB)
+    want = {w: _hf_wordpiece(w, vocab) for w in words}
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    pdf = spark.createDataFrame([(p,) for p in _WP_VOCAB], "piece string")
+    got = {
+        r["word"]: (list(r["tokens"]), r["n_tokens"], r["is_unk"])
+        for r in tk.wordpiece_segment(wdf, pdf).collect()
+    }
+    assert set(got) == set(words)
+    for w in words:
+        assert got[w][0] == want[w], f"{w}: {got[w][0]} != {want[w]}"
+        assert got[w][1] == len(want[w])
+        assert got[w][2] == (want[w] == ["[UNK]"])
+    # greedy is NOT shortest-output: 'thinking' must start with 'th'
+    # (longest match at 0 among {t, th}), not 't'
+    assert got["thinking"][0][0] == "th"
+
+
+def test_wordpiece_segment_explicit_max_piece_chars(spark):
+    """Passing max_piece_chars explicitly (the driver-free path) must
+    match the derived default when it covers the vocab, and CAP
+    matching when smaller (a piece longer than the cap can never
+    match — same contract as viterbi's max_piece_len)."""
+    wdf = spark.createDataFrame([("theory",)], "word string")
+    pdf = spark.createDataFrame([(p,) for p in _WP_VOCAB], "piece string")
+    auto = tk.wordpiece_segment(wdf, pdf).collect()[0]["tokens"]
+    explicit = tk.wordpiece_segment(
+        wdf, pdf, max_piece_chars=6
+    ).collect()[0]["tokens"]
+    assert list(auto) == list(explicit) == ["the", "##o", "##r", "##y"]
+    capped = tk.wordpiece_segment(
+        wdf, pdf, max_piece_chars=2
+    ).collect()[0]["tokens"]
+    assert list(capped) == ["th", "##e", "##o", "##r", "##y"]
+    with pytest.raises(ValueError, match="pieces table is empty"):
+        tk.wordpiece_segment(
+            wdf, spark.createDataFrame([], "piece string")
+        ).collect()
+
+
+def test_wordpiece_encode_reassembly_and_unk_counts(spark):
+    """Corpus-level encode: order-preserving reassembly across words,
+    per-doc UNK word counts, empty docs kept with zero tokens."""
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat s1ts"),        # 's1ts' -> UNK ('1' not in vocab)
+            (2, "thinking   re cats"),
+            (3, "   "),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    pdf = spark.createDataFrame([(p,) for p in _WP_VOCAB], "piece string")
+    got = {
+        r["doc_id"]: (list(r["tokens"]), r["n_tokens"], r["n_unk_words"])
+        for r in tk.wordpiece_encode(docs, pdf).collect()
+    }
+    vocab = set(_WP_VOCAB)
+    exp1 = (
+        _hf_wordpiece("the", vocab)
+        + _hf_wordpiece("cat", vocab)
+        + _hf_wordpiece("s1ts", vocab)
+    )
+    assert got[1] == (exp1, len(exp1), 1)
+    exp2 = (
+        _hf_wordpiece("thinking", vocab)
+        + _hf_wordpiece("re", vocab)
+        + _hf_wordpiece("cats", vocab)
+    )
+    assert got[2] == (exp2, len(exp2), 0)
+    assert got[3] == ([], 0, 0) and got[4] == ([], 0, 0)
+
+
+def test_wordpiece_vocab_from_segmentations_bridge(spark):
+    """Trained-dict → HF-style piece table: position-0 symbols stay
+    initial, later symbols get ##, </w> suffixes are stripped, the
+    bare </w> symbol disappears."""
+    vocab = spark.createDataFrame(
+        [
+            ("lower", ["low", "er</w>"]),
+            ("low", ["low", "</w>"]),
+            ("er", ["e", "r</w>"]),
+        ],
+        "word string, tokens array<string>",
+    )
+    got = {
+        r["piece"]
+        for r in tk.wordpiece_vocab_from_segmentations(vocab).collect()
+    }
+    assert got == {"low", "##er", "e", "##r"}
+    # end-to-end: the bridged vocab drives the greedy encoder
+    seg = tk.wordpiece_segment(
+        spark.createDataFrame([("lower",), ("low",)], "word string"),
+        tk.wordpiece_vocab_from_segmentations(vocab),
+    ).collect()
+    out = {r["word"]: list(r["tokens"]) for r in seg}
+    assert out == {"lower": ["low", "##er"], "low": ["low"]}

@@ -175,6 +175,11 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # sequential reference (the BPE-batched precedent); n_merges==1024
     # value-asserted below.
     "wordpiece_train_batched_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
+    # round-15 (verdict task #4): greedy-WordPiece INFERENCE at 10x —
+    # explode + ONE vocab join + reassembly aggregate, the per-word
+    # greedy fold stays a JVM higher-order function (no Python in the
+    # plan); coverage/consistency value-asserted below.
+    "wordpiece_encode_production": ["Generate", "HashAggregate", "!CartesianProduct", "!BatchEvalPython", "!ArrowEvalPython"],
     # round-10 (cont. 2): SCD2 — the feed row now carries the
     # incremental history apply (seed from half the log, scd2_apply the
     # rest): the lead+row_number windows share one key exchange and the
@@ -569,6 +574,36 @@ def _expect_lp(rows) -> list[str]:
     return fails
 
 
+def _expect_wp_encode(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("docs", "words", "tokens", "pieces")
+        if not r[col]
+    ]
+    if r["n_merges"] != 16:
+        fails.append(f"n_merges={r['n_merges']} (expected 16)")
+    # every word emits >= 1 piece (UNK is exactly 1), so token volume
+    # can never undercut word volume
+    if r["tokens"] is not None and r["words"] is not None and (
+        r["tokens"] < r["words"]
+    ):
+        fails.append(f"tokens={r['tokens']} < words={r['words']}")
+    # the trained vocab must actually cover the corpus it trained on
+    if r["unk_words"] is None or (
+        r["words"] and r["unk_words"] >= r["words"]
+    ):
+        fails.append(
+            f"unk_words={r['unk_words']} of words={r['words']} "
+            "(vocab covered nothing)"
+        )
+    if r["pieces"] is not None and r["pieces"] <= 26:
+        fails.append(f"pieces={r['pieces']} (expected > bare alphabet)")
+    return fails
+
+
 def _expect_cc(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -663,6 +698,7 @@ VALUE_EXPECT = {
     "bpe_train_batched_production": _expect_bpe(1024),
     "wordpiece_train_production": _expect_bpe(64),
     "wordpiece_train_batched_production": _expect_bpe(1024),
+    "wordpiece_encode_production": _expect_wp_encode,
     "mmr_rerank_production": _expect_mmr,
     "scd2_stream_production": _expect_scd2_stream,
     "pagerank_production": _expect_pagerank,
@@ -794,6 +830,11 @@ def main() -> None:
     queries["wordpiece_train_batched_production"] = (
         q_wordpiece_train_batched_production
     )
+    from privacy_cdc_lakehouse_spark.queries.llmops import (
+        q_wordpiece_encode_production,
+    )
+
+    queries["wordpiece_encode_production"] = q_wordpiece_encode_production
     from privacy_cdc_lakehouse_spark.queries.analytics import (
         q_adamic_adar_production,
         q_cc_production,
