@@ -79,7 +79,11 @@ MINHASH_PRIME = 268435399
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", num_perm: int = 16
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 16,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: array of ``num_perm`` min-hashes.
 
@@ -91,13 +95,22 @@ def minhash_signatures(
     md5 + hex-slice arithmetic is replicated exactly in the DuckDB
     oracle. explode → groupBy(min...) keeps partial aggregation
     map-side; the shuffle carries |docs| rows of num_perm longs.
+    ``shingle_col`` names a precomputed shingle array on ``df`` (the
+    round-15 share-one-frame contract of :func:`ngram_jaccard_pairs`
+    / :func:`allpairs_candidates`): an LSH+verify pipeline shingles
+    the same corpus in both stages, so the caller materializes once
+    and passes the column to both.
     """
     from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
 
     h = F.md5(F.col("sh"))
+    sh_expr = (
+        F.col(shingle_col) if shingle_col is not None
+        else shingles(F.col(text_col))
+    )
     ex = (
         ensure_parallelism(df)
-        .select(F.col(id_col), F.explode(shingles(F.col(text_col))).alias("sh"))
+        .select(F.col(id_col), F.explode(sh_expr).alias("sh"))
         .select(
             id_col,
             F.conv(F.substring(h, 1, 7), 16, 10).cast("long").alias("h1"),
@@ -124,6 +137,7 @@ def minhash_lsh_pairs(
     num_perm: int = 16,
     bands: int = 4,
     signatures: DataFrame | None = None,
+    shingle_col: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (a < b) via LSH banding on the MinHash
     signature. rows_per_band = num_perm // bands; a pair collides when
@@ -135,7 +149,10 @@ def minhash_lsh_pairs(
     at 100 TB you persist them once next to the corpus and pass them
     here on every dedup sweep / incremental batch — the same write-once
     amortization contract as ``similarity.lsh_index`` and
-    ``curation.corpus_ngrams``."""
+    ``curation.corpus_ngrams``. ``shingle_col`` (ignored when
+    ``signatures`` is given) forwards a precomputed shingle array to
+    the signature pass — the share-one-frame contract of
+    :func:`ngram_jaccard_pairs`."""
     rows_per_band = num_perm // bands
     if signatures is not None:
         # Cheap runtime guard: an artifact built with a different
@@ -153,7 +170,9 @@ def minhash_lsh_pairs(
             ).isNull()
         )
     else:
-        sig = minhash_signatures(df, text_col, id_col, num_perm)
+        sig = minhash_signatures(
+            df, text_col, id_col, num_perm, shingle_col=shingle_col
+        )
     banded = band_buckets(sig, id_col, num_perm, bands)
     # Pair generation: group ids per (band, bucket) and expand pairs
     # within the bucket array — NOT a self-join. A self-join would

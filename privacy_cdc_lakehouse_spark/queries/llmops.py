@@ -621,7 +621,14 @@ def q_dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     Round 12 (cont.): ``with_containment=True`` adds the asymmetric
     Broder containments + overlap coefficient from the SAME
     intersection (zero extra joins) and widens the keep rule to
-    either-measure >= 0.5 — every pair's five ratios hash-checked."""
+    either-measure >= 0.5 — every pair's five ratios hash-checked.
+    Round 15 measured A/B: the ``shingle_col`` share-one-frame
+    contract LOSES here (medians 8.0 s self-contained vs 10.4 s
+    shared at sf0.1) — the verify stage semi-joins to the candidate
+    doc subset (hundreds of docs), so materializing full-corpus
+    shingle arrays costs more than the one small recompute it saves;
+    sharing wins only when the verify touches most of the corpus
+    (the allpairs gate row's regime). Kept self-contained."""
     pin_utc(spark)
     corpus = _augmented(_docs(spark, sf_dir))
     cands = dd.minhash_lsh_pairs(corpus, num_perm=NUM_PERM, bands=BANDS)

@@ -3824,3 +3824,13 @@ def test_allpairs_positional_subset_and_shingle_col_parity(spark):
         ).collect()
     }
     assert got_pre == verify(cand)
+    # the minhash path honors the same contract
+    lsh_default = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(df).collect()
+    }
+    lsh_pre = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_pairs(sdf, shingle_col="sh").collect()
+    }
+    assert lsh_pre == lsh_default
