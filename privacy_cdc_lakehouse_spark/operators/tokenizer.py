@@ -653,6 +653,28 @@ def wordpiece_encode(
     )
 
 
+def wordpiece_decode(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    marker: str = "##",
+    out_col: str = "text",
+) -> DataFrame:
+    """Detokenize greedy-WordPiece output (HF
+    ``convert_tokens_to_string``): join tokens with single spaces,
+    then splice continuations back onto their word (drop ``' ' +
+    marker``). One codegen'd string expression — no UDF, no shuffle;
+    appends ``out_col`` to ``df``. Round-trip contract (pytest-pinned):
+    for a doc with zero UNK words,
+    ``wordpiece_decode(wordpiece_encode(text)) ==
+    single-space-normalized (lowercased) text`` — [UNK] words decode
+    as the literal unk token, so the trip is lossy exactly where the
+    vocab was."""
+    joined = F.array_join(F.col(tokens_col), " ")
+    return df.withColumn(
+        out_col, F.replace(joined, F.lit(" " + marker), F.lit(""))
+    )
+
+
 def wordpiece_vocab_from_segmentations(
     vocab: DataFrame, marker: str = "##"
 ) -> DataFrame:

@@ -320,22 +320,44 @@ def q_sql_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # list (unlisted insert columns land NULL, which would break both
     # partition pruning and the filter's coverage of inserted rows).
     silver = LakeTable(spark, scratch)
-    # Seed layout: one file per bucket (repartition on the partition
-    # column before the partitioned write) — the compact bootstrap
-    # layout a real table starts from, not |tasks|×|buckets| fragments.
-    silver.overwrite(
-        _with_bucket(silver_from_bronze(first)).repartition("order_bucket"),
-        partition_by=["order_bucket"],
-    )
     staged = _with_bucket(
         latest_state(parse_cdc_envelope(second), drop_tombstones=False, keep_op=True)
     ).persist()  # feeds the touched-bucket collect + the MERGE's joins
     try:
         staged.createOrReplaceTempView("staging_orders")
-        touched = sorted(
-            r["order_bucket"]
-            for r in staged.select("order_bucket").distinct().collect()
-        )
+
+        # Round-15 profile (DESIGN.md): the row is four sequential job
+        # barriers of ~1.2-1.6 s each, latency- not compute-bound. The
+        # seed write and the staging materialization are INDEPENDENT
+        # (both read the shared bronze cache; the MERGE needs both),
+        # so submit them as concurrent Spark jobs — the standard
+        # multi-action driver pattern; semantics unchanged, one
+        # barrier's latency hidden behind the other.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _seed() -> None:
+            # Seed layout: one file per bucket (repartition on the
+            # partition column before the partitioned write) — the
+            # compact bootstrap layout a real table starts from, not
+            # |tasks|×|buckets| fragments.
+            silver.overwrite(
+                _with_bucket(silver_from_bronze(first)).repartition(
+                    "order_bucket"
+                ),
+                partition_by=["order_bucket"],
+            )
+
+        def _touched() -> list:
+            return sorted(
+                r["order_bucket"]
+                for r in staged.select("order_bucket").distinct().collect()
+            )
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            seed_f = pool.submit(_seed)
+            touched_f = pool.submit(_touched)
+            seed_f.result()
+            touched = touched_f.result()
         pf = f"order_bucket IN ({', '.join(str(b) for b in touched)})"
         sql_merge(
             spark,

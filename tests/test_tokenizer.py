@@ -597,3 +597,22 @@ def test_wordpiece_vocab_from_segmentations_bridge(spark):
     ).collect()
     out = {r["word"]: list(r["tokens"]) for r in seg}
     assert out == {"lower": ["low", "##er"], "low": ["low"]}
+
+
+def test_wordpiece_decode_round_trip(spark):
+    """decode(encode(text)) == single-space-normalized lowercase text
+    for docs with zero UNK words; UNK words decode as the literal
+    token (lossy exactly where the vocab was)."""
+    docs = spark.createDataFrame(
+        [(1, "The  cat   thinking"), (2, "unable x1y cats"), (3, "")],
+        "doc_id long, text string",
+    )
+    pdf = spark.createDataFrame([(p,) for p in _WP_VOCAB], "piece string")
+    enc = tk.wordpiece_encode(docs, pdf)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in tk.wordpiece_decode(enc).collect()
+    }
+    assert got[1] == "the cat thinking"     # zero UNK -> exact round trip
+    assert got[2] == "unable [UNK] cats"    # UNK word replaced, rest exact
+    assert got[3] == ""
