@@ -627,6 +627,68 @@ def label_propagation_oracle_ctes(
     return ",\n".join(ctes)
 
 
+def _triangle_list(und: DataFrame, orient: str) -> DataFrame:
+    """Enumerate each triangle of the canonical undirected edge list
+    (distinct a < b) exactly once, as (a, b, c) — shared by
+    :func:`triangles` (corner counts) and :func:`k_truss` (per-edge
+    support). ``"degree"`` opens wedges only at each triangle's
+    (deg, id)-order-minimal corner (Suri & Vassilvitskii — the
+    Σ outdeg² ≤ O(|E|^1.5) bound); ``"canonical"`` is the plain
+    a<b<c node-iterator parity reference. Extracted verbatim in round
+    15 (the hash-checked triangle arms are bit-identical through this
+    refactor)."""
+    if orient == "degree":
+        deg = (
+            und.select(F.col("a").alias("node"))
+            .unionByName(und.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ed = und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")), "a"
+        ).join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")), "b"
+        )
+        # total order (deg, id): lo = the order-minimal endpoint
+        a_first = (F.col("_da") < F.col("_db")) | (
+            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+        )
+        e_or = ed.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_hd"),
+        )
+        w1 = e_or.select("lo", F.col("hi").alias("y"), F.col("_hd").alias("_yd"))
+        w2 = e_or.select("lo", F.col("hi").alias("z"), F.col("_hd").alias("_zd"))
+        # wedges at the order-minimal corner, out-neighbors ordered so
+        # each triangle opens exactly once
+        wedge = w1.join(w2, "lo").filter(
+            (F.col("_yd") < F.col("_zd"))
+            | ((F.col("_yd") == F.col("_zd")) & (F.col("y") < F.col("z")))
+        )
+        # the y→z closing edge is oriented (y,z) by construction:
+        # y precedes z in the same total order
+        return wedge.join(
+            e_or.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
+            ["y", "z"],
+            "left_semi",
+        ).select(
+            F.col("lo").alias("a"), F.col("y").alias("b"), F.col("z").alias("c")
+        )
+    ab = und
+    bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
+    return (
+        ab.join(bc, "b")
+        .join(
+            ac,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+            "left_semi",
+        )
+        .select("a", "b", "c")
+    )
+
+
 def triangles(
     edges: DataFrame,
     src: str = "src",
@@ -673,55 +735,7 @@ def triangles(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    if orient == "degree":
-        deg = (
-            und.select(F.col("a").alias("node"))
-            .unionByName(und.select(F.col("b").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        ed = und.join(
-            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")), "a"
-        ).join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")), "b"
-        )
-        # total order (deg, id): lo = the order-minimal endpoint
-        a_first = (F.col("_da") < F.col("_db")) | (
-            (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
-        )
-        e_or = ed.select(
-            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
-            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
-            F.when(a_first, F.col("_db")).otherwise(F.col("_da")).alias("_hd"),
-        )
-        w1 = e_or.select("lo", F.col("hi").alias("y"), F.col("_hd").alias("_yd"))
-        w2 = e_or.select("lo", F.col("hi").alias("z"), F.col("_hd").alias("_zd"))
-        # wedges at the order-minimal corner, out-neighbors ordered so
-        # each triangle opens exactly once
-        wedge = w1.join(w2, "lo").filter(
-            (F.col("_yd") < F.col("_zd"))
-            | ((F.col("_yd") == F.col("_zd")) & (F.col("y") < F.col("z")))
-        )
-        # the y→z closing edge is oriented (y,z) by construction:
-        # y precedes z in the same total order
-        tri = wedge.join(
-            e_or.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
-            ["y", "z"],
-            "left_semi",
-        ).select(F.col("lo").alias("a"), F.col("y").alias("b"), F.col("z").alias("c"))
-    else:
-        ab = und
-        bc = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
-        ac = und.select(F.col("a").alias("a2"), F.col("b").alias("c2"))
-        tri = (
-            ab.join(bc, "b")
-            .join(
-                ac,
-                (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
-                "left_semi",
-            )
-            .select("a", "b", "c")
-        )
+    tri = _triangle_list(und, orient)
     corners = (
         tri.select(F.col("a").alias("node"))
         .unionByName(tri.select(F.col("b").alias("node")))
@@ -1177,5 +1191,165 @@ def core_number_oracle_ctes(
     )
     ctes.append(
         f"{p}_out AS (\n" + "\n    UNION ALL\n".join(drops) + "\n)"
+    )
+    return ",\n".join(ctes)
+
+
+def _edge_support(cur: DataFrame, orient: str) -> DataFrame:
+    """Per-edge triangle SUPPORT over a canonical (a < b) edge list:
+    enumerate each triangle once (:func:`_triangle_list`), explode its
+    three canonical edges, count. Returns every input edge with
+    ``support`` (0 for triangle-free edges). One wedge join + one
+    edge-keyed aggregate + one left join — the truss peel's whole
+    per-round cost."""
+    tri = _triangle_list(cur, orient)
+
+    # the degree-oriented triple (lo, y, z) is ordered by (deg, id),
+    # NOT by id — canonicalize every pair explicitly (the round-15
+    # first cut assumed a<b<c and undercounted every triangle whose
+    # order-minimal corner was not its min-id corner)
+    def _pair(x: str, y: str):
+        return F.struct(
+            F.least(F.col(x), F.col(y)).alias("a"),
+            F.greatest(F.col(x), F.col(y)).alias("b"),
+        )
+
+    pairs = tri.select(
+        F.explode(
+            F.array(_pair("a", "b"), _pair("a", "c"), _pair("b", "c"))
+        ).alias("e")
+    ).select("e.a", "e.b")
+    sup = pairs.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("support")
+    )
+    return cur.join(sup, ["a", "b"], "left").select(
+        "a", "b", F.coalesce("support", F.lit(0)).cast("long").alias("support")
+    )
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int | None = None,
+    orient: str = "degree",
+) -> DataFrame:
+    """k-truss decomposition (Cohen 2008): the maximal subgraph in
+    which EVERY EDGE closes at least ``k-2`` triangles within the
+    subgraph — the edge-level analog of :func:`k_core` (node degree →
+    edge support) and the standard community-strength filter: truss
+    edges survive only while embedded in dense mutual-neighbor
+    structure, so spam rings and boilerplate cliques stay while
+    stringy incidental co-occurrence edges peel away.
+
+    Semantics: canonicalize to distinct a < b; repeat {compute
+    per-edge support over the SURVIVING subgraph, drop edges with
+    support < k-2} until a fixpoint (default) or for exactly
+    ``rounds`` synchronous peels (the PINNED oracle-replayable form —
+    :func:`k_truss_oracle_ctes` unrolls the identical schedule, all
+    integers, exact cross-engine parity). Dropping an edge can
+    destroy triangles that supported OTHER edges, so peeling cascades
+    exactly like k-core — and reuses its driver-loop discipline: ONE
+    1-row edge-count scalar per round (the carried-count convergence
+    seed from the round-14 advice — an already-converged graph costs
+    one support pass, not two), lazy ``localCheckpoint`` per round.
+
+    Returns the truss edges (a, b, support) with support computed on
+    the FINAL subgraph (at fixpoint every support >= k-2 — the
+    value-assertable property; a pinned run may not have converged,
+    same contract as pinned k_core). Scale: per round one wedge join
+    (degree-oriented: Σ outdeg² ≤ O(|E|^1.5) over the SHRINKING
+    survivor graph) + one edge-keyed aggregate; ``orient="canonical"``
+    is the parity/oracle form."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds is not None and rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if orient not in ("degree", "canonical"):
+        raise ValueError(f"orient must be 'degree' or 'canonical', got {orient!r}")
+    from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    und = (
+        e.select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = ensure_parallelism(und).localCheckpoint(eager=False)
+    need = k - 2
+    if rounds is not None:
+        for _ in range(rounds):
+            cur = (
+                _edge_support(cur, orient)
+                .filter(F.col("support") >= need)
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+    else:
+        prev_n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+        while True:
+            cur = (
+                _edge_support(cur, orient)
+                .filter(F.col("support") >= need)
+                .select("a", "b")
+                .localCheckpoint(eager=False)
+            )
+            n = cur.agg(F.count(F.lit(1)).alias("n")).collect()[0]["n"]
+            if n == prev_n or n == 0:
+                break
+            prev_n = n
+    return _edge_support(cur, orient)
+
+
+def k_truss_oracle_ctes(
+    edges_cte: str, k: int, rounds: int, prefix: str = "kt"
+) -> str:
+    """DuckDB replay of :func:`k_truss`'s PINNED schedule — the same
+    one-definition-per-oracle rule as :func:`k_core_oracle_ctes`.
+    ``edges_cte`` must already be canonical undirected distinct
+    (a, b). Per round: the canonical a<b<c triangle join, the 3-edge
+    support aggregate, the filter; after ``rounds`` peels one final
+    support pass over the survivors. Emits {prefix}_e0..e{rounds} and
+    {prefix}_out (a, b, support). All-integer."""
+    p = prefix
+    need = k - 2
+    ctes = [f"{p}_e0 AS MATERIALIZED (SELECT a, b FROM {edges_cte})"]
+    for i in range(1, rounds + 2):
+        prev = f"{p}_e{i - 1}"
+        ctes.append(
+            f"""{p}_t{i} AS MATERIALIZED (
+    SELECT e1.a AS a, e1.b AS b, e2.b AS c
+    FROM {prev} e1
+    JOIN {prev} e2 ON e2.a = e1.b
+    JOIN {prev} e3 ON e3.a = e1.a AND e3.b = e2.b
+)"""
+        )
+        ctes.append(
+            f"""{p}_s{i} AS MATERIALIZED (
+    SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+        SELECT a, b FROM {p}_t{i}
+        UNION ALL SELECT a, c FROM {p}_t{i}
+        UNION ALL SELECT b, c FROM {p}_t{i}
+    ) GROUP BY a, b
+)"""
+        )
+        if i <= rounds:
+            ctes.append(
+                f"""{p}_e{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    JOIN {p}_s{i} s ON s.a = e.a AND s.b = e.b
+    WHERE s.support >= {need}
+)"""
+            )
+    final = rounds + 1
+    ctes.append(
+        f"""{p}_out AS (
+    SELECT e.a, e.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support
+    FROM {p}_e{rounds} e
+    LEFT JOIN {p}_s{final} s ON s.a = e.a AND s.b = e.b
+)"""
     )
     return ",\n".join(ctes)

@@ -2328,6 +2328,28 @@ def q_lp_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ktruss_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-only k-truss FIXPOINT at production sizing (round 15; the
+    registry's kt arm runs 2 PINNED peels at sf0.01 — this row prices
+    the real convergence driver loop: support passes × (one wedge
+    join over the SHRINKING survivor graph + one edge-keyed aggregate
+    + ONE 1-row convergence scalar, lazy localCheckpoint per round)
+    until no edge drops, k=3 over the relation graph). 1-row summary;
+    the gate VALUE-asserts edges > 0, min_support >= k-2 — the truss
+    fixpoint property itself, which a broken peel cannot fake — and
+    sum_support % 3 == 0 (every surviving triangle credits exactly
+    its three edges)."""
+    pin_utc(spark)
+    from privacy_cdc_lakehouse_spark.operators import graph as gr
+
+    kt = gr.k_truss(_relation_graph_edges(spark, sf_dir), k=3)
+    return kt.agg(
+        F.count(F.lit(1)).cast("long").alias("edges"),
+        F.min("support").cast("long").alias("min_support"),
+        F.sum("support").cast("long").alias("sum_support"),
+    )
+
+
 def q_cc_production(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate-only connected-components min-label closure at production
     sizing (round-14 verdict task #3: the last iterative operator
@@ -2896,11 +2918,44 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
+    # round 15: k-truss arm (operators/graph.py::k_truss, Cohen 2008)
+    # — PINNED 2 synchronous support peels at k=3 (the oracle-
+    # replayable form; the fixpoint driver loop is pytest-pinned
+    # against it): per-(layer-pair, support) edge counts over the
+    # surviving truss, all-integer so parity is exact. Edges span two
+    # node layers, so the dimension is the canonical a:b layer pair.
+    def _layer_of(c: str):
+        return (
+            F.when(F.col(c) >= 20_000_000, F.lit("nation"))
+            .when(F.col(c) >= 10_000_000, F.lit("supplier"))
+            .otherwise(F.lit("customer"))
+        )
+
+    kt = gr.k_truss(
+        _relation_graph_edges(spark, sf_dir), k=3, rounds=2,
+        orient="canonical",
+    )
+    kt_arm = (
+        kt.groupBy(
+            F.concat_ws(":", _layer_of("a"), _layer_of("b")).alias("d1"),
+            "support",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("kt").alias("query"),
+            "d1",
+            F.lit(None).cast("string").alias("d2"),
+            F.col("support").cast("long").alias("k"),
+            F.lit(None).cast("double").alias("measure"),
+            F.col("n").cast("long").alias("n"),
+        )
+    )
+
     out = q7
     for arm in (
         q13, q22, q8, q9, q11, q15, q16, q20, q21, link, fs, fslink, pr,
         hits_arm, lp_arm, prw, prp, tri_top, tri_tot, aa_top, ra_top,
-        lcc_top, lcc_tot, kc_top, kc_tot, cn_arm,
+        lcc_top, lcc_tot, kc_top, kc_tot, cn_arm, kt_arm,
     ):
         out = out.unionByName(arm)
     return out.orderBy(
@@ -3067,6 +3122,7 @@ lcc_tot AS (
     from privacy_cdc_lakehouse_spark.operators.graph import (
         core_number_oracle_ctes,
         k_core_oracle_ctes,
+        k_truss_oracle_ctes,
     )
 
     # round 14: core-number replay (pinned levels 2..8, 2 peels each)
@@ -3080,6 +3136,20 @@ cn_sum AS (
                 ELSE 'customer' END AS layer,
            core, CAST(count(*) AS BIGINT) AS n
     FROM cn_out GROUP BY 1, 2
+)"""
+    )
+    kt = (
+        k_truss_oracle_ctes("tri_und", 3, 2, "kt")
+        + """,
+kt_sum AS (
+    SELECT (CASE WHEN a >= 20000000 THEN 'nation'
+                 WHEN a >= 10000000 THEN 'supplier'
+                 ELSE 'customer' END) || ':' ||
+           (CASE WHEN b >= 20000000 THEN 'nation'
+                 WHEN b >= 10000000 THEN 'supplier'
+                 ELSE 'customer' END) AS lp,
+           support, CAST(count(*) AS BIGINT) AS n
+    FROM kt_out GROUP BY 1, 2
 )"""
     )
     kcore = (
@@ -3119,6 +3189,7 @@ kc_tot AS (
             tri,
             kcore,
             cn,
+            kt,
         ]
     )
 
@@ -3554,6 +3625,11 @@ UNION ALL
 -- pinned Batagelj-Zaveršnik schedule (levels 2..8, 2 peels per level)
 SELECT 'cn', layer, NULL, core, CAST(NULL AS DOUBLE), n
 FROM cn_sum
+UNION ALL
+-- k-truss arm (round 15): per-(layer-pair, support) edge counts under
+-- the pinned schedule (k=3, 2 support peels)
+SELECT 'kt', lp, NULL, support, CAST(NULL AS DOUBLE), n
+FROM kt_sum
 ORDER BY query, d1 ASC NULLS FIRST, d2 ASC NULLS FIRST, k ASC NULLS FIRST
 """
 

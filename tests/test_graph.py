@@ -744,3 +744,121 @@ def test_triangles_degree_orientation_matches_canonical(spark):
     assert deg == can == _py_triangles(edges)
     with _pytest.raises(ValueError, match="orient"):
         G.triangles(_edges_df(spark, edges), orient="random")
+
+
+# --- k-truss (round 15) -----------------------------------------------------
+
+
+def _py_k_truss(edges, k):
+    """Pure-Python truss peel: iterate {support over survivors, drop
+    < k-2} to fixpoint; returns {(a, b): final support}."""
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+
+    def support(es):
+        nbrs = {}
+        for a, b in es:
+            nbrs.setdefault(a, set()).add(b)
+            nbrs.setdefault(b, set()).add(a)
+        return {
+            (a, b): len(nbrs[a] & nbrs[b])
+            for a, b in es
+        }
+
+    while True:
+        sup = support(und)
+        drop = {e for e, s in sup.items() if s < k - 2}
+        if not drop:
+            return sup
+        und -= drop
+        if not und:
+            return {}
+
+
+def test_k_truss_fixpoint_matches_python_reference(spark):
+    rnd = random.Random(43)
+    edges = sorted({(rnd.randrange(18), rnd.randrange(18)) for _ in range(70)})
+    edges = [(a, b) for a, b in edges if a != b]
+    # plus a K5 so a 4/5-truss definitely survives
+    edges += [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)]
+    for k in (3, 4, 5):
+        want = _py_k_truss(edges, k)
+        got = {
+            (r["a"], r["b"]): r["support"]
+            for r in G.k_truss(_edges_df(spark, edges), k=k).collect()
+        }
+        assert got == want, f"k={k}"
+    # degree == canonical orientation
+    got_c = {
+        (r["a"], r["b"]): r["support"]
+        for r in G.k_truss(
+            _edges_df(spark, edges), k=4, orient="canonical"
+        ).collect()
+    }
+    assert got_c == _py_k_truss(edges, 4)
+
+
+def test_k_truss_cascade_and_pinned_rounds(spark):
+    """A triangle chained to a K4 via one shared edge: at k=3 every
+    edge is in >= 1 triangle round 1, so nothing peels; at k=4 the
+    pendant triangle's edges (support 1) peel first, which then
+    drops the K4-adjacent support — the cascade needs > 1 round, so
+    pinned rounds=1 != fixpoint but enough pinned rounds == fixpoint
+    (the oracle-replayable contract)."""
+    k4 = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    pendant = [(3, 10), (2, 10)]  # triangle {2, 3, 10}
+    edges = k4 + pendant
+    fix4 = {
+        (r["a"], r["b"])
+        for r in G.k_truss(_edges_df(spark, edges), k=4).collect()
+    }
+    assert fix4 == set(k4)  # the K4 is the 4-truss; the pendant peels
+    r1 = {
+        (r["a"], r["b"])
+        for r in G.k_truss(_edges_df(spark, edges), k=4, rounds=1).collect()
+    }
+    r3 = {
+        (r["a"], r["b"])
+        for r in G.k_truss(_edges_df(spark, edges), k=4, rounds=3).collect()
+    }
+    assert r3 == fix4
+    assert r1 >= fix4  # pinned-short keeps a superset (monotone peel)
+    fix3 = {
+        (r["a"], r["b"]): r["support"]
+        for r in G.k_truss(_edges_df(spark, edges), k=3).collect()
+    }
+    assert set(fix3) == set(k4) | set(pendant)  # every edge closes a triangle
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must"):
+        G.k_truss(_edges_df(spark, edges), k=1)
+    with _pytest.raises(ValueError, match="rounds"):
+        G.k_truss(_edges_df(spark, edges), k=3, rounds=0)
+
+
+def test_k_truss_oracle_replay_matches(spark):
+    """The pinned Spark schedule and the DuckDB CTE unroll must agree
+    edge-for-edge including final supports (all-integer parity)."""
+    import duckdb
+
+    rnd = random.Random(77)
+    edges = sorted({(rnd.randrange(14), rnd.randrange(14)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(50 + i, 50 + j) for i in range(4) for j in range(i + 1, 4)]
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in G.k_truss(
+            _edges_df(spark, edges), k=3, rounds=2, orient="canonical"
+        ).collect()
+    }
+    vals = ", ".join(
+        f"({a}, {b})"
+        for a, b in sorted({(min(a, b), max(a, b)) for a, b in edges})
+    )
+    sql = (
+        "WITH base(a, b) AS (VALUES " + vals + "),\n"
+        + G.k_truss_oracle_ctes("base", k=3, rounds=2)
+        + "\nSELECT a, b, support FROM kt_out"
+    )
+    con = duckdb.connect()
+    want = {(a, b): s for a, b, s in con.sql(sql).fetchall()}
+    assert got == want

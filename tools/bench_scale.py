@@ -263,6 +263,11 @@ SCALE_AUDIT: dict[str, list[str]] = {
     # fixpoint (zero differently-labeled edges), root property and
     # min-label direction are VALUE-asserted below.
     "cc_production": ["HashAggregate", "BroadcastNestedLoopJoin", "!CartesianProduct"],
+    # round-15: k-truss FIXPOINT at 10x — support peels run in their
+    # own checkpointed jobs, the captured plan is the summary over the
+    # final support pass; the fixpoint property (min_support >= k-2)
+    # and triangle-credit divisibility are VALUE-asserted below.
+    "ktruss_production": ["HashAggregate", "!CartesianProduct"],
     # round-14 (verdict task #4 cont.): hub-capped Adamic-Adar at 10x —
     # the wedge expansion must plan as equi-joins with the top-20 a
     # TakeOrdered, never all-pairs; pair positivity and score
@@ -604,6 +609,28 @@ def _expect_wp_encode(rows) -> list[str]:
     return fails
 
 
+def _expect_ktruss(rows) -> list[str]:
+    if len(rows) != 1:
+        return [f"expected 1 summary row, got {len(rows)}"]
+    r = rows[0]
+    fails = [
+        f"{col}={r[col]} (expected > 0)"
+        for col in ("edges", "sum_support")
+        if not r[col]
+    ]
+    if r["min_support"] is None or r["min_support"] < 1:
+        fails.append(
+            f"min_support={r['min_support']} (expected >= 1 — the "
+            "truss fixpoint property; the peel loop stopped early)"
+        )
+    if r["sum_support"] and r["sum_support"] % 3 != 0:
+        fails.append(
+            f"sum_support={r['sum_support']} not divisible by 3 "
+            "(triangle credits missed or duplicated)"
+        )
+    return fails
+
+
 def _expect_cc(rows) -> list[str]:
     if len(rows) != 1:
         return [f"expected 1 summary row, got {len(rows)}"]
@@ -688,6 +715,7 @@ def _expect_scd2_stream(rows) -> list[str]:
 VALUE_EXPECT = {
     "allpairs_exact_production": _expect_allpairs_exact,
     "cc_production": _expect_cc,
+    "ktruss_production": _expect_ktruss,
     "kcore_fixpoint_production": _expect_kcore_fixpoint,
     "core_number_production": _expect_core_number,
     "adamic_adar_production": _expect_adamic_adar,
@@ -842,6 +870,7 @@ def main() -> None:
         q_drift_monitor_production,
         q_hits_production,
         q_kcore_fixpoint_production,
+        q_ktruss_production,
         q_lp_production,
         q_pagerank_production,
         q_record_linkage_production,
@@ -855,6 +884,7 @@ def main() -> None:
     queries["kcore_fixpoint_production"] = q_kcore_fixpoint_production
     queries["core_number_production"] = q_core_number_production
     queries["cc_production"] = q_cc_production
+    queries["ktruss_production"] = q_ktruss_production
     queries["adamic_adar_production"] = q_adamic_adar_production
     queries["hits_production"] = q_hits_production
     queries["lp_production"] = q_lp_production
