@@ -27,6 +27,29 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _array_lit(values: list[float]) -> Column:
+    """Constant ``array<double>`` literal built from ONE SQL-text parse.
+
+    ``F.array(*[F.lit(x) ...])`` costs one py4j round trip per element
+    — measured ~0.5 ms each, so a 64-element plane array costs ~30 ms
+    and an 8×6-plane bucketing expression >1.5 s of pure DRIVER time
+    per plan build (round-15 profile: sim_lsh_topk was planning-bound,
+    3.5 s of its 7.3 s in explain() alone). One ``F.expr`` ships the
+    whole array as text and parses JVM-side; the resulting plan
+    (CreateArray of foldable literals → constant-folded) is node-for-
+    node what the per-element form produced, so values are
+    bit-identical. ``repr(float)`` is the shortest exact-roundtrip
+    form and Spark's decimal-exponent literal parser accepts it with
+    the ``D`` suffix."""
+    parts = []
+    for x in values:
+        fx = float(x)
+        if fx != fx or fx in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite array literal element: {x!r}")
+        parts.append(f"{fx!r}D")
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -361,7 +384,7 @@ def _plane_sign(vec: Column, plane_seed: int, dim: int) -> Column:
     expression nodes at 8×6 planes) blew past whole-stage codegen
     limits and ran 4× SLOWER interpreted — the higher-order fold stays
     inside codegen and is the faster form."""
-    plane = F.array(*[F.lit(x) for x in plane_vector(plane_seed, dim)])
+    plane = _array_lit(plane_vector(plane_seed, dim))
     return (_dot(vec, plane) >= 0).cast("int")
 
 
@@ -401,17 +424,29 @@ def lsh_table_buckets(
     # Catalyst/codegen fixed cost, not row compute, and the repartition
     # splits the single codegen'd scan pipeline into shuffle stages.
     # (minhash/simhash, which are md5-per-token bound, DO benefit.)
-    tagged = [
-        F.struct(
-            F.lit(t).alias("t"),
-            lsh_bucket(
-                F.col(vec_col), band_planes, dim, plane_offset=t * band_planes
-            ).alias("bucket"),
+    #
+    # The whole tagged array-of-structs is ONE SQL-text parse: the
+    # per-Column form cost ~400 py4j round trips (~1.5 s of driver
+    # time per plan build — round-15 profile); the parsed tree is the
+    # same expression the Column form built (named_struct/concat_ws/
+    # aggregate-fold over constant plane arrays), so buckets are
+    # bit-identical (pinned by test_lsh_table_buckets_sql_text_parity).
+    def sign_sql(seed: int) -> str:
+        plane = "array(" + ",".join(f"{float(x)!r}D" for x in plane_vector(seed, dim)) + ")"
+        return (
+            f"CAST(CAST(aggregate(zip_with(`{vec_col}`, {plane}, "
+            f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) >= 0 AS INT) AS STRING)"
         )
-        for t in range(tables)
-    ]
+
+    def bucket_sql(t: int) -> str:
+        signs = ", ".join(sign_sql(t * band_planes + p) for p in range(band_planes))
+        return f"named_struct('t', {t}, 'bucket', concat_ws('', {signs}))"
+
+    tagged = F.expr(
+        "array(" + ", ".join(bucket_sql(t) for t in range(tables)) + ")"
+    )
     return df.select(
-        F.col(id_col), F.explode(F.array(*tagged)).alias("tb")
+        F.col(id_col), F.explode(tagged).alias("tb")
     ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
 
@@ -428,7 +463,7 @@ def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     ordering gives argmin with deterministic id tie-break."""
     entries = [
         F.struct(
-            _sqdist(vec, F.array(*[F.lit(x) for x in c])).alias("d"),
+            _sqdist(vec, _array_lit(c)).alias("d"),
             F.lit(cid).alias("c"),
         )
         for cid, c in centroids
@@ -1618,11 +1653,11 @@ def pca_project(
     mean = comps[0][1]["mean"]
     v = as_double(F.col(vec_col))
     centered = F.zip_with(
-        v, F.array(*[F.lit(float(x)) for x in mean]), lambda a, b: a - b
+        v, _array_lit([float(x) for x in mean]), lambda a, b: a - b
     )
     outs = []
     for rank, r in comps:
-        load = F.array(*[F.lit(float(x)) for x in r["loading"]])
+        load = _array_lit([float(x) for x in r["loading"]])
         proj = F.aggregate(
             F.zip_with(centered, load, lambda a, b: a * b),
             F.lit(0.0),
@@ -1739,12 +1774,7 @@ def random_projection(
         raise ValueError(f"dim_in must be >= 1, got {dim_in}")
     v = as_double(F.col(vec_col))
     comps = [
-        _dot(
-            v,
-            F.array(
-                *[F.lit(x) for x in plane_vector(seed * 100_003 + k, dim_in)]
-            ),
-        )
+        _dot(v, _array_lit(plane_vector(seed * 100_003 + k, dim_in)))
         for k in range(dim_out)
     ]
     scale = 1.0 / (dim_out ** 0.5) if normalize else 1.0

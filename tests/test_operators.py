@@ -3615,6 +3615,85 @@ def test_hashed_features_python_parity_and_shape(spark):
     assert sum(u[1].values()) == 6.0  # six tokens, all +1
 
 
+def test_lsh_table_buckets_sql_text_parity(spark):
+    """The one-shot SQL-text bucket expression (round-15 planning-cost
+    fix: ~400 py4j round trips -> 1) must emit bit-identical buckets to
+    the per-Column reference construction it replaced."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    rnd = random.Random(7)
+    dim, tables, planes = 16, 3, 4
+    df = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    ).select(F.col("vec_id"), F.col("embedding").alias("cvec"))
+
+    got = sim.lsh_table_buckets(df, "vec_id", "cvec", tables, planes, dim)
+
+    # reference: the pre-round-15 per-Column form, element literals
+    tagged = [
+        F.struct(
+            F.lit(t).alias("t"),
+            F.concat_ws(
+                "",
+                *[
+                    (
+                        sim._dot(
+                            F.col("cvec"),
+                            F.array(
+                                *[
+                                    F.lit(x)
+                                    for x in sim.plane_vector(
+                                        t * planes + p, dim
+                                    )
+                                ]
+                            ),
+                        )
+                        >= 0
+                    )
+                    .cast("int")
+                    .cast("string")
+                    for p in range(planes)
+                ],
+            ).alias("bucket"),
+        )
+        for t in range(tables)
+    ]
+    want = df.select(
+        F.col("vec_id"), F.explode(F.array(*tagged)).alias("tb")
+    ).select("vec_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == 40 * tables
+
+
+def test_array_lit_exact_roundtrip(spark):
+    """_array_lit (SQL-text literal array) must round-trip doubles
+    bit-exactly, including shortest-repr exponent forms."""
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    vals = [1.0, -1.0, 0.1 + 0.2, 1e-05, -2.5e300, 123456789.123456789, 0.0]
+    got = (
+        spark.range(1)
+        .select(sim._array_lit(vals).alias("a"))
+        .head()["a"]
+    )
+    assert list(got) == vals
+    import pytest
+
+    with pytest.raises(ValueError):
+        sim._array_lit([float("nan")])
+    with pytest.raises(ValueError):
+        sim._array_lit([float("inf")])
+
+
 def test_random_projection_jl_distance_preservation(spark):
     import math
     import random
