@@ -32,7 +32,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from privacy_cdc_lakehouse_spark.operators.util import ensure_parallelism
+from privacy_cdc_lakehouse_spark.operators.util import (
+    checkpoint_parallel,
+    ensure_parallelism,
+)
 
 
 def pagerank(
@@ -157,10 +160,9 @@ def pagerank(
         base = base.select(
             "node", "out_deg", "_n", (F.lit(1.0) / F.col("_n")).alias("_s")
         )
-    base = ensure_parallelism(base)
-    # One persist: `base` (with N and the teleport share) is the spine
-    # of every iteration.
-    base = base.localCheckpoint(eager=False)
+    # One materialization: `base` (with N and the teleport share) is
+    # the spine of every iteration.
+    base = checkpoint_parallel(base)
 
     rank = base.select(
         "node",
@@ -392,16 +394,14 @@ def hits(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    e = ensure_parallelism(e).localCheckpoint(eager=False)
+    e = checkpoint_parallel(e)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
-    base = ensure_parallelism(
-        nodes.crossJoin(F.broadcast(n_nodes))
-    ).localCheckpoint(eager=False)
+    base = checkpoint_parallel(nodes.crossJoin(F.broadcast(n_nodes)))
     init = F.round(F.lit(1.0) / F.sqrt(F.col("_n")), round_dp)
     state = base.select("node", init.alias("authority"), init.alias("hub"))
 
@@ -540,7 +540,7 @@ def label_propagation(
     e = edges.select(
         F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
     )
-    e = ensure_parallelism(e).localCheckpoint(eager=False)
+    e = checkpoint_parallel(e)
     sd = seeds.select(
         F.col(node_col).cast("long").alias("node"),
         F.col(label_col).cast("long").alias("_seed"),
@@ -550,9 +550,7 @@ def label_propagation(
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    base = ensure_parallelism(
-        nodes.join(sd, "node", "left")
-    ).localCheckpoint(eager=False)
+    base = checkpoint_parallel(nodes.join(sd, "node", "left"))
     lab = base.select("node", F.col("_seed").alias("label"))
     for _ in range(iterations):
         msgs = (
@@ -946,7 +944,7 @@ def k_core(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = ensure_parallelism(und).localCheckpoint(eager=False)
+    und = checkpoint_parallel(und)
 
     def degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -1077,7 +1075,7 @@ def core_number(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    und = ensure_parallelism(und).localCheckpoint(eager=False)
+    und = checkpoint_parallel(und)
 
     def degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -1278,7 +1276,7 @@ def k_truss(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    cur = ensure_parallelism(und).localCheckpoint(eager=False)
+    cur = checkpoint_parallel(und)
     need = k - 2
     if rounds is not None:
         for _ in range(rounds):

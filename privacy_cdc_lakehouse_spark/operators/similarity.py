@@ -458,9 +458,32 @@ def _sqdist(a: Column, b: Column) -> Column:
     )
 
 
-def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _centroid_dists(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
     """Sorted array of (squared distance, cluster id) structs — struct
-    ordering gives argmin with deterministic id tie-break."""
+    ordering gives argmin with deterministic id tie-break.
+
+    ``vec`` as a STRING is the vector expression in SQL text (a column
+    name or e.g. ``slice(_v, 5, 4)``): the whole k-entry argmin is
+    then ONE ``F.expr`` parse. The Column form builds per-centroid
+    expressions — measured ~1.5 s of py4j round trips per call at
+    k=16 (round-15 profile: sim_ann_recall spent 100 of its 164 build
+    seconds here), so hot callers pass text; the parsed tree is the
+    same named_struct/aggregate-fold the Column form builds, values
+    bit-identical (test_centroid_dists_sql_text_parity)."""
+    if isinstance(vec, str):
+        entries = ", ".join(
+            "named_struct('d', aggregate(zip_with({v}, {arr}, "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, v) -> acc + v), "
+            "'c', {cid})".format(
+                v=vec,
+                arr="array(" + ",".join(f"{float(x)!r}D" for x in c) + ")",
+                cid=int(cid),
+            )
+            for cid, c in centroids
+        )
+        return F.expr(f"array_sort(array({entries}))")
     entries = [
         F.struct(
             _sqdist(vec, _array_lit(c)).alias("d"),
@@ -471,7 +494,9 @@ def _centroid_dists(vec: Column, centroids: list[tuple[int, list[float]]]) -> Co
     return F.array_sort(F.array(*entries))
 
 
-def nearest_centroid(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def nearest_centroid(
+    vec: Column | str, centroids: list[tuple[int, list[float]]]
+) -> Column:
     return _centroid_dists(vec, centroids)[0]["c"]
 
 
@@ -510,7 +535,7 @@ def kmeans_fit(
         # production cluster counts.
         if n_clusters <= LITERAL_MAX_CENTROIDS:
             assigned = df.withColumn(
-                "_c", nearest_centroid(F.col("_v"), cents)
+                "_c", nearest_centroid("`_v`", cents)
             )
         else:
             assigned = _assign_by_join(df, cents, "_id").withColumnRenamed(
@@ -642,7 +667,7 @@ def ivf_topk(
     # limits exactly at production sizing (same dispatch as
     # semantic_dedup assignment).
     if n_clusters <= LITERAL_MAX_CENTROIDS:
-        c = c.withColumn("cluster", nearest_centroid(F.col("cvec"), cents))
+        c = c.withColumn("cluster", nearest_centroid("`cvec`", cents))
     else:
         c = _assign_by_join(c, cents, "neighbor_id", vec_field="cvec")
     q = _probe_clusters(
@@ -886,7 +911,7 @@ def _probe_clusters(
             F.explode(
                 F.transform(
                     F.slice(
-                        _centroid_dists(F.col(vec_field), cents), 1, nprobe
+                        _centroid_dists(f"`{vec_field}`", cents), 1, nprobe
                     ),
                     lambda s: s["c"],
                 )
@@ -963,7 +988,7 @@ def semantic_dedup(
     # distributed; same deterministic lowest-id tie-break because the
     # struct compares (d, c)).
     if n_clusters <= LITERAL_MAX_CENTROIDS:
-        c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+        c = c.withColumn("cluster", nearest_centroid("`_v`", cents))
     else:
         c = _assign_by_join(c, cents, id_col)
     # The assigned corpus feeds FOUR consumers (candidate buckets, both
@@ -1046,7 +1071,7 @@ def prototypes_filter(
         F.col(id_col), as_double(F.col(vec_col)).alias("_v")
     )
     if n_clusters <= LITERAL_MAX_CENTROIDS:
-        c = c.withColumn("cluster", nearest_centroid(F.col("_v"), cents))
+        c = c.withColumn("cluster", nearest_centroid("`_v`", cents))
     else:
         c = _assign_by_join(c, cents, id_col)
     cent_df = corpus.sparkSession.createDataFrame(
@@ -1215,7 +1240,7 @@ def pq_encode(
         extra = ["cluster"]
         if len(coarse) <= LITERAL_MAX_CENTROIDS:
             base = base.withColumn(
-                "cluster", nearest_centroid(F.col("_v"), coarse)
+                "cluster", nearest_centroid("`_v`", coarse)
             )
         else:
             base = _assign_by_join(base, coarse, id_col)
@@ -1226,7 +1251,7 @@ def pq_encode(
             F.array(
                 *[
                     nearest_centroid(
-                        F.slice(F.col("_v"), s * subdim + 1, subdim),
+                        f"slice(`_v`, {s * subdim + 1}, {subdim})",
                         codebook[s],
                     )
                     for s in range(m)

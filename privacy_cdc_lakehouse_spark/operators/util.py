@@ -57,6 +57,38 @@ def slot_persist(df: DataFrame, slot: str) -> DataFrame:
     return df
 
 
+def checkpoint_parallel(df: DataFrame) -> DataFrame:
+    """Eager ``localCheckpoint`` + guaranteed ``defaultParallelism``
+    partitions — the loop-spine materialization for iterative
+    operators.
+
+    Replaces the ``ensure_parallelism(df).localCheckpoint(eager=False)``
+    pair (round-15 finding): the old partition probe EXECUTED the
+    frame's AQE stages once just to count partitions, discarded the
+    result, and the lazy checkpoint then re-executed the same lineage
+    at first action — two executions of every loop spine, the second
+    hidden at plan-build time (tpch_join_panel paid ~17 s of build
+    running its graph edge joins it would run again at collect).
+    Eager checkpoint is the single materialization the loop needs
+    anyway; the materialized RDD's partition count is then free, and
+    the under-split case repartitions CHECKPOINTED blocks (small by
+    construction when that branch fires — big data always arrives
+    pre-split) and re-checkpoints so every round reads the spread
+    copy without replaying the shuffle."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    ck = df.localCheckpoint(eager=True)
+    try:
+        n = (
+            ck._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        )
+    except Exception:  # non-classic backends
+        n = ck.rdd.getNumPartitions()
+    if n < target:
+        return ck.repartition(target).localCheckpoint(eager=True)
+    return ck
+
+
 def ensure_parallelism(df: DataFrame) -> DataFrame:
     """Spread CPU-heavy per-row compute across the cluster when the
     input arrives under-split.
@@ -67,23 +99,39 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     by byte range, so the whole stage pins to one core of a 32-core
     box (measured: the sf0.1 documents fixture is one 594 KB row
     group). A 100 TB corpus arrives as thousands of splits and takes
-    the no-op path — the repartition only fires when input partitions
-    < cluster parallelism, so the shuffle it adds is by construction
-    small (the data fit in fewer splits than cores)."""
+    the no-op path.
+
+    The probe must not RUN anything (round-15 finding: the previous
+    ``executedPlan().execute()`` probe materialized AQE shuffle stages
+    at plan-BUILD time — tpch_join_panel paid 17 s executing its graph
+    edge joins once for the probe and again for the real action):
+
+    - exchange-free plan (the raw-scan case the function exists for):
+      exact partition count from the non-adaptive ``sparkPlan`` —
+      building that RDD schedules nothing;
+    - plan with exchanges: decide from optimizer STATS. The output of
+      a shuffle is AQE-coalesced by SIZE anyway, so the question "will
+      downstream per-row work be under-split" is exactly "is the data
+      small"; join-stats over-estimates err toward skipping the
+      repartition, which is the safe direction at scale (never add a
+      shuffle to big data for parallelism it already has)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    # Partition count straight from the JVM physical plan: df.rdd would
-    # additionally build the InternalRow->Row conversion plan on the
-    # Python side just to ask a number — pure driver overhead at high
-    # call rates. NOTE: under AQE, materializing executedPlan().execute()
-    # can run jobs for upstream shuffle-stage materialization — the same
-    # as the old df.rdd path did; the claim here is parity with df.rdd
-    # minus the Python-side conversion plan, NOT "no job ever runs".
-    # Keep this out of per-row hot paths; it is called once per operator.
     try:
-        n = df._jdf.queryExecution().executedPlan().execute().getNumPartitions()
+        qe = df._jdf.queryExecution()
+        plan = qe.sparkPlan()
+        if "Exchange" not in plan.toString():
+            n = plan.execute().getNumPartitions()
+            return df.repartition(target) if n < target else df
+        size = int(qe.optimizedPlan().stats().sizeInBytes().toString())
+        max_pb = int(
+            df.sparkSession._jsparkSession.sessionState()
+            .conf()
+            .filesMaxPartitionBytes()
+        )
+        if size < target * max_pb:
+            return df.repartition(target)
+        return df
     except Exception:  # non-classic backends: fall back to the RDD path
         n = df.rdd.getNumPartitions()
-    if n < target:
-        return df.repartition(target)
-    return df
+        return df.repartition(target) if n < target else df

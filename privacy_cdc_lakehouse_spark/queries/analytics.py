@@ -2634,8 +2634,17 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-iteration 9dp rounding makes cross-engine contribution sums
     # bit-identical (see graph.py's determinism contract).
     from privacy_cdc_lakehouse_spark.operators import graph as gr
+    from privacy_cdc_lakehouse_spark.operators.util import checkpoint_parallel
 
-    ranks = gr.pagerank(_relation_graph_edges(spark, sf_dir), iterations=5)
+    # Round-15: the panel's nine graph arms each rebuilt + re-executed
+    # the SAME relation-graph edge join (profiled: 10 builds, the
+    # orders⋈lineitem distinct materialized once per arm). ONE
+    # checkpointed frame shared within this query build — results
+    # identical (same rows; each operator re-canonicalizes/checkpoints
+    # as before), one materialization instead of ~9.
+    rel_edges = checkpoint_parallel(_relation_graph_edges(spark, sf_dir))
+
+    ranks = gr.pagerank(rel_edges, iterations=5)
     pr = gr.top_ranked(ranks, 20).select(
         F.lit("pr").alias("query"),
         F.when(F.col("node") >= 20_000_000, F.lit("nation"))
@@ -2654,7 +2663,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # authorities (who is bought-from/located-in) and top-10 hubs.
     # Scores AND positions hash-checked against the replay generated
     # by hits_oracle_ctes over the shared pr_e edge CTE.
-    ht = gr.hits(_relation_graph_edges(spark, sf_dir), iterations=3)
+    ht = gr.hits(rel_edges, iterations=3)
 
     def hits_rows(score_col: str, tag: str) -> DataFrame:
         return gr.top_ranked(ht, 10, rank_col=score_col).select(
@@ -2680,7 +2689,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("long").alias("label"),
     )
     lp_labels = gr.label_propagation(
-        _relation_graph_edges(spark, sf_dir), seeds, iterations=3
+        rel_edges, seeds, iterations=3
     )
     lp_arm = (
         lp_labels.groupBy(
@@ -2729,7 +2738,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # personalize_cte replay. 1/25 is exactly representable, and the
     # in-plan assert_true seed guard is live on this path.
     ranks_p = gr.pagerank(
-        _relation_graph_edges(spark, sf_dir),
+        rel_edges,
         iterations=5,
         personalize=seeds.select("node"),
     )
@@ -2748,7 +2757,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in d2, plus per-layer totals (nodes-in-triangles in k, corner
     # count in n) — the oracle replays the canonical a<b<c join,
     # which must produce the identical triangle set.
-    tr_counts = gr.triangles(_relation_graph_edges(spark, sf_dir))
+    tr_counts = gr.triangles(rel_edges)
     tri_top = gr.top_ranked(tr_counts, 20, rank_col="n_triangles").select(
         F.lit("tri").alias("query"),
         _layer.alias("d1"),
@@ -2782,7 +2791,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-checked against the oracle's replay over the same
     # canonical undirected edge set the tri arm defines.
     aa_pairs = gr.adamic_adar(
-        _relation_graph_edges(spark, sf_dir), max_degree=64
+        rel_edges, max_degree=64
     )
     aa_top = (
         aa_pairs.orderBy(F.desc("aa6"), "x", "y")
@@ -2832,7 +2841,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and positive (lcc>0) node counts — lcc is ONE division of exact
     # integers rounded 6dp, so parity carries no rounding-boundary
     # residual.
-    lcc = gr.clustering_coefficient(_relation_graph_edges(spark, sf_dir))
+    lcc = gr.clustering_coefficient(rel_edges)
     lcc_top = (
         lcc.orderBy(F.desc("lcc6"), "node")
         .limit(20)
@@ -2872,7 +2881,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixpoint driver loop is pytest-pinned against it): top-10
     # survivors by in-core degree plus per-layer survivor/degree
     # totals, all-integer so parity is exact.
-    kc = gr.k_core(_relation_graph_edges(spark, sf_dir), k=8, rounds=4)
+    kc = gr.k_core(rel_edges, k=8, rounds=4)
     kc_top = gr.top_ranked(kc, 10, rank_col="core_deg").select(
         F.lit("kcore").alias("query"),
         _layer.alias("d1"),
@@ -2903,7 +2912,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixpoint driver loop is pytest-pinned against it): per-(layer,
     # core) node counts, all-integer so parity is exact.
     cn = gr.core_number(
-        _relation_graph_edges(spark, sf_dir), k_max=8, rounds_per_k=2
+        rel_edges, k_max=8, rounds_per_k=2
     )
     cn_arm = (
         cn.groupBy(_layer.alias("d1"), "core")
@@ -2932,7 +2941,7 @@ def q_tpch_join_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     kt = gr.k_truss(
-        _relation_graph_edges(spark, sf_dir), k=3, rounds=2,
+        rel_edges, k=3, rounds=2,
         orient="canonical",
     )
     kt_arm = (

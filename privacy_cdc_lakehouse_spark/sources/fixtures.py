@@ -16,8 +16,29 @@ pruning intact on the non-ns columns.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# (session id, absolute path, mtime_ns, size) -> DataFrame handle.
+# Round-15 measure: tpch_join_panel alone called load_table 86 times,
+# ~0.16 s each (footer/schema read + relation analysis) = 14 s of
+# pure DRIVER time per build. The memo caches the lazy PLAN handle,
+# never data — every action still scans parquet — and the file
+# identity in the key (same discipline as debezium.source_digest)
+# means an in-place regeneration gets a fresh read. Entries from
+# stopped sessions are purged on every lookup.
+_TABLE_MEMO: dict[tuple, DataFrame] = {}
+_TABLE_MEMO_LOCK = threading.Lock()
+
+
+def _session_stopped(sess) -> bool:
+    try:
+        return sess._sc._jsc is None
+    except Exception:
+        return True
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:
@@ -37,6 +58,27 @@ def _ns_timestamp_cols(path: str) -> list[str]:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
+    try:
+        st = os.stat(path)
+        key = (id(spark), os.path.abspath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = None
+    if key is not None:
+        with _TABLE_MEMO_LOCK:
+            for k in list(_TABLE_MEMO):
+                if _session_stopped(_TABLE_MEMO[k].sparkSession):
+                    del _TABLE_MEMO[k]
+            hit = _TABLE_MEMO.get(key)
+        if hit is not None:
+            return hit
+    df = _load_table_uncached(spark, path)
+    if key is not None:
+        with _TABLE_MEMO_LOCK:
+            _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _ns_timestamp_cols(path)
     if not ns_cols:
         return spark.read.parquet(path)

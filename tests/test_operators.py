@@ -3679,6 +3679,44 @@ def test_lsh_table_buckets_sql_text_parity(spark):
     assert got.count() == 40 * tables
 
 
+def test_centroid_dists_sql_text_parity(spark):
+    """The SQL-text argmin (round-15: one expr parse per assignment
+    instead of ~20 py4j calls per centroid) must emit bit-identical
+    (distance, id) orderings to the per-Column reference form."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from privacy_cdc_lakehouse_spark.operators import similarity as sim
+
+    rnd = random.Random(11)
+    dim, k = 8, 5
+    cents = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(k)]
+    df = spark.createDataFrame(
+        [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(60)],
+        "vec_id long, _v array<double>",
+    )
+    got = df.select(
+        "vec_id", sim._centroid_dists("`_v`", cents).alias("dc")
+    ).collect()
+    want = df.select(
+        "vec_id", sim._centroid_dists(F.col("_v"), cents).alias("dc")
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # sliced-vector text form (the pq_encode subspace shape)
+    got_s = df.select(
+        sim.nearest_centroid(
+            "slice(`_v`, 1, 4)", [(c, v[:4]) for c, v in cents]
+        ).alias("c")
+    ).collect()
+    want_s = df.select(
+        sim.nearest_centroid(
+            F.slice(F.col("_v"), 1, 4), [(c, v[:4]) for c, v in cents]
+        ).alias("c")
+    ).collect()
+    assert [r["c"] for r in got_s] == [r["c"] for r in want_s]
+
+
 def test_array_lit_exact_roundtrip(spark):
     """_array_lit (SQL-text literal array) must round-trip doubles
     bit-exactly, including shortest-repr exponent forms."""
