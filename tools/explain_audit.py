@@ -101,7 +101,15 @@ AUDIT = {
     # generated 110-row bin grid by construction — the blanket
     # !Window is retired (positive Window asserted instead).
     "sql_privacy_view": ["HashAggregate", "Window", "!CartesianProduct"],
-    "dedup_jaccard_verified": ["HashAggregate", "Generate"],
+    # round 15: the candidate frame is localCheckpoint-ed inside
+    # _candidate_hint, so its generation pipeline (the minhash explode
+    # that used to satisfy a Generate assert) is a materialized RDD
+    # scan in THIS plan — assert that scan + the broadcast verify
+    # joins + never-cartesian instead.
+    "dedup_jaccard_verified": [
+        "HashAggregate", "Scan ExistingRDD", "BroadcastHashJoin",
+        "!CartesianProduct",
+    ],
     # CDF read: explicit change files are a plain parquet scan — no
     # join, no aggregate on the read side (the merge paid them). The
     # round-10 scd2 arm adds the incremental history: key-partitioned
