@@ -34,6 +34,7 @@ from privacy_cdc_lakehouse_spark.operators.text import (
     normalized_fingerprint,  # noqa: F401  (re-export + local use)
     words,
 )
+from privacy_cdc_lakehouse_spark.operators.util import checkpoint_df
 
 # ----------------------------- exact -----------------------------------
 
@@ -296,14 +297,24 @@ def _candidate_hint(candidates: DataFrame, broadcast_candidates):
     old FIFO. The hint is ON while the count is under
     ``AUTO_BROADCAST_MAX_CANDIDATES`` and OFF past it (a corpus-scale
     candidate set degrades to the AQE shuffle plan — the round-10
-    OOM-instead-of-degrade closure). An ``int`` is a caller-known
+    OOM-instead-of-degrade closure; round 16: on that outcome the
+    ORIGINAL lineage-bearing frame is returned, so nothing
+    corpus-scale stays pinned in executor storage and executor loss
+    recomputes instead of failing). An ``int`` is a caller-known
     candidate count: the hint resolves against the same threshold
     with no job and no checkpoint."""
     if broadcast_candidates == "auto":
-        cand = candidates.localCheckpoint()
+        cand = checkpoint_df(candidates)
         if cand.count() <= AUTO_BROADCAST_MAX_CANDIDATES:
             return cand, F.broadcast
-        return cand, (lambda d: d)
+        # Over the ceiling: hand back the ORIGINAL lineage-bearing frame
+        # (round-16, advisor item). A corpus-scale candidate set must
+        # not stay pinned in executor storage until driver GC, and with
+        # lineage intact an executor loss recomputes instead of failing
+        # the query — the documented "degrades to the AQE shuffle plan"
+        # posture. The checkpointed copy was only the count's vehicle;
+        # dropping our reference lets ContextCleaner release its blocks.
+        return candidates, (lambda d: d)
     if isinstance(broadcast_candidates, bool):
         return candidates, (
             F.broadcast if broadcast_candidates else (lambda d: d)

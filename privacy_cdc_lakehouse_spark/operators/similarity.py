@@ -50,6 +50,14 @@ def _array_lit(values: list[float]) -> Column:
     return F.expr("array(" + ",".join(parts) + ")")
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote an identifier for SQL-text splicing, escaping
+    embedded backticks (``a`b`` → ```a``b```) — a name containing a
+    backtick otherwise parses as a different expression or errors
+    (round-16 advisor item on the public lsh_table_buckets surface)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
@@ -434,7 +442,7 @@ def lsh_table_buckets(
     def sign_sql(seed: int) -> str:
         plane = "array(" + ",".join(f"{float(x)!r}D" for x in plane_vector(seed, dim)) + ")"
         return (
-            f"CAST(CAST(aggregate(zip_with(`{vec_col}`, {plane}, "
+            f"CAST(CAST(aggregate(zip_with({_qident(vec_col)}, {plane}, "
             f"(x, y) -> x * y), 0.0D, (acc, v) -> acc + v) >= 0 AS INT) AS STRING)"
         )
 
@@ -911,7 +919,7 @@ def _probe_clusters(
             F.explode(
                 F.transform(
                     F.slice(
-                        _centroid_dists(f"`{vec_field}`", cents), 1, nprobe
+                        _centroid_dists(_qident(vec_field), cents), 1, nprobe
                     ),
                     lambda s: s["c"],
                 )
@@ -1151,9 +1159,16 @@ def pq_model(
             (s, code, vec, m, n_codes, iters, subdim) for code, vec in cents
         ]
 
+    import os
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=min(4, m)) as pool:
+    # Overlap width is a latency/driver-contention trade, not a
+    # semantics knob (each job is byte-identical regardless); default 4
+    # measured best locally, env-tunable for cluster profiles.
+    workers = max(
+        1, min(int(os.environ.get("SPARK_GRAFT_PQ_FIT_WORKERS", "4")), m)
+    )
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         per_sub = list(pool.map(fit, range(m)))
     rows = [row for sub_rows in per_sub for row in sub_rows]
     return corpus.sparkSession.createDataFrame(

@@ -15,10 +15,19 @@ _PERSIST_LOCK = threading.Lock()
 
 
 def _session_stopped(sess) -> bool:
-    try:
-        return sess._sc._jsc is None  # SparkContext.stop() nulls _jsc
-    except Exception:
-        return True
+    """True only when the session is POSITIVELY known stopped. A
+    backend without the classic ``_sc._jsc`` internals (Spark Connect)
+    must answer "alive", not "stopped" — answering "stopped" there
+    made every lookup purge the whole memo, silently disabling it
+    (round-16 advisor item)."""
+    sc = getattr(sess, "_sc", None)
+    if sc is not None:
+        try:
+            return sc._jsc is None  # SparkContext.stop() nulls _jsc
+        except Exception:
+            return False
+    stopped = getattr(sess, "is_stopped", None)  # Connect exposes this
+    return bool(stopped) if isinstance(stopped, bool) else False
 
 
 def slot_persist(df: DataFrame, slot: str) -> DataFrame:
@@ -57,6 +66,35 @@ def slot_persist(df: DataFrame, slot: str) -> DataFrame:
     return df
 
 
+def checkpoint_df(df: DataFrame, eager: bool = True) -> DataFrame:
+    """The engine's single "materialize this intermediate" primitive.
+
+    Default: ``localCheckpoint`` — blocks live on executors with
+    lineage truncated, the right trade locally and the cheapest one
+    anywhere. At cluster scale executor loss (spot nodes, dynamic
+    deallocation) makes a local checkpoint unrecoverable, so the
+    posture is CONFIG-GATED (round-15 verdict item): set
+    ``spark.graft.reliableIntermediates=true`` (plus
+    ``sparkContext.setCheckpointDir`` — required by Spark for reliable
+    checkpoints) and every intermediate materialization in the engine
+    (loop spines, dedup candidate frames, shared panel sub-results)
+    switches to a reliable ``checkpoint()`` that survives executor
+    loss. Values are identical either way — only the storage home of
+    the one materialization changes."""
+    try:
+        reliable = (
+            df.sparkSession.conf.get(
+                "spark.graft.reliableIntermediates", "false"
+            ).lower()
+            == "true"
+        )
+    except Exception:
+        reliable = False
+    if reliable:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def checkpoint_parallel(df: DataFrame) -> DataFrame:
     """Eager ``localCheckpoint`` + guaranteed ``defaultParallelism``
     partitions — the loop-spine materialization for iterative
@@ -77,7 +115,7 @@ def checkpoint_parallel(df: DataFrame) -> DataFrame:
     copy without replaying the shuffle."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    ck = df.localCheckpoint(eager=True)
+    ck = checkpoint_df(df, eager=True)
     try:
         n = (
             ck._jdf.queryExecution().executedPlan().execute().getNumPartitions()
@@ -85,7 +123,17 @@ def checkpoint_parallel(df: DataFrame) -> DataFrame:
     except Exception:  # non-classic backends
         n = ck.rdd.getNumPartitions()
     if n < target:
-        return ck.repartition(target).localCheckpoint(eager=True)
+        spread = checkpoint_df(ck.repartition(target), eager=True)
+        # The spread copy is materialized; the first checkpoint's
+        # blocks are now dead weight — release them instead of pinning
+        # until driver GC (round-16 advisor item). Block loss after
+        # this point is no worse than before: a localCheckpoint is
+        # already lineage-free, so only `spread`'s own blocks matter.
+        try:
+            ck._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # non-classic backends / plan shape without .rdd()
+        return spread
     return ck
 
 
@@ -120,18 +168,59 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     try:
         qe = df._jdf.queryExecution()
         plan = qe.sparkPlan()
-        if "Exchange" not in plan.toString():
+        if not _plan_has_exchange(plan):
             n = plan.execute().getNumPartitions()
             return df.repartition(target) if n < target else df
-        size = int(qe.optimizedPlan().stats().sizeInBytes().toString())
-        max_pb = int(
-            df.sparkSession._jsparkSession.sessionState()
-            .conf()
-            .filesMaxPartitionBytes()
-        )
-        if size < target * max_pb:
+        # Exchange-bearing plan: decide from optimizer stats against
+        # AQE's own coalesce target. AQE coalesces shuffle output to
+        # ~advisoryPartitionSizeInBytes per partition, so "will this
+        # frame arrive under-split at the downstream per-row work" is
+        # exactly "is estimated size < target * advisory" — data past
+        # that bound already yields >= target post-AQE partitions and
+        # must NEVER gain an extra full shuffle (round-16: the old
+        # target * maxPartitionBytes bound, ~4 GB at 32 cores, could
+        # repartition multi-GB frames AQE had already split wide).
+        # Join-stats over-estimates err toward skipping — safe at scale.
+        # py4j may hand sizeInBytes back as a Python int (java
+        # BigInteger auto-conversion) or as a JavaObject depending on
+        # version — the old `.toString()`-only form raised on int and
+        # silently fell into the except-path `df.rdd` probe, which
+        # EXECUTES AQE stages at build time (round-16 finding).
+        raw = qe.optimizedPlan().stats().sizeInBytes()
+        size = raw if isinstance(raw, int) else int(raw.toString())
+        if size < target * _advisory_partition_bytes(df.sparkSession):
             return df.repartition(target)
         return df
     except Exception:  # non-classic backends: fall back to the RDD path
         n = df.rdd.getNumPartitions()
         return df.repartition(target) if n < target else df
+
+
+def _plan_has_exchange(plan) -> bool:
+    """Structural Exchange detection over a py4j physical-plan tree.
+    Substring-matching ``plan.toString()`` misfires when a column or
+    relation name contains "Exchange" (round-16 advisor item); node
+    class names cannot."""
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if "Exchange" in node.getClass().getSimpleName():
+            return True
+        kids = node.children()
+        for i in range(kids.length()):
+            stack.append(kids.apply(i))
+    return False
+
+
+def _advisory_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"
+    )
+    try:
+        return int(
+            spark._jvm.org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+                raw
+            )
+        )
+    except Exception:
+        return 64 * 1024 * 1024

@@ -32,6 +32,37 @@ ROWS_PER_BAND = NUM_PERM // BANDS
 NEAR_DUP_TAIL = " near dup tail marker"
 
 
+def _tqp_share_on() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_TQP_SHARE", "0") == "1"
+
+
+def _tqp_share(df: DataFrame) -> DataFrame:
+    """Within-query sharing experiment for text_quality_panel's
+    multiply-consumed sub-results (round-16, the r15 verdict's #1
+    A/B). Hypothesis: the union re-executes ``unigram_lm(docs)`` up to
+    6× per collect (lm + ppl + dsir arms, plus each consumer's
+    join-side + floor-agg double reference), so one ``checkpoint_df``
+    per shared frame should win. MEASURED RESULT: it LOSES — default
+    OFF. Interleaved A/B, identical rows asserted: sf0.1 medians
+    34.1 s (off) vs 39.5 s (on), 8 samples each; sf1 240.8 s (off) vs
+    327.5 s (on). AQE's runtime exchange/stage reuse ALREADY
+    deduplicates the identical sub-plans inside the single collect
+    (collect time was flat in every pairing — e.g. sf1 ~240 s both
+    ways); the eager checkpoints only ADD ~8 serial materialization
+    barriers at build time (+73–105 s at sf1). Plan evidence of the
+    experiment: plans/r16/text_quality_panel_{before,after}.txt
+    (423 → 145 Exchanges, 181 → 34 parquet scans — a smaller plan the
+    runtime already achieved via reuse). SPARK_GRAFT_TQP_SHARE=1
+    re-enables for re-measurement on engines without runtime reuse."""
+    if not _tqp_share_on():
+        return df
+    from privacy_cdc_lakehouse_spark.operators.util import checkpoint_df
+
+    return checkpoint_df(df)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -3780,7 +3811,10 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the 6dp-rounded mean (engine-stable: round absorbs summation-
     # order slack, floor of the rounded value is then exact)
     docs = _docs(spark, sf_dir)
-    lp = tx.doc_logprob(docs, tx.unigram_lm(docs))
+    # ONE corpus unigram LM feeds the lm, ppl and dsir arms (it used to
+    # be re-built per consumer — 6 full explode+agg passes per collect)
+    lm_all = _tqp_share(tx.unigram_lm(docs))
+    lp = _tqp_share(tx.doc_logprob(docs, lm_all))
     lm_rows = (
         lp.select(
             F.floor(F.col("mean_logp") * 10).cast("long").alias("b")
@@ -3815,7 +3849,7 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # as the unigram lm arm.
     even = docs.filter(F.col("doc_id") % 2 == 0)
     lp2 = tx.doc_bigram_logprob(
-        docs, tx.bigram_lm(even), tx.unigram_lm(even)
+        docs, tx.bigram_lm(even), _tqp_share(tx.unigram_lm(even))
     )
     lm2_rows = (
         lp2.select(
@@ -3834,7 +3868,9 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even-half training / whole-corpus scoring split so unseen-bigram
     # (λ·P_cont), unseen-context (P_cont) and unseen-word (floor)
     # paths all genuinely fire; same deci-bucket histogram contract.
-    kn_b, kn_c, kn_q = tx.kneser_ney_bigram_lm(even)
+    kn_b, kn_c, kn_q = tx.kneser_ney_bigram_lm(
+        even, materialize_pairs=_tqp_share_on()
+    )
     kn_rows = (
         tx.doc_kn_logprob(docs, kn_b, kn_c, kn_q)
         .select(F.floor(F.col("mean_logp") * 10).cast("long").alias("b"))
@@ -3923,7 +3959,9 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # smallest-label tie-break).
     nb_pred = tx.nb_classify(
         docs.filter(F.col("doc_id") % 2 == 1),
-        tx.nb_model(docs.filter(F.col("doc_id") % 2 == 0), label_col="lang"),
+        _tqp_share(
+            tx.nb_model(docs.filter(F.col("doc_id") % 2 == 0), label_col="lang")
+        ),
     )
     nbc_rows = (
         docs.filter(F.col("doc_id") % 2 == 1)
@@ -3944,10 +3982,12 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # weight buckets (one mis-weighted doc shifts a bucket) plus the
     # exact top-10 most-target-like doc ids (rank over the rounded
     # weight, id tie-break — the deterministic resampling stand-in).
-    dw = tx.dsir_logweights(
-        docs,
-        tx.unigram_lm(docs.filter(F.col("lang") == "en")),
-        tx.unigram_lm(docs),
+    dw = _tqp_share(
+        tx.dsir_logweights(
+            docs,
+            _tqp_share(tx.unigram_lm(docs.filter(F.col("lang") == "en"))),
+            lm_all,
+        )
     )
     dsir_buckets = (
         dw.select(F.floor("log_weight").cast("long").alias("b"))
@@ -3992,12 +4032,16 @@ def q_text_quality_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # less gate cost at sf1 (the corpus-wide pass belongs to the
     # operators' own scale rows, not this panel)
     eval_docs = docs.filter(F.col("doc_id") % 5 == 0)
-    bpairs = eval_docs.select(
-        F.col("doc_id").alias("pair_id"),
-        F.lower(
-            F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
-        ).alias("cand"),
-        F.col("text").alias("ref"),
+    # bpairs feeds four arms (bleu stats, rouge-1, rouge-2, chrf); the
+    # per-row punct-strip regex is worth exactly one execution
+    bpairs = _tqp_share(
+        eval_docs.select(
+            F.col("doc_id").alias("pair_id"),
+            F.lower(
+                F.regexp_replace(F.col("text"), r"[^A-Za-z0-9\s]", "")
+            ).alias("cand"),
+            F.col("text").alias("ref"),
+        )
     )
     bstats = slot_persist(tx.bleu_pair_stats(bpairs), "bleu_stats")
     bleu_buckets = (

@@ -35,10 +35,18 @@ _TABLE_MEMO_LOCK = threading.Lock()
 
 
 def _session_stopped(sess) -> bool:
-    try:
-        return sess._sc._jsc is None
-    except Exception:
-        return True
+    """True only when POSITIVELY known stopped — a backend without the
+    classic ``_sc._jsc`` internals (Spark Connect) must read as alive,
+    or every lookup purges the memo and the cache never hits
+    (round-16 advisor item)."""
+    sc = getattr(sess, "_sc", None)
+    if sc is not None:
+        try:
+            return sc._jsc is None
+        except Exception:
+            return False
+    stopped = getattr(sess, "is_stopped", None)
+    return bool(stopped) if isinstance(stopped, bool) else False
 
 
 def _ns_timestamp_cols(path: str) -> list[str]:

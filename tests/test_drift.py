@@ -187,14 +187,11 @@ def test_divergence_metrics_properties(spark):
     assert 0.0 < moved["js"] <= math.log(2) + 1e-9
     assert 0.0 < moved["tv"] <= 1.0
     assert moved["chi2"] > 0.0
-    # symmetry of JS and TV
-    rev = {
-        r["metric"]: r["value"]
-        for r in dr.drift_report(b, a, "v", n_bins=10, ks_bins=100).collect()
-    }
-    # note: bins anchor on the REFERENCE side, so reverse runs use a
-    # different grid — symmetry holds only on a shared grid; check via
-    # the standalone helpers on identical-range samples instead
+    # symmetry of JS and TV: bins anchor on the REFERENCE side, so
+    # reverse REPORT runs use a different grid — symmetry holds only on
+    # a shared grid; check via the standalone helpers on
+    # identical-range samples (the old reverse-report collect here was
+    # dead: its result was never asserted)
     b2 = spark.createDataFrame(
         [(float(9 - (i % 10)),) for i in range(200)], "v double"
     )
@@ -239,14 +236,22 @@ def test_wasserstein1_properties(spark):
     shift moves W1 but barely moves KS-insensitive mass metrics."""
     import pyspark.sql.functions as F  # noqa: F811
 
+    _memo = {}
+
     def rep(a, b):
-        return {
-            r["metric"]: r["value"]
-            for r in drift.drift_report(
-                _vals(spark, a), _vals(spark, b), "value",
-                n_bins=10, ks_bins=100,
-            ).collect()
-        }
+        # the same (a, b) pair is asserted against three times below —
+        # one drift_report collect per DISTINCT pair keeps this
+        # property test off the suite's critical path
+        key = (tuple(a), tuple(b))
+        if key not in _memo:
+            _memo[key] = {
+                r["metric"]: r["value"]
+                for r in drift.drift_report(
+                    _vals(spark, a), _vals(spark, b), "value",
+                    n_bins=10, ks_bins=100,
+                ).collect()
+            }
+        return _memo[key]
 
     a = [float(x % 13) for x in range(150)]
     same = rep(a, a)

@@ -32,9 +32,24 @@ def _plan(df) -> str:
 
 
 def test_no_python_eval_in_any_registered_query(spark, sf_dir):
+    # Builds run in a small thread pool (guide §2.6 applied to our own
+    # harness): many registry rows do real driver-side work at build
+    # time (streaming replays, MERGE commits, model fits, eager
+    # checkpoint spines) — sequentially this single test cost ~290 s
+    # of the suite's pytest budget, and the builds are independent.
+    # slot_persist'd subtrees may be evicted by a concurrent build and
+    # recompute from lineage (documented-correct, just unaccelerated).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def build(item):
+        name, fn = item
+        return name, _plan(fn(spark, sf_dir))
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        plans = list(pool.map(build, sorted(all_queries().items())))
+
     offenders = []
-    for name, fn in sorted(all_queries().items()):
-        plan = _plan(fn(spark, sf_dir))
+    for name, plan in plans:
         if "BatchEvalPython" in plan:
             offenders.append((name, "BatchEvalPython (row-at-a-time UDF)"))
         if name not in PANDAS_SANCTIONED and (

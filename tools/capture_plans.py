@@ -19,7 +19,10 @@ from bench import headline_queries
 from privacy_cdc_lakehouse_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+ROUND = os.environ.get("SPARK_GRAFT_ROUND", "r16")
+OUT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", ROUND
+)
 
 
 def main() -> None:
@@ -27,6 +30,11 @@ def main() -> None:
     names = sys.argv[2:]
     spark = get_spark("capture_plans")
     qs = headline_queries()
+    if names:
+        # any registered query, not just the headline set
+        from privacy_cdc_lakehouse_spark.queries import all_queries
+
+        qs = dict(qs, **all_queries())
     os.makedirs(OUT, exist_ok=True)
     for name, fn in qs.items():
         if names and name not in names:
