@@ -33,6 +33,7 @@ not a new execution path.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -41,13 +42,23 @@ from privacy_cdc_lakehouse_spark.tables import LakeTable, _entry
 
 NAMESPACES = ("bronze", "silver", "monitoring")
 
+# Session-catalog DDL is not atomic under concurrency: CREATE OR
+# REPLACE VIEW is drop+create inside the in-memory catalog, so two
+# driver threads registering the same medallion view race into
+# TABLE_OR_VIEW_ALREADY_EXISTS (surfaced by the engine's own §2.6
+# job-overlap patterns — e.g. building independent queries from a
+# thread pool). DDL here is microseconds of driver work; one process-
+# wide lock removes the race without serializing anything expensive.
+_DDL_LOCK = threading.Lock()
+
 
 def create_namespaces(spark: SparkSession, namespaces=NAMESPACES) -> None:
     """CREATE DATABASE IF NOT EXISTS for each medallion namespace
     (≙ ``CREATE NAMESPACE IF NOT EXISTS demo.bronze``,
     ``ingest_orders_raw.py:22``)."""
-    for ns in namespaces:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS `{ns}`")
+    with _DDL_LOCK:
+        for ns in namespaces:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{ns}`")
 
 
 def snapshot_sql(table: LakeTable, version: int | None = None) -> str:
@@ -93,9 +104,9 @@ def register_table(
     spark: SparkSession, qualified_name: str, table: LakeTable
 ) -> None:
     """Publish the current snapshot as catalog view ``db.name``."""
-    spark.sql(
-        f"CREATE OR REPLACE VIEW {qualified_name} AS {snapshot_sql(table)}"
-    )
+    sql = f"CREATE OR REPLACE VIEW {qualified_name} AS {snapshot_sql(table)}"
+    with _DDL_LOCK:
+        spark.sql(sql)
 
 
 def register_lakehouse(spark: SparkSession, lake, salt: str | None = None) -> None:
@@ -117,16 +128,17 @@ def register_lakehouse(spark: SparkSession, lake, salt: str | None = None) -> No
     # escaped ('' doubling) so an exotic salt can't break out of the
     # view SQL.
     s = (salt if salt is not None else pii_salt()).replace("'", "''")
-    spark.sql(
-        f"""
-        CREATE OR REPLACE VIEW silver.orders_current_priv AS
-        SELECT order_id,
-               sha2(concat_ws('::', CAST(user_id AS STRING), '{s}'), 256)
-                 AS user_key,
-               amount_eur, status, last_change_ts
-        FROM silver.orders_current
-        """
-    )
+    with _DDL_LOCK:
+        spark.sql(
+            f"""
+            CREATE OR REPLACE VIEW silver.orders_current_priv AS
+            SELECT order_id,
+                   sha2(concat_ws('::', CAST(user_id AS STRING), '{s}'), 256)
+                     AS user_key,
+                   amount_eur, status, last_change_ts
+            FROM silver.orders_current
+            """
+        )
 
 
 def show_schemas(spark: SparkSession) -> DataFrame:

@@ -1163,10 +1163,14 @@ def pq_model(
     from concurrent.futures import ThreadPoolExecutor
 
     # Overlap width is a latency/driver-contention trade, not a
-    # semantics knob (each job is byte-identical regardless); default 4
-    # measured best locally, env-tunable for cluster profiles.
+    # semantics knob (each job is byte-identical regardless of pool
+    # width, so centroids are too — asserted in the round-16 A/B).
+    # Interleaved A/B at sf0.1, m=16: width 4 [3.57, 5.45, 5.55] vs
+    # width 8 [3.17, 3.62, 4.52] — 8 won every pairing (the fits are
+    # driver-latency-bound, so deeper overlap keeps hiding round
+    # trips); env-tunable for cluster profiles.
     workers = max(
-        1, min(int(os.environ.get("SPARK_GRAFT_PQ_FIT_WORKERS", "4")), m)
+        1, min(int(os.environ.get("SPARK_GRAFT_PQ_FIT_WORKERS", "8")), m)
     )
     with ThreadPoolExecutor(max_workers=workers) as pool:
         per_sub = list(pool.map(fit, range(m)))

@@ -10,6 +10,9 @@ round-trip + dedup algorithm equals the declarative latest-state spec.
 
 from __future__ import annotations
 
+import os
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -757,6 +760,26 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
         f"{source_digest(sf_dir)}",
     )
     lake = Lakehouse(spark, root)
+    # pid staging is atomic across PROCESSES; same-process driver
+    # THREADS share the pid and would co-write one staging dir
+    # (round-16: independent queries now build from thread pools), so
+    # the one-off build is additionally serialized per process. Warm
+    # path: one exists() probe, no contention.
+    with _LAKE_BUILD_LOCK:
+        _ensure_lake(spark, sf_dir, lake, root)
+    return lake
+
+
+_LAKE_BUILD_LOCK = threading.Lock()
+
+
+def _ensure_lake(spark: SparkSession, sf_dir: str, lake, root: str) -> None:
+    from privacy_cdc_lakehouse_spark.cdc.jobs import (
+        Lakehouse,
+        ingest_bronze,
+        merge_silver,
+    )
+
     if not lake.silver.exists():
         # Build into a process-unique staging root, then PUBLISH with an
         # atomic rename. The old in-place recovery (rmtree the shared
@@ -788,7 +811,6 @@ def _materialized_lake(spark: SparkSession, sf_dir: str):
             os.rename(staging, root)
         except OSError:
             shutil.rmtree(staging, ignore_errors=True)  # lost the race
-    return lake
 
 
 def q_catalog_surface(spark: SparkSession, sf_dir: str) -> DataFrame:

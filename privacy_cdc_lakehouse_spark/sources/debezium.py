@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -150,6 +151,39 @@ def _reap_stale_bronze_caches(current: str) -> None:
             shutil.rmtree(os.path.join(parent, name), ignore_errors=True)
 
 
+def _ensure_bronze_cache(spark: SparkSession, sf_dir: str, cache: str) -> None:
+    """Build the bronze parquet cache if absent. Build into a
+    pid-unique staging dir and PUBLISH with an atomic rename: two
+    concurrent drivers racing an in-place overwrite could delete each
+    other's in-flight output or commit doubled part files under one
+    _SUCCESS (round-5 review; same protocol as
+    queries/cdc._materialized_lake). Same-process thread races are the
+    caller's lock's job."""
+    if os.path.exists(os.path.join(cache, "_SUCCESS")):
+        return
+    import shutil
+
+    _reap_stale_bronze_caches(cache)
+    staging = f"{cache}.build-{os.getpid()}"
+    shutil.rmtree(staging, ignore_errors=True)
+    # Lay the cache out at cluster parallelism: the generator inherits
+    # orders.parquet's 4 input splits, and a 4-file bronze pins the
+    # CPU-heavy downstream JSON parse to 4 tasks on a 32-core box
+    # (measured: the flagship's parse stage ran 4/32 cores). A real
+    # 100 TB bronze has thousands of files — the cache should look
+    # like one.
+    cdc_events(spark, sf_dir, materialize=False).repartition(
+        spark.sparkContext.defaultParallelism
+    ).write.mode("overwrite").parquet(staging)
+    try:
+        os.rename(staging, cache)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)  # lost the race
+
+
+_BRONZE_BUILD_LOCK = threading.Lock()
+
+
 def cdc_events(
     spark: SparkSession, sf_dir: str, materialize: bool = True
 ) -> DataFrame:
@@ -167,29 +201,14 @@ def cdc_events(
     """
     if materialize:
         cache = _bronze_cache_path(sf_dir)
-        if not os.path.exists(os.path.join(cache, "_SUCCESS")):
-            # Build into a pid-unique staging dir and PUBLISH with an
-            # atomic rename: two concurrent drivers racing an in-place
-            # overwrite could delete each other's in-flight output or
-            # commit doubled part files under one _SUCCESS (round-5
-            # review; same protocol as queries/cdc._materialized_lake).
-            import shutil
-
-            _reap_stale_bronze_caches(cache)
-            staging = f"{cache}.build-{os.getpid()}"
-            # Lay the cache out at cluster parallelism: the generator
-            # inherits orders.parquet's 4 input splits, and a 4-file
-            # bronze pins the CPU-heavy downstream JSON parse to 4
-            # tasks on a 32-core box (measured: the flagship's parse
-            # stage ran 4/32 cores). A real 100 TB bronze has thousands
-            # of files — the cache should look like one.
-            cdc_events(spark, sf_dir, materialize=False).repartition(
-                spark.sparkContext.defaultParallelism
-            ).write.mode("overwrite").parquet(staging)
-            try:
-                os.rename(staging, cache)
-            except OSError:
-                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+        # The staging protocol below is keyed by PID — atomic across
+        # processes but not across driver THREADS, which share a pid
+        # and would write one staging dir together (round-16: the
+        # engine now builds independent queries from thread pools).
+        # One process-wide lock serializes only the one-off cache
+        # build; the warm path stays lock-free-ish and instant.
+        with _BRONZE_BUILD_LOCK:
+            _ensure_bronze_cache(spark, sf_dir, cache)
         return spark.read.parquet(cache)
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     b = _order_base(orders)
